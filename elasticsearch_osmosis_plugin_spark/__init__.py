@@ -1,0 +1,28 @@
+"""elasticsearch_osmosis_plugin_spark — a from-scratch PySpark-native
+fulltext index engine.
+
+Re-expresses the *role* of ncolomer/elasticsearch-osmosis-plugin (an
+ingest pipeline that turns an entity stream into a queryable fulltext
+index backed by Elasticsearch) as a Spark-first engine that owns the
+index itself:
+
+- SPIMI-style distributed inverted-index build (``plans.build``)
+- delta + varbyte posting compression with block-max metadata
+  (``functions.varbyte``)
+- top-k BM25 (k1=1.2, b=0.75) query engine with MaxScore/block-max
+  pruning (``operators.query``)
+- doc-store DAO ops mirroring the reference's EntityDao
+  (``operators.dao``; reference: EntityDao.java)
+- training-data pipeline ops: dedup, similarity search, text analysis,
+  multimodal plumbing (``functions.*``)
+
+Everything is DataFrame/Catalyst-native except explicitly-vectorized
+Arrow/pandas UDF kernels (tokenizer, varbyte codec, scorer). No
+per-row Python anywhere.
+"""
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+
+__version__ = "0.1.0"
+
+__all__ = ["EngineConfig", "__version__"]
