@@ -1,0 +1,59 @@
+"""Boolean retrieval over the persisted index: posting intersection.
+
+Posting-list intersection is semantically a semi-join chain
+(SURVEY.md §2.C "Joins"): docs(t1) ⋉ docs(t2) ⋉ ... Ordering the chain
+rarest-term-first (df ascending, from the dictionary) minimizes the
+intermediate sizes — Catalyst broadcasts the small side automatically
+under AQE when a term's postings are tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_osmosis_plugin_spark.operators.query import (
+    DECODED_SCHEMA,
+    _decode_score,
+    _pruned_postings,
+    dictionary_rows,
+    query_terms,
+)
+from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+
+def _term_docs(spark, index_path, term, meta) -> DataFrame:
+    posts = _pruned_postings(spark, index_path, [term], meta)
+    decoded = posts.mapInPandas(
+        _decode_score({term: 1.0}, meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+    return decoded.select("doc_id")
+
+
+def match_all_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:
+    """doc_ids containing ALL query terms (conjunctive AND)."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty or len(dic) < len(terms):
+        # some term matches nothing -> empty intersection
+        return spark.createDataFrame([], "doc_id long")
+    order = list(dic.sort_values(["df", "term"])["term"])  # rarest first
+    out = _term_docs(spark, index_path, order[0], meta).distinct()
+    for t in order[1:]:
+        out = out.join(_term_docs(spark, index_path, t, meta), "doc_id", "left_semi")
+    return out.orderBy("doc_id")
+
+
+def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:
+    """doc_ids containing >=1 query term (disjunctive OR) — union + dedupe."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long")
+    posts = _pruned_postings(spark, index_path, list(dic["term"]), meta)
+    decoded = posts.mapInPandas(
+        _decode_score({t: 1.0 for t in dic["term"]},
+                      meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+    return decoded.select("doc_id").distinct().orderBy("doc_id")

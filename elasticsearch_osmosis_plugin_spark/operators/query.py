@@ -1,0 +1,180 @@
+"""Top-k BM25 query engine over the persisted SPIMI index.
+
+Reference analog: the search entry point —
+``prepareSearch(index).setQuery(...).execute()`` returning a ranked
+hit list (``ESNodeITest.java:184-193``); the scoring/traversal that
+Elasticsearch did for the reference is implemented here.
+
+Execution (Spark-first):
+1. tokenize the query with the SAME analyzer as the build;
+2. dictionary lookup: parquet read pruned to the terms' buckets
+   (partition pruning) + term predicate (row-group stats) — a few KB;
+3. postings read pruned the same way — only query terms' rows are
+   ever scanned;
+4. vectorized numpy decode + exact float64 BM25 partial scores inside
+   Arrow batches (mapInPandas);
+5. groupBy(doc_id).sum -> deterministic top-k
+   (TakeOrderedAndProject: per-partition heaps, no global sort).
+
+Strategies:
+- ``scoreall``: decode + score every posting of every query term.
+  Exact. The shuffle carries one row per (doc, term) match.
+- ``maxscore``: batch MaxScore pruning using the per-term upper bound
+  ub_t = idf_t * (k1+1) * max_wand_t from the dictionary. Essential
+  terms E are scored fully; a threshold θ (k-th best partial score,
+  a valid lower bound on the final k-th score) proves that docs
+  appearing ONLY in non-essential terms cannot reach the top-k, so
+  non-essential postings are reduced by an inner join against the
+  candidate set before the aggregation. Exact (rank-identical to
+  scoreall), but the wide shuffle no longer carries the stop-term
+  postings — the 100 TB win for queries mixing rare + hot terms.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+from elasticsearch_osmosis_plugin_spark.functions.varbyte import vb_decode
+from elasticsearch_osmosis_plugin_spark.operators.topk import deterministic_topk
+from elasticsearch_osmosis_plugin_spark.plans import catalog
+from elasticsearch_osmosis_plugin_spark.plans.build import (
+    bucket_of,
+    load_meta,
+    postings_df,
+)
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def query_terms(query: str, meta: dict) -> list[str]:
+    return sorted(set(tokenize_py(
+        query, meta["analyzer"],
+        min_len=meta.get("min_token_len", 1),
+        max_len=meta.get("max_token_len", 64))))
+
+
+def dictionary_rows(spark: SparkSession, index_path: str,
+                    terms: Sequence[str], meta: dict) -> pd.DataFrame:
+    """Tiny dictionary lookup: bucket partition pruning + term predicate."""
+    if not terms:
+        return pd.DataFrame(columns=["term", "df", "cf", "n_blocks", "max_wand", "bucket"])
+    buckets = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
+    dic = catalog.read_table(spark, index_path, "dictionary")
+    return (dic.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
+               .toPandas())
+
+
+def _pruned_postings(spark: SparkSession, index_path: str,
+                     terms: Sequence[str], meta: dict) -> DataFrame:
+    buckets = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
+    return (postings_df(spark, index_path)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))))
+
+
+def _decode_score(idf_by_term: dict[str, float], k1: float, b: float, avgdl: float):
+    """mapInPandas kernel: posting blocks -> (term, doc_id, partial)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, ids_vb, tfs_vb, dls_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["dls_vb"]):
+                d = np.cumsum(vb_decode(ids_vb), dtype=np.uint64).astype(np.int64)
+                tf = vb_decode(tfs_vb).astype(np.float64)
+                dl = vb_decode(dls_vb).astype(np.float64)
+                w = idf_by_term[term] * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl))
+                outs.append(pd.DataFrame({"term": term, "doc_id": d, "partial": w}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
+
+
+DECODED_SCHEMA = "term string, doc_id long, partial double"
+
+
+def _scored(spark, index_path, terms, meta, idf_by_term) -> DataFrame:
+    posts = _pruned_postings(spark, index_path, terms, meta)
+    return posts.mapInPandas(
+        _decode_score(idf_by_term, meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+
+
+def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
+         strategy: str = "auto") -> DataFrame:
+    """Top-k BM25 -> DataFrame (doc_id, score), deterministic order."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df)) for r in dic.itertuples()}
+    ub = {r.term: idf_by_term[r.term] * (meta["k1"] + 1.0) * float(r.max_wand)
+          for r in dic.itertuples()}
+    live_terms = list(dic["term"])
+
+    if strategy == "auto":
+        # maxscore pays off when some terms are much hotter than others
+        dfs = dic["df"].astype(float)
+        strategy = "maxscore" if (len(live_terms) > 1
+                                  and dfs.max() > 8 * dfs.min()) else "scoreall"
+
+    if strategy == "scoreall" or len(live_terms) == 1:
+        scores = (_scored(spark, index_path, live_terms, meta, idf_by_term)
+                  .groupBy("doc_id").agg(F.sum("partial").alias("score")))
+        return deterministic_topk(scores, k)
+    if strategy != "maxscore":
+        raise ValueError(f"unknown strategy: {strategy}")
+    return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term, ub, k)
+
+
+def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k) -> DataFrame:
+    # essential set E: highest-ub terms; grow E until sum(ub of rest) < θ
+    by_ub_desc = sorted(terms, key=lambda t: (-ub[t], t))
+    e_size = 1
+    while True:
+        E = by_ub_desc[:e_size]
+        NE = by_ub_desc[e_size:]
+        partial_e = (_scored(spark, index_path, E, meta, idf_by_term)
+                     .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
+                     .persist())
+        top_rows = partial_e.orderBy(F.desc("partial")).limit(k).collect()
+        theta = top_rows[-1]["partial"] if len(top_rows) >= k else 0.0
+        sum_ub_ne = sum(ub[t] for t in NE)
+        if not NE or sum_ub_ne < theta:
+            break
+        partial_e.unpersist()
+        e_size += 1
+    if not NE:
+        return deterministic_topk(partial_e.withColumnRenamed("partial", "score"), k)
+    # candidates: only docs that could still reach θ once NE terms are added.
+    # docs absent from all E postings have score <= sum_ub_ne < θ — excluded.
+    cands = partial_e.filter(F.col("partial") + F.lit(sum_ub_ne) >= F.lit(theta))
+    ne_scores = (_scored(spark, index_path, NE, meta, idf_by_term)
+                 .join(cands.select("doc_id"), "doc_id", "inner")  # prune hot postings
+                 .groupBy("doc_id").agg(F.sum("partial").alias("ne_partial")))
+    final = (cands.join(ne_scores, "doc_id", "left")
+             .withColumn("score", F.col("partial") + F.coalesce(F.col("ne_partial"), F.lit(0.0)))
+             .select("doc_id", "score"))
+    out = deterministic_topk(final, k)
+    return out
+
+
+def match_count(spark: SparkSession, index_path: str, query: str) -> int:
+    """Number of docs matching >=1 query term (reference analog: count
+    API, ``PluginIntegrationITest.java:44-45``)."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return 0
+    idf_by_term = {t: 0.0 for t in dic["term"]}
+    return (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term)
+            .select("doc_id").distinct().count())

@@ -1,0 +1,254 @@
+"""SPIMI-style distributed inverted-index build (north rule core).
+
+Reference role analog: the whole ingest pipeline — entity stream ->
+documents -> bulk index (``ElasticSearchWriterTask.java:40-82``,
+``EntityDao.java:91-160``) — except the index itself is ours, not
+Elasticsearch's.
+
+Index layout (parquet tables under ``index_path``, committed
+atomically via plans.catalog):
+
+- ``docstats``: doc_id, seg, dl, content_sha, <carry cols>
+- ``postings`` (partitioned by bucket, group): one row per
+  (term, seg, block): delta+varbyte doc_ids, varbyte tfs, varbyte dls,
+  block_max_wand (exact float64 upper-bound kernel for BM25),
+  min/max doc.
+- ``dictionary`` (partitioned by bucket): term, df, cf, n_blocks,
+  max_wand.
+- ``meta`` manifest: N, avgdl, analyzer, cfg, per-stage metrics +
+  per-group lineage (north rule: resumable from per-partition
+  checkpoints with lineage and metrics).
+
+Scale design:
+- doc ids: 60-bit sha-derived (uniform) or caller-supplied;
+  seg = xxhash64(doc_id) % n_segments — deterministic, skew-proof,
+  independent of input partitioning (byte-identical rebuilds).
+- ONE wide shuffle (groupBy(seg)) carries the corpus to its segment
+  builder; everything downstream is per-segment-local numpy.
+- postings are bucketed by md5(term) % n_buckets -> query-time
+  partition pruning; within a bucket, rows sorted by term -> parquet
+  row-group min/max stats prune file reads per query term.
+- hot terms (stop-term postings) never concentrate: each (term, seg)
+  pair is an independent row group of <= block_size entries per block,
+  so a term appearing in every doc still parallelizes across segments.
+- resume: segments are processed in ``n_groups`` checkpoint groups;
+  each group commits atomically with lineage; a restarted build skips
+  completed groups (reference analog: the drain-and-flush guarantees
+  of the bounded queue + type barrier, ``WorkerPool.java:39-56``,
+  restated as idempotent segment commits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+    tokenize_series,
+    tokenize_udf,
+)
+from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
+    delta_encode,
+    vb_encode,
+)
+from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+POSTING_SCHEMA = (
+    "bucket int, term string, seg int, block int, n int, sum_tf long, "
+    "block_max_wand double, min_doc long, max_doc long, "
+    "doc_ids_vb binary, tfs_vb binary, dls_vb binary"
+)
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    """Stable term -> bucket hash (md5-based: identical in build UDFs,
+    query driver, and tests; never python hash() which is salted)."""
+    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:4], "big") % n_buckets
+
+
+def add_doc_ids(df: DataFrame, key_cols: Iterable[str]) -> DataFrame:
+    """Deterministic 60-bit doc id from the natural key
+    (reference: docs keyed by OSM id, ``EntityDao.java:96``)."""
+    key = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
+    return df.withColumn(
+        "doc_id", F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("long"))
+
+
+def _seg_col(n_segments: int):
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_segments)).cast("int")
+
+
+def _empty_postings_pdf() -> pd.DataFrame:
+    return pd.DataFrame({
+        "bucket": pd.Series(dtype="int32"), "term": pd.Series(dtype="object"),
+        "seg": pd.Series(dtype="int32"), "block": pd.Series(dtype="int32"),
+        "n": pd.Series(dtype="int32"), "sum_tf": pd.Series(dtype="int64"),
+        "block_max_wand": pd.Series(dtype="float64"),
+        "min_doc": pd.Series(dtype="int64"), "max_doc": pd.Series(dtype="int64"),
+        "doc_ids_vb": pd.Series(dtype="object"), "tfs_vb": pd.Series(dtype="object"),
+        "dls_vb": pd.Series(dtype="object"),
+    })
+
+
+def _segment_builder(cfg: EngineConfig, avgdl: float, text_col: str):
+    """Per-segment SPIMI posting construction: pandas/numpy only."""
+    k1, b, block_size, n_buckets = cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+    analyzer = cfg.analyzer
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        toks = tokenize_series(pdf[text_col], analyzer,
+                               min_len=cfg.min_token_len, max_len=cfg.max_token_len)
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        if lens.sum() == 0:
+            return _empty_postings_pdf()
+        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        flat_docs = np.repeat(doc_ids[lens > 0], lens[lens > 0])
+        flat_dls = np.repeat(lens[lens > 0], lens[lens > 0])
+        tf_df = (pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls})
+                 .groupby(["term", "doc_id"], sort=True)
+                 .agg(tf=("dl", "size"), dl=("dl", "first"))
+                 .reset_index())
+        out_rows = []
+        for term, grp in tf_df.groupby("term", sort=True):
+            d = grp["doc_id"].to_numpy(np.int64)
+            order = np.argsort(d, kind="stable")
+            d = d[order]
+            tf = grp["tf"].to_numpy(np.int64)[order]
+            dl = grp["dl"].to_numpy(np.int64)[order]
+            bkt = bucket_of(term, n_buckets)
+            for blk_i, s in enumerate(range(0, d.size, block_size)):
+                db, tb, lb = d[s:s + block_size], tf[s:s + block_size], dl[s:s + block_size]
+                # exact BM25 tf-normalization upper bound for the block
+                wand = float(np.max(tb / (tb + k1 * (1.0 - b + b * lb / avgdl))))
+                out_rows.append((
+                    bkt, term, seg, blk_i, int(db.size), int(tb.sum()), wand,
+                    int(db[0]), int(db[-1]),
+                    vb_encode(delta_encode(db.astype(np.uint64))),
+                    vb_encode(tb.astype(np.uint64)),
+                    vb_encode(lb.astype(np.uint64)),
+                ))
+        return pd.DataFrame(out_rows, columns=[
+            "bucket", "term", "seg", "block", "n", "sum_tf", "block_max_wand",
+            "min_doc", "max_doc", "doc_ids_vb", "tfs_vb", "dls_vb"])
+
+    return build
+
+
+def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
+                cfg: EngineConfig = EngineConfig(),
+                key_cols: Iterable[str] = ("repo", "path", "commit"),
+                id_col: str | None = None,
+                text_col: str = "content",
+                carry_cols: Iterable[str] | None = None,
+                n_groups: int = 4) -> dict:
+    """Build (or resume) the full index. Returns the meta manifest."""
+    t0 = time.time()
+    metrics: list[dict] = []
+
+    base = (docs.withColumn("doc_id", F.col(id_col).cast("long"))
+            if id_col else add_doc_ids(docs, key_cols))
+    base = base.withColumn("seg", _seg_col(cfg.n_segments))
+
+    carry = list(carry_cols) if carry_cols is not None else [
+        c for c in docs.columns if c not in (text_col, id_col)]
+
+    # ---- stage A: docstats (tokenize once for dl + sha row-invariant)
+    if not (cfg.resume and catalog.table_exists(index_path, "docstats")):
+        t = time.time()
+        tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
+                           max_len=cfg.max_token_len)
+        ds = base.select(
+            "doc_id", "seg",
+            F.size(tok(F.col(text_col))).alias("dl"),
+            F.sha2(F.col(text_col), 256).alias("content_sha"),
+            *[F.col(c) for c in carry])
+        catalog.create_or_replace(ds, index_path, "docstats",
+                                  manifest={"stage": "docstats", "cfg": vars(cfg) | {}})
+        metrics.append({"stage": "docstats", "wall_s": time.time() - t})
+
+    ds = catalog.read_table(spark, index_path, "docstats")
+    stats = ds.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
+
+    # ---- stage B: postings, in per-group checkpointed commits
+    builder = _segment_builder(cfg, avgdl, text_col)
+    lineage = []
+    groups_rebuilt = False
+    for g in range(n_groups):
+        name = f"postings/group={g}"
+        if cfg.resume and catalog.table_exists(index_path, name):
+            lineage.append(catalog.read_manifest(index_path, name))
+            continue
+        groups_rebuilt = True
+        t = time.time()
+        part = base.filter(F.pmod(F.col("seg"), F.lit(n_groups)) == g) \
+                   .select("doc_id", "seg", text_col)
+        seg_postings = part.groupBy("seg").applyInPandas(builder, POSTING_SCHEMA)
+        man = catalog.create_or_replace(
+            seg_postings, index_path, name,
+            manifest={"stage": "postings", "group": g, "n_groups": n_groups,
+                      "segs": [s for s in range(cfg.n_segments) if s % n_groups == g],
+                      "avgdl": avgdl, "n_docs": n_docs,
+                      "wall_s": time.time() - t},
+            partition_by=["bucket"])
+        lineage.append(man)
+        metrics.append({"stage": f"postings:g{g}", "wall_s": time.time() - t})
+
+    # ---- stage C: dictionary (tiny agg over per-block rows; hot terms are
+    # pre-aggregated per (seg, block), so no skew salting is needed here)
+    if groups_rebuilt or not (cfg.resume and catalog.table_exists(index_path, "dictionary")):
+        t = time.time()
+        posts = spark.read.option("basePath", os.path.join(index_path, "postings")) \
+            .parquet(*[catalog.table_path(index_path, f"postings/group={g}")
+                       for g in range(n_groups)])
+        dic = (posts.groupBy("term")
+               .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.max("block_max_wand").alias("max_wand"),
+                    F.max("bucket").alias("bucket"))
+               .repartition(cfg.n_buckets, "bucket")
+               .sortWithinPartitions("term"))
+        catalog.create_or_replace(dic, index_path, "dictionary",
+                                  manifest={"stage": "dictionary"},
+                                  partition_by=["bucket"])
+        metrics.append({"stage": "dictionary", "wall_s": time.time() - t})
+
+    meta = {
+        "n_docs": n_docs, "avgdl": avgdl,
+        "k1": cfg.k1, "b": cfg.b,
+        "analyzer": cfg.analyzer,
+        "min_token_len": cfg.min_token_len, "max_token_len": cfg.max_token_len,
+        "n_segments": cfg.n_segments, "n_buckets": cfg.n_buckets,
+        "block_size": cfg.block_size, "n_groups": n_groups,
+        "lineage": lineage, "metrics": metrics,
+        "build_wall_s": time.time() - t0,
+    }
+    os.makedirs(index_path, exist_ok=True)
+    tmp = os.path.join(index_path, "_meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(index_path, "meta.json"))
+    return meta
+
+
+def load_meta(index_path: str) -> dict:
+    with open(os.path.join(index_path, "meta.json")) as f:
+        return json.load(f)
+
+
+def postings_df(spark: SparkSession, index_path: str) -> DataFrame:
+    meta = load_meta(index_path)
+    base = os.path.join(index_path, "postings")
+    return spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, f"group={g}") for g in range(meta["n_groups"])])

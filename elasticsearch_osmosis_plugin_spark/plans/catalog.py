@@ -1,0 +1,80 @@
+"""Directory catalog with atomic table commits.
+
+Reference analog: the index-admin DDL layer —
+``IndexAdminService.createIndex`` (drop-first,
+``IndexAdminService.java:18-48``), ``indexExists/deleteIndex/refresh``
+(``IndexAdminService.java:50-53,67-70,80-83``). Here a "table" is a
+parquet directory under the index root; visibility is atomic via
+write-to-tmp + ``os.rename`` (the stand-in for Iceberg snapshot
+commits — refresh() becomes a no-op because a renamed directory is
+visible or absent, never partial).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+
+
+def table_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def table_exists(root: str, name: str) -> bool:
+    return os.path.exists(os.path.join(root, name, MANIFEST))
+
+
+def drop_table(root: str, name: str) -> bool:
+    """Returns True when the table existed (reference: deleteIndex
+    returns acknowledgement, ``IndexAdminService.java:67-70``)."""
+    p = table_path(root, name)
+    existed = os.path.exists(p)
+    if existed:
+        shutil.rmtree(p)
+    return existed
+
+
+def read_manifest(root: str, name: str) -> dict[str, Any]:
+    with open(os.path.join(root, name, MANIFEST)) as f:
+        return json.load(f)
+
+
+def create_or_replace(df: DataFrame, root: str, name: str,
+                      manifest: dict[str, Any] | None = None,
+                      partition_by: list[str] | None = None) -> dict[str, Any]:
+    """Write df as table ``name`` with drop-first semantics
+    (reference ``IndexAdminService.java:22``): stage into a tmp dir,
+    write the manifest last, then rename into place atomically."""
+    os.makedirs(root, exist_ok=True)
+    final = table_path(root, name)
+    tmp = os.path.join(root, f"_tmp_{name.replace('/', '_')}_{uuid.uuid4().hex[:8]}")
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        man = dict(manifest or {})
+        man.setdefault("table", name)
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(man, f, indent=1, default=str)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(tmp, final)
+        return man
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    if not table_exists(root, name):
+        raise FileNotFoundError(f"index table not found: {root}/{name}")
+    return spark.read.parquet(table_path(root, name))

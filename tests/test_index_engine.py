@@ -1,0 +1,106 @@
+"""End-to-end: SPIMI build -> persisted index -> top-k BM25
+rank-identical to the M1 pure-DataFrame path AND the Python oracle
+(SURVEY.md §7 M4 gate); resumability; row invariants."""
+
+import os
+
+import pytest
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_oracle
+from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+    match_all_terms,
+    match_any_terms,
+)
+from elasticsearch_osmosis_plugin_spark.operators.query import match_count, topk
+from elasticsearch_osmosis_plugin_spark.plans.build import build_index, load_meta
+
+CFG = EngineConfig(n_segments=8, n_buckets=4, block_size=16)
+
+QUERIES = [
+    "id0001",
+    "id0042 id0007",
+    "public static void",
+    "getIndexBuffer",
+    "id1999 import",
+]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "index")
+    build_index(spark, corpus_df, path, CFG, id_col="doc_id", n_groups=2)
+    return path
+
+
+def _oracle_ids(corpus_rows, query, k):
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    return bm25_oracle(rows, query, k=k)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("strategy", ["scoreall", "maxscore"])
+def test_index_topk_rank_identical(spark, corpus_rows, index_path, query, strategy):
+    got = topk(spark, index_path, query, k=10, strategy=strategy).collect()
+    want = _oracle_ids(corpus_rows, query, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], (query, strategy)
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
+def test_match_count(spark, corpus_rows, index_path):
+    got = match_count(spark, index_path, "public")
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    want = sum(1 for t in corpus_rows["content"] if "public" in tokenize_py(t, "code"))
+    assert got == want
+
+
+def test_boolean_and_or(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+
+    toksets = {d: set(tokenize_py(t, "code"))
+               for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    got_and = [r["doc_id"] for r in
+               match_all_terms(spark, index_path, "public static").collect()]
+    want_and = sorted(d for d, s in toksets.items() if {"public", "static"} <= s)
+    assert got_and == want_and
+    got_or = [r["doc_id"] for r in
+              match_any_terms(spark, index_path, "public static").collect()]
+    want_or = sorted(d for d, s in toksets.items() if {"public", "static"} & s)
+    assert got_or == want_or
+
+
+def test_meta_and_row_invariant(spark, corpus_df, index_path):
+    import hashlib
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    assert meta["n_docs"] == corpus_df.count()
+    ds = catalog.read_table(spark, index_path, "docstats")
+    # content sha256 row-invariant vs the source table (input_hint)
+    src = {r["doc_id"]: hashlib.sha256(r["content"].encode()).hexdigest()
+           for r in corpus_df.collect()}
+    for r in ds.select("doc_id", "content_sha").collect():
+        assert src[r["doc_id"]] == r["content_sha"]
+
+
+def test_resume_skips_completed_groups(spark, corpus_df, index_path, tmp_path):
+    # delete one postings group; resumed build must restore ONLY it and
+    # leave identical results (idempotent segment commits)
+    import shutil
+
+    g1 = os.path.join(index_path, "postings", "group=1")
+    before = topk(spark, index_path, "id0001", k=5).collect()
+    mtime_g0 = os.path.getmtime(os.path.join(index_path, "postings", "group=0"))
+    shutil.rmtree(g1)
+    build_index(spark, corpus_df, index_path, CFG, id_col="doc_id", n_groups=2)
+    assert os.path.exists(g1)
+    assert os.path.getmtime(os.path.join(index_path, "postings", "group=0")) == mtime_g0
+    after = topk(spark, index_path, "id0001", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in before] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in after]
+
+
+def test_empty_query_returns_empty(spark, index_path):
+    assert topk(spark, index_path, "zzzznotaterm", k=5).count() == 0
