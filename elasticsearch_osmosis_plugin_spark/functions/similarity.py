@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: JVM-side fold (F.aggregate/zip_with) — the
+  exact baseline, a single narrow pass + TakeOrderedAndProject;
+- LSH-bucketed ANN (random hyperplanes): the scale path — candidates
+  only from matching buckets, then exact re-scoring;
+- exact cosine near-dup pairs (block-nested equi-join on bucket for
+  the LSH variant).
+
+Determinism: hyperplanes come from a seeded numpy Generator; the dot
+product folds left-to-right (F.aggregate is a sequential fold), so
+scores are bit-stable across partitionings.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from elasticsearch_osmosis_plugin_spark.operators.topk import deterministic_topk
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_scores(df: DataFrame, query_vec: Sequence[float],
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine similarity of every row vs a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return df.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+
+
+def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_dp: int | None = None) -> DataFrame:
+    """Brute-force exact top-k: one narrow pass, per-partition heaps
+    (TakeOrderedAndProject) — the correctness baseline for ANN."""
+    scores = cosine_scores(df, query_vec, id_col, vec_col)
+    return deterministic_topk(scores, k, score_col="cos", id_col="vec_id",
+                              round_dp=round_dp)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(np.random.SeedSequence([seed, dim, n_planes])) \
+        .standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray):
+    """Sign-pattern bucket id: bit i = (v . h_i) >= 0. Pure column
+    expressions — computed JVM-side, no UDF."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        q = F.array(*[F.lit(float(x)) for x in h])
+        bucket = bucket + F.when(_dot(v, q) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                 n_planes: int = 8, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane
+    sign-bucket is within ``multiprobe_hamming`` bits of the query's
+    bucket. Deterministic (seeded planes). At scale the bucket column
+    is precomputed and the table is partitioned by it, so a query
+    reads only its probe buckets."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q_bucket = int(sum(1 << i for i, h in enumerate(planes) if float(np.dot(h, q)) >= 0))
+    probe = [b for b in range(1 << n_planes)
+             if bin(b ^ q_bucket).count("1") <= multiprobe_hamming]
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def neardup_pairs_exact(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine near-dup pairs (all pairs >= threshold, a<b).
+    O(n^2) — correctness baseline; use neardup_pairs_lsh at scale."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("vid"), v.alias("v"),
+                     _norm(v).alias("nrm"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    return (a.join(b, F.col("a.vid") < F.col("b.vid"))
+            .filter(cos >= threshold)
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"), x1e4(cos).alias("cos_x1e4")))
+
+
+def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
+                      n_planes: int = 8, seed: int = 42,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Scale path: equi-join on the LSH bucket (near-identical vectors
+    share sign patterns with high probability), then exact re-check.
+    Approximate recall, exact precision."""
+    sample = df.select(vec_col).limit(1).collect()
+    if not sample:
+        return neardup_pairs_exact(df.limit(0), threshold, id_col, vec_col)
+    dim = len(sample[0][0])
+    planes = hyperplanes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("vid"), v.alias("v"), _norm(v).alias("nrm"),
+                     lsh_bucket_col(vec_col, planes).alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .filter(cos >= threshold)
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"), x1e4(cos).alias("cos_x1e4")))

@@ -1,0 +1,78 @@
+"""Streaming ingest: the reference's bounded-queue pipeline restated
+as Structured Streaming.
+
+The reference's "stream" is a push pipeline with micro-batch buffers,
+backpressure and a final drain (``WorkerPool.java:24-56``,
+``EntityBuffer.java:22-33``). Spark-native: ``readStream`` ->
+transformations -> ``foreachBatch`` appends into the doc-store, with
+Spark's own backpressure (maxFilesPerTrigger) playing the bounded
+queue's role; windowed counts with a watermark replace the streaming
+EntityCounter (``EntityCounter.java:13-26``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_events(spark: SparkSession, path: str, schema: StructType,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream with bounded per-trigger intake
+    (backpressure analog of the reference's queue.size=100)."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Per-type tumbling-window counts with late-data watermark —
+    the streaming analog of count-by-type (``EntityCounter``)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value"))
+
+
+def run_stream_to_memory(spark: SparkSession, path: str, schema: StructType,
+                         query_name: str = "eosp_stream",
+                         window: str = "5 minutes") -> DataFrame:
+    """Drive a bounded file-backed stream to completion synchronously
+    (test/bench harness): complete-mode windowed aggregation into the
+    in-memory sink, then return the materialized result."""
+    agg = windowed_counts(stream_events(spark, path, schema), window)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def append_stream_to_docstore(spark: SparkSession, src_path: str,
+                              schema: StructType, store_root: str,
+                              kind_col: str = "event_type") -> None:
+    """foreachBatch micro-batch upsert into the DAO doc-store —
+    exactly-once via the catalog's atomic commit per batch (the
+    reference's bulk-upsert idempotence, ``EntityDao.java:91-104``)."""
+    from elasticsearch_osmosis_plugin_spark.operators import dao
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select(
+            F.col(kind_col).alias("kind"),
+            F.col("event_id").alias("id"),
+            F.col("ts"), F.col("user_id"), F.col("value"))
+        dao.save_all(batch_df.sparkSession, store_root, rows,
+                     supported_kinds=["click", "view", "purchase", "error"])
+
+    q = (stream_events(spark, src_path, schema)
+         .writeStream.foreachBatch(handle)
+         .option("checkpointLocation", store_root + "/_stream_checkpoint")
+         .start())
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,63 @@
+"""DAO semantics mirrored from the reference's EntityDao tests
+(EntityDaoITest.java): save/find round trip, order-preserving
+multi-get, delete found/absent, quarantine of unsupported kinds."""
+
+import pytest
+
+from elasticsearch_osmosis_plugin_spark.operators import dao
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    root = str(tmp_path / "store")
+    rows = spark.createDataFrame(
+        [("node", i, f"payload{i}") for i in range(1, 11)]
+        + [("way", 1, "w1"), ("relation", 7, "r7")],
+        "kind string, id long, body string")
+    quarantine = dao.save_all(spark, root, rows)
+    return root, quarantine
+
+
+def test_quarantine_not_silent(spark, store):
+    root, q = store
+    got = q.collect()
+    assert [(r["kind"], r["id"]) for r in got] == [("relation", 7)]
+
+
+def test_find_roundtrip_and_missing(spark, store):
+    root, _ = store
+    assert dao.find(spark, root, "node", 3)["body"] == "payload3"
+    with pytest.raises(dao.DaoError):
+        dao.find(spark, root, "node", 999)
+
+
+def test_find_all_keeps_request_order(spark, store):
+    # reference: findAllNodes_keepOrder, EntityDaoITest.java:266-280
+    root, _ = store
+    got = dao.find_all(spark, root, "node", [5, 3, 9, 1, 7]).collect()
+    assert [r["id"] for r in got] == [5, 3, 9, 1, 7]
+    # missing ids silently dropped, order still preserved
+    got2 = dao.find_all(spark, root, "node", [5, 999, 3]).collect()
+    assert [r["id"] for r in got2] == [5, 3]
+
+
+def test_upsert_overwrites(spark, store):
+    root, _ = store
+    upd = spark.createDataFrame([("node", 3, "NEW")], "kind string, id long, body string")
+    dao.save_all(spark, root, upd)
+    assert dao.find(spark, root, "node", 3)["body"] == "NEW"
+    assert dao.count_by_kind(spark, root).filter("kind='node'").collect()[0]["n"] == 10
+
+
+def test_delete_found_and_absent(spark, store):
+    root, _ = store
+    assert dao.delete(spark, root, "node", 3) is True
+    assert dao.delete(spark, root, "node", 3) is False
+    with pytest.raises(dao.DaoError):
+        dao.find(spark, root, "node", 3)
+
+
+def test_count_by_kind(spark, store):
+    root, _ = store
+    got = {r["kind"]: r["n"] for r in dao.count_by_kind(spark, root).collect()}
+    assert got == {"node": 10, "way": 1}
