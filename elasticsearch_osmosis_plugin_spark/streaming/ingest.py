@@ -29,6 +29,8 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes",
                     watermark: str = "10 minutes") -> DataFrame:
     """Per-type tumbling-window counts with late-data watermark —
     the streaming analog of count-by-type (``EntityCounter``)."""
+    # watermarks require TIMESTAMP; parquet event time is often NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -56,7 +58,8 @@ def run_stream_to_memory(spark: SparkSession, path: str, schema: StructType,
 
 def append_stream_to_docstore(spark: SparkSession, src_path: str,
                               schema: StructType, store_root: str,
-                              kind_col: str = "event_type") -> None:
+                              kind_col: str = "event_type",
+                              supported_kinds=("click", "view", "purchase")) -> None:
     """foreachBatch micro-batch upsert into the DAO doc-store —
     exactly-once via the catalog's atomic commit per batch (the
     reference's bulk-upsert idempotence, ``EntityDao.java:91-104``)."""
@@ -68,7 +71,7 @@ def append_stream_to_docstore(spark: SparkSession, src_path: str,
             F.col("event_id").alias("id"),
             F.col("ts"), F.col("user_id"), F.col("value"))
         dao.save_all(batch_df.sparkSession, store_root, rows,
-                     supported_kinds=["click", "view", "purchase", "error"])
+                     supported_kinds=list(supported_kinds))
 
     q = (stream_events(spark, src_path, schema)
          .writeStream.foreachBatch(handle)

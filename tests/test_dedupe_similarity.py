@@ -1,0 +1,125 @@
+"""Dedup + similarity operators: golden semantics on hand-built
+fixtures and agreement between exact and LSH paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),        # near dup
+        (4, "completely different words entirely here now folks"),
+        (5, "the  QUICK   brown fox jumps over the lazy dog"),     # ws/case dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        exact_duplicate_groups,
+    )
+
+    got = exact_duplicate_groups(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 3          # 1, 2, 5 normalize identically
+    assert got[0]["keep_doc_id"] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        ngram_jaccard_pairs,
+    )
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_x1e4"]
+           for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert got[(1, 2)] == 10000           # identical shingle sets
+    assert got[(1, 5)] == 10000
+    assert 3000 <= got[(1, 3)] < 10000    # near dup
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs, n_hashes=8, band_size=2).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import simhash
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got[1] == got[2] == got[5]
+    assert got[1] != got[4]
+
+
+def test_simhash_neardup_pairs(spark, docs):
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        simhash_neardup_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_neardup_pairs(docs, max_hamming=7).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, max_hamming=20)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(0, base.tolist(), 0)]
+    rows.append((1, (base + 0.01 * rng.standard_normal(16)).tolist(), 0))  # near dup
+    for i in range(2, 40):
+        rows.append((i, rng.standard_normal(16).tolist(), 1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import cosine_topk
+
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    got = cosine_topk(embeddings, q, k=3).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cos"] - 1.0) < 1e-12
+    assert got[1]["vec_id"] == 1          # the near dup ranks second
+
+
+def test_ann_lsh_agrees_with_bruteforce_on_top1(spark, embeddings):
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+    )
+
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=3).collect()]
+    approx = [r["vec_id"] for r in
+              ann_topk_lsh(embeddings, q, k=3, n_planes=4,
+                           multiprobe_hamming=1).collect()]
+    # near-identical vectors share the query's bucket: top-2 must appear
+    assert exact[0] in approx and exact[1] in approx
+
+
+def test_neardup_lsh_precision_vs_exact(spark, embeddings):
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        neardup_pairs_exact,
+        neardup_pairs_lsh,
+    )
+
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             neardup_pairs_exact(embeddings, threshold=0.99).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in
+           neardup_pairs_lsh(embeddings, threshold=0.99, n_planes=4).collect()}
+    assert (0, 1) in exact
+    assert lsh <= exact                    # exact precision
+    assert (0, 1) in lsh                   # recall on the planted dup

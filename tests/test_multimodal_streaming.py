@@ -1,0 +1,100 @@
+"""Multimodal plumbing (real Spark machinery, stubbed decode) and
+structured-streaming ingest semantics."""
+
+import shutil
+
+import pytest
+
+
+def _stage_stream_dir(tmp_path) -> str:
+    """File-stream sources need a DIRECTORY; stage the single parquet
+    file into one (testdata itself is read-only)."""
+    d = tmp_path / "events_stream"
+    d.mkdir(exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_media_schema_and_features(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        byte_histogram_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=24)
+    feats = byte_histogram_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+    # determinism across partitionings
+    rows2 = byte_histogram_features(media.repartition(5)).collect()
+    assert {r["media_id"]: tuple(r["features"]) for r in rows} == \
+           {r["media_id"]: tuple(r["features"]) for r in rows2}
+
+
+def test_decode_is_stubbed(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_frame_sample_offsets(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        frame_sample_offsets,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=24)
+    got = frame_sample_offsets(media, every_s=1.0).collect()
+    assert got, "expected video rows"
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append((r["sample_no"], r["frame_no"]))
+    for media_id, samples in by_media.items():
+        nos = sorted(s for s, _ in samples)
+        assert nos == list(range(len(nos)))
+        for s, f in samples:
+            assert f == s * 30  # fps=30, 1s sampling
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Stream over the events parquet; windowed counts must equal the
+    batch groupBy (bounded-stream drain == reference's complete()
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    stream_dir = _stage_stream_dir(tmp_path)
+    got = run_stream_to_memory(spark, stream_dir, ev.schema,
+                               query_name="t_stream", window="1 hour")
+    want = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n"))
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n"] for r in want.collect()}
+    assert g == w
+
+
+def test_stream_append_to_docstore(spark, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.operators import dao
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        append_stream_to_docstore,
+    )
+
+    src = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    root = str(tmp_path / "stream_store")
+    append_stream_to_docstore(spark, _stage_stream_dir(tmp_path), ev.schema, root)
+    got = {r["kind"]: r["n"] for r in dao.count_by_kind(spark, root).collect()}
+    want = {r["event_type"]: r["count"] for r in
+            ev.filter(ev.event_type.isin("click", "view", "purchase"))
+              .groupBy("event_type").count().collect()}
+    assert got == want
