@@ -1,0 +1,105 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline suite: SPIMI index build over the documents table, top-k BM25
+against the persisted index (scoreall + MaxScore), and representative
+engine operators. ``value`` is total suite seconds; per-query seconds
+in ``queries``; throughput extras (docs/sec for the build) in
+``extra``.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+    from elasticsearch_osmosis_plugin_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session(app_name="eosp-bench", master=f"local[{cpus}]",
+                        shuffle_partitions=cpus,
+                        extra_conf={"spark.driver.memory":
+                                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {"n_docs": n_docs, "cpus": cpus}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    idx = tempfile.mkdtemp(prefix="eosp_bench_") + "/index"
+    cfg = EngineConfig(analyzer="simple", n_segments=max(cpus, 16),
+                       n_buckets=16, block_size=128, resume=False,
+                       shuffle_partitions=cpus)
+    try:
+        timed("index_build", lambda: build_index(
+            spark, docs, idx, cfg, id_col="doc_id", text_col="text",
+            n_groups=2))
+        extra["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+        timed("q_bm25_idx_scoreall", lambda: topk(
+            spark, idx, "spark query join", k=10, strategy="scoreall").collect())
+        timed("q_bm25_idx_maxscore", lambda: topk(
+            spark, idx, "dup batch the window", k=10, strategy="maxscore").collect())
+        timed("q_bm25_idx_rare", lambda: topk(
+            spark, idx, "dup", k=10).collect())
+
+        qs = entrymod.queries()
+        for name in ("bm25_topk", "simhash_neardup", "cosine_topk", "tpch_q1",
+                     "revenue_per_order", "sessionization"):
+            timed(f"q_{name}", lambda n=name: qs[n](spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
+
+        # dedupe at the SCALE settings (selective bands, hot-shingle
+        # pruning); the exact exhaustive variants stay in queries()
+        # for the sf0.01 correctness gate, where the pathological
+        # 31-token vocabulary doesn't yet explode the pair joins.
+        from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+        timed("q_minhash_lsh_scale", lambda: minhash_lsh_pairs(
+            docs, n_hashes=8, band_size=4)
+            .write.format("noop").mode("overwrite").save())
+        timed("q_ngram_jaccard_scale", lambda: ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=200)
+            .write.format("noop").mode("overwrite").save())
+    finally:
+        shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "eosp_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency
+>= 0.8 from N to 4N executors; sandbox stand-in = local[N] vs
+local[4N] on the same input, separate JVMs).
+
+Protocol honesty notes (also written into BENCH/BASELINE.md):
+- a WARMUP build runs first in each JVM so Python-worker startup
+  (pandas/numpy imports, measured ~3s of any first UDF stage) is not
+  billed to the measured build — real clusters amortize worker spawn
+  the same way;
+- this box advertises 32 CPUs but a pure-python spin test shows
+  aggregate throughput saturating ~19x single-core (SMT/host sharing),
+  so 8->32 cannot exceed ~0.65 efficiency for ANY CPU-bound code;
+  the headline N->4N evidence therefore uses 2->8 (within physical
+  cores) and the 8->32 point is reported alongside as the SMT ceiling.
+
+Usage: python bench_scaling.py [n_low] [n_high] [n_docs] [--with-smt]
+Writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CHILD = """
+import json, sys, tempfile, shutil, time, os
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+from elasticsearch_osmosis_plugin_spark.operators.query import topk
+from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+from elasticsearch_osmosis_plugin_spark.session import get_session
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = get_session(app_name=f"eosp-scale-{cpus}", master=f"local[{cpus}]",
+                    shuffle_partitions=cpus,
+                    extra_conf={"spark.driver.memory": "24g"})
+# north-rule workload: code corpus + code-aware analyzer; generated
+# distributed, persisted so the build times ONLY the build.
+src = tempfile.mkdtemp(prefix="eosp_corpus_") + "/corpus"
+generate_corpus_df(spark, seed=42, n=n_docs, n_partitions=64).write.parquet(src)
+docs = spark.read.parquet(src)
+cfg = EngineConfig(analyzer="code", n_segments=128, n_buckets=16,
+                   resume=False, shuffle_partitions=cpus)
+
+# warmup: spawn+warm python workers on a small slice (not timed)
+warm_idx = tempfile.mkdtemp(prefix="eosp_warm_") + "/index"
+build_index(spark, docs.limit(2000), warm_idx, cfg, n_groups=1)
+shutil.rmtree(os.path.dirname(warm_idx), ignore_errors=True)
+
+idx = tempfile.mkdtemp(prefix="eosp_scale_") + "/index"
+t0 = time.time()
+meta = build_index(spark, docs, idx, cfg, n_groups=2)
+build_s = time.time() - t0
+t0 = time.time()
+queries = ["getIndexBuffer", "public static void", "id0042 id0007",
+           "doc_term posting merge", "id1999"]
+for q in queries:
+    topk(spark, idx, q, k=10).collect()
+query_s = time.time() - t0
+shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+print(json.dumps({"cpus": cpus, "n_docs": n_docs, "build_s": build_s,
+                  "docs_per_sec": n_docs / build_s, "query_suite_s": query_s,
+                  "stages": {m["stage"]: round(m["wall_s"], 2)
+                             for m in meta["metrics"]}}))
+"""
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def spin_baseline() -> dict:
+    """Pure-python CPU saturation curve of THIS box (hardware ceiling)."""
+    import multiprocessing
+
+    def spin(_):
+        t = time.time()
+        x = 0
+        while time.time() - t < 1.5:
+            x += 1
+        return x
+
+    out = {}
+    for n in (1, 2, 8, 32):
+        with multiprocessing.Pool(n) as p:
+            total = sum(p.map(spin, range(n)))
+        out[n] = total
+    return out
+
+
+def main() -> int:
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    with_smt = "--with-smt" in sys.argv
+
+    spin = spin_baseline()
+    lo = run_level(n_low, n_docs)
+    hi = run_level(n_high, n_docs)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_high / n_low)
+    smt = None
+    if with_smt:
+        l8, l32 = run_level(8, n_docs), run_level(32, n_docs)
+        smt = {"low": l8, "high": l32,
+               "efficiency": round((l32["docs_per_sec"] / l8["docs_per_sec"]) / 4, 3)}
+
+    result = {"low": lo, "high": hi, "core_ratio": n_high / n_low,
+              "throughput_ratio": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+              "scaling_efficiency": round(eff, 3), "n_docs": n_docs,
+              "spin_iters": spin, "smt_point": smt,
+              "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    print(json.dumps(result))
+
+    spin_eff_8_32 = (spin[32] / spin[8]) / 4
+    os.makedirs("BENCH", exist_ok=True)
+    smt_rows = ""
+    if smt:
+        smt_rows = (
+            f"| local[8] (SMT pt) | {smt['low']['build_s']:.2f} | "
+            f"{smt['low']['docs_per_sec']:.0f} | {smt['low']['query_suite_s']:.2f} |\n"
+            f"| local[32] (SMT pt) | {smt['high']['build_s']:.2f} | "
+            f"{smt['high']['docs_per_sec']:.0f} | {smt['high']['query_suite_s']:.2f} |\n")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured engine numbers
+
+Scaling-evidence protocol (BASELINE.md north rule): identical SPIMI
+index build (code-aware analyzer, synthetic {n_docs}-doc source-code
+corpus, generated distributed, persisted) + 5-query BM25 suite at two
+parallelism levels in separate JVMs, after an untimed warmup build
+that spawns/warms the Python workers (clusters amortize worker spawn
+the same way).
+
+| parallelism | build s | docs/sec | query suite s |
+|---|---|---|---|
+| local[{n_low}] | {lo['build_s']:.2f} | {lo['docs_per_sec']:.0f} | {lo['query_suite_s']:.2f} |
+| local[{n_high}] | {hi['build_s']:.2f} | {hi['docs_per_sec']:.0f} | {hi['query_suite_s']:.2f} |
+{smt_rows}
+- core ratio: {n_high / n_low:.0f}x
+- build-throughput ratio: {hi['docs_per_sec'] / lo['docs_per_sec']:.2f}x
+- **scaling efficiency ({n_low}->{n_high}): {eff:.3f}** (target >= 0.8)
+
+Hardware ceiling (pure-python spin test, no Spark): this box reports
+32 CPUs but aggregate CPU throughput is SMT/host-share limited —
+spin iterations by process count: {json.dumps(spin)}; implied max
+possible 8->32 efficiency for ANY CPU-bound code:
+{spin_eff_8_32:.2f}. The N->4N evidence above therefore uses
+{n_low}->{n_high} (within physical cores); the 8->32 point{"" if smt else " (run with --with-smt)"}
+shows the SMT ceiling, not the plan's scalability.
+{f"Measured 8->32 engine efficiency: {smt['efficiency']}." if smt else ""}
+
+Per-stage walls (meta.json lineage): low={json.dumps(lo['stages'])}
+high={json.dumps(hi['stages'])}
+
+Raw: `{json.dumps(result)}`
+""")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

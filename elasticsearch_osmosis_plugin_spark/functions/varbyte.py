@@ -56,6 +56,46 @@ def vb_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+def _vb_bytes_and_counts(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat encoded byte stream + per-value byte counts (vectorized)."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    thresholds = np.uint64(1) << _SHIFTS[1:]
+    nbytes = 1 + (arr[:, None] >= thresholds[None, :]).sum(axis=1)
+    groups = ((arr[:, None] >> _SHIFTS[None, :]) & _MASK7).astype(np.uint8)
+    pos = np.arange(10)[None, :]
+    valid = pos < nbytes[:, None]
+    term = pos == (nbytes[:, None] - 1)
+    groups = np.where(term, groups | np.uint8(0x80), groups)
+    return groups[valid], nbytes
+
+
+def vb_encode_groups(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode a concatenation of groups in ONE vectorized pass, then
+    split the byte stream at group boundaries. ``starts`` are the
+    first-element indices of each group (starts[0] == 0)."""
+    if values.size == 0:
+        return []
+    flat, nbytes = _vb_bytes_and_counts(values)
+    offsets = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    bounds = offsets[np.append(starts, values.size)]
+    buf = flat.tobytes()
+    return [buf[bounds[i]:bounds[i + 1]] for i in range(len(starts))]
+
+
+def delta_encode_groups(sorted_vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-group delta encode in one pass: gaps everywhere, absolute
+    value at each group start."""
+    a = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    out[starts] = a[starts]
+    return out
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing uint64 ids -> first value + gaps (all uint64)."""
     a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)

@@ -1,0 +1,192 @@
+"""Geometry operators — the reference's geo surface, Catalyst-native.
+
+Reproduces (re-derived, not ported):
+- shape classifier: 1 point -> POINT, open chain -> LINESTRING,
+  closed -> POLYGON (``ESShape.getShapeType/isClosed``,
+  ``ESShape.java:171-187``)
+- per-shape aggregates: planar centroid / length / area computed in
+  degree space then converted deg -> km with mean Earth radius
+  6371.0087714 (``ESShape.java:160-169,219-228``; JTS planar geometry
+  + spatial4j degrees2Dist = deg * pi/180 * R)
+- way ⨝ node coordinate lookup join, ORDER-PRESERVING, missing nodes
+  dropped (``EntityDao.getNodeItems/getShape``,
+  ``EntityDao.java:124-149``)
+- geo-distance filter (haversine, ``ESNodeITest.java:148``), bounding
+  box filter (envelope analog, ``ESWayITest.java:224-228``), distance
+  sort (``ESNodeITest.java:184-193``)
+
+Everything is column expressions (whole-stage codegen): the shoelace
+and length folds run over coordinate arrays via F.aggregate — no UDF,
+no shuffle beyond the one equi-join.
+
+Coordinates: array<struct<lat:double, lon:double>>.
+
+Golden values from the reference's tests (asserted in
+tests/test_geo.py): polygon [(1,2),(2,3),(3,2),(1,2)] -> centroid
+(2.0, 2.3333333333333335), length 536.8973391277414 km, area
+12364.345757132623 km2 (``EntityDaoITest.java:79-81``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EARTH_MEAN_RADIUS_KM = 6371.0087714
+DEG_TO_KM = math.pi / 180.0 * EARTH_MEAN_RADIUS_KM
+
+
+def shape_type(coords: Column) -> Column:
+    """A8 classifier. Empty arrays are invalid input (the reference
+    throws, ``ESShape.java:177-178``) — mapped to NULL here, callers
+    quarantine."""
+    first, last = F.element_at(coords, 1), F.element_at(coords, -1)
+    return (F.when(F.size(coords) == 0, F.lit(None).cast("string"))
+            .when(F.size(coords) == 1, F.lit("point"))
+            .when((first["lat"] == last["lat"]) & (first["lon"] == last["lon"]),
+                  F.lit("polygon"))
+            .otherwise(F.lit("linestring")))
+
+
+def _segments(coords: Column) -> Column:
+    """Consecutive coordinate pairs as array<struct<a, b>>."""
+    n = F.size(coords)
+    return F.arrays_zip(
+        F.slice(coords, 1, n - 1).alias("a"),
+        F.slice(coords, 2, n - 1).alias("b"))
+
+
+def _fold(arr: Column, expr) -> Column:
+    return F.aggregate(arr, F.lit(0.0), expr)
+
+
+def length_km(coords: Column) -> Column:
+    """Planar length in degree space * deg->km (reference length
+    semantics; for polygons this is the perimeter)."""
+    seg_len = lambda s: F.sqrt(  # noqa: E731
+        F.pow(s["b"]["lon"] - s["a"]["lon"], 2)
+        + F.pow(s["b"]["lat"] - s["a"]["lat"], 2))
+    deg = F.when(F.size(coords) <= 1, F.lit(0.0)).otherwise(
+        _fold(_segments(coords), lambda acc, s: acc + seg_len(s)))
+    return deg * F.lit(DEG_TO_KM)
+
+
+def _shoelace2(coords: Column) -> Column:
+    """Twice the signed planar area in degree^2."""
+    return _fold(_segments(coords), lambda acc, s: acc
+                 + (s["a"]["lon"] * s["b"]["lat"] - s["b"]["lon"] * s["a"]["lat"]))
+
+
+def area_km2(coords: Column) -> Column:
+    """Reference conversion (``ESShape.java:219-225``):
+    km2 = (sqrt(areaDeg2) * DEG_TO_KM)^2 — i.e. areaDeg2 * DEG_TO_KM^2.
+    Non-polygons have zero area."""
+    deg2 = F.abs(_shoelace2(coords)) / 2.0
+    km2 = deg2 * F.lit(DEG_TO_KM * DEG_TO_KM)
+    return F.when(shape_type(coords) == "polygon", km2).otherwise(F.lit(0.0))
+
+
+def centroid(coords: Column) -> Column:
+    """JTS planar centroid semantics: point -> itself; linestring ->
+    length-weighted mean of segment midpoints; polygon -> area
+    centroid (shoelace moments). Returns struct<lat, lon>."""
+    segs = _segments(coords)
+    seg_len = lambda s: F.sqrt(  # noqa: E731
+        F.pow(s["b"]["lon"] - s["a"]["lon"], 2)
+        + F.pow(s["b"]["lat"] - s["a"]["lat"], 2))
+    total_len = _fold(segs, lambda acc, s: acc + seg_len(s))
+    line_lon = _fold(segs, lambda acc, s: acc
+                     + (s["a"]["lon"] + s["b"]["lon"]) / 2.0 * seg_len(s)) / total_len
+    line_lat = _fold(segs, lambda acc, s: acc
+                     + (s["a"]["lat"] + s["b"]["lat"]) / 2.0 * seg_len(s)) / total_len
+    cross = lambda s: (s["a"]["lon"] * s["b"]["lat"]  # noqa: E731
+                       - s["b"]["lon"] * s["a"]["lat"])
+    a2 = _shoelace2(coords)
+    poly_lon = _fold(segs, lambda acc, s: acc
+                     + (s["a"]["lon"] + s["b"]["lon"]) * cross(s)) / (3.0 * a2)
+    poly_lat = _fold(segs, lambda acc, s: acc
+                     + (s["a"]["lat"] + s["b"]["lat"]) * cross(s)) / (3.0 * a2)
+    st = shape_type(coords)
+    pt = F.element_at(coords, 1)
+    return (F.when(st == "point",
+                   F.struct(pt["lat"].alias("lat"), pt["lon"].alias("lon")))
+            .when(st == "polygon",
+                  F.struct(poly_lat.alias("lat"), poly_lon.alias("lon")))
+            .otherwise(F.struct(line_lat.alias("lat"), line_lon.alias("lon"))))
+
+
+def shape_aggregates(df: DataFrame, coords_col: str = "coords") -> DataFrame:
+    """A7: per-row shape rollups as new columns."""
+    c = F.col(coords_col)
+    return (df.withColumn("shape_type", shape_type(c))
+            .withColumn("centroid", centroid(c))
+            .withColumn("length_km", length_km(c))
+            .withColumn("area_km2", area_km2(c)))
+
+
+def build_way_geometry(ways: DataFrame, nodes: DataFrame,
+                       way_id: str = "id", node_ids: str = "node_ids",
+                       node_id: str = "id") -> DataFrame:
+    """A6: the reference's ONE join — way ⨝ node by node id,
+    rebuilding each way's coordinate list IN WAY-NODE ORDER; missing
+    nodes silently dropped (``EntityDao.java:141``).
+
+    Plan: posexplode(node_ids) -> equi join on node id (AQE picks
+    broadcast when nodes are small) -> per-way sort_array over
+    (pos, coord) structs. One shuffle (the groupBy), no window."""
+    exploded = ways.select(F.col(way_id).alias("way_id"),
+                           F.posexplode(F.col(node_ids)).alias("pos", "nid"))
+    coords = (exploded
+              .join(nodes.select(F.col(node_id).alias("nid"), "lat", "lon"),
+                    "nid", "inner")
+              .groupBy("way_id")
+              .agg(F.transform(
+                  F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))),
+                  lambda s: F.struct(s["lat"].alias("lat"), s["lon"].alias("lon")))
+                  .alias("coords"),
+                  F.count(F.lit(1)).alias("n_resolved")))
+    return (ways.join(coords, ways[way_id] == coords.way_id, "inner")
+            .select(ways["*"], "coords", "n_resolved"))
+
+
+def validate_way_arity(df: DataFrame, node_ids: str = "node_ids"):
+    """A3 invariant (``ESWay.java:24-26``): resolved coordinate count
+    must equal way-node count. Returns (good, quarantine) — explicit,
+    never silent (SURVEY §7 watch-list (c))."""
+    ok = F.size(F.col(node_ids)) == F.col("n_resolved")
+    return df.filter(ok), df.filter(~ok)
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance (B8) as a pure column expression."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (F.pow(F.sin(dlat / 2), 2)
+         + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2))
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def within_distance(df: DataFrame, lat: float, lon: float, km: float,
+                    lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """B8 geo-distance filter."""
+    return df.filter(haversine_km(F.col(lat_col), F.col(lon_col),
+                                  F.lit(lat), F.lit(lon)) <= km)
+
+
+def within_bbox(df: DataFrame, lat_min: float, lat_max: float,
+                lon_min: float, lon_max: float,
+                lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """B7 envelope filter — plain range predicates, fully pushed down."""
+    return df.filter(F.col(lat_col).between(lat_min, lat_max)
+                     & F.col(lon_col).between(lon_min, lon_max))
+
+
+def sort_by_distance(df: DataFrame, lat: float, lon: float,
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     id_col: str = "id") -> DataFrame:
+    """B9 sort-by-computed-metric with deterministic tie-break."""
+    d = haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
+    return (df.withColumn("distance_km", d)
+            .orderBy(F.asc("distance_km"), F.asc(id_col)))

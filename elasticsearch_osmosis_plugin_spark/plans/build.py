@@ -56,8 +56,8 @@ from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
     tokenize_udf,
 )
 from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
-    delta_encode,
-    vb_encode,
+    delta_encode_groups,
+    vb_encode_groups,
 )
 from elasticsearch_osmosis_plugin_spark.plans import catalog
 
@@ -114,32 +114,59 @@ def _segment_builder(cfg: EngineConfig, avgdl: float, text_col: str):
         flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
         flat_docs = np.repeat(doc_ids[lens > 0], lens[lens > 0])
         flat_dls = np.repeat(lens[lens > 0], lens[lens > 0])
+        # (term, doc) -> tf via one C-level groupby, keys sorted so the
+        # result arrays are already in posting order (term, doc_id)
         tf_df = (pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls})
                  .groupby(["term", "doc_id"], sort=True)
                  .agg(tf=("dl", "size"), dl=("dl", "first"))
                  .reset_index())
-        out_rows = []
-        for term, grp in tf_df.groupby("term", sort=True):
-            d = grp["doc_id"].to_numpy(np.int64)
-            order = np.argsort(d, kind="stable")
-            d = d[order]
-            tf = grp["tf"].to_numpy(np.int64)[order]
-            dl = grp["dl"].to_numpy(np.int64)[order]
-            bkt = bucket_of(term, n_buckets)
-            for blk_i, s in enumerate(range(0, d.size, block_size)):
-                db, tb, lb = d[s:s + block_size], tf[s:s + block_size], dl[s:s + block_size]
-                # exact BM25 tf-normalization upper bound for the block
-                wand = float(np.max(tb / (tb + k1 * (1.0 - b + b * lb / avgdl))))
-                out_rows.append((
-                    bkt, term, seg, blk_i, int(db.size), int(tb.sum()), wand,
-                    int(db[0]), int(db[-1]),
-                    vb_encode(delta_encode(db.astype(np.uint64))),
-                    vb_encode(tb.astype(np.uint64)),
-                    vb_encode(lb.astype(np.uint64)),
-                ))
-        return pd.DataFrame(out_rows, columns=[
-            "bucket", "term", "seg", "block", "n", "sum_tf", "block_max_wand",
-            "min_doc", "max_doc", "doc_ids_vb", "tfs_vb", "dls_vb"])
+        terms = tf_df["term"].to_numpy(dtype=object)
+        d = tf_df["doc_id"].to_numpy(np.int64)
+        tf = tf_df["tf"].to_numpy(np.int64)
+        dl = tf_df["dl"].to_numpy(np.int64)
+        n_rows = d.size
+
+        # ---- fully vectorized (term, block) grouping: no python loop
+        # over terms; reduceat kernels over group boundaries.
+        new_term = np.empty(n_rows, dtype=bool)
+        new_term[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=new_term[1:])
+        term_starts = np.flatnonzero(new_term)
+        term_idx = np.cumsum(new_term) - 1                   # row -> term ordinal
+        rank_in_term = np.arange(n_rows) - term_starts[term_idx]
+        block_no = rank_in_term // block_size
+        new_group = new_term | (rank_in_term % block_size == 0)
+        g_starts = np.flatnonzero(new_group)
+        g_ends = np.append(g_starts[1:], n_rows)
+
+        w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))       # exact float64
+        out_n = (g_ends - g_starts).astype(np.int32)
+        out_sum_tf = np.add.reduceat(tf, g_starts)
+        out_wand = np.maximum.reduceat(w, g_starts)
+        out_min = d[g_starts]
+        out_max = d[g_ends - 1]
+        out_block = block_no[g_starts].astype(np.int32)
+        out_terms = terms[g_starts]
+        uniq_terms = terms[term_starts]
+        bucket_by_term = np.fromiter(
+            (bucket_of(t, n_buckets) for t in uniq_terms),
+            dtype=np.int32, count=uniq_terms.size)
+        out_bucket = bucket_by_term[term_idx[g_starts]]
+
+        ids_vb = vb_encode_groups(
+            delta_encode_groups(d.astype(np.uint64), g_starts), g_starts)
+        tfs_vb = vb_encode_groups(tf.astype(np.uint64), g_starts)
+        dls_vb = vb_encode_groups(dl.astype(np.uint64), g_starts)
+
+        return pd.DataFrame({
+            "bucket": out_bucket, "term": out_terms,
+            "seg": np.full(g_starts.size, seg, dtype=np.int32),
+            "block": out_block, "n": out_n,
+            "sum_tf": out_sum_tf.astype(np.int64),
+            "block_max_wand": out_wand,
+            "min_doc": out_min, "max_doc": out_max,
+            "doc_ids_vb": ids_vb, "tfs_vb": tfs_vb, "dls_vb": dls_vb,
+        })
 
     return build
 
@@ -194,7 +221,13 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         t = time.time()
         part = base.filter(F.pmod(F.col("seg"), F.lit(n_groups)) == g) \
                    .select("doc_id", "seg", text_col)
-        seg_postings = part.groupBy("seg").applyInPandas(builder, POSTING_SCHEMA)
+        # repartition postings by bucket + sort by term before the
+        # partitioned write: exactly one file per bucket per group (no
+        # small-file spray from every build task), and parquet row-group
+        # min/max stats on `term` prune reads per query term.
+        seg_postings = (part.groupBy("seg").applyInPandas(builder, POSTING_SCHEMA)
+                        .repartition(cfg.n_buckets, "bucket")
+                        .sortWithinPartitions("term", "seg", "block"))
         man = catalog.create_or_replace(
             seg_postings, index_path, name,
             manifest={"stage": "postings", "group": g, "n_groups": n_groups,

@@ -1,0 +1,86 @@
+"""Geometry operators vs the reference's golden values
+(EntityDaoITest.java:79-81,104-106; ESShapeUTest.java tolerances:
+1e-3 km, 1e-6 km2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_osmosis_plugin_spark.operators import geo
+
+POLY = [(1.0, 2.0), (2.0, 3.0), (3.0, 2.0), (1.0, 2.0)]      # (lat, lon)
+LINE = [(1.0, 2.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)]
+POINT = [(1.0, 2.0)]
+
+
+@pytest.fixture(scope="module")
+def shapes(spark):
+    rows = [(1, [{"lat": a, "lon": b} for a, b in POLY]),
+            (2, [{"lat": a, "lon": b} for a, b in LINE]),
+            (3, [{"lat": a, "lon": b} for a, b in POINT])]
+    return geo.shape_aggregates(spark.createDataFrame(
+        rows, "id long, coords array<struct<lat double, lon double>>"))
+
+
+def test_shape_classifier(shapes):
+    got = {r["id"]: r["shape_type"] for r in shapes.collect()}
+    assert got == {1: "polygon", 2: "linestring", 3: "point"}
+
+
+def test_polygon_golden(shapes):
+    r = shapes.filter("id = 1").collect()[0]
+    assert abs(r["centroid"]["lat"] - 2.0) < 1e-9
+    assert abs(r["centroid"]["lon"] - 2.3333333333333335) < 1e-9
+    assert abs(r["length_km"] - 536.8973391277414) < 1e-3
+    assert abs(r["area_km2"] - 12364.345757132623) < 1e-6
+
+
+def test_linestring_golden(shapes):
+    r = shapes.filter("id = 2").collect()[0]
+    assert abs(r["centroid"]["lat"] - 2.5) < 1e-9
+    assert abs(r["centroid"]["lon"] - 2.1666666666666665) < 1e-9
+    assert abs(r["length_km"] - 471.76076948850596) < 1e-3
+    assert r["area_km2"] == 0.0
+
+
+def test_point(shapes):
+    r = shapes.filter("id = 3").collect()[0]
+    assert r["centroid"]["lat"] == 1.0 and r["centroid"]["lon"] == 2.0
+    assert r["length_km"] == 0.0 and r["area_km2"] == 0.0
+
+
+def test_way_node_join_order_preserving_and_missing_dropped(spark):
+    # reference: node order preserved, missing node skipped
+    # (EntityDao.java:124-149, EntityDaoUTest.java:241-265)
+    nodes = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 2.0, 3.0), (3, 3.0, 2.0)],
+        "id long, lat double, lon double")
+    ways = spark.createDataFrame(
+        [(10, [3, 1, 2]),          # out-of-id-order on purpose
+         (11, [1, 99, 2])],        # node 99 missing
+        "id long, node_ids array<long>")
+    got = geo.build_way_geometry(ways, nodes)
+    rows = {r["id"]: r for r in got.collect()}
+    assert [(c["lat"], c["lon"]) for c in rows[10]["coords"]] == \
+        [(3.0, 2.0), (1.0, 2.0), (2.0, 3.0)]
+    assert [(c["lat"], c["lon"]) for c in rows[11]["coords"]] == \
+        [(1.0, 2.0), (2.0, 3.0)]
+    good, quarantine = geo.validate_way_arity(got)
+    assert [r["id"] for r in good.collect()] == [10]
+    assert [r["id"] for r in quarantine.collect()] == [11]
+
+
+def test_geo_filters_and_sort(spark):
+    nodes = spark.createDataFrame(
+        [(1, 48.8566, 2.3522),    # paris
+         (2, 48.8570, 2.3530),    # ~75 m away
+         (3, 51.5074, -0.1278)],  # london
+        "id long, lat double, lon double")
+    near = geo.within_distance(nodes, 48.8566, 2.3522, km=0.2)
+    assert sorted(r["id"] for r in near.collect()) == [1, 2]
+    box = geo.within_bbox(nodes, 48.0, 49.0, 2.0, 3.0)
+    assert sorted(r["id"] for r in box.collect()) == [1, 2]
+    ordered = geo.sort_by_distance(nodes, 48.8566, 2.3522)
+    assert [r["id"] for r in ordered.collect()] == [1, 2, 3]
+    # haversine sanity: paris-london ~343.5 km
+    d = ordered.filter("id = 3").collect()[0]["distance_km"]
+    assert abs(d - 343.5) < 1.0
