@@ -126,6 +126,9 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
         strategy = "maxscore" if (len(live_terms) > 1
                                   and dfs.max() > 8 * dfs.min()) else "scoreall"
 
+    if len(live_terms) == 1 and strategy in ("auto", "blockmax"):
+        return _topk_single_term_blockmax(
+            spark, index_path, live_terms[0], meta, idf_by_term[live_terms[0]], k)
     if strategy == "scoreall" or len(live_terms) == 1:
         scores = (_scored(spark, index_path, live_terms, meta, idf_by_term)
                   .groupBy("doc_id").agg(F.sum("partial").alias("score")))
@@ -133,6 +136,44 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
     if strategy != "maxscore":
         raise ValueError(f"unknown strategy: {strategy}")
     return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term, ub, k)
+
+
+def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k) -> DataFrame:
+    """Block-max pruning for single-term top-k (exact).
+
+    A doc's score is scale * w(tf, dl) with scale = idf*(k1+1), and
+    every block stores max(w) — so blocks are pruned by an exact upper
+    bound. Phase 1 decodes just enough highest-ub blocks to cover k
+    entries (TakeOrderedAndProject on the BLOCK METADATA — heap-based,
+    never a global sort, bounded by k not data size) and takes the
+    k-th exact score as θ; phase 2 decodes only remaining blocks with
+    scale*ub >= θ. A stop-term's millions of cold blocks are never
+    read past their metadata columns."""
+    scale = idf_t * (meta["k1"] + 1.0)
+    posts = _pruned_postings(spark, index_path, [term], meta)
+    n_phase1 = max(1, -(-k // meta["block_size"]) + 1)  # ceil + 1 spare
+    head = (posts.select("seg", "block", "block_max_wand")
+            .orderBy(F.desc("block_max_wand"), F.asc("seg"), F.asc("block"))
+            .limit(n_phase1).collect())
+    if not head:
+        return spark.createDataFrame([], "doc_id long, score double")
+    import functools
+    import operator
+
+    head_keys = sorted({(r["seg"], r["block"]) for r in head})
+    head_pred = functools.reduce(operator.or_, [
+        (F.col("seg") == s) & (F.col("block") == b) for s, b in head_keys])
+    decode = _decode_score({term: idf_t}, meta["k1"], meta["b"], meta["avgdl"])
+    phase1 = (posts.filter(head_pred).mapInPandas(decode, DECODED_SCHEMA)
+              .select("doc_id", F.col("partial").alias("score")).persist())
+    top1 = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    theta = top1[-1]["score"] if len(top1) >= k else 0.0
+    # phase 2: only blocks that could beat θ and weren't already decoded
+    rest = posts.filter(~head_pred
+                        & (F.col("block_max_wand") * scale >= F.lit(theta)))
+    phase2 = rest.mapInPandas(decode, DECODED_SCHEMA) \
+        .select("doc_id", F.col("partial").alias("score"))
+    return deterministic_topk(phase1.unionByName(phase2), k)
 
 
 def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k) -> DataFrame:

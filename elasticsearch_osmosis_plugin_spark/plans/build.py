@@ -51,10 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_osmosis_plugin_spark.config import EngineConfig
-from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
-    tokenize_series,
-    tokenize_udf,
-)
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_udf
 from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
     delta_encode_groups,
     vb_encode_groups,
@@ -98,20 +95,20 @@ def _empty_postings_pdf() -> pd.DataFrame:
     })
 
 
-def _segment_builder(cfg: EngineConfig, avgdl: float, text_col: str):
+def _segment_builder(cfg: EngineConfig, avgdl: float):
     """Per-segment SPIMI posting construction: pandas/numpy only."""
     k1, b, block_size, n_buckets = cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
     analyzer = cfg.analyzer
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])
-        toks = tokenize_series(pdf[text_col], analyzer,
-                               min_len=cfg.min_token_len, max_len=cfg.max_token_len)
+        toks = pdf["tokens"]  # pre-tokenized once, upstream, cached
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
         if lens.sum() == 0:
             return _empty_postings_pdf()
-        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t) > 0])
         flat_docs = np.repeat(doc_ids[lens > 0], lens[lens > 0])
         flat_dls = np.repeat(lens[lens > 0], lens[lens > 0])
         # (term, doc) -> tf via one C-level groupby, keys sorted so the
@@ -189,27 +186,35 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
     carry = list(carry_cols) if carry_cols is not None else [
         c for c in docs.columns if c not in (text_col, id_col)]
 
-    # ---- stage A: docstats (tokenize once for dl + sha row-invariant)
+    # tokenize ONCE: the cached tokenized frame feeds docstats, the
+    # corpus stats aggregate, and every postings group — at 100 TB this
+    # persists to disk (MEMORY_AND_DISK) instead of re-running the
+    # tokenizer per stage.
+    tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
+                       max_len=cfg.max_token_len)
+    tokenized = base.select(
+        "doc_id", "seg", tok(F.col(text_col)).alias("tokens"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        *[F.col(c) for c in carry]) \
+        .withColumn("dl", F.size("tokens"))
+    from pyspark import StorageLevel
+    tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- stage A: docstats (dl + sha row-invariant + carry cols)
     if not (cfg.resume and catalog.table_exists(index_path, "docstats")):
         t = time.time()
-        tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
-                           max_len=cfg.max_token_len)
-        ds = base.select(
-            "doc_id", "seg",
-            F.size(tok(F.col(text_col))).alias("dl"),
-            F.sha2(F.col(text_col), 256).alias("content_sha"),
-            *[F.col(c) for c in carry])
+        ds = tokenized.select("doc_id", "seg", "dl", "content_sha",
+                              *[F.col(c) for c in carry])
         catalog.create_or_replace(ds, index_path, "docstats",
                                   manifest={"stage": "docstats", "cfg": vars(cfg) | {}})
         metrics.append({"stage": "docstats", "wall_s": time.time() - t})
 
-    ds = catalog.read_table(spark, index_path, "docstats")
-    stats = ds.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
+    stats = tokenized.agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
 
     # ---- stage B: postings, in per-group checkpointed commits
-    builder = _segment_builder(cfg, avgdl, text_col)
+    builder = _segment_builder(cfg, avgdl)
     lineage = []
     groups_rebuilt = False
     for g in range(n_groups):
@@ -219,8 +224,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
             continue
         groups_rebuilt = True
         t = time.time()
-        part = base.filter(F.pmod(F.col("seg"), F.lit(n_groups)) == g) \
-                   .select("doc_id", "seg", text_col)
+        part = tokenized.filter(F.pmod(F.col("seg"), F.lit(n_groups)) == g) \
+                        .select("doc_id", "seg", "tokens")
         # repartition postings by bucket + sort by term before the
         # partitioned write: exactly one file per bucket per group (no
         # small-file spray from every build task), and parquet row-group
@@ -257,6 +262,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
                                   partition_by=["bucket"])
         metrics.append({"stage": "dictionary", "wall_s": time.time() - t})
 
+    tokenized.unpersist()
     meta = {
         "n_docs": n_docs, "avgdl": avgdl,
         "k1": cfg.k1, "b": cfg.b,
@@ -282,6 +288,8 @@ def load_meta(index_path: str) -> dict:
 
 def postings_df(spark: SparkSession, index_path: str) -> DataFrame:
     meta = load_meta(index_path)
+    if meta.get("merged") and catalog.table_exists(index_path, "postings_merged"):
+        return catalog.read_table(spark, index_path, "postings_merged")
     base = os.path.join(index_path, "postings")
     return spark.read.option("basePath", base).parquet(
         *[os.path.join(base, f"group={g}") for g in range(meta["n_groups"])])

@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the properties that matter at 100 TB must
+be visible in the executed plan, not just hoped for."""
+
+import pytest
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pidx") / "index")
+    build_index(spark, corpus_df, path,
+                EngineConfig(n_segments=8, n_buckets=8, resume=False),
+                id_col="doc_id", n_groups=1)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_buckets_and_terms(spark, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        _pruned_postings,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+    meta = load_meta(index_path)
+    plan = _plan(_pruned_postings(spark, index_path, ["public", "static"], meta))
+    assert "PartitionFilters: [bucket" in plan          # dir-level pruning
+    assert "PushedFilters: [In(term" in plan            # row-group pruning
+
+
+def test_bm25_topk_is_take_ordered(spark, corpus_df):
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_topk
+
+    plan = _plan(bm25_topk(corpus_df, "public static", k=10))
+    assert "TakeOrderedAndProject" in plan               # no global sort
+    assert "BroadcastHashJoin" in plan                   # dims broadcast
+
+
+def test_parquet_scan_projects_needed_columns_only(spark, index_path):
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", "dl")
+    plan = _plan(ds)
+    assert "ReadSchema: struct<doc_id:bigint,dl:int>" in plan
+
+
+def test_exact_filter_pushed_down(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(docs.filter(docs.lang == "fr").select("doc_id"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,fr)]" in plan
