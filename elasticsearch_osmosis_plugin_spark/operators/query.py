@@ -42,9 +42,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
 from elasticsearch_osmosis_plugin_spark.functions.varbyte import vb_decode
 from elasticsearch_osmosis_plugin_spark.operators.topk import deterministic_topk
-from elasticsearch_osmosis_plugin_spark.plans import catalog
 from elasticsearch_osmosis_plugin_spark.plans.build import (
     bucket_of,
+    dictionary_df,
     load_meta,
     postings_df,
 )
@@ -67,7 +67,7 @@ def dictionary_rows(spark: SparkSession, index_path: str,
     if not terms:
         return pd.DataFrame(columns=["term", "df", "cf", "n_blocks", "max_wand", "bucket"])
     buckets = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
-    dic = catalog.read_table(spark, index_path, "dictionary")
+    dic = dictionary_df(spark, index_path)
     return (dic.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
                .toPandas())
 

@@ -64,6 +64,16 @@ POSTING_SCHEMA = (
     "doc_ids_vb binary, tfs_vb binary, dls_vb binary"
 )
 
+DICT_SCHEMA = ("term string, df long, cf long, n_blocks long, "
+               "max_wand double, bucket int")
+
+
+def dictionary_df(spark: SparkSession, index_path: str) -> DataFrame:
+    """Dictionary read with explicit schema (an empty index writes
+    partition dirs with no files — inference would fail)."""
+    return spark.read.schema(DICT_SCHEMA).parquet(
+        catalog.table_path(index_path, "dictionary"))
+
 
 def bucket_of(term: str, n_buckets: int) -> int:
     """Stable term -> bucket hash (md5-based: identical in build UDFs,
@@ -247,7 +257,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
     # pre-aggregated per (seg, block), so no skew salting is needed here)
     if groups_rebuilt or not (cfg.resume and catalog.table_exists(index_path, "dictionary")):
         t = time.time()
-        posts = spark.read.option("basePath", os.path.join(index_path, "postings")) \
+        posts = spark.read.schema(POSTING_SCHEMA + ", group int") \
+            .option("basePath", os.path.join(index_path, "postings")) \
             .parquet(*[catalog.table_path(index_path, f"postings/group={g}")
                        for g in range(n_groups)])
         dic = (posts.groupBy("term")
@@ -291,5 +302,6 @@ def postings_df(spark: SparkSession, index_path: str) -> DataFrame:
     if meta.get("merged") and catalog.table_exists(index_path, "postings_merged"):
         return catalog.read_table(spark, index_path, "postings_merged")
     base = os.path.join(index_path, "postings")
-    return spark.read.option("basePath", base).parquet(
-        *[os.path.join(base, f"group={g}") for g in range(meta["n_groups"])])
+    return spark.read.schema(POSTING_SCHEMA + ", group int") \
+        .option("basePath", base).parquet(
+            *[os.path.join(base, f"group={g}") for g in range(meta["n_groups"])])
