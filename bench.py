@@ -56,7 +56,7 @@ def main() -> int:
     try:
         timed("index_build", lambda: build_index(
             spark, docs, idx, cfg, id_col="doc_id", text_col="text",
-            n_groups=2))
+            n_groups=1))
         extra["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
         timed("q_bm25_idx_scoreall", lambda: topk(
@@ -65,6 +65,19 @@ def main() -> int:
             spark, idx, "dup batch the window", k=10, strategy="maxscore").collect())
         timed("q_bm25_idx_rare", lambda: topk(
             spark, idx, "dup", k=10).collect())
+
+        # p50/p95 top-k latency over repeated runs (BASELINE.json metric)
+        lat = []
+        for _ in range(7):
+            t0 = time.time()
+            topk(spark, idx, "spark query join", k=10,
+                 strategy="scoreall").collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        import math
+        extra["q_topk_p50_s"] = round(lat[len(lat) // 2], 3)
+        extra["q_topk_p95_s"] = round(
+            lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 3)
 
         qs = entrymod.queries()
         for name in ("bm25_topk", "simhash_neardup", "cosine_topk", "tpch_q1",

@@ -29,9 +29,10 @@ class EngineConfig:
     b: float = 0.75
 
     # index layout
-    n_segments: int = 32          # disjoint doc_id ranges (SPIMI segments)
+    n_segments: int = 32          # doc hash-buckets (docstats seg + resume groups)
     n_buckets: int = 16           # term-hash partitions of postings table
     block_size: int = 128         # postings entries per block (block-max unit)
+    segment_token_budget: int = 2_000_000  # SPIMI in-memory segment size
 
     # tokenizer
     analyzer: str = "code"        # "code" (identifier-aware) or "simple" (ws split)

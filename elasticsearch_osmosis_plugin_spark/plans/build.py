@@ -21,10 +21,13 @@ atomically via plans.catalog):
 
 Scale design:
 - doc ids: 60-bit sha-derived (uniform) or caller-supplied;
-  seg = xxhash64(doc_id) % n_segments — deterministic, skew-proof,
-  independent of input partitioning (byte-identical rebuilds).
-- ONE wide shuffle (groupBy(seg)) carries the corpus to its segment
-  builder; everything downstream is per-segment-local numpy.
+  seg hash-bucket = xxhash64(doc_id) % n_segments drives docstats
+  bucketing and the resume-group row filter — deterministic and
+  skew-proof.
+- the corpus is NEVER shuffled: SPIMI segments are built per input
+  partition under a memory budget (mapInPandas; a big partition
+  flushes multiple segments). Only the already-compressed posting
+  rows move (repartition by bucket before the partitioned write).
 - postings are bucketed by md5(term) % n_buckets -> query-time
   partition pruning; within a bucket, rows sorted by term -> parquet
   row-group min/max stats prune file reads per query term.
@@ -59,7 +62,7 @@ from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
 from elasticsearch_osmosis_plugin_spark.plans import catalog
 
 POSTING_SCHEMA = (
-    "bucket int, term string, seg int, block int, n int, sum_tf long, "
+    "bucket int, term string, seg long, block int, n int, sum_tf long, "
     "block_max_wand double, min_doc long, max_doc long, "
     "doc_ids_vb binary, tfs_vb binary, dls_vb binary"
 )
@@ -106,12 +109,11 @@ def _empty_postings_pdf() -> pd.DataFrame:
 
 
 def _segment_builder(cfg: EngineConfig, avgdl: float):
-    """Per-segment SPIMI posting construction: pandas/numpy only."""
+    """SPIMI posting construction for one in-memory segment:
+    pandas/numpy only, fully vectorized."""
     k1, b, block_size, n_buckets = cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
-    analyzer = cfg.analyzer
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
+    def build(pdf: pd.DataFrame, seg: int) -> pd.DataFrame:
         toks = pdf["tokens"]  # pre-tokenized once, upstream, cached
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
@@ -167,7 +169,7 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
 
         return pd.DataFrame({
             "bucket": out_bucket, "term": out_terms,
-            "seg": np.full(g_starts.size, seg, dtype=np.int32),
+            "seg": np.full(g_starts.size, seg, dtype=np.int64),
             "block": out_block, "n": out_n,
             "sum_tf": out_sum_tf.astype(np.int64),
             "block_max_wand": out_wand,
@@ -176,6 +178,52 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
         })
 
     return build
+
+
+def _spimi_map_builder(cfg: EngineConfig, avgdl: float, group: int,
+                       n_groups: int):
+    """mapInPandas SPIMI: build memory-bounded segments PER INPUT
+    PARTITION — the corpus is never shuffled (the classic SPIMI
+    invert-then-merge layout). A partition larger than
+    ``segment_token_budget`` tokens flushes multiple segments; segment
+    ids are (partition, chunk, group)-derived and deterministic for a
+    deterministic input split."""
+    build = _segment_builder(cfg, avgdl)
+    budget = cfg.segment_token_budget
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf: list[pd.DataFrame] = []
+        buf_tokens = 0
+        chunk = 0
+
+        def flush():
+            nonlocal buf, buf_tokens, chunk
+            if not buf:
+                return None
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            seg_id = ((pid * n_groups + group) << 16) | chunk
+            out = build(pdf, seg_id)
+            buf, buf_tokens = [], 0
+            chunk += 1
+            return out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            buf_tokens += int(pdf["dl"].sum())
+            if buf_tokens >= budget:
+                out = flush()
+                if out is not None and len(out):
+                    yield out
+        out = flush()
+        if out is not None and len(out):
+            yield out
+
+    return run
 
 
 def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
@@ -223,8 +271,10 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
                           F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
 
-    # ---- stage B: postings, in per-group checkpointed commits
-    builder = _segment_builder(cfg, avgdl)
+    # ---- stage B: postings, in per-group checkpointed commits.
+    # NO corpus shuffle: SPIMI segments are built per input partition
+    # (mapInPandas, memory-bounded); the only thing that moves is the
+    # already-compressed posting rows, repartitioned by bucket.
     lineage = []
     groups_rebuilt = False
     for g in range(n_groups):
@@ -235,18 +285,21 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         groups_rebuilt = True
         t = time.time()
         part = tokenized.filter(F.pmod(F.col("seg"), F.lit(n_groups)) == g) \
-                        .select("doc_id", "seg", "tokens")
+                        .select("doc_id", "dl", "tokens")
         # repartition postings by bucket + sort by term before the
         # partitioned write: exactly one file per bucket per group (no
         # small-file spray from every build task), and parquet row-group
         # min/max stats on `term` prune reads per query term.
-        seg_postings = (part.groupBy("seg").applyInPandas(builder, POSTING_SCHEMA)
+        seg_postings = (part.mapInPandas(
+                            _spimi_map_builder(cfg, avgdl, g, n_groups),
+                            POSTING_SCHEMA)
                         .repartition(cfg.n_buckets, "bucket")
                         .sortWithinPartitions("term", "seg", "block"))
         man = catalog.create_or_replace(
             seg_postings, index_path, name,
             manifest={"stage": "postings", "group": g, "n_groups": n_groups,
-                      "segs": [s for s in range(cfg.n_segments) if s % n_groups == g],
+                      "doc_hash_buckets": [s for s in range(cfg.n_segments)
+                                           if s % n_groups == g],
                       "avgdl": avgdl, "n_docs": n_docs,
                       "wall_s": time.time() - t},
             partition_by=["bucket"])
