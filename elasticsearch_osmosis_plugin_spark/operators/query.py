@@ -62,21 +62,25 @@ def query_terms(query: str, meta: dict) -> list[str]:
 
 
 def dictionary_rows(spark: SparkSession, index_path: str,
-                    terms: Sequence[str], meta: dict) -> pd.DataFrame:
+                    terms: Sequence[str], meta: dict,
+                    dic: DataFrame | None = None) -> pd.DataFrame:
     """Tiny dictionary lookup: bucket partition pruning + term predicate."""
     if not terms:
         return pd.DataFrame(columns=["term", "df", "cf", "n_blocks", "max_wand", "bucket"])
     buckets = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
-    dic = dictionary_df(spark, index_path)
+    if dic is None:
+        dic = dictionary_df(spark, index_path)
     return (dic.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
                .toPandas())
 
 
 def _pruned_postings(spark: SparkSession, index_path: str,
-                     terms: Sequence[str], meta: dict) -> DataFrame:
+                     terms: Sequence[str], meta: dict,
+                     posts: DataFrame | None = None) -> DataFrame:
     buckets = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
-    return (postings_df(spark, index_path)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))))
+    if posts is None:
+        posts = postings_df(spark, index_path)
+    return posts.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
 
 
 def _decode_score(idf_by_term: dict[str, float], k1: float, b: float, avgdl: float):
@@ -100,19 +104,21 @@ def _decode_score(idf_by_term: dict[str, float], k1: float, b: float, avgdl: flo
 DECODED_SCHEMA = "term string, doc_id long, partial double"
 
 
-def _scored(spark, index_path, terms, meta, idf_by_term) -> DataFrame:
-    posts = _pruned_postings(spark, index_path, terms, meta)
-    return posts.mapInPandas(
+def _scored(spark, index_path, terms, meta, idf_by_term,
+            posts=None) -> DataFrame:
+    pruned = _pruned_postings(spark, index_path, terms, meta, posts)
+    return pruned.mapInPandas(
         _decode_score(idf_by_term, meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
 
 
 def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
-         strategy: str = "auto") -> DataFrame:
+         strategy: str = "auto", *, _meta=None, _posts=None,
+         _dic=None) -> DataFrame:
     """Top-k BM25 -> DataFrame (doc_id, score), deterministic order."""
-    meta = load_meta(index_path)
+    meta = _meta if _meta is not None else load_meta(index_path)
     terms = query_terms(query, meta)
-    dic = dictionary_rows(spark, index_path, terms, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
     if dic.empty:
         return spark.createDataFrame([], "doc_id long, score double")
     idf_by_term = {r.term: idf(meta["n_docs"], int(r.df)) for r in dic.itertuples()}
@@ -128,17 +134,50 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
 
     if len(live_terms) == 1 and strategy in ("auto", "blockmax"):
         return _topk_single_term_blockmax(
-            spark, index_path, live_terms[0], meta, idf_by_term[live_terms[0]], k)
+            spark, index_path, live_terms[0], meta, idf_by_term[live_terms[0]],
+            k, posts=_posts)
     if strategy == "scoreall" or len(live_terms) == 1:
-        scores = (_scored(spark, index_path, live_terms, meta, idf_by_term)
+        scores = (_scored(spark, index_path, live_terms, meta, idf_by_term,
+                          posts=_posts)
                   .groupBy("doc_id").agg(F.sum("partial").alias("score")))
         return deterministic_topk(scores, k)
     if strategy != "maxscore":
         raise ValueError(f"unknown strategy: {strategy}")
-    return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term, ub, k)
+    return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term,
+                          ub, k, posts=_posts)
 
 
-def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k) -> DataFrame:
+class Searcher:
+    """Reusable query handle over one index — the analog of an open ES
+    index reader. Loads meta once, keeps ONE postings relation (cached
+    parquet file listing) and a persisted in-memory dictionary, so
+    repeated queries pay scoring cost only, not per-query planning,
+    file-index rebuild, or dictionary re-reads."""
+
+    def __init__(self, spark: SparkSession, index_path: str,
+                 cache_dictionary: bool = True):
+        self.spark = spark
+        self.index_path = index_path
+        self.meta = load_meta(index_path)
+        self.posts = postings_df(spark, index_path)
+        self.dic = dictionary_df(spark, index_path)
+        if cache_dictionary:
+            self.dic = self.dic.persist()
+
+    def topk(self, query: str, k: int = 10, strategy: str = "auto") -> DataFrame:
+        return topk(self.spark, self.index_path, query, k, strategy,
+                    _meta=self.meta, _posts=self.posts, _dic=self.dic)
+
+    def match_count(self, query: str) -> int:
+        return match_count(self.spark, self.index_path, query,
+                           _meta=self.meta, _posts=self.posts, _dic=self.dic)
+
+    def close(self) -> None:
+        self.dic.unpersist()
+
+
+def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
+                               posts=None) -> DataFrame:
     """Block-max pruning for single-term top-k (exact).
 
     A doc's score is scale * w(tf, dl) with scale = idf*(k1+1), and
@@ -150,7 +189,7 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k) -> DataF
     scale*ub >= θ. A stop-term's millions of cold blocks are never
     read past their metadata columns."""
     scale = idf_t * (meta["k1"] + 1.0)
-    posts = _pruned_postings(spark, index_path, [term], meta)
+    posts = _pruned_postings(spark, index_path, [term], meta, posts)
     n_phase1 = max(1, -(-k // meta["block_size"]) + 1)  # ceil + 1 spare
     head = (posts.select("seg", "block", "block_max_wand")
             .orderBy(F.desc("block_max_wand"), F.asc("seg"), F.asc("block"))
@@ -176,14 +215,15 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k) -> DataF
     return deterministic_topk(phase1.unionByName(phase2), k)
 
 
-def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k) -> DataFrame:
+def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
+                   posts=None) -> DataFrame:
     # essential set E: highest-ub terms; grow E until sum(ub of rest) < θ
     by_ub_desc = sorted(terms, key=lambda t: (-ub[t], t))
     e_size = 1
     while True:
         E = by_ub_desc[:e_size]
         NE = by_ub_desc[e_size:]
-        partial_e = (_scored(spark, index_path, E, meta, idf_by_term)
+        partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts)
                      .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
                      .persist())
         top_rows = partial_e.orderBy(F.desc("partial")).limit(k).collect()
@@ -198,7 +238,7 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k) -> DataFr
     # candidates: only docs that could still reach θ once NE terms are added.
     # docs absent from all E postings have score <= sum_ub_ne < θ — excluded.
     cands = partial_e.filter(F.col("partial") + F.lit(sum_ub_ne) >= F.lit(theta))
-    ne_scores = (_scored(spark, index_path, NE, meta, idf_by_term)
+    ne_scores = (_scored(spark, index_path, NE, meta, idf_by_term, posts)
                  .join(cands.select("doc_id"), "doc_id", "inner")  # prune hot postings
                  .groupBy("doc_id").agg(F.sum("partial").alias("ne_partial")))
     final = (cands.join(ne_scores, "doc_id", "left")
@@ -208,14 +248,16 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k) -> DataFr
     return out
 
 
-def match_count(spark: SparkSession, index_path: str, query: str) -> int:
+def match_count(spark: SparkSession, index_path: str, query: str, *,
+                _meta=None, _posts=None, _dic=None) -> int:
     """Number of docs matching >=1 query term (reference analog: count
     API, ``PluginIntegrationITest.java:44-45``)."""
-    meta = load_meta(index_path)
+    meta = _meta if _meta is not None else load_meta(index_path)
     terms = query_terms(query, meta)
-    dic = dictionary_rows(spark, index_path, terms, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
     if dic.empty:
         return 0
     idf_by_term = {t: 0.0 for t in dic["term"]}
-    return (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term)
+    return (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term,
+                    _posts)
             .select("doc_id").distinct().count())

@@ -8,7 +8,14 @@ Elasticsearch's.
 Index layout (parquet tables under ``index_path``, committed
 atomically via plans.catalog):
 
-- ``docstats``: doc_id, seg, dl, content_sha, <carry cols>
+- ``docstats`` (partitioned by grp = seg % n_groups): doc_id, seg,
+  dl, content_sha, <carry cols>, tokens. This is the doc store AND
+  the term-vector store (reference analog: ES keeps ``_source`` plus
+  the analyzed form): tokenization runs exactly once, lands here
+  columnar, and every later stage — postings groups, corpus stats,
+  derived indexes, resume — reads the needed columns only (parquet
+  column pruning; doc-store lookups never touch ``tokens``).
+  ``drop_term_vectors`` reclaims the space after the build.
 - ``postings`` (partitioned by bucket, group): one row per
   (term, seg, block): delta+varbyte doc_ids, varbyte tfs, varbyte dls,
   block_max_wand (exact float64 upper-bound kernel for BM25),
@@ -28,6 +35,13 @@ Scale design:
   partition under a memory budget (mapInPandas; a big partition
   flushes multiple segments). Only the already-compressed posting
   rows move (repartition by bucket before the partitioned write).
+- the tokenized corpus is staged through PARQUET, not the JVM block
+  cache: at 100 TB a MEMORY_AND_DISK persist of token arrays churns
+  executor heap + GC and spills through Java serialization, while a
+  columnar term-vector table costs one compressed write and gives
+  every postings group a partition-pruned (grp=) pruned scan. It also
+  makes resume skip tokenization entirely — a restarted build reads
+  tokens back instead of recomputing them.
 - postings are bucketed by md5(term) % n_buckets -> query-time
   partition pruning; within a bucket, rows sorted by term -> parquet
   row-group min/max stats prune file reads per query term.
@@ -244,31 +258,42 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
     carry = list(carry_cols) if carry_cols is not None else [
         c for c in docs.columns if c not in (text_col, id_col)]
 
-    # tokenize ONCE: the cached tokenized frame feeds docstats, the
-    # corpus stats aggregate, and every postings group — at 100 TB this
-    # persists to disk (MEMORY_AND_DISK) instead of re-running the
-    # tokenizer per stage.
-    tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
-                       max_len=cfg.max_token_len)
-    tokenized = base.select(
-        "doc_id", "seg", tok(F.col(text_col)).alias("tokens"),
-        F.sha2(F.col(text_col), 256).alias("content_sha"),
-        *[F.col(c) for c in carry]) \
-        .withColumn("dl", F.size("tokens"))
-    from pyspark import StorageLevel
-    tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # ---- stage A: docstats (dl + sha row-invariant + carry cols)
-    if not (cfg.resume and catalog.table_exists(index_path, "docstats")):
+    # ---- stage A: docstats = doc store + term vectors. Tokenize ONCE
+    # (vectorized pandas UDF) and land the tokens columnar; every later
+    # stage reads back only the columns it needs (see module docstring
+    # for why parquet staging beats a block-manager persist at scale).
+    _ds_man = (catalog.read_manifest(index_path, "docstats")
+               if catalog.table_exists(index_path, "docstats") else {})
+    have_docstats = cfg.resume and _ds_man.get("n_groups") == n_groups \
+        and _ds_man.get("term_vectors", False)
+    if not have_docstats:
         t = time.time()
-        ds = tokenized.select("doc_id", "seg", "dl", "content_sha",
-                              *[F.col(c) for c in carry])
+        tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
+                           max_len=cfg.max_token_len)
+        ds = base.select(
+            "doc_id", "seg",
+            F.pmod(F.col("seg"), F.lit(n_groups)).cast("int").alias("grp"),
+            tok(F.col(text_col)).alias("tokens"),
+            F.sha2(F.col(text_col), 256).alias("content_sha"),
+            *[F.col(c) for c in carry]) \
+            .withColumn("dl", F.size("tokens"))
         catalog.create_or_replace(ds, index_path, "docstats",
-                                  manifest={"stage": "docstats", "cfg": vars(cfg) | {}})
+                                  manifest={"stage": "docstats",
+                                            "cfg": vars(cfg) | {},
+                                            "n_groups": n_groups,
+                                            "term_vectors": True},
+                                  partition_by=["grp"])
         metrics.append({"stage": "docstats", "wall_s": time.time() - t})
+        if cfg.resume:
+            # group membership derives from docstats' grp layout — a
+            # (re)built docstats invalidates previously committed groups
+            for g in range(n_groups):
+                catalog.drop_table(index_path, f"postings/group={g}")
 
-    stats = tokenized.agg(F.count(F.lit(1)).alias("n"),
-                          F.avg("dl").alias("avgdl")).collect()[0]
+    docstats = catalog.read_table(spark, index_path, "docstats")
+    # corpus stats: column-pruned scan of `dl` only (never the tokens)
+    stats = docstats.agg(F.count(F.lit(1)).alias("n"),
+                         F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
 
     # ---- stage B: postings, in per-group checkpointed commits.
@@ -284,8 +309,10 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
             continue
         groups_rebuilt = True
         t = time.time()
-        part = tokenized.filter(F.pmod(F.col("seg"), F.lit(n_groups)) == g) \
-                        .select("doc_id", "dl", "tokens")
+        # grp= partition pruning: each group scans ONLY its own slice
+        # of the term-vector store (no repeated full passes)
+        part = docstats.filter(F.col("grp") == g) \
+                       .select("doc_id", "dl", "tokens")
         # repartition postings by bucket + sort by term before the
         # partitioned write: exactly one file per bucket per group (no
         # small-file spray from every build task), and parquet row-group
@@ -326,7 +353,6 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
                                   partition_by=["bucket"])
         metrics.append({"stage": "dictionary", "wall_s": time.time() - t})
 
-    tokenized.unpersist()
     meta = {
         "n_docs": n_docs, "avgdl": avgdl,
         "k1": cfg.k1, "b": cfg.b,

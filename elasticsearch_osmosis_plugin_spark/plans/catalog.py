@@ -62,6 +62,9 @@ def create_or_replace(df: DataFrame, root: str, name: str,
         writer.parquet(tmp)
         man = dict(manifest or {})
         man.setdefault("table", name)
+        # recorded schema keeps the table readable even when empty +
+        # partitioned (no part dirs -> nothing to infer from)
+        man.setdefault("schema", df.schema.json())
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(man, f, indent=1, default=str)
         if os.path.exists(final):
@@ -77,4 +80,10 @@ def create_or_replace(df: DataFrame, root: str, name: str,
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     if not table_exists(root, name):
         raise FileNotFoundError(f"index table not found: {root}/{name}")
+    man = read_manifest(root, name)
+    if "schema" in man:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return spark.read.schema(schema).parquet(table_path(root, name))
     return spark.read.parquet(table_path(root, name))

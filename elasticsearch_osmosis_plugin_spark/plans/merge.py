@@ -54,6 +54,18 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     return meta
 
 
+def drop_term_vectors(spark: SparkSession, index_path: str) -> None:
+    """Space reclaim: rewrite docstats without the analyzed ``tokens``
+    column once no further (resumed) builds or derived stages need it.
+    A later ``build_index(resume=True)`` re-tokenizes from source."""
+    man = catalog.read_manifest(index_path, "docstats")
+    ds = catalog.read_table(spark, index_path, "docstats").drop("tokens")
+    man.pop("schema", None)
+    man["term_vectors"] = False
+    catalog.create_or_replace(ds, index_path, "docstats", manifest=man,
+                              partition_by=["grp"])
+
+
 def drop_unmerged_groups(index_path: str) -> None:
     """Space reclaim after a successful compaction (optional)."""
     meta = load_meta(index_path)

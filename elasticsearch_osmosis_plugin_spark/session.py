@@ -36,6 +36,13 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # multi-wave file splits: ~3 tasks per core smooths stragglers in
+    # scan-heavy stages (a single-wave split pins the stage wall to its
+    # slowest task). Floored by openCostInBytes, so tiny inputs don't
+    # explode into micro-tasks.
+    if "spark.sql.files.minPartitionNum" not in (extra_conf or {}):
+        spark.conf.set("spark.sql.files.minPartitionNum",
+                       str(3 * spark.sparkContext.defaultParallelism))
     check_connection(spark)
     return spark
 

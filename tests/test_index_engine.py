@@ -104,3 +104,17 @@ def test_resume_skips_completed_groups(spark, corpus_df, index_path, tmp_path):
 
 def test_empty_query_returns_empty(spark, index_path):
     assert topk(spark, index_path, "zzzznotaterm", k=5).count() == 0
+
+
+def test_searcher_matches_one_shot_topk(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
+
+    s = Searcher(spark, index_path)
+    try:
+        for query in ("id0001", "public static void", "id0042 id0007"):
+            got = s.topk(query, k=10).collect()
+            want = _oracle_ids(corpus_rows, query, 10)
+            assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+        assert s.match_count("public") == match_count(spark, index_path, "public")
+    finally:
+        s.close()
