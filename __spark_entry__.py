@@ -229,6 +229,14 @@ def q_ann_lsh_topk(spark, sf_dir):
                                    n_planes=6, multiprobe_hamming=1)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantizer + n_probe lists; approximate
+    -> rows-only check, agreement tested in tests/)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(emb, _query_vec(spark, sf_dir), k=10,
+                                   n_lists=8, n_probe=3)
+
+
 def _cents(col):
     """Exact integer cents from a 2-decimal double: floor(x*100+0.5)
     kills the binary-representation eps with pure IEEE ops (identical
@@ -344,6 +352,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
     "tpch_q1": q_tpch_q1,

@@ -14,10 +14,11 @@ scores are bit-stable across partitionings.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from elasticsearch_osmosis_plugin_spark.operators.topk import deterministic_topk
 
@@ -83,6 +84,70 @@ def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
              if bin(b ^ q_bucket).count("1") <= multiprobe_hamming]
     bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
     cand = bucketed.filter(F.col("_bucket").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_centroids(df: DataFrame, n_lists: int = 16, seed: int = 42,
+                  sample_n: int = 4096, iters: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Train the IVF coarse quantizer: deterministic hash-ordered sample
+    (bounded — centroid training never scans the full table) + seeded
+    Lloyd iterations in driver numpy. n_lists x dim floats is tiny at
+    any scale; the FAISS design trains on a sample the same way."""
+    rows = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+            .limit(sample_n).collect())
+    x = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, n_lists]))
+    cents = x[rng.choice(x.shape[0], size=min(n_lists, x.shape[0]),
+                         replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(cents.shape[0]):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign_col(vec_col: str, cents: np.ndarray):
+    """pandas UDF: vector -> nearest-centroid list id (one numpy matmul
+    per Arrow batch; ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2, the v-term
+    is rank-constant so argmin uses c-norms and dot products only)."""
+    c = np.ascontiguousarray(cents, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vs in it:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            if x.size == 0:
+                yield pd.Series(np.empty(0, dtype=np.int32))
+                continue
+            scores = c_norm2[None, :] - 2.0 * (x @ c.T)
+            yield pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return _assign(F.col(vec_col))
+
+
+def ann_topk_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                 n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 cents: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse-quantizer
+    list is among the query's ``n_probe`` nearest lists, then exact
+    cosine re-scoring. At scale the list id is precomputed at ingest
+    and the table is partitioned by it (partition pruning per query);
+    pass ``cents`` to reuse a trained quantizer across queries."""
+    if cents is None:
+        cents = ivf_centroids(df, n_lists, seed, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    cand = df.withColumn("_list", ivf_assign_col(vec_col, cents)) \
+             .filter(F.col("_list").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

@@ -56,6 +56,67 @@ def run_stream_to_memory(spark: SparkSession, path: str, schema: StructType,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def sessionize_stream(events: DataFrame, gap_s: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the engine's analog of the reference's
+    only stateful construct — the per-worker buffer that flushes on a
+    boundary, ``EntityBuffer.java:22-33``/``Worker.java:38-44`` — with
+    per-key state + event-time timeout instead of shared buffers).
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, n_events). A session closes when a later event for the
+    same user arrives past the gap, or when the event-time watermark
+    passes last_ts + gap (timeout). In-flight sessions stay in state.
+    Batch twin: ``__spark_entry__.q_sessionization`` (same gap rule).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp")) \
+                   .withWatermark("ts", watermark)
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        sessions = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            sessions.append((user_id, start_us, last_us, n))
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+            ts_us.sort()
+            start_us, last_us, n = state.get if state.exists else (None, None, 0)
+            for t in ts_us:
+                if last_us is not None and t - last_us > gap_us:
+                    sessions.append((user_id, start_us, last_us, n))
+                    start_us, n = t, 0
+                elif start_us is None:
+                    start_us = t
+                last_us = t
+                n += 1
+            if start_us is not None:
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)
+        out = pd.DataFrame(
+            sessions, columns=["user_id", "start_us", "end_us", "n_events"])
+        out["session_start"] = pd.to_datetime(out["start_us"], unit="us")
+        out["session_end"] = pd.to_datetime(out["end_us"], unit="us")
+        yield out[["user_id", "session_start", "session_end", "n_events"]]
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=("user_id long, session_start timestamp, "
+                          "session_end timestamp, n_events long"),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def append_stream_to_docstore(spark: SparkSession, src_path: str,
                               schema: StructType, store_root: str,
                               kind_col: str = "event_type",

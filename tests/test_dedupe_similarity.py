@@ -110,6 +110,27 @@ def test_ann_lsh_agrees_with_bruteforce_on_top1(spark, embeddings):
     assert exact[0] in approx and exact[1] in approx
 
 
+def test_ann_ivf_agrees_with_bruteforce_on_top2(spark, embeddings):
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        ann_topk_ivf,
+        cosine_topk,
+        ivf_centroids,
+    )
+
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=3).collect()]
+    cents = ivf_centroids(embeddings, n_lists=4, sample_n=64)
+    approx = [r["vec_id"] for r in
+              ann_topk_ivf(embeddings, q, k=3, n_lists=4, n_probe=2,
+                           cents=cents).collect()]
+    # the query vector and its planted near-dup land in the same (or a
+    # probed) list: top-2 must appear
+    assert exact[0] in approx and exact[1] in approx
+    # determinism: retrained quantizer is bit-identical
+    cents2 = ivf_centroids(embeddings, n_lists=4, sample_n=64)
+    assert (cents == cents2).all()
+
+
 def test_neardup_lsh_precision_vs_exact(spark, embeddings):
     from elasticsearch_osmosis_plugin_spark.functions.similarity import (
         neardup_pairs_exact,

@@ -83,6 +83,63 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert g == w
 
 
+def test_stateful_streaming_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: in-stream closes (gap
+    exceeded within a batch) and timeout closes (watermark passes
+    last_ts + gap) both emit; in-flight sessions don't."""
+    from datetime import datetime
+
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        sessionize_stream,
+        stream_events,
+    )
+
+    def ts(minute):
+        return datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    import glob
+    import os
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    schema = "user_id long, ts timestamp"
+    # file a: user 1 has two sessions split by a 50-min gap (> 30 min);
+    # user 2 a single event. Files b and c: watermark advancers (user
+    # 999, far future) — b moves the watermark past every session's
+    # timeout, c triggers the batch in which those timeouts fire.
+    batches = {
+        "a": [(1, ts(0)), (1, ts(10)), (1, ts(60)), (1, ts(65)), (2, ts(5))],
+        "b": [(999, ts(600))],
+        "c": [(999, ts(1200))],
+    }
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))  # mtime order == batch order
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(str(d)))
+    q = (sessionize_stream(src, gap_s=1800)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_sessions").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+            r["n_events"])
+           for r in spark.sql("SELECT * FROM t_sessions").collect()}
+    assert (1, 0, 2) in got        # closed in-stream by the gap
+    assert (1, 60, 2) in got       # closed by event-time timeout
+    assert (2, 5, 1) in got        # closed by event-time timeout
+    assert (999, 1200, 1) not in got  # in-flight session stays open
+
+
 def test_stream_append_to_docstore(spark, tmp_path):
     from elasticsearch_osmosis_plugin_spark.operators import dao
     from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
