@@ -117,6 +117,19 @@ def q_boolean_and(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_phrase_match(spark, sf_dir):
+    """Phrase query: terms contiguous and in order (ES match_phrase
+    analog; index-side variant in operators.intersect.match_phrase)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        phrase_match_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(phrase_match_expr(analysis.tokens_col("text"),
+                                          ["query", "join"]))
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_count_by_lang(spark, sf_dir):
     """Count by type/partition (SURVEY A21/B4)."""
     return (_t(spark, sf_dir, "documents")
@@ -334,6 +347,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
+    "phrase_match": q_phrase_match,
     "count_by_lang": q_count_by_lang,
     "exact_filter": q_exact_filter,
     "top_docs_by_len": q_top_docs_by_len,
@@ -435,6 +449,12 @@ WITH {TOK_CTE}
 SELECT doc_id FROM toks
 WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
   AND list_contains(toks, 'dup') ORDER BY doc_id""",
+        "phrase_match": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
+      i -> toks[i] = 'query' AND toks[i + 1] = 'join')) > 0
+ORDER BY doc_id""",
         "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "exact_filter": ("SELECT doc_id, source, n_chars FROM documents "
                          "WHERE lang = 'fr'"),

@@ -1,19 +1,32 @@
 """Scaling-efficiency evidence (north rule: throughput efficiency
 >= 0.8 from N to 4N executors; sandbox stand-in = local[N] vs
-local[4N] on the same input, separate JVMs).
+local[4N] on the same input).
 
-Protocol honesty notes (also written into BENCH/BASELINE.md):
-- a WARMUP build runs first in each JVM so Python-worker startup
-  (pandas/numpy imports, measured ~3s of any first UDF stage) is not
-  billed to the measured build — real clusters amortize worker spawn
-  the same way;
-- this box advertises 32 CPUs but a pure-python spin test shows
-  aggregate throughput saturating ~19x single-core (SMT/host sharing),
-  so 8->32 cannot exceed ~0.65 efficiency for ANY CPU-bound code;
-  the headline N->4N evidence therefore uses 2->8 (within physical
-  cores) and the 8->32 point is reported alongside as the SMT ceiling.
+Measurement problem this protocol solves: the sandbox host's CPU share
+swings 2-3x over tens of minutes (identical builds measured 52s and
+163s; a sequential A/B once measured local[8] SLOWER than local[32] by
+10x because the 8-core runs landed in a throttled phase). Wall-clock
+comparisons taken at different times are therefore meaningless here.
 
-Usage: python bench_scaling.py [n_low] [n_high] [n_docs] [--with-smt]
+Protocol (per N->4N pair):
+- both levels run SIMULTANEOUSLY, each pinned with ``taskset -c`` to a
+  DISJOINT set of physical CPUs (lscpu: 32 cores, 1 thread/core), so
+  they cannot contend with each other while any host-level throttling
+  hits both equally (common-mode) and cancels in the ratio;
+- each level is a fresh JVM that first runs an untimed warmup build
+  (spawns+warms one Python worker per core — clusters amortize worker
+  spawn the same way), then repeats timed build+query cycles until a
+  shared wall-clock deadline and reports its best cycle;
+- efficiency = (docs_per_sec_high / docs_per_sec_low) / 4, computed
+  within the same wall window;
+- two independent pairs (2->8 and 4->16, disjoint CPU budgets of 10
+  and 20 cores) double-check each other;
+- a sequential local[32] point is reported separately: 8+32 cannot be
+  pinned disjointly on 32 cores, and a pure-python spin curve shows
+  the host grants only ~20-22x single-core aggregate, so the 32-core
+  number is a host-share ceiling observation, not plan scalability.
+
+Usage: python bench_scaling.py [n_docs] [deadline_s] [--skip-32]
 Writes BENCH/BASELINE.md.
 """
 
@@ -33,10 +46,10 @@ from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
 from elasticsearch_osmosis_plugin_spark.plans.build import build_index
 from elasticsearch_osmosis_plugin_spark.session import get_session
 
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); deadline_s = float(sys.argv[3])
 spark = get_session(app_name=f"eosp-scale-{cpus}", master=f"local[{cpus}]",
                     shuffle_partitions=cpus,
-                    extra_conf={"spark.driver.memory": "24g"})
+                    extra_conf={"spark.driver.memory": "12g"})
 # north-rule workload: code corpus + code-aware analyzer; generated
 # distributed, persisted so the build times ONLY the build.
 src = tempfile.mkdtemp(prefix="eosp_corpus_") + "/corpus"
@@ -45,24 +58,27 @@ docs = spark.read.parquet(src)
 cfg = EngineConfig(analyzer="code", n_segments=128, n_buckets=16,
                    resume=False, shuffle_partitions=cpus)
 
-# warmup: spawn+warm ONE python worker per core (not timed). A
-# .limit() slice would collapse to a single task and warm only one
-# worker, silently billing cpus-1 worker spawns to the measured build
-# at the high level only.
+# warmup: one python worker per core (never a .limit() slice — that
+# collapses to one task and warms a single worker)
 warm = generate_corpus_df(spark, seed=7, n=max(4000, 500 * cpus),
                           n_partitions=2 * cpus)
 warm_idx = tempfile.mkdtemp(prefix="eosp_warm_") + "/index"
 build_index(spark, warm, warm_idx, cfg, n_groups=1)
 shutil.rmtree(os.path.dirname(warm_idx), ignore_errors=True)
 
-# best-of-R repeats inside the warm JVM: the sandbox host's CPU share
-# fluctuates heavily run-to-run (measured 2x swings on identical
-# builds); best-of measures the plan, not the neighbor.
-repeats = int(os.environ.get("EOSP_SCALE_REPEATS", "3"))
-best_build, best_meta, best_query = None, None, None
+# signal readiness and wait for the shared go-file so both levels'
+# timed windows coincide (common-mode host throttling)
+ready_f, go_f = sys.argv[4], sys.argv[5]
+open(ready_f, "w").close()
+while not os.path.exists(go_f):
+    time.sleep(0.05)
+
 queries = ["getIndexBuffer", "public static void", "id0042 id0007",
            "doc_term posting merge", "id1999"]
-for r in range(repeats):
+t_end = time.time() + deadline_s
+best_build = best_query = None
+n_cycles = 0
+while True:
     idx = tempfile.mkdtemp(prefix="eosp_scale_") + "/index"
     t0 = time.time()
     meta = build_index(spark, docs, idx, cfg, n_groups=1)
@@ -73,39 +89,69 @@ for r in range(repeats):
         searcher.topk(q, k=10).collect()
     query_s = time.time() - t0
     searcher.close()
+    n_cycles += 1
     if best_build is None or build_s < best_build:
-        best_build, best_meta, best_query = build_s, meta, query_s
+        best_build, best_meta = build_s, meta
+    if best_query is None or query_s < best_query:
+        best_query = query_s
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+    if time.time() >= t_end:
+        break
 shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 print(json.dumps({"cpus": cpus, "n_docs": n_docs, "build_s": best_build,
                   "docs_per_sec": n_docs / best_build,
-                  "query_suite_s": best_query, "repeats": repeats,
+                  "query_suite_s": best_query, "cycles": n_cycles,
                   "stages": {m["stage"]: round(m["wall_s"], 2)
                              for m in best_meta["metrics"]}}))
 """
 
-
-def run_level(cpus: int, n_docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
-        capture_output=True, text=True, check=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-    return json.loads(out.stdout.strip().splitlines()[-1])
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level_interleaved(cpus_levels: list[int], n_docs: int,
-                          jvm_repeats: int = 2) -> dict[int, dict]:
-    """Cross-JVM host variance is the dominant noise source (identical
-    runs measured 60% apart) — interleave fresh-JVM runs of each level
-    and keep the best per level, so a slow host phase can't bias one
-    level systematically."""
-    best: dict[int, dict] = {}
-    for _ in range(jvm_repeats):
-        for cpus in cpus_levels:
-            r = run_level(cpus, n_docs)
-            if cpus not in best or r["build_s"] < best[cpus]["build_s"]:
-                best[cpus] = r
-    return best
+def _spawn(cpu_list: str, cpus: int, n_docs: int, deadline_s: float,
+           ready_f: str, go_f: str) -> subprocess.Popen:
+    return subprocess.Popen(
+        ["taskset", "-c", cpu_list, sys.executable, "-c", CHILD,
+         str(cpus), str(n_docs), str(deadline_s), ready_f, go_f],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=HERE)
+
+
+def run_pair(n_low: int, n_high: int, low_set: str, high_set: str,
+             n_docs: int, deadline_s: float) -> dict:
+    """Run both levels simultaneously on disjoint pinned CPU sets;
+    release them into their timed windows together."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="eosp_sync_")
+    r_lo, r_hi = os.path.join(d, "r_lo"), os.path.join(d, "r_hi")
+    go = os.path.join(d, "go")
+    p_lo = _spawn(low_set, n_low, n_docs, deadline_s, r_lo, go)
+    p_hi = _spawn(high_set, n_high, n_docs, deadline_s, r_hi, go)
+    while not (os.path.exists(r_lo) and os.path.exists(r_hi)):
+        if p_lo.poll() is not None or p_hi.poll() is not None:
+            raise RuntimeError("scaling child died before ready")
+        time.sleep(0.2)
+    open(go, "w").close()
+    lo = json.loads(p_lo.communicate()[0].strip().splitlines()[-1])
+    hi = json.loads(p_hi.communicate()[0].strip().splitlines()[-1])
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_high / n_low)
+    return {"low": lo, "high": hi, "pair": f"{n_low}->{n_high}",
+            "scaling_efficiency": round(eff, 3)}
+
+
+def run_solo(cpus: int, n_docs: int, deadline_s: float) -> dict:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="eosp_sync_")
+    r, go = os.path.join(d, "r"), os.path.join(d, "go")
+    p = _spawn("0-31", cpus, n_docs, deadline_s, r, go)
+    while not os.path.exists(r):
+        if p.poll() is not None:
+            raise RuntimeError("scaling child died before ready")
+        time.sleep(0.2)
+    open(go, "w").close()
+    return json.loads(p.communicate()[0].strip().splitlines()[-1])
 
 
 def _spin(_):
@@ -117,7 +163,8 @@ def _spin(_):
 
 
 def spin_baseline() -> dict:
-    """Pure-python CPU saturation curve of THIS box (hardware ceiling)."""
+    """Pure-python CPU saturation curve of THIS box (hardware/host
+    ceiling evidence for the 32-core point)."""
     import multiprocessing
 
     spin = _spin  # module-level fn: picklable for Pool workers
@@ -130,69 +177,67 @@ def spin_baseline() -> dict:
 
 
 def main() -> int:
-    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
-    with_smt = "--with-smt" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 200_000
+    deadline_s = float(args[1]) if len(args) > 1 else 360.0
+    skip32 = "--skip-32" in sys.argv
 
     spin = spin_baseline()
-    levels = [n_low, n_high] + ([32] if with_smt and 32 not in (n_low, n_high) else [])
-    best = run_level_interleaved(levels, n_docs)
-    lo, hi = best[n_low], best[n_high]
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_high / n_low)
-    smt = None
-    if with_smt and 32 in best and n_high != 32:
-        l32 = best[32]
-        smt = {"low": hi, "high": l32,
-               "efficiency": round((l32["docs_per_sec"] / hi["docs_per_sec"])
-                                   / (32 / n_high), 3)}
+    pair_2_8 = run_pair(2, 8, "0-1", "8-15", n_docs, deadline_s)
+    pair_4_16 = run_pair(4, 16, "0-3", "8-23", n_docs, deadline_s)
+    solo32 = None if skip32 else run_solo(32, n_docs, deadline_s / 3)
 
-    result = {"low": lo, "high": hi, "core_ratio": n_high / n_low,
-              "throughput_ratio": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
-              "scaling_efficiency": round(eff, 3), "n_docs": n_docs,
-              "spin_iters": spin, "smt_point": smt,
+    result = {"pairs": [pair_2_8, pair_4_16], "solo32": solo32,
+              "n_docs": n_docs, "deadline_s": deadline_s,
+              "spin_iters": spin,
               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result))
 
     spin_eff_8_32 = (spin[32] / spin[8]) / 4
     os.makedirs("BENCH", exist_ok=True)
-    smt_rows = ""
-    if smt:
-        smt_rows = (
-            f"| local[8] (SMT pt) | {smt['low']['build_s']:.2f} | "
-            f"{smt['low']['docs_per_sec']:.0f} | {smt['low']['query_suite_s']:.2f} |\n"
-            f"| local[32] (SMT pt) | {smt['high']['build_s']:.2f} | "
-            f"{smt['high']['docs_per_sec']:.0f} | {smt['high']['query_suite_s']:.2f} |\n")
+
+    def row(tag, r):
+        return (f"| {tag} | {r['build_s']:.2f} | {r['docs_per_sec']:.0f} | "
+                f"{r['query_suite_s']:.2f} | {r['cycles']} |\n")
+
+    rows = ""
+    for p in result["pairs"]:
+        rows += row(f"local[{p['low']['cpus']}] (pinned, concurrent)", p["low"])
+        rows += row(f"local[{p['high']['cpus']}] (pinned, concurrent)", p["high"])
+    if solo32:
+        rows += row("local[32] (solo, host-share ceiling)", solo32)
+
+    effs = [p["scaling_efficiency"] for p in result["pairs"]]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured engine numbers
 
-Scaling-evidence protocol (BASELINE.md north rule): identical SPIMI
-index build (code-aware analyzer, synthetic {n_docs}-doc source-code
-corpus, generated distributed, persisted) + 5-query BM25 suite at two
-parallelism levels in separate JVMs, after an untimed warmup build
-that spawns/warms the Python workers (clusters amortize worker spawn
-the same way).
+Scaling-evidence protocol (north rule, N -> 4N): identical SPIMI index
+build (code-aware analyzer, synthetic {n_docs}-doc source-code corpus,
+generated distributed, persisted) + 5-query BM25 suite. **Both levels
+of each pair run SIMULTANEOUSLY in separate JVMs pinned (taskset) to
+disjoint physical CPU sets**, released into a shared {deadline_s:.0f}s
+timed window after an untimed per-core worker warmup; each reports its
+best build cycle inside the window. Rationale: this host's CPU share
+swings 2-3x over minutes (sequential A/B once measured local[8] 10x
+slower than local[32]); concurrent disjoint pinning makes host
+throttling common-mode so it cancels in the N->4N ratio.
 
-| parallelism | build s | docs/sec | query suite s |
-|---|---|---|---|
-| local[{n_low}] | {lo['build_s']:.2f} | {lo['docs_per_sec']:.0f} | {lo['query_suite_s']:.2f} |
-| local[{n_high}] | {hi['build_s']:.2f} | {hi['docs_per_sec']:.0f} | {hi['query_suite_s']:.2f} |
-{smt_rows}
-- core ratio: {n_high / n_low:.0f}x
-- build-throughput ratio: {hi['docs_per_sec'] / lo['docs_per_sec']:.2f}x
-- **scaling efficiency ({n_low}->{n_high}): {eff:.3f}** (target >= 0.8)
+| parallelism | build s | docs/sec | query suite s | cycles |
+|---|---|---|---|---|
+{rows}
+- **scaling efficiency 2->8: {result['pairs'][0]['scaling_efficiency']}** (target >= 0.8)
+- **scaling efficiency 4->16: {result['pairs'][1]['scaling_efficiency']}** (target >= 0.8)
 
-Hardware ceiling (pure-python spin test, no Spark): this box reports
-32 CPUs but aggregate CPU throughput is SMT/host-share limited —
-spin iterations by process count: {json.dumps(spin)}; implied max
-possible 8->32 efficiency for ANY CPU-bound code:
-{spin_eff_8_32:.2f}. The N->4N evidence above therefore uses
-{n_low}->{n_high} (within physical cores); the 8->32 point{"" if smt else " (run with --with-smt)"}
-shows the SMT ceiling, not the plan's scalability.
-{f"Measured 8->32 engine efficiency: {smt['efficiency']}." if smt else ""}
+Host ceiling evidence (pure-python spin, no Spark): iterations by
+process count {json.dumps(spin)} — aggregate saturates well below 32x
+single-core; max possible 8->32 efficiency for ANY CPU-bound code here
+is ~{spin_eff_8_32:.2f}. The solo local[32] row is therefore a
+host-share ceiling observation, not plan scalability; the pinned
+pairs above are the scaling evidence.
 
-Per-stage walls (meta.json lineage): low={json.dumps(lo['stages'])}
-high={json.dumps(hi['stages'])}
+Per-stage walls (best cycle): 2={json.dumps(result['pairs'][0]['low']['stages'])}
+8={json.dumps(result['pairs'][0]['high']['stages'])}
+16={json.dumps(result['pairs'][1]['high']['stages'])}
 
 Raw: `{json.dumps(result)}`
 """)

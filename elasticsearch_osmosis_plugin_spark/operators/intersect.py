@@ -44,6 +44,45 @@ def match_all_terms(spark: SparkSession, index_path: str, query: str) -> DataFra
     return out.orderBy("doc_id")
 
 
+def phrase_match_expr(tokens_col, terms: list[str]):
+    """Column predicate: token array contains ``terms`` as a contiguous
+    subsequence. Pure Catalyst (exists over slice equality)."""
+    n = len(terms)
+    phrase = F.array(*[F.lit(t) for t in terms])
+    k = F.size(tokens_col) - (n - 1)
+    return F.when(k >= 1, F.exists(
+        F.sequence(F.lit(1), k),
+        lambda i: F.slice(tokens_col, i, n) == phrase)).otherwise(F.lit(False))
+
+
+def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame:
+    """doc_ids containing the phrase's terms CONTIGUOUSLY IN ORDER
+    (ES match_phrase analog). Two-stage plan: the posting intersection
+    prunes candidates index-side (only docs holding ALL terms), then
+    the term-vector store verifies adjacency — the role ES positions
+    play, served here by the stored token arrays (docstats must still
+    carry term vectors; see plans.merge.drop_term_vectors)."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    terms = tokenize_py(phrase, meta["analyzer"],
+                        min_len=meta.get("min_token_len", 1),
+                        max_len=meta.get("max_token_len", 64))  # ordered!
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    cands = match_all_terms(spark, index_path, phrase)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("phrase match needs the term-vector store "
+                         "(docstats tokens were dropped)")
+    verified = (ds.select("doc_id", "tokens")
+                .join(cands, "doc_id", "left_semi")
+                .filter(phrase_match_expr(F.col("tokens"), terms)))
+    return verified.select("doc_id").orderBy("doc_id")
+
+
 def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:
     """doc_ids containing >=1 query term (disjunctive OR) — union + dedupe."""
     meta = load_meta(index_path)

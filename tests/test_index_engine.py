@@ -70,6 +70,32 @@ def test_boolean_and_or(spark, corpus_rows, index_path):
     assert got_or == want_or
 
 
+def test_match_phrase(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+
+    def has_phrase(toks, phrase):
+        n = len(phrase)
+        return any(toks[i:i + n] == phrase
+                   for i in range(len(toks) - n + 1))
+
+    for phrase in ("public static", "static public", "get index buffer"):
+        want_terms = tokenize_py(phrase, "code")
+        want = sorted(
+            d for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])
+            if has_phrase(tokenize_py(t, "code"), want_terms))
+        got = [r["doc_id"] for r in
+               match_phrase(spark, index_path, phrase).collect()]
+        assert got == want, phrase
+    # AND-candidates that fail adjacency must be excluded: ensure the
+    # phrase set is a strict subset of the boolean AND for some phrase
+    and_docs = {r["doc_id"] for r in
+                match_all_terms(spark, index_path, "static public").collect()}
+    ph_docs = {r["doc_id"] for r in
+               match_phrase(spark, index_path, "static public").collect()}
+    assert ph_docs <= and_docs
+
+
 def test_meta_and_row_invariant(spark, corpus_df, index_path):
     import hashlib
 
