@@ -310,9 +310,16 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         groups_rebuilt = True
         t = time.time()
         # grp= partition pruning: each group scans ONLY its own slice
-        # of the term-vector store (no repeated full passes)
-        part = docstats.filter(F.col("grp") == g) \
-                       .select("doc_id", "dl", "tokens")
+        # of the term-vector store (no repeated full passes).
+        # coalesce to one task per core: SPIMI total work grows with
+        # segment COUNT (every extra segment repeats the per-term row
+        # overhead for terms it shares with other segments), so the
+        # build must not let segment count scale with split count —
+        # measured 2x CPU-work inflation at 8 cores with 3x-core
+        # multi-wave splits, flat after pinning segments to cores.
+        part = (docstats.filter(F.col("grp") == g)
+                .select("doc_id", "dl", "tokens")
+                .coalesce(spark.sparkContext.defaultParallelism))
         # repartition postings by bucket + sort by term before the
         # partitioned write: exactly one file per bucket per group (no
         # small-file spray from every build task), and parquet row-group
