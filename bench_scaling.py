@@ -283,11 +283,15 @@ taken at different times is meaningless here, so the evidence is:
 | level | best wall s | min cpu-s/build | work vs local[2] | utilization |
 |---|---|---|---|---|
 {work_rows}
-Work inflation ~1.0x across 2->32 means the plan adds no contention
-overhead with 16x more parallelism — the north-rule scaling criterion
-restated in the only metric this host cannot corrupt. Utilization
-below 1.0 reflects host steal during that solo window plus stage-tail
-idling (per-cycle steal_s is in the raw JSON).
+Flat CPU work across levels means the plan adds no contention
+overhead as parallelism grows — the north-rule scaling criterion
+restated in a steal-resistant metric. Caveats on reading the table:
+the cgroup counter includes JVM GC/daemon threads (background burn
+grows with core count) and is distorted by host frequency scaling
+(identical builds can differ several-fold in cpu-s — see cycle
+detail), so the per-level MIN is reported and higher-level values are
+upper bounds; cpu_s recorded during pair windows sums BOTH concurrent
+children and is not per-level (ignore it; only solo cpu_s is valid).
 
 Host ceiling evidence (pure-python spin, no Spark): iterations by
 process count {json.dumps(spin)} — aggregate saturates well below 32x
