@@ -402,7 +402,8 @@ _SHINGLE3_NOFALLBACK = (
 )
 
 _MINHASH_SIGS = ", ".join(
-    f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS sig{i}"
+    f"list_min(list_transform(grams, g -> xor(('0x' || substr(md5(g), 2, 15))"
+    f"::UBIGINT::BIGINT, {dedupe.minhash_salt(i)}))) AS sig{i}"
     for i in range(4))
 
 _STOP_EN = "'the','a','of','and','to','in','is','it'"
@@ -524,9 +525,11 @@ SELECT doc_id, {_MINHASH_SIGS} FROM gr""",
 WITH {TOK_CTE}, {_SHINGLE3},
 sig AS (SELECT doc_id, {_MINHASH_SIGS} FROM gr),
 stacked AS (
-  SELECT doc_id, 0 AS band_no, md5(sig0 || '|' || sig1) AS band_key FROM sig
+  SELECT doc_id, 0 AS band_no,
+         md5(sig0::VARCHAR || '|' || sig1::VARCHAR) AS band_key FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band_no, md5(sig2 || '|' || sig3) AS band_key FROM sig)
+  SELECT doc_id, 1 AS band_no,
+         md5(sig2::VARCHAR || '|' || sig3::VARCHAR) AS band_key FROM sig)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
 FROM stacked a JOIN stacked b
   ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id

@@ -34,8 +34,17 @@ def main() -> int:
 
     spark = get_session(app_name="eosp-bench", master=f"local[{cpus}]",
                         shuffle_partitions=cpus,
-                        extra_conf={"spark.driver.memory":
-                                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")})
+                        extra_conf={
+                            "spark.driver.memory":
+                                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+                            # the sf tables are single small parquet files
+                            # whose per-row work (tokenize, shingle, md5)
+                            # dwarfs scan cost; without smaller split
+                            # targets every doc-level query runs on 1-2
+                            # tasks with the other cores idle
+                            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+                            "spark.sql.files.openCostInBytes": str(1 << 16),
+                        })
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -101,7 +110,7 @@ def main() -> int:
             docs, n_hashes=8, band_size=4)
             .write.format("noop").mode("overwrite").save())
         timed("q_ngram_jaccard_scale", lambda: ngram_jaccard_pairs(
-            docs, n=3, threshold=0.5, max_shingle_df=200)
+            docs, n=3, threshold=0.5, max_shingle_df=200, hash_shingles=True)
             .write.format("noop").mode("overwrite").save())
     finally:
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)

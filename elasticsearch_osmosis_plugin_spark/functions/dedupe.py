@@ -58,11 +58,21 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        hash_shingles: bool = False) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets for every pair
     sharing >=1 shingle. |A∩B| from the shared-shingle self-join;
-    |A∪B| = |A|+|B|-|A∩B|."""
+    |A∪B| = |A|+|B|-|A∩B|.
+
+    ``hash_shingles=True`` is the scale path: the self-join keys on a
+    60-bit md5 fold of each shingle instead of the shingle string —
+    ~8x fewer shuffle bytes at a ~2^-60 per-pair collision risk (the
+    default stays byte-exact for the correctness oracle)."""
     sh = shingles(df, n, id_col, text_col)
+    if hash_shingles:
+        sh = sh.select("doc_id", F.conv(
+            F.substring(F.md5("shingle"), 2, 15), 16, 10)
+            .cast("long").alias("shingle"))
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
                  .filter(F.col("sdf") > max_shingle_df))
@@ -85,21 +95,35 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", x1e4(jac).alias("jaccard_x1e4")))
 
 
+def minhash_salt(i: int) -> int:
+    """Deterministic 60-bit XOR salt for hash variant i — derived the
+    same way in the DuckDB oracle (md5 of the decimal index)."""
+    return int(hashlib.md5(str(i).encode()).hexdigest()[1:16], 16)
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """k md5-salted MinHash values per doc over its n-gram shingles:
-    sig_i = min over shingles of md5(i:shingle). Docs with no shingle
-    (fewer than n tokens) hash the whole token string instead."""
+    """k MinHash values per doc over its n-gram shingles. ONE md5 per
+    distinct shingle (folded to a 60-bit int), then k XOR-salted
+    variants: sig_i = min over shingles of (h60(g) ^ salt_i). XOR with
+    a constant is a bijection on the 60-bit space, so each salt yields
+    an independent-enough min-wise permutation at 1/k of the k-md5
+    cost (the hash pass dominated the dedupe suite wall). Docs with no
+    shingle (fewer than n tokens) hash the whole token string.
+    Engine-portable: md5 + substring + conv exist in DuckDB too."""
     toks = tokens_col(text_col)
     k = F.size(toks) - (n - 1)
     grams = F.when(k >= 1, F.array_distinct(F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
         .otherwise(F.array(F.concat_ws(" ", toks)))
+    h60 = F.transform(grams, lambda g: F.conv(
+        F.substring(F.md5(g), 2, 15), 16, 10).cast("long"))
+    hashed = df.select(F.col(id_col).alias("doc_id"), h60.alias("_h"))
     cols = [F.array_min(F.transform(
-                grams, lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))))
+                F.col("_h"), lambda h: h.bitwiseXOR(F.lit(minhash_salt(i)))))
             .alias(f"sig{i}") for i in range(n_hashes)]
-    return df.select(F.col(id_col).alias("doc_id"), *cols)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
@@ -111,7 +135,7 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
     sig = minhash_signatures(df, n_hashes, n, id_col, text_col)
     n_bands = n_hashes // band_size
     bands = sig.select("doc_id", *[
-        F.md5(F.concat_ws("|", *[F.col(f"sig{b * band_size + j}")
+        F.md5(F.concat_ws("|", *[F.col(f"sig{b * band_size + j}").cast("string")
                                  for j in range(band_size)])).alias(f"band{b}")
         for b in range(n_bands)])
     stacked = bands.select("doc_id", F.explode(F.array(*[
