@@ -33,6 +33,9 @@ class EngineConfig:
     n_buckets: int = 16           # term-hash partitions of postings table
     block_size: int = 128         # postings entries per block (block-max unit)
     segment_token_budget: int = 2_000_000  # SPIMI in-memory segment size
+    store_positions: bool = True  # varbyte position deltas per (term, doc)
+    #   -> phrase queries intersect positions index-side instead of
+    #   needing the retained term-vector corpus (2x storage at scale)
 
     # tokenizer
     analyzer: str = "code"        # "code" (identifier-aware) or "simple" (ws split)

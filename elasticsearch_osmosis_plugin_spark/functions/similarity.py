@@ -98,6 +98,8 @@ def ivf_centroids(df: DataFrame, n_lists: int = 16, seed: int = 42,
     rows = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
             .limit(sample_n).collect())
+    if not rows:
+        raise ValueError("ivf_centroids: cannot train on an empty input")
     x = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(np.random.SeedSequence([seed, n_lists]))
     cents = x[rng.choice(x.shape[0], size=min(n_lists, x.shape[0]),
@@ -142,7 +144,12 @@ def ann_topk_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     and the table is partitioned by it (partition pruning per query);
     pass ``cents`` to reuse a trained quantizer across queries."""
     if cents is None:
-        cents = ivf_centroids(df, n_lists, seed, id_col=id_col, vec_col=vec_col)
+        try:
+            cents = ivf_centroids(df, n_lists, seed, id_col=id_col,
+                                  vec_col=vec_col)
+        except ValueError:
+            # empty table: return an empty, correctly-typed result
+            return cosine_topk(df.limit(0), query_vec, k, id_col, vec_col)
     q = np.asarray(list(query_vec), dtype=np.float64)
     d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]

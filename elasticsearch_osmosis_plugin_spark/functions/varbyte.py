@@ -96,6 +96,19 @@ def delta_encode_groups(sorted_vals: np.ndarray, starts: np.ndarray) -> np.ndarr
     return out
 
 
+def delta_decode_groups(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Inverse of ``delta_encode_groups``: each group starts with an
+    absolute value followed by gaps; one cumsum + per-group rebase."""
+    a = np.ascontiguousarray(deltas, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    cs = np.cumsum(a, dtype=np.uint64)
+    base = np.zeros(len(starts), dtype=np.uint64)
+    base[1:] = cs[np.asarray(starts[1:], dtype=np.int64) - 1]
+    lengths = np.diff(np.append(starts, a.size))
+    return cs - np.repeat(base, lengths)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing uint64 ids -> first value + gaps (all uint64)."""
     a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)

@@ -21,9 +21,12 @@ from elasticsearch_osmosis_plugin_spark.operators.query import (
 from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
 
 
+_SCORE_COLS = ["term", "doc_ids_vb", "tfs_vb", "dls_vb"]
+
+
 def _term_docs(spark, index_path, term, meta) -> DataFrame:
     posts = _pruned_postings(spark, index_path, [term], meta)
-    decoded = posts.mapInPandas(
+    decoded = posts.select(*_SCORE_COLS).mapInPandas(
         _decode_score({term: 1.0}, meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
     return decoded.select("doc_id")
@@ -57,11 +60,20 @@ def phrase_match_expr(tokens_col, terms: list[str]):
 
 def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame:
     """doc_ids containing the phrase's terms CONTIGUOUSLY IN ORDER
-    (ES match_phrase analog). Two-stage plan: the posting intersection
-    prunes candidates index-side (only docs holding ALL terms), then
-    the term-vector store verifies adjacency — the role ES positions
-    play, served here by the stored token arrays (docstats must still
-    carry term vectors; see plans.merge.drop_term_vectors)."""
+    (ES match_phrase analog). Two-stage plan, fully index-side when the
+    index stores positions (the default — the role ES positional
+    postings play):
+
+    1. candidate docs = posting intersection (doc-id streams only);
+    2. decode the phrase terms' POSITION streams, keep candidate docs,
+       and check alignment: occurrence of term_i at position p matches
+       the phrase when every other term_j has an occurrence at
+       p + (j - i) — expressed as a groupBy on (doc, pos - i) counting
+       distinct phrase slots, no per-row Python beyond the varbyte
+       decode kernel.
+
+    Falls back to term-vector adjacency verification for indexes built
+    with ``store_positions=False`` (requires retained tokens)."""
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
     from elasticsearch_osmosis_plugin_spark.plans import catalog
 
@@ -72,11 +84,35 @@ def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame
     if not terms:
         return spark.createDataFrame([], "doc_id long")
     cands = match_all_terms(spark, index_path, phrase)
+    if len(terms) == 1:
+        return cands
+
+    if meta.get("positions", False):
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            POSITIONS_SCHEMA,
+            _decode_positions,
+        )
+
+        uniq = sorted(set(terms))
+        posts = _pruned_postings(spark, index_path, uniq, meta)
+        occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+               .mapInPandas(_decode_positions(uniq), POSITIONS_SCHEMA)
+               .join(cands, "doc_id", "left_semi"))
+        slots = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(terms)], "slot int, term string")
+        aligned = (occ.join(F.broadcast(slots), "term")
+                   .select("doc_id", (F.col("pos") - F.col("slot")).alias("apos"),
+                           "slot"))
+        hits = (aligned.groupBy("doc_id", "apos")
+                .agg(F.countDistinct("slot").alias("n_slots"))
+                .filter(F.col("n_slots") == len(terms)))
+        return hits.select("doc_id").distinct().orderBy("doc_id")
+
     ds = catalog.read_table(spark, index_path, "docstats")
     if "tokens" not in ds.columns or not catalog.read_manifest(
             index_path, "docstats").get("term_vectors", False):
-        raise ValueError("phrase match needs the term-vector store "
-                         "(docstats tokens were dropped)")
+        raise ValueError("phrase match needs positional postings "
+                         "(store_positions=True) or the term-vector store")
     verified = (ds.select("doc_id", "tokens")
                 .join(cands, "doc_id", "left_semi")
                 .filter(phrase_match_expr(F.col("tokens"), terms)))
@@ -91,7 +127,7 @@ def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFra
     if dic.empty:
         return spark.createDataFrame([], "doc_id long")
     posts = _pruned_postings(spark, index_path, list(dic["term"]), meta)
-    decoded = posts.mapInPandas(
+    decoded = posts.select(*_SCORE_COLS).mapInPandas(
         _decode_score({t: 1.0 for t in dic["term"]},
                       meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)

@@ -107,9 +107,39 @@ DECODED_SCHEMA = "term string, doc_id long, partial double"
 def _scored(spark, index_path, terms, meta, idf_by_term,
             posts=None) -> DataFrame:
     pruned = _pruned_postings(spark, index_path, terms, meta, posts)
-    return pruned.mapInPandas(
+    # column-prune BEFORE the Arrow exchange: scoring never reads the
+    # positional payload (pos_vb) — parquet skips those pages entirely
+    return pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb").mapInPandas(
         _decode_score(idf_by_term, meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
+
+
+POSITIONS_SCHEMA = "term string, doc_id long, pos long"
+
+
+def _decode_positions(terms: Sequence[str]):
+    """mapInPandas kernel: posting blocks -> one row per token
+    occurrence (term, doc_id, pos). The tf stream is the split key for
+    the per-(term, doc) position runs inside each block."""
+    from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
+        delta_decode_groups,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, ids_vb, tfs_vb, pos_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["pos_vb"]):
+                d = np.cumsum(vb_decode(ids_vb), dtype=np.uint64).astype(np.int64)
+                tf = vb_decode(tfs_vb).astype(np.int64)
+                starts = np.zeros(tf.size, dtype=np.int64)
+                np.cumsum(tf[:-1], out=starts[1:])
+                pos = delta_decode_groups(vb_decode(pos_vb), starts).astype(np.int64)
+                outs.append(pd.DataFrame({
+                    "term": term, "doc_id": np.repeat(d, tf), "pos": pos}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
 
 
 def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
@@ -203,14 +233,16 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
     head_pred = functools.reduce(operator.or_, [
         (F.col("seg") == s) & (F.col("block") == b) for s, b in head_keys])
     decode = _decode_score({term: idf_t}, meta["k1"], meta["b"], meta["avgdl"])
-    phase1 = (posts.filter(head_pred).mapInPandas(decode, DECODED_SCHEMA)
+    score_cols = ["term", "doc_ids_vb", "tfs_vb", "dls_vb"]
+    phase1 = (posts.filter(head_pred).select(*score_cols)
+              .mapInPandas(decode, DECODED_SCHEMA)
               .select("doc_id", F.col("partial").alias("score")).persist())
     top1 = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = top1[-1]["score"] if len(top1) >= k else 0.0
     # phase 2: only blocks that could beat θ and weren't already decoded
     rest = posts.filter(~head_pred
                         & (F.col("block_max_wand") * scale >= F.lit(theta)))
-    phase2 = rest.mapInPandas(decode, DECODED_SCHEMA) \
+    phase2 = rest.select(*score_cols).mapInPandas(decode, DECODED_SCHEMA) \
         .select("doc_id", F.col("partial").alias("score"))
     return deterministic_topk(phase1.unionByName(phase2), k)
 

@@ -78,7 +78,7 @@ from elasticsearch_osmosis_plugin_spark.plans import catalog
 POSTING_SCHEMA = (
     "bucket int, term string, seg long, block int, n int, sum_tf long, "
     "block_max_wand double, min_doc long, max_doc long, "
-    "doc_ids_vb binary, tfs_vb binary, dls_vb binary"
+    "doc_ids_vb binary, tfs_vb binary, dls_vb binary, pos_vb binary"
 )
 
 DICT_SCHEMA = ("term string, df long, cf long, n_blocks long, "
@@ -118,7 +118,7 @@ def _empty_postings_pdf() -> pd.DataFrame:
         "block_max_wand": pd.Series(dtype="float64"),
         "min_doc": pd.Series(dtype="int64"), "max_doc": pd.Series(dtype="int64"),
         "doc_ids_vb": pd.Series(dtype="object"), "tfs_vb": pd.Series(dtype="object"),
-        "dls_vb": pd.Series(dtype="object"),
+        "dls_vb": pd.Series(dtype="object"), "pos_vb": pd.Series(dtype="object"),
     })
 
 
@@ -126,6 +126,7 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
     """SPIMI posting construction for one in-memory segment:
     pandas/numpy only, fully vectorized."""
     k1, b, block_size, n_buckets = cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+    store_positions = cfg.store_positions
 
     def build(pdf: pd.DataFrame, seg: int) -> pd.DataFrame:
         toks = pdf["tokens"]  # pre-tokenized once, upstream, cached
@@ -133,20 +134,35 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
         if lens.sum() == 0:
             return _empty_postings_pdf()
+        nz = lens > 0
         flat_terms = np.concatenate(
             [np.asarray(t, dtype=object) for t in toks if len(t) > 0])
-        flat_docs = np.repeat(doc_ids[lens > 0], lens[lens > 0])
-        flat_dls = np.repeat(lens[lens > 0], lens[lens > 0])
-        # (term, doc) -> tf via one C-level groupby, keys sorted so the
-        # result arrays are already in posting order (term, doc_id)
-        tf_df = (pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls})
-                 .groupby(["term", "doc_id"], sort=True)
-                 .agg(tf=("dl", "size"), dl=("dl", "first"))
-                 .reset_index())
-        terms = tf_df["term"].to_numpy(dtype=object)
-        d = tf_df["doc_id"].to_numpy(np.int64)
-        tf = tf_df["tf"].to_numpy(np.int64)
-        dl = tf_df["dl"].to_numpy(np.int64)
+        flat_docs = np.repeat(doc_ids[nz], lens[nz])
+        flat_dls = np.repeat(lens[nz], lens[nz])
+        # token position within its doc (for positional postings)
+        l_nz = lens[nz]
+        flat_pos = np.arange(l_nz.sum(), dtype=np.int64) \
+            - np.repeat(np.cumsum(l_nz) - l_nz, l_nz)
+        # ONE stable C-level sort puts the token stream in posting order
+        # (term, doc_id) while keeping in-doc position order inside each
+        # (term, doc) run — tf/dl fall out of run-length boundaries and
+        # the per-run position lists are already contiguous.
+        tok_df = pd.DataFrame({"term": flat_terms, "doc_id": flat_docs,
+                               "dl": flat_dls, "pos": flat_pos})
+        tok_df = tok_df.sort_values(["term", "doc_id"], kind="stable",
+                                    ignore_index=True)
+        terms_s = tok_df["term"].to_numpy(dtype=object)
+        docs_s = tok_df["doc_id"].to_numpy(np.int64)
+        n_toks = docs_s.size
+        new_pair = np.empty(n_toks, dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (terms_s[1:] != terms_s[:-1]) | (docs_s[1:] != docs_s[:-1])
+        pair_starts = np.flatnonzero(new_pair)
+        pair_ends = np.append(pair_starts[1:], n_toks)
+        terms = terms_s[pair_starts]
+        d = docs_s[pair_starts]
+        tf = pair_ends - pair_starts
+        dl = tok_df["dl"].to_numpy(np.int64)[pair_starts]
         n_rows = d.size
 
         # ---- fully vectorized (term, block) grouping: no python loop
@@ -181,6 +197,16 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
         tfs_vb = vb_encode_groups(tf.astype(np.uint64), g_starts)
         dls_vb = vb_encode_groups(dl.astype(np.uint64), g_starts)
 
+        if store_positions:
+            # per-(term, doc) position deltas (absolute first, gaps
+            # after), concatenated per block in posting order; the tf
+            # stream is the split key at decode time
+            pos_deltas = delta_encode_groups(
+                tok_df["pos"].to_numpy(np.int64).astype(np.uint64), pair_starts)
+            pos_vb = vb_encode_groups(pos_deltas, pair_starts[g_starts])
+        else:
+            pos_vb = [b""] * g_starts.size
+
         return pd.DataFrame({
             "bucket": out_bucket, "term": out_terms,
             "seg": np.full(g_starts.size, seg, dtype=np.int64),
@@ -189,6 +215,7 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
             "block_max_wand": out_wand,
             "min_doc": out_min, "max_doc": out_max,
             "doc_ids_vb": ids_vb, "tfs_vb": tfs_vb, "dls_vb": dls_vb,
+            "pos_vb": pos_vb,
         })
 
     return build
@@ -264,9 +291,26 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
     # for why parquet staging beats a block-manager persist at scale).
     _ds_man = (catalog.read_manifest(index_path, "docstats")
                if catalog.table_exists(index_path, "docstats") else {})
-    have_docstats = cfg.resume and _ds_man.get("n_groups") == n_groups \
-        and _ds_man.get("term_vectors", False)
+
+    def _tok_cfg(c: dict) -> tuple:
+        # the fields that change tokenization / segment layout: reusing
+        # docstats across a change in any of these silently pairs new
+        # meta with stale tokens (wrong BM25), so resume must rebuild
+        return tuple(c.get(k) for k in ("analyzer", "min_token_len",
+                                        "max_token_len", "n_segments"))
+
+    have_docstats = (cfg.resume and _ds_man.get("n_groups") == n_groups
+                     and _ds_man.get("term_vectors", False)
+                     and _tok_cfg(_ds_man.get("cfg", {})) == _tok_cfg(vars(cfg)))
     if not have_docstats:
+        # invalidate derived tables BEFORE committing the rebuilt
+        # docstats: a crash between a new-docstats commit and the drops
+        # would otherwise leave a resumable state pairing new
+        # docstats/avgdl with postings from the old tokenization —
+        # silently wrong scores. Dropping first fails safe: a crash
+        # here just means a full rebuild on the next attempt.
+        catalog.drop_table(index_path, "postings")
+        catalog.drop_table(index_path, "dictionary")
         t = time.time()
         tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
                            max_len=cfg.max_token_len)
@@ -284,11 +328,6 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
                                             "term_vectors": True},
                                   partition_by=["grp"])
         metrics.append({"stage": "docstats", "wall_s": time.time() - t})
-        if cfg.resume:
-            # group membership derives from docstats' grp layout — a
-            # (re)built docstats invalidates previously committed groups
-            for g in range(n_groups):
-                catalog.drop_table(index_path, f"postings/group={g}")
 
     docstats = catalog.read_table(spark, index_path, "docstats")
     # corpus stats: column-pruned scan of `dl` only (never the tokens)
@@ -367,6 +406,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         "min_token_len": cfg.min_token_len, "max_token_len": cfg.max_token_len,
         "n_segments": cfg.n_segments, "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size, "n_groups": n_groups,
+        "positions": cfg.store_positions,
         "lineage": lineage, "metrics": metrics,
         "build_wall_s": time.time() - t0,
     }

@@ -94,10 +94,13 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
             for t in ts_us:
                 if last_us is not None and t - last_us > gap_us:
                     sessions.append((user_id, start_us, last_us, n))
-                    start_us, n = t, 0
-                elif start_us is None:
-                    start_us = t
-                last_us = t
+                    start_us, last_us, n = t, t, 1
+                    continue
+                # admitted-but-out-of-order event (above watermark,
+                # below stored last_us): extend bounds, never regress —
+                # last_us = max keeps the event-time timeout monotone
+                start_us = t if start_us is None else min(start_us, t)
+                last_us = t if last_us is None else max(last_us, t)
                 n += 1
             if start_us is not None:
                 state.update((start_us, last_us, n))

@@ -144,3 +144,57 @@ def test_searcher_matches_one_shot_topk(spark, corpus_rows, index_path):
         assert s.match_count("public") == match_count(spark, index_path, "public")
     finally:
         s.close()
+
+
+def test_match_phrase_positional_after_drop_term_vectors(
+        spark, corpus_df, tmp_path):
+    """Phrase match must survive term-vector reclaim: positions are in
+    the postings (VERDICT r1 item 3), not the retained token corpus."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+    from elasticsearch_osmosis_plugin_spark.plans.merge import drop_term_vectors
+
+    path = str(tmp_path / "idx_pos")
+    build_index(spark, corpus_df, path, CFG, id_col="doc_id", n_groups=2)
+    before = [r["doc_id"] for r in
+              match_phrase(spark, path, "public static").collect()]
+    assert before  # non-trivial fixture
+    drop_term_vectors(spark, path)
+    after = [r["doc_id"] for r in
+             match_phrase(spark, path, "public static").collect()]
+    assert after == before
+
+
+def test_match_phrase_no_positions_requires_term_vectors(spark, corpus_df, tmp_path):
+    import dataclasses
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+    from elasticsearch_osmosis_plugin_spark.plans.merge import drop_term_vectors
+
+    path = str(tmp_path / "idx_nopos")
+    cfg = dataclasses.replace(CFG, store_positions=False)
+    build_index(spark, corpus_df, path, cfg, id_col="doc_id", n_groups=2)
+    got = {r["doc_id"] for r in
+           match_phrase(spark, path, "public static").collect()}
+    assert got  # term-vector fallback still verifies adjacency
+    drop_term_vectors(spark, path)
+    with pytest.raises(ValueError, match="positional postings"):
+        match_phrase(spark, path, "public static")
+
+
+def test_resume_rebuilds_on_analyzer_change(spark, corpus_df, corpus_rows, tmp_path):
+    """A resumed build under a different tokenization cfg must NOT
+    silently reuse stale docstats/postings (ADVICE r1)."""
+    import dataclasses
+
+    path = str(tmp_path / "idx_cfg")
+    build_index(spark, corpus_df, path, CFG, id_col="doc_id", n_groups=2)
+    simple_cfg = dataclasses.replace(CFG, analyzer="simple")
+    meta = build_index(spark, corpus_df, path, simple_cfg,
+                       id_col="doc_id", n_groups=2)
+    assert meta["analyzer"] == "simple"
+    got = topk(spark, path, "public static", k=10).collect()
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    want = bm25_oracle(rows, "public static", k=10, analyzer="simple")
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9

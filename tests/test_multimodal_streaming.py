@@ -155,3 +155,53 @@ def test_stream_append_to_docstore(spark, tmp_path):
             ev.filter(ev.event_type.isin("click", "view", "purchase"))
               .groupBy("event_type").count().collect()}
     assert got == want
+
+
+def test_stateful_sessionization_out_of_order_events(spark, tmp_path):
+    """An admitted-but-late event (above watermark, older than the
+    stored last_ts) must extend session bounds, never regress them
+    (ADVICE r1): expect ONE session start=min end=max n=3."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        sessionize_stream,
+    )
+
+    def ts(minute):
+        return datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    d = tmp_path / "ooo_stream"
+    d.mkdir()
+    schema = "user_id long, ts timestamp"
+    batches = {
+        "a": [(1, ts(0)), (1, ts(10))],
+        "b": [(1, ts(5))],            # out of order vs stored last=10
+        "c": [(999, ts(600))],        # watermark advancers
+        "d": [(999, ts(1200))],
+    }
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = str(tmp_path / f"ooo_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(str(d)))
+    q = (sessionize_stream(src, gap_s=1800)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_ooo_sessions").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r["user_id"], r["session_start"].minute,
+            r["session_end"].minute, r["n_events"])
+           for r in spark.sql(
+               "SELECT * FROM t_ooo_sessions WHERE user_id = 1").collect()]
+    assert got == [(1, 0, 10, 3)]
