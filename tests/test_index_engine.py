@@ -198,3 +198,32 @@ def test_resume_rebuilds_on_analyzer_change(spark, corpus_df, corpus_rows, tmp_p
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert abs(r["score"] - s) < 1e-9
+
+
+def test_blockmax_multiterm_falls_back(spark, corpus_rows, index_path):
+    """strategy='blockmax' with a multi-term query must degrade to
+    MaxScore (rank-identical), not raise."""
+    got = topk(spark, index_path, "public static void", k=10,
+               strategy="blockmax").collect()
+    want = _oracle_ids(corpus_rows, "public static void", 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+def test_match_count_multi_term(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+
+    got = match_count(spark, index_path, "public import")
+    want = sum(1 for t in corpus_rows["content"]
+               if {"public", "import"} & set(tokenize_py(t, "code")))
+    assert got == want
+
+
+def test_topk_releases_cache(spark, index_path):
+    """MaxScore/blockmax must not leak persisted partials into a
+    long-lived session (r1 VERDICT cache-hygiene item)."""
+    sc = spark.sparkContext
+    base = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    topk(spark, index_path, "public static void id0001", k=5,
+         strategy="maxscore").collect()
+    topk(spark, index_path, "id0001", k=5).collect()  # single-term blockmax
+    assert len([r for r in sc._jsc.sc().getRDDStorageInfo()]) == base
