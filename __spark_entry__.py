@@ -84,6 +84,64 @@ def q_bm25_topk(spark, sf_dir):
     return _bm25(spark, sf_dir, "spark query join", 10)
 
 
+# ---- persisted-index BM25 (the SPIMI engine itself under the DuckDB
+# gate, r1 VERDICT item 1): build once per sf_dir into a tmp cache,
+# query via operators.query.topk with each strategy. The cache key
+# carries the posting schema so format changes invalidate it.
+
+_IDX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        POSTING_SCHEMA,
+        build_index,
+    )
+
+    key = hashlib.md5(f"{sf_dir}|{POSTING_SCHEMA}|v1".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"eosp_entry_idx_{key}", "index")
+    if key not in _IDX_CACHE:
+        if not os.path.exists(os.path.join(path, "meta.json")):
+            cfg = EngineConfig(analyzer="simple", n_segments=8, n_buckets=8,
+                               block_size=64, resume=False)
+            build_index(spark, _t(spark, sf_dir, "documents"), path, cfg,
+                        id_col="doc_id", text_col="text", carry_cols=[],
+                        n_groups=1)
+        _IDX_CACHE[key] = path
+    return _IDX_CACHE[key]
+
+
+def _bm25_idx(spark, sf_dir, query, k, strategy):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    idx = _index_for(spark, sf_dir)
+    # fetch extra raw-ranked rows, then re-rank on the x1e4 fixed point
+    # the oracle sorts on (rounding can reorder raw near-ties)
+    raw = topk(spark, idx, query, k=k + 20, strategy=strategy)
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(k))
+
+
+def q_bm25_topk_idx_scoreall(spark, sf_dir):
+    """SPIMI index + varbyte decode + full scoring (SURVEY B1/B5)."""
+    return _bm25_idx(spark, sf_dir, "spark query join", 10, "scoreall")
+
+
+def q_bm25_topk_idx_maxscore(spark, sf_dir):
+    """SPIMI index + one-shot MaxScore pruning (hot + rare term mix)."""
+    return _bm25_idx(spark, sf_dir, "dup table merge", 10, "maxscore")
+
+
+def q_bm25_topk_idx_blockmax(spark, sf_dir):
+    """SPIMI index + single-term block-max pruning."""
+    return _bm25_idx(spark, sf_dir, "dup", 10, "blockmax")
+
+
 def q_bm25_topk_hot(spark, sf_dir):
     """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
     return _bm25(spark, sf_dir, "dup table merge", 10)
@@ -344,6 +402,9 @@ def q_type_dispatch_counts(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_hot": q_bm25_topk_hot,
+    "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
+    "bm25_topk_idx_maxscore": q_bm25_topk_idx_maxscore,
+    "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
@@ -440,6 +501,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "bm25_topk_hot": _bm25_oracle_sql(sorted({"dup", "table", "merge"}), 10),
+        "bm25_topk_idx_scoreall": _bm25_oracle_sql(
+            sorted({"spark", "query", "join"}), 10),
+        "bm25_topk_idx_maxscore": _bm25_oracle_sql(
+            sorted({"dup", "table", "merge"}), 10),
+        "bm25_topk_idx_blockmax": _bm25_oracle_sql(["dup"], 10),
         "term_stats": f"""
 WITH {TOK_EXPLODED_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok
