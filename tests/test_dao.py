@@ -61,3 +61,59 @@ def test_count_by_kind(spark, store):
     root, _ = store
     got = {r["kind"]: r["n"] for r in dao.count_by_kind(spark, root).collect()}
     assert got == {"node": 10, "way": 1}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r1 scale-killer fix: an upsert must leave every untouched
+    (kind, bkt) partition's files alone (mtimes unchanged), rewriting
+    only the partitions its keys hash into."""
+    import os
+
+    root = str(tmp_path / "bstore")
+    rows = spark.createDataFrame(
+        [("node", i, f"payload{i}") for i in range(1, 101)],
+        "kind string, id long, body string")
+    dao.save_all(spark, root, rows)
+
+    store_dir = os.path.join(root, dao.DOCSTORE, "kind=node")
+    before = {d: os.path.getmtime(os.path.join(store_dir, d))
+              for d in os.listdir(store_dir)}
+    assert len(before) > 4  # multiple buckets actually populated
+
+    touched_bkt = dao._bkt_py("node", 3)
+    upd = spark.createDataFrame([("node", 3, "NEW")],
+                                "kind string, id long, body string")
+    dao.save_all(spark, root, upd)
+
+    after = {d: os.path.getmtime(os.path.join(store_dir, d))
+             for d in os.listdir(store_dir)}
+    assert after.keys() == before.keys()
+    for d in before:
+        if d == f"bkt={touched_bkt}":
+            assert after[d] != before[d]
+        else:
+            assert after[d] == before[d], d
+    # and the merge semantics held
+    assert dao.find(spark, root, "node", 3)["body"] == "NEW"
+    assert dao.count_by_kind(spark, root).collect()[0]["n"] == 100
+
+
+def test_delete_rewrites_only_its_bucket(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "dstore")
+    rows = spark.createDataFrame(
+        [("node", i, f"p{i}") for i in range(1, 101)],
+        "kind string, id long, body string")
+    dao.save_all(spark, root, rows)
+    store_dir = os.path.join(root, dao.DOCSTORE, "kind=node")
+    before = {d: os.path.getmtime(os.path.join(store_dir, d))
+              for d in os.listdir(store_dir)}
+    assert dao.delete(spark, root, "node", 7) is True
+    b = f"bkt={dao._bkt_py('node', 7)}"
+    after = {d: os.path.getmtime(os.path.join(store_dir, d))
+             for d in os.listdir(store_dir)}
+    for d in before:
+        if d != b:
+            assert after[d] == before[d], d
+    assert dao.count_by_kind(spark, root).collect()[0]["n"] == 99
