@@ -293,19 +293,114 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; approximate -> rows-only check,
-    exactness vs brute force is tested in tests/test_similarity.py)."""
+    """LSH-bucketed ANN (scale path). Deterministic end-to-end: seeded
+    hyperplanes + sequential-fold sign bits, so the DuckDB twin
+    (same plane literals, list_reduce fold) picks the identical probe
+    set — a full value-for-value oracle, not rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=10,
-                                   n_planes=6, multiprobe_hamming=1)
+    raw = similarity.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=30,
+                                  n_planes=6, multiprobe_hamming=1)
+    return _rerank_x1e4(raw, 10)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (coarse quantizer + n_probe lists; approximate
-    -> rows-only check, agreement tested in tests/)."""
+    """IVF-bucketed ANN: md5-ordered sample -> shared numpy Lloyd
+    (bit-identical centroids on both engines) -> sequential-fold
+    nearest-list assignment, so the DuckDB twin reproduces the same
+    probe lists and candidates — full value-for-value oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_ivf(emb, _query_vec(spark, sf_dir), k=10,
-                                   n_lists=8, n_probe=3)
+    raw = similarity.ann_topk_ivf(emb, _query_vec(spark, sf_dir), k=30,
+                                  n_lists=8, n_probe=3)
+    return _rerank_x1e4(raw, 10)
+
+
+def _rerank_x1e4(raw: DataFrame, k: int) -> DataFrame:
+    """Raw-ranked (vec_id, cos) with headroom -> the oracle's rounded
+    fixed-point ordering (rounding can reorder raw near-ties)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    return (raw.select("vec_id", x1e4(F.col("cos")).alias("cos_x1e4"))
+            .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")).limit(k))
+
+
+# ---- ANN oracle twins. DuckDB parses bare decimal list literals as
+# DECIMAL (1-ulp off after conversion), so every constant is cast
+# ::DOUBLE per element; dots that decide SIGNS or ARGMINs use a
+# sequential list_reduce fold to match Spark's F.aggregate exactly.
+
+ANN_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's oracle SF
+
+
+def _dlist(vals) -> str:
+    return "[" + ", ".join(f"{float(v)!r}::DOUBLE" for v in vals) + "]"
+
+
+def _sql_fold_dot(vexpr: str, lit_list: str, dim: int) -> str:
+    return (f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> {vexpr}[i] * ({lit_list})[i]), (acc, x) -> acc + x)")
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
+                        multiprobe_hamming: int = 1, k: int = 10) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket_of = lambda vexpr: " + ".join(  # noqa: E731
+        f"(CASE WHEN {_sql_fold_dot(vexpr, _dlist(h), dim)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)" for i, h in enumerate(planes))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({bucket_of('qv')})::BIGINT AS qbucket FROM q),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             ({bucket_of('(embedding::DOUBLE[])')})::BIGINT AS bucket
+      FROM embeddings),
+sel AS (SELECT vec_id, v FROM b CROSS JOIN qb
+        WHERE bit_count(xor(bucket, qbucket)) <= {multiprobe_hamming}),
+s AS (SELECT vec_id,
+             list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+               AS c
+      FROM sel CROSS JOIN q)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
+ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT {k}"""
+
+
+def _ann_ivf_oracle_sql(n_lists: int = 8, n_probe: int = 3, seed: int = 42,
+                        k: int = 10) -> str:
+    """Reproduces the Spark path's trained quantizer OUTSIDE Spark:
+    the md5-ordered sample is read with DuckDB and run through the
+    same numpy Lloyd kernel, giving bit-identical centroid literals."""
+    import duckdb
+    import numpy as np
+
+    path = f"{ANN_ORACLE_SF_DIR}/embeddings.parquet"
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding FROM '{path}' "
+        f"ORDER BY md5(vec_id::VARCHAR || '|{seed}'), vec_id "
+        f"LIMIT 4096").fetchall()
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    cents = similarity.lloyd_centroids(x, n_lists, seed, iters=5)
+    q = np.asarray(
+        list(con.sql(f"SELECT embedding FROM '{path}' WHERE vec_id = 0")
+             .fetchall()[0][0]), dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    dim = x.shape[1]
+    scores = ", ".join(
+        f"({float((c * c).sum())!r}::DOUBLE - 2.0 * "
+        f"{_sql_fold_dot('v', _dlist(c), dim)})" for c in cents)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v, [{scores}] AS sc FROM b),
+sel AS (SELECT vec_id, v FROM a
+        WHERE list_position(sc, list_min(sc)) - 1 IN ({', '.join(map(str, probe))})),
+s AS (SELECT vec_id,
+             list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+               AS c
+      FROM sel CROSS JOIN q)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
+ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT {k}"""
 
 
 def _cents(col):
@@ -498,7 +593,18 @@ fp AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {}
+    try:
+        # the ANN twins need the oracle-SF embeddings on disk (the IVF
+        # quantizer trains on them); absent -> rows-only, same as r1
+        import os
+
+        if os.path.exists(f"{ANN_ORACLE_SF_DIR}/embeddings.parquet"):
+            out["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+            out["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+    except Exception:  # noqa: BLE001 — oracle generation must not kill the gate
+        pass
+    return out | {
         "bm25_topk": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "bm25_topk_hot": _bm25_oracle_sql(sorted({"dup", "table", "merge"}), 10),
         "bm25_topk_idx_scoreall": _bm25_oracle_sql(

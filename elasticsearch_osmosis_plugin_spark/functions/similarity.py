@@ -67,6 +67,17 @@ def lsh_bucket_col(vec_col: str, planes: np.ndarray):
     return bucket
 
 
+def _seq_dot(a, b) -> float:
+    """Strict left-to-right float64 dot — the SAME summation order as
+    the Spark F.aggregate fold and the SQL list_reduce twin, so sign
+    decisions (bucket bits) are bit-identical across engines (numpy
+    pairwise/BLAS dots are not)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
 def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                  n_planes: int = 8, seed: int = 42,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -79,7 +90,8 @@ def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     q = np.asarray(list(query_vec), dtype=np.float64)
-    q_bucket = int(sum(1 << i for i, h in enumerate(planes) if float(np.dot(h, q)) >= 0))
+    q_bucket = int(sum(1 << i for i, h in enumerate(planes)
+                       if _seq_dot(h, q) >= 0))
     probe = [b for b in range(1 << n_planes)
              if bin(b ^ q_bucket).count("1") <= multiprobe_hamming]
     bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
@@ -87,20 +99,11 @@ def ann_topk_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
-def ivf_centroids(df: DataFrame, n_lists: int = 16, seed: int = 42,
-                  sample_n: int = 4096, iters: int = 5,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> np.ndarray:
-    """Train the IVF coarse quantizer: deterministic hash-ordered sample
-    (bounded — centroid training never scans the full table) + seeded
-    Lloyd iterations in driver numpy. n_lists x dim floats is tiny at
-    any scale; the FAISS design trains on a sample the same way."""
-    rows = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-            .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
-            .limit(sample_n).collect())
-    if not rows:
-        raise ValueError("ivf_centroids: cannot train on an empty input")
-    x = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+def lloyd_centroids(x: np.ndarray, n_lists: int, seed: int = 42,
+                    iters: int = 5) -> np.ndarray:
+    """Seeded Lloyd iterations on an in-memory sample. Shared by the
+    Spark path and the DuckDB oracle twin — same numpy ops on the same
+    sample matrix give bit-identical centroids in both."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, n_lists]))
     cents = x[rng.choice(x.shape[0], size=min(n_lists, x.shape[0]),
                          replace=False)]
@@ -112,6 +115,31 @@ def ivf_centroids(df: DataFrame, n_lists: int = 16, seed: int = 42,
             if m.any():
                 cents[c] = x[m].mean(axis=0)
     return cents
+
+
+def ivf_sample_order(id_col, seed: int):
+    """Deterministic, engine-portable sample order: md5 of
+    '<id>|<seed>' (hex sorts identically everywhere; xxhash64 would
+    not be computable by a SQL oracle)."""
+    return F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                             F.lit(str(seed))))
+
+
+def ivf_centroids(df: DataFrame, n_lists: int = 16, seed: int = 42,
+                  sample_n: int = 4096, iters: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Train the IVF coarse quantizer: deterministic hash-ordered sample
+    (bounded — centroid training never scans the full table) + seeded
+    Lloyd iterations in driver numpy. n_lists x dim floats is tiny at
+    any scale; the FAISS design trains on a sample the same way."""
+    rows = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy(ivf_sample_order("_id", seed), F.col("_id"))
+            .limit(sample_n).collect())
+    if not rows:
+        raise ValueError("ivf_centroids: cannot train on an empty input")
+    x = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+    return lloyd_centroids(x, n_lists, seed, iters)
 
 
 def ivf_assign_col(vec_col: str, cents: np.ndarray):
@@ -134,6 +162,23 @@ def ivf_assign_col(vec_col: str, cents: np.ndarray):
     return _assign(F.col(vec_col))
 
 
+def ivf_assign_expr(vec_col: str, cents: np.ndarray):
+    """Pure-column-expression nearest-centroid assignment (JVM-side,
+    sequential folds): rank-constant form ||c||^2 - 2 v.c, argmin =
+    first index of the min. Bit-identical to a SQL twin using the same
+    centroid literals + a sequential list_reduce fold — use for small
+    n_lists; ``ivf_assign_col`` (Arrow batch matmul) is the path for
+    hundreds of lists."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = []
+    for c in np.ascontiguousarray(cents, dtype=np.float64):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        n2 = float((c * c).sum())
+        scores.append(F.lit(n2) - F.lit(2.0) * _dot(v, cl))
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
 def ann_topk_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                  n_lists: int = 16, n_probe: int = 4, seed: int = 42,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -153,8 +198,9 @@ def ann_topk_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     q = np.asarray(list(query_vec), dtype=np.float64)
     d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
-    cand = df.withColumn("_list", ivf_assign_col(vec_col, cents)) \
-             .filter(F.col("_list").isin(probe))
+    assign = (ivf_assign_expr(vec_col, cents) if len(cents) <= 32
+              else ivf_assign_col(vec_col, cents))
+    cand = df.withColumn("_list", assign).filter(F.col("_list").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
