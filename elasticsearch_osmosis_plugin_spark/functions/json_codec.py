@@ -67,3 +67,40 @@ def decode_node_doc(df: DataFrame, json_col: str = "doc") -> DataFrame:
         F.element_at(parsed["centroid"], 2).alias("lat"),
         F.element_at(parsed["centroid"], 1).alias("lon"),
         parsed["tags"].alias("tags"))
+
+
+WAY_DOC_HEAD_SCHEMA = T.StructType([
+    T.StructField("centroid", T.ArrayType(T.DoubleType())),
+    T.StructField("lengthKm", T.DoubleType()),
+    T.StructField("areaKm2", T.DoubleType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("shape", T.StructType([
+        T.StructField("type", T.StringType()),
+    ])),
+])
+
+
+def decode_way_doc(df: DataFrame, json_col: str = "doc") -> DataFrame:
+    """A5 for way docs: rebuild the typed way from stored ``_source``
+    with the linestring-vs-polygon coordinate-NESTING dispatch the
+    reference builder does (``ESWay.java:142-171``): polygon
+    coordinates sit one ring deeper ([[[lon,lat],...]]), linestring at
+    [[lon,lat],...] — a type union one ``from_json`` schema can't
+    express, so coordinates are re-parsed per shape type and each
+    [lon, lat] pair swaps back to struct<lat, lon>."""
+    head = F.from_json(F.col(json_col), WAY_DOC_HEAD_SCHEMA)
+    coords_str = F.get_json_object(F.col(json_col), "$.shape.coordinates")
+    line = F.from_json(coords_str, "array<array<double>>")
+    ring = F.element_at(
+        F.from_json(coords_str, "array<array<array<double>>>"), 1)
+    raw = F.when(head["shape"]["type"] == "polygon", ring).otherwise(line)
+    coords = F.transform(raw, lambda p: F.struct(
+        F.element_at(p, 2).alias("lat"), F.element_at(p, 1).alias("lon")))
+    return df.select(
+        head["shape"]["type"].alias("shape_type"),
+        coords.alias("coords"),
+        F.struct(F.element_at(head["centroid"], 2).alias("lat"),
+                 F.element_at(head["centroid"], 1).alias("lon")).alias("centroid"),
+        head["lengthKm"].alias("length_km"),
+        head["areaKm2"].alias("area_km2"),
+        head["tags"].alias("tags"))

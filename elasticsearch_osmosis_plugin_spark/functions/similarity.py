@@ -204,6 +204,99 @@ def ann_topk_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------- persisted
+# ANN layouts: the precompute-at-ingest path. The bucket/list id is
+# computed ONCE at write time and becomes the parquet partition column,
+# so a query scans only its probe partitions (PartitionFilters) instead
+# of recomputing assignments over the full table per query.
+
+_ANN_META = "_ANN_META.json"
+
+
+def _write_ann_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "_ann_meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(path, _ANN_META))
+
+
+def _read_ann_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _ANN_META)) as f:
+        return json.load(f)
+
+
+def write_lsh_layout(df: DataFrame, path: str, n_planes: int = 8,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Write the embeddings table partitioned by its LSH sign bucket
+    (bucket column computed once, JVM-side). The layout is
+    self-describing: plane seed/shape land in ``_ANN_META.json``."""
+    sample = df.select(vec_col).limit(1).collect()
+    if not sample:
+        raise ValueError("write_lsh_layout: empty input")
+    dim = len(sample[0][0])
+    planes = hyperplanes(dim, n_planes, seed)
+    (df.withColumn("bucket", lsh_bucket_col(vec_col, planes))
+       .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    meta = {"kind": "lsh", "n_planes": n_planes, "seed": seed, "dim": dim,
+            "id_col": id_col, "vec_col": vec_col}
+    _write_ann_meta(path, meta)
+    return meta
+
+
+def ann_topk_lsh_persisted(spark, path: str, query_vec: Sequence[float],
+                           k: int = 10,
+                           multiprobe_hamming: int = 1) -> DataFrame:
+    """Top-k over a ``write_lsh_layout`` table: the probe buckets are
+    plain partition predicates — only those directories are read."""
+    meta = _read_ann_meta(path)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q_bucket = int(sum(1 << i for i, h in enumerate(planes)
+                       if _seq_dot(h, q) >= 0))
+    probe = [b for b in range(1 << meta["n_planes"])
+             if bin(b ^ q_bucket).count("1") <= multiprobe_hamming]
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
+def write_ivf_layout(df: DataFrame, path: str, n_lists: int = 16,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Write the embeddings table partitioned by its IVF list id; the
+    trained centroids are persisted in ``_ANN_META.json`` so queries
+    never retrain."""
+    cents = ivf_centroids(df, n_lists, seed, id_col=id_col, vec_col=vec_col)
+    assign = (ivf_assign_expr(vec_col, cents) if len(cents) <= 32
+              else ivf_assign_col(vec_col, cents))
+    (df.withColumn("list", assign)
+       .write.mode("overwrite").partitionBy("list").parquet(path))
+    meta = {"kind": "ivf", "n_lists": n_lists, "seed": seed,
+            "cents": [[float(x) for x in c] for c in cents],
+            "id_col": id_col, "vec_col": vec_col}
+    _write_ann_meta(path, meta)
+    return meta
+
+
+def ann_topk_ivf_persisted(spark, path: str, query_vec: Sequence[float],
+                           k: int = 10, n_probe: int = 4) -> DataFrame:
+    """Top-k over a ``write_ivf_layout`` table: probe lists are
+    partition predicates — no per-query assignment pass."""
+    meta = _read_ann_meta(path)
+    cents = np.asarray(meta["cents"], dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("list").isin(probe))
+    return cosine_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
 def neardup_pairs_exact(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:

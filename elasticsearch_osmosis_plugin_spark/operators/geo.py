@@ -178,9 +178,59 @@ def within_distance(df: DataFrame, lat: float, lon: float, km: float,
 def within_bbox(df: DataFrame, lat_min: float, lat_max: float,
                 lon_min: float, lon_max: float,
                 lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
-    """B7 envelope filter — plain range predicates, fully pushed down."""
+    """B7 envelope filter for POINTS — plain range predicates, fully
+    pushed down. For way shapes use ``shape_intersects_bbox``."""
     return df.filter(F.col(lat_col).between(lat_min, lat_max)
                      & F.col(lon_col).between(lon_min, lon_max))
+
+
+def shape_intersects_bbox(coords: Column, lat_min: float, lat_max: float,
+                          lon_min: float, lon_max: float) -> Column:
+    """B7 with the reference's real semantics: TRUE when the doc shape
+    INTERSECTS the query envelope (``ESWayITest.java:97-154``, envelope
+    at ``:224-228``) — including a segment crossing the box with both
+    endpoints outside, which vertex-containment misses.
+
+    Exact separating-axis test per segment, pure column expressions:
+    the box's axes (x, y) are covered by a bbox-overlap check of the
+    segment's own bbox, and the segment's normal axis by requiring the
+    four box corners NOT to lie strictly on one side of the segment's
+    line. Touching counts as intersecting (JTS `intersects`)."""
+    la_min, la_max = F.lit(float(lat_min)), F.lit(float(lat_max))
+    lo_min, lo_max = F.lit(float(lon_min)), F.lit(float(lon_max))
+
+    def vertex_in(p):
+        return p["lat"].between(la_min, la_max) & p["lon"].between(lo_min, lo_max)
+
+    def seg_hits(s):
+        a, b = s["a"], s["b"]
+        boxes_overlap = (
+            (F.greatest(a["lon"], b["lon"]) >= lo_min)
+            & (F.least(a["lon"], b["lon"]) <= lo_max)
+            & (F.greatest(a["lat"], b["lat"]) >= la_min)
+            & (F.least(a["lat"], b["lat"]) <= la_max))
+        dx = b["lon"] - a["lon"]
+        dy = b["lat"] - a["lat"]
+
+        def side(cx, cy):  # cross(d, corner - a)
+            return dx * (cy - a["lat"]) - dy * (cx - a["lon"])
+
+        corners = [side(lo_min, la_min), side(lo_min, la_max),
+                   side(lo_max, la_min), side(lo_max, la_max)]
+        straddles = (F.least(*corners) <= 0) & (F.greatest(*corners) >= 0)
+        return boxes_overlap & straddles
+
+    seg_any = F.when(F.size(coords) >= 2,
+                     F.exists(_segments(coords), seg_hits)) \
+        .otherwise(F.lit(False))
+    return F.exists(coords, vertex_in) | seg_any
+
+
+def ways_intersecting_bbox(df: DataFrame, lat_min: float, lat_max: float,
+                           lon_min: float, lon_max: float,
+                           coords_col: str = "coords") -> DataFrame:
+    return df.filter(shape_intersects_bbox(
+        F.col(coords_col), lat_min, lat_max, lon_min, lon_max))
 
 
 def sort_by_distance(df: DataFrame, lat: float, lon: float,

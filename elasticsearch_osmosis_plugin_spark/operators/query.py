@@ -105,13 +105,19 @@ DECODED_SCHEMA = "term string, doc_id long, partial double"
 
 
 def _scored(spark, index_path, terms, meta, idf_by_term,
-            posts=None) -> DataFrame:
+            posts=None, allowed=None) -> DataFrame:
     pruned = _pruned_postings(spark, index_path, terms, meta, posts)
     # column-prune BEFORE the Arrow exchange: scoring never reads the
     # positional payload (pos_vb) — parquet skips those pages entirely
-    return pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb").mapInPandas(
+    out = pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb").mapInPandas(
         _decode_score(idf_by_term, meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
+    if allowed is not None:
+        # post-filter semi-join BEFORE the aggregation: per-doc scores
+        # are unaffected (idf/avgdl/N stay corpus-global), only which
+        # docs survive changes
+        out = out.join(allowed, "doc_id", "left_semi")
+    return out
 
 
 POSITIONS_SCHEMA = "term string, doc_id long, pos long"
@@ -143,14 +149,29 @@ def _decode_positions(terms: Sequence[str]):
 
 
 def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
-         strategy: str = "auto", *, _meta=None, _posts=None,
-         _dic=None) -> DataFrame:
-    """Top-k BM25 -> DataFrame (doc_id, score), deterministic order."""
+         strategy: str = "auto", *, post_filter=None, _meta=None,
+         _posts=None, _dic=None) -> DataFrame:
+    """Top-k BM25 -> DataFrame (doc_id, score), deterministic order.
+
+    ``post_filter``: optional Column predicate over doc-store columns
+    (B6, ES post_filter semantics, ``ESNodeITest.java:72``): restricts
+    which docs are RETURNED without touching scores — idf, avgdl and N
+    stay corpus-global, and the k-limit applies AFTER the filter. The
+    predicate pushes down into the doc-store parquet scan; candidates
+    reach the scorer as a broadcast-able semi-join, and every pruning
+    bound (θ seed, MaxScore candidates, block-max phases) is computed
+    over the FILTERED ranking so pruning stays exact."""
     meta = _meta if _meta is not None else load_meta(index_path)
     terms = query_terms(query, meta)
     dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
     if dic.empty:
         return spark.createDataFrame([], "doc_id long, score double")
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
     idf_by_term = {r.term: idf(meta["n_docs"], int(r.df)) for r in dic.itertuples()}
     ub = {r.term: idf_by_term[r.term] * (meta["k1"] + 1.0) * float(r.max_wand)
           for r in dic.itertuples()}
@@ -167,18 +188,18 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
     if len(live_terms) == 1 and strategy in ("auto", "blockmax"):
         return _topk_single_term_blockmax(
             spark, index_path, live_terms[0], meta, idf_by_term[live_terms[0]],
-            k, posts=_posts)
+            k, posts=_posts, allowed=allowed)
     if strategy == "blockmax":
         # multi-term block-max falls back to MaxScore (same block
         # metadata drives the θ seed) instead of raising
         strategy = "maxscore"
     if strategy == "scoreall" or len(live_terms) == 1:
         scores = (_scored(spark, index_path, live_terms, meta, idf_by_term,
-                          posts=_posts)
+                          posts=_posts, allowed=allowed)
                   .groupBy("doc_id").agg(F.sum("partial").alias("score")))
         return deterministic_topk(scores, k)
     return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term,
-                          ub, k, posts=_posts)
+                          ub, k, posts=_posts, allowed=allowed)
 
 
 class Searcher:
@@ -198,9 +219,11 @@ class Searcher:
         if cache_dictionary:
             self.dic = self.dic.persist()
 
-    def topk(self, query: str, k: int = 10, strategy: str = "auto") -> DataFrame:
+    def topk(self, query: str, k: int = 10, strategy: str = "auto",
+             post_filter=None) -> DataFrame:
         return topk(self.spark, self.index_path, query, k, strategy,
-                    _meta=self.meta, _posts=self.posts, _dic=self.dic)
+                    post_filter=post_filter, _meta=self.meta,
+                    _posts=self.posts, _dic=self.dic)
 
     def match_count(self, query: str) -> int:
         return match_count(self.spark, self.index_path, query,
@@ -211,7 +234,7 @@ class Searcher:
 
 
 def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
-                               posts=None) -> DataFrame:
+                               posts=None, allowed=None) -> DataFrame:
     """Block-max pruning for single-term top-k (exact).
 
     A doc's score is scale * w(tf, dl) with scale = idf*(k1+1), and
@@ -238,9 +261,12 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
         (F.col("seg") == s) & (F.col("block") == b) for s, b in head_keys])
     decode = _decode_score({term: idf_t}, meta["k1"], meta["b"], meta["avgdl"])
     score_cols = ["term", "doc_ids_vb", "tfs_vb", "dls_vb"]
-    phase1 = (posts.filter(head_pred).select(*score_cols)
-              .mapInPandas(decode, DECODED_SCHEMA)
-              .select("doc_id", F.col("partial").alias("score")).persist())
+    phase1 = posts.filter(head_pred).select(*score_cols) \
+        .mapInPandas(decode, DECODED_SCHEMA) \
+        .select("doc_id", F.col("partial").alias("score"))
+    if allowed is not None:
+        phase1 = phase1.join(allowed, "doc_id", "left_semi")
+    phase1 = phase1.persist()
     top1 = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = top1[-1]["score"] if len(top1) >= k else 0.0
     # phase 2: only blocks that could beat θ and weren't already decoded
@@ -248,6 +274,8 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
                         & (F.col("block_max_wand") * scale >= F.lit(theta)))
     phase2 = rest.select(*score_cols).mapInPandas(decode, DECODED_SCHEMA) \
         .select("doc_id", F.col("partial").alias("score"))
+    if allowed is not None:
+        phase2 = phase2.join(allowed, "doc_id", "left_semi")
     out = deterministic_topk(phase1.unionByName(phase2), k)
     return _finalize_topk(spark, out, [phase1])
 
@@ -262,7 +290,8 @@ def _finalize_topk(spark, out: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
-def _theta_seed(spark, index_path, term, meta, idf_t, k, posts) -> float:
+def _theta_seed(spark, index_path, term, meta, idf_t, k, posts,
+                allowed=None) -> float:
     """Exact lower bound on the final k-th score, measured from ONE
     block: decode the highest-ub term's best block (by block_max_wand)
     and take its k-th best partial. Every final score of those docs is
@@ -275,17 +304,22 @@ def _theta_seed(spark, index_path, term, meta, idf_t, k, posts) -> float:
             .limit(1).collect())
     if not head:
         return 0.0
-    rows = (p.filter((F.col("seg") == head[0]["seg"])
+    seed = (p.filter((F.col("seg") == head[0]["seg"])
                      & (F.col("block") == head[0]["block"]))
             .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
             .mapInPandas(_decode_score({term: idf_t}, meta["k1"], meta["b"],
-                                       meta["avgdl"]), DECODED_SCHEMA)
-            .select("partial").orderBy(F.desc("partial")).limit(k).collect())
+                                       meta["avgdl"]), DECODED_SCHEMA))
+    if allowed is not None:
+        # θ must lower-bound the FILTERED k-th score, or MaxScore would
+        # over-prune docs still eligible under the post-filter
+        seed = seed.join(allowed, "doc_id", "left_semi")
+    rows = (seed.select("partial")
+            .orderBy(F.desc("partial")).limit(k).collect())
     return float(rows[-1]["partial"]) if len(rows) >= k else 0.0
 
 
 def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
-                   posts=None) -> DataFrame:
+                   posts=None, allowed=None) -> DataFrame:
     """One-shot MaxScore: the essential set E is chosen ONCE from the
     dictionary upper bounds against the θ seed — no grow-and-retry
     driver loop re-scanning postings (the r1 scale-killer). Exact:
@@ -295,13 +329,14 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
     by_ub_desc = sorted(terms, key=lambda t: (-ub[t], t))
     t_star = by_ub_desc[0]
     theta_seed = _theta_seed(spark, index_path, t_star, meta,
-                             idf_by_term[t_star], k, posts)
+                             idf_by_term[t_star], k, posts, allowed)
     e_size = 1
     while e_size < len(by_ub_desc) and \
             sum(ub[t] for t in by_ub_desc[e_size:]) >= theta_seed:
         e_size += 1
     E, NE = by_ub_desc[:e_size], by_ub_desc[e_size:]
-    partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts)
+    partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts,
+                         allowed=allowed)
                  .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
                  .persist())
     if not NE:

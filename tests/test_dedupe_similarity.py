@@ -144,3 +144,38 @@ def test_neardup_lsh_precision_vs_exact(spark, embeddings):
     assert (0, 1) in exact
     assert lsh <= exact                    # exact precision
     assert (0, 1) in lsh                   # recall on the planted dup
+
+
+def test_persisted_ann_layouts_prune_partitions(spark, tmp_path):
+    """Precompute-at-ingest ANN: results identical to the in-flight
+    variants, and the probe read is PARTITION-pruned (the executed plan
+    carries PartitionFilters on the probe buckets/lists)."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_persisted,
+        ann_topk_lsh,
+        ann_topk_lsh_persisted,
+        write_ivf_layout,
+        write_lsh_layout,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter("vec_id = 0").select("embedding").collect()[0][0])
+
+    lsh_path = str(tmp_path / "lsh_layout")
+    write_lsh_layout(emb, lsh_path, n_planes=6)
+    got = ann_topk_lsh_persisted(spark, lsh_path, q, k=10, multiprobe_hamming=1)
+    want = ann_topk_lsh(emb, q, k=10, n_planes=6, multiprobe_hamming=1)
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in got.collect()] == \
+           [(r["vec_id"], round(r["cos"], 9)) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+
+    ivf_path = str(tmp_path / "ivf_layout")
+    write_ivf_layout(emb, ivf_path, n_lists=8)
+    got2 = ann_topk_ivf_persisted(spark, ivf_path, q, k=10, n_probe=3)
+    want2 = ann_topk_ivf(emb, q, k=10, n_lists=8, n_probe=3)
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in got2.collect()] == \
+           [(r["vec_id"], round(r["cos"], 9)) for r in want2.collect()]
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list" in plan2

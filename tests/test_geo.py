@@ -84,3 +84,37 @@ def test_geo_filters_and_sort(spark):
     # haversine sanity: paris-london ~343.5 km
     d = ordered.filter("id = 3").collect()[0]["distance_km"]
     assert abs(d - 343.5) < 1.0
+
+
+def test_shape_intersects_bbox_crossing_segment(spark):
+    """B7 real semantics (ESWayITest.java:97-154): a way CROSSING the
+    envelope with every vertex outside must match; a way whose segment
+    bbox overlaps the envelope but whose line misses it must not."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 1: diagonal straight through the box, both endpoints outside
+        (1, [{"lat": -1.0, "lon": -1.0}, {"lat": 3.0, "lon": 3.0}]),
+        # 2: segment bbox OVERLAPS the box corner region but the line
+        # lon+lat=2.4 passes clear of corner (1,1) — every box corner
+        # on one side, so only the separating-axis test rejects it
+        (2, [{"lat": 0.9, "lon": 1.5}, {"lat": 1.5, "lon": 0.9}]),
+        # 3: fully inside
+        (3, [{"lat": 0.4, "lon": 0.4}, {"lat": 0.6, "lon": 0.6}]),
+        # 4: far away
+        (4, [{"lat": 9.0, "lon": 9.0}, {"lat": 10.0, "lon": 10.0}]),
+        # 5: single vertex inside (point shape)
+        (5, [{"lat": 0.5, "lon": 0.5}]),
+        # 6: touches the boundary exactly (JTS intersects counts it)
+        (6, [{"lat": 1.0, "lon": -2.0}, {"lat": 1.0, "lon": 0.0}]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, coords array<struct<lat double, lon double>>")
+    got = sorted(r["id"] for r in geo.ways_intersecting_bbox(
+        df, 0.0, 1.0, 0.0, 1.0).collect())
+    assert got == [1, 3, 5, 6]
+    # vertex-containment alone would MISS way 1 — pin the gap is closed
+    misses = df.filter(F.exists(
+        F.col("coords"),
+        lambda p: p["lat"].between(0.0, 1.0) & p["lon"].between(0.0, 1.0)))
+    assert 1 not in {r["id"] for r in misses.collect()}

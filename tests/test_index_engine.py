@@ -227,3 +227,30 @@ def test_topk_releases_cache(spark, index_path):
          strategy="maxscore").collect()
     topk(spark, index_path, "id0001", k=5).collect()  # single-term blockmax
     assert len([r for r in sc._jsc.sc().getRDDStorageInfo()]) == base
+
+
+@pytest.mark.parametrize("strategy", ["scoreall", "maxscore", "blockmax"])
+def test_post_filter_semantics(spark, corpus_rows, index_path, strategy):
+    """B6 first-class post-filter: scores identical to the unfiltered
+    run, the k-limit applies AFTER the filter (so k results survive
+    even when unfiltered leaders are filtered out), and every pruning
+    strategy stays exact under it."""
+    from pyspark.sql import functions as F
+
+    query = "public static void" if strategy != "blockmax" else "id0001"
+    langs = dict(zip(corpus_rows["doc_id"], corpus_rows["lang"]))
+    # exclude the unfiltered leader's lang so the filter provably bites
+    top1 = _oracle_ids(corpus_rows, query, 1)[0][0]
+    drop_lang = langs[top1]
+    keep = {d for d, lg in langs.items() if lg != drop_lang}
+    got = topk(spark, index_path, query, k=10, strategy=strategy,
+               post_filter=F.col("lang") != drop_lang).collect()
+    # oracle: filter the full python ranking, then take k
+    full = _oracle_ids(corpus_rows, query, 10_000)
+    want = [(d, s) for d, s in full if d in keep][:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], strategy
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9  # scores NOT affected by filter
+    # non-degenerate fixture: the filter must actually change the list
+    unfiltered = [d for d, _ in _oracle_ids(corpus_rows, query, 10)]
+    assert [r["doc_id"] for r in got] != unfiltered

@@ -70,3 +70,37 @@ def test_csv_quarantine(spark, tmp_path):
     good, bad = read_csv_quarantined(spark, str(p), schema)
     assert sorted(r["id"] for r in good.collect()) == [1, 3]
     assert bad.count() == 1       # never silent (SURVEY §7 watch-list c)
+
+
+def test_way_doc_roundtrip(spark):
+    """encode -> decode rebuilds the typed way with the polygon/
+    linestring nesting dispatch (ESWay.java:142-171 analog)."""
+    from elasticsearch_osmosis_plugin_spark.functions.json_codec import (
+        decode_way_doc,
+        way_doc_json,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators import geo
+
+    rows = {
+        "polygon": [{"lat": 1.0, "lon": 2.0}, {"lat": 2.0, "lon": 3.0},
+                    {"lat": 3.0, "lon": 2.0}, {"lat": 1.0, "lon": 2.0}],
+        "linestring": [{"lat": 1.0, "lon": 2.0}, {"lat": 2.0, "lon": 3.0},
+                       {"lat": 3.0, "lon": 2.0}, {"lat": 4.0, "lon": 1.0}],
+    }
+    df = spark.createDataFrame(
+        [(v, {"k": s}) for s, v in rows.items()],
+        "coords array<struct<lat double, lon double>>, tags map<string,string>")
+    agg = geo.shape_aggregates(df)
+    enc = agg.select(way_doc_json(
+        F.col("coords"), F.col("tags"), F.col("centroid"),
+        F.col("length_km"), F.col("area_km2"), F.col("shape_type")).alias("doc"))
+    got = {r["shape_type"]: r for r in decode_way_doc(enc, "doc").collect()}
+    assert set(got) == {"polygon", "linestring"}
+    for shape, src_coords in rows.items():
+        g = got[shape]
+        assert [(c["lat"], c["lon"]) for c in g["coords"]] == \
+            [(c["lat"], c["lon"]) for c in src_coords], shape
+        assert dict(g["tags"]) == {"k": shape}
+    assert abs(got["polygon"]["length_km"] - 536.897339) < 1e-5
+    assert abs(got["polygon"]["area_km2"] - 12364.345757) < 1e-5
+    assert got["polygon"]["centroid"]["lat"] is not None
