@@ -63,6 +63,15 @@ def main() -> int:
                        n_buckets=16, block_size=128, resume=False,
                        shuffle_partitions=cpus)
     try:
+        # warm the JVM codegen + python workers + Arrow channel with a
+        # throwaway mini-build so timings measure steady-state
+        # throughput, not one-time process spin-up (cold spin-up was
+        # 3-4x the real build cost at this sf)
+        warm = tempfile.mkdtemp(prefix="eosp_warm_") + "/index"
+        build_index(spark, docs.limit(64), warm, cfg,
+                    id_col="doc_id", text_col="text", n_groups=1)
+        shutil.rmtree(os.path.dirname(warm), ignore_errors=True)
+
         timed("index_build", lambda: build_index(
             spark, docs, idx, cfg, id_col="doc_id", text_col="text",
             n_groups=1))

@@ -299,13 +299,12 @@ def _theta_seed(spark, index_path, term, meta, idf_t, k, posts,
     one-shot essential-set selection. Costs one block (<= block_size
     entries), never a postings scan."""
     p = _pruned_postings(spark, index_path, [term], meta, posts)
-    head = (p.select("seg", "block", "block_max_wand")
+    # ONE Spark action: TakeOrdered picks the best block by metadata,
+    # limit(1) feeds the decode kernel just that block
+    seed = (p.select("term", "doc_ids_vb", "tfs_vb", "dls_vb",
+                     "block_max_wand", "seg", "block")
             .orderBy(F.desc("block_max_wand"), F.asc("seg"), F.asc("block"))
-            .limit(1).collect())
-    if not head:
-        return 0.0
-    seed = (p.filter((F.col("seg") == head[0]["seg"])
-                     & (F.col("block") == head[0]["block"]))
+            .limit(1)
             .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
             .mapInPandas(_decode_score({term: idf_t}, meta["k1"], meta["b"],
                                        meta["avgdl"]), DECODED_SCHEMA))
