@@ -42,8 +42,14 @@ TOK_EXPLODED_CTE = (
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+def _bm25_oracle_sql(terms: list[str], k: int,
+                     post_filter_sql: str | None = None) -> str:
+    """``post_filter_sql``: restriction on which docs are RETURNED —
+    joined in AFTER scoring (B6 semantics: scores/idf/avgdl stay
+    corpus-global, k-limit after the filter)."""
     term_list = ", ".join(f"'{t}'" for t in terms)
+    post = (f"JOIN documents d USING (doc_id) WHERE {post_filter_sql}"
+            if post_filter_sql else "")
     return f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
@@ -60,6 +66,7 @@ scored AS (
   FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
   GROUP BY tf.doc_id)
 SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+{post}
 ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT {k}
 """
 
@@ -102,27 +109,28 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         build_index,
     )
 
-    key = hashlib.md5(f"{sf_dir}|{POSTING_SCHEMA}|v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{POSTING_SCHEMA}|v2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"eosp_entry_idx_{key}", "index")
     if key not in _IDX_CACHE:
         if not os.path.exists(os.path.join(path, "meta.json")):
             cfg = EngineConfig(analyzer="simple", n_segments=8, n_buckets=8,
                                block_size=64, resume=False)
             build_index(spark, _t(spark, sf_dir, "documents"), path, cfg,
-                        id_col="doc_id", text_col="text", carry_cols=[],
+                        id_col="doc_id", text_col="text", carry_cols=["lang"],
                         n_groups=1)
         _IDX_CACHE[key] = path
     return _IDX_CACHE[key]
 
 
-def _bm25_idx(spark, sf_dir, query, k, strategy):
+def _bm25_idx(spark, sf_dir, query, k, strategy, post_filter=None):
     from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
     from elasticsearch_osmosis_plugin_spark.operators.query import topk
 
     idx = _index_for(spark, sf_dir)
     # fetch extra raw-ranked rows, then re-rank on the x1e4 fixed point
     # the oracle sorts on (rounding can reorder raw near-ties)
-    raw = topk(spark, idx, query, k=k + 20, strategy=strategy)
+    raw = topk(spark, idx, query, k=k + 20, strategy=strategy,
+               post_filter=post_filter)
     return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(k))
 
@@ -140,6 +148,22 @@ def q_bm25_topk_idx_maxscore(spark, sf_dir):
 def q_bm25_topk_idx_blockmax(spark, sf_dir):
     """SPIMI index + single-term block-max pruning."""
     return _bm25_idx(spark, sf_dir, "dup", 10, "blockmax")
+
+
+def q_bm25_topk_idx_postfilter(spark, sf_dir):
+    """B6 under the hard gate: post-filter restricts returned docs,
+    scores stay corpus-global, pruning stays exact under the filter."""
+    return _bm25_idx(spark, sf_dir, "dup table merge", 10, "maxscore",
+                     post_filter=F.col("lang") == "en")
+
+
+def q_phrase_match_idx(spark, sf_dir):
+    """Positional-postings phrase match over the persisted index (the
+    index-side path; q_phrase_match is the pure-DataFrame twin)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+
+    idx = _index_for(spark, sf_dir)
+    return match_phrase(spark, idx, "query join")
 
 
 def q_bm25_topk_hot(spark, sf_dir):
@@ -500,6 +524,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
     "bm25_topk_idx_maxscore": q_bm25_topk_idx_maxscore,
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
+    "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
+    "phrase_match_idx": q_phrase_match_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
@@ -612,6 +638,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_idx_maxscore": _bm25_oracle_sql(
             sorted({"dup", "table", "merge"}), 10),
         "bm25_topk_idx_blockmax": _bm25_oracle_sql(["dup"], 10),
+        "bm25_topk_idx_postfilter": _bm25_oracle_sql(
+            sorted({"dup", "table", "merge"}), 10,
+            post_filter_sql="d.lang = 'en'"),
         "term_stats": f"""
 WITH {TOK_EXPLODED_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok
@@ -623,6 +652,12 @@ SELECT doc_id FROM toks
 WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
   AND list_contains(toks, 'dup') ORDER BY doc_id""",
         "phrase_match": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
+      i -> toks[i] = 'query' AND toks[i + 1] = 'join')) > 0
+ORDER BY doc_id""",
+        "phrase_match_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks
 WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
