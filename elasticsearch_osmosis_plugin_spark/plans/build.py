@@ -143,33 +143,41 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
         l_nz = lens[nz]
         flat_pos = np.arange(l_nz.sum(), dtype=np.int64) \
             - np.repeat(np.cumsum(l_nz) - l_nz, l_nz)
-        # ONE stable C-level sort puts the token stream in posting order
+        # ONE stable int sort puts the token stream in posting order
         # (term, doc_id) while keeping in-doc position order inside each
-        # (term, doc) run — tf/dl fall out of run-length boundaries and
-        # the per-run position lists are already contiguous.
-        tok_df = pd.DataFrame({"term": flat_terms, "doc_id": flat_docs,
-                               "dl": flat_dls, "pos": flat_pos})
-        tok_df = tok_df.sort_values(["term", "doc_id"], kind="stable",
-                                    ignore_index=True)
-        terms_s = tok_df["term"].to_numpy(dtype=object)
-        docs_s = tok_df["doc_id"].to_numpy(np.int64)
+        # (term, doc) run: factorize the term strings once (O(T) hash),
+        # then lexsort the INT code/doc keys — never a lexicographic
+        # string sort of the whole stream. tf/dl fall out of run-length
+        # boundaries; the per-run position lists are already contiguous
+        # (lexsort is stable and flat_pos ascends within each doc).
+        # Term order across groups is factorize (first-appearance)
+        # order — irrelevant here: the Spark-side
+        # sortWithinPartitions("term", ...) imposes the on-disk order.
+        codes, uniq_terms = pd.factorize(flat_terms)
+        order = np.lexsort((flat_docs, codes))
+        codes_s = codes[order]
+        docs_s = flat_docs[order]
+        pos_s = flat_pos[order]
         n_toks = docs_s.size
         new_pair = np.empty(n_toks, dtype=bool)
         new_pair[0] = True
-        new_pair[1:] = (terms_s[1:] != terms_s[:-1]) | (docs_s[1:] != docs_s[:-1])
+        new_pair[1:] = (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1])
         pair_starts = np.flatnonzero(new_pair)
         pair_ends = np.append(pair_starts[1:], n_toks)
-        terms = terms_s[pair_starts]
+        uniq_terms = np.asarray(uniq_terms, dtype=object)
+        pair_codes = codes_s[pair_starts]
+        terms = uniq_terms[pair_codes]
         d = docs_s[pair_starts]
         tf = pair_ends - pair_starts
-        dl = tok_df["dl"].to_numpy(np.int64)[pair_starts]
+        dl = flat_dls[order[pair_starts]]
         n_rows = d.size
 
         # ---- fully vectorized (term, block) grouping: no python loop
-        # over terms; reduceat kernels over group boundaries.
+        # over terms; reduceat kernels over group boundaries. Term
+        # boundaries compare int codes, never object strings.
         new_term = np.empty(n_rows, dtype=bool)
         new_term[0] = True
-        np.not_equal(terms[1:], terms[:-1], out=new_term[1:])
+        np.not_equal(pair_codes[1:], pair_codes[:-1], out=new_term[1:])
         term_starts = np.flatnonzero(new_term)
         term_idx = np.cumsum(new_term) - 1                   # row -> term ordinal
         rank_in_term = np.arange(n_rows) - term_starts[term_idx]
@@ -202,7 +210,7 @@ def _segment_builder(cfg: EngineConfig, avgdl: float):
             # after), concatenated per block in posting order; the tf
             # stream is the split key at decode time
             pos_deltas = delta_encode_groups(
-                tok_df["pos"].to_numpy(np.int64).astype(np.uint64), pair_starts)
+                pos_s.astype(np.uint64), pair_starts)
             pos_vb = vb_encode_groups(pos_deltas, pair_starts[g_starts])
         else:
             pos_vb = [b""] * g_starts.size
