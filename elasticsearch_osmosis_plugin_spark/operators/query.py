@@ -173,7 +173,11 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
         allowed = (catalog.read_table(spark, index_path, "docstats")
                    .filter(post_filter).select("doc_id"))
     idf_by_term = {r.term: idf(meta["n_docs"], int(r.df)) for r in dic.itertuples()}
-    ub = {r.term: idf_by_term[r.term] * (meta["k1"] + 1.0) * float(r.max_wand)
+    # wand_slack >= 1 keeps stored bounds valid after incremental
+    # appends raised avgdl (see plans.build.append_index_group)
+    slack = float(meta.get("wand_slack", 1.0))
+    ub = {r.term: idf_by_term[r.term] * (meta["k1"] + 1.0)
+          * float(r.max_wand) * slack
           for r in dic.itertuples()}
     live_terms = list(dic["term"])
 
@@ -245,7 +249,7 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
     k-th exact score as θ; phase 2 decodes only remaining blocks with
     scale*ub >= θ. A stop-term's millions of cold blocks are never
     read past their metadata columns."""
-    scale = idf_t * (meta["k1"] + 1.0)
+    scale = idf_t * (meta["k1"] + 1.0) * float(meta.get("wand_slack", 1.0))
     posts = _pruned_postings(spark, index_path, [term], meta, posts)
     n_phase1 = max(1, -(-k // meta["block_size"]) + 1)  # ceil + 1 spare
     head = (posts.select("seg", "block", "block_max_wand")

@@ -391,20 +391,8 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
     # pre-aggregated per (seg, block), so no skew salting is needed here)
     if groups_rebuilt or not (cfg.resume and catalog.table_exists(index_path, "dictionary")):
         t = time.time()
-        posts = spark.read.schema(POSTING_SCHEMA + ", group int") \
-            .option("basePath", os.path.join(index_path, "postings")) \
-            .parquet(*[catalog.table_path(index_path, f"postings/group={g}")
-                       for g in range(n_groups)])
-        dic = (posts.groupBy("term")
-               .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
-                    F.count(F.lit(1)).alias("n_blocks"),
-                    F.max("block_max_wand").alias("max_wand"),
-                    F.max("bucket").alias("bucket"))
-               .repartition(cfg.n_buckets, "bucket")
-               .sortWithinPartitions("term"))
-        catalog.create_or_replace(dic, index_path, "dictionary",
-                                  manifest={"stage": "dictionary"},
-                                  partition_by=["bucket"])
+        _write_dictionary(spark, index_path, list(range(n_groups)),
+                          cfg.n_buckets)
         metrics.append({"stage": "dictionary", "wall_s": time.time() - t})
 
     meta = {
@@ -414,15 +402,140 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         "min_token_len": cfg.min_token_len, "max_token_len": cfg.max_token_len,
         "n_segments": cfg.n_segments, "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size, "n_groups": n_groups,
+        "groups": list(range(n_groups)),
+        "wand_slack": 1.0,
         "positions": cfg.store_positions,
         "lineage": lineage, "metrics": metrics,
         "build_wall_s": time.time() - t0,
     }
+    _write_meta(index_path, meta)
+    return meta
+
+
+def _write_meta(index_path: str, meta: dict) -> None:
     os.makedirs(index_path, exist_ok=True)
     tmp = os.path.join(index_path, "_meta.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1, default=str)
     os.replace(tmp, os.path.join(index_path, "meta.json"))
+
+
+def index_groups(meta: dict) -> list[int]:
+    return list(meta.get("groups", range(meta["n_groups"])))
+
+
+def _write_dictionary(spark: SparkSession, index_path: str,
+                      groups: list[int], n_buckets: int) -> None:
+    """Aggregate the per-(term, seg, block) metadata rows of the given
+    groups into the dictionary. Column pruning keeps this off the
+    compressed payloads — the scan reads the five stat columns only."""
+    posts = spark.read.schema(POSTING_SCHEMA + ", group int") \
+        .option("basePath", os.path.join(index_path, "postings")) \
+        .parquet(*[catalog.table_path(index_path, f"postings/group={g}")
+                   for g in groups])
+    dic = (posts.groupBy("term")
+           .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.max("block_max_wand").alias("max_wand"),
+                F.max("bucket").alias("bucket"))
+           .repartition(n_buckets, "bucket")
+           .sortWithinPartitions("term"))
+    catalog.create_or_replace(dic, index_path, "dictionary",
+                              manifest={"stage": "dictionary"},
+                              partition_by=["bucket"])
+
+
+def append_index_group(spark: SparkSession, docs: DataFrame, index_path: str,
+                       key_cols: Iterable[str] = ("repo", "path", "commit"),
+                       id_col: str | None = None,
+                       text_col: str = "content",
+                       carry_cols: Iterable[str] | None = None) -> dict:
+    """Incremental ingest: add ``docs`` to an existing index as one new
+    LSM group (the reference's streaming role — entities flow INTO the
+    fulltext index, ``ElasticSearchWriterTask.java:40-82`` — restated
+    as log-structured group commits instead of ES bulk requests).
+
+    Semantics and exactness:
+    - doc ids must be NEW (log-structured add; replacing an id is
+      compaction's job — same as appending to any LSM level);
+    - scores stay EXACT after an append: per-posting tf/dl are stored
+      exactly and BM25 is evaluated at query time with the CURRENT
+      n_docs/avgdl/df, so scoreall needs nothing else;
+    - the stored pruning bounds (block_max_wand, dictionary max_wand)
+      were computed under each group's build-time avgdl; a larger
+      current avgdl raises true scores, so meta carries
+      ``wand_slack = max_g max(1, avgdl_now / avgdl_built_g)`` and the
+      query side multiplies every upper bound by it — bounds remain
+      valid upper bounds (w is monotone in avgdl with ratio bounded by
+      avgdl_new/avgdl_old), pruning stays exact, merely looser;
+    - each append commits atomically: new docstats slice dir, new
+      postings group dir, dictionary rebuild (metadata columns only),
+      then the meta swap — a reader sees the old or the new index.
+    """
+    meta = load_meta(index_path)
+    cfg = EngineConfig(
+        k1=meta["k1"], b=meta["b"], analyzer=meta["analyzer"],
+        min_token_len=meta.get("min_token_len", 1),
+        max_token_len=meta.get("max_token_len", 64),
+        n_segments=meta["n_segments"], n_buckets=meta["n_buckets"],
+        block_size=meta["block_size"],
+        store_positions=meta.get("positions", True))
+    groups = index_groups(meta)
+    g = (max(groups) + 1) if groups else 0
+
+    base = (docs.withColumn("doc_id", F.col(id_col).cast("long"))
+            if id_col else add_doc_ids(docs, key_cols))
+    base = base.withColumn("seg", _seg_col(cfg.n_segments))
+    carry = list(carry_cols) if carry_cols is not None else [
+        c for c in docs.columns if c not in (text_col, id_col)]
+    tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
+                       max_len=cfg.max_token_len)
+    ds = base.select(
+        "doc_id", "seg", F.lit(g).cast("int").alias("grp"),
+        tok(F.col(text_col)).alias("tokens"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        *[F.col(c) for c in carry]) \
+        .withColumn("dl", F.size("tokens"))
+    catalog.add_partition(ds, index_path, "docstats", "grp", f"grp={g}")
+
+    docstats = catalog.read_table(spark, index_path, "docstats")
+    stats = docstats.agg(F.count(F.lit(1)).alias("n"),
+                         F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
+
+    t = time.time()
+    part = (docstats.filter(F.col("grp") == g)
+            .select("doc_id", "dl", "tokens")
+            .coalesce(spark.sparkContext.defaultParallelism))
+    seg_postings = (part.mapInPandas(
+                        _spimi_map_builder(cfg, avgdl, g, g + 1),
+                        POSTING_SCHEMA)
+                    .repartition(cfg.n_buckets, "bucket")
+                    .sortWithinPartitions("term", "seg", "block"))
+    man = catalog.create_or_replace(
+        seg_postings, index_path, f"postings/group={g}",
+        manifest={"stage": "postings", "group": g, "append": True,
+                  "avgdl": avgdl, "n_docs": n_docs,
+                  "wall_s": time.time() - t},
+        partition_by=["bucket"])
+
+    groups = groups + [g]
+    _write_dictionary(spark, index_path, groups, cfg.n_buckets)
+
+    # per-group build-time avgdl from the group manifests
+    slack = 1.0
+    for gg in groups:
+        gman = catalog.read_manifest(index_path, f"postings/group={gg}")
+        if int(gman.get("n_docs", 0)) == 0:
+            continue  # empty group: no bounds to protect
+        built = float(gman.get("avgdl", avgdl)) or 1.0
+        slack = max(slack, avgdl / built)
+    meta.update({"n_docs": n_docs, "avgdl": avgdl, "groups": groups,
+                 "wand_slack": slack})
+    meta["lineage"] = meta.get("lineage", []) + [man]
+    meta.setdefault("metrics", []).append(
+        {"stage": f"append:g{g}", "wall_s": time.time() - t})
+    _write_meta(index_path, meta)
     return meta
 
 
@@ -438,4 +551,4 @@ def postings_df(spark: SparkSession, index_path: str) -> DataFrame:
     base = os.path.join(index_path, "postings")
     return spark.read.schema(POSTING_SCHEMA + ", group int") \
         .option("basePath", base).parquet(
-            *[os.path.join(base, f"group={g}") for g in range(meta["n_groups"])])
+            *[os.path.join(base, f"group={g}") for g in index_groups(meta)])

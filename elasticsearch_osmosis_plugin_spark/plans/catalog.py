@@ -77,6 +77,30 @@ def create_or_replace(df: DataFrame, root: str, name: str,
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def add_partition(df: DataFrame, root: str, name: str,
+                  partition_by: str, partition_dir: str) -> None:
+    """Atomically add (or replace) ONE partition directory of an
+    existing partitioned table — the incremental-commit primitive for
+    log-structured appends (a new index group, a new docstats slice).
+    The table's manifest/schema are untouched; the new directory
+    becomes visible with one rename."""
+    final = table_path(root, name)
+    if not table_exists(root, name):
+        raise FileNotFoundError(f"index table not found: {root}/{name}")
+    tmp = os.path.join(root, f"_tmp_part_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
+        src = os.path.join(tmp, partition_dir)
+        dst = os.path.join(final, partition_dir)
+        if not os.path.exists(src):
+            os.makedirs(src, exist_ok=True)  # empty slice -> empty dir
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     if not table_exists(root, name):
         raise FileNotFoundError(f"index table not found: {root}/{name}")

@@ -25,7 +25,7 @@ import time
 from pyspark.sql import SparkSession, functions as F
 
 from elasticsearch_osmosis_plugin_spark.plans import catalog
-from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+from elasticsearch_osmosis_plugin_spark.plans.build import index_groups, load_meta
 
 
 def compact_index(spark: SparkSession, index_path: str) -> dict:
@@ -33,7 +33,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     meta = load_meta(index_path)
     t0 = time.time()
     base = os.path.join(index_path, "postings")
-    groups = [os.path.join(base, f"group={g}") for g in range(meta["n_groups"])]
+    groups = [os.path.join(base, f"group={g}") for g in index_groups(meta)]
     posts = spark.read.option("basePath", base).parquet(*groups).drop("group")
     merged = (posts.repartition(meta["n_buckets"], "bucket")
               .sortWithinPartitions("term", "seg", "block"))
@@ -41,7 +41,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     catalog.create_or_replace(
         merged, index_path, "postings_merged",
         manifest={"stage": "merge", "n_rows": n_rows,
-                  "merged_groups": meta["n_groups"],
+                  "merged_groups": len(index_groups(meta)),
                   "wall_s": time.time() - t0},
         partition_by=["bucket"])
     meta["merged"] = True
@@ -71,5 +71,5 @@ def drop_unmerged_groups(index_path: str) -> None:
     meta = load_meta(index_path)
     if not meta.get("merged"):
         raise RuntimeError("compact_index has not completed for this index")
-    for g in range(meta["n_groups"]):
+    for g in index_groups(meta):
         catalog.drop_table(index_path, f"postings/group={g}")

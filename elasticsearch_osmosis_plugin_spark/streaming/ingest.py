@@ -120,6 +120,37 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
         timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def stream_index_ingest(spark: SparkSession, src_path: str,
+                        schema: StructType, index_path: str,
+                        text_col: str = "text",
+                        id_col: str | None = "doc_id",
+                        max_files_per_trigger: int = 1) -> None:
+    """Streaming ingest INTO the inverted index — the reference's whole
+    role (entity stream -> fulltext index,
+    ``ElasticSearchWriterTask.java:40-82``) with the index ours: each
+    micro-batch commits one log-structured postings group via
+    ``plans.build.append_index_group`` (atomic meta swap = the
+    refresh/visibility barrier), so searchers see index states that
+    each include complete batches only. Exactly-once per batch via the
+    streaming checkpoint + idempotent group replace."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        append_index_group,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_index_group(batch_df.sparkSession, batch_df, index_path,
+                           id_col=id_col, text_col=text_col)
+
+    q = (stream_events(spark, src_path, schema, max_files_per_trigger)
+         .writeStream.foreachBatch(handle)
+         .option("checkpointLocation", index_path + "/_stream_checkpoint")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+
 def append_stream_to_docstore(spark: SparkSession, src_path: str,
                               schema: StructType, store_root: str,
                               kind_col: str = "event_type",

@@ -1,0 +1,132 @@
+"""Incremental index ingest: appends commit log-structured groups and
+queries stay rank-identical (and score-identical to 1e-9) to a
+from-scratch rebuild over the union corpus — including the pruning
+strategies, whose stored bounds are kept valid via the avgdl slack
+(plans.build.append_index_group docstring)."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.operators.query import topk
+from elasticsearch_osmosis_plugin_spark.plans.build import (
+    append_index_group,
+    build_index,
+    load_meta,
+)
+
+CFG = EngineConfig(n_segments=8, n_buckets=4, block_size=16)
+
+QUERIES = ["id0001", "public static void", "id0042 id0007", "getIndexBuffer"]
+
+
+def _rows(df, q, strategy):
+    return [(r["doc_id"], round(r["score"], 9)) for r in
+            topk(df[0], df[1], q, k=10, strategy=strategy).collect()]
+
+
+@pytest.mark.parametrize("strategy", ["scoreall", "maxscore", "blockmax"])
+def test_append_matches_full_rebuild(spark, corpus_df, tmp_path, strategy):
+    first = corpus_df.filter("doc_id < 60")
+    second = corpus_df.filter("doc_id >= 60")
+
+    inc = str(tmp_path / "inc_idx")
+    build_index(spark, first, inc, CFG, id_col="doc_id", n_groups=2)
+    meta = append_index_group(spark, second, inc, id_col="doc_id")
+    assert meta["n_docs"] == corpus_df.count()
+    assert meta["wand_slack"] >= 1.0
+    assert len(meta["groups"]) == 3
+
+    full = str(tmp_path / "full_idx")
+    build_index(spark, corpus_df, full, CFG, id_col="doc_id", n_groups=2)
+
+    for q in QUERIES:
+        got = _rows((spark, inc), q, strategy)
+        want = _rows((spark, full), q, strategy)
+        assert got == want, (q, strategy)
+
+
+def test_append_phrase_and_boolean_cross_group(spark, corpus_df, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_all_terms,
+        match_phrase,
+    )
+
+    inc = str(tmp_path / "inc_idx2")
+    build_index(spark, corpus_df.filter("doc_id < 40"), inc, CFG,
+                id_col="doc_id", n_groups=1)
+    append_index_group(spark, corpus_df.filter("doc_id >= 40"), inc,
+                       id_col="doc_id")
+    full = str(tmp_path / "full_idx2")
+    build_index(spark, corpus_df, full, CFG, id_col="doc_id", n_groups=1)
+    for phrase in ("public static", "get index buffer"):
+        got = [r["doc_id"] for r in match_phrase(spark, inc, phrase).collect()]
+        want = [r["doc_id"] for r in match_phrase(spark, full, phrase).collect()]
+        assert got == want, phrase
+    got = [r["doc_id"] for r in
+           match_all_terms(spark, inc, "public static").collect()]
+    want = [r["doc_id"] for r in
+            match_all_terms(spark, full, "public static").collect()]
+    assert got == want
+
+
+def test_append_then_compact_preserves_results(spark, corpus_df, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.plans.merge import (
+        compact_index,
+        drop_unmerged_groups,
+    )
+
+    inc = str(tmp_path / "inc_idx3")
+    build_index(spark, corpus_df.filter("doc_id < 40"), inc, CFG,
+                id_col="doc_id", n_groups=1)
+    append_index_group(spark, corpus_df.filter("doc_id >= 40"), inc,
+                       id_col="doc_id")
+    before = _rows((spark, inc), "public static void", "scoreall")
+    compact_index(spark, inc)
+    drop_unmerged_groups(inc)
+    assert not os.path.exists(os.path.join(inc, "postings", "group=1"))
+    after = _rows((spark, inc), "public static void", "scoreall")
+    assert after == before
+
+
+def test_streaming_index_ingest(spark, corpus_rows, tmp_path):
+    """foreachBatch micro-batches -> log-structured groups; the final
+    index answers rank-identically to a batch build of all docs."""
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        stream_index_ingest,
+    )
+
+    pdf = corpus_rows.rename(columns={"content": "text"})
+    df = spark.createDataFrame(pdf)
+    schema = df.schema
+
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    for i, pred in enumerate(["doc_id < 40", "doc_id >= 40"]):
+        staging = str(tmp_path / f"stage_{i}")
+        df.filter(pred).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    inc = str(tmp_path / "stream_idx")
+    build_index(spark, df.limit(0), inc, CFG, id_col="doc_id",
+                text_col="text", n_groups=1)
+    stream_index_ingest(spark, str(d), schema, inc, text_col="text",
+                        id_col="doc_id")
+    meta = load_meta(inc)
+    assert meta["n_docs"] == len(pdf)
+    assert len(meta["groups"]) == 3  # initial (empty) + 2 batches
+
+    full = str(tmp_path / "stream_full")
+    build_index(spark, df, full, CFG, id_col="doc_id", text_col="text",
+                n_groups=1)
+    for q in QUERIES:
+        for strategy in ("scoreall", "maxscore"):
+            got = _rows((spark, inc), q, strategy)
+            want = _rows((spark, full), q, strategy)
+            assert got == want, (q, strategy)
