@@ -249,6 +249,11 @@ def q_token_count(spark, sf_dir):
     return analysis.token_count(_t(spark, sf_dir, "documents"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization count (LLM context budgeting)."""
+    return analysis.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_score(spark, sf_dir):
     return analysis.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -535,6 +540,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_docs_by_len": q_top_docs_by_len,
     "mget_order_preserving": q_mget_order_preserving,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -674,6 +680,10 @@ FROM (VALUES {", ".join(f"({i}, {d})" for i, d in enumerate(MGET_IDS))})
      AS req(pos, id)
 JOIN documents d ON d.doc_id = req.id ORDER BY req.pos""",
         "token_count": f"WITH {TOK_CTE} SELECT doc_id, len(toks) AS n_tokens FROM toks",
+        "token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT "
+            "AS n_bpe_tokens FROM documents"),
         "quality_score": f"""
 WITH {TOK_CTE},
 feat AS (

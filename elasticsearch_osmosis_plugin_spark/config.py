@@ -47,8 +47,11 @@ class EngineConfig:
     shuffle_partitions: int = 32
     arrow_batch_size: int = 10_000
 
-    # skew handling
-    salt_buckets: int = 8         # salting for hot-term aggregations
+    # skew handling: none needed as a knob — hot-term aggregations are
+    # pre-reduced per (seg, block) by the SPIMI build (map-side
+    # combine covers the rest), hot join keys are pruned explicitly
+    # (dedupe.max_shingle_df / max_band_bucket), and AQE skew-join is
+    # on in session defaults
 
     # resumability
     resume: bool = True

@@ -40,6 +40,23 @@ def token_count(df: DataFrame, id_col: str = "doc_id",
                      F.size(tokens_col(text_col)).cast("long").alias("n_tokens"))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
+# regex subset Java (Spark) and RE2 (DuckDB) treat identically):
+# letter runs / digit runs / punctuation runs, each absorbing one
+# leading space — the unit LLM tokenizers split on before merges.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Pre-merge BPE token count — the budget estimate an LLM-data
+    pipeline uses for context packing; JVM-side regexp, no UDF."""
+    n = F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(BPE_SPLIT_RE), F.lit(0)))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     n.cast("long").alias("n_bpe_tokens"))
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Length / stopword-ratio / mean-token-length quality features +

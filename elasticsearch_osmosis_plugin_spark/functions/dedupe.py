@@ -128,10 +128,19 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3,
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
                       n: int = 3, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_band_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: signatures split into bands of
     ``band_size``; a pair is a candidate when ANY band matches
-    exactly. Returns (doc_a, doc_b, n_bands_matched)."""
+    exactly. Returns (doc_a, doc_b, n_bands_matched).
+
+    ``max_band_bucket`` is the skew guard for billion-doc runs: a band
+    bucket holding more than this many docs (boilerplate — license
+    headers, generated files — hashing to one band key) would emit
+    O(size^2) pairs from a single join key; such buckets are dropped
+    BEFORE the self-join (explicit recall trade, mirror of
+    ``max_shingle_df``). Default None keeps the exact oracle
+    semantics."""
     sig = minhash_signatures(df, n_hashes, n, id_col, text_col)
     n_bands = n_hashes // band_size
     bands = sig.select("doc_id", *[
@@ -142,6 +151,12 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
         F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key"))
         for b in range(n_bands)])).alias("bk")) \
         .select("doc_id", "bk.band_no", "bk.band_key")
+    if max_band_bucket is not None:
+        hot = (stacked.groupBy("band_no", "band_key")
+               .agg(F.count(F.lit(1)).alias("sz"))
+               .filter(F.col("sz") > max_band_bucket))
+        stacked = stacked.join(hot.select("band_no", "band_key"),
+                               ["band_no", "band_key"], "left_anti")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))

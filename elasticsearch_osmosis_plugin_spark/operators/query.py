@@ -233,6 +233,15 @@ class Searcher:
         return match_count(self.spark, self.index_path, query,
                            _meta=self.meta, _posts=self.posts, _dic=self.dic)
 
+    def refresh(self) -> None:
+        """Reload meta + relations after an index mutation (append,
+        compaction) — the ES refresh analog (B11): a searcher opened
+        before a commit keeps serving the old snapshot until refreshed."""
+        self.dic.unpersist()
+        self.meta = load_meta(self.index_path)
+        self.posts = postings_df(self.spark, self.index_path)
+        self.dic = dictionary_df(self.spark, self.index_path).persist()
+
     def close(self) -> None:
         self.dic.unpersist()
 

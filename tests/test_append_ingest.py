@@ -130,3 +130,29 @@ def test_streaming_index_ingest(spark, corpus_rows, tmp_path):
             got = _rows((spark, inc), q, strategy)
             want = _rows((spark, full), q, strategy)
             assert got == want, (q, strategy)
+
+
+def test_searcher_refresh_sees_append(spark, corpus_df, tmp_path):
+    """B11 analog: a Searcher opened before an append keeps serving the
+    old snapshot; refresh() flips it to the committed one."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
+
+    inc = str(tmp_path / "refresh_idx")
+    build_index(spark, corpus_df.filter("doc_id < 60"), inc, CFG,
+                id_col="doc_id", n_groups=1)
+    s = Searcher(spark, inc)
+    try:
+        before = {r["doc_id"] for r in
+                  s.topk("public static void", k=50).collect()}
+        append_index_group(spark, corpus_df.filter("doc_id >= 60"), inc,
+                           id_col="doc_id")
+        assert {r["doc_id"] for r in
+                s.topk("public static void", k=50).collect()} == before
+        s.refresh()
+        after = s.topk("public static void", k=50).collect()
+        want = topk(spark, inc, "public static void", k=50).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in after] == \
+               [(r["doc_id"], round(r["score"], 9)) for r in want]
+        assert {r["doc_id"] for r in after} != before  # new docs visible
+    finally:
+        s.close()

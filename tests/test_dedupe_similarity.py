@@ -179,3 +179,27 @@ def test_persisted_ann_layouts_prune_partitions(spark, tmp_path):
            [(r["vec_id"], round(r["cos"], 9)) for r in want2.collect()]
     plan2 = got2._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [list" in plan2
+
+
+def test_minhash_lsh_band_bucket_cap(spark):
+    """The skew guard: buckets larger than the cap are dropped before
+    the self-join (explicit recall trade), smaller ones unaffected."""
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        minhash_lsh_pairs,
+    )
+
+    # 6 identical boilerplate docs (one giant bucket) + 2 near-dups
+    rows = [(i, "license header apache version two zero common") for i in range(6)]
+    rows += [(10, "alpha beta gamma delta epsilon zeta"),
+             (11, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, n_hashes=4, band_size=2, n=3).collect()
+    assert sum(1 for r in uncapped if r["doc_a"] < 6 and r["doc_b"] < 6) == 15
+    capped = minhash_lsh_pairs(df, n_hashes=4, band_size=2, n=3,
+                               max_band_bucket=4).collect()
+    boiler = [r for r in capped if r["doc_a"] < 6 and r["doc_b"] < 6]
+    assert not boiler                      # giant bucket pruned
+    # pairs outside the pruned bucket are unaffected
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == \
+        {(r["doc_a"], r["doc_b"]) for r in uncapped
+         if not (r["doc_a"] < 6 and r["doc_b"] < 6)}
