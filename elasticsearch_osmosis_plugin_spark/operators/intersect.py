@@ -14,11 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from elasticsearch_osmosis_plugin_spark.operators.query import (
     DECODED_SCHEMA,
     _decode_score,
+    _live,
     _pruned_postings,
     dictionary_rows,
     query_terms,
 )
-from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+from elasticsearch_osmosis_plugin_spark.plans.build import load_meta, tombstones_df
 
 
 _SCORE_COLS = ["term", "doc_ids_vb", "tfs_vb", "dls_vb"]
@@ -29,7 +30,8 @@ def _term_docs(spark, index_path, term, meta) -> DataFrame:
     decoded = posts.select(*_SCORE_COLS).mapInPandas(
         _decode_score({term: 1.0}, meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
-    return decoded.select("doc_id")
+    return _live(decoded.select("doc_id"),
+                 tombstones_df(spark, index_path, meta))
 
 
 def match_all_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:
@@ -131,4 +133,6 @@ def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFra
         _decode_score({t: 1.0 for t in dic["term"]},
                       meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
-    return decoded.select("doc_id").distinct().orderBy("doc_id")
+    return (_live(decoded.select("doc_id"),
+                  tombstones_df(spark, index_path, meta))
+            .distinct().orderBy("doc_id"))

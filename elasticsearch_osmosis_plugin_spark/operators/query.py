@@ -47,6 +47,7 @@ from elasticsearch_osmosis_plugin_spark.plans.build import (
     dictionary_df,
     load_meta,
     postings_df,
+    tombstones_df,
 )
 
 
@@ -104,14 +105,23 @@ def _decode_score(idf_by_term: dict[str, float], k1: float, b: float, avgdl: flo
 DECODED_SCHEMA = "term string, doc_id long, partial double"
 
 
+def _live(out: DataFrame, denied: DataFrame | None) -> DataFrame:
+    """Exclude tombstoned docs: broadcast anti-join (the tombstone set
+    is small by construction — logical deletes awaiting a merge)."""
+    if denied is None:
+        return out
+    return out.join(F.broadcast(denied), "doc_id", "left_anti")
+
+
 def _scored(spark, index_path, terms, meta, idf_by_term,
-            posts=None, allowed=None) -> DataFrame:
+            posts=None, allowed=None, denied=None) -> DataFrame:
     pruned = _pruned_postings(spark, index_path, terms, meta, posts)
     # column-prune BEFORE the Arrow exchange: scoring never reads the
     # positional payload (pos_vb) — parquet skips those pages entirely
     out = pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb").mapInPandas(
         _decode_score(idf_by_term, meta["k1"], meta["b"], meta["avgdl"]),
         DECODED_SCHEMA)
+    out = _live(out, denied)
     if allowed is not None:
         # post-filter semi-join BEFORE the aggregation: per-doc scores
         # are unaffected (idf/avgdl/N stay corpus-global), only which
@@ -172,6 +182,7 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
 
         allowed = (catalog.read_table(spark, index_path, "docstats")
                    .filter(post_filter).select("doc_id"))
+    denied = tombstones_df(spark, index_path, meta)
     idf_by_term = {r.term: idf(meta["n_docs"], int(r.df)) for r in dic.itertuples()}
     # wand_slack >= 1 keeps stored bounds valid after incremental
     # appends raised avgdl (see plans.build.append_index_group)
@@ -192,18 +203,18 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
     if len(live_terms) == 1 and strategy in ("auto", "blockmax"):
         return _topk_single_term_blockmax(
             spark, index_path, live_terms[0], meta, idf_by_term[live_terms[0]],
-            k, posts=_posts, allowed=allowed)
+            k, posts=_posts, allowed=allowed, denied=denied)
     if strategy == "blockmax":
         # multi-term block-max falls back to MaxScore (same block
         # metadata drives the θ seed) instead of raising
         strategy = "maxscore"
     if strategy == "scoreall" or len(live_terms) == 1:
         scores = (_scored(spark, index_path, live_terms, meta, idf_by_term,
-                          posts=_posts, allowed=allowed)
+                          posts=_posts, allowed=allowed, denied=denied)
                   .groupBy("doc_id").agg(F.sum("partial").alias("score")))
         return deterministic_topk(scores, k)
     return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term,
-                          ub, k, posts=_posts, allowed=allowed)
+                          ub, k, posts=_posts, allowed=allowed, denied=denied)
 
 
 class Searcher:
@@ -247,7 +258,8 @@ class Searcher:
 
 
 def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
-                               posts=None, allowed=None) -> DataFrame:
+                               posts=None, allowed=None,
+                               denied=None) -> DataFrame:
     """Block-max pruning for single-term top-k (exact).
 
     A doc's score is scale * w(tf, dl) with scale = idf*(k1+1), and
@@ -277,6 +289,7 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
     phase1 = posts.filter(head_pred).select(*score_cols) \
         .mapInPandas(decode, DECODED_SCHEMA) \
         .select("doc_id", F.col("partial").alias("score"))
+    phase1 = _live(phase1, denied)
     if allowed is not None:
         phase1 = phase1.join(allowed, "doc_id", "left_semi")
     phase1 = phase1.persist()
@@ -287,6 +300,7 @@ def _topk_single_term_blockmax(spark, index_path, term, meta, idf_t, k,
                         & (F.col("block_max_wand") * scale >= F.lit(theta)))
     phase2 = rest.select(*score_cols).mapInPandas(decode, DECODED_SCHEMA) \
         .select("doc_id", F.col("partial").alias("score"))
+    phase2 = _live(phase2, denied)
     if allowed is not None:
         phase2 = phase2.join(allowed, "doc_id", "left_semi")
     out = deterministic_topk(phase1.unionByName(phase2), k)
@@ -304,7 +318,7 @@ def _finalize_topk(spark, out: DataFrame, cached: list[DataFrame]) -> DataFrame:
 
 
 def _theta_seed(spark, index_path, term, meta, idf_t, k, posts,
-                allowed=None) -> float:
+                allowed=None, denied=None) -> float:
     """Exact lower bound on the final k-th score, measured from ONE
     block: decode the highest-ub term's best block (by block_max_wand)
     and take its k-th best partial. Every final score of those docs is
@@ -321,6 +335,7 @@ def _theta_seed(spark, index_path, term, meta, idf_t, k, posts,
             .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
             .mapInPandas(_decode_score({term: idf_t}, meta["k1"], meta["b"],
                                        meta["avgdl"]), DECODED_SCHEMA))
+    seed = _live(seed, denied)  # a tombstoned doc must not raise θ
     if allowed is not None:
         # θ must lower-bound the FILTERED k-th score, or MaxScore would
         # over-prune docs still eligible under the post-filter
@@ -331,7 +346,7 @@ def _theta_seed(spark, index_path, term, meta, idf_t, k, posts,
 
 
 def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
-                   posts=None, allowed=None) -> DataFrame:
+                   posts=None, allowed=None, denied=None) -> DataFrame:
     """One-shot MaxScore: the essential set E is chosen ONCE from the
     dictionary upper bounds against the θ seed — no grow-and-retry
     driver loop re-scanning postings (the r1 scale-killer). Exact:
@@ -341,14 +356,14 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
     by_ub_desc = sorted(terms, key=lambda t: (-ub[t], t))
     t_star = by_ub_desc[0]
     theta_seed = _theta_seed(spark, index_path, t_star, meta,
-                             idf_by_term[t_star], k, posts, allowed)
+                             idf_by_term[t_star], k, posts, allowed, denied)
     e_size = 1
     while e_size < len(by_ub_desc) and \
             sum(ub[t] for t in by_ub_desc[e_size:]) >= theta_seed:
         e_size += 1
     E, NE = by_ub_desc[:e_size], by_ub_desc[e_size:]
     partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts,
-                         allowed=allowed)
+                         allowed=allowed, denied=denied)
                  .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
                  .persist())
     if not NE:
@@ -380,9 +395,10 @@ def match_count(spark: SparkSession, index_path: str, query: str, *,
     dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
     if dic.empty:
         return 0
-    if len(dic) == 1:
+    if len(dic) == 1 and not meta.get("tombstones_n"):
         # single-term count is already materialized in the dictionary
-        # (df = docs containing the term) — no posting decode at all
+        # (df = docs containing the term) — no posting decode at all;
+        # with live tombstones the decode path subtracts them instead
         return int(dic["df"].iloc[0])
     posts = _pruned_postings(spark, index_path, list(dic["term"]), meta, _posts)
 
@@ -393,5 +409,7 @@ def match_count(spark: SparkSession, index_path: str, query: str, *,
             if outs:
                 yield pd.DataFrame({"doc_id": np.concatenate(outs)})
 
-    return (posts.select("doc_ids_vb").mapInPandas(ids_only, "doc_id long")
+    return (_live(posts.select("doc_ids_vb")
+                  .mapInPandas(ids_only, "doc_id long"),
+                  tombstones_df(spark, index_path, meta))
             .select("doc_id").distinct().count())

@@ -539,6 +539,43 @@ def append_index_group(spark: SparkSession, docs: DataFrame, index_path: str,
     return meta
 
 
+def delete_docs(spark: SparkSession, index_path: str,
+                doc_ids) -> int:
+    """Logical delete from the INDEX (reference analog: ES doc delete,
+    ``EntityDao.java:269-280``, with Lucene's pre-merge semantics):
+    ids land in a tombstones table and every query path excludes them
+    immediately (broadcast anti-join against decoded postings — the
+    tombstone set is small by construction), while corpus statistics
+    (n_docs, avgdl, df) keep counting them until a rebuild — exactly
+    how Lucene scores around deleted-but-unmerged docs. Returns the
+    total tombstone count. Accepts a sequence of ids or a DataFrame
+    with a ``doc_id`` column."""
+    if isinstance(doc_ids, DataFrame):
+        new = doc_ids.select(F.col("doc_id").cast("long"))
+    else:
+        new = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long")
+    if catalog.table_exists(index_path, "tombstones"):
+        old = catalog.read_table(spark, index_path, "tombstones")
+        new = old.unionByName(new)
+    tombs = new.distinct().coalesce(1)
+    n = tombs.count()
+    catalog.create_or_replace(tombs, index_path, "tombstones",
+                              manifest={"stage": "tombstones", "n": n})
+    meta = load_meta(index_path)
+    meta["tombstones_n"] = n
+    _write_meta(index_path, meta)
+    return n
+
+
+def tombstones_df(spark: SparkSession, index_path: str,
+                  meta: dict | None = None) -> DataFrame | None:
+    meta = meta if meta is not None else load_meta(index_path)
+    if not meta.get("tombstones_n"):
+        return None
+    return catalog.read_table(spark, index_path, "tombstones")
+
+
 def load_meta(index_path: str) -> dict:
     with open(os.path.join(index_path, "meta.json")) as f:
         return json.load(f)

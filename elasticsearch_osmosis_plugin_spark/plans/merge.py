@@ -66,6 +66,141 @@ def drop_term_vectors(spark: SparkSession, index_path: str) -> None:
                               partition_by=["grp"])
 
 
+def _purge_kernel(dead, k1: float, b: float, avgdl_eff: float):
+    """mapInPandas kernel: drop tombstoned docs from each posting block
+    and recompute its stats/payloads. Per-ROW (per-block) work — no
+    shuffle; blocks that lose every entry are dropped. Bounds are
+    recomputed under ``avgdl_eff`` = max(old, new avgdl), valid for
+    readers of either meta snapshot (w is monotone in avgdl)."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
+        delta_decode_groups,
+        delta_encode_groups,
+        vb_decode,
+        vb_encode_groups,
+    )
+
+    dead_arr = np.asarray(sorted(dead), dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ids = np.cumsum(vb_decode(r.doc_ids_vb),
+                                dtype=np.uint64).astype(np.int64)
+                keep = ~np.isin(ids, dead_arr)
+                if not keep.any():
+                    continue
+                tf = vb_decode(r.tfs_vb).astype(np.int64)
+                dl = vb_decode(r.dls_vb).astype(np.int64)
+                pos_all = vb_decode(r.pos_vb)
+                starts = np.zeros(tf.size, dtype=np.int64)
+                np.cumsum(tf[:-1], out=starts[1:])
+                ids_k, tf_k, dl_k = ids[keep], tf[keep], dl[keep]
+                z = np.zeros(1, dtype=np.int64)
+                if pos_all.size:
+                    pos = delta_decode_groups(pos_all, starts)
+                    kept_pos = np.concatenate(
+                        [pos[s:s + n] for s, n in
+                         zip(starts[keep], tf[keep])]) if keep.any() else pos[:0]
+                    pstarts = np.zeros(tf_k.size, dtype=np.int64)
+                    np.cumsum(tf_k[:-1], out=pstarts[1:])
+                    pos_vb = b"".join(vb_encode_groups(
+                        delta_encode_groups(kept_pos.astype(np.uint64),
+                                            pstarts), z))
+                else:
+                    pos_vb = b""
+                w = tf_k / (tf_k + k1 * (1.0 - b + b * dl_k / avgdl_eff))
+                rows.append({
+                    "bucket": r.bucket, "term": r.term, "seg": r.seg,
+                    "block": r.block, "n": int(tf_k.size),
+                    "sum_tf": int(tf_k.sum()),
+                    "block_max_wand": float(w.max()),
+                    "min_doc": int(ids_k[0]), "max_doc": int(ids_k[-1]),
+                    "doc_ids_vb": b"".join(vb_encode_groups(
+                        delta_encode_groups(ids_k.astype(np.uint64), z), z)),
+                    "tfs_vb": b"".join(vb_encode_groups(
+                        tf_k.astype(np.uint64), z)),
+                    "dls_vb": b"".join(vb_encode_groups(
+                        dl_k.astype(np.uint64), z)),
+                    "pos_vb": pos_vb,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+    return fn
+
+
+def purge_deletes(spark: SparkSession, index_path: str) -> dict:
+    """Physically remove tombstoned docs (the Lucene expunge-deletes /
+    forced-merge analog): rewrite the doc store without them, rewrite
+    every posting block without their entries (per-block kernel, no
+    shuffle), rebuild the dictionary, recompute corpus stats, clear the
+    tombstones. After this, df/avgdl/n_docs no longer count the deleted
+    docs — queries score exactly as a fresh build over the live corpus.
+    Groups commit one by one; meta swaps last, and bounds are computed
+    under max(old, new) avgdl so a reader in the commit window never
+    over-prunes."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        POSTING_SCHEMA,
+        _write_dictionary,
+        _write_meta,
+        index_groups,
+        load_meta,
+        tombstones_df,
+    )
+
+    meta = load_meta(index_path)
+    t0 = time.time()
+    tombs = tombstones_df(spark, index_path, meta)
+    if tombs is None:
+        return meta
+    dead = {r["doc_id"] for r in tombs.collect()}
+
+    ds = catalog.read_table(spark, index_path, "docstats")
+    ds_man = catalog.read_manifest(index_path, "docstats")
+    live = ds.filter(~F.col("doc_id").isin(list(dead)))
+    ds_man.pop("schema", None)
+    catalog.create_or_replace(live, index_path, "docstats",
+                              manifest=ds_man, partition_by=["grp"])
+    docstats = catalog.read_table(spark, index_path, "docstats")
+    stats = docstats.agg(F.count(F.lit(1)).alias("n"),
+                         F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl_new = int(stats["n"]), float(stats["avgdl"] or 1.0)
+    avgdl_eff = max(float(meta["avgdl"]) * float(meta.get("wand_slack", 1.0)),
+                    avgdl_new)
+
+    kern = _purge_kernel(dead, meta["k1"], meta["b"], avgdl_eff)
+    for g in index_groups(meta):
+        name = f"postings/group={g}"
+        posts = spark.read.schema(POSTING_SCHEMA).parquet(
+            catalog.table_path(index_path, name))
+        purged = (posts.mapInPandas(kern, POSTING_SCHEMA)
+                  .repartition(meta["n_buckets"], "bucket")
+                  .sortWithinPartitions("term", "seg", "block"))
+        gman = catalog.read_manifest(index_path, name)
+        gman.pop("schema", None)
+        gman.update({"avgdl": avgdl_eff, "n_docs": n_docs, "purged": True})
+        catalog.create_or_replace(purged, index_path, name,
+                                  manifest=gman, partition_by=["bucket"])
+    if meta.get("merged") and catalog.table_exists(index_path, "postings_merged"):
+        # purged groups supersede the stale merged layout
+        catalog.drop_table(index_path, "postings_merged")
+        meta["merged"] = False
+    _write_dictionary(spark, index_path, index_groups(meta),
+                      meta["n_buckets"])
+    catalog.drop_table(index_path, "tombstones")
+    meta.update({"n_docs": n_docs, "avgdl": avgdl_new,
+                 "wand_slack": max(1.0, avgdl_new / avgdl_eff),
+                 "tombstones_n": 0})
+    meta.setdefault("metrics", []).append(
+        {"stage": "purge", "n_purged": len(dead),
+         "wall_s": time.time() - t0})
+    _write_meta(index_path, meta)
+    return meta
+
+
 def drop_unmerged_groups(index_path: str) -> None:
     """Space reclaim after a successful compaction (optional)."""
     meta = load_meta(index_path)

@@ -156,3 +156,80 @@ def test_searcher_refresh_sees_append(spark, corpus_df, tmp_path):
         assert {r["doc_id"] for r in after} != before  # new docs visible
     finally:
         s.close()
+
+
+def test_logical_deletes_lucene_semantics(spark, corpus_rows, corpus_df, tmp_path):
+    """Index-level deletes: tombstoned docs vanish from EVERY query
+    path immediately while corpus stats keep counting them until a
+    merge — so the oracle is the FULL-corpus ranking with deleted ids
+    filtered out (exactly Lucene pre-merge scoring)."""
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_oracle
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_all_terms,
+        match_phrase,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        match_count,
+        topk,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+
+    idx = str(tmp_path / "del_idx")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=2)
+    q = "public static void"
+    full = bm25_oracle(
+        list(zip(corpus_rows["doc_id"], corpus_rows["content"])), q, 10_000)
+    dead = {d for d, _ in full[:3]} | {5, 7}   # kill top hits + extras
+    assert delete_docs(spark, idx, sorted(dead)) == len(dead)
+
+    want = [(d, s) for d, s in full if d not in dead][:10]
+    for strategy in ("scoreall", "maxscore", "blockmax"):
+        got = topk(spark, idx, q, k=10, strategy=strategy).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], strategy
+        for r, (_, sc) in zip(got, want):
+            assert abs(r["score"] - sc) < 1e-9
+    # boolean / phrase / count paths exclude tombstones too
+    assert dead.isdisjoint(
+        r["doc_id"] for r in match_all_terms(spark, idx, q).collect())
+    assert dead.isdisjoint(
+        r["doc_id"] for r in match_phrase(spark, idx, "public static").collect())
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    live_with_public = sum(
+        1 for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])
+        if d not in dead and "public" in tokenize_py(t, "code"))
+    assert match_count(spark, idx, "public") == live_with_public
+    # deleting more ids accumulates
+    assert delete_docs(spark, idx, [11]) == len(dead) + 1
+
+
+def test_purge_deletes_matches_fresh_rebuild(spark, corpus_df, tmp_path):
+    """Physical purge (expunge analog): after purge_deletes the index
+    scores EXACTLY like a fresh build over the live corpus — df, avgdl
+    and n_docs all shrink, payloads/bounds are rewritten per block."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+    from elasticsearch_osmosis_plugin_spark.operators.query import match_count
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+    from elasticsearch_osmosis_plugin_spark.plans.merge import purge_deletes
+
+    dead = [3, 5, 8, 13, 21, 34]
+    idx = str(tmp_path / "purge_idx")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=2)
+    delete_docs(spark, idx, dead)
+    meta = purge_deletes(spark, idx)
+    assert meta["tombstones_n"] == 0
+    assert meta["n_docs"] == corpus_df.count() - len(dead)
+
+    fresh = str(tmp_path / "fresh_idx")
+    live_df = corpus_df.filter(~corpus_df.doc_id.isin(dead))
+    build_index(spark, live_df, fresh, CFG, id_col="doc_id", n_groups=2)
+
+    for q in QUERIES:
+        for strategy in ("scoreall", "maxscore", "blockmax"):
+            got = _rows((spark, idx), q, strategy)
+            want = _rows((spark, fresh), q, strategy)
+            assert got == want, (q, strategy)
+    for phrase in ("public static", "get index buffer"):
+        got = [r["doc_id"] for r in match_phrase(spark, idx, phrase).collect()]
+        want = [r["doc_id"] for r in match_phrase(spark, fresh, phrase).collect()]
+        assert got == want, phrase
+    assert match_count(spark, idx, "public") == match_count(spark, fresh, "public")
