@@ -205,3 +205,46 @@ def test_stateful_sessionization_out_of_order_events(spark, tmp_path):
            for r in spark.sql(
                "SELECT * FROM t_ooo_sessions WHERE user_id = 1").collect()]
     assert got == [(1, 0, 10, 3)]
+
+
+def test_raw_image_decode_resize_featurize(spark):
+    """The decode/resize/featurize pipeline runs END-TO-END on the
+    deterministic raw-RGB format (no PIL needed): resize gather math is
+    checked against a hand-computed pattern, features against numpy."""
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        _decode_raw_rgb,
+        _encode_raw_rgb,
+        mean_rgb_features,
+        resize_images,
+        synth_raw_images,
+    )
+
+    media = synth_raw_images(spark, n=12)
+    resized = resize_images(media, out_w=4, out_h=4)
+    rows = resized.collect()
+    assert len(rows) == 12
+    for r in rows:
+        arr = _decode_raw_rgb(bytes(r["payload"]))
+        assert arr.shape == (4, 4, 3)
+        assert r["meta"]["width"] == "4" and r["meta"]["height"] == "4"
+
+    # hand-checked nearest-neighbor: 2x2 pattern upscaled to 4x4
+    pat = np.array([[[0, 0, 0], [255, 0, 0]],
+                    [[0, 255, 0], [0, 0, 255]]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(_encode_raw_rgb(pat)), {})],
+        "media_id long, modality string, payload binary, meta map<string,string>")
+    up = _decode_raw_rgb(bytes(
+        resize_images(df, 4, 4).collect()[0]["payload"]))
+    assert (up[0, 0] == [0, 0, 0]).all() and (up[0, 3] == [255, 0, 0]).all()
+    assert (up[3, 0] == [0, 255, 0]).all() and (up[3, 3] == [0, 0, 255]).all()
+    assert (up[1, 1] == up[0, 0]).all()  # nearest, not interpolated
+
+    feats = {r["media_id"]: r["features"]
+             for r in mean_rgb_features(media).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, f in feats.items():
+        want = _decode_raw_rgb(src[mid]).reshape(-1, 3).mean(axis=0)
+        assert np.allclose(f, want)
