@@ -176,6 +176,19 @@ def simhash_udf():
     Arrow batch with numpy bit unpacking."""
     @F.pandas_udf(T.LongType())
     def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # per-task token-hash memo: real corpora share vocabulary
+        # heavily, so md5 runs once per distinct token per task, not
+        # once per occurrence (~100x fewer digests on natural text)
+        memo: dict[str, int] = {}
+
+        def h64(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                                   "big")
+                memo[t] = v
+            return v
+
         for toks_series in it:
             out = np.zeros(len(toks_series), dtype=np.int64)
             for row_i, toks in enumerate(toks_series):
@@ -183,9 +196,8 @@ def simhash_udf():
                     continue
                 uniq, counts = np.unique(np.asarray(toks, dtype=object),
                                          return_counts=True)
-                h = np.frombuffer(
-                    b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
-                             for t in uniq), dtype=">u8").astype(np.uint64)
+                h = np.fromiter((h64(t) for t in uniq), dtype=np.uint64,
+                                count=len(uniq))
                 bits = ((h[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64))
                         & np.uint64(1)).astype(np.int64)
                 votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
@@ -224,6 +236,14 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 7,
     if max_hamming > 7:
         raise ValueError("blocking guarantees recall only for max_hamming <= 7")
     sh = simhash(df, id_col, text_col)
+    # materialize the fingerprints ONCE: both sides of the asymmetric
+    # join derive from `sh`, and Spark runs the two scan stages of a
+    # shuffle join concurrently — without an eager persist the Python
+    # simhash kernel would execute twice over the full corpus. The
+    # cached relation is narrow (doc_id + 64-bit fp); at full scale
+    # fingerprints are precomputed at ingest instead (see below).
+    sh = sh.persist()
+    sh.count()
 
     def _chunk(c):
         return F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))

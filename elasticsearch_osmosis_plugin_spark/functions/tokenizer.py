@@ -5,10 +5,22 @@ values ``analyzed`` (fulltext) while other tags stay ``not_analyzed``
 (``plugin.properties:10-11``). Here the *analyzed* path is a
 vectorized pandas UDF; *not_analyzed* columns stay plain Spark columns.
 
-Two analyzers, both available as (a) a vectorized pandas implementation
-used inside Arrow batches on executors and (b) a pure-Python twin used
-by the rank-identity oracle (SURVEY.md §5). The two MUST be
-token-identical — tested property-style in tests/test_tokenizer.py.
+Two analyzers, available in three implementations that MUST be
+token-identical (tested in tests/test_tokenizer.py):
+(a) ``tokenize_expr`` — pure Catalyst column expressions (whole-stage
+    codegen, zero Python in the hot path) — the default for the build
+    and query engines;
+(b) a vectorized pandas twin used inside Arrow batches where Python
+    is already in the loop (and for the per-language stopword path,
+    which needs a per-row set lookup);
+(c) a pure-Python twin used by the rank-identity oracle (SURVEY.md §5).
+
+ASCII note: Java regex and DuckDB's RE2 treat ``\\s`` as ASCII
+whitespace, while Python's ``re`` is Unicode-aware — so (a) matches
+the DuckDB oracle *more* closely than (b)/(c) do. The three agree on
+any corpus whose whitespace is ASCII (all engine corpora and test
+fixtures); a corpus with U+00A0-style separators must use (b)/(c)
+consistently on both the build and query side.
 
 - ``simple``: lowercase, split on whitespace runs. Matches the ANSI-SQL
   expressible tokenization used by the DuckDB correctness oracle.
@@ -76,8 +88,9 @@ def tokenize_series(s: pd.Series, analyzer: str = "code",
         lists = x.str.lower().str.findall(r"[a-z0-9]+")
     else:
         raise ValueError(f"unknown analyzer: {analyzer}")
-    if min_len > 1 or max_len < 64:
-        lists = lists.map(lambda ts: [t for t in ts if min_len <= len(t) <= max_len])
+    # unconditional, mirroring tokenize_py (65+-char tokens drop at the
+    # defaults too — the three twins must agree everywhere)
+    lists = lists.map(lambda ts: [t for t in ts if min_len <= len(t) <= max_len])
     if remove_stopwords and langs is not None:
         stops = {k: set(v) for k, v in LANG_KEYWORDS.items()}
         lists = pd.Series(
@@ -86,6 +99,34 @@ def tokenize_series(s: pd.Series, analyzer: str = "code",
             index=lists.index,
         )
     return lists
+
+
+def tokenize_expr(col, analyzer: str = "code",
+                  min_len: int = 1, max_len: int = 64):
+    """Catalyst column-expression tokenizer -> array<string>.
+
+    The JVM hot path: stays inside whole-stage codegen, so corpus
+    passes that only need tokens (BM25 scoring branches, term-vector
+    builds, dl stats) never cross the Arrow boundary. Token-identical
+    to ``tokenize_py`` on ASCII-whitespace text (module docstring).
+    Raises ValueError for analyzers/options only the pandas path
+    supports (per-language stopword removal) so callers can fall back.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    col = F.coalesce(col, F.lit(""))  # tokenize_py(None) == []
+    if analyzer == "simple":
+        toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    elif analyzer == "code":
+        x = F.regexp_replace(col, "(?<=[a-z0-9])(?=[A-Z])", " ")
+        x = F.regexp_replace(x, "(?<=[A-Z])(?=[A-Z][a-z])", " ")
+        toks = F.regexp_extract_all(F.lower(x), F.lit("[a-z0-9]+"), F.lit(0))
+    else:
+        raise ValueError(f"unknown analyzer: {analyzer}")
+    # ALWAYS applied (tokenize_py applies it unconditionally; skipping
+    # at the defaults would diverge from the oracle on 65+-char tokens)
+    return F.filter(toks, lambda t: (F.length(t) >= min_len)
+                    & (F.length(t) <= max_len))
 
 
 def tokenize_udf(analyzer: str = "code", remove_stopwords: bool = False,

@@ -6,15 +6,19 @@ This is the engine's *semantic definition* of ranked retrieval
 (``operators.query``) must be rank-identical to this path, which in
 turn is rank-identical to the naive Python oracle (tests).
 
-Everything below is Catalyst-native (codegen'd column expressions,
-broadcast-able tiny dims, single narrow filter *before* any shuffle)
-except document tokenization, which is the vectorized pandas UDF.
+Everything below is Catalyst-native — including tokenization
+(``tokenize_expr``), so every corpus pass is one whole-stage-codegen
+scan with no Arrow boundary.
 
 Scale notes (100 TB):
 - query terms are filtered out of the exploded token stream BEFORE the
   (doc_id, term) aggregation — the shuffle carries only matching rows;
-- corpus stats (N, avgdl) come from a 1-row aggregate, cross-joined
-  broadcast-style, never collected into closure captures;
+- per-doc length rides INSIDE the tf aggregation keys (functionally
+  dependent on doc_id), so there is no corpus-sized tf⨝dl join — the
+  only wide shuffle carries matching (doc, term) rows;
+- corpus stats (N, avgdl) come from a 1-row partial aggregate (the
+  shuffle moves one row per partition), cross-joined broadcast-style,
+  never collected into closure captures;
 - idf is computed on the tiny per-term df aggregate and broadcast into
   the scoring join.
 
@@ -29,14 +33,30 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from elasticsearch_osmosis_plugin_spark.config import EngineConfig
-from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py, tokenize_udf
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+    tokenize_expr,
+    tokenize_py,
+)
 from elasticsearch_osmosis_plugin_spark.operators.topk import deterministic_topk
 
 
 def tokenized(docs: DataFrame, text_col: str = "content",
               analyzer: str = "code") -> DataFrame:
-    """docs + ``tokens`` column (vectorized pandas UDF)."""
-    return docs.withColumn("tokens", tokenize_udf(analyzer)(F.col(text_col)))
+    """docs + ``tokens`` column (Catalyst expression, codegen'd)."""
+    return docs.withColumn("tokens", tokenize_expr(text_col, analyzer))
+
+
+def _base(docs: DataFrame, id_col: str, text_col: str, analyzer: str,
+          query_terms: list[str] | None) -> DataFrame:
+    """One codegen'd projection: (doc_id, dl, _qtoks) — dl over ALL
+    tokens, ``_qtoks`` restricted to the query terms so the explode
+    below emits matching rows only."""
+    toks = tokenize_expr(text_col, analyzer)
+    qt = toks if query_terms is None else \
+        F.filter(toks, lambda t: t.isin(*set(query_terms)))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).cast("double").alias("dl"),
+                       qt.alias("_qtoks"))
 
 
 def doc_term_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -49,15 +69,11 @@ def doc_term_stats(docs: DataFrame, id_col: str = "doc_id",
     difference between shuffling matching postings and shuffling the
     whole corpus.
     """
-    toks = tokenized(docs, text_col, analyzer).select(
-        F.col(id_col).alias("doc_id"), "tokens")
-    exploded = toks.select("doc_id", F.explode("tokens").alias("term"))
-    dl = toks.select("doc_id", F.size("tokens").cast("double").alias("dl"))
-    if query_terms is not None:
-        exploded = exploded.filter(F.col("term").isin(list(set(query_terms))))
-    tf = exploded.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf"))
-    return tf, dl
+    base = _base(docs, id_col, text_col, analyzer, query_terms)
+    tf = (base.select("doc_id", F.explode("_qtoks").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    return tf, base.select("doc_id", "dl")
 
 
 def bm25_score_terms(docs: DataFrame, query_terms: list[str],
@@ -65,14 +81,20 @@ def bm25_score_terms(docs: DataFrame, query_terms: list[str],
                      id_col: str = "doc_id", text_col: str = "content",
                      analyzer: str = "code") -> DataFrame:
     """DataFrame of (doc_id, score) for docs matching >=1 query term."""
-    tf, dl = doc_term_stats(docs, id_col, text_col, analyzer, query_terms)
-    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
+    base = _base(docs, id_col, text_col, analyzer, query_terms)
+    # 1-row corpus stats: partial-aggregated map-side, shuffle moves
+    # one row per partition
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    # dl rides in the grouping keys (functionally dependent on doc_id):
+    # tf + dl from ONE shuffle of matching rows, no corpus-sized join
+    tf = (base.select("doc_id", "dl", F.explode("_qtoks").alias("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     k1, b = F.lit(cfg.k1), F.lit(cfg.b)
     scored = (
-        tf.join(dl, "doc_id")                      # dl lookup (co-keyed on doc_id)
-          .join(F.broadcast(df_), "term")          # tiny: one row per query term
+        tf.join(F.broadcast(df_), "term")          # tiny: one row per query term
           .crossJoin(F.broadcast(stats))           # 1-row corpus stats
           .withColumn("idf", F.log(F.lit(1.0)
                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))

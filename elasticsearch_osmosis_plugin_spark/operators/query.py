@@ -319,13 +319,29 @@ def _finalize_topk(spark, out: DataFrame, cached: list[DataFrame]) -> DataFrame:
 
 def _theta_seed(spark, index_path, term, meta, idf_t, k, posts,
                 allowed=None, denied=None) -> float:
-    """Exact lower bound on the final k-th score, measured from ONE
-    block: decode the highest-ub term's best block (by block_max_wand)
-    and take its k-th best partial. Every final score of those docs is
-    >= its partial here, so >= k docs beat this value — a valid θ for
-    one-shot essential-set selection. Costs one block (<= block_size
-    entries), never a postings scan."""
+    """Exact lower bound on the final k-th score.
+
+    Metadata fast path (fresh build, no tombstones, no post-filter):
+    a term's blocks are doc-disjoint, and each block's
+    ``block_max_wand`` is *achieved* by some doc in it — so the k
+    highest block maxima are achieved by k DISTINCT docs, and
+    scale * (k-th highest block_max_wand) lower-bounds the final k-th
+    score. One lightweight collect over block metadata columns, no
+    posting decode at all. Requires wand_slack == 1: after appends the
+    stored maxima were computed under per-group avgdl and only
+    upper-bound the current scores.
+
+    Decode path (otherwise): decode the best block and take its k-th
+    best partial among eligible docs — still one block, never a
+    postings scan."""
     p = _pruned_postings(spark, index_path, [term], meta, posts)
+    if (allowed is None and denied is None
+            and float(meta.get("wand_slack", 1.0)) == 1.0):
+        scale = idf_t * (meta["k1"] + 1.0)
+        rows = (p.select("block_max_wand")
+                .orderBy(F.desc("block_max_wand")).limit(k).collect())
+        return scale * float(rows[-1]["block_max_wand"]) if len(rows) >= k \
+            else 0.0
     # ONE Spark action: TakeOrdered picks the best block by metadata,
     # limit(1) feeds the decode kernel just that block
     seed = (p.select("term", "doc_ids_vb", "tfs_vb", "dls_vb",
@@ -349,10 +365,16 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
                    posts=None, allowed=None, denied=None) -> DataFrame:
     """One-shot MaxScore: the essential set E is chosen ONCE from the
     dictionary upper bounds against the θ seed — no grow-and-retry
-    driver loop re-scanning postings (the r1 scale-killer). Exact:
-    θ (k-th best E-partial) >= θ_seed by construction, and E was chosen
-    with sum(ub of non-essential) < θ_seed, so docs appearing only in
-    non-essential terms can never reach the top-k."""
+    driver loop re-scanning postings (the r1 scale-killer) — and the
+    whole scoring DAG runs as ONE Spark action. Exactness:
+    - a doc appearing ONLY in non-essential terms scores
+      <= sum(ub of NE) < θ_seed <= final k-th score, so every possible
+      top-k doc is in ``partial_e``;
+    - a top-k doc's final score >= θ_seed, and final <= partial +
+      sum_ub_ne, so the θ_seed candidate filter keeps it.
+    ``partial_e`` feeds both the candidate filter and the final join
+    through the SAME shuffle exchange (Catalyst ReusedExchange), so
+    nothing is persisted and nothing is scored twice."""
     by_ub_desc = sorted(terms, key=lambda t: (-ub[t], t))
     t_star = by_ub_desc[0]
     theta_seed = _theta_seed(spark, index_path, t_star, meta,
@@ -364,26 +386,22 @@ def _topk_maxscore(spark, index_path, terms, meta, idf_by_term, ub, k,
     E, NE = by_ub_desc[:e_size], by_ub_desc[e_size:]
     partial_e = (_scored(spark, index_path, E, meta, idf_by_term, posts,
                          allowed=allowed, denied=denied)
-                 .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
-                 .persist())
+                 .groupBy("doc_id").agg(F.sum("partial").alias("partial")))
     if not NE:
-        out = deterministic_topk(
+        return deterministic_topk(
             partial_e.withColumnRenamed("partial", "score"), k)
-        return _finalize_topk(spark, out, [partial_e])
-    top_rows = partial_e.orderBy(F.desc("partial")).limit(k).collect()
-    theta = top_rows[-1]["partial"] if len(top_rows) >= k else 0.0
     sum_ub_ne = sum(ub[t] for t in NE)
-    # candidates: only docs that could still reach θ once NE terms are
-    # added; docs absent from all E postings score <= sum_ub_ne < θ.
-    cands = partial_e.filter(F.col("partial") + F.lit(sum_ub_ne) >= F.lit(theta))
+    # candidates: only docs that could still reach θ_seed once NE terms
+    # are added; docs absent from all E postings score <= sum_ub_ne.
+    cands = partial_e.filter(
+        F.col("partial") + F.lit(sum_ub_ne) >= F.lit(theta_seed))
     ne_scores = (_scored(spark, index_path, NE, meta, idf_by_term, posts)
-                 .join(cands.select("doc_id"), "doc_id", "inner")  # prune hot postings
+                 .join(cands.select("doc_id"), "doc_id", "left_semi")  # prune hot postings
                  .groupBy("doc_id").agg(F.sum("partial").alias("ne_partial")))
     final = (cands.join(ne_scores, "doc_id", "left")
              .withColumn("score", F.col("partial") + F.coalesce(F.col("ne_partial"), F.lit(0.0)))
              .select("doc_id", "score"))
-    out = deterministic_topk(final, k)
-    return _finalize_topk(spark, out, [partial_e])
+    return deterministic_topk(final, k)
 
 
 def match_count(spark: SparkSession, index_path: str, query: str, *,

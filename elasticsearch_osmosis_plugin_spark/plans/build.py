@@ -68,7 +68,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_osmosis_plugin_spark.config import EngineConfig
-from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_udf
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+    tokenize_expr,
+    tokenize_udf,
+)
+
+
+def _tokens_col(text_col: str, cfg) -> "F.Column":
+    """Tokens as a Catalyst expression when the analyzer supports it
+    (whole-stage codegen, no Arrow hop in the docstats scan); pandas
+    UDF fallback otherwise."""
+    try:
+        return tokenize_expr(text_col, cfg.analyzer,
+                             min_len=cfg.min_token_len,
+                             max_len=cfg.max_token_len)
+    except ValueError:
+        return tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
+                            max_len=cfg.max_token_len)(F.col(text_col))
 from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
     delta_encode_groups,
     vb_encode_groups,
@@ -320,12 +336,10 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         catalog.drop_table(index_path, "postings")
         catalog.drop_table(index_path, "dictionary")
         t = time.time()
-        tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
-                           max_len=cfg.max_token_len)
         ds = base.select(
             "doc_id", "seg",
             F.pmod(F.col("seg"), F.lit(n_groups)).cast("int").alias("grp"),
-            tok(F.col(text_col)).alias("tokens"),
+            _tokens_col(text_col, cfg).alias("tokens"),
             F.sha2(F.col(text_col), 256).alias("content_sha"),
             *[F.col(c) for c in carry]) \
             .withColumn("dl", F.size("tokens"))
@@ -488,11 +502,9 @@ def append_index_group(spark: SparkSession, docs: DataFrame, index_path: str,
     base = base.withColumn("seg", _seg_col(cfg.n_segments))
     carry = list(carry_cols) if carry_cols is not None else [
         c for c in docs.columns if c not in (text_col, id_col)]
-    tok = tokenize_udf(cfg.analyzer, min_len=cfg.min_token_len,
-                       max_len=cfg.max_token_len)
     ds = base.select(
         "doc_id", "seg", F.lit(g).cast("int").alias("grp"),
-        tok(F.col(text_col)).alias("tokens"),
+        _tokens_col(text_col, cfg).alias("tokens"),
         F.sha2(F.col(text_col), 256).alias("content_sha"),
         *[F.col(c) for c in carry]) \
         .withColumn("dl", F.size("tokens"))

@@ -52,6 +52,61 @@ def test_term_frequencies():
     assert term_frequencies(["a", "b", "a"]) == {"a": 2, "b": 1}
 
 
+ASCII_CASES = [t for t, _ in GOLDEN] + [
+    "mergeIndexBlock foo_bar BAZ9qux",
+    "  leading and   trailing  ",
+    "tabs\tand\nnewlines\r\nmixed",
+    "UPPER lower MiXeD 123 42abc abc42",
+    "punct!@#$%^&*()_+-=[]{};':\",./<>?",
+    "x" * 70 + " ok",          # 65+-char token drops in ALL twins
+    "a", "",
+]
+
+
+def test_tokenize_expr_matches_python(spark):
+    """The Catalyst expression twin must be token-identical to the
+    pure-Python oracle on ASCII corpora (module docstring: Java \\s is
+    ASCII-only, so Unicode-whitespace text is out of contract)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ASCII_CASES)] + [(999, None)],
+        "id long, content string")
+    for analyzer in ("code", "simple"):
+        got = {r["id"]: r["toks"] for r in sdf.select(
+            "id", tokenize_expr("content", analyzer).alias("toks")).collect()}
+        for i, t in enumerate(ASCII_CASES):
+            assert got[i] == tokenize_py(t, analyzer), (analyzer, t)
+        assert got[999] == []  # null text -> no tokens, like the twins
+
+
+def test_tokenize_expr_length_filter(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+
+    sdf = spark.createDataFrame([(0, "a bb ccc dddd")], "id long, content string")
+    got = sdf.select(tokenize_expr("content", "simple", min_len=2,
+                                   max_len=3).alias("t")).collect()[0]["t"]
+    assert got == tokenize_py("a bb ccc dddd", "simple", min_len=2, max_len=3)
+    assert got == ["bb", "ccc"]
+
+
+def test_tokenize_expr_rejects_stopword_analyzer():
+    import pytest
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+
+    with pytest.raises(ValueError):
+        tokenize_expr("content", "nope")
+
+
 def test_tokenize_udf_matches_python(spark):
     from pyspark.sql import functions as F
 
