@@ -18,7 +18,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 from elasticsearch_osmosis_plugin_spark.config import EngineConfig
-from elasticsearch_osmosis_plugin_spark.functions import analysis, dedupe, similarity
+from elasticsearch_osmosis_plugin_spark.functions import (
+    analysis,
+    cluster,
+    dedupe,
+    similarity,
+)
 from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_topk
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -290,6 +295,27 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                                     n_hashes=4, band_size=2, n=3)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Pairs -> clusters -> keep list: connected components (alternating
+    large-star/small-star) over the MinHash-LSH candidate pairs, every
+    doc labeled with its cluster's min id + keeper flag. The step that
+    turns pair emitters into an actual dedup decision (a~b~c collapses
+    to ONE survivor even though (a, c) never surfaced as a pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedupe.minhash_lsh_pairs(docs, n_hashes=4, band_size=2, n=3)
+    return cluster.duplicate_clusters(docs, pairs)
+
+
+def q_contamination(spark, sf_dir):
+    """Train-eval decontamination: overlap of each training doc's
+    5-gram shingles against the (broadcast) eval set's shingles; the
+    eval set is the deterministic doc_id % 17 == 0 slice."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedupe.contamination(tr, ev, n=5, threshold=0.5)
+
+
 def q_simhash(spark, sf_dir):
     return dedupe.simhash(_t(spark, sf_dir, "documents"))
 
@@ -549,6 +575,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
+    "contamination": q_contamination,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "cosine_topk": q_cosine_topk,
@@ -751,6 +779,47 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
 FROM stacked a JOIN stacked b
   ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "dup_clusters": f"""
+WITH RECURSIVE {TOK_CTE}, {_SHINGLE3},
+sig AS (SELECT doc_id, {_MINHASH_SIGS} FROM gr),
+stacked AS (
+  SELECT doc_id, 0 AS band_no,
+         md5(sig0::VARCHAR || '|' || sig1::VARCHAR) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_no,
+         md5(sig2::VARCHAR || '|' || sig3::VARCHAR) AS band_key FROM sig),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS is_keep
+FROM documents d LEFT JOIN cc USING (doc_id)""",
+        "contamination": f"""
+WITH {TOK_CTE},
+sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+         list_distinct(list_transform(generate_series(1, len(toks)-4),
+           i -> array_to_string(list_slice(toks, i, i+4), ' ')))
+       ELSE [] END) AS shingle FROM toks),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM tr
+         WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id)
+SELECT s.doc_id, s.n_shingles, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       floor(coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles * 10000.0 + 0.5)::BIGINT
+         AS overlap_x1e4,
+       coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles >= 0.5 AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)""",
         "simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM fp",
         "simhash_neardup": _SIMHASH_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -95,6 +95,40 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", x1e4(jac).alias("jaccard_x1e4")))
 
 
+def contamination(df: DataFrame, eval_df: DataFrame, n: int = 5,
+                  threshold: float = 0.5, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Train-set decontamination against an eval/benchmark set: per
+    training doc, the fraction of its distinct n-gram shingles that
+    appear anywhere in the eval set -> (doc_id, n_shingles, n_hit,
+    overlap_x1e4, contaminated).
+
+    Docs with fewer than ``n`` tokens have no shingles and are not
+    scored (nothing to leak at the measured granularity).
+
+    Scale: eval sets are benchmark-sized, so the distinct eval-shingle
+    relation broadcasts (``broadcast_eval``) and the whole check is one
+    map-side semi-join over the training scan — no shuffle of the
+    training corpus. For an eval set too big to broadcast, pass False
+    and it becomes a standard shuffled semi-join."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    tr = shingles(df, n, id_col, text_col)
+    ev = shingles(eval_df, n, id_col, text_col).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (tr.join(ev, "shingle", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    out = (sizes.join(hits, "doc_id", "left")
+           .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))
+    frac = F.col("n_hit") / F.col("n_shingles")
+    return out.select("doc_id", "n_shingles", "n_hit",
+                      x1e4(frac).alias("overlap_x1e4"),
+                      (frac >= threshold).alias("contaminated"))
+
+
 def minhash_salt(i: int) -> int:
     """Deterministic 60-bit XOR salt for hash variant i — derived the
     same way in the DuckDB oracle (md5 of the decimal index)."""

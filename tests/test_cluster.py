@@ -1,0 +1,100 @@
+"""Connected-components clustering + decontamination.
+
+The CC oracle is a plain Python union-find — any disagreement on any
+random graph is a bug in the star contraction."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_osmosis_plugin_spark.functions.cluster import (
+    connected_components,
+    duplicate_clusters,
+)
+from elasticsearch_osmosis_plugin_spark.functions.dedupe import contamination
+
+
+def _union_find_labels(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def _cc_spark(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_matches_union_find_random(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find_labels(edges, nodes)
+    assert _cc_spark(spark, edges) == want
+
+
+def test_cc_long_chain(spark):
+    """Path graph: diameter >> O(log n) rounds — star contraction must
+    still collapse it to one cluster rooted at the min."""
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc_spark(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_cc_empty_and_selfloop(spark):
+    pairs = spark.createDataFrame([(7, 7)], "doc_a long, doc_b long")
+    assert connected_components(pairs).collect() == []
+
+
+def test_duplicate_clusters_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 2)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keep"])
+            for r in duplicate_clusters(docs, pairs).collect()}
+    assert rows == {0: (0, True), 1: (1, True), 2: (1, False), 3: (3, True),
+                    4: (1, False), 5: (5, True)}
+
+
+def test_contamination(spark):
+    train = spark.createDataFrame([
+        (1, "a b c d e f"),        # shares the eval doc's text wholesale
+        (2, "a b c x y z"),        # partial overlap: 1 of 4 shingles
+        (3, "p q r s t u"),        # disjoint
+        (4, "tiny"),               # < n tokens: no shingles, not scored
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in contamination(train, ev, n=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_hit"] == rows[1]["n_shingles"] == 4
+    assert rows[1]["contaminated"] is True
+    assert (rows[2]["n_shingles"], rows[2]["n_hit"]) == (4, 1)
+    assert rows[2]["contaminated"] is False
+    assert rows[3]["n_hit"] == 0 and rows[3]["overlap_x1e4"] == 0
+
+
+def test_contamination_broadcast_plan(spark):
+    train = spark.createDataFrame([(i, f"w{i} w{i+1} w{i+2} w{i+3}")
+                                   for i in range(20)], "doc_id long, text string")
+    ev = train.filter(F.col("doc_id") < 3)
+    plan = contamination(train, ev, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
