@@ -268,6 +268,18 @@ def q_lang_id(spark, sf_dir):
         .select("doc_id", "pred_lang")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition features: duplicate-line fractions +
+    dominant/duplicated n-gram character shares."""
+    return analysis.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII triage counts (emails / IPv4 / phone-like runs), JVM regex
+    on both engines (RE2-compatible pattern subset)."""
+    return analysis.pii_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_fingerprint(spark, sf_dir):
     return analysis.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -569,6 +581,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "repetition_stats": q_repetition_stats,
+    "pii_stats": q_pii_stats,
     "fingerprint": q_fingerprint,
     "shingle_fingerprint": q_shingle_fingerprint,
     "exact_dup_groups": q_exact_dup_groups,
@@ -738,6 +752,66 @@ g AS (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM h)
 SELECT doc_id, CASE WHEN best = 0 THEN 'und'
   WHEN hits_de = best THEN 'de' WHEN hits_en = best THEN 'en'
   WHEN hits_es = best THEN 'es' ELSE 'fr' END AS pred_lang FROM g""",
+        "repetition_stats": f"""
+WITH {TOK_CTE},
+ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+lstat AS (SELECT doc_id,
+  CASE WHEN len(lines) > 0
+       THEN len(list_filter(lines,
+              l -> len(list_filter(lines, x -> x = l)) > 1))::DOUBLE
+            / len(lines)
+       ELSE 0.0 END AS dlf,
+  CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+       THEN coalesce(list_sum(list_transform(
+              list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+              l -> length(l))), 0)::DOUBLE
+            / list_sum(list_transform(lines, l -> length(l)))
+       ELSE 0.0 END AS dlcf
+  FROM ln),
+tc AS (SELECT doc_id,
+              coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS tok_chars FROM toks),
+g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+         i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+       FROM toks WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c * (length(gram) - 1)) AS v FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS gram
+       FROM toks WHERE len(toks) >= 3),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, max(c * (length(gram) - 2)) AS v FROM c3 GROUP BY doc_id),
+g5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-4),
+         i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS gram
+       FROM toks WHERE len(toks) >= 5),
+c5 AS (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * (length(gram) - 4)
+                               ELSE 0 END) AS v FROM c5 GROUP BY doc_id)
+SELECT tc.doc_id,
+  floor(lstat.dlf * 10000.0 + 0.5)::BIGINT AS dup_line_frac_x1e4,
+  floor(lstat.dlcf * 10000.0 + 0.5)::BIGINT AS dup_line_char_frac_x1e4,
+  floor(CASE WHEN tok_chars > 0 THEN coalesce(t2.v, 0)::DOUBLE / tok_chars
+        ELSE 0.0 END * 10000.0 + 0.5)::BIGINT AS top2_char_frac_x1e4,
+  floor(CASE WHEN tok_chars > 0 THEN coalesce(t3.v, 0)::DOUBLE / tok_chars
+        ELSE 0.0 END * 10000.0 + 0.5)::BIGINT AS top3_char_frac_x1e4,
+  floor(CASE WHEN tok_chars > 0 THEN coalesce(d5.v, 0)::DOUBLE / tok_chars
+        ELSE 0.0 END * 10000.0 + 0.5)::BIGINT AS dup5_char_frac_x1e4
+FROM tc JOIN lstat USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)""",
+        "pii_stats": f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{analysis.PII_PATTERNS["email"]}'))::BIGINT
+    AS n_email,
+  len(regexp_extract_all(text, '{analysis.PII_PATTERNS["ipv4"]}'))::BIGINT
+    AS n_ipv4,
+  len(regexp_extract_all(text, '{analysis.PII_PATTERNS["phone"]}'))::BIGINT
+    AS n_phone,
+  len(regexp_extract_all(text, '{analysis.PII_PATTERNS["email"]}')) > 0
+  OR len(regexp_extract_all(text, '{analysis.PII_PATTERNS["ipv4"]}')) > 0
+  OR len(regexp_extract_all(text, '{analysis.PII_PATTERNS["phone"]}')) > 0
+    AS has_pii
+FROM documents""",
         "fingerprint": (f"WITH {TOK_CTE} SELECT doc_id, "
                         "md5(array_to_string(toks, ' ')) AS fp FROM toks"),
         "shingle_fingerprint": f"""

@@ -82,6 +82,80 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
         x1e4(score).alias("quality_x1e4"))
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple = (2, 3),
+                     dup_ns: tuple = (5,)) -> DataFrame:
+    """Gopher-style repetition quality features (Rae et al. 2021 §A1.1
+    "repetition removal", re-expressed Spark-first):
+
+    - ``dup_line_frac_x1e4``: fraction of newline-split lines that are
+      duplicates of another line in the doc;
+    - ``dup_line_char_frac_x1e4``: fraction of line characters living
+      in duplicated lines;
+    - ``top{n}_char_frac_x1e4`` (n in ``top_ns``): max over token
+      n-grams of count * gram_chars, over total token chars — the
+      character share of the most dominant n-gram;
+    - ``dup{n}_char_frac_x1e4`` (n in ``dup_ns``): character share of
+      n-grams occurring more than once.
+
+    Line metrics are per-row array expressions (codegen; the line
+    self-count is O(L^2) on the tens of lines per doc). Gram metrics
+    go through explode -> (doc_id, gram) count — the distributed plan:
+    per-doc gram multisets never materialize driver-side and hot docs
+    parallelize across partitions. Docs shorter than n tokens score 0.
+    """
+    toks = tokens_col(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda acc, ln: acc + F.length(ln))
+    dup_lines = F.filter(
+        lines, lambda ln: F.size(F.filter(lines, lambda x: x == ln)) > 1)
+    dup_line_chars = F.aggregate(dup_lines, F.lit(0),
+                                 lambda acc, ln: acc + F.length(ln))
+    n_lines = F.size(lines)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+         .alias("tok_chars"),
+        # all copies of a repeated line count as duplicates (Gopher
+        # semantics), consistent with the char-fraction below
+        x1e4(F.when(n_lines > 0, F.size(dup_lines) / n_lines)
+             .otherwise(F.lit(0.0))).alias("dup_line_frac_x1e4"),
+        x1e4(F.when(line_chars > 0, dup_line_chars / line_chars)
+             .otherwise(F.lit(0.0))).alias("dup_line_char_frac_x1e4"))
+
+    out = base.select("doc_id", "tok_chars", "dup_line_frac_x1e4",
+                      "dup_line_char_frac_x1e4")
+    for n, kind in sorted([(n, "top") for n in top_ns]
+                          + [(n, "dup") for n in dup_ns]):
+        k = F.size(F.col("toks")) - (n - 1)
+        grams = F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)))) \
+            .otherwise(F.array().cast("array<string>"))
+        counted = (base.select("doc_id", F.explode(grams).alias("gram"))
+                   .groupBy("doc_id", "gram")
+                   .agg(F.count(F.lit(1)).alias("c")))
+        chars = F.col("c") * (F.length("gram") - (n - 1))
+        if kind == "top":
+            agg = counted.groupBy("doc_id").agg(
+                F.max(chars).alias(f"_{kind}{n}"))
+        else:
+            agg = counted.groupBy("doc_id").agg(
+                F.sum(F.when(F.col("c") > 1, chars).otherwise(F.lit(0)))
+                 .alias(f"_{kind}{n}"))
+        out = (out.join(agg, "doc_id", "left")
+               .withColumn(f"{kind}{n}_char_frac_x1e4",
+                           x1e4(F.when(F.col("tok_chars") > 0,
+                                       F.coalesce(F.col(f"_{kind}{n}"), F.lit(0))
+                                       / F.col("tok_chars"))
+                                .otherwise(F.lit(0.0))))
+               .drop(f"_{kind}{n}"))
+    return out.drop("tok_chars")
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """n-gram-free language-ID heuristic: argmax of per-language
@@ -98,6 +172,43 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best),
                       F.lit(lang)).otherwise(pred)
     return out.withColumn("pred_lang", pred)
+
+
+# PII patterns restricted to the regex subset Java and RE2 (DuckDB)
+# treat identically: no lookarounds, no backrefs, ASCII classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (emails / IPv4 / phone-like digit runs)
+    + a has_pii flag — the triage pass an LLM-data pipeline runs
+    before deciding redact-vs-drop. Pure JVM regexp, no UDF."""
+    counts = {k: F.size(F.regexp_extract_all(F.col(text_col),
+                                             F.lit(p), F.lit(0)))
+              for k, p in PII_PATTERNS.items()}
+    out = df.select(F.col(id_col).alias("doc_id"), *[
+        v.cast("long").alias(f"n_{k}") for k, v in counts.items()])
+    flag = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholders, longest-pattern
+    first (emails before phones so the digits of a redacted email
+    can't re-match as a phone)."""
+    red = F.col(text_col)
+    for k in ("email", "ipv4", "phone"):
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return df.withColumn(text_col, red)
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id",

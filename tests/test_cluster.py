@@ -91,6 +91,55 @@ def test_contamination(spark):
     assert rows[3]["n_hit"] == 0 and rows[3]["overlap_x1e4"] == 0
 
 
+def test_repetition_stats(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame([
+        # 4 lines, "dup dup" twice; tokens: a b a b a b (18 chars? a/b
+        # 1 char each: tok_chars=6); top bigram "a b" count 3, chars/gram 2
+        (1, "a b a b a b"),
+        (2, "x\ny\nx\nz"),          # lines x,y,x,z: 2/4 dup, chars 2/4
+        (3, "q w e r t y u"),       # no repetition
+        (4, ""),                    # degenerate
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: top2 = 3 occurrences * 2 chars / 6 = 1.0
+    assert rows[1]["top2_char_frac_x1e4"] == 10000
+    # doc 1: dup5 grams "a b a b a" x1 + "b a b a b" x1 -> none dup
+    assert rows[1]["dup5_char_frac_x1e4"] == 0
+    assert rows[2]["dup_line_frac_x1e4"] == 5000
+    assert rows[2]["dup_line_char_frac_x1e4"] == 5000
+    assert rows[3]["dup_line_frac_x1e4"] == 0
+    assert rows[3]["top2_char_frac_x1e4"] < 10000
+    assert rows[4]["top2_char_frac_x1e4"] == 0
+    assert rows[4]["dup_line_frac_x1e4"] == 0
+
+
+def test_pii_stats_and_redact(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        pii_redact,
+        pii_stats,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@example.co.uk or 10.0.0.1"),
+        (2, "call +1 (415) 555-0123 now"),
+        (3, "clean text, no pii here"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"]) == (1, 1)
+    assert rows[1]["has_pii"] and rows[2]["has_pii"]
+    assert rows[2]["n_phone"] == 1
+    assert not rows[3]["has_pii"]
+    red = {r["doc_id"]: r["text"] for r in pii_redact(docs).collect()}
+    assert "<EMAIL>" in red[1] and "<IPV4>" in red[1]
+    assert "example" not in red[1]
+    assert "<PHONE>" in red[2] and "555" not in red[2]
+    assert red[3] == "clean text, no pii here"
+
+
 def test_contamination_broadcast_plan(spark):
     train = spark.createDataFrame([(i, f"w{i} w{i+1} w{i+2} w{i+3}")
                                    for i in range(20)], "doc_id long, text string")
