@@ -297,6 +297,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                                       n=3, threshold=0.5)
 
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered set-similarity join — must return exactly the
+    rows of the naive shared-shingle plan (same oracle SQL)."""
+    return dedupe.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"),
+                                             n=3, threshold=0.5)
+
+
 def q_minhash_signatures(spark, sf_dir):
     return dedupe.minhash_signatures(_t(spark, sf_dir, "documents"),
                                      n_hashes=4, n=3)
@@ -587,6 +594,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_fingerprint": q_shingle_fingerprint,
     "exact_dup_groups": q_exact_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
@@ -646,6 +654,19 @@ _STOP_SQL = {
 _HITS = ", ".join(
     f"len(list_filter(toks, x -> x IN ({words}))) AS hits_{lang}"
     for lang, words in _STOP_SQL.items())
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {TOK_CTE}, {_SHINGLE3_NOFALLBACK},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor(i::DOUBLE / (sa.sz + sb.sz - i) * 10000.0 + 0.5)::BIGINT
+         AS jaccard_x1e4
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5"""
 
 _SIMHASH_CTE = f"""
 WITH {TOK_EXPLODED_CTE},
@@ -825,18 +846,9 @@ WITH {TOK_CTE}
 SELECT md5(array_to_string(toks, ' ')) AS fp, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM toks GROUP BY 1 HAVING count(*) > 1""",
-        "ngram_jaccard_pairs": f"""
-WITH {TOK_CTE}, {_SHINGLE3_NOFALLBACK},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       floor(i::DOUBLE / (sa.sz + sb.sz - i) * 10000.0 + 0.5)::BIGINT
-         AS jaccard_x1e4
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5""",
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # the prefix-filtered plan is an exact optimization: same oracle
+        "ngram_jaccard_prefix": _NGRAM_JACCARD_SQL,
         "minhash_signatures": f"""
 WITH {TOK_CTE}, {_SHINGLE3}
 SELECT doc_id, {_MINHASH_SIGS} FROM gr""",

@@ -113,12 +113,14 @@ def main() -> int:
         # 31-token vocabulary doesn't yet explode the pair joins.
         from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
             minhash_lsh_pairs,
-            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_prefix,
         )
         timed("q_minhash_lsh_scale", lambda: minhash_lsh_pairs(
             docs, n_hashes=8, band_size=4)
             .write.format("noop").mode("overwrite").save())
-        timed("q_ngram_jaccard_scale", lambda: ngram_jaccard_pairs(
+        # prefix-filtered exact set-similarity join (same rows as the
+        # naive shared-shingle plan — proven by the shared oracle row)
+        timed("q_ngram_jaccard_scale", lambda: ngram_jaccard_pairs_prefix(
             docs, n=3, threshold=0.5, max_shingle_df=200, hash_shingles=True)
             .write.format("noop").mode("overwrite").save())
     finally:

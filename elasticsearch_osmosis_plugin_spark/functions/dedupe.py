@@ -95,6 +95,78 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", x1e4(jac).alias("jaccard_x1e4")))
 
 
+def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
+                               threshold: float = 0.5,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               max_shingle_df: int | None = None,
+                               hash_shingles: bool = False) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Vernica et al. MapReduce set-similarity join): under any
+    global shingle order, two sets with J >= t MUST share a shingle
+    inside their prefixes of length |S| - ceil(t*|S|) + 1 — so only
+    prefix shingles (rarest-first order makes them the most selective
+    ones) become join keys, cutting candidate pairs by orders of
+    magnitude vs joining on every shared shingle. Candidates are then
+    verified exactly with array_intersect on the full shingle sets.
+
+    Returns exactly the same rows as ``ngram_jaccard_pairs`` (same
+    DuckDB oracle); the difference is the plan: one extra corpus
+    shuffle to rank shingles per doc, in exchange for a candidate join
+    that no longer enumerates every co-occurring pair."""
+    from pyspark.sql import Window as W
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    sh = shingles(df, n, id_col, text_col)
+    if hash_shingles:
+        # same 60-bit md5 fold + collision trade as ngram_jaccard_pairs:
+        # shuffles, rank keys and the verification arrays all shrink
+        sh = sh.select("doc_id", F.conv(
+            F.substring(F.md5("shingle"), 2, 15), 16, 10)
+            .cast("long").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+               .filter(F.col("sdf") > max_shingle_df))
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    # materialize the shingle relation once: three downstream branches
+    # (frequency ranks, prefix join, verification sets) would each
+    # re-run the shingle+hash generation pass otherwise
+    sh = sh.persist()
+    sh.count()
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = (sh.join(sdf, "shingle")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("sdf", "shingle")))
+              .withColumn("sz", F.count(F.lit(1)).over(
+                  W.partitionBy("doc_id"))))
+    # prefix length: |S| - ceil(t*|S|) + 1
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    cands = (prefix.alias("a").join(
+                 prefix.alias("b"),
+                 (F.col("a.shingle") == F.col("b.shingle"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("set"),
+                                    F.count(F.lit(1)).alias("sz"))
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("set").alias("set_a"), F.col("sz").alias("sz_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("set").alias("set_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("inter", inter)
+            .filter(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                      - F.col("inter")) >= threshold)
+            .select("doc_a", "doc_b",
+                    x1e4(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                           - F.col("inter")))
+                    .alias("jaccard_x1e4")))
+
+
 def contamination(df: DataFrame, eval_df: DataFrame, n: int = 5,
                   threshold: float = 0.5, id_col: str = "doc_id",
                   text_col: str = "text",

@@ -117,6 +117,32 @@ def test_repetition_stats(spark):
     assert rows[4]["dup_line_frac_x1e4"] == 0
 
 
+def test_ngram_jaccard_prefix_equals_naive(spark):
+    """Prefix filtering is an exact optimization: identical pair set
+    and scores as the shared-shingle plan on a dup-heavy corpus."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = generate_corpus_df(spark, seed=5, n=120).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit"))
+    # inject true near-dups: clone a slice with a one-token prefix edit
+    clones = (docs.limit(15)
+              .withColumn("doc_id", F.col("doc_id") + 1)
+              .withColumn("content", F.concat(F.lit("edited "),
+                                              F.col("content"))))
+    corpus = docs.unionByName(clones)
+    naive = {(r["doc_a"], r["doc_b"]): r["jaccard_x1e4"]
+             for r in ngram_jaccard_pairs(
+                 corpus, n=3, threshold=0.4, text_col="content").collect()}
+    pref = {(r["doc_a"], r["doc_b"]): r["jaccard_x1e4"]
+            for r in ngram_jaccard_pairs_prefix(
+                corpus, n=3, threshold=0.4, text_col="content").collect()}
+    assert naive == pref and len(naive) >= 15
+
+
 def test_pii_stats_and_redact(spark):
     from elasticsearch_osmosis_plugin_spark.functions.analysis import (
         pii_redact,
