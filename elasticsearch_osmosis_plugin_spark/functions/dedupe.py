@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from elasticsearch_osmosis_plugin_spark.functions.analysis import tokens_col
 
 
+def _materialized(result: DataFrame, released: list[DataFrame]) -> DataFrame:
+    """Run the pair computation NOW (localCheckpoint), then free the
+    corpus-sized cached intermediates. Near-dup pair sets are tiny
+    relative to the relations that produce them, so eager
+    materialization costs nothing while guaranteeing a long-lived
+    session never accumulates per-call cache entries (the CacheManager
+    keeps plan-keyed entries until an explicit unpersist)."""
+    out = result.localCheckpoint(eager=True)
+    for df in released:
+        df.unpersist()
+    return out
+
+
 def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) docs: fingerprint,
@@ -157,14 +170,15 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
     b = sets.select(F.col("doc_id").alias("doc_b"),
                     F.col("set").alias("set_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
-    return (cands.join(a, "doc_a").join(b, "doc_b")
-            .withColumn("inter", inter)
-            .filter(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
-                                      - F.col("inter")) >= threshold)
-            .select("doc_a", "doc_b",
-                    x1e4(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
-                                           - F.col("inter")))
-                    .alias("jaccard_x1e4")))
+    out = (cands.join(a, "doc_a").join(b, "doc_b")
+           .withColumn("inter", inter)
+           .filter(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                     - F.col("inter")) >= threshold)
+           .select("doc_a", "doc_b",
+                   x1e4(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                          - F.col("inter")))
+                   .alias("jaccard_x1e4")))
+    return _materialized(out, [sh])
 
 
 def contamination(df: DataFrame, eval_df: DataFrame, n: int = 5,
@@ -263,14 +277,20 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
                .filter(F.col("sz") > max_band_bucket))
         stacked = stacked.join(hot.select("band_no", "band_key"),
                                ["band_no", "band_key"], "left_anti")
+    # materialize once: both sides of the self-join would otherwise
+    # re-run the whole shingle->minhash->band pipeline (narrow rows:
+    # doc_id + band_no + 32-char key)
+    stacked = stacked.persist()
+    stacked.count()
     a = stacked.alias("a")
     b = stacked.alias("b")
-    return (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+    out = (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+           .groupBy(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+           .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+    return _materialized(out, [stacked])
 
 
 _SIMHASH_BITS = 64
@@ -378,11 +398,12 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 7,
         .select("doc_id", "simhash", "ck.chunk_no", "ck.chunk_val")
     a, b = exact.alias("a"), neigh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no"))
-                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    out = (a.join(b, (F.col("a.chunk_no") == F.col("b.chunk_no"))
+                  & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b"),
+                   ham.alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming)
+           .distinct())
+    return _materialized(out, [sh])
