@@ -162,6 +162,28 @@ def q_bm25_topk_idx_postfilter(spark, sf_dir):
                      post_filter=F.col("lang") == "en")
 
 
+BATCH_QUERIES = {"q0": "spark query join", "q1": "dup table merge",
+                 "q2": "window"}
+
+
+def q_bm25_topk_batch(spark, sf_dir):
+    """Batched serving path: all queries in ONE decode + aggregation
+    (operators.query.topk_many), rank-identical per query."""
+    from pyspark.sql import Window as PW
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_many
+
+    idx = _index_for(spark, sf_dir)
+    raw = topk_many(spark, idx, BATCH_QUERIES, k=30)
+    w = PW.partitionBy("query_id").orderBy(F.desc("score_x1e4"),
+                                           F.asc("doc_id"))
+    return (raw.select("query_id", "doc_id",
+                       x1e4(F.col("score")).alias("score_x1e4"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 10).drop("_rn"))
+
+
 def q_phrase_match_idx(spark, sf_dir):
     """Positional-postings phrase match over the persisted index (the
     index-side path; q_phrase_match is the pure-DataFrame twin)."""
@@ -575,6 +597,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_maxscore": q_bm25_topk_idx_maxscore,
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
+    "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
@@ -710,6 +733,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_idx_postfilter": _bm25_oracle_sql(
             sorted({"dup", "table", "merge"}), 10,
             post_filter_sql="d.lang = 'en'"),
+        "bm25_topk_batch": "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS query_id, * FROM ("
+            + _bm25_oracle_sql(sorted(set(q.split())), 10) + ")"
+            for qid, q in BATCH_QUERIES.items()),
         "term_stats": f"""
 WITH {TOK_EXPLODED_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok

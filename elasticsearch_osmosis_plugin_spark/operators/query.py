@@ -217,6 +217,48 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
                           ub, k, posts=_posts, allowed=allowed, denied=denied)
 
 
+def topk_many(spark: SparkSession, index_path: str,
+              queries: dict[str, str], k: int = 10, *,
+              _meta=None, _posts=None, _dic=None) -> DataFrame:
+    """Batched top-k: ALL queries in ONE Spark job.
+
+    Serving amortization (the 100 TB path for query throughput): the
+    postings of the union of all query terms are decoded ONCE, a tiny
+    broadcast (query_id, term) relation fans each partial score into
+    the queries that contain the term, and one (query_id, doc_id)
+    aggregation + per-query window rank produces every ranking —
+    N queries cost one postings scan + one shuffle instead of N jobs.
+
+    Returns (query_id, doc_id, score), each query's block ordered and
+    rank-identical to ``topk(..., strategy="scoreall")``.
+    """
+    from pyspark.sql import Window
+
+    meta = _meta if _meta is not None else load_meta(index_path)
+    qterms = {qid: query_terms(q, meta) for qid, q in queries.items()}
+    all_terms = sorted(set().union(*qterms.values())) if qterms else []
+    dic = dictionary_rows(spark, index_path, all_terms, meta, dic=_dic)
+    out_schema = "query_id string, doc_id long, score double"
+    if dic.empty:
+        return spark.createDataFrame([], out_schema)
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    live = set(dic["term"])
+    denied = tombstones_df(spark, index_path, meta)
+    scored = _scored(spark, index_path, sorted(live), meta, idf_by_term,
+                     posts=_posts, denied=denied)
+    pairs = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms.items() for t in ts if t in live],
+        "query_id string, term string")
+    per_q = (scored.join(F.broadcast(pairs), "term")
+             .groupBy("query_id", "doc_id")
+             .agg(F.sum("partial").alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_q.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+
 class Searcher:
     """Reusable query handle over one index — the analog of an open ES
     index reader. Loads meta once, keeps ONE postings relation (cached
@@ -243,6 +285,10 @@ class Searcher:
     def match_count(self, query: str) -> int:
         return match_count(self.spark, self.index_path, query,
                            _meta=self.meta, _posts=self.posts, _dic=self.dic)
+
+    def topk_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        return topk_many(self.spark, self.index_path, queries, k,
+                         _meta=self.meta, _posts=self.posts, _dic=self.dic)
 
     def refresh(self) -> None:
         """Reload meta + relations after an index mutation (append,

@@ -48,6 +48,27 @@ def test_index_topk_rank_identical(spark, corpus_rows, index_path, query, strate
         assert abs(r["score"] - s) < 1e-9
 
 
+def test_topk_many_rank_identical(spark, corpus_rows, index_path):
+    """Batched serving path: every query's block in the single-job
+    result equals its solo scoreall ranking (ids AND scores)."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_many
+
+    batch = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    got = topk_many(spark, index_path, batch, k=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        solo = [(r["doc_id"], r["score"]) for r in
+                topk(spark, index_path, q, k=10, strategy="scoreall").collect()]
+        assert [d for d, _ in by_q.get(qid, [])] == [d for d, _ in solo], qid
+        for (_, a), (_, b) in zip(by_q.get(qid, []), solo):
+            assert abs(a - b) < 1e-9
+    # no-term batch + empty batch degrade cleanly
+    assert topk_many(spark, index_path, {"z": "zzzznotaterm"}, k=5).count() == 0
+    assert topk_many(spark, index_path, {}, k=5).count() == 0
+
+
 def test_match_count(spark, corpus_rows, index_path):
     got = match_count(spark, index_path, "public")
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
