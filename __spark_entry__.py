@@ -193,6 +193,17 @@ def q_phrase_match_idx(spark, sf_dir):
     return match_phrase(spark, idx, "query join")
 
 
+def q_bm25_explain(spark, sf_dir):
+    """ES _explain analog: per-(doc, term) tf/dl/idf/partial breakdown
+    for the flagship query's terms."""
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_explain
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_explain(docs, sorted({"spark", "query", "join"}),
+                        EngineConfig(k1=BM25_K1, b=BM25_B),
+                        id_col="doc_id", text_col="text", analyzer="simple")
+
+
 def q_bm25_topk_hot(spark, sf_dir):
     """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
     return _bm25(spark, sf_dir, "dup table merge", 10)
@@ -597,6 +608,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_maxscore": q_bm25_topk_idx_maxscore,
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
+    "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
     "term_stats": q_term_stats,
@@ -733,6 +745,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_idx_postfilter": _bm25_oracle_sql(
             sorted({"dup", "table", "merge"}), 10,
             post_filter_sql="d.lang = 'en'"),
+        "bm25_explain": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('join', 'query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+  floor(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        * 10000.0 + 0.5)::BIGINT AS idf_x1e4,
+  floor(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        * tf.tf * ({BM25_K1} + 1.0)
+        / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                + {BM25_B} * dl.dl / stats.avgdl))
+        * 10000.0 + 0.5)::BIGINT AS partial_x1e4
+FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats""",
         "bm25_topk_batch": "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS query_id, * FROM ("
             + _bm25_oracle_sql(sorted(set(q.split())), 10) + ")"

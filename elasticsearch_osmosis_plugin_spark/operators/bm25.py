@@ -106,6 +106,41 @@ def bm25_score_terms(docs: DataFrame, query_terms: list[str],
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
+def bm25_explain(docs: DataFrame, query_terms: list[str],
+                 cfg: EngineConfig = EngineConfig(),
+                 id_col: str = "doc_id", text_col: str = "content",
+                 analyzer: str = "code") -> DataFrame:
+    """Score breakdown per (doc, term) — the ES ``_explain`` API
+    analog: tf, dl, idf and the BM25 partial each matching term
+    contributes. Fixed-point (x1e4) outputs for cross-engine equality;
+    the same single-shuffle plan as ``bm25_score_terms``."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    base = _base(docs, id_col, text_col, analyzer, query_terms)
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    tf = (base.select("doc_id", "dl", F.explode("_qtoks").alias("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(cfg.k1), F.lit(cfg.b)
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    joined = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", idf)
+              .withColumn("partial",
+                          F.col("idf") * F.col("tf") * (k1 + 1.0)
+                          / (F.col("tf") + k1 * (1.0 - b
+                                                 + b * F.col("dl") / F.col("avgdl")))))
+    return joined.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        x1e4(F.col("idf")).alias("idf_x1e4"),
+        x1e4(F.col("partial")).alias("partial_x1e4"))
+
+
 def bm25_topk(docs: DataFrame, query: str, k: int = 10,
               cfg: EngineConfig = EngineConfig(),
               id_col: str = "doc_id", text_col: str = "content",

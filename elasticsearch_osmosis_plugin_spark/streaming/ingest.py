@@ -120,6 +120,31 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
         timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_stream(docs: DataFrame, ts_col: str = "ts",
+                 text_col: str = "text",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each
+    normalized-content fingerprint, dropping later duplicates that
+    arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state for a fingerprint is
+    held only until the watermark passes, so state size is bounded by
+    the dup-arrival window, not corpus size — the property that makes
+    streaming dedup feasible at 100 TB/day ingest).
+
+    Streaming twin of ``dedupe.exact_duplicate_groups``'s keep-one
+    semantics; same fingerprint (md5 over simple-analyzer-normalized
+    text)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        tokens_col,
+    )
+
+    fp = F.md5(F.concat_ws(" ", tokens_col(text_col)))
+    return (docs.withColumn("ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .withColumn("fp", fp)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def stream_index_ingest(spark: SparkSession, src_path: str,
                         schema: StructType, index_path: str,
                         text_col: str = "text",

@@ -140,6 +140,48 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
     assert (999, 1200, 1) not in got  # in-flight session stays open
 
 
+def test_dedup_stream_keeps_first_arrival(spark, tmp_path):
+    """Streaming exact dedup: later same-fingerprint arrivals within
+    the watermark are dropped; distinct docs pass through."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import dedup_stream
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+    t0 = datetime(2026, 1, 1, 0, 0)
+    t1 = datetime(2026, 1, 1, 0, 10)
+    batches = {
+        "a": [(1, t0, "alpha beta gamma"), (2, t0, "delta epsilon")],
+        # 11 dups doc 1 (whitespace-normalized same fp); 12 is new
+        "b": [(11, t1, "  ALPHA beta   GAMMA "), (12, t1, "zeta eta")],
+    }
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = str(tmp_path / f"ddstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(str(d)))
+    q = (dedup_stream(src)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_dedup").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM t_dedup").collect()}
+    assert got == {1, 2, 12}  # 11 dropped as a duplicate of 1
+
+
 def test_stream_append_to_docstore(spark, tmp_path):
     from elasticsearch_osmosis_plugin_spark.operators import dao
     from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
