@@ -127,8 +127,6 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
     DuckDB oracle); the difference is the plan: one extra corpus
     shuffle to rank shingles per doc, in exchange for a candidate join
     that no longer enumerates every co-occurring pair."""
-    from pyspark.sql import Window as W
-
     from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
 
     sh = shingles(df, n, id_col, text_col)
@@ -142,20 +140,26 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
                .filter(F.col("sdf") > max_shingle_df))
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    # materialize the shingle relation once: three downstream branches
-    # (frequency ranks, prefix join, verification sets) would each
-    # re-run the shingle+hash generation pass otherwise
+    # materialize the shingle relation once: the frequency agg and the
+    # set-building agg would each re-run shingle+hash generation
     sh = sh.persist()
     sh.count()
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    ranked = (sh.join(sdf, "shingle")
-              .withColumn("pos", F.row_number().over(
-                  W.partitionBy("doc_id").orderBy("sdf", "shingle")))
-              .withColumn("sz", F.count(F.lit(1)).over(
-                  W.partitionBy("doc_id"))))
+    # ONE groupBy builds the per-doc shingle array in global
+    # (rarest-first) order — it serves as BOTH the prefix source and
+    # the verification set (no window functions, no second agg)
+    sets = (sh.join(sdf, "shingle")
+            .groupBy("doc_id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("sdf", "shingle"))),
+                lambda x: x["shingle"]).alias("set")))
+    sets = sets.withColumn("sz", F.size("set")).persist()
+    sets.count()
+    sh.unpersist()
     # prefix length: |S| - ceil(t*|S|) + 1
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = sets.select(
+        "doc_id", F.explode(F.slice("set", 1, plen)).alias("shingle"))
     cands = (prefix.alias("a").join(
                  prefix.alias("b"),
                  (F.col("a.shingle") == F.col("b.shingle"))
@@ -163,8 +167,6 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("set"),
-                                    F.count(F.lit(1)).alias("sz"))
     a = sets.select(F.col("doc_id").alias("doc_a"),
                     F.col("set").alias("set_a"), F.col("sz").alias("sz_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"),
@@ -178,7 +180,7 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
                    x1e4(F.col("inter") / (F.col("sz_a") + F.col("sz_b")
                                           - F.col("inter")))
                    .alias("jaccard_x1e4")))
-    return _materialized(out, [sh])
+    return _materialized(out, [sets])
 
 
 def contamination(df: DataFrame, eval_df: DataFrame, n: int = 5,

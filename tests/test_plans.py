@@ -49,6 +49,20 @@ def test_parquet_scan_projects_needed_columns_only(spark, index_path):
     assert "ReadSchema: struct<doc_id:bigint,dl:int>" in plan
 
 
+def test_topk_many_single_decode(spark, index_path):
+    """The batched serving path's amortization claim, pinned in the
+    plan: ONE MapInPandas decode for the whole batch (not one per
+    query) and a broadcast fan-out of the (query_id, term) relation."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_many
+
+    df = topk_many(spark, index_path, {"a": "public static",
+                                       "b": "static void",
+                                       "c": "import"}, k=5)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_exact_filter_pushed_down(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(docs.filter(docs.lang == "fr").select("doc_id"))
