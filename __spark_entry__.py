@@ -204,6 +204,30 @@ def q_bm25_explain(spark, sf_dir):
                         id_col="doc_id", text_col="text", analyzer="simple")
 
 
+def q_prefix_match_idx(spark, sf_dir):
+    """ES prefix-query analog: dictionary expansion (term order,
+    capped) -> constant-score doc set, fully index-side."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_expanded,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return match_expanded(spark, idx, "win", mode="prefix",
+                          max_expansions=1000)
+
+
+def q_regex_match_idx(spark, sf_dir):
+    """ES regexp-query analog (full-term anchored match, Java∩RE2
+    pattern subset)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_expanded,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return match_expanded(spark, idx, "d[ue]p.*", mode="regex",
+                          max_expansions=1000)
+
+
 def q_bm25_topk_hot(spark, sf_dir):
     """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
     return _bm25(spark, sf_dir, "dup table merge", 10)
@@ -611,6 +635,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
+    "prefix_match_idx": q_prefix_match_idx,
+    "regex_match_idx": q_regex_match_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
@@ -787,6 +813,13 @@ SELECT doc_id FROM toks
 WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
       i -> toks[i] = 'query' AND toks[i + 1] = 'join')) > 0
 ORDER BY doc_id""",
+        "prefix_match_idx": f"""
+WITH {TOK_EXPLODED_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'win%' ORDER BY doc_id""",
+        "regex_match_idx": f"""
+WITH {TOK_EXPLODED_CTE}
+SELECT DISTINCT doc_id FROM tok
+WHERE regexp_full_match(term, 'd[ue]p.*') ORDER BY doc_id""",
         "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "exact_filter": ("SELECT doc_id, source, n_chars FROM documents "
                          "WHERE lang = 'fr'"),

@@ -121,6 +121,53 @@ def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame
     return verified.select("doc_id").orderBy("doc_id")
 
 
+def expand_terms(spark: SparkSession, index_path: str, pattern: str,
+                 mode: str = "prefix", max_expansions: int = 50,
+                 _meta=None, _dic=None) -> list[str]:
+    """Dictionary expansion for multi-term queries (ES prefix /
+    wildcard / regexp analog): scan the DICTIONARY (tiny — metadata
+    columns only, never postings) for terms matching the pattern and
+    return the first ``max_expansions`` in term order — exactly ES's
+    deterministic expansion cap. ``mode``: "prefix" (startswith) or
+    "regex" (Java regex, full-term anchored match like ES regexp).
+
+    A prefix pattern cannot prune term buckets (bucket = hash(term)),
+    so this reads every bucket's dictionary rows — still metadata-tiny
+    relative to any posting scan."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    dic = dictionary_df(spark, index_path) if _dic is None else _dic
+    if mode == "prefix":
+        m = dic.filter(F.col("term").startswith(pattern))
+    elif mode == "regex":
+        m = dic.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+    else:
+        raise ValueError(f"unknown expansion mode: {mode}")
+    rows = (m.select("term").distinct().orderBy("term")
+            .limit(max_expansions).collect())
+    return [r["term"] for r in rows]
+
+
+def match_expanded(spark: SparkSession, index_path: str, pattern: str,
+                   mode: str = "prefix",
+                   max_expansions: int = 50) -> DataFrame:
+    """doc_ids containing >=1 term matching the pattern
+    (constant-score, like ES prefix/wildcard/regexp queries)."""
+    meta = load_meta(index_path)
+    terms = expand_terms(spark, index_path, pattern, mode, max_expansions,
+                         _meta=meta)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    posts = _pruned_postings(spark, index_path, terms, meta)
+    decoded = posts.select(*_SCORE_COLS).mapInPandas(
+        _decode_score({t: 1.0 for t in terms},
+                      meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+    return (_live(decoded.select("doc_id"),
+                  tombstones_df(spark, index_path, meta))
+            .distinct().orderBy("doc_id"))
+
+
 def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:
     """doc_ids containing >=1 query term (disjunctive OR) — union + dedupe."""
     meta = load_meta(index_path)

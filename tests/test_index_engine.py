@@ -48,6 +48,34 @@ def test_index_topk_rank_identical(spark, corpus_rows, index_path, query, strate
         assert abs(r["score"] - s) < 1e-9
 
 
+def test_match_expanded_prefix_and_regex(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        expand_terms,
+        match_expanded,
+    )
+
+    # prefix: docs containing any id00* identifier
+    got = {r["doc_id"] for r in
+           match_expanded(spark, index_path, "id00", max_expansions=10000)
+           .collect()}
+    want = {d for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])
+            if any(tok.startswith("id00")
+                   for tok in tokenize_py(t, "code"))}
+    assert got == want and got
+    # expansion cap is deterministic: first N in term order
+    full = expand_terms(spark, index_path, "id0", max_expansions=10000)
+    assert expand_terms(spark, index_path, "id0", max_expansions=5) == \
+        sorted(full)[:5]
+    # regex is full-term anchored: 'id000.' must NOT match id0001x-less
+    # terms like id00001 (6 chars after anchor mismatch)
+    rx = expand_terms(spark, index_path, "id000.", mode="regex",
+                      max_expansions=10000)
+    assert rx and all(len(t) == 6 and t.startswith("id000") for t in rx)
+    # no match -> empty result, not an error
+    assert match_expanded(spark, index_path, "zzzz").count() == 0
+
+
 def test_topk_many_rank_identical(spark, corpus_rows, index_path):
     """Batched serving path: every query's block in the single-job
     result equals its solo scoreall ranking (ids AND scores)."""
