@@ -156,17 +156,34 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
     sets = sets.withColumn("sz", F.size("set")).persist()
     sets.count()
     sh.unpersist()
-    # prefix length: |S| - ceil(t*|S|) + 1
+    # prefix length: |S| - ceil(t*|S|) + 1; positions ride along for
+    # the PPJoin positional filter below
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = sets.select(
-        "doc_id", F.explode(F.slice("set", 1, plen)).alias("shingle"))
+        "doc_id", "sz",
+        F.posexplode(F.slice("set", 1, plen)).alias("pos", "shingle"))
+    # positional filter (PPJoin): at the FIRST shared prefix key the
+    # overlap is bounded by 1 + min(remaining suffixes) = min(sz - pos)
+    # (0-based pos); Jaccard >= t needs overlap >= t(szA+szB)/(1+t).
+    # max-over-keys of the bound >= the first-key bound, so filtering
+    # on it never drops a true pair; it kills the near-threshold
+    # collisions that dominate the verify join. The size-ratio filter
+    # (|A|,|B| within factor t) is implied by the same alpha.
+    alpha = (F.lit(threshold) * (F.col("sz_a") + F.col("sz_b"))
+             / F.lit(1.0 + threshold) - F.lit(1e-9))
+    bound = F.least(F.col("a.sz") - F.col("a.pos"),
+                    F.col("b.sz") - F.col("b.pos"))
     cands = (prefix.alias("a").join(
                  prefix.alias("b"),
                  (F.col("a.shingle") == F.col("b.shingle"))
                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"),
+                      F.col("a.sz").alias("sz_a"),
+                      F.col("b.sz").alias("sz_b"))
+             .agg(F.max(bound).alias("ubound"))
+             .filter(F.col("ubound") >= alpha)
+             .select("doc_a", "doc_b"))
     a = sets.select(F.col("doc_id").alias("doc_a"),
                     F.col("set").alias("set_a"), F.col("sz").alias("sz_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"),
