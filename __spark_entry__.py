@@ -228,6 +228,17 @@ def q_regex_match_idx(spark, sf_dir):
                           max_expansions=1000)
 
 
+def q_facet_counts_idx(spark, sf_dir):
+    """ES terms-aggregation analog over the index: docs matching the
+    query (OR) bucketed by the lang carry column."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        facet_counts,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return facet_counts(spark, idx, "spark window", "lang", mode="any")
+
+
 def q_bm25_topk_hot(spark, sf_dir):
     """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
     return _bm25(spark, sf_dir, "dup table merge", 10)
@@ -637,6 +648,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_idx": q_phrase_match_idx,
     "prefix_match_idx": q_prefix_match_idx,
     "regex_match_idx": q_regex_match_idx,
+    "facet_counts_idx": q_facet_counts_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
@@ -820,6 +832,11 @@ SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'win%' ORDER BY doc_id""",
 WITH {TOK_EXPLODED_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE regexp_full_match(term, 'd[ue]p.*') ORDER BY doc_id""",
+        "facet_counts_idx": f"""
+WITH {TOK_CTE}
+SELECT lang, count(*) AS n_docs FROM toks
+WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window')
+GROUP BY lang""",
         "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "exact_filter": ("SELECT doc_id, source, n_chars FROM documents "
                          "WHERE lang = 'fr'"),

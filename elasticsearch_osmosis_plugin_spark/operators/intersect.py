@@ -168,6 +168,28 @@ def match_expanded(spark: SparkSession, index_path: str, pattern: str,
             .distinct().orderBy("doc_id"))
 
 
+def facet_counts(spark: SparkSession, index_path: str, query: str,
+                 facet_col: str, mode: str = "any") -> DataFrame:
+    """ES terms-aggregation analog: bucket the docs matching ``query``
+    by a doc-store carry column -> (facet value, n_docs), count-desc
+    then value for deterministic order. ``mode``: "any" (OR semantics,
+    the ES filtered-agg default here) or "all" (AND).
+
+    Plan: matching doc ids (posting union/intersection) semi-join the
+    doc-store — which prunes its scan to (doc_id, facet_col) — then a
+    tiny groupBy on the facet values."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col)
+    return (ds.join(docs, "doc_id", "left_semi")
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
 def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:
     """doc_ids containing >=1 query term (disjunctive OR) — union + dedupe."""
     meta = load_meta(index_path)
