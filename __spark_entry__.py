@@ -228,6 +228,16 @@ def q_regex_match_idx(spark, sf_dir):
                           max_expansions=1000)
 
 
+def q_fuzzy_match_idx(spark, sf_dir):
+    """ES fuzzy-query analog: Levenshtein dictionary expansion
+    (closest-first, capped) -> constant-score doc set, index-side."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_fuzzy
+
+    idx = _index_for(spark, sf_dir)
+    return match_fuzzy(spark, idx, "windoe", max_edits=1,
+                       max_expansions=1000)
+
+
 def q_facet_counts_idx(spark, sf_dir):
     """ES terms-aggregation analog over the index: docs matching the
     query (OR) bucketed by the lang carry column."""
@@ -648,6 +658,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_idx": q_phrase_match_idx,
     "prefix_match_idx": q_prefix_match_idx,
     "regex_match_idx": q_regex_match_idx,
+    "fuzzy_match_idx": q_fuzzy_match_idx,
     "facet_counts_idx": q_facet_counts_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
@@ -832,6 +843,14 @@ SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'win%' ORDER BY doc_id""",
 WITH {TOK_EXPLODED_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE regexp_full_match(term, 'd[ue]p.*') ORDER BY doc_id""",
+        "fuzzy_match_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dict AS (SELECT DISTINCT term FROM tok),
+fz AS (SELECT term FROM dict
+       WHERE abs(length(term) - 6) <= 1 AND levenshtein(term, 'windoe') <= 1
+       ORDER BY levenshtein(term, 'windoe'), term LIMIT 1000)
+SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM fz)
+ORDER BY doc_id""",
         "facet_counts_idx": f"""
 WITH {TOK_CTE}
 SELECT lang, count(*) AS n_docs FROM toks

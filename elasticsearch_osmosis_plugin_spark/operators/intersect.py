@@ -148,6 +148,47 @@ def expand_terms(spark: SparkSession, index_path: str, pattern: str,
     return [r["term"] for r in rows]
 
 
+def expand_fuzzy(spark: SparkSession, index_path: str, term: str,
+                 max_edits: int = 1, max_expansions: int = 50,
+                 _dic=None) -> list[str]:
+    """ES fuzzy-query expansion: dictionary terms within Levenshtein
+    distance ``max_edits`` of ``term`` (ES AUTO fuzziness caps at 2).
+    A length pre-filter (||t|-|q|| <= max_edits) prunes the dictionary
+    scan before the edit-distance kernel runs; expansion is capped
+    deterministically by (distance, term) — closest first, exactly
+    ES's behavior of preferring nearer terms under the cap."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    dic = dictionary_df(spark, index_path) if _dic is None else _dic
+    cand = dic.filter(
+        F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
+    rows = (cand.select("term",
+                        F.levenshtein(F.col("term"), F.lit(term)).alias("d"))
+            .filter(F.col("d") <= max_edits)
+            .select("term", "d").distinct()
+            .orderBy("d", "term").limit(max_expansions).collect())
+    return [r["term"] for r in rows]
+
+
+def match_fuzzy(spark: SparkSession, index_path: str, term: str,
+                max_edits: int = 1,
+                max_expansions: int = 50) -> DataFrame:
+    """doc_ids containing >=1 term within ``max_edits`` of ``term``
+    (constant-score, ES fuzzy-query analog)."""
+    meta = load_meta(index_path)
+    terms = expand_fuzzy(spark, index_path, term, max_edits, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    posts = _pruned_postings(spark, index_path, terms, meta)
+    decoded = posts.select(*_SCORE_COLS).mapInPandas(
+        _decode_score({t: 1.0 for t in terms},
+                      meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+    return (_live(decoded.select("doc_id"),
+                  tombstones_df(spark, index_path, meta))
+            .distinct().orderBy("doc_id"))
+
+
 def match_expanded(spark: SparkSession, index_path: str, pattern: str,
                    mode: str = "prefix",
                    max_expansions: int = 50) -> DataFrame:

@@ -76,6 +76,51 @@ def test_match_expanded_prefix_and_regex(spark, corpus_rows, index_path):
     assert match_expanded(spark, index_path, "zzzz").count() == 0
 
 
+def test_match_fuzzy(spark, corpus_rows, index_path):
+    """ES fuzzy query: dictionary expansion by Levenshtein distance,
+    capped closest-first, then constant-score doc union."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        expand_fuzzy,
+        match_fuzzy,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    dictionary = sorted({t for ts in toks.values() for t in ts})
+    for q, max_edits in (("pubic", 1), ("statik", 1), ("id0x01", 2)):
+        want_terms = sorted(
+            ((lev(t, q), t) for t in dictionary if lev(t, q) <= max_edits))
+        got_terms = expand_fuzzy(spark, index_path, q, max_edits=max_edits,
+                                 max_expansions=10_000)
+        assert got_terms == [t for _, t in want_terms], q
+        got = [r["doc_id"] for r in
+               match_fuzzy(spark, index_path, q, max_edits=max_edits,
+                           max_expansions=10_000).collect()]
+        keep = set(t for _, t in want_terms)
+        want = sorted(d for d, ts in toks.items() if keep & set(ts))
+        assert got == want, q
+    # deterministic cap: closest-first, then term order
+    full = expand_fuzzy(spark, index_path, "id0001", max_edits=2,
+                        max_expansions=10_000)
+    assert expand_fuzzy(spark, index_path, "id0001", max_edits=2,
+                        max_expansions=5) == full[:5]
+    # exact term at distance 0 sorts first
+    assert full and full[0] == "id0001"
+    # no near term -> empty result, not an error
+    assert match_fuzzy(spark, index_path, "zzzzzzzzzz", max_edits=1).count() == 0
+
+
 def test_topk_many_rank_identical(spark, corpus_rows, index_path):
     """Batched serving path: every query's block in the single-job
     result equals its solo scoreall ranking (ids AND scores)."""
