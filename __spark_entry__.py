@@ -48,13 +48,23 @@ BM25_K1, BM25_B = 1.2, 0.75
 
 
 def _bm25_oracle_sql(terms: list[str], k: int,
-                     post_filter_sql: str | None = None) -> str:
+                     post_filter_sql: str | None = None,
+                     boosts: dict[str, float] | None = None,
+                     offset: int = 0) -> str:
     """``post_filter_sql``: restriction on which docs are RETURNED —
     joined in AFTER scoring (B6 semantics: scores/idf/avgdl stay
-    corpus-global, k-limit after the filter)."""
+    corpus-global, k-limit after the filter). ``boosts``: per-term
+    linear score multipliers (ES ^boost). ``offset``: skip the first
+    N ranked rows (search_after page twin)."""
     term_list = ", ".join(f"'{t}'" for t in terms)
     post = (f"JOIN documents d USING (doc_id) WHERE {post_filter_sql}"
             if post_filter_sql else "")
+    boost = ""
+    if boosts:
+        cases = " ".join(f"WHEN '{t}' THEN {float(w)!r}"
+                         for t, w in sorted(boosts.items()))
+        boost = f"(CASE tf.term {cases} ELSE 1.0 END) * "
+    off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
@@ -64,7 +74,7 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         sum( {boost}ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
               * tf.tf * ({BM25_K1} + 1.0)
               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
                                       + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
@@ -72,7 +82,7 @@ scored AS (
   GROUP BY tf.doc_id)
 SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
 {post}
-ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT {k}
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT {k}{off}
 """
 
 
@@ -127,7 +137,8 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return _IDX_CACHE[key]
 
 
-def _bm25_idx(spark, sf_dir, query, k, strategy, post_filter=None):
+def _bm25_idx(spark, sf_dir, query, k, strategy, post_filter=None,
+              boosts=None):
     from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
     from elasticsearch_osmosis_plugin_spark.operators.query import topk
 
@@ -135,7 +146,7 @@ def _bm25_idx(spark, sf_dir, query, k, strategy, post_filter=None):
     # fetch extra raw-ranked rows, then re-rank on the x1e4 fixed point
     # the oracle sorts on (rounding can reorder raw near-ties)
     raw = topk(spark, idx, query, k=k + 20, strategy=strategy,
-               post_filter=post_filter)
+               post_filter=post_filter, boosts=boosts)
     return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(k))
 
@@ -226,6 +237,104 @@ def q_regex_match_idx(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     return match_expanded(spark, idx, "d[ue]p.*", mode="regex",
                           max_expansions=1000)
+
+
+MLT_SRC_DOC = 7  # more_like_this source doc (exists at every SF)
+
+
+def q_bm25_topk_boosted(spark, sf_dir):
+    """Query-time per-term boost (ES ^boost analog): boost folds into
+    idf so MaxScore bounds scale with it — pruning stays exact."""
+    return _bm25_idx(spark, sf_dir, "dup table merge", 10, "maxscore",
+                     boosts={"dup": 3.0, "merge": 0.5})
+
+
+def q_search_after_idx(spark, sf_dir):
+    """ES search_after analog: keyset pagination at the x1e4 fixed
+    point — page 1's cursor (score_x1e4, doc_id) filters page 2 out of
+    the SAME scored relation (two jobs, one postings decode plan)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_after
+
+    idx = _index_for(spark, sf_dir)
+    raw = topk_after(spark, idx, "spark query join", k=40)
+    page = raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+    p1 = (page.orderBy(F.desc("score_x1e4"), F.asc("doc_id"))
+          .limit(10).collect())
+    s10, d10 = p1[-1]["score_x1e4"], p1[-1]["doc_id"]
+    return (page.filter((F.col("score_x1e4") < s10)
+                        | ((F.col("score_x1e4") == s10)
+                           & (F.col("doc_id") > d10)))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_more_like_this_idx(spark, sf_dir):
+    """ES more_like_this analog: top tf*idf terms of the source doc's
+    stored term vector -> BM25 top-k excluding the source."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        more_like_this,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = more_like_this(spark, idx, MLT_SRC_DOC, max_query_terms=5, k=30)
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_bool_query_idx(spark, sf_dir):
+    """ES bool query: must + should(minimum_should_match) + must_not,
+    set algebra over pruned posting streams."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_bool
+
+    idx = _index_for(spark, sf_dir)
+    return match_bool(spark, idx, must="spark", should="window dup",
+                      must_not="merge", minimum_should_match=1)
+
+
+def q_min_should_match_idx(spark, sf_dir):
+    """ES minimum_should_match: >= 2 of 4 optional terms."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_min_should,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return match_min_should(spark, idx, "spark window dup join", 2)
+
+
+def q_stats_agg_idx(spark, sf_dir):
+    """ES stats-aggregation analog over query hits (avg derived from
+    the exact integer sum for cross-engine determinism)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import stats_agg
+
+    idx = _index_for(spark, sf_dir)
+    s = stats_agg(spark, idx, "spark window", "dl", mode="any")
+    return s.select(
+        F.col("n"), F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        x1e4(F.col("sum_v").cast("double") / F.col("n")).alias("avg_x1e4"))
+
+
+def q_histogram_agg_idx(spark, sf_dir):
+    """ES histogram-aggregation analog: fixed-width dl buckets over
+    query hits."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        histogram_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return histogram_agg(spark, idx, "spark", "dl", 20, mode="any")
+
+
+def q_highlight_idx(spark, sf_dir):
+    """ES highlight analog: snippet around the first query-term
+    occurrence, positions decoded index-side."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import highlight
+
+    idx = _index_for(spark, sf_dir)
+    return highlight(spark, idx, "window dup", window=3)
 
 
 def q_fuzzy_match_idx(spark, sf_dir):
@@ -658,6 +767,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_idx": q_phrase_match_idx,
     "prefix_match_idx": q_prefix_match_idx,
     "regex_match_idx": q_regex_match_idx,
+    "bm25_topk_boosted": q_bm25_topk_boosted,
+    "search_after_idx": q_search_after_idx,
+    "more_like_this_idx": q_more_like_this_idx,
+    "bool_query_idx": q_bool_query_idx,
+    "min_should_match_idx": q_min_should_match_idx,
+    "stats_agg_idx": q_stats_agg_idx,
+    "histogram_agg_idx": q_histogram_agg_idx,
+    "highlight_idx": q_highlight_idx,
     "fuzzy_match_idx": q_fuzzy_match_idx,
     "facet_counts_idx": q_facet_counts_idx,
     "term_stats": q_term_stats,
@@ -843,6 +960,74 @@ SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'win%' ORDER BY doc_id""",
 WITH {TOK_EXPLODED_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE regexp_full_match(term, 'd[ue]p.*') ORDER BY doc_id""",
+        "bm25_topk_boosted": _bm25_oracle_sql(
+            sorted({"dup", "table", "merge"}), 10,
+            boosts={"dup": 3.0, "merge": 0.5}),
+        "search_after_idx": _bm25_oracle_sql(
+            sorted({"spark", "query", "join"}), 10, offset=10),
+        "more_like_this_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          GROUP BY term),
+srctf AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+          WHERE doc_id = {MLT_SRC_DOC} GROUP BY term),
+sel AS (SELECT s.term FROM srctf s JOIN dfall USING (term) CROSS JOIN stats
+        ORDER BY s.tf * ln(1.0 + (stats.n_docs - dfall.df + 0.5)
+                                 / (dfall.df + 0.5)) DESC, s.term
+        LIMIT 5),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+WHERE doc_id <> {MLT_SRC_DOC}
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10""",
+        "bool_query_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE list_contains(toks, 'spark')
+  AND (list_contains(toks, 'window') OR list_contains(toks, 'dup'))
+  AND NOT list_contains(toks, 'merge')
+ORDER BY doc_id""",
+        "min_should_match_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE list_contains(toks, 'spark')::INT + list_contains(toks, 'window')::INT
+    + list_contains(toks, 'dup')::INT + list_contains(toks, 'join')::INT >= 2
+ORDER BY doc_id""",
+        "stats_agg_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, len(toks) AS dl FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+SELECT count(*) AS n, min(dl) AS min_v, max(dl) AS max_v,
+       sum(dl)::BIGINT AS sum_v,
+       floor(sum(dl)::DOUBLE / count(*) * 10000.0 + 0.5)::BIGINT AS avg_x1e4
+FROM hits""",
+        "histogram_agg_idx": f"""
+WITH {TOK_CTE}
+SELECT (floor(len(toks) / 20.0) * 20)::BIGINT AS bucket,
+       count(*) AS n_docs
+FROM toks WHERE list_contains(toks, 'spark')
+GROUP BY 1 ORDER BY 1""",
+        "highlight_idx": f"""
+WITH {TOK_CTE},
+firstp AS (SELECT doc_id, toks,
+                  list_min(list_filter(generate_series(1, len(toks)),
+                           i -> toks[i] IN ('window', 'dup'))) AS p1
+           FROM toks)
+SELECT doc_id, (p1 - 1)::BIGINT AS first_pos,
+       array_to_string(list_slice(toks, greatest(1, p1 - 3),
+                                  least(len(toks), p1 + 3)), ' ') AS snippet
+FROM firstp WHERE p1 IS NOT NULL ORDER BY doc_id""",
         "fuzzy_match_idx": f"""
 WITH {TOK_EXPLODED_CTE},
 dict AS (SELECT DISTINCT term FROM tok),

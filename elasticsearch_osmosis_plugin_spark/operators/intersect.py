@@ -209,6 +209,173 @@ def match_expanded(spark: SparkSession, index_path: str, pattern: str,
             .distinct().orderBy("doc_id"))
 
 
+def stats_agg(spark: SparkSession, index_path: str, query: str,
+              value_col: str, mode: str = "any") -> DataFrame:
+    """ES stats-aggregation analog: count/min/max/sum/avg of a
+    doc-store numeric column over the docs matching ``query``.
+    One semi-join (hits prune the doc-store scan to (doc_id,
+    value_col)) + a scalar aggregate — no shuffle wider than the
+    matching doc-id stream."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    v = F.col(value_col)
+    return (ds.join(docs, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(v).alias("min_v"), F.max(v).alias("max_v"),
+                 F.sum(v).alias("sum_v"), F.avg(v).alias("avg_v")))
+
+
+def histogram_agg(spark: SparkSession, index_path: str, query: str,
+                  value_col: str, interval: float,
+                  mode: str = "any") -> DataFrame:
+    """ES histogram-aggregation analog: bucket a doc-store numeric
+    column of the matching docs by fixed-width intervals
+    (bucket = floor(v / interval) * interval, ES's exact rule) ->
+    (bucket, n_docs)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    bucket = (F.floor(F.col(value_col) / interval) * interval) \
+        .cast("long").alias("bucket")
+    return (ds.join(docs, "doc_id", "left_semi")
+            .groupBy(bucket).agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def highlight(spark: SparkSession, index_path: str, query: str,
+              window: int = 3) -> DataFrame:
+    """ES highlight analog: for every doc matching >=1 query term,
+    the token snippet around the FIRST occurrence (lowest position) of
+    any query term -> (doc_id, first_pos, snippet).
+
+    Index-side plan: decode the query terms' POSITION streams (never
+    the full corpus), min(pos) per doc, then one semi-joined doc-store
+    read slices the stored term vector around it — the doc-store scan
+    is pruned to (doc_id, tokens) of matching docs only."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame(
+            [], "doc_id long, first_pos long, snippet string")
+    if not meta.get("positions", False):
+        raise ValueError("highlight needs positional postings "
+                         "(store_positions=True)")
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("highlight needs the term-vector store")
+    live = sorted(dic["term"])
+    posts = _pruned_postings(spark, index_path, live, meta)
+    occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+           .mapInPandas(_decode_positions(live), POSITIONS_SCHEMA))
+    first = (_live(occ, tombstones_df(spark, index_path, meta))
+             .groupBy("doc_id").agg(F.min("pos").alias("first_pos")))
+    # stored positions are 0-based; slice() is 1-based
+    start = F.greatest(F.lit(1), F.col("first_pos") + 1 - window)
+    length = F.least(F.size("tokens"),
+                     F.col("first_pos") + 1 + window) - start + 1
+    return (ds.select("doc_id", "tokens").join(first, "doc_id")
+            .select("doc_id", "first_pos",
+                    F.array_join(F.slice("tokens", start, length), " ")
+                    .alias("snippet"))
+            .orderBy("doc_id"))
+
+
+def more_like_this(spark: SparkSession, index_path: str, like_doc_id: int,
+                   max_query_terms: int = 5, k: int = 10) -> DataFrame:
+    """ES more_like_this analog: select the source doc's
+    ``max_query_terms`` most characteristic terms (tf*idf descending,
+    term ascending — deterministic) from its stored term vector, then
+    run top-k BM25 with them, excluding the source doc itself.
+
+    The term-selection reads ONE doc-store row (doc_id-pruned parquet
+    scan) + a dictionary lookup; the retrieval is the standard pruned
+    topk path."""
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import idf, topk
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("more_like_this needs the term-vector store")
+    rows = (ds.filter(F.col("doc_id") == like_doc_id)
+            .select("tokens").collect())
+    if not rows:
+        raise KeyError(f"doc {like_doc_id} not found")
+    tf = Counter(rows[0]["tokens"])
+    dic = dictionary_rows(spark, index_path, sorted(tf), meta)
+    ranked = sorted(
+        ((-tf[r.term] * idf(meta["n_docs"], int(r.df)), r.term)
+         for r in dic.itertuples()))
+    terms = [t for _, t in ranked[:max_query_terms]]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    res = topk(spark, index_path, " ".join(terms), k=k + 1)
+    return (res.filter(F.col("doc_id") != like_doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def significant_terms(spark: SparkSession, index_path: str, query: str,
+                      size: int = 10, min_doc_count: int = 3,
+                      mode: str = "any") -> DataFrame:
+    """ES significant_terms aggregation analog: terms over-represented
+    in the query's hit set relative to the background corpus, scored
+    with ES's JLH heuristic
+
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    where fg_rate = df_fg / n_hits and bg_rate = df_bg / n_docs.
+
+    Plan: foreground doc frequencies come from the HIT DOCS' stored
+    term vectors (doc-store scan semi-join-pruned to the hit stream,
+    distinct terms exploded, one count per term); background
+    frequencies come from the DICTIONARY (metadata-only, no posting
+    decode). Output: (term, df_fg, df_bg, jlh) ordered jlh desc, term
+    asc, limit ``size`` — deterministic."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    meta = load_meta(index_path)
+    hits = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("significant_terms needs the term-vector store")
+    fg_docs = ds.select("doc_id", "tokens").join(hits, "doc_id", "left_semi")
+    fg = (fg_docs
+          .select(F.explode(F.array_distinct("tokens")).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("df_fg")))
+    n_fg = fg_docs.select(F.count(F.lit(1)).alias("n_fg"))
+    bg = (dictionary_df(spark, index_path)
+          .groupBy("term").agg(F.sum("df").alias("df_bg")))
+    n_docs = float(meta["n_docs"])
+    fg_rate = F.col("df_fg") / F.col("n_fg")
+    bg_rate = F.col("df_bg") / F.lit(n_docs)
+    return (fg.join(bg, "term").crossJoin(F.broadcast(n_fg))
+            .filter(F.col("df_fg") >= min_doc_count)
+            .select("term", "df_fg", "df_bg",
+                    ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("jlh"))
+            .orderBy(F.desc("jlh"), F.asc("term")).limit(size))
+
+
 def facet_counts(spark: SparkSession, index_path: str, query: str,
                  facet_col: str, mode: str = "any") -> DataFrame:
     """ES terms-aggregation analog: bucket the docs matching ``query``
@@ -229,6 +396,65 @@ def facet_counts(spark: SparkSession, index_path: str, query: str,
             .groupBy(facet_col)
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
+def match_min_should(spark: SparkSession, index_path: str, query: str,
+                     min_should_match: int) -> DataFrame:
+    """doc_ids containing >= ``min_should_match`` DISTINCT query terms
+    (ES minimum_should_match analog). One decode of the terms' postings
+    -> countDistinct(term) per doc -> threshold; degenerates to OR at 1
+    and to AND at n_terms."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty or len(dic) < min_should_match:
+        return spark.createDataFrame([], "doc_id long")
+    posts = _pruned_postings(spark, index_path, list(dic["term"]), meta)
+    decoded = posts.select(*_SCORE_COLS).mapInPandas(
+        _decode_score({t: 1.0 for t in dic["term"]},
+                      meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+    hits = (decoded.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_terms"))
+            .filter(F.col("n_terms") >= min_should_match))
+    return (_live(hits.select("doc_id"),
+                  tombstones_df(spark, index_path, meta))
+            .orderBy("doc_id"))
+
+
+def match_bool(spark: SparkSession, index_path: str, *,
+               must: str | None = None, should: str | None = None,
+               must_not: str | None = None,
+               minimum_should_match: int = 0) -> DataFrame:
+    """ES bool-query analog (filter context, constant score):
+
+    - ``must``: every term required (posting intersection);
+    - ``should``: optional terms; with ``minimum_should_match`` > 0 at
+      least that many DISTINCT should-terms must appear (when no must
+      clause is given, ES defaults min_should_match to 1 — mirrored
+      here);
+    - ``must_not``: docs containing ANY of these terms are excluded
+      (anti-join against the exclusion posting union — broadcast-able
+      when the excluded terms are rare, Catalyst picks it under AQE).
+
+    Composition is pure set algebra over doc-id streams; each clause's
+    postings are read once, bucket- and term-pruned."""
+    out = None
+    if must:
+        out = match_all_terms(spark, index_path, must)
+    if should:
+        msm = minimum_should_match
+        if msm <= 0 and out is None:
+            msm = 1  # pure-should bool: ES requires >=1 should hit
+        if msm > 0:
+            sh = match_min_should(spark, index_path, should, msm)
+            out = sh if out is None else out.join(sh, "doc_id", "left_semi")
+    if out is None:
+        raise ValueError("bool query needs a must or should clause")
+    if must_not:
+        ex = match_any_terms(spark, index_path, must_not)
+        out = out.join(ex, "doc_id", "left_anti")
+    return out.orderBy("doc_id")
 
 
 def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFrame:

@@ -159,8 +159,9 @@ def _decode_positions(terms: Sequence[str]):
 
 
 def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
-         strategy: str = "auto", *, post_filter=None, _meta=None,
-         _posts=None, _dic=None) -> DataFrame:
+         strategy: str = "auto", *, post_filter=None, boosts=None,
+         minimum_should_match: int = 0,
+         _meta=None, _posts=None, _dic=None) -> DataFrame:
     """Top-k BM25 -> DataFrame (doc_id, score), deterministic order.
 
     ``post_filter``: optional Column predicate over doc-store columns
@@ -170,7 +171,19 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
     predicate pushes down into the doc-store parquet scan; candidates
     reach the scorer as a broadcast-able semi-join, and every pruning
     bound (θ seed, MaxScore candidates, block-max phases) is computed
-    over the FILTERED ranking so pruning stays exact."""
+    over the FILTERED ranking so pruning stays exact.
+
+    ``boosts``: optional {term: weight} query-time boosts (ES ^boost
+    analog). A boost scales that term's partial score linearly, so it
+    folds into the per-term idf — every upper bound (MaxScore ub,
+    block-max scale, θ seed) scales with it and pruning stays exact.
+
+    ``minimum_should_match``: require >= m DISTINCT query terms per
+    returned doc (ES match-query msm). Forces the scoreall path:
+    MaxScore's θ bounds the UNRESTRICTED k-th score, which over-prunes
+    once the msm filter shrinks the ranking — correctness over
+    cleverness here (the msm count falls out of the same aggregation
+    that sums the score, so the only cost is scoring hot terms)."""
     meta = _meta if _meta is not None else load_meta(index_path)
     terms = query_terms(query, meta)
     dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
@@ -184,6 +197,9 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
                    .filter(post_filter).select("doc_id"))
     denied = tombstones_df(spark, index_path, meta)
     idf_by_term = {r.term: idf(meta["n_docs"], int(r.df)) for r in dic.itertuples()}
+    if boosts:
+        idf_by_term = {t: v * float(boosts.get(t, 1.0))
+                       for t, v in idf_by_term.items()}
     # wand_slack >= 1 keeps stored bounds valid after incremental
     # appends raised avgdl (see plans.build.append_index_group)
     slack = float(meta.get("wand_slack", 1.0))
@@ -194,6 +210,17 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
 
     if strategy not in ("auto", "scoreall", "maxscore", "blockmax"):
         raise ValueError(f"unknown strategy: {strategy}")
+    if minimum_should_match > 0:
+        if len(live_terms) < minimum_should_match:
+            return spark.createDataFrame([], "doc_id long, score double")
+        scores = (_scored(spark, index_path, live_terms, meta, idf_by_term,
+                          posts=_posts, allowed=allowed, denied=denied)
+                  .groupBy("doc_id")
+                  .agg(F.sum("partial").alias("score"),
+                       F.countDistinct("term").alias("_nt"))
+                  .filter(F.col("_nt") >= minimum_should_match)
+                  .select("doc_id", "score"))
+        return deterministic_topk(scores, k)
     if strategy == "auto":
         # maxscore pays off when some terms are much hotter than others
         dfs = dic["df"].astype(float)
@@ -215,6 +242,49 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
         return deterministic_topk(scores, k)
     return _topk_maxscore(spark, index_path, live_terms, meta, idf_by_term,
                           ub, k, posts=_posts, allowed=allowed, denied=denied)
+
+
+def topk_after(spark: SparkSession, index_path: str, query: str,
+               k: int = 10, *, after: tuple[float, int] | None = None,
+               post_filter=None, boosts=None,
+               _meta=None, _posts=None, _dic=None) -> DataFrame:
+    """Keyset pagination (ES search_after analog): the next ``k`` hits
+    strictly AFTER position ``after = (score, doc_id)`` in the global
+    (score desc, doc_id asc) ranking. ``after=None`` returns page 1.
+
+    Always scores every matching posting (scoreall): MaxScore /
+    block-max bound the k BEST scores and would prune exactly the docs
+    deeper pages need. Page cost is one pruned postings decode — the
+    cursor filter is a Catalyst predicate on the aggregated scores, so
+    paging N times never re-reads more than the query terms' postings.
+    """
+    meta = _meta if _meta is not None else load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+    denied = tombstones_df(spark, index_path, meta)
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    if boosts:
+        idf_by_term = {t: v * float(boosts.get(t, 1.0))
+                       for t, v in idf_by_term.items()}
+    scores = (_scored(spark, index_path, list(dic["term"]), meta,
+                      idf_by_term, posts=_posts, allowed=allowed,
+                      denied=denied)
+              .groupBy("doc_id").agg(F.sum("partial").alias("score")))
+    if after is not None:
+        s, d = float(after[0]), int(after[1])
+        scores = scores.filter(
+            (F.col("score") < s)
+            | ((F.col("score") == s) & (F.col("doc_id") > d)))
+    return deterministic_topk(scores, k)
 
 
 def topk_many(spark: SparkSession, index_path: str,
@@ -277,10 +347,12 @@ class Searcher:
             self.dic = self.dic.persist()
 
     def topk(self, query: str, k: int = 10, strategy: str = "auto",
-             post_filter=None) -> DataFrame:
+             post_filter=None, boosts=None,
+             minimum_should_match: int = 0) -> DataFrame:
         return topk(self.spark, self.index_path, query, k, strategy,
-                    post_filter=post_filter, _meta=self.meta,
-                    _posts=self.posts, _dic=self.dic)
+                    post_filter=post_filter, boosts=boosts,
+                    minimum_should_match=minimum_should_match,
+                    _meta=self.meta, _posts=self.posts, _dic=self.dic)
 
     def match_count(self, query: str) -> int:
         return match_count(self.spark, self.index_path, query,

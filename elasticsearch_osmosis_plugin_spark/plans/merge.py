@@ -201,6 +201,57 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
     return meta
 
 
+def index_stats(spark: SparkSession, index_path: str) -> dict:
+    """ES _stats API analog: one dict of index-level statistics.
+
+    Everything except the posting-row count comes from manifests and
+    metadata columns — no posting payload is ever decoded. Reference
+    analog: the final accounting the plugin logs after a build
+    (``IndexAdminService`` index-level introspection surface)."""
+    import os
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        dictionary_df,
+        load_meta,
+        postings_df,
+    )
+
+    meta = load_meta(index_path)
+    dic = dictionary_df(spark, index_path)
+    agg = dic.agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("n_tokens")).collect()[0]
+    n_blocks = postings_df(spark, index_path).count()
+
+    def _bytes(name: str) -> int:
+        root = catalog.table_path(index_path, name)
+        total = 0
+        for dirp, _, files in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(dirp, f))
+                         for f in files)
+        return total
+
+    groups = catalog.read_manifest(index_path, "docstats").get("n_groups")
+    return {
+        "n_docs": int(meta["n_docs"]),
+        "n_deleted": int(meta.get("tombstones_n", 0) or 0),
+        "n_terms": int(agg["n_terms"]),
+        "n_postings": int(agg["n_postings"]),
+        "n_tokens": int(agg["n_tokens"]),
+        "n_blocks": int(n_blocks),
+        "n_segments": int(meta.get("n_segments", 0)),
+        "n_groups": int(groups) if groups is not None else None,
+        "avgdl": float(meta["avgdl"]),
+        "analyzer": meta["analyzer"],
+        "positions": bool(meta.get("positions", False)),
+        "bytes_postings": _bytes("postings"),
+        "bytes_docstats": _bytes("docstats"),
+        "bytes_dictionary": _bytes("dictionary"),
+    }
+
+
 def drop_unmerged_groups(index_path: str) -> None:
     """Space reclaim after a successful compaction (optional)."""
     meta = load_meta(index_path)

@@ -190,6 +190,247 @@ def test_match_phrase(spark, corpus_rows, index_path):
     assert ph_docs <= and_docs
 
 
+def test_match_bool(spark, corpus_rows, index_path):
+    """ES bool query: must AND, should with minimum_should_match,
+    must_not exclusion — pure set algebra vs the python token sets."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_bool,
+        match_min_should,
+    )
+
+    toks = {d: set(tokenize_py(t, "code"))
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    # minimum_should_match thresholds: >=2 of 3 optional terms
+    should = ["id0001", "id0002", "id0003"]
+    got = [r["doc_id"] for r in
+           match_min_should(spark, index_path, " ".join(should), 2).collect()]
+    want = sorted(d for d, s in toks.items()
+                  if len(s & set(should)) >= 2)
+    assert got == want
+    # full bool: must + should(msm=1) + must_not (Zipf-head should
+    # terms + a hot must_not so every clause provably bites)
+    got = [r["doc_id"] for r in
+           match_bool(spark, index_path, must="public",
+                      should="id0000 id0001", must_not="static",
+                      minimum_should_match=1).collect()]
+    want = sorted(d for d, s in toks.items()
+                  if "public" in s and s & {"id0000", "id0001"}
+                  and "static" not in s)
+    assert got == want and got
+    # pure-should bool defaults msm to 1 (ES semantics)
+    got = {r["doc_id"] for r in
+           match_bool(spark, index_path, should="id0001 id0002").collect()}
+    want = {d for d, s in toks.items() if s & {"id0001", "id0002"}}
+    assert got == want
+    # must_not of a non-indexed term excludes nothing
+    base = {r["doc_id"] for r in
+            match_bool(spark, index_path, must="public").collect()}
+    got = {r["doc_id"] for r in
+           match_bool(spark, index_path, must="public",
+                      must_not="zzzznotaterm").collect()}
+    assert got == base
+    with pytest.raises(ValueError, match="must or should"):
+        match_bool(spark, index_path)
+
+
+def test_topk_boosts(spark, corpus_rows, index_path):
+    """Query-time term boosts scale that term's partial linearly and
+    stay exact under every pruning strategy."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.query import idf as idf_fn
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    query, boosts = "public id0042", {"id0042": 3.0}
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    # python oracle with boosted idf
+    toks = {d: tokenize_py(t, "code") for d, t in rows}
+    n, k1, b = len(rows), 1.2, 0.75
+    avgdl = sum(len(t) for t in toks.values()) / n
+    want = []
+    for d, ts in toks.items():
+        s = 0.0
+        for term in ("id0042", "public"):
+            tf = ts.count(term)
+            if not tf:
+                continue
+            df = sum(1 for x in toks.values() if term in x)
+            s += boosts.get(term, 1.0) * idf_fn(n, df) * tf * (k1 + 1) \
+                / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s:
+            want.append((-s, d))
+    want = [(d, -ns) for ns, d in sorted(want)[:10]]
+    for strategy in ("scoreall", "maxscore"):
+        got = topk(spark, index_path, query, k=10, strategy=strategy,
+                   boosts=boosts).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], strategy
+        for r, (_, s) in zip(got, want):
+            assert abs(r["score"] - s) < 1e-9
+
+
+def test_topk_after_pages_tile_ranking(spark, corpus_rows, index_path):
+    """search_after: successive pages concatenate to exactly the
+    one-shot deep ranking, no overlap, no gap."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_after
+
+    query = "public static"
+    deep = _oracle_ids(corpus_rows, query, 15)
+    pages, after = [], None
+    for _ in range(3):
+        page = topk_after(spark, index_path, query, k=5, after=after).collect()
+        pages.extend((r["doc_id"], r["score"]) for r in page)
+        after = (page[-1]["score"], page[-1]["doc_id"])
+    assert [d for d, _ in pages] == [d for d, _ in deep]
+    for (_, a), (_, b) in zip(pages, deep):
+        assert abs(a - b) < 1e-9
+
+
+def test_stats_and_histogram_agg(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        histogram_agg,
+        stats_agg,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    hits = {d for d, ts in toks.items() if "public" in ts}
+    dls = [len(toks[d]) for d in hits]
+    row = stats_agg(spark, index_path, "public", "dl").collect()[0]
+    assert (row["n"], row["min_v"], row["max_v"], row["sum_v"]) == \
+        (len(dls), min(dls), max(dls), sum(dls))
+    assert abs(row["avg_v"] - sum(dls) / len(dls)) < 1e-12
+    got = {r["bucket"]: r["n_docs"] for r in
+           histogram_agg(spark, index_path, "public", "dl", 50).collect()}
+    want: dict = {}
+    for v in dls:
+        want[(v // 50) * 50] = want.get((v // 50) * 50, 0) + 1
+    assert got == want
+
+
+def test_highlight(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import highlight
+
+    got = {r["doc_id"]: (r["first_pos"], r["snippet"]) for r in
+           highlight(spark, index_path, "id0042 id0007", window=2).collect()}
+    want = {}
+    for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"]):
+        ts = tokenize_py(t, "code")
+        pos = [i for i, tok in enumerate(ts) if tok in ("id0042", "id0007")]
+        if pos:
+            p = min(pos)
+            want[d] = (p, " ".join(ts[max(0, p - 2):p + 3]))
+    assert got == want and got
+
+
+def test_more_like_this(spark, corpus_rows, index_path):
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import more_like_this
+    from elasticsearch_osmosis_plugin_spark.operators.query import idf as idf_fn
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    src = corpus_rows["doc_id"][0]
+    n = len(toks)
+    tf = Counter(toks[src])
+    df = {t: sum(1 for x in toks.values() if t in x) for t in tf}
+    ranked = sorted((-tf[t] * idf_fn(n, df[t]), t) for t in tf)
+    terms = [t for _, t in ranked[:5]]
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    want = [(d, s) for d, s in
+            bm25_oracle(rows, " ".join(terms), k=11) if d != src][:10]
+    got = more_like_this(spark, index_path, src, max_query_terms=5,
+                         k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+    assert all(r["doc_id"] != src for r in got)
+
+
+def test_topk_minimum_should_match(spark, corpus_rows, index_path):
+    """msm on the scored match query: ranking = full scoreall ranking
+    restricted to docs matching >= m distinct terms."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    query, m = "public static void", 3
+    toks = {d: set(tokenize_py(t, "code"))
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    qset = {"public", "static", "void"}
+    keep = {d for d, s in toks.items() if len(s & qset) >= m}
+    full = _oracle_ids(corpus_rows, query, 10_000)
+    want = [(d, s) for d, s in full if d in keep][:10]
+    got = topk(spark, index_path, query, k=10,
+               minimum_should_match=m).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+    # the filter must actually bite: docs matched by the plain OR
+    # query but holding < m distinct terms exist and are excluded
+    or_matched = {d for d, _ in full}
+    assert keep < or_matched
+    deep = topk(spark, index_path, query, k=10_000,
+                minimum_should_match=m).collect()
+    assert {r["doc_id"] for r in deep} == keep
+    # msm > n_terms -> empty
+    assert topk(spark, index_path, query, k=10,
+                minimum_should_match=4).count() == 0
+
+
+def test_significant_terms(spark, corpus_rows, index_path):
+    """JLH-scored over-representation vs a python oracle; lang
+    stop-terms of the hit docs' language must dominate."""
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        significant_terms,
+    )
+
+    toks = {d: set(tokenize_py(t, "code"))
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    query = "public"  # java stop-term -> java-doc hit set
+    hits = {d for d, s in toks.items() if query in s}
+    n_fg, n_bg = len(hits), len(toks)
+    fg = Counter(t for d in hits for t in toks[d])
+    bg = Counter(t for s in toks.values() for t in s)
+    want = []
+    for t, dfg in fg.items():
+        if dfg < 3:
+            continue
+        fr, br = dfg / n_fg, bg[t] / n_bg
+        want.append((-(fr - br) * (fr / br), t))
+    want = [t for _, t in sorted(want)[:10]]
+    got = significant_terms(spark, index_path, query, size=10,
+                            min_doc_count=3).collect()
+    assert [r["term"] for r in got] == want
+    for r in got:
+        assert r["df_fg"] == fg[r["term"]] and r["df_bg"] == bg[r["term"]]
+    # the query term itself is maximally over-represented
+    assert got[0]["term"] == "public"
+
+
+def test_index_stats(spark, corpus_rows, index_path):
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.plans.merge import index_stats
+
+    st = index_stats(spark, index_path)
+    toks = [tokenize_py(t, "code") for t in corpus_rows["content"]]
+    all_terms = Counter(t for ts in toks for t in ts)
+    assert st["n_docs"] == len(toks) and st["n_deleted"] == 0
+    assert st["n_terms"] == len(all_terms)
+    assert st["n_tokens"] == sum(all_terms.values())
+    assert st["n_postings"] == sum(len(set(ts)) for ts in toks)
+    assert st["n_blocks"] > 0 and st["bytes_postings"] > 0
+    assert st["positions"] and st["analyzer"] == "code"
+    assert abs(st["avgdl"] - sum(len(t) for t in toks) / len(toks)) < 1e-9
+
+
 def test_meta_and_row_invariant(spark, corpus_df, index_path):
     import hashlib
 
