@@ -124,14 +124,15 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         build_index,
     )
 
-    key = hashlib.md5(f"{sf_dir}|{POSTING_SCHEMA}|v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{POSTING_SCHEMA}|v3".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"eosp_entry_idx_{key}", "index")
     if key not in _IDX_CACHE:
         if not os.path.exists(os.path.join(path, "meta.json")):
             cfg = EngineConfig(analyzer="simple", n_segments=8, n_buckets=8,
                                block_size=64, resume=False)
             build_index(spark, _t(spark, sf_dir, "documents"), path, cfg,
-                        id_col="doc_id", text_col="text", carry_cols=["lang"],
+                        id_col="doc_id", text_col="text",
+                        carry_cols=["lang", "source", "n_chars"],
                         n_groups=1)
         _IDX_CACHE[key] = path
     return _IDX_CACHE[key]
@@ -335,6 +336,55 @@ def q_highlight_idx(spark, sf_dir):
 
     idx = _index_for(spark, sf_dir)
     return highlight(spark, idx, "window dup", window=3)
+
+
+def q_suggest_term_idx(spark, sf_dir):
+    """ES term-suggester analog (did-you-mean): dictionary terms
+    within edit distance 2 of a misspelling, closest + most frequent
+    first — metadata-only, no posting decode."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_terms,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return suggest_terms(spark, idx, "dat", max_edits=2, size=5)
+
+
+def q_suggest_prefix_idx(spark, sf_dir):
+    """ES completion-suggester analog: prefix -> top terms by
+    collection frequency."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_prefix,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return suggest_prefix(spark, idx, "s", size=5)
+
+
+def q_cardinality_idx(spark, sf_dir):
+    """ES cardinality-aggregation analog (exact twin; the approx HLL
+    path is pytest-checked against this within rsd)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        cardinality_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return cardinality_agg(spark, idx, "spark window", "source", mode="any",
+                           exact=True)
+
+
+def q_significant_terms_idx(spark, sf_dir):
+    """ES significant_terms analog: JLH-scored over-representation of
+    hit-set terms vs the background corpus."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        significant_terms,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    s = significant_terms(spark, idx, "window dup", size=10, min_doc_count=3)
+    return s.select("term", "df_fg", "df_bg",
+                    x1e4(F.col("jlh")).alias("jlh_x1e4"))
 
 
 def q_fuzzy_match_idx(spark, sf_dir):
@@ -777,6 +827,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight_idx": q_highlight_idx,
     "fuzzy_match_idx": q_fuzzy_match_idx,
     "facet_counts_idx": q_facet_counts_idx,
+    "suggest_term_idx": q_suggest_term_idx,
+    "suggest_prefix_idx": q_suggest_prefix_idx,
+    "cardinality_idx": q_cardinality_idx,
+    "significant_terms_idx": q_significant_terms_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
@@ -1036,6 +1090,42 @@ fz AS (SELECT term FROM dict
        ORDER BY levenshtein(term, 'windoe'), term LIMIT 1000)
 SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM fz)
 ORDER BY doc_id""",
+        "suggest_term_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, levenshtein(term, 'dat') AS distance, df
+FROM dict
+WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
+ORDER BY distance, df DESC, term LIMIT 5""",
+        "suggest_prefix_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dict AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)
+SELECT term, cf FROM dict WHERE term LIKE 's%'
+ORDER BY cf DESC, term LIMIT 5""",
+        "cardinality_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, source FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+SELECT count(DISTINCT source) AS cardinality FROM hits""",
+        "significant_terms_idx": f"""
+WITH {TOK_CTE},
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+hits AS (SELECT doc_id FROM toks
+         WHERE list_contains(toks, 'window') OR list_contains(toks, 'dup')),
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM hits),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+fg AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
+       WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY term),
+bg AS (SELECT term, count(*)::DOUBLE AS df_bg FROM tokd GROUP BY term)
+SELECT term, df_fg::BIGINT AS df_fg, df_bg::BIGINT AS df_bg,
+  floor(((df_fg / n_fg) - (df_bg / n_docs))
+        * ((df_fg / n_fg) / (df_bg / n_docs)) * 10000.0 + 0.5)::BIGINT
+    AS jlh_x1e4
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nd
+WHERE df_fg >= 3
+ORDER BY ((df_fg / n_fg) - (df_bg / n_docs))
+         * ((df_fg / n_fg) / (df_bg / n_docs)) DESC, term
+LIMIT 10""",
         "facet_counts_idx": f"""
 WITH {TOK_CTE}
 SELECT lang, count(*) AS n_docs FROM toks

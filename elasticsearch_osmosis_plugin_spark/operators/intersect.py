@@ -472,3 +472,65 @@ def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFra
     return (_live(decoded.select("doc_id"),
                   tombstones_df(spark, index_path, meta))
             .distinct().orderBy("doc_id"))
+
+def suggest_terms(spark: SparkSession, index_path: str, text: str,
+                  max_edits: int = 2, size: int = 5,
+                  _dic=None) -> DataFrame:
+    """ES term-suggester analog (did-you-mean): dictionary terms within
+    Levenshtein distance ``max_edits`` of ``text``, ranked the way ES
+    ranks suggestions — distance ascending, then document frequency
+    descending (popularity), then term ascending for determinism.
+
+    Metadata-only plan: the DICTIONARY (term/df rows, no postings) is
+    length-prefiltered (||t|-|text|| <= max_edits prunes before the
+    edit-distance kernel), per-group rows are summed into corpus df,
+    and the final ranking is a tiny TakeOrderedAndProject."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    dic = dictionary_df(spark, index_path) if _dic is None else _dic
+    terms = dic.groupBy("term").agg(F.sum("df").alias("df"))
+    cand = terms.filter(
+        F.abs(F.length("term") - F.lit(len(text))) <= max_edits)
+    return (cand.select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(text)).alias("distance"),
+                "df")
+            .filter(F.col("distance") <= max_edits)
+            .orderBy("distance", F.desc("df"), "term").limit(size))
+
+
+def suggest_prefix(spark: SparkSession, index_path: str, prefix: str,
+                   size: int = 5, _dic=None) -> DataFrame:
+    """ES completion-suggester analog: dictionary terms starting with
+    ``prefix``, ranked by collection frequency descending (the
+    popularity weight ES completion entries carry), term ascending.
+    Same metadata-only dictionary plan as ``suggest_terms``."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    dic = dictionary_df(spark, index_path) if _dic is None else _dic
+    terms = dic.groupBy("term").agg(F.sum("cf").alias("cf"))
+    return (terms.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("cf"), "term").limit(size))
+
+
+def cardinality_agg(spark: SparkSession, index_path: str, query: str,
+                    value_col: str, mode: str = "any",
+                    exact: bool = True, rsd: float = 0.05) -> DataFrame:
+    """ES cardinality-aggregation analog: number of distinct values of
+    a doc-store column over the docs matching ``query``.
+
+    ``exact=True`` is the correctness baseline (count-distinct — a
+    shuffle on the value, fine when the hit set or value domain is
+    bounded). ``exact=False`` is the 100 TB path and what ES actually
+    ships: HyperLogLog++ via Spark's ``approx_count_distinct`` (one
+    pass, constant memory per partition, relative error ``rsd``)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    agg = (F.countDistinct(value_col) if exact
+           else F.approx_count_distinct(value_col, rsd))
+    return (ds.join(docs, "doc_id", "left_semi")
+            .agg(agg.alias("cardinality")))

@@ -589,3 +589,68 @@ def test_post_filter_semantics(spark, corpus_rows, index_path, strategy):
     # non-degenerate fixture: the filter must actually change the list
     unfiltered = [d for d, _ in _oracle_ids(corpus_rows, query, 10)]
     assert [r["doc_id"] for r in got] != unfiltered
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggesters(spark, corpus_rows, index_path):
+    """Term suggester (distance, df desc, term) and completion
+    suggester (cf desc, term) vs python oracles on the same corpus."""
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_prefix,
+        suggest_terms,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    df_ct = Counter(t for ts in toks.values() for t in set(ts))
+    cf_ct = Counter(t for ts in toks.values() for t in ts)
+
+    q = "pubic"
+    want = sorted((_lev(t, q), -df_ct[t], t)
+                  for t in df_ct if _lev(t, q) <= 2)[:5]
+    got = suggest_terms(spark, index_path, q, max_edits=2, size=5).collect()
+    assert [(r["distance"], -r["df"], r["term"]) for r in got] == want
+    assert want and want[0][0] <= 1  # non-degenerate: a close hit exists
+
+    pre = "id0"
+    wantp = sorted((-cf_ct[t], t) for t in cf_ct if t.startswith(pre))[:5]
+    gotp = suggest_prefix(spark, index_path, pre, size=5).collect()
+    assert [(-r["cf"], r["term"]) for r in gotp] == wantp
+    assert len(gotp) == 5  # the id-vocab has plenty of candidates
+
+
+def test_cardinality_agg(spark, corpus_rows, index_path):
+    """Exact cardinality == python distinct count; the HLL path lands
+    within a loose band of the exact value."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        cardinality_agg,
+    )
+
+    toks = {d: set(tokenize_py(t, "code"))
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    hits = {d for d, ts in toks.items() if {"public", "static"} & ts}
+    by_doc = dict(zip(corpus_rows["doc_id"], corpus_rows["repo"]))
+    want = len({by_doc[d] for d in hits})
+    assert want > 1  # non-degenerate fixture
+
+    exact = cardinality_agg(spark, index_path, "public static", "repo",
+                            mode="any").collect()[0]["cardinality"]
+    assert exact == want
+    approx = cardinality_agg(spark, index_path, "public static", "repo",
+                             mode="any", exact=False,
+                             rsd=0.05).collect()[0]["cardinality"]
+    assert abs(approx - exact) <= max(2, 0.2 * exact)
