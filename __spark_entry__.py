@@ -114,7 +114,7 @@ def q_bm25_topk(spark, sf_dir):
 _IDX_CACHE: dict[str, str] = {}
 
 
-def _index_for(spark: SparkSession, sf_dir: str) -> str:
+def _index_for(spark: SparkSession, sf_dir: str, field: str = "text") -> str:
     import hashlib
     import os
     import tempfile
@@ -124,15 +124,17 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         build_index,
     )
 
-    key = hashlib.md5(f"{sf_dir}|{POSTING_SCHEMA}|v3".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{sf_dir}|{POSTING_SCHEMA}|{field}|v3".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"eosp_entry_idx_{key}", "index")
     if key not in _IDX_CACHE:
         if not os.path.exists(os.path.join(path, "meta.json")):
             cfg = EngineConfig(analyzer="simple", n_segments=8, n_buckets=8,
                                block_size=64, resume=False)
             build_index(spark, _t(spark, sf_dir, "documents"), path, cfg,
-                        id_col="doc_id", text_col="text",
-                        carry_cols=["lang", "source", "n_chars"],
+                        id_col="doc_id", text_col=field,
+                        carry_cols=["lang", "n_chars"] +
+                                   (["source"] if field != "source" else []),
                         n_groups=1)
         _IDX_CACHE[key] = path
     return _IDX_CACHE[key]
@@ -336,6 +338,71 @@ def q_highlight_idx(spark, sf_dir):
 
     idx = _index_for(spark, sf_dir)
     return highlight(spark, idx, "window dup", window=3)
+
+
+def _rerank_score_x1e4(raw, k):
+    """Re-rank raw-scored rows at the x1e4 fixed point the oracle
+    sorts on (rounding can reorder raw near-ties)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(k))
+
+
+def q_function_score_idx(spark, sf_dir):
+    """ES function_score analog: BM25 * field_value_factor
+    (log1p of n_chars) — relevance reshaped by a document feature."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        field_value_factor,
+        function_score_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = function_score_topk(
+        spark, idx, "spark query", k=30,
+        functions=[field_value_factor("n_chars", 1.0, "log1p")])
+    return _rerank_score_x1e4(raw, 10)
+
+
+def q_decay_score_idx(spark, sf_dir):
+    """ES gauss-decay function_score: prefer docs whose n_chars is
+    near 300 (decays to 0.5 at distance 150)."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        decay_fn,
+        function_score_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = function_score_topk(
+        spark, idx, "spark query", k=30,
+        functions=[decay_fn("n_chars", 300.0, 150.0, decay=0.5,
+                            kind="gauss")])
+    return _rerank_score_x1e4(raw, 10)
+
+
+def q_dis_max_idx(spark, sf_dir):
+    """ES dis_max analog: best subquery score + tie_breaker * rest,
+    one postings decode for the union of subquery terms."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import dis_max_topk
+
+    idx = _index_for(spark, sf_dir)
+    raw = dis_max_topk(spark, idx, ["spark query", "dup merge table"],
+                       k=30, tie_breaker=0.3)
+    return _rerank_score_x1e4(raw, 10)
+
+
+def q_multi_match_idx(spark, sf_dir):
+    """ES multi_match best_fields analog: per-field indexes (text +
+    source keyword field), per-field BM25, dis_max combine."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        multi_match_best_fields,
+    )
+
+    txt = _index_for(spark, sf_dir)
+    src = _index_for(spark, sf_dir, field="source")
+    raw = multi_match_best_fields(spark, {"text": txt, "source": src},
+                                  "spark src3", k=30, tie_breaker=0.2)
+    return _rerank_score_x1e4(raw, 10)
 
 
 def q_suggest_term_idx(spark, sf_dir):
@@ -827,6 +894,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight_idx": q_highlight_idx,
     "fuzzy_match_idx": q_fuzzy_match_idx,
     "facet_counts_idx": q_facet_counts_idx,
+    "function_score_idx": q_function_score_idx,
+    "decay_score_idx": q_decay_score_idx,
+    "dis_max_idx": q_dis_max_idx,
+    "multi_match_idx": q_multi_match_idx,
     "suggest_term_idx": q_suggest_term_idx,
     "suggest_prefix_idx": q_suggest_prefix_idx,
     "cardinality_idx": q_cardinality_idx,
@@ -1090,6 +1161,113 @@ fz AS (SELECT term FROM dict
        ORDER BY levenshtein(term, 'windoe'), term LIMIT 1000)
 SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM fz)
 ORDER BY doc_id""",
+        "function_score_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT s.doc_id,
+       floor(s.s * ln(1.0 + d.n_chars::DOUBLE * 1.0) * 10000.0 + 0.5)::BIGINT
+         AS score_x1e4
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e4 DESC, s.doc_id LIMIT 10""",
+        "decay_score_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+w AS (SELECT doc_id,
+             exp(ln(0.5)
+                 * (greatest(0.0, abs(n_chars::DOUBLE - 300.0) - 0.0) / 150.0)
+                 * (greatest(0.0, abs(n_chars::DOUBLE - 300.0) - 0.0) / 150.0))
+               AS w
+      FROM documents)
+SELECT s.doc_id, floor(s.s * w.w * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM scored s JOIN w ON w.doc_id = s.doc_id
+ORDER BY score_x1e4 DESC, s.doc_id LIMIT 10""",
+        "dis_max_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('dup', 'merge', 'query', 'spark', 'table')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+part AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ({BM25_K1} + 1.0)
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                 + {BM25_B} * dl.dl / stats.avgdl)) AS p
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+s1 AS (SELECT doc_id, sum(p) AS s FROM part
+       WHERE term IN ('query', 'spark') GROUP BY doc_id),
+s2 AS (SELECT doc_id, sum(p) AS s FROM part
+       WHERE term IN ('dup', 'merge', 'table') GROUP BY doc_id),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+SELECT doc_id,
+       floor((max(s) + 0.3 * (sum(s) - max(s))) * 10000.0 + 0.5)::BIGINT
+         AS score_x1e4
+FROM u GROUP BY doc_id
+ORDER BY score_x1e4 DESC, doc_id LIMIT 10""",
+        "multi_match_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('spark', 'src3') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+s_text AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+stoks AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(source), '\\s+'),
+                             x -> x <> '') AS toks FROM documents),
+stok AS (SELECT doc_id, unnest(toks) AS term FROM stoks),
+sdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM stok GROUP BY doc_id),
+sstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM sdl),
+stf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM stok
+        WHERE term IN ('spark', 'src3') GROUP BY doc_id, term),
+sdf AS (SELECT term, count(*)::DOUBLE AS df FROM stf GROUP BY term),
+s_src AS (
+  SELECT stf.doc_id,
+         sum( ln(1.0 + (sstats.n_docs - sdf.df + 0.5) / (sdf.df + 0.5))
+              * stf.tf * ({BM25_K1} + 1.0)
+              / (stf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * sdl.dl / sstats.avgdl)) ) AS s
+  FROM stf JOIN sdl USING (doc_id) JOIN sdf USING (term) CROSS JOIN sstats
+  GROUP BY stf.doc_id),
+u AS (SELECT * FROM s_text UNION ALL SELECT * FROM s_src)
+SELECT doc_id,
+       floor((max(s) + 0.2 * (sum(s) - max(s))) * 10000.0 + 0.5)::BIGINT
+         AS score_x1e4
+FROM u GROUP BY doc_id
+ORDER BY score_x1e4 DESC, doc_id LIMIT 10""",
         "suggest_term_idx": f"""
 WITH {TOK_EXPLODED_CTE},
 dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)

@@ -1,0 +1,198 @@
+"""Score-shaping queries over the persisted index: ES function_score
+and dis_max analogs.
+
+Both compose the existing pruned scoring path (`operators.query`):
+posting decode happens ONCE per unique term, the doc-store is read
+only for the columns a score function needs, and the final ranking is
+a TakeOrderedAndProject — no extra shuffle beyond the score
+aggregation the plain match query already pays.
+
+Scale notes (100 TB design point):
+- function_score runs the scoreall path: a bounded function weight
+  (gauss/linear decay <= 1, log1p of a bounded field) WOULD let
+  MaxScore keep pruning (ub' = ub * w_max), but correctness across
+  arbitrary user functions cannot assume a bound — ES itself rescopes
+  function_score out of WAND for the same reason.
+- dis_max shares one postings decode across all subqueries; the
+  per-(query, doc) partial sums and the per-doc max/sum reuse the SAME
+  shuffle exchange (groupBy doc_id follows groupBy (query, doc_id) on
+  a superset key — Catalyst keeps the partitioning).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_osmosis_plugin_spark.operators.query import (
+    _scored,
+    dictionary_rows,
+    idf,
+    query_terms,
+)
+from elasticsearch_osmosis_plugin_spark.operators.topk import deterministic_topk
+from elasticsearch_osmosis_plugin_spark.plans.build import load_meta, tombstones_df
+
+
+def field_value_factor(field: str, factor: float = 1.0,
+                       modifier: str = "none"):
+    """ES field_value_factor function: weight = modifier(factor * v).
+
+    ``modifier``: "none" | "log1p" (ln(1 + x), ES's log1p) | "sqrt".
+    Returns a Column over the doc-store row."""
+    v = F.col(field).cast("double") * float(factor)
+    if modifier == "none":
+        return v
+    if modifier == "log1p":
+        return F.log(F.lit(1.0) + v)
+    if modifier == "sqrt":
+        return F.sqrt(v)
+    raise ValueError(f"unknown modifier: {modifier}")
+
+
+def decay_fn(field: str, origin: float, scale: float, *,
+             offset: float = 0.0, decay: float = 0.5,
+             kind: str = "gauss"):
+    """ES decay functions (gauss / exp / linear) over a numeric
+    doc-store column, exactly ES's parameterization: the weight is 1
+    within ``offset`` of ``origin`` and reaches ``decay`` at distance
+    ``offset + scale``."""
+    dist = F.greatest(F.lit(0.0),
+                      F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+                      - F.lit(float(offset)))
+    if kind == "gauss":
+        # exp(ln(decay) * (dist/scale)^2) — sigma^2 = -scale^2/(2 ln d)
+        return F.exp(F.lit(math.log(decay)) * (dist / scale) * (dist / scale))
+    if kind == "exp":
+        return F.exp(F.lit(math.log(decay)) * dist / scale)
+    if kind == "linear":
+        return F.greatest(F.lit(0.0),
+                          (F.lit(float(scale)) - dist) / float(scale))
+    raise ValueError(f"unknown decay kind: {kind}")
+
+
+def function_score_topk(spark: SparkSession, index_path: str, query: str,
+                        k: int = 10, *, functions: Sequence = (),
+                        boost_mode: str = "multiply") -> DataFrame:
+    """ES function_score analog: BM25 relevance reshaped by document
+    features -> deterministic top-k (doc_id, score).
+
+    ``functions``: Columns over doc-store rows (build them with
+    :func:`field_value_factor` / :func:`decay_fn`); multiple functions
+    multiply (ES score_mode=multiply default). ``boost_mode``:
+    "multiply" | "sum" | "replace" — how the function weight combines
+    with the BM25 score.
+
+    Plan: pruned scoreall BM25 (one postings decode, corpus-global
+    idf/avgdl) -> join the hit stream against the doc-store (hit
+    stream is the small side at any realistic selectivity; the store
+    scan reads only doc_id + the referenced feature columns) ->
+    Catalyst column expressions for the weights -> top-k."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    scores = (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term,
+                      denied=tombstones_df(spark, index_path, meta))
+              .groupBy("doc_id").agg(F.sum("partial").alias("_bm25")))
+    if not functions:
+        return deterministic_topk(
+            scores.select("doc_id", F.col("_bm25").alias("score")), k)
+    w = functions[0]
+    for fn in functions[1:]:
+        w = w * fn
+    ds = catalog.read_table(spark, index_path, "docstats")
+    joined = ds.join(scores, "doc_id").withColumn("_w", w)
+    if boost_mode == "multiply":
+        score = F.col("_bm25") * F.col("_w")
+    elif boost_mode == "sum":
+        score = F.col("_bm25") + F.col("_w")
+    elif boost_mode == "replace":
+        score = F.col("_w")
+    else:
+        raise ValueError(f"unknown boost_mode: {boost_mode}")
+    return deterministic_topk(
+        joined.select("doc_id", score.alias("score")), k)
+
+
+def dis_max_topk(spark: SparkSession, index_path: str,
+                 queries: Sequence[str], k: int = 10,
+                 tie_breaker: float = 0.0) -> DataFrame:
+    """ES dis_max analog over N match subqueries on the same field:
+
+        score(doc) = max_q s_q(doc) + tie_breaker * sum_{q != argmax} s_q
+
+    (best_fields semantics when the subqueries target per-field
+    indexes — see :func:`multi_match_best_fields`). One postings
+    decode for the UNION of all subquery terms; a tiny broadcast
+    (query_id, term) map fans partials out to their subqueries."""
+    meta = load_meta(index_path)
+    per_q = {f"q{i}": query_terms(q, meta) for i, q in enumerate(queries)}
+    uniq = sorted({t for ts in per_q.values() for t in ts})
+    dic = dictionary_rows(spark, index_path, uniq, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    live = set(dic["term"])
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    slots = spark.createDataFrame(
+        [(qid, t) for qid, ts in per_q.items() for t in ts if t in live],
+        "query_id string, term string")
+    partials = _scored(spark, index_path, sorted(live), meta, idf_by_term,
+                       denied=tombstones_df(spark, index_path, meta))
+    per_query = (partials.join(F.broadcast(slots), "term")
+                 .groupBy("query_id", "doc_id")
+                 .agg(F.sum("partial").alias("s")))
+    final = (per_query.groupBy("doc_id")
+             .agg(F.max("s").alias("_mx"), F.sum("s").alias("_sm"))
+             .select("doc_id",
+                     (F.col("_mx") + F.lit(float(tie_breaker))
+                      * (F.col("_sm") - F.col("_mx"))).alias("score")))
+    return deterministic_topk(final, k)
+
+
+def multi_match_best_fields(spark: SparkSession,
+                            field_indexes: dict[str, str], query: str,
+                            k: int = 10,
+                            tie_breaker: float = 0.0) -> DataFrame:
+    """ES multi_match type=best_fields analog: the query runs against
+    one persisted index PER FIELD (ES keeps one inverted index per
+    field the same way); per-field BM25 scores combine dis_max-style.
+
+    Each field's index contributes its own df/avgdl statistics —
+    exactly per-field BM25 as ES computes it. Per-field scoring uses
+    that index's pruned scoreall path; the cross-field combine is a
+    union + one groupBy on doc_id."""
+    scored = []
+    for field, path in field_indexes.items():
+        meta = load_meta(path)
+        terms = query_terms(query, meta)
+        dic = dictionary_rows(spark, path, terms, meta)
+        if dic.empty:
+            continue
+        idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                       for r in dic.itertuples()}
+        s = (_scored(spark, path, list(dic["term"]), meta, idf_by_term,
+                     denied=tombstones_df(spark, path, meta))
+             .groupBy("doc_id").agg(F.sum("partial").alias("s"))
+             .withColumn("field", F.lit(field)))
+        scored.append(s)
+    if not scored:
+        return SparkSession.getActiveSession().createDataFrame(
+            [], "doc_id long, score double")
+    allf = scored[0]
+    for s in scored[1:]:
+        allf = allf.unionByName(s)
+    final = (allf.groupBy("doc_id")
+             .agg(F.max("s").alias("_mx"), F.sum("s").alias("_sm"))
+             .select("doc_id",
+                     (F.col("_mx") + F.lit(float(tie_breaker))
+                      * (F.col("_sm") - F.col("_mx"))).alias("score")))
+    return deterministic_topk(final, k)

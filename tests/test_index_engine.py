@@ -654,3 +654,100 @@ def test_cardinality_agg(spark, corpus_rows, index_path):
                              mode="any", exact=False,
                              rsd=0.05).collect()[0]["cardinality"]
     assert abs(approx - exact) <= max(2, 0.2 * exact)
+
+
+def test_function_score_topk(spark, corpus_rows, index_path):
+    """BM25 * field_value_factor(log1p dl) and * gauss decay vs a
+    python re-ranking of the full BM25 oracle."""
+    import math
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        decay_fn,
+        field_value_factor,
+        function_score_topk,
+    )
+
+    full = dict(_oracle_ids(corpus_rows, "public static", 10_000))
+    dl = {d: len(tokenize_py(t, "code"))
+          for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+
+    want = sorted(((-s * math.log1p(dl[d]), d)
+                   for d, s in full.items()))[:10]
+    got = function_score_topk(
+        spark, index_path, "public static", k=10,
+        functions=[field_value_factor("dl", 1.0, "log1p")]).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (ns, _) in zip(got, want):
+        assert abs(r["score"] - (-ns)) < 1e-9
+
+    origin, scale = 200.0, 100.0
+    def gauss(v):
+        dist = max(0.0, abs(v - origin))
+        return math.exp(math.log(0.5) * (dist / scale) * (dist / scale))
+    wantg = sorted(((-s * gauss(dl[d]), d) for d, s in full.items()))[:10]
+    gotg = function_score_topk(
+        spark, index_path, "public static", k=10,
+        functions=[decay_fn("dl", origin, scale, decay=0.5,
+                            kind="gauss")]).collect()
+    assert [r["doc_id"] for r in gotg] == [d for _, d in wantg]
+    # the reshaping must actually bite vs plain BM25 order
+    plain = [d for d, _ in _oracle_ids(corpus_rows, "public static", 10)]
+    assert [r["doc_id"] for r in gotg] != plain
+
+
+def test_dis_max_topk(spark, corpus_rows, index_path):
+    """dis_max = max + tie_breaker * rest over two subqueries, scores
+    vs the python BM25 oracle per subquery."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import dis_max_topk
+
+    q1, q2, tie = "public static", "id0001 id0042", 0.3
+    s1 = dict(_oracle_ids(corpus_rows, q1, 10_000))
+    s2 = dict(_oracle_ids(corpus_rows, q2, 10_000))
+    want = []
+    for d in set(s1) | set(s2):
+        a, b = s1.get(d, 0.0), s2.get(d, 0.0)
+        vals = [v for v in (a, b) if v > 0.0]
+        mx, sm = max(vals), sum(vals)
+        want.append((-(mx + tie * (sm - mx)), d))
+    want = sorted(want)[:10]
+    got = dis_max_topk(spark, index_path, [q1, q2], k=10,
+                       tie_breaker=tie).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (ns, _) in zip(got, want):
+        assert abs(r["score"] - (-ns)) < 1e-9
+    # overlap sanity: some doc matches both subqueries
+    assert set(s1) & set(s2)
+
+
+def test_multi_match_best_fields(spark, corpus_rows, corpus_df,
+                                 index_path, tmp_path):
+    """Per-field indexes (content + repo keyword) combined
+    best_fields-style; per-field BM25 stats are field-local."""
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_oracle
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        multi_match_best_fields,
+    )
+
+    repo_idx = str(tmp_path / "repo_idx")
+    build_index(spark, corpus_df, repo_idx, CFG, id_col="doc_id",
+                text_col="repo", n_groups=1)
+    repo_val = corpus_rows["repo"][0]
+    query, tie = f"public {repo_val}", 0.2
+
+    rows_txt = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    rows_rep = list(zip(corpus_rows["doc_id"], corpus_rows["repo"]))
+    s_txt = dict(bm25_oracle(rows_txt, query, k=10_000))
+    s_rep = dict(bm25_oracle(rows_rep, query, k=10_000))
+    want = []
+    for d in set(s_txt) | set(s_rep):
+        vals = [v for v in (s_txt.get(d, 0.0), s_rep.get(d, 0.0)) if v > 0.0]
+        mx, sm = max(vals), sum(vals)
+        want.append((-(mx + tie * (sm - mx)), d))
+    want = sorted(want)[:10]
+    got = multi_match_best_fields(
+        spark, {"content": index_path, "repo": repo_idx}, query,
+        k=10, tie_breaker=tie).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (ns, _) in zip(got, want):
+        assert abs(r["score"] - (-ns)) < 1e-9
