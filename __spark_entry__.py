@@ -475,6 +475,52 @@ def q_facet_counts_idx(spark, sf_dir):
     return facet_counts(spark, idx, "spark window", "lang", mode="any")
 
 
+def q_rescore_idx(spark, sf_dir):
+    """ES rescore analog: re-rank the top-30 window of a cheap primary
+    query with a secondary query (score = 1.0*primary + 0.5*secondary,
+    ES score_mode=total); secondary decode is window-bounded."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import rescore_topk
+
+    idx = _index_for(spark, sf_dir)
+    raw = rescore_topk(spark, idx, "spark query join", "dup merge",
+                       k=30, window_size=30, query_weight=1.0,
+                       rescore_query_weight=0.5)
+    return _rerank_score_x1e4(raw, 10)
+
+
+def q_top_hits_idx(spark, sf_dir):
+    """ES terms-agg + top_hits sub-agg analog: per-lang top-3 hits by
+    BM25 (one postings decode; WindowGroupLimit n-per-group cut)."""
+    from pyspark.sql import Window as PW
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import top_hits
+
+    idx = _index_for(spark, sf_dir)
+    raw = top_hits(spark, idx, "spark window", "lang", n_hits=8)
+    w = PW.partitionBy("lang").orderBy(F.desc("score_x1e4"), F.asc("doc_id"))
+    return (raw.select("lang", "doc_id",
+                       x1e4(F.col("score")).alias("score_x1e4"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("lang", "rank", "doc_id", "score_x1e4")
+            .orderBy("lang", "rank"))
+
+
+def q_percentiles_idx(spark, sf_dir):
+    """ES percentiles-agg analog over query hits: exact twin under the
+    gate (dyadic pct fractions -> bit-identical interpolation across
+    engines); the approx (Greenwald-Khanna) path is pytest-checked."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        percentiles_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return percentiles_agg(spark, idx, "spark", "dl",
+                           percentiles=(0.25, 0.5, 0.75), mode="any",
+                           exact=True)
+
+
 def q_bm25_topk_hot(spark, sf_dir):
     """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
     return _bm25(spark, sf_dir, "dup table merge", 10)
@@ -902,6 +948,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_prefix_idx": q_suggest_prefix_idx,
     "cardinality_idx": q_cardinality_idx,
     "significant_terms_idx": q_significant_terms_idx,
+    "rescore_idx": q_rescore_idx,
+    "top_hits_idx": q_top_hits_idx,
+    "percentiles_idx": q_percentiles_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "boolean_and": q_boolean_and,
@@ -1304,6 +1353,68 @@ WHERE df_fg >= 3
 ORDER BY ((df_fg / n_fg) - (df_bg / n_docs))
          * ((df_fg / n_fg) / (df_bg / n_docs)) DESC, term
 LIMIT 10""",
+        "rescore_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('join', 'query', 'spark') GROUP BY doc_id, term),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+pscored AS (
+  SELECT ptf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+              * ptf.tf * ({BM25_K1} + 1.0)
+              / (ptf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / stats.avgdl)) ) AS p
+  FROM ptf JOIN dl USING (doc_id) JOIN pdf USING (term) CROSS JOIN stats
+  GROUP BY ptf.doc_id),
+win AS (SELECT doc_id, p FROM pscored ORDER BY p DESC, doc_id LIMIT 30),
+rtf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('dup', 'merge') GROUP BY doc_id, term),
+rdf AS (SELECT term, count(*)::DOUBLE AS df FROM rtf GROUP BY term),
+rscored AS (
+  SELECT rtf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - rdf.df + 0.5) / (rdf.df + 0.5))
+              * rtf.tf * ({BM25_K1} + 1.0)
+              / (rtf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / stats.avgdl)) ) AS r
+  FROM rtf JOIN dl USING (doc_id) JOIN rdf USING (term) CROSS JOIN stats
+  GROUP BY rtf.doc_id),
+comb AS (SELECT win.doc_id, 1.0 * win.p + 0.5 * coalesce(rscored.r, 0.0) AS s
+         FROM win LEFT JOIN rscored USING (doc_id))
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM comb
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10""",
+        "top_hits_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT d.lang, s.doc_id, floor(s.s * 10000.0 + 0.5)::BIGINT AS score_x1e4,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY floor(s.s * 10000.0 + 0.5) DESC,
+                                     s.doc_id) AS rank
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT lang, rank, doc_id, score_x1e4 FROM ranked WHERE rank <= 3
+ORDER BY lang, rank""",
+        "percentiles_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT len(toks) AS dl FROM toks WHERE list_contains(toks, 'spark'))
+SELECT pct, value FROM (
+  SELECT 0.25::DOUBLE AS pct, quantile_cont(dl, 0.25) AS value FROM hits
+  UNION ALL SELECT 0.5::DOUBLE, quantile_cont(dl, 0.5) FROM hits
+  UNION ALL SELECT 0.75::DOUBLE, quantile_cont(dl, 0.75) FROM hits)
+ORDER BY pct""",
         "facet_counts_idx": f"""
 WITH {TOK_CTE}
 SELECT lang, count(*) AS n_docs FROM toks

@@ -249,6 +249,41 @@ def histogram_agg(spark: SparkSession, index_path: str, query: str,
             .orderBy("bucket"))
 
 
+def percentiles_agg(spark: SparkSession, index_path: str, query: str,
+                    value_col: str,
+                    percentiles: tuple = (0.25, 0.5, 0.75, 0.95),
+                    mode: str = "any", exact: bool = True,
+                    accuracy: int = 10000) -> DataFrame:
+    """ES percentiles-aggregation analog: percentile estimates of a
+    doc-store numeric column over the docs matching ``query`` ->
+    (pct, value).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation at index p*(n-1) — the same rule DuckDB's
+    ``quantile_cont`` applies, giving a value-for-value oracle).
+    ``exact=False`` switches to ``percentile_approx`` (Greenwald-
+    Khanna sketch, mergeable map-side) — the 100 TB path, mirroring
+    how ES itself serves this agg with a t-digest sketch rather than
+    exact ranks."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    vals = ds.join(docs, "doc_id", "left_semi")
+    pcts = [float(p) for p in percentiles]
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
+    v = F.col(value_col).cast("double")
+    agg = (F.percentile(v, pct_arr) if exact
+           else F.percentile_approx(v, pct_arr, F.lit(int(accuracy))))
+    return (vals.agg(agg.alias("vs"))
+            .select(F.posexplode("vs").alias("pos", "value"))
+            .select(F.element_at(pct_arr, F.col("pos") + 1).alias("pct"),
+                    "value")
+            .orderBy("pct"))
+
+
 def highlight(spark: SparkSession, index_path: str, query: str,
               window: int = 3) -> DataFrame:
     """ES highlight analog: for every doc matching >=1 query term,

@@ -196,3 +196,103 @@ def multi_match_best_fields(spark: SparkSession,
                      (F.col("_mx") + F.lit(float(tie_breaker))
                       * (F.col("_sm") - F.col("_mx"))).alias("score")))
     return deterministic_topk(final, k)
+
+
+def _match_scores(spark, index_path, query, meta) -> DataFrame | None:
+    """Pruned scoreall BM25 of ``query`` -> (doc_id, score), or None
+    when no query term exists in the dictionary."""
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return None
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    return (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term,
+                    denied=tombstones_df(spark, index_path, meta))
+            .groupBy("doc_id").agg(F.sum("partial").alias("score")))
+
+
+def rescore_topk(spark: SparkSession, index_path: str, query: str,
+                 rescore_query: str, k: int = 10, *,
+                 window_size: int = 50, query_weight: float = 1.0,
+                 rescore_query_weight: float = 1.0) -> DataFrame:
+    """ES rescore analog: re-rank the top ``window_size`` hits of a
+    cheap first-pass query with a second (typically more selective)
+    query, combining
+
+        score = query_weight * primary + rescore_query_weight * secondary
+
+    (ES's default ``score_mode=total``). Docs outside the window are
+    never rescored; docs in the window that miss every rescore term
+    keep secondary = 0. The secondary idf/avgdl stay CORPUS-global
+    (dictionary stats), exactly as ES computes rescore scores.
+
+    Plan: first pass = pruned scoreall + TakeOrderedAndProject (the
+    window cut); the window id set (<= window_size rows) broadcasts
+    into the secondary decode as a semi-join, so the second pass
+    decodes only the rescore terms' postings and keeps only window
+    docs — at 100 TB the rescore cost is bounded by window_size, not
+    corpus size."""
+    meta = load_meta(index_path)
+    primary = _match_scores(spark, index_path, query, meta)
+    if primary is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # materialize the window ONCE (<= window_size rows — the same
+    # bounded set an ES shard holds in memory while rescoring); it
+    # feeds both the secondary semi-join and the final combine, and
+    # a local DataFrame avoids re-running the first pass per consumer
+    win_rows = deterministic_topk(primary, window_size).collect()
+    window = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in win_rows],
+        "doc_id long, _p double")
+    r_terms = query_terms(rescore_query, meta)
+    rdic = dictionary_rows(spark, index_path, r_terms, meta)
+    if rdic.empty:
+        combined = window.select(
+            "doc_id",
+            (F.lit(float(query_weight)) * F.col("_p")).alias("score"))
+        return deterministic_topk(combined, k)
+    idf_r = {r.term: idf(meta["n_docs"], int(r.df))
+             for r in rdic.itertuples()}
+    secondary = (_scored(spark, index_path, list(rdic["term"]), meta, idf_r,
+                         allowed=F.broadcast(window.select("doc_id")),
+                         denied=tombstones_df(spark, index_path, meta))
+                 .groupBy("doc_id").agg(F.sum("partial").alias("_r")))
+    combined = (window.join(secondary, "doc_id", "left")
+                .select("doc_id",
+                        (F.lit(float(query_weight)) * F.col("_p")
+                         + F.lit(float(rescore_query_weight))
+                         * F.coalesce(F.col("_r"), F.lit(0.0))).alias("score")))
+    return deterministic_topk(combined, k)
+
+
+def top_hits(spark: SparkSession, index_path: str, query: str,
+             bucket_col: str, n_hits: int = 3) -> DataFrame:
+    """ES terms-aggregation + top_hits sub-aggregation analog: for
+    every value of a doc-store field, the top ``n_hits`` matching docs
+    by BM25 score -> (bucket, rank, doc_id, score).
+
+    Plan: one postings decode for the query terms; the hit stream
+    joins the doc-store for the bucket column only; per-bucket ranking
+    is ``row_number() OVER (PARTITION BY bucket ORDER BY score DESC,
+    doc_id)`` with ``rank <= n`` — Spark's WindowGroupLimit pushes the
+    n-per-group cut below the shuffle, so only n_hits rows per bucket
+    per map partition ever move."""
+    from pyspark.sql import Window
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    scores = _match_scores(spark, index_path, query, meta)
+    if scores is None:
+        return spark.createDataFrame(
+            [], f"{bucket_col} string, rank int, doc_id long, score double")
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", bucket_col)
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scores.join(ds, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_hits)
+            .select(bucket_col, "rank", "doc_id", "score")
+            .orderBy(bucket_col, "rank"))

@@ -285,6 +285,68 @@ def test_topk_after_pages_tile_ranking(spark, corpus_rows, index_path):
         assert abs(a - b) < 1e-9
 
 
+def test_rescore_topk(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import rescore_topk
+
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    window = bm25_oracle(rows, "public static", k=20)
+    sec = dict(bm25_oracle(rows, "id0042 id0007", k=10**9))
+    comb = sorted(((d, 1.0 * p + 0.5 * sec.get(d, 0.0)) for d, p in window),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = rescore_topk(spark, index_path, "public static", "id0042 id0007",
+                       k=10, window_size=20, rescore_query_weight=0.5).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in comb]
+    for r, (_, s) in zip(got, comb):
+        assert abs(r["score"] - s) < 1e-9
+    # rescore query with no dictionary term: pure primary re-rank
+    got2 = rescore_topk(spark, index_path, "public static", "zzz_nonterm",
+                        k=5, window_size=20).collect()
+    assert [r["doc_id"] for r in got2] == \
+        [d for d, _ in bm25_oracle(rows, "public static", k=5)]
+
+
+def test_top_hits(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import top_hits
+
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    ranked = bm25_oracle(rows, "buffer hash", k=10**9)
+    lang = dict(zip(corpus_rows["doc_id"], corpus_rows["lang"]))
+    per: dict = {}
+    for d, s in ranked:  # already (-score, doc_id) sorted
+        per.setdefault(lang[d], []).append((d, s))
+    want = {(b, i): ds for b, lst in per.items()
+            for i, ds in enumerate(lst[:3], 1)}
+    got = top_hits(spark, index_path, "buffer hash", "lang",
+                   n_hits=3).collect()
+    got_map = {(r["lang"], r["rank"]): (r["doc_id"], r["score"]) for r in got}
+    assert set(got_map) == set(want) and len(want) > 3
+    for key, (d, s) in want.items():
+        assert got_map[key][0] == d
+        assert abs(got_map[key][1] - s) < 1e-9
+
+
+def test_percentiles_agg(spark, corpus_rows, index_path):
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        percentiles_agg,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    dls = sorted(len(ts) for ts in toks.values() if "public" in ts)
+    got = {r["pct"]: r["value"] for r in
+           percentiles_agg(spark, index_path, "public", "dl").collect()}
+    for p in (0.25, 0.5, 0.75, 0.95):
+        assert abs(got[p] - np.quantile(np.array(dls, float), p)) < 1e-9
+    ap = {r["pct"]: r["value"] for r in
+          percentiles_agg(spark, index_path, "public", "dl",
+                          exact=False).collect()}
+    assert set(ap) == {0.25, 0.5, 0.75, 0.95}
+    assert all(v in dls for v in ap.values())
+
+
 def test_stats_and_histogram_agg(spark, corpus_rows, index_path):
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
     from elasticsearch_osmosis_plugin_spark.operators.intersect import (
