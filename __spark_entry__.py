@@ -475,6 +475,34 @@ def q_facet_counts_idx(spark, sf_dir):
     return facet_counts(spark, idx, "spark window", "lang", mode="any")
 
 
+def q_span_near_idx(spark, sf_dir):
+    """ES/Lucene span_near (in order): terms within slop intervening
+    positions, checked index-side over positional postings."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import span_near
+
+    idx = _index_for(spark, sf_dir)
+    return span_near(spark, idx, "spark join", slop=4, in_order=True)
+
+
+def q_span_near_unordered_idx(spark, sf_dir):
+    """span_near with in_order=False: any-order window containment."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import span_near
+
+    idx = _index_for(spark, sf_dir)
+    return span_near(spark, idx, "merge window", slop=8, in_order=False)
+
+
+def q_phrase_prefix_idx(spark, sf_dir):
+    """ES match_phrase_prefix: fixed terms contiguous + ANY dictionary
+    expansion of the trailing prefix at the next position."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase_prefix,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return match_phrase_prefix(spark, idx, "query jo", max_expansions=1000)
+
+
 def q_rescore_idx(spark, sf_dir):
     """ES rescore analog: re-rank the top-30 window of a cheap primary
     query with a secondary query (score = 1.0*primary + 0.5*secondary,
@@ -948,6 +976,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_prefix_idx": q_suggest_prefix_idx,
     "cardinality_idx": q_cardinality_idx,
     "significant_terms_idx": q_significant_terms_idx,
+    "span_near_idx": q_span_near_idx,
+    "span_near_unordered_idx": q_span_near_unordered_idx,
+    "phrase_prefix_idx": q_phrase_prefix_idx,
     "rescore_idx": q_rescore_idx,
     "top_hits_idx": q_top_hits_idx,
     "percentiles_idx": q_percentiles_idx,
@@ -1353,6 +1384,28 @@ WHERE df_fg >= 3
 ORDER BY ((df_fg / n_fg) - (df_bg / n_docs))
          * ((df_fg / n_fg) / (df_bg / n_docs)) DESC, term
 LIMIT 10""",
+        "span_near_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, len(toks)), i ->
+      toks[i] = 'spark' AND len(list_filter(
+        generate_series(i + 1, least(i + 5, len(toks))),
+        j -> toks[j] = 'join')) > 0)) > 0
+ORDER BY doc_id""",
+        "span_near_unordered_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, len(toks)), i ->
+      toks[i] = 'merge' AND len(list_filter(
+        generate_series(greatest(i - 9, 1), least(i + 9, len(toks))),
+        j -> toks[j] = 'window')) > 0)) > 0
+ORDER BY doc_id""",
+        "phrase_prefix_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(toks) >= 2 AND len(list_filter(generate_series(1, len(toks) - 1),
+      i -> toks[i] = 'query' AND starts_with(toks[i + 1], 'jo'))) > 0
+ORDER BY doc_id""",
         "rescore_idx": f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

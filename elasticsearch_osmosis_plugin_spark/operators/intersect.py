@@ -121,6 +121,164 @@ def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame
     return verified.select("doc_id").orderBy("doc_id")
 
 
+def _slot_position_lists(spark, index_path, slot_terms, cands, meta):
+    """Decode the position streams of the (slot, term) pairs, keep
+    candidate docs, and pivot to one row per doc with a slot->sorted
+    positions map -> (doc_id, m) for docs where EVERY slot has >=1
+    occurrence. ``slot_terms`` may map several terms to one slot
+    (phrase-prefix expansions) or one term to several slots."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+
+    uniq = sorted({t for _, t in slot_terms})
+    posts = _pruned_postings(spark, index_path, uniq, meta)
+    occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+           .mapInPandas(_decode_positions(uniq), POSITIONS_SCHEMA)
+           .join(cands, "doc_id", "left_semi"))
+    slots = spark.createDataFrame(list(slot_terms), "slot int, term string")
+    n_slots = len({s for s, _ in slot_terms})
+    per = (occ.join(F.broadcast(slots), "term")
+           .groupBy("doc_id", "slot")
+           .agg(F.sort_array(F.collect_set("pos")).alias("poss")))
+    return (per.groupBy("doc_id")
+            .agg(F.map_from_entries(
+                     F.collect_list(F.struct("slot", "poss"))).alias("m"),
+                 F.count(F.lit(1)).alias("_ns"))
+            .filter(F.col("_ns") == n_slots))
+
+
+def span_near(spark: SparkSession, index_path: str, phrase: str,
+              slop: int = 0, in_order: bool = True) -> DataFrame:
+    """ES/Lucene span_near analog over positional postings: doc_ids
+    where the phrase's terms all occur within ``slop`` intervening
+    positions (Lucene rule: span_length - n_terms <= slop; slop=0 +
+    in_order=True degenerates to match_phrase).
+
+    - ``in_order=True``: exists positions p_1 < ... < p_k (one per
+      term, phrase order) with p_k - p_1 - (k-1) <= slop. Checked by
+      the greedy chain (next = smallest occurrence after the running
+      position), which provably minimizes p_k for each start p_1.
+    - ``in_order=False``: exists a window of span <= slop + k covering
+      one occurrence of every term (smallest-range check anchored at
+      each candidate start position). Requires distinct terms (a
+      repeated term could otherwise reuse one occurrence twice).
+
+    Plan: candidate docs = posting intersection; ONE positions decode
+    for the term set; per-doc slot->positions map; the existence check
+    is a pure Catalyst expression (exists/aggregate over arrays) — no
+    per-row Python, work per doc bounded by its occurrence counts."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+
+    meta = load_meta(index_path)
+    terms = tokenize_py(phrase, meta["analyzer"],
+                        min_len=meta.get("min_token_len", 1),
+                        max_len=meta.get("max_token_len", 64))  # ordered!
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    if not meta.get("positions", False):
+        raise ValueError("span_near needs positional postings "
+                         "(store_positions=True)")
+    if not in_order and len(set(terms)) < len(terms):
+        raise ValueError("unordered span_near requires distinct terms")
+    cands = match_all_terms(spark, index_path, phrase)
+    if len(terms) == 1:
+        return cands
+    k = len(terms)
+    doc = _slot_position_lists(spark, index_path,
+                               list(enumerate(terms)), cands, meta)
+    lists = [F.col("m")[i] for i in range(k)]
+
+    if in_order:
+        rest = F.array(*lists[1:])
+
+        def ok(s):
+            chain = F.aggregate(
+                rest, s,
+                lambda acc, arr: F.when(
+                    acc.isNull(), F.lit(None).cast("long")
+                ).otherwise(F.array_min(F.filter(arr, lambda x: x > acc))))
+            return F.coalesce(chain - s - F.lit(k - 1) <= F.lit(slop),
+                              F.lit(False))
+
+        pred = F.exists(lists[0], ok)
+    else:
+        allv = F.array(*lists)
+
+        def ok(s):
+            # max over slots of (smallest occurrence >= s); null if any
+            # slot has none — the tightest window anchored at s.
+            # greatest() SKIPS nulls, so an empty filter must null the
+            # accumulator explicitly or a missing slot looks satisfied.
+            def merge(acc, arr):
+                nxt = F.array_min(F.filter(arr, lambda x: x >= s))
+                return F.when(acc.isNull() | nxt.isNull(),
+                              F.lit(None).cast("long")) \
+                    .otherwise(F.greatest(acc, nxt))
+
+            far = F.aggregate(allv, s, merge)
+            return F.coalesce(far - s - F.lit(k - 1) <= F.lit(slop),
+                              F.lit(False))
+
+        pred = F.exists(F.array_sort(F.array_distinct(F.flatten(allv))), ok)
+    return doc.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+def match_phrase_prefix(spark: SparkSession, index_path: str, phrase: str,
+                        max_expansions: int = 50) -> DataFrame:
+    """ES match_phrase_prefix analog: the last term is treated as a
+    PREFIX — the phrase matches when the fixed terms are contiguous and
+    the next position holds ANY dictionary expansion of the prefix
+    (capped at ``max_expansions`` in term order, ES's deterministic
+    cap).
+
+    Plan: dictionary expansion (metadata-only) -> positions decode for
+    fixed terms + expansions -> the same (pos - slot) alignment groupBy
+    as match_phrase, with every expansion mapped to the LAST slot."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+
+    meta = load_meta(index_path)
+    terms = tokenize_py(phrase, meta["analyzer"],
+                        min_len=meta.get("min_token_len", 1),
+                        max_len=meta.get("max_token_len", 64))  # ordered!
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    fixed, prefix = terms[:-1], terms[-1]
+    expansions = expand_terms(spark, index_path, prefix, mode="prefix",
+                              max_expansions=max_expansions, _meta=meta)
+    if not expansions:
+        return spark.createDataFrame([], "doc_id long")
+    if not fixed:
+        return match_expanded(spark, index_path, prefix, mode="prefix",
+                              max_expansions=max_expansions)
+    if not meta.get("positions", False):
+        raise ValueError("match_phrase_prefix needs positional postings "
+                         "(store_positions=True)")
+    cands = match_all_terms(spark, index_path, " ".join(fixed))
+    slot_terms = ([(i, t) for i, t in enumerate(fixed)]
+                  + [(len(fixed), e) for e in expansions])
+    uniq = sorted({t for _, t in slot_terms})
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+
+    posts = _pruned_postings(spark, index_path, uniq, meta)
+    occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+           .mapInPandas(_decode_positions(uniq), POSITIONS_SCHEMA)
+           .join(cands, "doc_id", "left_semi"))
+    slots = spark.createDataFrame(slot_terms, "slot int, term string")
+    n = len(fixed) + 1
+    aligned = (occ.join(F.broadcast(slots), "term")
+               .select("doc_id", (F.col("pos") - F.col("slot")).alias("apos"),
+                       "slot"))
+    hits = (aligned.groupBy("doc_id", "apos")
+            .agg(F.countDistinct("slot").alias("n_slots"))
+            .filter(F.col("n_slots") == n))
+    return hits.select("doc_id").distinct().orderBy("doc_id")
+
+
 def expand_terms(spark: SparkSession, index_path: str, pattern: str,
                  mode: str = "prefix", max_expansions: int = 50,
                  _meta=None, _dic=None) -> list[str]:

@@ -325,6 +325,80 @@ def test_top_hits(spark, corpus_rows, index_path):
         assert abs(got_map[key][1] - s) < 1e-9
 
 
+def _span_oracle(toks, terms, slop, in_order):
+    import itertools
+
+    poss = [[i for i, x in enumerate(toks) if x == t] for t in terms]
+    if any(not p for p in poss):
+        return False
+    for combo in itertools.product(*poss):
+        if in_order:
+            if all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)) \
+                    and combo[-1] - combo[0] - (len(combo) - 1) <= slop:
+                return True
+        elif len(set(combo)) == len(combo) \
+                and max(combo) - min(combo) - (len(combo) - 1) <= slop:
+            return True
+    return False
+
+
+def test_span_near(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase,
+        span_near,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    # slop=0 in order == match_phrase (contiguity)
+    got0 = {r["doc_id"] for r in
+            span_near(spark, index_path, "public static", slop=0).collect()}
+    assert got0 == {r["doc_id"] for r in
+                    match_phrase(spark, index_path, "public static").collect()}
+    cases = [("public static", 2, True), ("buffer hash", 5, False),
+             ("public static void", 3, True), ("byte buffer", 4, False)]
+    for phrase, slop, in_order in cases:
+        terms = phrase.split()
+        got = {r["doc_id"] for r in
+               span_near(spark, index_path, phrase, slop=slop,
+                         in_order=in_order).collect()}
+        want = {d for d, ts in toks.items()
+                if _span_oracle(ts, terms, slop, in_order)}
+        assert got == want, (phrase, slop, in_order)
+    assert {r["doc_id"] for r in
+            span_near(spark, index_path, "public static",
+                      slop=2, in_order=True).collect()} >= got0
+    with pytest.raises(ValueError):
+        span_near(spark, index_path, "dup dup", slop=3, in_order=False)
+
+
+def test_match_phrase_prefix(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase_prefix,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    got = {r["doc_id"] for r in
+           match_phrase_prefix(spark, index_path, "public sta",
+                               max_expansions=1000).collect()}
+    want = {d for d, ts in toks.items()
+            if any(a == "public" and b.startswith("sta")
+                   for a, b in zip(ts, ts[1:]))}
+    assert got == want and got
+    # bare prefix (no fixed terms) degenerates to the prefix query
+    got1 = {r["doc_id"] for r in
+            match_phrase_prefix(spark, index_path, "sta",
+                                max_expansions=1000).collect()}
+    want1 = {d for d, ts in toks.items()
+             if any(t.startswith("sta") for t in ts)}
+    assert got1 == want1
+    # unmatched prefix -> empty, not an error
+    assert match_phrase_prefix(spark, index_path, "public zzzz").count() == 0
+
+
 def test_percentiles_agg(spark, corpus_rows, index_path):
     import numpy as np
 
