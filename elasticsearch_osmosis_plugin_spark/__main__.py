@@ -1,0 +1,243 @@
+"""spark-submit entry point: build / query / maintain an index from
+the command line.
+
+The north-rule deployment shape is ``spark-submit --py-files`` on a
+multi-executor cluster (reference analog: the osmosis pipeline task
+invocation wiring, ``ElasticSearchWriterFactory.java:21-61`` — the
+plugin's CLI surface is osmosis ``--write-elasticsearch`` task args;
+here the same knobs arrive as argparse flags). Typical use::
+
+    # package the library once for --py-files
+    python -m elasticsearch_osmosis_plugin_spark package --out eosp.zip
+
+    spark-submit --py-files eosp.zip -m elasticsearch_osmosis_plugin_spark ...
+    # or, equivalently, ship a driver script that calls main()
+
+    # local smoke (no cluster): master defaults to local[*]
+    python -m elasticsearch_osmosis_plugin_spark build \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --index /tmp/idx --id-col doc_id --text-col text --analyzer simple
+    python -m elasticsearch_osmosis_plugin_spark query \
+        --index /tmp/idx --query "spark query join" --k 10
+
+Under spark-submit the session respects the submitted master/conf
+(no master is forced); standalone ``python -m`` falls back to
+``local[*]``. Results print as JSON lines on stdout (one per row) so
+the CLI composes with shell pipelines; ``--output`` writes parquet
+instead for cluster-sized results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(args):
+    from pyspark import SparkConf
+
+    from elasticsearch_osmosis_plugin_spark.session import get_session
+
+    master = getattr(args, "master", None)
+    if not master and not SparkConf().contains("spark.master"):
+        master = "local[*]"  # standalone python -m; spark-submit sets conf
+    return get_session(app_name="eosp-cli", master=master,
+                       shuffle_partitions=args.shuffle_partitions)
+
+
+def _emit(df, args) -> None:
+    if getattr(args, "output", None):
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return
+    for row in df.toLocalIterator():  # stream, never driver-collect all
+        print(json.dumps(row.asDict(), default=str))
+
+
+def _csv(s: str | None) -> list[str] | None:
+    return [c for c in s.split(",") if c] if s else None
+
+
+def _cfg(args):
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+
+    return EngineConfig.resolve(
+        analyzer=args.analyzer, n_segments=args.n_segments,
+        n_buckets=args.n_buckets, block_size=args.block_size,
+        store_positions=not args.no_positions, resume=not args.no_resume,
+        shuffle_partitions=args.shuffle_partitions)
+
+
+def _add_common(p):
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: spark-submit conf, "
+                        "else local[*])")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+
+
+def _add_doc_cols(p):
+    p.add_argument("--id-col", default=None,
+                   help="numeric id column (default: derive from key cols)")
+    p.add_argument("--key-cols", default="repo,path,commit",
+                   help="csv key columns for id derivation")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--carry-cols", default=None,
+                   help="csv doc-store carry columns (default: all non-text)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="elasticsearch_osmosis_plugin_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="SPIMI index build from parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    _add_doc_cols(b)
+    b.add_argument("--analyzer", default="code", choices=["code", "simple"])
+    b.add_argument("--n-segments", type=int, default=32)
+    b.add_argument("--n-buckets", type=int, default=16)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--n-groups", type=int, default=4)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    _add_common(b)
+
+    a = sub.add_parser("append", help="incremental ingest as one LSM group")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    _add_doc_cols(a)
+    _add_common(a)
+
+    q = sub.add_parser("query", help="top-k BM25")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--strategy", default="auto",
+                   choices=["auto", "scoreall", "maxscore", "blockmax"])
+    q.add_argument("--output", default=None, help="write parquet here "
+                   "instead of printing JSON lines")
+    _add_common(q)
+
+    ph = sub.add_parser("phrase", help="positional phrase match")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--phrase", required=True)
+    ph.add_argument("--slop", type=int, default=0)
+    ph.add_argument("--unordered", action="store_true")
+    ph.add_argument("--output", default=None)
+    _add_common(ph)
+
+    c = sub.add_parser("count", help="matching-doc count")
+    c.add_argument("--index", required=True)
+    c.add_argument("--query", required=True)
+    _add_common(c)
+
+    d = sub.add_parser("delete", help="tombstone doc ids")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True, help="csv doc ids")
+    _add_common(d)
+
+    for name, hlp in [("compact", "LSM-merge posting groups"),
+                      ("purge", "physically expunge tombstoned docs"),
+                      ("stats", "index-level statistics (ES _stats)")]:
+        s = sub.add_parser(name, help=hlp)
+        s.add_argument("--index", required=True)
+        _add_common(s)
+
+    pk = sub.add_parser("package", help="zip the library for --py-files")
+    pk.add_argument("--out", default="eosp.zip")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "package":
+        import os
+        import zipfile
+
+        import elasticsearch_osmosis_plugin_spark as pkg
+
+        root = os.path.dirname(os.path.abspath(pkg.__file__))
+        base = os.path.dirname(root)
+        with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as z:
+            for dirpath, _, files in os.walk(root):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, base))
+        print(json.dumps({"written": args.out}))
+        return 0
+
+    spark = _get_spark(args)
+
+    if args.cmd == "build":
+        from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+        meta = build_index(
+            spark, spark.read.parquet(args.input), args.index, _cfg(args),
+            key_cols=_csv(args.key_cols) or (), id_col=args.id_col,
+            text_col=args.text_col, carry_cols=_csv(args.carry_cols),
+            n_groups=args.n_groups)
+        print(json.dumps({"n_docs": meta["n_docs"], "index": args.index,
+                          "wall_s": meta.get("build_wall_s"),
+                          "metrics": meta.get("metrics")}, default=str))
+    elif args.cmd == "append":
+        from elasticsearch_osmosis_plugin_spark.plans.build import (
+            append_index_group,
+        )
+
+        man = append_index_group(
+            spark, spark.read.parquet(args.input), args.index,
+            key_cols=_csv(args.key_cols) or (), id_col=args.id_col,
+            text_col=args.text_col, carry_cols=_csv(args.carry_cols))
+        print(json.dumps({"appended_group": man.get("group"),
+                          "n_docs": man.get("n_docs")}, default=str))
+    elif args.cmd == "query":
+        from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+        _emit(topk(spark, args.index, args.query, k=args.k,
+                   strategy=args.strategy), args)
+    elif args.cmd == "phrase":
+        from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+            match_phrase,
+            span_near,
+        )
+
+        df = (match_phrase(spark, args.index, args.phrase)
+              if args.slop == 0 and not args.unordered
+              else span_near(spark, args.index, args.phrase, slop=args.slop,
+                             in_order=not args.unordered))
+        _emit(df, args)
+    elif args.cmd == "count":
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            match_count,
+        )
+
+        print(json.dumps({"count": match_count(spark, args.index,
+                                               args.query)}))
+    elif args.cmd == "delete":
+        from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+
+        n = delete_docs(spark, args.index,
+                        [int(x) for x in args.ids.split(",") if x])
+        print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "compact":
+        from elasticsearch_osmosis_plugin_spark.plans.merge import compact_index
+
+        print(json.dumps(compact_index(spark, args.index), default=str))
+    elif args.cmd == "purge":
+        from elasticsearch_osmosis_plugin_spark.plans.merge import purge_deletes
+
+        print(json.dumps(purge_deletes(spark, args.index), default=str))
+    elif args.cmd == "stats":
+        from elasticsearch_osmosis_plugin_spark.plans.merge import index_stats
+
+        print(json.dumps(index_stats(spark, args.index), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""CLI surface: python -m elasticsearch_osmosis_plugin_spark ...
+(the spark-submit deployment shape the north rule names). In-process
+main() calls reuse the test session; one subprocess test runs the real
+``spark-submit --py-files eosp.zip`` path end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from elasticsearch_osmosis_plugin_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "index")
+    rc = main(["build", "--input", f"{SF}/documents.parquet",
+               "--index", path, "--id-col", "doc_id", "--text-col", "text",
+               "--analyzer", "simple", "--n-segments", "4",
+               "--n-buckets", "4", "--n-groups", "1",
+               "--shuffle-partitions", "4"])
+    assert rc == 0
+    return path
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    return [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line]
+
+
+def test_cli_query_matches_library(spark, cli_index, capsys):
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    rows = _run(capsys, ["query", "--index", cli_index,
+                         "--query", "spark query join", "--k", "5",
+                         "--shuffle-partitions", "4"])
+    want = topk(spark, cli_index, "spark query join", k=5).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+    assert len(rows) == 5
+
+
+def test_cli_phrase_count_stats_delete(spark, cli_index, capsys):
+    rows = _run(capsys, ["phrase", "--index", cli_index,
+                         "--phrase", "query join",
+                         "--shuffle-partitions", "4"])
+    assert rows and all("doc_id" in r for r in rows)
+    slop = _run(capsys, ["phrase", "--index", cli_index,
+                         "--phrase", "query join", "--slop", "3",
+                         "--shuffle-partitions", "4"])
+    assert {r["doc_id"] for r in slop} >= {r["doc_id"] for r in rows}
+    (cnt,) = _run(capsys, ["count", "--index", cli_index,
+                           "--query", "spark", "--shuffle-partitions", "4"])
+    assert cnt["count"] > 0
+    (st,) = _run(capsys, ["stats", "--index", cli_index,
+                          "--shuffle-partitions", "4"])
+    assert st["n_docs"] == 500 and st["n_terms"] > 0
+    victim = rows[0]["doc_id"]
+    (dl,) = _run(capsys, ["delete", "--index", cli_index,
+                          "--ids", str(victim), "--shuffle-partitions", "4"])
+    assert dl["tombstoned"] == 1
+    after = _run(capsys, ["phrase", "--index", cli_index,
+                          "--phrase", "query join",
+                          "--shuffle-partitions", "4"])
+    assert victim not in {r["doc_id"] for r in after}
+
+
+def test_cli_package_and_spark_submit(tmp_path, capsys):
+    """The real deployment path: zip the library, spark-submit a driver
+    script with --py-files, run build + query inside the submitted JVM."""
+    zpath = str(tmp_path / "eosp.zip")
+    rc = main(["package", "--out", zpath])
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.exists(zpath)
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {zpath!r})\n"
+        "from elasticsearch_osmosis_plugin_spark.__main__ import main\n"
+        f"idx = {str(tmp_path / 'idx')!r}\n"
+        f"main(['build', '--input', '{SF}/documents.parquet',\n"
+        "      '--index', idx, '--id-col', 'doc_id', '--text-col', 'text',\n"
+        "      '--analyzer', 'simple', '--n-segments', '2',\n"
+        "      '--n-buckets', '2', '--n-groups', '1',\n"
+        "      '--shuffle-partitions', '2'])\n"
+        "main(['query', '--index', idx, '--query', 'spark query join',\n"
+        "      '--k', '3', '--shuffle-partitions', '2'])\n")
+    spark_submit = os.path.join(os.environ.get("SPARK_HOME", ""),
+                                "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        import pyspark
+
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__),
+                                    "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit binary not found")
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    out = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zpath,
+         str(driver)],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert lines[0]["n_docs"] == 500
+    assert len(lines) == 4 and all("doc_id" in r for r in lines[1:])
