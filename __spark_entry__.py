@@ -176,6 +176,50 @@ def q_bm25_topk_idx_postfilter(spark, sf_dir):
                      post_filter=F.col("lang") == "en")
 
 
+def q_classic_tfidf_idx(spark, sf_dir):
+    """Lucene ClassicSimilarity top-k (the ES 0.90 default TF-IDF the
+    reference stack actually ranked with); 'zzz' is (near-)absent, so
+    its clause exercises queryNorm/coord absent-term semantics."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_classic
+
+    idx = _index_for(spark, sf_dir)
+    raw = topk_classic(spark, idx, "spark query zzz", k=30)
+    return _rerank_score_x1e4(raw, 10)
+
+
+CLASSIC_TERMS = ["query", "spark", "zzz"]
+
+
+def _classic_oracle_sql(terms: list[str], k: int) -> str:
+    """DuckDB twin of ClassicSimilarity: coord * queryNorm *
+    sum idf^2 sqrt(tf)/sqrt(dl), idf = 1 + ln(N/(df+1)); absent terms
+    keep their clause (LEFT JOIN + coalesce(df, 0))."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    score = "s * qn.qnorm * nt / qn.mo"
+    return f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({term_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT unnest([{term_list}]) AS term),
+qidf AS (SELECT q.term, 1.0 + ln(stats.n_docs / (coalesce(df.df, 0.0) + 1.0))
+           AS qi
+         FROM q LEFT JOIN df USING (term) CROSS JOIN stats),
+qn AS (SELECT 1.0 / sqrt(sum(qi * qi)) AS qnorm,
+              count(*)::DOUBLE AS mo FROM qidf),
+scored AS (SELECT tf.doc_id,
+                  sum(qidf.qi * qidf.qi * sqrt(tf.tf) / sqrt(dl.dl)) AS s,
+                  count(DISTINCT tf.term)::DOUBLE AS nt
+           FROM tf JOIN dl USING (doc_id) JOIN qidf USING (term)
+           GROUP BY tf.doc_id)
+SELECT doc_id, floor({score} * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM scored CROSS JOIN qn
+ORDER BY floor({score} * 10000.0 + 0.5) DESC, doc_id LIMIT {k}
+"""
+
+
 BATCH_QUERIES = {"q0": "spark query join", "q1": "dup table merge",
                  "q2": "window"}
 
@@ -953,6 +997,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_maxscore": q_bm25_topk_idx_maxscore,
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
+    "classic_tfidf_idx": q_classic_tfidf_idx,
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
@@ -1116,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_idx_postfilter": _bm25_oracle_sql(
             sorted({"dup", "table", "merge"}), 10,
             post_filter_sql="d.lang = 'en'"),
+        "classic_tfidf_idx": _classic_oracle_sql(CLASSIC_TERMS, 10),
         "bm25_explain": f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

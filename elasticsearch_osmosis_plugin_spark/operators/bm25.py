@@ -177,3 +177,34 @@ def bm25_oracle(rows: list[tuple[int, str]], query: str, k: int,
             out.append((d, s))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:k]
+
+
+def classic_oracle(rows: list[tuple[int, str]], query: str, k: int,
+                   analyzer: str = "code") -> list[tuple[int, float]]:
+    """Naive single-process Lucene ClassicSimilarity (TF-IDF) — the
+    rank-identity oracle for ``operators.query.topk_classic`` (the
+    similarity the reference's ES 0.90 stack actually used):
+    coord * queryNorm * sum_t idf^2 * sqrt(tf) / sqrt(dl), with
+    idf = 1 + ln(N / (df + 1)); absent terms keep their clause in
+    queryNorm and coord's denominator."""
+    terms = sorted(set(tokenize_py(query, analyzer)))
+    if not terms:
+        return []
+    toks = {d: tokenize_py(t, analyzer) for d, t in rows}
+    n = len(toks)
+    dfreq = {t: sum(1 for v in toks.values() if t in set(v)) for t in terms}
+    idf = {t: 1.0 + math.log(n / (dfreq[t] + 1.0)) for t in terms}
+    qnorm = 1.0 / math.sqrt(sum(v * v for v in idf.values()))
+    out = []
+    for d, v in toks.items():
+        s, nt = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            nt += 1
+            s += idf[t] * idf[t] * math.sqrt(tf) / math.sqrt(len(v))
+        if nt:
+            out.append((d, s * qnorm * nt / len(terms)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]

@@ -287,6 +287,88 @@ def topk_after(spark: SparkSession, index_path: str, query: str,
     return deterministic_topk(scores, k)
 
 
+def _decode_score_classic(w_by_term: dict[str, float]):
+    """mapInPandas kernel for ClassicSimilarity: per-posting partial
+    w_t * sqrt(tf) / sqrt(dl), with w_t = queryNorm * idf_t^2 folded
+    in on the driver (constants per query)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, ids_vb, tfs_vb, dls_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["dls_vb"]):
+                d = np.cumsum(vb_decode(ids_vb), dtype=np.uint64).astype(np.int64)
+                tf = vb_decode(tfs_vb).astype(np.float64)
+                dl = vb_decode(dls_vb).astype(np.float64)
+                w = w_by_term[term] * np.sqrt(tf) / np.sqrt(dl)
+                outs.append(pd.DataFrame({"term": term, "doc_id": d, "partial": w}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def topk_classic(spark: SparkSession, index_path: str, query: str,
+                 k: int = 10, *, post_filter=None,
+                 _meta=None, _posts=None, _dic=None) -> DataFrame:
+    """Top-k under Lucene ClassicSimilarity (TF-IDF) — the DEFAULT
+    similarity of the Elasticsearch 0.90 era the reference targets
+    (``pom.xml`` elasticsearch 0.90.x; every ranked query the plugin's
+    integration tests ran, e.g. ``ESNodeITest.java:184-193``, was
+    scored by Lucene's practical scoring function, not BM25):
+
+        score(q, d) = coord(q, d) * queryNorm(q)
+                      * sum_t idf(t)^2 * sqrt(tf(t, d)) / sqrt(dl(d))
+
+    with idf(t) = 1 + ln(N / (df_t + 1)), coord = |matched terms| /
+    |query terms|, queryNorm = 1 / sqrt(sum_t idf(t)^2). Query terms
+    ABSENT from the index still count toward queryNorm and coord's
+    denominator (Lucene keeps the clause with df=0), so scores match
+    what the reference stack reported. One deliberate exactness
+    upgrade: Lucene stored 1/sqrt(dl) quantized to an 8-bit float
+    (norms byte); we compute the norm exactly — rankings agree except
+    where the quantization itself reordered near-ties.
+
+    Same physical plan as scoreall BM25: pruned dictionary + postings
+    scan, Arrow-batch decode, one (doc_id) aggregation — only the
+    per-posting weight kernel differs. coord falls out of the same
+    aggregation (countDistinct(term)), so it costs nothing extra.
+    """
+    meta = _meta if _meta is not None else load_meta(index_path)
+    terms = query_terms(query, meta)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
+    df_by_term = {r.term: int(r.df) for r in dic.itertuples()}
+    n = float(meta["n_docs"])
+    idf_c = {t: 1.0 + math.log(n / (df_by_term.get(t, 0) + 1.0))
+             for t in terms}
+    qnorm = 1.0 / math.sqrt(sum(v * v for v in idf_c.values()))
+    max_overlap = float(len(terms))
+    live_terms = sorted(df_by_term)
+    if not live_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    w_by_term = {t: qnorm * idf_c[t] * idf_c[t] for t in live_terms}
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+    denied = tombstones_df(spark, index_path, meta)
+    pruned = _pruned_postings(spark, index_path, live_terms, meta, _posts)
+    out = pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb").mapInPandas(
+        _decode_score_classic(w_by_term), DECODED_SCHEMA)
+    out = _live(out, denied)
+    if allowed is not None:
+        out = out.join(allowed, "doc_id", "left_semi")
+    scores = (out.groupBy("doc_id")
+              .agg(F.sum("partial").alias("_s"),
+                   F.countDistinct("term").alias("_nt"))
+              .select("doc_id",
+                      (F.col("_s") * F.col("_nt") / F.lit(max_overlap))
+                      .alias("score")))
+    return deterministic_topk(scores, k)
+
+
 def topk_many(spark: SparkSession, index_path: str,
               queries: dict[str, str], k: int = 10, *,
               _meta=None, _posts=None, _dic=None) -> DataFrame:

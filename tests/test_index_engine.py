@@ -234,6 +234,41 @@ def test_match_bool(spark, corpus_rows, index_path):
         match_bool(spark, index_path)
 
 
+@pytest.mark.parametrize("query", [
+    "id0001",
+    "id0042 id0007",
+    "public static void",
+    "id1999 import",          # id1999 absent from every doc: its
+])                            # clause still norms the query (Lucene)
+def test_topk_classic_rank_identical(spark, corpus_rows, index_path, query):
+    """ClassicSimilarity (ES 0.90 default TF-IDF) matches the
+    single-process Python oracle rank- AND score-identically,
+    including coord/queryNorm with absent-term clauses."""
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import classic_oracle
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_classic
+
+    got = topk_classic(spark, index_path, query, k=10).collect()
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    want = classic_oracle(rows, query, k=10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
+def test_topk_classic_post_filter_keeps_scores(spark, corpus_rows, index_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_classic
+
+    unfiltered = {r["doc_id"]: r["score"] for r in
+                  topk_classic(spark, index_path, "public static", k=80).collect()}
+    filtered = topk_classic(spark, index_path, "public static", k=10,
+                            post_filter=F.col("doc_id") % 2 == 0).collect()
+    assert filtered and all(r["doc_id"] % 2 == 0 for r in filtered)
+    for r in filtered:  # scores untouched by the filter (B6 semantics)
+        assert abs(r["score"] - unfiltered[r["doc_id"]]) < 1e-12
+
+
 def test_topk_boosts(spark, corpus_rows, index_path):
     """Query-time term boosts scale that term's partial linearly and
     stay exact under every pruning strategy."""
