@@ -384,6 +384,21 @@ def q_highlight_idx(spark, sf_dir):
     return highlight(spark, idx, "window dup", window=3)
 
 
+def q_collapse_idx(spark, sf_dir):
+    """ES field-collapsing analog: the BM25 ranking keeping only the
+    best hit per source, top-10 groups. k=25 >= the 20 distinct
+    sources, so the raw-score cut inside collapse_topk drops nothing
+    before the fixed-point re-rank."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import collapse_topk
+
+    idx = _index_for(spark, sf_dir)
+    raw = collapse_topk(spark, idx, "spark window", "source", k=25)
+    return (raw.select("source", "doc_id",
+                       x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
 def _rerank_score_x1e4(raw, k):
     """Re-rank raw-scored rows at the x1e4 fixed point the oracle
     sorts on (rounding can reorder raw near-ties)."""
@@ -963,6 +978,19 @@ def q_events_windowed(spark, sf_dir):
                     "event_type", "n", "value_cents"))
 
 
+def q_date_histogram_events(spark, sf_dir):
+    """ES date_histogram (calendar day buckets, UTC) over the event
+    log — one map-side-combined groupBy on date_trunc."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (date_histogram(ev, "ts", "day")
+            .select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "n_docs"))
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based sessionization via window functions (30 min gap)."""
     ev = _t(spark, sf_dir, "events")
@@ -1026,6 +1054,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "rescore_idx": q_rescore_idx,
     "top_hits_idx": q_top_hits_idx,
+    "collapse_idx": q_collapse_idx,
     "percentiles_idx": q_percentiles_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
@@ -1061,6 +1090,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "top_customers": q_top_customers,
     "events_windowed": q_events_windowed,
+    "date_histogram_events": q_date_histogram_events,
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
 }
@@ -1506,6 +1536,29 @@ ranked AS (
   FROM scored s JOIN documents d USING (doc_id))
 SELECT lang, rank, doc_id, score_x1e4 FROM ranked WHERE rank <= 3
 ORDER BY lang, rank""",
+        "collapse_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+best AS (
+  SELECT d.source, s.doc_id, s.s,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.s DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT source, doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM best WHERE rn = 1
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10""",
         "percentiles_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT len(toks) AS dl FROM toks WHERE list_contains(toks, 'spark'))
@@ -1743,6 +1796,9 @@ SELECT c_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
+        "date_histogram_events": """
+SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts, count(*) AS n_docs
+FROM events GROUP BY 1 ORDER BY 1""",
         "events_windowed": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
        count(*) AS n, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents

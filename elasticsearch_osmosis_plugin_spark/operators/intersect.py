@@ -387,6 +387,41 @@ def stats_agg(spark: SparkSession, index_path: str, query: str,
                  F.sum(v).alias("sum_v"), F.avg(v).alias("avg_v")))
 
 
+CALENDAR_INTERVALS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def date_histogram(df: DataFrame, ts_col: str,
+                   interval: str = "day") -> DataFrame:
+    """ES date_histogram (calendar_interval) core: bucket a timestamp
+    column by calendar boundary -> (bucket, n_docs) ordered by bucket.
+    ``date_trunc`` is a plain Catalyst expression, so this is one
+    map-side-combined groupBy whatever the input size; bucket
+    boundaries are session-timezone (UTC here) exactly like ES's
+    default. Works over any DataFrame (e.g. an event log) — the
+    query-hit variant is ``date_histogram_agg``."""
+    if interval not in CALENDAR_INTERVALS:
+        raise ValueError(f"interval must be one of {CALENDAR_INTERVALS}")
+    return (df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def date_histogram_agg(spark: SparkSession, index_path: str, query: str,
+                       date_col: str, interval: str = "day",
+                       mode: str = "any") -> DataFrame:
+    """ES date_histogram aggregation over the docs matching ``query``:
+    the hit stream semi-joins the doc-store (pruned to (doc_id,
+    date_col)), then one calendar-bucket groupBy."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", date_col)
+    return date_histogram(ds.join(docs, "doc_id", "left_semi"),
+                          date_col, interval)
+
+
 def histogram_agg(spark: SparkSession, index_path: str, query: str,
                   value_col: str, interval: float,
                   mode: str = "any") -> DataFrame:

@@ -212,6 +212,41 @@ def _match_scores(spark, index_path, query, meta) -> DataFrame | None:
             .groupBy("doc_id").agg(F.sum("partial").alias("score")))
 
 
+def collapse_topk(spark: SparkSession, index_path: str, query: str,
+                  collapse_col: str, k: int = 10) -> DataFrame:
+    """ES field-collapsing analog (``collapse`` on a keyword field):
+    the BM25 ranking with only the BEST hit per distinct value of a
+    doc-store field retained, then the usual top-k cut -> one row per
+    group, ordered by that representative's score.
+
+    Plan: one pruned postings decode; the hit stream joins the
+    doc-store for the collapse column only; the per-group argmax is
+    ``row_number() OVER (PARTITION BY field ORDER BY score DESC,
+    doc_id) = 1`` — Spark's WindowGroupLimit pushes the 1-per-group
+    cut below the exchange, so a mega-group (the collapse skew case:
+    one field value matching millions of docs) ships one row per map
+    partition, not its whole hit set. The final k-cut is a
+    TakeOrderedAndProject over <= |distinct values| rows."""
+    from pyspark.sql import Window
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    scores = _match_scores(spark, index_path, query, meta)
+    if scores is None:
+        return spark.createDataFrame(
+            [], f"{collapse_col} string, doc_id long, score double")
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", collapse_col)
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    best = (scores.join(ds, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(collapse_col, "doc_id", "score"))
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def rescore_topk(spark: SparkSession, index_path: str, query: str,
                  rescore_query: str, k: int = 10, *,
                  window_size: int = 50, query_weight: float = 1.0,

@@ -360,6 +360,61 @@ def test_top_hits(spark, corpus_rows, index_path):
         assert abs(got_map[key][1] - s) < 1e-9
 
 
+def test_date_histogram_agg(spark, tmp_path):
+    """date_histogram over query hits: calendar-month buckets of a
+    timestamp carry column, only matching docs counted."""
+    import datetime as dt
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram,
+        date_histogram_agg,
+    )
+
+    rows = [(i, ("apple pie" if i % 3 == 0 else "banana split"),
+             dt.datetime(2024, 1 + i % 4, 1 + i, 12, 0, 0))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    path = str(tmp_path / "dhidx")
+    build_index(spark, df, path,
+                EngineConfig(analyzer="simple", n_segments=2, n_buckets=2),
+                id_col="doc_id", text_col="text", carry_cols=["ts"],
+                n_groups=1)
+    got = {r["bucket"].month: r["n_docs"] for r in
+           date_histogram_agg(spark, path, "apple", "ts", "month").collect()}
+    want: dict = {}
+    for i, text, ts in rows:
+        if "apple" in text:
+            want[ts.month] = want.get(ts.month, 0) + 1
+    assert got == want and len(want) > 1
+    # plain-DataFrame core counts everything
+    total = date_histogram(df, "ts", "month").agg(
+        {"n_docs": "sum"}).collect()[0][0]
+    assert total == len(rows)
+    with pytest.raises(ValueError):
+        date_histogram(df, "ts", "fortnight")
+
+
+def test_collapse_topk(spark, corpus_rows, index_path):
+    """Field collapsing: best hit per lang, ordered by that hit's
+    score — one row per group, group set == langs with any hit."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import collapse_topk
+
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    ranked = bm25_oracle(rows, "buffer hash", k=10**9)
+    lang = dict(zip(corpus_rows["doc_id"], corpus_rows["lang"]))
+    best: dict = {}
+    for d, s in ranked:  # ranking order: first seen per lang is its best
+        best.setdefault(lang[d], (d, s))
+    want = sorted(((d, s, b) for b, (d, s) in best.items()),
+                  key=lambda x: (-x[1], x[0]))
+    got = collapse_topk(spark, index_path, "buffer hash", "lang",
+                        k=len(want)).collect()
+    assert len(got) == len(want) > 1
+    for r, (d, s, b) in zip(got, want):
+        assert (r["doc_id"], r["lang"]) == (d, b)
+        assert abs(r["score"] - s) < 1e-9
+
+
 def _span_oracle(toks, terms, slop, in_order):
     import itertools
 
