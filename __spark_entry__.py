@@ -44,13 +44,41 @@ TOK_EXPLODED_CTE = (
     TOK_CTE + ", tok AS (SELECT doc_id, unnest(toks) AS term FROM toks)"
 )
 
+# english analysis chain twin: simple tokens -> Lucene classic stop set
+# -> S-stemmer (first matching suffix rule only, exceptions keep the
+# token) — mirrors functions.tokenizer analyzer="english" exactly
+_STOP_EN_LUCENE = ("'a','an','and','are','as','at','be','but','by','for',"
+                   "'if','in','into','is','it','no','not','of','on','or',"
+                   "'such','that','the','their','then','there','these',"
+                   "'they','this','to','was','will','with'")
+TOK_EN_CTE = (
+    "toks AS (SELECT doc_id, lang, source, n_chars, "
+    "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), "
+    f"x -> x <> '' AND x NOT IN ({_STOP_EN_LUCENE})), "
+    "t -> CASE "
+    "WHEN t LIKE '%ies' THEN "
+    "  CASE WHEN regexp_matches(t, '^.+[^ea]ies$') "
+    "       THEN substr(t, 1, len(t) - 3) || 'y' ELSE t END "
+    "WHEN t LIKE '%es' THEN "
+    "  CASE WHEN regexp_matches(t, '^.+[^aeo]es$') "
+    "       THEN substr(t, 1, len(t) - 1) ELSE t END "
+    "WHEN t LIKE '%s' THEN "
+    "  CASE WHEN regexp_matches(t, '^.+[^su]s$') "
+    "       THEN substr(t, 1, len(t) - 1) ELSE t END "
+    "ELSE t END) AS toks FROM documents)"
+)
+TOK_EN_EXPLODED_CTE = (
+    TOK_EN_CTE + ", tok AS (SELECT doc_id, unnest(toks) AS term FROM toks)"
+)
+
 BM25_K1, BM25_B = 1.2, 0.75
 
 
 def _bm25_oracle_sql(terms: list[str], k: int,
                      post_filter_sql: str | None = None,
                      boosts: dict[str, float] | None = None,
-                     offset: int = 0) -> str:
+                     offset: int = 0,
+                     tok_cte: str | None = None) -> str:
     """``post_filter_sql``: restriction on which docs are RETURNED —
     joined in AFTER scoring (B6 semantics: scores/idf/avgdl stay
     corpus-global, k-limit after the filter). ``boosts``: per-term
@@ -66,7 +94,7 @@ def _bm25_oracle_sql(terms: list[str], k: int,
         boost = f"(CASE tf.term {cases} ELSE 1.0 END) * "
     off = f" OFFSET {offset}" if offset else ""
     return f"""
-WITH {TOK_EXPLODED_CTE},
+WITH {tok_cte or TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
@@ -114,7 +142,8 @@ def q_bm25_topk(spark, sf_dir):
 _IDX_CACHE: dict[str, str] = {}
 
 
-def _index_for(spark: SparkSession, sf_dir: str, field: str = "text") -> str:
+def _index_for(spark: SparkSession, sf_dir: str, field: str = "text",
+               analyzer: str = "simple") -> str:
     import hashlib
     import os
     import tempfile
@@ -125,11 +154,12 @@ def _index_for(spark: SparkSession, sf_dir: str, field: str = "text") -> str:
     )
 
     key = hashlib.md5(
-        f"{sf_dir}|{POSTING_SCHEMA}|{field}|v3".encode()).hexdigest()[:12]
+        f"{sf_dir}|{POSTING_SCHEMA}|{field}|{analyzer}|v3".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"eosp_entry_idx_{key}", "index")
     if key not in _IDX_CACHE:
         if not os.path.exists(os.path.join(path, "meta.json")):
-            cfg = EngineConfig(analyzer="simple", n_segments=8, n_buckets=8,
+            cfg = EngineConfig(analyzer=analyzer, n_segments=8, n_buckets=8,
                                block_size=64, resume=False)
             build_index(spark, _t(spark, sf_dir, "documents"), path, cfg,
                         id_col="doc_id", text_col=field,
@@ -174,6 +204,21 @@ def q_bm25_topk_idx_postfilter(spark, sf_dir):
     scores stay corpus-global, pruning stays exact under the filter."""
     return _bm25_idx(spark, sf_dir, "dup table merge", 10, "maxscore",
                      post_filter=F.col("lang") == "en")
+
+
+def q_bm25_topk_english(spark, sf_dir):
+    """The full english analysis chain (stop set + S-stemmer) under
+    the hard gate: 'tables queries join' stems to table/query/join at
+    query time, the index tokenized the corpus through the same chain,
+    and dl/avgdl reflect stopword removal — any divergence anywhere in
+    the chain flips the ranking."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    idx = _index_for(spark, sf_dir, analyzer="english")
+    raw = topk(spark, idx, "tables queries join", k=30, strategy="scoreall")
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
 def q_classic_tfidf_idx(spark, sf_dir):
@@ -1026,6 +1071,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
     "classic_tfidf_idx": q_classic_tfidf_idx,
+    "bm25_topk_english": q_bm25_topk_english,
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
@@ -1192,6 +1238,8 @@ def oracle_sql() -> dict[str, str]:
             sorted({"dup", "table", "merge"}), 10,
             post_filter_sql="d.lang = 'en'"),
         "classic_tfidf_idx": _classic_oracle_sql(CLASSIC_TERMS, 10),
+        "bm25_topk_english": _bm25_oracle_sql(
+            ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "bm25_explain": f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

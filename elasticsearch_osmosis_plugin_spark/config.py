@@ -38,7 +38,8 @@ class EngineConfig:
     #   needing the retained term-vector corpus (2x storage at scale)
 
     # tokenizer
-    analyzer: str = "code"        # "code" (identifier-aware) or "simple" (ws split)
+    analyzer: str = "code"        # "code" (identifier-aware), "simple" (ws
+                                  # split), or "english" (stop set + S-stem)
     min_token_len: int = 1
     max_token_len: int = 64
     lowercase: bool = True

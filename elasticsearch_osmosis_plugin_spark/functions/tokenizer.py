@@ -27,6 +27,13 @@ consistently on both the build and query side.
 - ``code``: extract [A-Za-z0-9]+ runs (splits snake_case at ``_``),
   then split camelCase boundaries, lowercase. Optional per-lang
   stopword removal.
+- ``english``: the ES/Lucene english analysis-chain analog —
+  ``simple`` tokens -> Lucene's classic 33-word English stop set ->
+  S-stemmer (Harman 1991: ies->y unless e/a precedes; es->e unless
+  a/e/o precedes; s-> unless s/u precedes; first matching suffix rule
+  only). Chosen over Porter because every rule is a single regex, so
+  the chain stays expressible in Catalyst, pandas, Python AND the
+  DuckDB oracle with identical semantics.
 """
 
 from __future__ import annotations
@@ -46,6 +53,50 @@ _CAMEL_2 = re.compile(r"(?<=[A-Z])(?=[A-Z][a-z])")
 _LOWER_ALNUM = re.compile(r"[a-z0-9]+")
 _WS = re.compile(r"\s+")
 
+# Lucene StandardAnalyzer's classic English stop set (public constant,
+# org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET)
+ENGLISH_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+)
+
+# S-stemmer (Harman 1991) applicability checks: the char before the
+# suffix must not be in the exception set; ^.+ keeps a stem of >= 1
+# char so no token stems to empty
+_SSTEM_IES = re.compile(r"^.+[^ea]ies$")
+_SSTEM_ES = re.compile(r"^.+[^aeo]es$")
+_SSTEM_S = re.compile(r"^.+[^su]s$")
+
+
+def s_stem(t: str) -> str:
+    """Pure-Python S-stemmer twin: first matching suffix rule decides
+    (an 'ies' word that fails its exception check is NOT retried as
+    'es'/'s' — Harman's if/elif structure)."""
+    if t.endswith("ies"):
+        return t[:-3] + "y" if _SSTEM_IES.match(t) else t
+    if t.endswith("es"):
+        return t[:-1] if _SSTEM_ES.match(t) else t
+    if t.endswith("s"):
+        return t[:-1] if _SSTEM_S.match(t) else t
+    return t
+
+
+def s_stem_col(t):
+    """Catalyst S-stemmer twin (regex-only, codegen-friendly)."""
+    return (
+        F.when(t.endswith("ies"),
+               F.when(t.rlike("^.+[^ea]ies$"),
+                      F.regexp_replace(t, "ies$", "y")).otherwise(t))
+         .when(t.endswith("es"),
+               F.when(t.rlike("^.+[^aeo]es$"),
+                      F.regexp_replace(t, "s$", "")).otherwise(t))
+         .when(t.endswith("s"),
+               F.when(t.rlike("^.+[^su]s$"),
+                      F.regexp_replace(t, "s$", "")).otherwise(t))
+         .otherwise(t))
+
 
 def tokenize_py(text: str, analyzer: str = "code",
                 lang: str | None = None,
@@ -63,6 +114,10 @@ def tokenize_py(text: str, analyzer: str = "code",
         # vectorized twin) — unicode case-folding can create new ASCII
         # letters (e.g. 'İ'.lower() contains 'i'), so order matters.
         toks = _LOWER_ALNUM.findall(s.lower())
+    elif analyzer == "english":
+        stop = set(ENGLISH_STOPWORDS)
+        toks = [s_stem(t) for t in _WS.split(text.lower())
+                if t and t not in stop]
     else:
         raise ValueError(f"unknown analyzer: {analyzer}")
     toks = [t for t in toks if min_len <= len(t) <= max_len]
@@ -86,6 +141,10 @@ def tokenize_series(s: pd.Series, analyzer: str = "code",
         x = s.str.replace(_CAMEL_1, " ", regex=True)
         x = x.str.replace(_CAMEL_2, " ", regex=True)
         lists = x.str.lower().str.findall(r"[a-z0-9]+")
+    elif analyzer == "english":
+        stop = set(ENGLISH_STOPWORDS)
+        lists = s.str.lower().str.findall(r"\S+").map(
+            lambda ts: [s_stem(t) for t in ts if t not in stop])
     else:
         raise ValueError(f"unknown analyzer: {analyzer}")
     # unconditional, mirroring tokenize_py (65+-char tokens drop at the
@@ -121,6 +180,10 @@ def tokenize_expr(col, analyzer: str = "code",
         x = F.regexp_replace(col, "(?<=[a-z0-9])(?=[A-Z])", " ")
         x = F.regexp_replace(x, "(?<=[A-Z])(?=[A-Z][a-z])", " ")
         toks = F.regexp_extract_all(F.lower(x), F.lit("[a-z0-9]+"), F.lit(0))
+    elif analyzer == "english":
+        toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+        toks = F.filter(toks, lambda t: ~t.isin(*ENGLISH_STOPWORDS))
+        toks = F.transform(toks, s_stem_col)
     else:
         raise ValueError(f"unknown analyzer: {analyzer}")
     # ALWAYS applied (tokenize_py applies it unconditionally; skipping

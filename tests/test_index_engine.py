@@ -360,6 +360,31 @@ def test_top_hits(spark, corpus_rows, index_path):
         assert abs(got_map[key][1] - s) < 1e-9
 
 
+def test_english_analyzer_index_rank_identical(spark, corpus_rows, tmp_path):
+    """Build + query through the english chain (stop set + S-stemmer):
+    index-side tokenization, dl/avgdl, and query-side stemming all go
+    through analyzer='english'; ranking must match the Python oracle."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+
+    path = str(tmp_path / "enidx")
+    docs = generate_corpus_df(spark, seed=7, n=60)
+    build_index(spark, docs, path,
+                EngineConfig(analyzer="english", n_segments=4, n_buckets=4),
+                n_groups=1)
+    from elasticsearch_osmosis_plugin_spark.plans.build import add_doc_ids
+
+    rows = [(r["doc_id"], r["content"]) for r in
+            add_doc_ids(docs, ("repo", "path", "commit"))
+            .select("doc_id", "content").collect()]
+    for q in ("buffers indexes", "classes public"):
+        got = topk(spark, path, q, k=10).collect()
+        from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_oracle
+        want = bm25_oracle(rows, q, k=10, analyzer="english")
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q
+        for r, (_, s) in zip(got, want):
+            assert abs(r["score"] - s) < 1e-9
+
+
 def test_date_histogram_agg(spark, tmp_path):
     """date_histogram over query hits: calendar-month buckets of a
     timestamp carry column, only matching docs counted."""

@@ -36,7 +36,7 @@ text_st = st.text(
 @given(st.lists(text_st, min_size=1, max_size=20))
 @settings(max_examples=100, deadline=None)
 def test_vectorized_equals_python(texts):
-    for analyzer in ("code", "simple"):
+    for analyzer in ("code", "simple", "english"):
         vec = tokenize_series(pd.Series(texts), analyzer)
         for t, v in zip(texts, vec):
             assert tokenize_py(t, analyzer) == list(v)
@@ -60,7 +60,33 @@ ASCII_CASES = [t for t, _ in GOLDEN] + [
     "punct!@#$%^&*()_+-=[]{};':\",./<>?",
     "x" * 70 + " ok",          # 65+-char token drops in ALL twins
     "a", "",
+    # S-stemmer battery: each rule, each exception, the if/elif lock
+    "bodies flies ties eies queries tables glasses heroes buses us bus pass s",
+    "the quick foxes jumped over their lazy dogs with these glasses",
 ]
+
+
+STEM_GOLDEN = [
+    ("bodies", "body"), ("flies", "fly"), ("queries", "query"),
+    ("ties", "ties"),       # too short for the ies rule (no stem char)
+    ("eies", "eies"),       # e before ies: excepted, NOT retried as es
+    ("tables", "table"), ("glasses", "glasse"),
+    ("heroes", "heroes"),   # o before es: excepted, NOT retried as s
+    ("buses", "buse"),
+    ("dogs", "dog"), ("us", "us"), ("pass", "pass"), ("s", "s"),
+]
+
+
+def test_s_stem_golden():
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import s_stem
+
+    for word, want in STEM_GOLDEN:
+        assert s_stem(word) == want, word
+
+
+def test_english_chain():
+    assert tokenize_py("The bodies of these queries are in tables",
+                       "english") == ["body", "query", "table"]
 
 
 def test_tokenize_expr_matches_python(spark):
@@ -76,7 +102,7 @@ def test_tokenize_expr_matches_python(spark):
     sdf = spark.createDataFrame(
         [(i, t) for i, t in enumerate(ASCII_CASES)] + [(999, None)],
         "id long, content string")
-    for analyzer in ("code", "simple"):
+    for analyzer in ("code", "simple", "english"):
         got = {r["id"]: r["toks"] for r in sdf.select(
             "id", tokenize_expr("content", analyzer).alias("toks")).collect()}
         for i, t in enumerate(ASCII_CASES):
