@@ -221,6 +221,18 @@ def q_bm25_topk_english(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_dsl_search(spark, sf_dir):
+    """ES JSON search body routed through the DSL compiler — must be
+    value-identical to the plain BM25 oracle (the compiler adds
+    routing, never semantics)."""
+    from elasticsearch_osmosis_plugin_spark.operators.dsl import search
+
+    idx = _index_for(spark, sf_dir)
+    raw = search(spark, idx, {
+        "query": {"match": {"text": "spark query join"}}, "size": 30})
+    return _rerank_score_x1e4(raw, 10)
+
+
 def q_classic_tfidf_idx(spark, sf_dir):
     """Lucene ClassicSimilarity top-k (the ES 0.90 default TF-IDF the
     reference stack actually ranked with); 'zzz' is (near-)absent, so
@@ -1072,6 +1084,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
     "classic_tfidf_idx": q_classic_tfidf_idx,
     "bm25_topk_english": q_bm25_topk_english,
+    "dsl_search": q_dsl_search,
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
@@ -1240,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf_idx": _classic_oracle_sql(CLASSIC_TERMS, 10),
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
+        "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "bm25_explain": f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

@@ -1,0 +1,361 @@
+"""ES JSON query-DSL compiler: the API surface the reference's users
+actually speak.
+
+The reference queries Elasticsearch through Java ``QueryBuilders`` /
+``FilterBuilders`` (``ESNodeITest.java:184-193`` builds
+``matchAllQuery``/``termQuery``/geo filters), and those builders
+serialize to exactly this JSON search-body dialect. ``search`` accepts
+the body dict and compiles it onto the engine's native operators, so a
+user of the reference can port their queries by pasting the JSON they
+already have.
+
+Scope (compiles to existing, individually-gated operators — each DSL
+form is tested equal to its direct operator call):
+
+- query: match_all, match (+ operator=and / minimum_should_match),
+  match_phrase, match_phrase_prefix, term, terms, prefix, fuzzy,
+  bool (must/should/must_not/filter + minimum_should_match),
+  function_score, dis_max, span_near, more_like_this
+- top-level: size, search_after, post_filter, collapse, rescore, aggs
+- aggs: terms, stats, histogram, date_histogram, percentiles,
+  cardinality, significant_terms, top_hits
+- filter contexts (post_filter / bool.filter on carry columns): term,
+  terms, range (gt/gte/lt/lte), exists, and/or/not via bool
+
+Scoring notes mirroring ES: unscored retrieval forms (term/terms/
+prefix/fuzzy/bool-of-filters, span_near) return constant_score hits
+(score 1.0) exactly like ES's filter-context / constant-score rewrite
+of multi-term queries; ``match`` forms rank with BM25 (ES >= 5 default;
+``operators.query.topk_classic`` covers the 0.90-era TF-IDF).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+_CONST_SCORE = "doc_id long, score double"
+
+
+def _one_entry(d: dict, what: str) -> tuple[str, Any]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise ValueError(f"{what} must be a single-key dict, got: {d!r}")
+    return next(iter(d.items()))
+
+
+def _match_args(spec) -> tuple[str, dict]:
+    """'text' or {'query': 'text', ...options} -> (text, options)."""
+    if isinstance(spec, dict):
+        spec = dict(spec)
+        return spec.pop("query"), spec
+    return spec, {}
+
+
+def filter_column(dsl: dict) -> Column:
+    """Compile a filter-context DSL node to a Column predicate over
+    doc-store carry columns (used for post_filter and bool.filter)."""
+    kind, spec = _one_entry(dsl, "filter")
+    if kind == "term":
+        fld, val = _one_entry(spec, "term filter")
+        if isinstance(val, dict):
+            val = val["value"]
+        return F.col(fld) == F.lit(val)
+    if kind == "terms":
+        fld, vals = _one_entry(spec, "terms filter")
+        return F.col(fld).isin(list(vals))
+    if kind == "range":
+        fld, bounds = _one_entry(spec, "range filter")
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        cond = F.lit(True)
+        for op, val in bounds.items():
+            cond = cond & getattr(F.col(fld), ops[op])(F.lit(val))
+        return cond
+    if kind == "exists":
+        return F.col(spec["field"]).isNotNull()
+    if kind == "bool":
+        cond = F.lit(True)
+        for clause in spec.get("must", []) + spec.get("filter", []):
+            cond = cond & filter_column(clause)
+        shoulds = [filter_column(c) for c in spec.get("should", [])]
+        if shoulds:
+            any_ = shoulds[0]
+            for c in shoulds[1:]:
+                any_ = any_ | c
+            cond = cond & any_
+        for clause in spec.get("must_not", []):
+            cond = cond & ~filter_column(clause)
+        return cond
+    raise ValueError(f"unsupported filter type: {kind}")
+
+
+def _const_hits(spark: SparkSession, ids: DataFrame) -> DataFrame:
+    """doc-id stream -> constant_score hits, deterministic order."""
+    return (ids.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id"))
+
+
+def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
+    """Run an ES-style search body against the index.
+
+    Returns the hits DataFrame: (doc_id, score) for ranked forms,
+    constant-score for filter-ish forms, plus any extra columns a
+    compiled operator carries (e.g. ``collapse`` adds the field).
+    Aggregations go through :func:`search_aggs`.
+    """
+    from elasticsearch_osmosis_plugin_spark.operators import intersect, query
+    from elasticsearch_osmosis_plugin_spark.operators import scorefn
+
+    body = dict(body)
+    k = int(body.get("size", 10))
+    q = body.get("query", {"match_all": {}})
+    post = body.get("post_filter")
+    post_col = filter_column(post) if post is not None else None
+
+    if "collapse" in body:
+        qkind, qspec = _one_entry(q, "query")
+        if qkind != "match":
+            raise ValueError("collapse requires a match query here")
+        _, spec = _one_entry(qspec, "match")
+        return scorefn.collapse_topk(
+            spark, index_path, _match_args(spec)[0],
+            body["collapse"]["field"], k=k)
+
+    if "rescore" in body:
+        qkind, qspec = _one_entry(q, "query")
+        _, spec = _one_entry(qspec, "match")
+        r = body["rescore"]
+        rq = r["query"]
+        _, rspec = _one_entry(rq["rescore_query"]["match"], "rescore match")
+        return scorefn.rescore_topk(
+            spark, index_path, _match_args(spec)[0], _match_args(rspec)[0],
+            k=k, window_size=int(r.get("window_size", 50)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)))
+
+    kind, spec = _one_entry(q, "query")
+
+    if kind == "match_all":
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        ds = catalog.read_table(spark, index_path, "docstats")
+        if post_col is not None:
+            ds = ds.filter(post_col)
+        return _const_hits(spark, ds.select("doc_id")).limit(k)
+
+    if kind == "match":
+        fld, mspec = _one_entry(spec, "match")
+        text, opts = _match_args(mspec)
+        msm = int(opts.get("minimum_should_match", 0))
+        if opts.get("operator", "or") == "and":
+            meta = query.load_meta(index_path)
+            msm = len(query.query_terms(text, meta))
+        if "search_after" in body:
+            s, d = body["search_after"]
+            return query.topk_after(spark, index_path, text, k=k,
+                                    after=(float(s), int(d)),
+                                    post_filter=post_col)
+        boosts = opts.get("boosts")
+        return query.topk(spark, index_path, text, k=k,
+                          post_filter=post_col, boosts=boosts,
+                          minimum_should_match=msm)
+
+    if kind == "match_phrase":
+        fld, mspec = _one_entry(spec, "match_phrase")
+        return _const_hits(spark, intersect.match_phrase(
+            spark, index_path, _match_args(mspec)[0])).limit(k)
+
+    if kind == "match_phrase_prefix":
+        fld, mspec = _one_entry(spec, "match_phrase_prefix")
+        text, opts = _match_args(mspec)
+        return _const_hits(spark, intersect.match_phrase_prefix(
+            spark, index_path, text,
+            max_expansions=int(opts.get("max_expansions", 50)))).limit(k)
+
+    if kind == "term":
+        fld, val = _one_entry(spec, "term")
+        if isinstance(val, dict):
+            val = val["value"]
+        return _const_hits(spark, intersect.match_all_terms(
+            spark, index_path, str(val))).limit(k)
+
+    if kind == "terms":
+        fld, vals = _one_entry(spec, "terms")
+        return _const_hits(spark, intersect.match_any_terms(
+            spark, index_path, " ".join(vals))).limit(k)
+
+    if kind == "prefix":
+        fld, val = _one_entry(spec, "prefix")
+        if isinstance(val, dict):
+            val = val["value"]
+        return _const_hits(spark, intersect.match_expanded(
+            spark, index_path, str(val))).limit(k)
+
+    if kind == "fuzzy":
+        fld, val = _one_entry(spec, "fuzzy")
+        fuzz = 1
+        if isinstance(val, dict):
+            fuzz = int(val.get("fuzziness", 1))
+            val = val["value"]
+        return _const_hits(spark, intersect.match_fuzzy(
+            spark, index_path, str(val), max_edits=fuzz)).limit(k)
+
+    if kind == "bool":
+        must = [c for c in spec.get("must", [])]
+        # scoring bool of match clauses -> ranked AND via
+        # minimum_should_match over the union when every clause is a
+        # match; otherwise the set-algebra path (constant score)
+        if must and all(_one_entry(c, "clause")[0] == "match" for c in must) \
+                and not spec.get("should") and not spec.get("must_not") \
+                and not spec.get("filter"):
+            texts = [_match_args(_one_entry(_one_entry(c, "c")[1], "m")[1])[0]
+                     for c in must]
+            meta = query.load_meta(index_path)
+            terms = sorted({t for x in texts
+                            for t in query.query_terms(x, meta)})
+            return query.topk(spark, index_path, " ".join(terms), k=k,
+                              post_filter=post_col,
+                              minimum_should_match=len(terms))
+
+        def _clause_text(c):
+            ck, cspec = _one_entry(c, "bool clause")
+            _, val = _one_entry(cspec, ck)
+            if ck == "match":
+                return _match_args(val)[0]
+            if ck == "term":
+                return val["value"] if isinstance(val, dict) else str(val)
+            raise ValueError(f"unsupported bool clause: {ck}")
+
+        def _clause_terms(clauses):
+            return " ".join(_clause_text(c) for c in clauses)
+
+        ids = intersect.match_bool(
+            spark, index_path,
+            must=_clause_terms(spec.get("must", [])) or None,
+            should=_clause_terms(spec.get("should", [])) or None,
+            must_not=_clause_terms(spec.get("must_not", [])) or None,
+            minimum_should_match=int(spec.get("minimum_should_match", 0) or 0))
+        hits = _const_hits(spark, ids)
+        if post_col is not None or spec.get("filter"):
+            from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+            cond = post_col if post_col is not None else F.lit(True)
+            for clause in spec.get("filter", []):
+                cond = cond & filter_column(clause)
+            allowed = (catalog.read_table(spark, index_path, "docstats")
+                       .filter(cond).select("doc_id"))
+            hits = hits.join(allowed, "doc_id", "left_semi").orderBy("doc_id")
+        return hits.limit(k)
+
+    if kind == "function_score":
+        inner = spec["query"]
+        _, mspec = _one_entry(inner["match"], "function_score match")
+        fns = []
+        if "field_value_factor" in spec:
+            fvf = spec["field_value_factor"]
+            fns.append(scorefn.field_value_factor(
+                fvf["field"], factor=float(fvf.get("factor", 1.0)),
+                modifier=fvf.get("modifier", "none")))
+        for fn in spec.get("functions", []):
+            if "field_value_factor" in fn:
+                fvf = fn["field_value_factor"]
+                fns.append(scorefn.field_value_factor(
+                    fvf["field"], factor=float(fvf.get("factor", 1.0)),
+                    modifier=fvf.get("modifier", "none")))
+            elif any(g in fn for g in ("gauss", "exp", "linear")):
+                gkind = next(g for g in ("gauss", "exp", "linear") if g in fn)
+                fld, d = _one_entry(fn[gkind], "decay")
+                fns.append(scorefn.decay_fn(
+                    fld, float(d["origin"]), float(d["scale"]),
+                    offset=float(d.get("offset", 0.0)),
+                    decay=float(d.get("decay", 0.5)), kind=gkind))
+            else:
+                raise ValueError(f"unsupported score function: {fn}")
+        return scorefn.function_score_topk(
+            spark, index_path, _match_args(mspec)[0], k=k,
+            functions=fns, boost_mode=spec.get("boost_mode", "multiply"))
+
+    if kind == "dis_max":
+        texts = []
+        for sub in spec["queries"]:
+            _, mspec = _one_entry(sub["match"], "dis_max match")
+            texts.append(_match_args(mspec)[0])
+        return scorefn.dis_max_topk(
+            spark, index_path, texts, k=k,
+            tie_breaker=float(spec.get("tie_breaker", 0.0)))
+
+    if kind == "span_near":
+        terms = [_one_entry(c["span_term"], "span_term")[1]
+                 for c in spec["clauses"]]
+        return _const_hits(spark, intersect.span_near(
+            spark, index_path, " ".join(str(t) for t in terms),
+            slop=int(spec.get("slop", 0)),
+            in_order=bool(spec.get("in_order", True)))).limit(k)
+
+    if kind == "more_like_this":
+        like = spec["like"]
+        doc_id = like[0]["_id"] if isinstance(like, list) else like["_id"]
+        return intersect.more_like_this(
+            spark, index_path, int(doc_id), k=k,
+            max_query_terms=int(spec.get("max_query_terms", 25)))
+
+    raise ValueError(f"unsupported query type: {kind}")
+
+
+def search_aggs(spark: SparkSession, index_path: str,
+                body: dict) -> dict[str, DataFrame]:
+    """Compile the ``aggs`` section: one result DataFrame per named
+    aggregation, each over the docs matching ``query`` (match / term
+    forms; OR semantics like a filtered ES agg)."""
+    from elasticsearch_osmosis_plugin_spark.operators import intersect, scorefn
+
+    q = body.get("query", {"match_all": {}})
+    kind, spec = _one_entry(q, "query")
+    if kind == "match":
+        _, mspec = _one_entry(spec, "match")
+        qtext = _match_args(mspec)[0]
+    elif kind == "term":
+        _, val = _one_entry(spec, "term")
+        qtext = val["value"] if isinstance(val, dict) else str(val)
+    else:
+        raise ValueError("aggs need a match/term query here")
+
+    out: dict[str, DataFrame] = {}
+    for name, agg in body.get("aggs", {}).items():
+        sub = {k2: v for k2, v in agg.items() if k2 != "aggs"}
+        akind, aspec = _one_entry(sub, "agg")
+        if akind == "terms" and "aggs" in agg:
+            th, thspec = _one_entry(agg["aggs"], "sub-agg")
+            hits = thspec["top_hits"] if "top_hits" in thspec else thspec
+            out[name] = scorefn.top_hits(
+                spark, index_path, qtext, aspec["field"],
+                n_hits=int(hits.get("size", 3)))
+        elif akind == "terms":
+            out[name] = intersect.facet_counts(
+                spark, index_path, qtext, aspec["field"])
+        elif akind == "stats":
+            out[name] = intersect.stats_agg(
+                spark, index_path, qtext, aspec["field"])
+        elif akind == "histogram":
+            out[name] = intersect.histogram_agg(
+                spark, index_path, qtext, aspec["field"],
+                float(aspec["interval"]))
+        elif akind == "date_histogram":
+            out[name] = intersect.date_histogram_agg(
+                spark, index_path, qtext, aspec["field"],
+                aspec.get("calendar_interval", "day"))
+        elif akind == "percentiles":
+            pcts = tuple(p / 100.0 for p in
+                         aspec.get("percents", (25, 50, 75, 95)))
+            out[name] = intersect.percentiles_agg(
+                spark, index_path, qtext, aspec["field"], percentiles=pcts)
+        elif akind == "cardinality":
+            out[name] = intersect.cardinality_agg(
+                spark, index_path, qtext, aspec["field"])
+        elif akind == "significant_terms":
+            out[name] = intersect.significant_terms(
+                spark, index_path, qtext,
+                size=int(aspec.get("size", 10)))
+        else:
+            raise ValueError(f"unsupported agg type: {akind}")
+    return out

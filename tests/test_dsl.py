@@ -1,0 +1,216 @@
+"""ES JSON query-DSL compiler: every DSL form must return exactly what
+the direct operator call returns (the compiler adds routing, never
+semantics). Reference analog: QueryBuilders/FilterBuilders JSON
+(``ESNodeITest.java:184-193``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.operators import dsl, intersect, query, scorefn
+from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+CFG = EngineConfig(n_segments=8, n_buckets=4, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dslidx") / "index")
+    build_index(spark, corpus_df, path, CFG, id_col="doc_id", n_groups=1)
+    return path
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_match(spark, idx):
+    got = dsl.search(spark, idx, {"query": {"match": {"content": "public static"}}})
+    want = query.topk(spark, idx, "public static", k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_match_operator_and(spark, idx):
+    body = {"query": {"match": {"content":
+            {"query": "public static", "operator": "and"}}}, "size": 5}
+    got = dsl.search(spark, idx, body)
+    want = query.topk(spark, idx, "public static", k=5,
+                      minimum_should_match=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_match_all_and_post_filter(spark, idx):
+    got = dsl.search(spark, idx, {
+        "query": {"match_all": {}},
+        "post_filter": {"term": {"lang": "java"}},
+        "size": 1000})
+    assert all(s == 1.0 for _, s in _rows(got))
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    n_java = catalog.read_table(spark, idx, "docstats") \
+        .filter(F.col("lang") == "java").count()
+    assert got.count() == n_java > 0
+
+
+def test_term_terms_prefix_fuzzy(spark, idx):
+    pairs = [
+        ({"term": {"content": "public"}},
+         intersect.match_all_terms(spark, idx, "public")),
+        ({"terms": {"content": ["id0001", "id0002"]}},
+         intersect.match_any_terms(spark, idx, "id0001 id0002")),
+        ({"prefix": {"content": "id00"}},
+         intersect.match_expanded(spark, idx, "id00")),
+        ({"fuzzy": {"content": {"value": "publix", "fuzziness": 1}}},
+         intersect.match_fuzzy(spark, idx, "publix", max_edits=1)),
+    ]
+    for q, want_ids in pairs:
+        got = dsl.search(spark, idx, {"query": q, "size": 10**6})
+        assert [d for d, _ in _rows(got)] == \
+            [r["doc_id"] for r in want_ids.collect()], q
+
+
+def test_phrase_and_span(spark, idx):
+    got = dsl.search(spark, idx, {
+        "query": {"match_phrase": {"content": "public static"}},
+        "size": 10**6})
+    want = intersect.match_phrase(spark, idx, "public static")
+    assert [d for d, _ in _rows(got)] == [r["doc_id"] for r in want.collect()]
+
+    got = dsl.search(spark, idx, {"query": {"span_near": {
+        "clauses": [{"span_term": {"content": "public"}},
+                    {"span_term": {"content": "void"}}],
+        "slop": 3, "in_order": True}}, "size": 10**6})
+    want = intersect.span_near(spark, idx, "public void", slop=3)
+    assert [d for d, _ in _rows(got)] == [r["doc_id"] for r in want.collect()]
+
+
+def test_bool_ranked_and(spark, idx):
+    body = {"query": {"bool": {"must": [
+        {"match": {"content": "public"}},
+        {"match": {"content": "id0042"}}]}}}
+    got = dsl.search(spark, idx, body)
+    want = query.topk(spark, idx, "id0042 public", k=10,
+                      minimum_should_match=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_bool_filter_context(spark, idx):
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "public"}}],
+        "must_not": [{"term": {"content": "id0042"}}],
+        "filter": [{"term": {"lang": "java"}}]}}, "size": 10**6}
+    got = [d for d, _ in _rows(dsl.search(spark, idx, body))]
+    want_ids = {r["doc_id"] for r in intersect.match_bool(
+        spark, idx, must="public", must_not="id0042").collect()}
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    java = {r["doc_id"] for r in catalog.read_table(spark, idx, "docstats")
+            .filter(F.col("lang") == "java").select("doc_id").collect()}
+    assert got == sorted(want_ids & java) and got
+
+
+def test_function_score_and_dis_max(spark, idx):
+    body = {"query": {"function_score": {
+        "query": {"match": {"content": "public static"}},
+        "field_value_factor": {"field": "dl", "modifier": "log1p"},
+        "boost_mode": "multiply"}}}
+    got = dsl.search(spark, idx, body)
+    want = scorefn.function_score_topk(
+        spark, idx, "public static", k=10,
+        functions=[scorefn.field_value_factor("dl", modifier="log1p")])
+    assert _rows(got) == _rows(want)
+
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"content": "public static"}},
+                    {"match": {"content": "id0042"}}],
+        "tie_breaker": 0.3}}}
+    got = dsl.search(spark, idx, body)
+    want = scorefn.dis_max_topk(spark, idx, ["public static", "id0042"],
+                                k=10, tie_breaker=0.3)
+    assert _rows(got) == _rows(want)
+
+
+def test_collapse_rescore_search_after_mlt(spark, idx):
+    got = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}},
+        "collapse": {"field": "lang"}, "size": 5})
+    want = scorefn.collapse_topk(spark, idx, "public static", "lang", k=5)
+    assert _rows(got) == _rows(want)
+
+    got = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "rescore": {"window_size": 20, "query": {
+            "rescore_query": {"match": {"content": "id0042"}},
+            "query_weight": 1.0, "rescore_query_weight": 2.0}}})
+    want = scorefn.rescore_topk(spark, idx, "public", "id0042", k=10,
+                                window_size=20, rescore_query_weight=2.0)
+    assert _rows(got) == _rows(want)
+
+    page1 = query.topk(spark, idx, "public static", k=3).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    got = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}},
+        "search_after": list(cursor), "size": 3})
+    want = query.topk_after(spark, idx, "public static", k=3, after=cursor)
+    assert _rows(got) == _rows(want)
+
+    src = page1[0]["doc_id"]
+    got = dsl.search(spark, idx, {"query": {"more_like_this": {
+        "like": {"_id": src}, "max_query_terms": 5}}})
+    want = intersect.more_like_this(spark, idx, src, max_query_terms=5, k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_aggs(spark, idx):
+    body = {"query": {"match": {"content": "public"}}, "aggs": {
+        "by_lang": {"terms": {"field": "lang"}},
+        "dl_stats": {"stats": {"field": "dl"}},
+        "dl_hist": {"histogram": {"field": "dl", "interval": 50}},
+        "dl_pct": {"percentiles": {"field": "dl", "percents": [50, 95]}},
+        "n_langs": {"cardinality": {"field": "lang"}},
+        "sig": {"significant_terms": {"size": 5}},
+        "top_per_lang": {"terms": {"field": "lang"},
+                         "aggs": {"hits": {"top_hits": {"size": 2}}}},
+    }}
+    out = dsl.search_aggs(spark, idx, body)
+    assert _rows(out["by_lang"]) == \
+        _rows(intersect.facet_counts(spark, idx, "public", "lang"))
+    assert _rows(out["dl_stats"]) == \
+        _rows(intersect.stats_agg(spark, idx, "public", "dl"))
+    assert _rows(out["dl_hist"]) == \
+        _rows(intersect.histogram_agg(spark, idx, "public", "dl", 50.0))
+    assert _rows(out["dl_pct"]) == \
+        _rows(intersect.percentiles_agg(spark, idx, "public", "dl",
+                                        percentiles=(0.5, 0.95)))
+    assert _rows(out["n_langs"]) == \
+        _rows(intersect.cardinality_agg(spark, idx, "public", "lang"))
+    assert _rows(out["sig"]) == \
+        _rows(intersect.significant_terms(spark, idx, "public", size=5))
+    assert _rows(out["top_per_lang"]) == \
+        _rows(scorefn.top_hits(spark, idx, "public", "lang", n_hits=2))
+
+
+def test_filter_column_forms(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ds = catalog.read_table(spark, idx, "docstats")
+    c = dsl.filter_column({"bool": {
+        "must": [{"range": {"dl": {"gte": 10, "lt": 500}}}],
+        "should": [{"term": {"lang": "java"}},
+                   {"terms": {"lang": ["python", "go"]}}],
+        "must_not": [{"exists": {"field": "nope"}}]}})
+    with pytest.raises(Exception):
+        ds.filter(c).count()  # 'nope' not a column -> analysis error
+    c2 = dsl.filter_column({"bool": {
+        "must": [{"range": {"dl": {"gte": 10}}}],
+        "should": [{"term": {"lang": "java"}}]}})
+    got = ds.filter(c2).count()
+    want = ds.filter((F.col("dl") >= 10) & (F.col("lang") == "java")).count()
+    assert got == want > 0
+
+
+def test_unsupported_raises(spark, idx):
+    with pytest.raises(ValueError):
+        dsl.search(spark, idx, {"query": {"nope": {}}})
+    with pytest.raises(ValueError):
+        dsl.filter_column({"geo_shape": {}})
