@@ -221,6 +221,23 @@ def q_bm25_topk_english(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_term_vectors_idx(spark, sf_dir):
+    """ES _termvectors analog for doc 42: per-term tf + positions from
+    the stored term vector, df/cf collection stats from the dictionary
+    (positions emitted comma-joined for cross-engine compare)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        term_vectors,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    tv = term_vectors(spark, idx, 42)
+    return tv.select(
+        "term", "tf",
+        F.array_join(F.col("positions").cast("array<string>"), ",")
+         .alias("positions"),
+        "df", "cf").orderBy("term")
+
+
 def q_dsl_search(spark, sf_dir):
     """ES JSON search body routed through the DSL compiler — must be
     value-identical to the plain BM25 oracle (the compiler adds
@@ -1085,6 +1102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classic_tfidf_idx": q_classic_tfidf_idx,
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
+    "term_vectors_idx": q_term_vectors_idx,
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
@@ -1254,6 +1272,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
+        "term_vectors_idx": f"""
+WITH {TOK_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) - 1 AS p
+        FROM toks),
+dstats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+           FROM pos GROUP BY term)
+SELECT p.term, count(*) AS tf,
+       array_to_string(list_sort(list(p.p)), ',') AS positions,
+       d.df, d.cf
+FROM pos p JOIN dstats d USING (term)
+WHERE p.doc_id = 42
+GROUP BY p.term, d.df, d.cf
+ORDER BY p.term""",
         "bm25_explain": f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

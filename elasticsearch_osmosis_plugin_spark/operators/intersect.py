@@ -560,6 +560,41 @@ def more_like_this(spark: SparkSession, index_path: str, like_doc_id: int,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def term_vectors(spark: SparkSession, index_path: str,
+                 doc_id: int) -> DataFrame:
+    """ES _termvectors API analog: per-term statistics of ONE document
+    -> (term, tf, positions, df, cf), term-ordered. ``tf``/``positions``
+    come from the doc's stored term vector (one doc-id-pruned doc-store
+    row — like ES, this API needs stored term vectors; after
+    ``merge.drop_term_vectors`` it raises); ``df``/``cf`` are the
+    collection statistics from the dictionary (the ES
+    ``term_statistics=true`` flavor), fetched with the usual tiny
+    bucket-pruned lookup."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        dictionary_rows,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("term_vectors needs the term-vector store")
+    rows = ds.filter(F.col("doc_id") == doc_id).select("tokens").collect()
+    if not rows:
+        raise KeyError(f"doc {doc_id} not found")
+    tf: dict[str, int] = {}
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(rows[0]["tokens"]):
+        tf[t] = tf.get(t, 0) + 1
+        pos.setdefault(t, []).append(i)
+    dic = dictionary_rows(spark, index_path, sorted(tf), meta)
+    stats = {r.term: (int(r.df), int(r.cf)) for r in dic.itertuples()}
+    out = [(t, tf[t], pos[t], *stats[t]) for t in sorted(tf)]
+    return spark.createDataFrame(
+        out, "term string, tf long, positions array<long>, df long, cf long")
+
+
 def significant_terms(spark: SparkSession, index_path: str, query: str,
                       size: int = 10, min_doc_count: int = 3,
                       mode: str = "any") -> DataFrame:

@@ -440,6 +440,12 @@ class Searcher:
         return match_count(self.spark, self.index_path, query,
                            _meta=self.meta, _posts=self.posts, _dic=self.dic)
 
+    def topk_classic(self, query: str, k: int = 10,
+                     post_filter=None) -> DataFrame:
+        return topk_classic(self.spark, self.index_path, query, k,
+                            post_filter=post_filter, _meta=self.meta,
+                            _posts=self.posts, _dic=self.dic)
+
     def topk_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         return topk_many(self.spark, self.index_path, queries, k,
                          _meta=self.meta, _posts=self.posts, _dic=self.dic)

@@ -419,6 +419,29 @@ def test_date_histogram_agg(spark, tmp_path):
         date_histogram(df, "ts", "fortnight")
 
 
+def test_term_vectors(spark, corpus_rows, index_path):
+    """_termvectors analog: tf + positions from the stored vector,
+    df/cf from the dictionary — all vs direct tokenization."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import term_vectors
+
+    d = int(corpus_rows["doc_id"].iloc[3])
+    all_toks = {r: tokenize_py(t, "code") for r, t in
+                zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    toks = all_toks[d]
+    got = term_vectors(spark, index_path, d).collect()
+    assert [r["term"] for r in got] == sorted(set(toks))
+    for r in got:
+        want_pos = [i for i, t in enumerate(toks) if t == r["term"]]
+        assert (r["tf"], list(r["positions"])) == (len(want_pos), want_pos)
+        assert r["df"] == sum(1 for ts in all_toks.values()
+                              if r["term"] in ts)
+        assert r["cf"] == sum(ts.count(r["term"])
+                              for ts in all_toks.values())
+    with pytest.raises(KeyError):
+        term_vectors(spark, index_path, -12345)
+
+
 def test_collapse_topk(spark, corpus_rows, index_path):
     """Field collapsing: best hit per lang, ordered by that hit's
     score — one row per group, group set == langs with any hit."""

@@ -63,6 +63,18 @@ def test_topk_many_single_decode(spark, index_path):
     assert "BroadcastHashJoin" in plan
 
 
+def test_collapse_group_limit_below_exchange(spark, index_path):
+    """Field collapsing's skew defense, pinned in the plan: the
+    1-per-group cut runs as WindowGroupLimit partial+final (a
+    mega-group ships one row per map partition, not its hit set) and
+    the final k-cut is a TakeOrderedAndProject."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import collapse_topk
+
+    plan = _plan(collapse_topk(spark, index_path, "public static", "lang", k=5))
+    assert plan.count("WindowGroupLimit") >= 2           # partial + final
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_exact_filter_pushed_down(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(docs.filter(docs.lang == "fr").select("doc_id"))
