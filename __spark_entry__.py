@@ -996,6 +996,35 @@ def _cents(col):
     return F.floor(col * 100 + 0.5).cast("long")
 
 
+MIXTURE_RATES = {"en": 0.8, "es": 0.5, "fr": 0.25}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic mixture weighting: per-lang sampling rates via a
+    cross-engine md5 key hash — pure filter, reproducible under any
+    partitioning."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        stratified_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_mixture(docs, MIXTURE_RATES, stratum_col="lang",
+                               default_rate=0.1)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def q_train_eval_split(spark, sf_dir):
+    """Deterministic train/eval assignment -> per-(split, lang) counts."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        split_column,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("split", split_column(eval_frac=0.1))
+            .groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split", "lang"))
+
+
 def q_revenue_per_order(spark, sf_dir):
     """Equi-join + rollup (SURVEY A6 way⨝node analog on TPC-H).
     Money math in integer cents — exact and shuffle-order-independent."""
@@ -1162,6 +1191,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "mixture_sample": q_mixture_sample,
+    "train_eval_split": q_train_eval_split,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
     "tpch_q1": q_tpch_q1,
@@ -1876,6 +1907,25 @@ SELECT r_name, count(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "mixture_sample": """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 2, 15))::UBIGINT
+           % 1000000 AS k
+  FROM documents)
+SELECT doc_id, lang FROM keyed
+WHERE k < (CASE lang WHEN 'en' THEN 800000 WHEN 'es' THEN 500000
+                     WHEN 'fr' THEN 250000 ELSE 100000 END)
+ORDER BY doc_id""",
+        "train_eval_split": """
+WITH keyed AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 2, 15))::UBIGINT
+           % 1000000 AS k
+  FROM documents)
+SELECT CASE WHEN k < 100000 THEN 'eval' ELSE 'train' END AS split,
+       lang, count(*) AS n
+FROM keyed GROUP BY 1, 2 ORDER BY split, lang""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_x100,

@@ -1,0 +1,76 @@
+"""Deterministic sampling / mixture weighting for training-data
+pipelines.
+
+Random sampling (``df.sample``) is the wrong tool for dataset
+curation at 100 TB: reruns must reproduce the same corpus bit-for-bit
+(lineage, decontamination audits, ablations), and per-partition RNG
+streams change whenever the partitioning does. Everything here is a
+pure FILTER on a content-independent hash of the row key — no
+shuffle, no state, stable under any repartitioning, and the DuckDB
+oracle reproduces it value-for-value.
+
+Hash: md5 of ``"<id>:<seed>"`` folded to 60 bits (the same
+cross-engine md5 trick the dedup suite uses — identical in Spark,
+DuckDB, and Python). A row is kept iff ``hash % 1_000_000 <
+rate * 1e6``, so nested rates compose (a 0.5 sample of a 0.5 sample
+at the same seed is the 0.5 sample, and disjoint seeds decorrelate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_DENOM = 1_000_000
+
+
+def sample_key(id_col: str = "doc_id", seed: int = 0) -> Column:
+    """60-bit md5 fold of "<id>:<seed>" -> [0, 1e6) bucket."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(seed)))), 2, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(_DENOM))
+
+
+def deterministic_sample(df: DataFrame, rate: float, *,
+                         id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash.
+    Pure narrow filter — survives any repartitioning, reruns exactly."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(sample_key(id_col, seed) < int(rate * _DENOM))
+
+
+def stratified_mixture(df: DataFrame, rates: dict[str, float], *,
+                       stratum_col: str, id_col: str = "doc_id",
+                       seed: int = 0,
+                       default_rate: float = 0.0) -> DataFrame:
+    """Mixture weighting: per-stratum deterministic sampling rates
+    (e.g. upweight code, downweight boilerplate sources). Strata
+    absent from ``rates`` get ``default_rate``. One CASE expression +
+    one filter — map-side only, no shuffle, skew-immune."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    thr = F.lit(int(default_rate * _DENOM))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == s,
+                     F.lit(int(r * _DENOM))).otherwise(thr)
+    return df.filter(sample_key(id_col, seed) < thr)
+
+
+def split_column(id_col: str = "doc_id", *, eval_frac: float = 0.1,
+                 seed: int = 0) -> Column:
+    """'train' / 'eval' assignment column, deterministic by key hash.
+    The eval set is stable across reruns and independent of row order
+    — the property decontamination audits require."""
+    return F.when(sample_key(id_col, seed) < int(eval_frac * _DENOM),
+                  F.lit("eval")).otherwise(F.lit("train"))
+
+
+def train_eval_split(df: DataFrame, *, eval_frac: float = 0.1,
+                     id_col: str = "doc_id",
+                     seed: int = 0) -> tuple[DataFrame, DataFrame]:
+    """(train_df, eval_df) — disjoint, exhaustive, deterministic."""
+    key = sample_key(id_col, seed)
+    cut = int(eval_frac * _DENOM)
+    return df.filter(key >= cut), df.filter(key < cut)

@@ -173,3 +173,44 @@ def test_contamination_broadcast_plan(spark):
     plan = contamination(train, ev, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deterministic_sampling(spark):
+    """Sampling is a pure key-hash filter: reruns and repartitionings
+    reproduce the same rows; nested same-seed samples compose; the
+    train/eval split is disjoint and exhaustive."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_mixture,
+        train_eval_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.concat(F.lit("l"), F.col("doc_id") % 4))
+    half = deterministic_sample(df, 0.5)
+    ids = sorted(r["doc_id"] for r in half.collect())
+    again = sorted(r["doc_id"] for r in
+                   deterministic_sample(df.repartition(7), 0.5).collect())
+    assert ids == again and 800 < len(ids) < 1200
+    # nested same-seed sample is idempotent; lower rate is a subset
+    assert sorted(r["doc_id"] for r in
+                  deterministic_sample(half, 0.5).collect()) == ids
+    quarter = set(r["doc_id"] for r in deterministic_sample(df, 0.25).collect())
+    assert quarter <= set(ids)
+
+    mix = stratified_mixture(df, {"l0": 1.0, "l1": 0.0}, stratum_col="lang",
+                             default_rate=0.5)
+    by_lang = {r["lang"]: r["n"] for r in
+               mix.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["l0"] == 500 and "l1" not in by_lang
+    assert 150 < by_lang.get("l2", 0) < 350
+
+    train, ev = train_eval_split(df, eval_frac=0.2)
+    t = {r["doc_id"] for r in train.collect()}
+    e = {r["doc_id"] for r in ev.collect()}
+    assert t.isdisjoint(e) and len(t) + len(e) == 2000
+    assert 250 < len(e) < 550
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        deterministic_sample(df, 1.5)
