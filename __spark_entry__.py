@@ -1025,6 +1025,19 @@ def q_train_eval_split(spark, sf_dir):
             .orderBy("split", "lang"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: 256-token bins over the
+    doc_id-ordered token stream (global-order exact variant)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import token_count
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (pack_sequences(token_count(docs), 256)
+            .orderBy("doc_id"))
+
+
 def q_revenue_per_order(spark, sf_dir):
     """Equi-join + rollup (SURVEY A6 way⨝node analog on TPC-H).
     Money math in integer cents — exact and shuffle-order-independent."""
@@ -1192,6 +1205,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "mixture_sample": q_mixture_sample,
+    "pack_sequences": q_pack_sequences,
     "train_eval_split": q_train_eval_split,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
@@ -1907,6 +1921,16 @@ SELECT r_name, count(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "pack_sequences": f"""
+WITH {TOK_CTE},
+seq AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+               coalesce(sum(len(toks)) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS "offset"
+        FROM toks)
+SELECT doc_id, n_tokens, ("offset" // 256)::BIGINT AS bin_id, "offset"
+FROM seq ORDER BY doc_id""",
         "mixture_sample": """
 WITH keyed AS (
   SELECT doc_id, lang,

@@ -74,3 +74,62 @@ def train_eval_split(df: DataFrame, *, eval_frac: float = 0.1,
     key = sample_key(id_col, seed)
     cut = int(eval_frac * _DENOM)
     return df.filter(key >= cut), df.filter(key < cut)
+
+
+def pack_sequences(df: DataFrame, budget: int, *,
+                   id_col: str = "doc_id",
+                   n_tokens_col: str = "n_tokens") -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out in
+    deterministic ``id_col`` order and cut it into fixed token-budget
+    bins -> (doc_id, n_tokens, bin_id, offset) where ``offset`` is the
+    doc's start position in the global token stream and
+    ``bin_id = offset // budget``. A doc whose tokens straddle a
+    boundary belongs to the bin it STARTS in (standard
+    pack-then-chunk; downstream chunking splits it) — total per-bin
+    tokens exceed ``budget`` by at most one document.
+
+    This exact-global-order variant needs one window cumsum over the
+    full ordering — fine up to ~10^9 rows but serialized through a
+    single-partition window at the extreme; use
+    :func:`pack_sequences_partitioned` at 100 TB."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(n_tokens_col).cast("long").alias("n_tokens"))
+            .withColumn("offset",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .withColumn("bin_id", (F.col("offset") / budget).cast("long"))
+            .select("doc_id", "n_tokens", "bin_id", "offset"))
+
+
+def pack_sequences_partitioned(df: DataFrame, budget: int, *,
+                               id_col: str = "doc_id",
+                               n_tokens_col: str = "n_tokens") -> DataFrame:
+    """Scale path: pack each Spark partition independently (bin ids
+    are (partition, local_bin) pairs encoded as pid * 2^40 + local).
+    No global order, no single-partition window, no shuffle at all —
+    each task streams its rows once. Bins never span partitions, so
+    at most one under-filled bin per partition (negligible waste when
+    partitions hold >> budget tokens)."""
+    import pandas as pd
+
+    out_schema = "doc_id long, n_tokens long, bin_id long, offset long"
+
+    def pack(pdf_iter):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cum = 0
+        for pdf in pdf_iter:
+            n = pdf[n_tokens_col].astype("int64")
+            offs = n.cumsum().shift(fill_value=0) + cum
+            cum += int(n.sum())
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_tokens": n,
+                "bin_id": (pid << 40) + (offs // budget),
+                "offset": offs,
+            })
+
+    return df.select(id_col, n_tokens_col).mapInPandas(pack, out_schema)

@@ -214,3 +214,38 @@ def test_deterministic_sampling(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         deterministic_sample(df, 1.5)
+
+
+def test_pack_sequences(spark):
+    """Global packing matches the python fold; the partitioned scale
+    path assigns every doc exactly once with per-partition-contiguous
+    bins and per-bin totals <= budget + max doc."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        pack_sequences,
+        pack_sequences_partitioned,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: (r["bin_id"], r["offset"])
+           for r in pack_sequences(df, 128).collect()}
+    cum = 0
+    for i, n in rows:
+        assert got[i] == (cum // 128, cum), i
+        cum += n
+
+    packed = pack_sequences_partitioned(df.repartition(4), 128).collect()
+    assert sorted(r["doc_id"] for r in packed) == [i for i, _ in rows]
+    by_bin: dict = {}
+    for r in packed:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    max_doc = max(n for _, n in rows)
+    for b, docs in by_bin.items():
+        total = sum(r["n_tokens"] for r in docs)
+        # a bin holds whatever STARTS in its window: total tokens can
+        # overrun the budget only by the final straddling doc
+        assert total <= 128 + max_doc, (b, total)
+        offs = sorted(r["offset"] for r in docs)
+        spans = {r["offset"]: r["n_tokens"] for r in docs}
+        for a, c in zip(offs, offs[1:]):   # contiguous within the bin
+            assert a + spans[a] == c
