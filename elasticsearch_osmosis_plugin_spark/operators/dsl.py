@@ -73,6 +73,30 @@ def filter_column(dsl: dict) -> Column:
         return cond
     if kind == "exists":
         return F.col(spec["field"]).isNotNull()
+    if kind == "geo_distance":
+        # ES geo_distance filter: {"distance": "10km", "location":
+        # {"lat": .., "lon": ..}} over (lat, lon) doc columns — the
+        # filter form the reference itself issues
+        # (``ESNodeITest.java`` geo-distance queries).
+        from elasticsearch_osmosis_plugin_spark.operators.geo import (
+            haversine_km,
+        )
+
+        spec = dict(spec)
+        dist = spec.pop("distance")
+        km = (float(dist[:-2]) if isinstance(dist, str)
+              and dist.endswith("km") else float(dist))
+        # the ES field name keys the point spec; the engine stores geo
+        # points as plain (lat, lon) doc columns (operators.geo)
+        _, pt = _one_entry(spec, "geo_distance location")
+        return haversine_km(F.col("lat"), F.col("lon"),
+                            F.lit(float(pt["lat"])),
+                            F.lit(float(pt["lon"]))) <= km
+    if kind == "geo_bounding_box":
+        fld, box = _one_entry(spec, "geo_bounding_box")
+        tl, br = box["top_left"], box["bottom_right"]
+        return (F.col("lat").between(float(br["lat"]), float(tl["lat"]))
+                & F.col("lon").between(float(tl["lon"]), float(br["lon"])))
     if kind == "bool":
         cond = F.lit(True)
         for clause in spec.get("must", []) + spec.get("filter", []):

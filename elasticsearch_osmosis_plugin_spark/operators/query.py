@@ -420,11 +420,17 @@ class Searcher:
 
     def __init__(self, spark: SparkSession, index_path: str,
                  cache_dictionary: bool = True):
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
         self.spark = spark
-        self.index_path = index_path
-        self.meta = load_meta(index_path)
-        self.posts = postings_df(spark, index_path)
-        self.dic = dictionary_df(spark, index_path)
+        # pin the REAL index at open time: a Searcher opened on an ES-
+        # style alias (catalog.create_alias) keeps serving its snapshot
+        # through an alias swap until refresh() re-resolves it
+        self._given_path = index_path
+        self.index_path = catalog.resolve_alias(index_path)
+        self.meta = load_meta(self.index_path)
+        self.posts = postings_df(spark, self.index_path)
+        self.dic = dictionary_df(spark, self.index_path)
         if cache_dictionary:
             self.dic = self.dic.persist()
 
@@ -452,9 +458,13 @@ class Searcher:
 
     def refresh(self) -> None:
         """Reload meta + relations after an index mutation (append,
-        compaction) — the ES refresh analog (B11): a searcher opened
-        before a commit keeps serving the old snapshot until refreshed."""
+        compaction) or an alias swap — the ES refresh analog (B11): a
+        searcher opened before a commit keeps serving the old snapshot
+        until refreshed."""
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
         self.dic.unpersist()
+        self.index_path = catalog.resolve_alias(self._given_path)
         self.meta = load_meta(self.index_path)
         self.posts = postings_df(self.spark, self.index_path)
         self.dic = dictionary_df(self.spark, self.index_path).persist()

@@ -101,6 +101,44 @@ def add_partition(df: DataFrame, root: str, name: str,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def create_alias(alias: str, index_path: str) -> None:
+    """ES index-alias analog (``IndicesAliasesRequest`` — the
+    zero-downtime reindex-swap pattern: build v2, repoint the alias,
+    drop v1). The alias is a symlink to the index root, swapped with
+    symlink-to-tmp + ``os.replace`` so readers see the old or the new
+    index, never neither. Every read path (meta.json, table dirs)
+    resolves through it transparently, and a long-lived ``Searcher``
+    opened on the alias keeps serving its snapshot until
+    ``.refresh()`` — exactly ES's alias+reader semantics. (On an
+    object store the production analog is one more manifest
+    indirection; the commit protocol is identical.)"""
+    target = os.path.abspath(index_path)
+    if not os.path.exists(os.path.join(target, "meta.json")):
+        raise FileNotFoundError(f"not an index root: {index_path}")
+    tmp = f"{alias}.tmp.{uuid.uuid4().hex[:8]}"
+    os.symlink(target, tmp)
+    try:
+        os.replace(tmp, alias)  # atomic create-or-repoint
+    except OSError:
+        os.unlink(tmp)
+        raise
+
+
+def resolve_alias(path: str) -> str:
+    """Follow an alias (or return the path unchanged): aliases are
+    plain symlinks, so this exists mainly for introspection/tests."""
+    return os.path.realpath(path) if os.path.islink(path) else path
+
+
+def drop_alias(alias: str) -> bool:
+    """Remove the alias WITHOUT touching the index it points to.
+    Returns True when it existed (acknowledgement, like drop_table)."""
+    if not os.path.islink(alias):
+        return False
+    os.unlink(alias)
+    return True
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     if not table_exists(root, name):
         raise FileNotFoundError(f"index table not found: {root}/{name}")

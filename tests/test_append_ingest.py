@@ -233,3 +233,42 @@ def test_purge_deletes_matches_fresh_rebuild(spark, corpus_df, tmp_path):
         want = [r["doc_id"] for r in match_phrase(spark, fresh, phrase).collect()]
         assert got == want, phrase
     assert match_count(spark, idx, "public") == match_count(spark, fresh, "public")
+
+
+def test_alias_swap_zero_downtime(spark, tmp_path):
+    """ES alias reindex-swap: build v1, alias -> v1, query through the
+    alias; build v2, atomically repoint; a new query sees v2, while a
+    Searcher opened pre-swap keeps its v1 snapshot until refresh()."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+    from elasticsearch_osmosis_plugin_spark.operators.query import Searcher, topk
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    v1 = str(tmp_path / "idx_v1")
+    v2 = str(tmp_path / "idx_v2")
+    alias = str(tmp_path / "current")
+    build_index(spark, generate_corpus_df(spark, seed=1, n=60), v1, CFG,
+                n_groups=1)
+    with pytest.raises(FileNotFoundError):
+        catalog.create_alias(alias, str(tmp_path / "nope"))
+    catalog.create_alias(alias, v1)
+    assert catalog.resolve_alias(alias) == os.path.realpath(v1)
+    want_v1 = topk(spark, v1, "public static", k=5).collect()
+    assert topk(spark, alias, "public static", k=5).collect() == want_v1
+
+    s = Searcher(spark, alias)
+    build_index(spark, generate_corpus_df(spark, seed=2, n=60), v2, CFG,
+                n_groups=1)
+    catalog.create_alias(alias, v2)  # atomic repoint
+    assert catalog.resolve_alias(alias) == os.path.realpath(v2)
+    want_v2 = topk(spark, v2, "public static", k=5).collect()
+    assert topk(spark, alias, "public static", k=5).collect() == want_v2
+    assert want_v1 != want_v2
+    # pre-swap Searcher: v1 snapshot until refresh
+    assert s.topk("public static", k=5).collect() == want_v1
+    s.refresh()
+    assert s.topk("public static", k=5).collect() == want_v2
+    s.close()
+    assert catalog.drop_alias(alias) is True
+    assert catalog.drop_alias(alias) is False
+    assert os.path.exists(os.path.join(v2, "meta.json"))  # index untouched

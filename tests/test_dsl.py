@@ -214,3 +214,20 @@ def test_unsupported_raises(spark, idx):
         dsl.search(spark, idx, {"query": {"nope": {}}})
     with pytest.raises(ValueError):
         dsl.filter_column({"geo_shape": {}})
+
+
+def test_geo_filter_columns(spark):
+    """ES geo_distance / geo_bounding_box filter forms compile to the
+    engine's haversine / range predicates over (lat, lon) columns —
+    the filter shapes the reference issues (ESNodeITest geo tests)."""
+    rows = [(0, 48.8566, 2.3522),    # Paris
+            (1, 48.8600, 2.3400),    # ~1 km away
+            (2, 45.7640, 4.8357)]    # Lyon
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    near = dsl.filter_column({"geo_distance": {
+        "distance": "5km", "location": {"lat": 48.8566, "lon": 2.3522}}})
+    assert sorted(r["doc_id"] for r in df.filter(near).collect()) == [0, 1]
+    box = dsl.filter_column({"geo_bounding_box": {"location": {
+        "top_left": {"lat": 49.0, "lon": 2.0},
+        "bottom_right": {"lat": 48.0, "lon": 3.0}}}})
+    assert sorted(r["doc_id"] for r in df.filter(box).collect()) == [0, 1]
