@@ -999,6 +999,22 @@ def _cents(col):
 MIXTURE_RATES = {"en": 0.8, "es": 0.5, "fr": 0.25}
 
 
+PERCOLATE_QUERIES = {"q_spark": "spark query", "q_dup": "dup",
+                     "q_window_merge": "window merge"}
+
+
+def q_percolate(spark, sf_dir):
+    """ES percolator (reverse search): registered queries fold into one
+    literal array; docs tokenize once and emit matching query ids —
+    map-side only."""
+    from elasticsearch_osmosis_plugin_spark.operators.percolate import (
+        percolate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return percolate(docs, PERCOLATE_QUERIES, analyzer="simple")
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic mixture weighting: per-lang sampling rates via a
     cross-engine md5 key hash — pure filter, reproducible under any
@@ -1206,6 +1222,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
+    "percolate": q_percolate,
     "train_eval_split": q_train_eval_split,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
@@ -1921,6 +1938,18 @@ SELECT r_name, count(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "percolate": f"""
+WITH {TOK_CTE}
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'q_dup' AS query_id FROM toks
+  WHERE list_has_all(toks, ['dup'])
+  UNION ALL
+  SELECT doc_id, 'q_spark' FROM toks
+  WHERE list_has_all(toks, ['query', 'spark'])
+  UNION ALL
+  SELECT doc_id, 'q_window_merge' FROM toks
+  WHERE list_has_all(toks, ['merge', 'window']))
+ORDER BY doc_id, query_id""",
         "pack_sequences": f"""
 WITH {TOK_CTE},
 seq AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

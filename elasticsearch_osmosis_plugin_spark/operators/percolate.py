@@ -1,0 +1,57 @@
+"""ES percolator analog — reverse search.
+
+The 0.90-era ``_percolate`` API (a headline Elasticsearch feature of
+the reference's target version): queries are REGISTERED, documents
+stream through, and each doc comes back with the ids of the queries it
+matches — alerting/classification over an ingest stream, the inverse
+of normal search.
+
+Spark-first shape: this is a map-side-only operator. The registered
+query set is small (it lived in ES's ``_percolator`` index); here it
+folds into ONE literal array of (query_id, terms) structs inside the
+plan, each doc tokenizes once through the same Catalyst analyzer chain
+the index build uses, and a higher-order ``filter`` + ``explode``
+emits the matching ids — no shuffle, no join, no per-row Python, so it
+composes directly with ``foreachBatch`` streaming ingest at any rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+    tokenize_expr,
+    tokenize_py,
+)
+
+
+def percolate(df: DataFrame, queries: dict[str, str], *,
+              analyzer: str = "code", mode: str = "all",
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, query_id) for every (doc, registered query) match,
+    (doc_id, query_id)-ordered. ``mode="all"``: the doc must contain
+    every query term (ES match operator=and, the percolator's usual
+    registration form); ``mode="any"``: at least one term. Docs
+    matching nothing produce no rows (exactly the API's behavior)."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    qterms = {qid: sorted(set(tokenize_py(q, analyzer)))
+              for qid, q in queries.items()}
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    if not qterms:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, query_id string")
+    registered = F.array(*[
+        F.struct(F.lit(qid).alias("qid"),
+                 F.array(*[F.lit(t) for t in ts]).alias("terms"))
+        for qid, ts in sorted(qterms.items())])
+    toks = F.array_distinct(tokenize_expr(text_col, analyzer))
+    if mode == "all":
+        hit = lambda q: F.size(F.array_except(q["terms"], F.col("_toks"))) == 0  # noqa: E731
+    else:
+        hit = lambda q: F.arrays_overlap(q["terms"], F.col("_toks"))  # noqa: E731
+    return (df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+            .select("doc_id",
+                    F.explode(F.filter(registered, hit)).alias("_q"))
+            .select("doc_id", F.col("_q.qid").alias("query_id"))
+            .orderBy("doc_id", "query_id"))

@@ -411,6 +411,61 @@ def topk_many(spark: SparkSession, index_path: str,
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
 
+def topk_multi(spark: SparkSession, index_paths: Sequence[str],
+               query: str, k: int = 10) -> DataFrame:
+    """ES multi-index search (``GET /idx1,idx2/_search``) with
+    ``dfs_query_then_fetch`` semantics: collection statistics (df,
+    N, avgdl) are combined across ALL indexes before scoring, so the
+    ranking is exactly what one index built over the union corpus
+    would produce — unlike ES's default query_then_fetch, whose
+    per-shard stats skew scores (the dfs mode exists precisely to fix
+    that; here exactness is the default and is pinned by a
+    union-rebuild identity test).
+
+    Plan: one tiny dictionary lookup per index (driver-side sum of
+    df/cf — the distributed-frequency phase), then each index's pruned
+    postings decode runs with the GLOBAL idf/avgdl and the streams
+    union into one aggregation — no index is a barrier for another.
+    Doc ids must be disjoint across indexes (they are by construction:
+    sha-derived from the natural key)."""
+    if not index_paths:
+        return spark.createDataFrame([], "doc_id long, score double")
+    metas = [load_meta(p) for p in index_paths]
+    m0 = metas[0]
+    for m in metas[1:]:
+        for key in ("analyzer", "k1", "b", "min_token_len", "max_token_len"):
+            if m.get(key) != m0.get(key):
+                raise ValueError(f"indexes disagree on {key}: "
+                                 f"{m.get(key)!r} != {m0.get(key)!r}")
+    terms = query_terms(query, m0)
+    dics = [dictionary_rows(spark, p, terms, m)
+            for p, m in zip(index_paths, metas)]
+    df_g: dict[str, int] = {}
+    for dic in dics:
+        for r in dic.itertuples():
+            df_g[r.term] = df_g.get(r.term, 0) + int(r.df)
+    if not df_g:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_g = sum(m["n_docs"] for m in metas)
+    # global avgdl: total tokens / total docs, reconstructed exactly
+    # from each index's (avgdl * n_docs)
+    avgdl_g = sum(m["avgdl"] * m["n_docs"] for m in metas) / n_g
+    idf_g = {t: idf(n_g, d) for t, d in df_g.items()}
+    parts = []
+    for p, m, dic in zip(index_paths, metas, dics):
+        live = sorted(set(dic["term"]))
+        if not live:
+            continue
+        m_scaled = dict(m, avgdl=avgdl_g)
+        parts.append(_scored(spark, p, live, m_scaled, idf_g,
+                             denied=tombstones_df(spark, p, m)))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    scores = out.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    return deterministic_topk(scores, k)
+
+
 class Searcher:
     """Reusable query handle over one index — the analog of an open ES
     index reader. Loads meta once, keeps ONE postings relation (cached

@@ -272,3 +272,32 @@ def test_alias_swap_zero_downtime(spark, tmp_path):
     assert catalog.drop_alias(alias) is True
     assert catalog.drop_alias(alias) is False
     assert os.path.exists(os.path.join(v2, "meta.json"))  # index untouched
+
+
+def test_topk_multi_equals_union_rebuild(spark, tmp_path):
+    """dfs_query_then_fetch exactness: searching two indexes with
+    combined collection stats is rank- AND score-identical to one
+    index built over the union corpus."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_multi
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    a = generate_corpus_df(spark, seed=11, n=50)
+    b = generate_corpus_df(spark, seed=22, n=70)
+    pa, pb = str(tmp_path / "ia"), str(tmp_path / "ib")
+    pu = str(tmp_path / "iu")
+    build_index(spark, a, pa, CFG, n_groups=1)
+    build_index(spark, b, pb, CFG, n_groups=1)
+    build_index(spark, a.unionByName(b), pu, CFG, n_groups=1)
+    for q in ("public static", "getIndexBuffer", "id0001 import"):
+        got = topk_multi(spark, [pa, pb], q, k=10).collect()
+        want = topk(spark, pu, q, k=10, strategy="scoreall").collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9
+    # stats combination refuses mismatched tokenization configs
+    pc = str(tmp_path / "ic")
+    build_index(spark, b, pc, EngineConfig(analyzer="simple", n_segments=2,
+                                           n_buckets=2), n_groups=1)
+    with pytest.raises(ValueError):
+        topk_multi(spark, [pa, pc], "public", k=5)

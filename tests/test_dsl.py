@@ -231,3 +231,33 @@ def test_geo_filter_columns(spark):
         "top_left": {"lat": 49.0, "lon": 2.0},
         "bottom_right": {"lat": 48.0, "lon": 3.0}}}})
     assert sorted(r["doc_id"] for r in df.filter(box).collect()) == [0, 1]
+
+
+def test_percolate(spark):
+    """Reverse search: registered queries match streaming docs —
+    all/any modes vs a python re-derivation; silent docs emit nothing."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.percolate import percolate
+
+    rows = [(0, "getIndexBuffer flushes the buffer"),
+            (1, "parse_XMLFile reads xml"),
+            (2, "nothing relevant here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = {"buf": "IndexBuffer", "xml": "parseXML file", "none": "zzzq"}
+    got = [(r["doc_id"], r["query_id"]) for r in
+           percolate(df, qs, analyzer="code", mode="all").collect()]
+    want = []
+    for d, t in rows:
+        toks = set(tokenize_py(t, "code"))
+        for qid, q in sorted(qs.items()):
+            terms = set(tokenize_py(q, "code"))
+            if terms and terms <= toks:
+                want.append((d, qid))
+    assert got == sorted(want) and got
+    got_any = {(r["doc_id"], r["query_id"]) for r in
+               percolate(df, qs, analyzer="code", mode="any").collect()}
+    assert (1, "xml") in got_any and (0, "buf") in got_any
+    assert not any(d == 2 for d, _ in got_any)
+    with pytest.raises(ValueError):
+        percolate(df, qs, mode="nope")
+    assert percolate(df, {"e": "   "}).count() == 0
