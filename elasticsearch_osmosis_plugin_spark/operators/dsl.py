@@ -186,8 +186,16 @@ def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
 
     if kind == "match_phrase":
         fld, mspec = _one_entry(spec, "match_phrase")
+        text, opts = _match_args(mspec)
+        slop = int(opts.get("slop", 0))
+        if slop > 0:
+            # ES match_phrase with slop == ordered span_near over the
+            # phrase terms with that slop
+            return _const_hits(spark, intersect.span_near(
+                spark, index_path, text, slop=slop,
+                in_order=True)).limit(k)
         return _const_hits(spark, intersect.match_phrase(
-            spark, index_path, _match_args(mspec)[0])).limit(k)
+            spark, index_path, text)).limit(k)
 
     if kind == "match_phrase_prefix":
         fld, mspec = _one_entry(spec, "match_phrase_prefix")

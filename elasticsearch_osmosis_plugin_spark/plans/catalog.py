@@ -139,6 +139,44 @@ def drop_alias(alias: str) -> bool:
     return True
 
 
+def snapshot_index(index_path: str, snap_path: str) -> dict[str, Any]:
+    """ES snapshot API analog: a point-in-time copy of the whole index
+    (meta.json + every committed table). The copy lands at
+    ``snap_path.tmp`` first and renames into place, so a snapshot
+    directory is complete or absent, never partial — the same commit
+    protocol every table write uses. Returns the snapshotted meta.
+
+    Driver-side file copy: correct at any index size that fits one
+    machine; on a cluster the production analog is a distcp-style
+    parallel copy (or an object-store manifest copy) with the same
+    tmp+rename commit."""
+    if not os.path.exists(os.path.join(index_path, "meta.json")):
+        raise FileNotFoundError(f"not an index root: {index_path}")
+    if os.path.exists(snap_path):
+        raise FileExistsError(f"snapshot target exists: {snap_path}")
+    tmp = f"{snap_path}.tmp.{uuid.uuid4().hex[:8]}"
+    shutil.copytree(os.path.realpath(index_path), tmp)
+    os.rename(tmp, snap_path)
+    with open(os.path.join(snap_path, "meta.json")) as f:
+        return json.load(f)
+
+
+def restore_index(snap_path: str, index_path: str) -> None:
+    """ES restore analog: replace ``index_path`` with the snapshot's
+    state. The restored copy is staged beside the target and swapped
+    in with rename (old index removed after the new one is complete),
+    so readers never observe a half-restored index."""
+    if not os.path.exists(os.path.join(snap_path, "meta.json")):
+        raise FileNotFoundError(f"not a snapshot: {snap_path}")
+    tmp = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
+    shutil.copytree(snap_path, tmp)
+    old = f"{index_path}.old.{uuid.uuid4().hex[:8]}"
+    if os.path.exists(index_path):
+        os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     if not table_exists(root, name):
         raise FileNotFoundError(f"index table not found: {root}/{name}")

@@ -301,3 +301,31 @@ def test_topk_multi_equals_union_rebuild(spark, tmp_path):
                                            n_buckets=2), n_groups=1)
     with pytest.raises(ValueError):
         topk_multi(spark, [pa, pc], "public", k=5)
+
+
+def test_snapshot_restore_point_in_time(spark, tmp_path):
+    """Snapshot -> mutate (append + delete) -> restore: post-restore
+    rankings equal the pre-mutation ones exactly; restore refuses a
+    non-snapshot dir; snapshot refuses to overwrite."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        build_index,
+        delete_docs,
+    )
+
+    idx = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    build_index(spark, generate_corpus_df(spark, seed=5, n=60), idx, CFG,
+                n_groups=1)
+    before = topk(spark, idx, "public static", k=10).collect()
+    catalog.snapshot_index(idx, snap)
+    with pytest.raises(FileExistsError):
+        catalog.snapshot_index(idx, snap)
+    append_index_group(spark, generate_corpus_df(spark, seed=6, n=40), idx)
+    delete_docs(spark, idx, [before[0]["doc_id"]])
+    assert topk(spark, idx, "public static", k=10).collect() != before
+    catalog.restore_index(snap, idx)
+    assert topk(spark, idx, "public static", k=10).collect() == before
+    with pytest.raises(FileNotFoundError):
+        catalog.restore_index(str(tmp_path / "nosnap"), idx)

@@ -261,3 +261,12 @@ def test_percolate(spark):
     with pytest.raises(ValueError):
         percolate(df, qs, mode="nope")
     assert percolate(df, {"e": "   "}).count() == 0
+
+
+def test_match_phrase_slop_routes_to_span_near(spark, idx):
+    body = {"query": {"match_phrase": {"content":
+            {"query": "public void", "slop": 3}}}, "size": 10**6}
+    got = [d for d, _ in _rows(dsl.search(spark, idx, body))]
+    want = intersect.span_near(spark, idx, "public void", slop=3,
+                               in_order=True)
+    assert got == [r["doc_id"] for r in want.collect()] and got
