@@ -101,6 +101,20 @@ def main() -> int:
         extra["q_topk_p95_s"] = round(
             lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 3)
 
+        from elasticsearch_osmosis_plugin_spark.operators.percolate import (
+            percolate,
+        )
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            topk_classic,
+        )
+
+        timed("q_classic_tfidf", lambda: topk_classic(
+            spark, idx, "spark query join", k=10).collect())
+        timed("q_percolate", lambda: percolate(
+            docs, {"q0": "spark query", "q1": "dup", "q2": "window merge"},
+            analyzer="simple")
+            .write.format("noop").mode("overwrite").save())
+
         qs = entrymod.queries()
         for name in ("bm25_topk", "simhash_neardup", "cosine_topk", "tpch_q1",
                      "revenue_per_order", "sessionization"):

@@ -94,7 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
     _add_doc_cols(b)
-    b.add_argument("--analyzer", default="code", choices=["code", "simple"])
+    b.add_argument("--analyzer", default="code",
+                   choices=["code", "simple", "english"])
     b.add_argument("--n-segments", type=int, default=32)
     b.add_argument("--n-buckets", type=int, default=16)
     b.add_argument("--block-size", type=int, default=128)
@@ -143,6 +144,31 @@ def build_parser() -> argparse.ArgumentParser:
         s = sub.add_parser(name, help=hlp)
         s.add_argument("--index", required=True)
         _add_common(s)
+
+    se = sub.add_parser("search", help="ES JSON search body (query DSL)")
+    se.add_argument("--index", required=True)
+    se.add_argument("--body", required=True,
+                    help="JSON search body, or @file.json")
+    se.add_argument("--output", default=None)
+    _add_common(se)
+
+    al = sub.add_parser("alias", help="create/repoint an index alias "
+                        "(atomic zero-downtime swap)")
+    al.add_argument("--alias", required=True)
+    al.add_argument("--index", default=None,
+                    help="target index root (omit with --drop)")
+    al.add_argument("--drop", action="store_true")
+    _add_common(al)
+
+    sn = sub.add_parser("snapshot", help="point-in-time index copy")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--to", required=True)
+    _add_common(sn)
+
+    rs = sub.add_parser("restore", help="restore an index from a snapshot")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--index", required=True)
+    _add_common(rs)
 
     pk = sub.add_parser("package", help="zip the library for --py-files")
     pk.add_argument("--out", default="eosp.zip")
@@ -236,6 +262,33 @@ def main(argv: list[str] | None = None) -> int:
         from elasticsearch_osmosis_plugin_spark.plans.merge import index_stats
 
         print(json.dumps(index_stats(spark, args.index), default=str))
+    elif args.cmd == "search":
+        from elasticsearch_osmosis_plugin_spark.operators.dsl import search
+
+        body = args.body
+        if body.startswith("@"):
+            with open(body[1:]) as f:
+                body = f.read()
+        _emit(search(spark, args.index, json.loads(body)), args)
+    elif args.cmd == "alias":
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        if args.drop:
+            print(json.dumps({"dropped": catalog.drop_alias(args.alias)}))
+        else:
+            catalog.create_alias(args.alias, args.index)
+            print(json.dumps({"alias": args.alias,
+                              "index": catalog.resolve_alias(args.alias)}))
+    elif args.cmd == "snapshot":
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        meta = catalog.snapshot_index(args.index, args.to)
+        print(json.dumps({"snapshot": args.to, "n_docs": meta["n_docs"]}))
+    elif args.cmd == "restore":
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        catalog.restore_index(args.snapshot, args.index)
+        print(json.dumps({"restored": args.index}))
     return 0
 
 

@@ -113,3 +113,29 @@ def test_cli_package_and_spark_submit(tmp_path, capsys):
              if ln.startswith("{")]
     assert lines[0]["n_docs"] == 500
     assert len(lines) == 4 and all("doc_id" in r for r in lines[1:])
+
+
+def test_cli_search_alias_snapshot(spark, cli_index, capsys, tmp_path):
+    """New admin/query surfaces: DSL search body, alias swap,
+    snapshot/restore — all through the CLI."""
+    body = json.dumps({"query": {"match": {"text": "spark query join"}},
+                       "size": 5})
+    rows = _run(capsys, ["search", "--index", cli_index, "--body", body])
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    want = topk(spark, cli_index, "spark query join", k=5).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+
+    alias = str(tmp_path / "current")
+    out = _run(capsys, ["alias", "--alias", alias, "--index", cli_index])
+    assert out[0]["index"] == os.path.realpath(cli_index)
+    rows2 = _run(capsys, ["search", "--index", alias, "--body", body])
+    assert rows2 == rows
+    assert _run(capsys, ["alias", "--alias", alias, "--drop"])[0]["dropped"]
+
+    snap = str(tmp_path / "snap")
+    out = _run(capsys, ["snapshot", "--index", cli_index, "--to", snap])
+    assert out[0]["n_docs"] > 0
+    _run(capsys, ["restore", "--snapshot", snap, "--index", cli_index])
+    rows3 = _run(capsys, ["search", "--index", cli_index, "--body", body])
+    assert rows3 == rows
