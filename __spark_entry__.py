@@ -999,7 +999,39 @@ def _cents(col):
 MIXTURE_RATES = {"en": 0.8, "es": 0.5, "fr": 0.25}
 
 
-PERCOLATE_QUERIES = {"q_spark": "spark query", "q_dup": "dup",
+def _synth_points(docs):
+    """Deterministic lat/lon per doc (same arithmetic as the oracle)."""
+    lat = ((F.col("doc_id") * 7919) % 18000) / 100.0 - 90.0 + 0.005
+    lon = ((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0 + 0.005
+    return docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+
+
+def q_geo_distance_filter(spark, sf_dir):
+    """B8 under the hard gate: haversine geo-distance filter over a
+    deterministic synthetic points table (the reference's
+    geo-distance query, ``ESNodeITest`` geo surface). The 2000 km
+    radius sits far from any point's distance, so trig-library ulp
+    differences cannot flip membership."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        within_distance,
+    )
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    return (within_distance(pts, 48.8566, 2.3522, 2000.0)
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_geo_bbox_filter(spark, sf_dir):
+    """B7 point-in-envelope under the hard gate (range predicates,
+    fully pushed down)."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import within_bbox
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    return (within_bbox(pts, 30.0, 60.0, -10.0, 40.0)
+            .select("doc_id").orderBy("doc_id"))
+
+
+PERCOLATE_QUERIES ={"q_spark": "spark query", "q_dup": "dup",
                      "q_window_merge": "window merge"}
 
 
@@ -1223,6 +1255,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "percolate": q_percolate,
+    "geo_distance_filter": q_geo_distance_filter,
+    "geo_bbox_filter": q_geo_bbox_filter,
     "train_eval_split": q_train_eval_split,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
@@ -1938,6 +1972,27 @@ SELECT r_name, count(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "geo_distance_filter": """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT doc_id FROM pts
+WHERE 2.0 * 6371.0087714 * asin(sqrt(
+        pow(sin(radians(48.8566 - lat) / 2), 2)
+        + cos(radians(lat)) * cos(radians(48.8566))
+          * pow(sin(radians(2.3522 - lon) / 2), 2))) <= 2000.0
+ORDER BY doc_id""",
+        "geo_bbox_filter": """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT doc_id FROM pts
+WHERE lat BETWEEN 30.0 AND 60.0 AND lon BETWEEN -10.0 AND 40.0
+ORDER BY doc_id""",
         "percolate": f"""
 WITH {TOK_CTE}
 SELECT doc_id, query_id FROM (
