@@ -221,6 +221,33 @@ def q_bm25_topk_english(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_terms_stats_idx(spark, sf_dir):
+    """ES terms_stats facet: per-lang count/min/max/sum/avg of n_chars
+    over the docs matching 'spark' (0.90-era bucketed stats)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        terms_stats_facet,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = terms_stats_facet(spark, idx, "spark", "lang", "n_chars")
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    return raw.select("lang", "n", "min_v", "max_v", "sum_v",
+                      x1e4(F.col("avg_v")).alias("avg_x1e4"))
+
+
+def q_range_agg_idx(spark, sf_dir):
+    """ES range aggregation: explicit [from, to) buckets (open ends,
+    overlap allowed) of n_chars over the docs matching 'spark'."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        range_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return range_agg(spark, idx, "spark", "n_chars",
+                     [(None, 200.0), (200.0, 400.0), (300.0, None)])
+
+
 def q_term_vectors_idx(spark, sf_dir):
     """ES _termvectors analog for doc 42: per-term tf + positions from
     the stored term vector, df/cf collection stats from the dictionary
@@ -1193,6 +1220,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
     "term_vectors_idx": q_term_vectors_idx,
+    "terms_stats_idx": q_terms_stats_idx,
+    "range_agg_idx": q_range_agg_idx,
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_idx": q_phrase_match_idx,
@@ -1368,6 +1397,23 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
+        "terms_stats_idx": f"""
+WITH {TOK_CTE}
+SELECT lang, count(*) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v,
+       sum(n_chars)::BIGINT AS sum_v,
+       floor(avg(n_chars) * 10000.0 + 0.5)::BIGINT AS avg_x1e4
+FROM toks WHERE list_contains(toks, 'spark')
+GROUP BY lang ORDER BY n DESC, lang""",
+        "range_agg_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, n_chars FROM toks WHERE list_contains(toks, 'spark'))
+SELECT bucket, count(*) AS n_docs FROM (
+  SELECT '*-200' AS bucket FROM hits WHERE n_chars < 200
+  UNION ALL
+  SELECT '200-400' FROM hits WHERE n_chars >= 200 AND n_chars < 400
+  UNION ALL
+  SELECT '300-*' FROM hits WHERE n_chars >= 300)
+GROUP BY bucket ORDER BY bucket""",
         "term_vectors_idx": f"""
 WITH {TOK_CTE},
 pos AS (SELECT doc_id, unnest(toks) AS term,

@@ -381,6 +381,11 @@ def search_aggs(spark: SparkSession, index_path: str,
                          aspec.get("percents", (25, 50, 75, 95)))
             out[name] = intersect.percentiles_agg(
                 spark, index_path, qtext, aspec["field"], percentiles=pcts)
+        elif akind == "range":
+            ranges = [(r.get("from"), r.get("to"))
+                      for r in aspec["ranges"]]
+            out[name] = intersect.range_agg(
+                spark, index_path, qtext, aspec["field"], ranges)
         elif akind == "cardinality":
             out[name] = intersect.cardinality_agg(
                 spark, index_path, qtext, aspec["field"])

@@ -9,6 +9,8 @@ under AQE when a term's postings are tiny.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_osmosis_plugin_spark.operators.query import (
@@ -439,6 +441,64 @@ def histogram_agg(spark: SparkSession, index_path: str, query: str,
         .cast("long").alias("bucket")
     return (ds.join(docs, "doc_id", "left_semi")
             .groupBy(bucket).agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def terms_stats_facet(spark: SparkSession, index_path: str, query: str,
+                      facet_col: str, value_col: str,
+                      mode: str = "any") -> DataFrame:
+    """ES terms_stats facet (the 0.90-era bucketed-stats workhorse,
+    today's terms-agg + stats sub-agg): for each value of a doc-store
+    field over the matching docs -> (facet, n, min_v, max_v, sum_v,
+    avg_v), count-desc then facet order. One semi-join + one grouped
+    aggregate — all five stats map-side combine."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col, value_col)
+    v = F.col(value_col)
+    return (ds.join(docs, "doc_id", "left_semi")
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(v).alias("min_v"), F.max(v).alias("max_v"),
+                 F.sum(v).alias("sum_v"), F.avg(v).alias("avg_v"))
+            .orderBy(F.desc("n"), F.asc(facet_col)))
+
+
+def range_agg(spark: SparkSession, index_path: str, query: str,
+              value_col: str,
+              ranges: Sequence[tuple[float | None, float | None]],
+              mode: str = "any") -> DataFrame:
+    """ES range aggregation: explicit [from, to) buckets over a
+    doc-store numeric column of the matching docs -> (bucket, n_docs),
+    bucket labelled "from-to" with ES's open-end conventions ("*-to",
+    "from-*"). A doc lands in EVERY range that contains it (ES
+    semantics: ranges may overlap), so the implementation is one
+    literal array of range structs filtered per row + explode — no
+    join, and the groupBy is over <= len(ranges) keys."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    hits = ds.join(docs, "doc_id", "left_semi")
+    v = F.col(value_col).cast("double")
+    entries = []
+    for lo, hi in ranges:
+        label = (f"{lo:g}" if lo is not None else "*") + "-" + \
+                (f"{hi:g}" if hi is not None else "*")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= float(lo))
+        if hi is not None:
+            cond = cond & (v < float(hi))
+        entries.append(F.when(cond, F.lit(label)))
+    buckets = F.array_compact(F.array(*entries))
+    return (hits.select(F.explode(buckets).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("bucket"))
 
 

@@ -270,3 +270,50 @@ def test_match_phrase_slop_routes_to_span_near(spark, idx):
     want = intersect.span_near(spark, idx, "public void", slop=3,
                                in_order=True)
     assert got == [r["doc_id"] for r in want.collect()] and got
+
+
+def test_terms_stats_and_range_agg(spark, idx):
+    """0.90-era terms_stats facet + range agg (overlapping buckets,
+    open ends, per-range membership) vs python re-derivations; the
+    range form also routes through the DSL aggs compiler."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        range_agg,
+        terms_stats_facet,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ds = {r["doc_id"]: (r["lang"], r["dl"]) for r in
+          catalog.read_table(spark, idx, "docstats")
+          .select("doc_id", "lang", "dl").collect()}
+    hits = {d for d, (lg, dl) in ds.items()}  # filled below
+    hits = {r["doc_id"] for r in
+            intersect.match_any_terms(spark, idx, "public").collect()}
+    got = {r["lang"]: (r["n"], r["min_v"], r["max_v"], r["sum_v"])
+           for r in terms_stats_facet(spark, idx, "public",
+                                      "lang", "dl").collect()}
+    want: dict = {}
+    for d in hits:
+        lg, dl = ds[d]
+        n, mn, mx, sm = want.get(lg, (0, 10**9, -1, 0))
+        want[lg] = (n + 1, min(mn, dl), max(mx, dl), sm + dl)
+    assert got == want and got
+
+    ranges = [(None, 100.0), (100.0, 200.0), (150.0, None)]
+    got_r = {r["bucket"]: r["n_docs"] for r in
+             range_agg(spark, idx, "public", "dl", ranges).collect()}
+    want_r: dict = {}
+    for d in hits:
+        dl = ds[d][1]
+        for lo, hi, lbl in [(None, 100, "*-100"), (100, 200, "100-200"),
+                            (150, None, "150-*")]:
+            if (lo is None or dl >= lo) and (hi is None or dl < hi):
+                want_r[lbl] = want_r.get(lbl, 0) + 1
+    assert got_r == want_r and got_r
+
+    via_dsl = dsl.search_aggs(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "aggs": {"r": {"range": {"field": "dl", "ranges": [
+            {"to": 100.0}, {"from": 100.0, "to": 200.0},
+            {"from": 150.0}]}}}})
+    assert {r["bucket"]: r["n_docs"] for r in via_dsl["r"].collect()} == want_r
