@@ -136,6 +136,31 @@ def save(spark: SparkSession, root: str, row: DataFrame) -> DataFrame:
     return save_all(spark, root, row)
 
 
+def update(spark: SparkSession, root: str, kind: str, id_: int,
+           fields: dict) -> Row:
+    """ES _update API analog: partial-document merge — read the doc,
+    overlay ``fields``, write it back. Raises :class:`DaoError` when
+    absent (ES 409/404 semantics: _update does not upsert unless asked;
+    use :func:`save` for that). The read prunes to the doc's one
+    (kind, bkt) partition and the write rewrites only that partition —
+    O(partition), not O(store). Returns the merged row.
+
+    Unknown field names are rejected (the store is a fixed-schema
+    parquet table, not a mapping-free JSON blob)."""
+    current = find(spark, root, kind, id_)  # DaoError if absent
+    bad = sorted(set(fields) - set(current.asDict()))
+    if bad:
+        raise ValueError(f"unknown fields: {bad}")
+    if any(k in ("kind", "id", "bkt") for k in fields):
+        raise ValueError("cannot update key columns: kind/id/bkt")
+    merged = {**current.asDict(), **fields}
+    row = spark.createDataFrame(
+        [tuple(merged[c] for c in current.asDict())],
+        catalog.read_table(spark, root, DOCSTORE).schema)
+    save_all(spark, root, row.drop("bkt"))
+    return find(spark, root, kind, id_)
+
+
 def find(spark: SparkSession, root: str, kind: str, id_: int) -> Row:
     got = (catalog.read_table(spark, root, DOCSTORE)
            .filter((F.col("kind") == kind)

@@ -117,3 +117,22 @@ def test_delete_rewrites_only_its_bucket(spark, tmp_path):
         if d != b:
             assert after[d] == before[d], d
     assert dao.count_by_kind(spark, root).collect()[0]["n"] == 99
+
+
+def test_update_partial_merge(spark, store):
+    """ES _update analog: field overlay on an existing doc; absent doc
+    raises; key columns and unknown fields rejected; untouched docs
+    and other fields survive."""
+    root, _ = store
+    merged = dao.update(spark, root, "node", 3, {"body": "PATCHED"})
+    assert merged["body"] == "PATCHED"
+    assert dao.find(spark, root, "node", 3)["body"] == "PATCHED"
+    assert dao.find(spark, root, "node", 4)["body"] == "payload4"
+    assert dao.count_by_kind(spark, root).filter("kind='node'") \
+        .collect()[0]["n"] == 10
+    with pytest.raises(dao.DaoError):
+        dao.update(spark, root, "node", 999, {"body": "x"})
+    with pytest.raises(ValueError):
+        dao.update(spark, root, "node", 3, {"nope": 1})
+    with pytest.raises(ValueError):
+        dao.update(spark, root, "node", 3, {"id": 4})
