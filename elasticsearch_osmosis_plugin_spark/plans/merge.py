@@ -259,3 +259,121 @@ def drop_unmerged_groups(index_path: str) -> None:
         raise RuntimeError("compact_index has not completed for this index")
     for g in index_groups(meta):
         catalog.drop_table(index_path, f"postings/group={g}")
+
+
+def verify_index(spark: SparkSession, index_path: str,
+                 source_df=None, *, id_col: str = "doc_id",
+                 text_col: str = "content") -> dict:
+    """Index fsck: distributed integrity audit -> per-check dict
+    ``{check: {"ok": bool, "mismatches"/"expected"/...}}``.
+
+    Checks (each one Spark aggregation, no driver-side row loops —
+    audit cost is one full scan of the structure being audited, the
+    floor for any integrity pass):
+
+    - ``meta_docs``: docstats row count == meta n_docs;
+    - ``row_invariant`` (when ``source_df`` given): the stored
+      content sha256 equals sha256 of the source table's text per doc
+      id — the north-rule row invariant as a first-class engine API,
+      not just a test;
+    - ``dictionary``: per-term (df, cf) recomputed from a full decode
+      of the posting payloads equals the dictionary metadata;
+    - ``doc_lengths``: every decoded (doc_id, dl) pair agrees with
+      the docstats doc store, and postings reference no unknown docs;
+    - ``tombstones``: tombstoned ids all exist in the doc store.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_osmosis_plugin_spark.functions.varbyte import vb_decode
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        dictionary_df,
+        postings_df,
+        tombstones_df,
+    )
+
+    meta = load_meta(index_path)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    out: dict = {}
+
+    # structure first: a missing committed table is corruption in its
+    # own right, and the decode checks below cannot run without it
+    expected = ["dictionary", "docstats"] + (
+        ["postings/merged"] if meta.get("merged")
+        else [f"postings/group={g}" for g in index_groups(meta)])
+    missing = [t for t in expected
+               if not catalog.table_exists(index_path, t)]
+    out["structure"] = {"ok": not missing, "missing": missing}
+
+    n_ds = ds.count()
+    out["meta_docs"] = {"ok": n_ds == int(meta["n_docs"]),
+                        "docstats": n_ds, "meta": int(meta["n_docs"])}
+
+    if source_df is not None:
+        src = source_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col), 256).alias("_src_sha"))
+        joined = ds.select("doc_id", "content_sha").join(src, "doc_id", "full")
+        bad = joined.filter(
+            F.col("content_sha").isNull() | F.col("_src_sha").isNull()
+            | (F.col("content_sha") != F.col("_src_sha"))).count()
+        out["row_invariant"] = {"ok": bad == 0, "mismatches": int(bad)}
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for term, ids_vb, tfs_vb, dls_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"],
+                    pdf["dls_vb"]):
+                d = np.cumsum(vb_decode(ids_vb),
+                              dtype=np.uint64).astype(np.int64)
+                yield pd.DataFrame({
+                    "term": term, "doc_id": d,
+                    "tf": vb_decode(tfs_vb).astype(np.int64),
+                    "dl": vb_decode(dls_vb).astype(np.int64)})
+
+    if missing:
+        out["dictionary"] = {"ok": False, "mismatched_terms": None,
+                             "skipped": "structure incomplete"}
+        out["doc_lengths"] = {"ok": False, "mismatches": None,
+                              "skipped": "structure incomplete"}
+        out["ok"] = False
+        return out
+
+    decoded = (postings_df(spark, index_path)
+               .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+               .mapInPandas(_decode,
+                            "term string, doc_id long, tf long, dl long"))
+    decoded = decoded.persist()
+    try:
+        stats = (decoded.groupBy("term")
+                 .agg(F.countDistinct("doc_id").alias("_df"),
+                      F.sum("tf").alias("_cf")))
+        dic = (dictionary_df(spark, index_path)
+               .groupBy("term").agg(F.sum("df").alias("df"),
+                                    F.sum("cf").alias("cf")))
+        bad_terms = (dic.join(stats, "term", "full")
+                     .filter((F.col("df").isNull()) | (F.col("_df").isNull())
+                             | (F.col("df") != F.col("_df"))
+                             | (F.col("cf") != F.col("_cf"))).count())
+        out["dictionary"] = {"ok": bad_terms == 0,
+                             "mismatched_terms": int(bad_terms)}
+
+        pairs = decoded.select("doc_id", "dl").distinct()
+        bad_dl = (pairs.join(ds.select("doc_id", "dl"), "doc_id", "left")
+                  .filter(ds["dl"].isNull() | (pairs["dl"] != ds["dl"]))
+                  .count())
+        out["doc_lengths"] = {"ok": bad_dl == 0, "mismatches": int(bad_dl)}
+    finally:
+        decoded.unpersist()
+
+    denied = tombstones_df(spark, index_path, meta)
+    if denied is not None:
+        orphans = denied.join(ds.select("doc_id"), "doc_id",
+                              "left_anti").count()
+        out["tombstones"] = {"ok": orphans == 0, "orphans": int(orphans)}
+    else:
+        out["tombstones"] = {"ok": True, "orphans": 0}
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out

@@ -66,3 +66,32 @@ def test_drop_unmerged_groups(spark, corpus_rows, index_path):
 def test_meta_merge_lineage(index_path):
     meta = load_meta(index_path)
     assert any(m["stage"] == "merge" for m in meta["metrics"])
+
+
+def test_verify_index_fsck(spark, corpus_df, tmp_path):
+    """Integrity audit: clean index passes every check; a tampered
+    source flips the sha row-invariant; a deleted postings group flips
+    the dictionary consistency check."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+    from elasticsearch_osmosis_plugin_spark.plans.merge import verify_index
+
+    path = str(tmp_path / "fsck")
+    build_index(spark, corpus_df, path, CFG, id_col="doc_id", n_groups=2)
+    rep = verify_index(spark, path, corpus_df)
+    assert rep["ok"] and rep["row_invariant"]["ok"] \
+        and rep["dictionary"]["ok"] and rep["doc_lengths"]["ok"], rep
+
+    tampered = corpus_df.withColumn(
+        "content", F.when(F.col("doc_id") == 3, F.lit("EVIL"))
+        .otherwise(F.col("content")))
+    rep2 = verify_index(spark, path, tampered)
+    assert not rep2["ok"] and rep2["row_invariant"]["mismatches"] == 1
+
+    shutil.rmtree(os.path.join(path, "postings", "group=1"))
+    rep3 = verify_index(spark, path)
+    assert not rep3["ok"] and not rep3["structure"]["ok"] \
+        and not rep3["dictionary"]["ok"]
