@@ -145,6 +145,15 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--index", required=True)
         _add_common(s)
 
+    fs = sub.add_parser("fsck", help="distributed index integrity audit")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--source", default=None,
+                    help="source parquet to check sha256 row invariants "
+                         "against")
+    fs.add_argument("--id-col", default="doc_id")
+    fs.add_argument("--text-col", default="content")
+    _add_common(fs)
+
     se = sub.add_parser("search", help="ES JSON search body (query DSL)")
     se.add_argument("--index", required=True)
     se.add_argument("--body", required=True,
@@ -262,6 +271,14 @@ def main(argv: list[str] | None = None) -> int:
         from elasticsearch_osmosis_plugin_spark.plans.merge import index_stats
 
         print(json.dumps(index_stats(spark, args.index), default=str))
+    elif args.cmd == "fsck":
+        from elasticsearch_osmosis_plugin_spark.plans.merge import verify_index
+
+        src = spark.read.parquet(args.source) if args.source else None
+        rep = verify_index(spark, args.index, src, id_col=args.id_col,
+                           text_col=args.text_col)
+        print(json.dumps(rep, default=str))
+        return 0 if rep["ok"] else 1
     elif args.cmd == "search":
         from elasticsearch_osmosis_plugin_spark.operators.dsl import search
 

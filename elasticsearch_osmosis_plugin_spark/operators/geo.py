@@ -240,3 +240,35 @@ def sort_by_distance(df: DataFrame, lat: float, lon: float,
     d = haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
     return (df.withColumn("distance_km", d)
             .orderBy(F.asc("distance_km"), F.asc(id_col)))
+
+
+def geotile_cell(lat, lon, zoom: int) -> Column:
+    """ES geotile_grid bucket key "z/x/y" (web-mercator tile at
+    ``zoom``) as a pure column expression — the exact formula ES uses
+    (OSM slippy-map tiles). Latitudes are clamped to the web-mercator
+    domain (±85.0511...) like ES does."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+    n = float(1 << zoom)
+    lat_c = F.greatest(F.lit(-85.05112878),
+                       F.least(F.lit(85.05112878), lat))
+    phi = F.radians(lat_c)
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    y = F.floor((1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi)) / math.pi)
+                / 2.0 * n).cast("long")
+    # the +180/-180 seam maps to the first column, like ES
+    x = F.when(x >= n, F.lit(int(n) - 1)).otherwise(
+        F.when(x < 0, F.lit(0)).otherwise(x))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
+                       y.cast("string"))
+
+
+def geotile_grid(df: DataFrame, zoom: int, lat_col: str = "lat",
+                 lon_col: str = "lon") -> DataFrame:
+    """ES geotile_grid aggregation: bucket points by web-mercator tile
+    -> (tile, n_docs), count-desc then tile. One map-side-combined
+    groupBy over at most 4^zoom keys."""
+    cell = geotile_cell(F.col(lat_col), F.col(lon_col), zoom)
+    return (df.groupBy(cell.alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("tile")))

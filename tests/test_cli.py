@@ -139,3 +139,10 @@ def test_cli_search_alias_snapshot(spark, cli_index, capsys, tmp_path):
     _run(capsys, ["restore", "--snapshot", snap, "--index", cli_index])
     rows3 = _run(capsys, ["search", "--index", cli_index, "--body", body])
     assert rows3 == rows
+
+
+def test_cli_fsck(spark, cli_index, capsys):
+    out = _run(capsys, ["fsck", "--index", cli_index,
+                        "--source", f"{SF}/documents.parquet",
+                        "--id-col", "doc_id", "--text-col", "text"])
+    assert out[0]["ok"] and out[0]["row_invariant"]["ok"]

@@ -118,3 +118,46 @@ def test_shape_intersects_bbox_crossing_segment(spark):
         F.col("coords"),
         lambda p: p["lat"].between(0.0, 1.0) & p["lon"].between(0.0, 1.0)))
     assert 1 not in {r["id"] for r in misses.collect()}
+
+
+def test_geotile_grid(spark):
+    """Web-mercator tiling matches the reference OSM slippy-map
+    formula computed independently in python; seam and pole points
+    clamp exactly like ES."""
+    import math as m
+
+    import pytest as _pytest
+
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        geotile_cell,
+        geotile_grid,
+    )
+
+    pts = [(0, 48.8566, 2.3522), (1, 40.7128, -74.0060),
+           (2, -33.8688, 151.2093), (3, 89.9, 10.0),   # pole clamp
+           (4, 0.0, 180.0), (5, 0.0, -180.0),          # seam
+           (6, 48.86, 2.35)]                           # same tile as 0
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+
+    def py_tile(lat, lon, z):
+        lat = max(-85.05112878, min(85.05112878, lat))
+        n = 1 << z
+        x = int(m.floor((lon + 180.0) / 360.0 * n))
+        x = min(max(x, 0), n - 1)
+        phi = m.radians(lat)
+        y = int(m.floor((1.0 - m.log(m.tan(phi) + 1.0 / m.cos(phi)) / m.pi)
+                        / 2.0 * n))
+        return f"{z}/{x}/{y}"
+
+    for z in (0, 3, 7, 12):
+        got = {r["doc_id"]: r["t"] for r in df.select(
+            "doc_id", geotile_cell(F.col("lat"), F.col("lon"), z)
+            .alias("t")).collect()}
+        for d, la, lo in pts:
+            assert got[d] == py_tile(la, lo, z), (d, z)
+
+    grid = {r["tile"]: r["n_docs"] for r in geotile_grid(df, 7).collect()}
+    assert grid[py_tile(48.8566, 2.3522, 7)] == 2
+    assert sum(grid.values()) == len(pts)
+    with _pytest.raises(ValueError):
+        geotile_cell(F.col("lat"), F.col("lon"), 99)
