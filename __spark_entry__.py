@@ -485,6 +485,19 @@ def q_highlight_idx(spark, sf_dir):
     return highlight(spark, idx, "window dup", window=3)
 
 
+def q_boosting_idx(spark, sf_dir):
+    """ES boosting query: 'spark query' ranking with docs containing
+    'dup' demoted to 0.3x — soft must_not under the hard gate."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        boosting_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = boosting_topk(spark, idx, "spark query", "dup", k=30,
+                        negative_boost=0.3)
+    return _rerank_score_x1e4(raw, 10)
+
+
 def q_collapse_idx(spark, sf_dir):
     """ES field-collapsing analog: the BM25 ranking keeping only the
     best hit per source, top-10 groups. k=25 >= the 20 distinct
@@ -1251,6 +1264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rescore_idx": q_rescore_idx,
     "top_hits_idx": q_top_hits_idx,
     "collapse_idx": q_collapse_idx,
+    "boosting_idx": q_boosting_idx,
     "percentiles_idx": q_percentiles_idx,
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
@@ -1772,6 +1786,28 @@ ranked AS (
   FROM scored s JOIN documents d USING (doc_id))
 SELECT lang, rank, doc_id, score_x1e4 FROM ranked WHERE rank <= 3
 ORDER BY lang, rank""",
+        "boosting_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+neg AS (SELECT doc_id FROM toks WHERE list_contains(toks, 'dup')),
+boosted AS (
+  SELECT s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.s * 0.3 ELSE s.s END AS s
+  FROM scored s LEFT JOIN neg n USING (doc_id))
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM boosted
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10""",
         "collapse_idx": f"""
 WITH {TOK_EXPLODED_CTE},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

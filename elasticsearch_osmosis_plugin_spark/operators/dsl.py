@@ -279,6 +279,13 @@ def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
             hits = hits.join(allowed, "doc_id", "left_semi").orderBy("doc_id")
         return hits.limit(k)
 
+    if kind == "boosting":
+        _, pspec = _one_entry(spec["positive"]["match"], "boosting positive")
+        _, nspec = _one_entry(spec["negative"]["match"], "boosting negative")
+        return scorefn.boosting_topk(
+            spark, index_path, _match_args(pspec)[0], _match_args(nspec)[0],
+            k=k, negative_boost=float(spec.get("negative_boost", 0.5)))
+
     if kind == "function_score":
         inner = spec["query"]
         _, mspec = _one_entry(inner["match"], "function_score match")

@@ -212,6 +212,33 @@ def _match_scores(spark, index_path, query, meta) -> DataFrame | None:
             .groupBy("doc_id").agg(F.sum("partial").alias("score")))
 
 
+def boosting_topk(spark: SparkSession, index_path: str, positive: str,
+                  negative: str, k: int = 10, *,
+                  negative_boost: float = 0.5) -> DataFrame:
+    """ES boosting query: rank by the positive query's BM25, but any
+    hit ALSO matching the negative query (OR over its terms) keeps
+    only ``negative_boost`` of its score — demotion without exclusion
+    (the soft must_not). One scored decode for the positive terms +
+    one constant-score decode for the negative set joined as a flag;
+    the k-cut happens after scaling, so demoted docs can still rank."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_any_terms,
+    )
+
+    meta = load_meta(index_path)
+    primary = _match_scores(spark, index_path, positive, meta)
+    if primary is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    neg = match_any_terms(spark, index_path, negative) \
+        .withColumn("_neg", F.lit(True))
+    scored = (primary.join(neg, "doc_id", "left")
+              .select("doc_id",
+                      F.when(F.col("_neg"),
+                             F.col("score") * float(negative_boost))
+                      .otherwise(F.col("score")).alias("score")))
+    return deterministic_topk(scored, k)
+
+
 def collapse_topk(spark: SparkSession, index_path: str, query: str,
                   collapse_col: str, k: int = 10) -> DataFrame:
     """ES field-collapsing analog (``collapse`` on a keyword field):

@@ -317,3 +317,25 @@ def test_terms_stats_and_range_agg(spark, idx):
             {"to": 100.0}, {"from": 100.0, "to": 200.0},
             {"from": 150.0}]}}}})
     assert {r["bucket"]: r["n_docs"] for r in via_dsl["r"].collect()} == want_r
+
+
+def test_boosting_query(spark, idx):
+    """Demotion without exclusion: negative-matching docs keep
+    negative_boost x their BM25; others unchanged; DSL routes it."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import boosting_topk
+
+    base = {r["doc_id"]: r["score"] for r in
+            query.topk(spark, idx, "public static", k=80).collect()}
+    neg_ids = {r["doc_id"] for r in
+               intersect.match_any_terms(spark, idx, "id0042").collect()}
+    got = boosting_topk(spark, idx, "public static", "id0042",
+                        k=80, negative_boost=0.25).collect()
+    assert any(r["doc_id"] in neg_ids for r in got)
+    for r in got:
+        want = base[r["doc_id"]] * (0.25 if r["doc_id"] in neg_ids else 1.0)
+        assert abs(r["score"] - want) < 1e-12
+    via = dsl.search(spark, idx, {"query": {"boosting": {
+        "positive": {"match": {"content": "public static"}},
+        "negative": {"match": {"content": "id0042"}},
+        "negative_boost": 0.25}}, "size": 80})
+    assert _rows(via) == [(r["doc_id"], r["score"]) for r in got]
