@@ -360,9 +360,12 @@ def topk_classic(spark: SparkSession, index_path: str, query: str,
     out = _live(out, denied)
     if allowed is not None:
         out = out.join(allowed, "doc_id", "left_semi")
+    # coord numerator: a term's blocks are doc-disjoint, so the decode
+    # emits exactly ONE row per (term, doc) — count(1) == distinct
+    # term count, without countDistinct's second aggregation pass
     scores = (out.groupBy("doc_id")
               .agg(F.sum("partial").alias("_s"),
-                   F.countDistinct("term").alias("_nt"))
+                   F.count(F.lit(1)).alias("_nt"))
               .select("doc_id",
                       (F.col("_s") * F.col("_nt") / F.lit(max_overlap))
                       .alias("score")))
