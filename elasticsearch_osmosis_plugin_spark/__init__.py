@@ -13,8 +13,13 @@ index itself:
   pruning (``operators.query``)
 - doc-store DAO ops mirroring the reference's EntityDao
   (``operators.dao``; reference: EntityDao.java)
+- the ES API surface: JSON query-DSL compiler (``operators.dsl``),
+  classic TF-IDF similarity, percolator (``operators.percolate``),
+  aggregations/facets (``operators.intersect``, ``operators.scorefn``),
+  aliases/snapshot/restore/fsck (``plans.catalog``, ``plans.merge``),
+  and a spark-submit CLI (``__main__``)
 - training-data pipeline ops: dedup, similarity search, text analysis,
-  multimodal plumbing (``functions.*``)
+  sampling/mixture/packing, multimodal plumbing (``functions.*``)
 
 Everything is DataFrame/Catalyst-native except explicitly-vectorized
 Arrow/pandas UDF kernels (tokenizer, varbyte codec, scorer). No
