@@ -1071,7 +1071,29 @@ def q_geo_bbox_filter(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
-PERCOLATE_QUERIES ={"q_spark": "spark query", "q_dup": "dup",
+def q_chunk_documents(spark, sf_dir):
+    """Long-doc chunking: 64-token windows, 8-token overlap — the
+    pre-packing preprocessing step, pure Catalyst."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, 64, overlap=8)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy: mean -log2 p(token) under
+    the corpus unigram distribution, add-one smoothed."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        unigram_logprob_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs)
+
+
+PERCOLATE_QUERIES = {"q_spark": "spark query", "q_dup": "dup",
                      "q_window_merge": "window merge"}
 
 
@@ -1298,6 +1320,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "percolate": q_percolate,
+    "chunk_documents": q_chunk_documents,
+    "unigram_logprob": q_unigram_logprob,
     "geo_distance_filter": q_geo_distance_filter,
     "geo_bbox_filter": q_geo_bbox_filter,
     "train_eval_split": q_train_eval_split,
@@ -2054,6 +2078,25 @@ SELECT r_name, count(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
+        "chunk_documents": f"""
+WITH {TOK_CTE},
+st AS (SELECT doc_id, toks,
+              unnest(generate_series(1, greatest(len(toks) - 8, 1), 56)) AS s
+       FROM toks WHERE len(toks) > 0)
+SELECT doc_id, ((s - 1) // 56)::BIGINT AS chunk_id,
+       len(list_slice(toks, s, s + 63))::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text
+FROM st ORDER BY doc_id, chunk_id""",
+        "unigram_logprob": f"""
+WITH {TOK_EXPLODED_CTE},
+vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM vocab),
+sc AS (SELECT t.doc_id,
+              -log2((vocab.cnt + 1.0) / (tot.n + tot.v)) AS nll
+       FROM tok t JOIN vocab USING (term) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(avg(nll) * 10000.0 + 0.5)::BIGINT AS nll_x1e4
+FROM sc GROUP BY doc_id ORDER BY doc_id""",
         "geo_distance_filter": """
 WITH pts AS (
   SELECT doc_id,

@@ -234,3 +234,69 @@ def shingle_fingerprint(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.array_min(grams).alias("shingle_fp"))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into token windows of at most ``max_tokens``
+    with ``overlap`` tokens of context carried between consecutive
+    chunks — the standard long-document preprocessing before packing
+    (pair with ``sampling.pack_sequences``). -> (doc_id, chunk_id,
+    n_tokens, chunk_text), chunk_id 0-based per doc.
+
+    Pure Catalyst: tokenize -> F.sequence of window starts ->
+    transform/slice — one narrow pass, no shuffle, no Python. The
+    final chunk may be shorter; stride = max_tokens - overlap; empty
+    docs produce no chunks (nothing to train on)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(toks, s, max_tokens).alias("_toks")))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.when(n > 0, chunks)).alias("c"))
+            .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                    F.size("c._toks").cast("long").alias("n_tokens"),
+                    F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"))
+            .orderBy("doc_id", "chunk_id"))
+
+
+def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          vocab_df: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality proxy: mean unigram negative
+    log2-probability of each doc's tokens under the corpus (or a
+    provided reference vocabulary) unigram distribution -> (doc_id,
+    n_tokens, nll_x1e4). Lower = more typical text; the CCNet recipe
+    buckets corpora into head/middle/tail on exactly this statistic.
+
+    Plan: one explode+groupBy builds the unigram table (or pass
+    ``vocab_df(term, cnt)`` from a reference corpus), a broadcast-able
+    join scores tokens, one aggregation per doc. With a reference
+    vocab this is map-side end-to-end (vocab broadcast); OOV tokens
+    get an add-one-smoothed floor probability so a single unseen term
+    cannot dominate."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_col(text_col)).alias("term")))
+    if vocab_df is None:
+        vocab_df = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab_df.agg(F.sum("cnt").alias("n"),
+                          F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, v = float(totals["n"]), float(totals["v"])
+    # add-one smoothing; OOV -> cnt 0 under the same denominator
+    p = (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / F.lit(n_total + v)
+    scored = (toks.join(F.broadcast(vocab_df), "term", "left")
+              .select("doc_id", (-F.log2(p)).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 x1e4(F.avg("nll")).alias("nll_x1e4"))
+            .orderBy("doc_id"))

@@ -249,3 +249,50 @@ def test_pack_sequences(spark):
         spans = {r["offset"]: r["n_tokens"] for r in docs}
         for a, c in zip(offs, offs[1:]):   # contiguous within the bin
             assert a + spans[a] == c
+
+
+def test_chunk_documents(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        chunk_documents,
+    )
+
+    long_text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(0, long_text), (1, "a b c"), (2, "")],
+        "doc_id long, text string")
+    got = chunk_documents(df, 10, overlap=2).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts at 0, 8, 16 (stride 8) over 25 tokens — the
+    # sequence bound (n - overlap) stops before a degenerate tail
+    # chunk while still covering every token
+    c0 = [r["chunk_text"].split() for r in by_doc[0]]
+    assert [len(c) for c in c0] == [10, 10, 9]
+    for a, b in zip(c0, c0[1:]):        # overlap carries context
+        assert a[-2:] == b[:2] or len(a) < 10
+    assert {t for c in c0 for t in c} == set(long_text.split())
+    assert [r["chunk_text"] for r in by_doc[1]] == ["a b c"]
+    assert 2 not in by_doc              # empty doc -> no chunks
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 10, overlap=10)
+
+
+def test_unigram_logprob_score(spark):
+    """Docs made of rare tokens score strictly higher NLL than docs of
+    the corpus's most common token; reference-vocab mode gives OOV the
+    smoothed floor."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        unigram_logprob_score,
+    )
+
+    rows = [(i, "common " * 10) for i in range(9)] + [(9, "rareword unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll_x1e4"] for r in
+           unigram_logprob_score(df).collect()}
+    assert got[9] > got[0] > 0
+    vocab = spark.createDataFrame([("common", 100)], "term string, cnt long")
+    ref = {r["doc_id"]: r["nll_x1e4"] for r in
+           unigram_logprob_score(df, vocab_df=vocab).collect()}
+    assert ref[9] > ref[0]              # OOV floor > in-vocab prob
