@@ -171,6 +171,8 @@ def tokenize_expr(col, analyzer: str = "code",
     Raises ValueError for analyzers/options only the pandas path
     supports (per-language stopword removal) so callers can fall back.
     """
+    if analyzer not in ("simple", "code", "english"):
+        raise ValueError(f"unknown analyzer: {analyzer}")
     if isinstance(col, str):
         col = F.col(col)
     col = F.coalesce(col, F.lit(""))  # tokenize_py(None) == []
@@ -222,3 +224,15 @@ def term_frequencies(tokens: Iterable[str]) -> dict[str, int]:
     for t in tokens:
         tf[t] = tf.get(t, 0) + 1
     return tf
+
+
+def analyze(spark, text: str, analyzer: str = "code",
+            min_len: int = 1, max_len: int = 64):
+    """ES _analyze endpoint analog: run a string through the engine's
+    ACTUAL Catalyst analysis chain -> (position, token) DataFrame.
+    Debugging surface: what you see here is exactly what the index
+    build and the query tokenizer produce (same ``tokenize_expr``)."""
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        F.posexplode(tokenize_expr("text", analyzer, min_len, max_len))
+        .alias("position", "token"))

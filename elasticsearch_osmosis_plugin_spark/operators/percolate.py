@@ -27,12 +27,17 @@ from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
 
 def percolate(df: DataFrame, queries: dict[str, str], *,
               analyzer: str = "code", mode: str = "all",
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+              id_col: str = "doc_id", text_col: str = "text",
+              ordered: bool = True) -> DataFrame:
     """-> (doc_id, query_id) for every (doc, registered query) match,
     (doc_id, query_id)-ordered. ``mode="all"``: the doc must contain
     every query term (ES match operator=and, the percolator's usual
     registration form); ``mode="any"``: at least one term. Docs
-    matching nothing produce no rows (exactly the API's behavior)."""
+    matching nothing produce no rows (exactly the API's behavior).
+    ``ordered=False`` skips the final global sort — required when
+    ``df`` is a streaming DataFrame (per-micro-batch output has no
+    global order to impose), and the fastest choice whenever the
+    caller aggregates the matches anyway."""
     if mode not in ("all", "any"):
         raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
     qterms = {qid: sorted(set(tokenize_py(q, analyzer)))
@@ -50,8 +55,8 @@ def percolate(df: DataFrame, queries: dict[str, str], *,
         hit = lambda q: F.size(F.array_except(q["terms"], F.col("_toks"))) == 0  # noqa: E731
     else:
         hit = lambda q: F.arrays_overlap(q["terms"], F.col("_toks"))  # noqa: E731
-    return (df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-            .select("doc_id",
-                    F.explode(F.filter(registered, hit)).alias("_q"))
-            .select("doc_id", F.col("_q.qid").alias("query_id"))
-            .orderBy("doc_id", "query_id"))
+    out = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+           .select("doc_id",
+                   F.explode(F.filter(registered, hit)).alias("_q"))
+           .select("doc_id", F.col("_q.qid").alias("query_id")))
+    return out.orderBy("doc_id", "query_id") if ordered else out

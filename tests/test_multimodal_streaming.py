@@ -290,3 +290,42 @@ def test_raw_image_decode_resize_featurize(spark):
     for mid, f in feats.items():
         want = _decode_raw_rgb(src[mid]).reshape(-1, 3).mean(axis=0)
         assert np.allclose(f, want)
+
+
+def test_streaming_percolate(spark, tmp_path):
+    """Percolation over a file stream: the registered-query matcher is
+    a stateless map-side transform, so it applies directly to a
+    readStream source — each micro-batch emits its (doc, query) hits."""
+    import glob
+    import os
+
+    from elasticsearch_osmosis_plugin_spark.operators.percolate import percolate
+
+    d = tmp_path / "perc_stream"
+    d.mkdir()
+    schema = "doc_id long, text string"
+    batches = {"a": [(1, "spark shuffle join"), (2, "nothing here")],
+               "b": [(3, "broadcast join hint"), (4, "spark only")]}
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = str(tmp_path / f"pstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    qs = {"qj": "join", "qsj": "spark join"}
+    # drop the deterministic orderBy for the streaming plan (global
+    # sort is not stream-compatible; per-batch output needs none)
+    hits = percolate(src, qs, analyzer="simple", ordered=False)
+    q = (hits.writeStream.outputMode("append")
+         .format("memory").queryName("t_perc").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["query_id"]) for r in
+           spark.sql("SELECT * FROM t_perc").collect()}
+    assert got == {(1, "qj"), (1, "qsj"), (3, "qj")}

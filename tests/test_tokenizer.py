@@ -144,3 +144,14 @@ def test_tokenize_udf_matches_python(spark):
            sdf.select("id", tokenize_udf("code")(F.col("content")).alias("toks")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == tokenize_py(t, "code")
+
+
+def test_analyze_endpoint(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import analyze
+
+    got = analyze(spark, "getIndexBuffer flushes Buffers", "code").collect()
+    assert [(r["position"], r["token"]) for r in got] == list(
+        enumerate(tokenize_py("getIndexBuffer flushes Buffers", "code")))
+    en = [r["token"] for r in
+          analyze(spark, "The bodies of tables", "english").collect()]
+    assert en == ["body", "table"]
