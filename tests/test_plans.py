@@ -79,3 +79,38 @@ def test_exact_filter_pushed_down(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(docs.filter(docs.lang == "fr").select("doc_id"))
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,fr)]" in plan
+
+
+def test_map_side_ops_have_no_exchange(spark):
+    """The ops sold as map-side-only must show NO Exchange in the
+    executed plan: percolate (unordered), stratified mixture sampling,
+    and per-partition sequence packing."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        pack_sequences_partitioned,
+        stratified_mixture,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join t{i}", "en" if i % 2 else "de", 5)
+         for i in range(50)],
+        "doc_id long, text string, lang string, n_tokens long")
+    p1 = _plan(percolate(docs, {"q": "spark join"}, analyzer="simple",
+                         ordered=False))
+    assert "Exchange" not in p1
+    p2 = _plan(stratified_mixture(docs, {"en": 0.5}, stratum_col="lang"))
+    assert "Exchange" not in p2
+    p3 = _plan(pack_sequences_partitioned(docs, 64))
+    assert "Exchange" not in p3
+
+
+def test_classic_similarity_plan(spark, index_path):
+    """topk_classic shares scoreall's physical shape: ONE Arrow decode
+    and a TakeOrderedAndProject top-k (no global sort)."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_classic
+
+    plan = _plan(topk_classic(spark, index_path, "public static", k=10))
+    assert plan.count("MapInPandas") == 1
+    assert "TakeOrderedAndProject" in plan
