@@ -51,6 +51,43 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                               round_dp=round_dp)
 
 
+def cosine_topk_many(df: DataFrame, queries: dict[str, Sequence[float]],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Batched exact similarity serving: N query vectors answered in
+    ONE table scan (the ANN analog of ``operators.query.topk_many``).
+    The queries fold into a literal struct array; each row computes
+    its norm once and scores against every query inside the same
+    projection, then a per-query window rank takes the top-k ->
+    (query_id, vec_id, cos), each block identical (bit-for-bit — the
+    same left-to-right fold) to the solo ``cosine_topk``.
+
+    Shuffle carries |rows| x |queries| scored pairs — for large
+    batches at scale, pre-filter with the LSH/IVF layouts first and
+    feed the union of candidates here."""
+    from pyspark.sql import Window
+
+    if not queries:
+        return df.sparkSession.createDataFrame(
+            [], "query_id string, vec_id long, cos double")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = F.array(*[
+        F.struct(F.lit(qid).alias("qid"),
+                 F.array(*[F.lit(float(x)) for x in vec]).alias("q"))
+        for qid, vec in sorted(queries.items())])
+    exploded = df.select(F.col(id_col).alias("vec_id"), v.alias("_v"),
+                         _norm(v).alias("_nv"),
+                         F.explode(entries).alias("_q"))
+    cos = (_dot(F.col("_v"), F.col("_q.q"))
+           / (F.col("_nv") * _norm(F.col("_q.q"))))
+    scored = exploded.select(F.col("_q.qid").alias("query_id"),
+                             "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .orderBy("query_id", F.desc("cos"), F.asc("vec_id")))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(np.random.SeedSequence([seed, dim, n_planes])) \
         .standard_normal((n_planes, dim))

@@ -203,3 +203,25 @@ def test_minhash_lsh_band_bucket_cap(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == \
         {(r["doc_a"], r["doc_b"]) for r in uncapped
          if not (r["doc_a"] < 6 and r["doc_b"] < 6)}
+
+
+def test_cosine_topk_many_matches_solo(spark, embeddings):
+    """Batched serving: each query's block equals its solo cosine_topk
+    bit-for-bit (same fold order), one scan for all queries."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_many,
+    )
+
+    rows = embeddings.filter("vec_id < 3").collect()
+    qs = {f"q{r['vec_id']}": list(r["embedding"]) for r in rows}
+    batched = cosine_topk_many(embeddings, qs, k=5)
+    by_q: dict = {}
+    for r in batched.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    assert set(by_q) == set(qs)
+    for qid, vec in qs.items():
+        solo = [(r["vec_id"], r["cos"]) for r in
+                cosine_topk(embeddings, vec, k=5).collect()]
+        assert by_q[qid] == solo, qid
+    assert cosine_topk_many(embeddings, {}, k=5).count() == 0
