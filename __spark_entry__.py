@@ -1093,6 +1093,16 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob_score(docs)
 
 
+def q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid over the synthetic points (zoom 4): web-
+    mercator z/x/y buckets; the synthetic lat/lon land well inside
+    tiles, so trig-library ulp differences cannot flip a bucket."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import geotile_grid
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    return geotile_grid(pts, 4)
+
+
 PERCOLATE_QUERIES = {"q_spark": "spark query", "q_dup": "dup",
                      "q_window_merge": "window merge"}
 
@@ -1324,6 +1334,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "geo_distance_filter": q_geo_distance_filter,
     "geo_bbox_filter": q_geo_bbox_filter,
+    "geotile_grid": q_geotile_grid,
     "train_eval_split": q_train_eval_split,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
@@ -2097,6 +2108,22 @@ sc AS (SELECT t.doc_id,
 SELECT doc_id, count(*) AS n_tokens,
        floor(avg(nll) * 10000.0 + 0.5)::BIGINT AS nll_x1e4
 FROM sc GROUP BY doc_id ORDER BY doc_id""",
+        "geotile_grid": """
+WITH pts AS (
+  SELECT doc_id,
+         greatest(-85.05112878, least(85.05112878,
+           ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005)) AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents),
+tiles AS (
+  SELECT doc_id,
+         least(greatest(floor((lon + 180.0) / 360.0 * 16.0), 0), 15)::BIGINT
+           AS x,
+         floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+               / 2.0 * 16.0)::BIGINT AS y
+  FROM pts)
+SELECT '4/' || x || '/' || y AS tile, count(*) AS n_docs
+FROM tiles GROUP BY 1 ORDER BY n_docs DESC, tile""",
         "geo_distance_filter": """
 WITH pts AS (
   SELECT doc_id,

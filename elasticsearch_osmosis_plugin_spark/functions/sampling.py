@@ -92,6 +92,8 @@ def pack_sequences(df: DataFrame, budget: int, *,
     full ordering — fine up to ~10^9 rows but serialized through a
     single-partition window at the extreme; use
     :func:`pack_sequences_partitioned` at 100 TB."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     from pyspark.sql import Window
 
     w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
@@ -112,6 +114,8 @@ def pack_sequences_partitioned(df: DataFrame, budget: int, *,
     each task streams its rows once. Bins never span partitions, so
     at most one under-filled bin per partition (negligible waste when
     partitions hold >> budget tokens)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     import pandas as pd
 
     out_schema = "doc_id long, n_tokens long, bin_id long, offset long"

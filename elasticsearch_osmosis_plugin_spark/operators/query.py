@@ -339,6 +339,8 @@ def topk_classic(spark: SparkSession, index_path: str, query: str,
     dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
     df_by_term = {r.term: int(r.df) for r in dic.itertuples()}
     n = float(meta["n_docs"])
+    if n <= 0:
+        return spark.createDataFrame([], "doc_id long, score double")
     idf_c = {t: 1.0 + math.log(n / (df_by_term.get(t, 0) + 1.0))
              for t in terms}
     qnorm = 1.0 / math.sqrt(sum(v * v for v in idf_c.values()))

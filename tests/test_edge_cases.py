@@ -62,3 +62,53 @@ def test_query_longer_than_any_doc(spark, corpus_df, tmp_path):
     q = " ".join(f"id{i:04d}" for i in range(50))
     got = topk(spark, idx, q, k=5, strategy="maxscore").collect()
     assert len(got) == 5
+
+
+def test_new_ops_degenerate_inputs(spark, tmp_path):
+    """Round-2 surfaces on empty/absent inputs: classic similarity,
+    DSL search, collapse, multi-index, boosting — all return empty
+    (never raise) on an empty index or a no-hit query."""
+    from elasticsearch_osmosis_plugin_spark.operators import dsl
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        topk_classic,
+        topk_multi,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        boosting_topk,
+        collapse_topk,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, repo string, path string, commit string, "
+            "lang string, content string")
+    idx = str(tmp_path / "e_idx")
+    build_index(spark, empty, idx, CFG, id_col="doc_id", n_groups=1)
+    assert topk_classic(spark, idx, "anything", k=5).count() == 0
+    assert topk_classic(spark, idx, "", k=5).count() == 0
+    assert topk_multi(spark, [idx], "anything", k=5).count() == 0
+    assert topk_multi(spark, [], "anything", k=5).count() == 0
+    assert collapse_topk(spark, idx, "anything", "lang", k=5).count() == 0
+    assert boosting_topk(spark, idx, "anything", "other", k=5).count() == 0
+    assert dsl.search(spark, idx, {"query": {"match":
+                                             {"content": "x"}}}).count() == 0
+    assert dsl.search(spark, idx, {"query": {"match_all": {}}}).count() == 0
+
+
+def test_chunk_and_pack_degenerate(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        chunk_documents,
+    )
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        pack_sequences,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_documents(empty, 10).count() == 0
+    # max_tokens=1, overlap=0: one chunk per token
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    got = chunk_documents(df, 1).collect()
+    assert [r["chunk_text"] for r in got] == ["a", "b", "c"]
+    e2 = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(e2, 16).count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(e2, 0)
