@@ -125,8 +125,23 @@ def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
     Returns the hits DataFrame: (doc_id, score) for ranked forms,
     constant-score for filter-ish forms, plus any extra columns a
     compiled operator carries (e.g. ``collapse`` adds the field).
+    A top-level ``"_source": [col, ...]`` hydrates the hits with
+    doc-store fields via the fetch phase (``query.fetch_hits``).
     Aggregations go through :func:`search_aggs`.
     """
+    src = body.get("_source")
+    hits = _search_query(spark, index_path, body)
+    if src:
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            fetch_hits,
+        )
+
+        hits = fetch_hits(spark, index_path, hits, list(src))
+    return hits
+
+
+def _search_query(spark: SparkSession, index_path: str,
+                  body: dict) -> DataFrame:
     from elasticsearch_osmosis_plugin_spark.operators import intersect, query
     from elasticsearch_osmosis_plugin_spark.operators import scorefn
 

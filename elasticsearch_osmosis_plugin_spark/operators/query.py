@@ -416,6 +416,31 @@ def topk_many(spark: SparkSession, index_path: str,
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
 
+def fetch_hits(spark: SparkSession, index_path: str, hits: DataFrame,
+               cols: Sequence[str]) -> DataFrame:
+    """ES fetch phase (the second half of query_then_fetch): hydrate a
+    ranked hit list with doc-store fields (_source filtering) ->
+    the hits' columns + ``cols``, ranking order preserved.
+
+    The hit list is top-k-sized, so its ids collect to the driver (the
+    coordinator's fetch id list — exactly what an ES coordinating node
+    holds between the two phases) and push down into the doc-store
+    scan as an In() filter: column-pruned, row-group-pruned, no
+    shuffle of the store. Missing doc ids (possible only if the store
+    was mutated after scoring) keep the hit with null fields, exactly
+    like ES serving a hit whose _source was since deleted."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ids = [r["doc_id"] for r in hits.select("doc_id").collect()]
+    ds = (catalog.read_table(spark, index_path, "docstats")
+          .select("doc_id", *cols)
+          .filter(F.col("doc_id").isin(ids)))
+    out = hits.join(ds, "doc_id", "left")
+    order = [F.desc("score"), F.asc("doc_id")] if "score" in hits.columns \
+        else [F.asc("doc_id")]
+    return out.orderBy(*order)
+
+
 def topk_multi(spark: SparkSession, index_paths: Sequence[str],
                query: str, k: int = 10) -> DataFrame:
     """ES multi-index search (``GET /idx1,idx2/_search``) with

@@ -339,3 +339,30 @@ def test_boosting_query(spark, idx):
         "negative": {"match": {"content": "id0042"}},
         "negative_boost": 0.25}}, "size": 80})
     assert _rows(via) == [(r["doc_id"], r["score"]) for r in got]
+
+
+def test_fetch_phase_source_hydration(spark, idx):
+    """query_then_fetch's second phase: hits hydrate with doc-store
+    fields, ranking preserved; ids collect -> In() pushdown, no store
+    shuffle; '_source' routes it through the DSL."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import fetch_hits
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    hits = query.topk(spark, idx, "public static", k=5)
+    got = fetch_hits(spark, idx, hits, ["lang", "dl"]).collect()
+    assert [r["doc_id"] for r in got] == \
+        [r["doc_id"] for r in hits.collect()]
+    ds = {r["doc_id"]: (r["lang"], r["dl"]) for r in
+          catalog.read_table(spark, idx, "docstats")
+          .select("doc_id", "lang", "dl").collect()}
+    for r in got:
+        assert (r["lang"], r["dl"]) == ds[r["doc_id"]]
+    plan = fetch_hits(spark, idx, hits, ["lang"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan          # pushed-down id list
+
+    via = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}},
+        "_source": ["lang"], "size": 5}).collect()
+    assert [(r["doc_id"], r["lang"]) for r in via] == \
+        [(r["doc_id"], r["lang"]) for r in got]
