@@ -376,3 +376,45 @@ def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
             .filter(cos >= threshold)
             .select(F.col("a.vid").alias("vec_a"),
                     F.col("b.vid").alias("vec_b"), x1e4(cos).alias("cos_x1e4")))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_lists: int = 1, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cents: np.ndarray | None = None) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication over an embedding
+    column: coarse k-means clustering, exact cosine near-dup pairs
+    WITHIN each coarse cluster, connected components, keep the minimum
+    id per component -> (doc_id, cluster_id, is_keep) for EVERY row.
+
+    ``n_lists=1`` compares all pairs — the exact correctness baseline.
+    At scale, ``n_lists >> 1`` restricts the quadratic join to
+    same-coarse-list pairs (the SemDeDup design: near-duplicates land
+    in the same k-means cluster with high probability), so candidate
+    volume is ~n^2 / n_lists for balanced lists. Approximate recall
+    across list boundaries, exact precision (every emitted pair is
+    re-checked with the exact cosine)."""
+    from elasticsearch_osmosis_plugin_spark.functions.cluster import (
+        duplicate_clusters,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).cast("long").alias("vid"),
+                     v.alias("v"), _norm(v).alias("nrm"))
+    if n_lists > 1:
+        if cents is None:
+            cents = ivf_centroids(df, n_lists, seed,
+                                  id_col=id_col, vec_col=vec_col)
+        base = base.withColumn("_list", ivf_assign_col("v", cents))
+        join_cond = [F.col("a._list") == F.col("b._list"),
+                     F.col("a.vid") < F.col("b.vid")]
+    else:
+        join_cond = [F.col("a.vid") < F.col("b.vid")]
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (a.join(b, join_cond)
+             .filter(cos >= threshold)
+             .select(F.col("a.vid").alias("doc_a"),
+                     F.col("b.vid").alias("doc_b")))
+    return duplicate_clusters(df.select(F.col(id_col).alias("doc_id")),
+                              pairs)

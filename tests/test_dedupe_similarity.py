@@ -225,3 +225,34 @@ def test_cosine_topk_many_matches_solo(spark, embeddings):
                 cosine_topk(embeddings, vec, k=5).collect()]
         assert by_q[qid] == solo, qid
     assert cosine_topk_many(embeddings, {}, k=5).count() == 0
+
+
+def test_semantic_dedup(spark, embeddings):
+    """SemDeDup composition: n_lists=1 equals pairs-exact + clustering;
+    the coarse-list variant is deterministic, exact-precision (its
+    non-keep set is a subset of the exact one), and labels every row."""
+    from elasticsearch_osmosis_plugin_spark.functions.cluster import (
+        duplicate_clusters,
+    )
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        neardup_pairs_exact,
+        semantic_dedup,
+    )
+
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keep"]) for r in
+           semantic_dedup(embeddings, threshold=0.9).collect()}
+    want = {r["doc_id"]: (r["cluster_id"], r["is_keep"]) for r in
+            duplicate_clusters(
+                embeddings.selectExpr("vec_id AS doc_id"),
+                neardup_pairs_exact(embeddings, 0.9)
+                .selectExpr("vec_a AS doc_a", "vec_b AS doc_b")).collect()}
+    assert got == want and len(got) == embeddings.count()
+    assert any(not keep for _, keep in got.values())  # real dups exist
+
+    coarse = {r["doc_id"]: r["is_keep"] for r in
+              semantic_dedup(embeddings, threshold=0.9, n_lists=4).collect()}
+    again = {r["doc_id"]: r["is_keep"] for r in
+             semantic_dedup(embeddings, threshold=0.9, n_lists=4).collect()}
+    assert coarse == again                      # deterministic
+    exact_nonkeep = {d for d, (_, k) in got.items() if not k}
+    assert {d for d, k in coarse.items() if not k} <= exact_nonkeep
