@@ -2119,8 +2119,9 @@ tiles AS (
   SELECT doc_id,
          least(greatest(floor((lon + 180.0) / 360.0 * 16.0), 0), 15)::BIGINT
            AS x,
-         floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
-               / 2.0 * 16.0)::BIGINT AS y
+         least(greatest(
+           floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                  / pi()) / 2.0 * 16.0), 0), 15)::BIGINT AS y
   FROM pts)
 SELECT '4/' || x || '/' || y AS tile, count(*) AS n_docs
 FROM tiles GROUP BY 1 ORDER BY n_docs DESC, tile""",

@@ -293,6 +293,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop:
             print(json.dumps({"dropped": catalog.drop_alias(args.alias)}))
         else:
+            if not args.index:
+                build_parser().error("alias requires --index (or --drop)")
             catalog.create_alias(args.alias, args.index)
             print(json.dumps({"alias": args.alias,
                               "index": catalog.resolve_alias(args.alias)}))

@@ -238,7 +238,8 @@ def shingle_fingerprint(df: DataFrame, n: int = 5, id_col: str = "doc_id",
 
 def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    ordered: bool = True) -> DataFrame:
     """Split documents into token windows of at most ``max_tokens``
     with ``overlap`` tokens of context carried between consecutive
     chunks — the standard long-document preprocessing before packing
@@ -246,9 +247,13 @@ def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
     n_tokens, chunk_text), chunk_id 0-based per doc.
 
     Pure Catalyst: tokenize -> F.sequence of window starts ->
-    transform/slice — one narrow pass, no shuffle, no Python. The
-    final chunk may be shorter; stride = max_tokens - overlap; empty
-    docs produce no chunks (nothing to train on)."""
+    transform/slice — one narrow pass, no Python. ``ordered=True``
+    (the default) adds a deterministic global sort for stable output;
+    pass ``ordered=False`` on the 100 TB path (or before
+    order-insensitive consumers like pack_sequences_partitioned) to
+    keep the op shuffle-free. The final chunk may be shorter;
+    stride = max_tokens - overlap; empty docs produce no chunks
+    (nothing to train on)."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     if not 0 <= overlap < max_tokens:
@@ -262,12 +267,12 @@ def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
         starts, lambda s, i: F.struct(
             i.cast("long").alias("chunk_id"),
             F.slice(toks, s, max_tokens).alias("_toks")))
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.when(n > 0, chunks)).alias("c"))
+    out = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.when(n > 0, chunks)).alias("c"))
             .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
                     F.size("c._toks").cast("long").alias("n_tokens"),
-                    F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"))
-            .orderBy("doc_id", "chunk_id"))
+                    F.concat_ws(" ", F.col("c._toks")).alias("chunk_text")))
+    return out.orderBy("doc_id", "chunk_id") if ordered else out
 
 
 def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
@@ -288,6 +293,12 @@ def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(tokens_col(text_col)).alias("term")))
     if vocab_df is None:
+        # corpus mode needs toks twice (vocab build + scoring join) and
+        # the totals are collected eagerly below — materialize the
+        # tokenized stream ONCE instead of re-tokenizing the corpus per
+        # consumer (same eager-localCheckpoint pattern as the dedup
+        # pair emitters)
+        toks = toks.localCheckpoint(eager=True)
         vocab_df = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     totals = vocab_df.agg(F.sum("cnt").alias("n"),
                           F.count(F.lit(1)).alias("v")).collect()[0]

@@ -157,7 +157,11 @@ def update(spark: SparkSession, root: str, kind: str, id_: int,
     row = spark.createDataFrame(
         [tuple(merged[c] for c in current.asDict())],
         catalog.read_table(spark, root, DOCSTORE).schema)
-    save_all(spark, root, row.drop("bkt"))
+    # the doc's own kind is supported by definition (it exists in the
+    # store) — passing it through keeps update working for stores
+    # built with non-default supported_kinds instead of silently
+    # quarantining the merged row
+    save_all(spark, root, row.drop("bkt"), supported_kinds=(kind,))
     return find(spark, root, kind, id_)
 
 

@@ -119,6 +119,20 @@ def _const_hits(spark: SparkSession, ids: DataFrame) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _finish_ids(spark: SparkSession, index_path: str, ids: DataFrame,
+                post_col, k: int) -> DataFrame:
+    """Constant-score epilogue shared by every filter-ish query form:
+    apply the post_filter (doc-store semi-join) BEFORE the size cut —
+    ES post_filter semantics — then emit ordered constant-score hits."""
+    if post_col is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_col).select("doc_id"))
+        ids = ids.join(allowed, "doc_id", "left_semi")
+    return _const_hits(spark, ids).limit(k)
+
+
 def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
     """Run an ES-style search body against the index.
 
@@ -152,6 +166,8 @@ def _search_query(spark: SparkSession, index_path: str,
     post_col = filter_column(post) if post is not None else None
 
     if "collapse" in body:
+        if post_col is not None:
+            raise ValueError("post_filter with collapse is not supported")
         qkind, qspec = _one_entry(q, "query")
         if qkind != "match":
             raise ValueError("collapse requires a match query here")
@@ -161,6 +177,8 @@ def _search_query(spark: SparkSession, index_path: str,
             body["collapse"]["field"], k=k)
 
     if "rescore" in body:
+        if post_col is not None:
+            raise ValueError("post_filter with rescore is not supported")
         qkind, qspec = _one_entry(q, "query")
         _, spec = _one_entry(qspec, "match")
         r = body["rescore"]
@@ -189,12 +207,13 @@ def _search_query(spark: SparkSession, index_path: str,
         if opts.get("operator", "or") == "and":
             meta = query.load_meta(index_path)
             msm = len(query.query_terms(text, meta))
+        boosts = opts.get("boosts")
         if "search_after" in body:
             s, d = body["search_after"]
             return query.topk_after(spark, index_path, text, k=k,
                                     after=(float(s), int(d)),
-                                    post_filter=post_col)
-        boosts = opts.get("boosts")
+                                    post_filter=post_col, boosts=boosts,
+                                    minimum_should_match=msm)
         return query.topk(spark, index_path, text, k=k,
                           post_filter=post_col, boosts=boosts,
                           minimum_should_match=msm)
@@ -206,37 +225,38 @@ def _search_query(spark: SparkSession, index_path: str,
         if slop > 0:
             # ES match_phrase with slop == ordered span_near over the
             # phrase terms with that slop
-            return _const_hits(spark, intersect.span_near(
-                spark, index_path, text, slop=slop,
-                in_order=True)).limit(k)
-        return _const_hits(spark, intersect.match_phrase(
-            spark, index_path, text)).limit(k)
+            return _finish_ids(spark, index_path, intersect.span_near(
+                spark, index_path, text, slop=slop, in_order=True),
+                post_col, k)
+        return _finish_ids(spark, index_path, intersect.match_phrase(
+            spark, index_path, text), post_col, k)
 
     if kind == "match_phrase_prefix":
         fld, mspec = _one_entry(spec, "match_phrase_prefix")
         text, opts = _match_args(mspec)
-        return _const_hits(spark, intersect.match_phrase_prefix(
+        return _finish_ids(spark, index_path, intersect.match_phrase_prefix(
             spark, index_path, text,
-            max_expansions=int(opts.get("max_expansions", 50)))).limit(k)
+            max_expansions=int(opts.get("max_expansions", 50))),
+            post_col, k)
 
     if kind == "term":
         fld, val = _one_entry(spec, "term")
         if isinstance(val, dict):
             val = val["value"]
-        return _const_hits(spark, intersect.match_all_terms(
-            spark, index_path, str(val))).limit(k)
+        return _finish_ids(spark, index_path, intersect.match_all_terms(
+            spark, index_path, str(val)), post_col, k)
 
     if kind == "terms":
         fld, vals = _one_entry(spec, "terms")
-        return _const_hits(spark, intersect.match_any_terms(
-            spark, index_path, " ".join(vals))).limit(k)
+        return _finish_ids(spark, index_path, intersect.match_any_terms(
+            spark, index_path, " ".join(vals)), post_col, k)
 
     if kind == "prefix":
         fld, val = _one_entry(spec, "prefix")
         if isinstance(val, dict):
             val = val["value"]
-        return _const_hits(spark, intersect.match_expanded(
-            spark, index_path, str(val))).limit(k)
+        return _finish_ids(spark, index_path, intersect.match_expanded(
+            spark, index_path, str(val)), post_col, k)
 
     if kind == "fuzzy":
         fld, val = _one_entry(spec, "fuzzy")
@@ -244,25 +264,22 @@ def _search_query(spark: SparkSession, index_path: str,
         if isinstance(val, dict):
             fuzz = int(val.get("fuzziness", 1))
             val = val["value"]
-        return _const_hits(spark, intersect.match_fuzzy(
-            spark, index_path, str(val), max_edits=fuzz)).limit(k)
+        return _finish_ids(spark, index_path, intersect.match_fuzzy(
+            spark, index_path, str(val), max_edits=fuzz), post_col, k)
 
     if kind == "bool":
         must = [c for c in spec.get("must", [])]
-        # scoring bool of match clauses -> ranked AND via
-        # minimum_should_match over the union when every clause is a
-        # match; otherwise the set-algebra path (constant score)
+        # scoring bool of match clauses -> topk_clauses with ES's
+        # clause semantics (each match clause is an OR over its own
+        # terms; the doc must satisfy every clause); otherwise the
+        # set-algebra path (constant score)
         if must and all(_one_entry(c, "clause")[0] == "match" for c in must) \
                 and not spec.get("should") and not spec.get("must_not") \
                 and not spec.get("filter"):
             texts = [_match_args(_one_entry(_one_entry(c, "c")[1], "m")[1])[0]
                      for c in must]
-            meta = query.load_meta(index_path)
-            terms = sorted({t for x in texts
-                            for t in query.query_terms(x, meta)})
-            return query.topk(spark, index_path, " ".join(terms), k=k,
-                              post_filter=post_col,
-                              minimum_should_match=len(terms))
+            return query.topk_clauses(spark, index_path, texts, k=k,
+                                      post_filter=post_col)
 
         def _clause_text(c):
             ck, cspec = _one_entry(c, "bool clause")
@@ -295,6 +312,9 @@ def _search_query(spark: SparkSession, index_path: str,
         return hits.limit(k)
 
     if kind == "boosting":
+        if post_col is not None:
+            raise ValueError(
+                "post_filter with boosting is not supported")
         _, pspec = _one_entry(spec["positive"]["match"], "boosting positive")
         _, nspec = _one_entry(spec["negative"]["match"], "boosting negative")
         return scorefn.boosting_topk(
@@ -302,6 +322,9 @@ def _search_query(spark: SparkSession, index_path: str,
             k=k, negative_boost=float(spec.get("negative_boost", 0.5)))
 
     if kind == "function_score":
+        if post_col is not None:
+            raise ValueError(
+                "post_filter with function_score is not supported")
         inner = spec["query"]
         _, mspec = _one_entry(inner["match"], "function_score match")
         fns = []
@@ -330,6 +353,9 @@ def _search_query(spark: SparkSession, index_path: str,
             functions=fns, boost_mode=spec.get("boost_mode", "multiply"))
 
     if kind == "dis_max":
+        if post_col is not None:
+            raise ValueError(
+                "post_filter with dis_max is not supported")
         texts = []
         for sub in spec["queries"]:
             _, mspec = _one_entry(sub["match"], "dis_max match")
@@ -341,12 +367,15 @@ def _search_query(spark: SparkSession, index_path: str,
     if kind == "span_near":
         terms = [_one_entry(c["span_term"], "span_term")[1]
                  for c in spec["clauses"]]
-        return _const_hits(spark, intersect.span_near(
+        return _finish_ids(spark, index_path, intersect.span_near(
             spark, index_path, " ".join(str(t) for t in terms),
             slop=int(spec.get("slop", 0)),
-            in_order=bool(spec.get("in_order", True)))).limit(k)
+            in_order=bool(spec.get("in_order", True))), post_col, k)
 
     if kind == "more_like_this":
+        if post_col is not None:
+            raise ValueError(
+                "post_filter with more_like_this is not supported")
         like = spec["like"]
         doc_id = like[0]["_id"] if isinstance(like, list) else like["_id"]
         return intersect.more_like_this(
@@ -379,8 +408,11 @@ def search_aggs(spark: SparkSession, index_path: str,
         sub = {k2: v for k2, v in agg.items() if k2 != "aggs"}
         akind, aspec = _one_entry(sub, "agg")
         if akind == "terms" and "aggs" in agg:
-            th, thspec = _one_entry(agg["aggs"], "sub-agg")
-            hits = thspec["top_hits"] if "top_hits" in thspec else thspec
+            _, thspec = _one_entry(agg["aggs"], "sub-agg")
+            skind, hits = _one_entry(thspec, "terms sub-agg")
+            if skind != "top_hits":
+                raise ValueError(
+                    f"unsupported terms sub-agg: {skind} (only top_hits)")
             out[name] = scorefn.top_hits(
                 spark, index_path, qtext, aspec["field"],
                 n_hits=int(hits.get("size", 3)))

@@ -256,9 +256,13 @@ def geotile_cell(lat, lon, zoom: int) -> Column:
     x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
     y = F.floor((1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi)) / math.pi)
                 / 2.0 * n).cast("long")
-    # the +180/-180 seam maps to the first column, like ES
+    # the +180/-180 seam maps to the first column, like ES; y needs the
+    # same clamp — at lat <= -85.0511... float error pushes the inner
+    # value to 1.0+eps and floor(n*that) = n, one past the last row
     x = F.when(x >= n, F.lit(int(n) - 1)).otherwise(
         F.when(x < 0, F.lit(0)).otherwise(x))
+    y = F.when(y >= n, F.lit(int(n) - 1)).otherwise(
+        F.when(y < 0, F.lit(0)).otherwise(y))
     return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
                        y.cast("string"))
 

@@ -247,6 +247,7 @@ def topk(spark: SparkSession, index_path: str, query: str, k: int = 10,
 def topk_after(spark: SparkSession, index_path: str, query: str,
                k: int = 10, *, after: tuple[float, int] | None = None,
                post_filter=None, boosts=None,
+               minimum_should_match: int = 0,
                _meta=None, _posts=None, _dic=None) -> DataFrame:
     """Keyset pagination (ES search_after analog): the next ``k`` hits
     strictly AFTER position ``after = (score, doc_id)`` in the global
@@ -275,10 +276,21 @@ def topk_after(spark: SparkSession, index_path: str, query: str,
     if boosts:
         idf_by_term = {t: v * float(boosts.get(t, 1.0))
                        for t, v in idf_by_term.items()}
+    if minimum_should_match > 0 and len(dic) < minimum_should_match:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # msm pages must use the same match semantics as page 1 or the
+    # cursor tiles the wrong ranking; the countDistinct is only added
+    # when the constraint is actually set
+    aggs = [F.sum("partial").alias("score")]
+    if minimum_should_match > 0:
+        aggs.append(F.countDistinct("term").alias("_nt"))
     scores = (_scored(spark, index_path, list(dic["term"]), meta,
                       idf_by_term, posts=_posts, allowed=allowed,
                       denied=denied)
-              .groupBy("doc_id").agg(F.sum("partial").alias("score")))
+              .groupBy("doc_id").agg(*aggs))
+    if minimum_should_match > 0:
+        scores = scores.filter(F.col("_nt") >= minimum_should_match)
+    scores = scores.select("doc_id", "score")
     if after is not None:
         s, d = float(after[0]), int(after[1])
         scores = scores.filter(
@@ -414,6 +426,57 @@ def topk_many(spark: SparkSession, index_path: str,
     return (per_q.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn")
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+
+def topk_clauses(spark: SparkSession, index_path: str,
+                 clauses: Sequence[str], k: int = 10, *,
+                 post_filter=None, _meta=None, _posts=None,
+                 _dic=None) -> DataFrame:
+    """Ranked bool.must of match clauses with ES's clause semantics: a
+    doc matches iff EVERY clause contributes at least one of its own
+    analyzed terms (each match clause is an OR over its terms — NOT a
+    conjunction of every term of every clause), scored by BM25 over
+    the distinct union of clause terms.
+
+    One decode of the union terms' postings. A term shared by multiple
+    clauses would be double-counted by the (clause, term) fan-out, so
+    each partial is pre-scaled by 1/|clauses containing the term|
+    (driver-known constant) — the aggregation then sums each (doc,
+    term) contribution exactly once while ``countDistinct(clause)``
+    checks coverage, all in ONE groupBy."""
+    meta = _meta if _meta is not None else load_meta(index_path)
+    cl_terms = [query_terms(c, meta) for c in clauses]
+    if not cl_terms or any(not ts for ts in cl_terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+    union = sorted(set().union(*cl_terms))
+    dic = dictionary_rows(spark, index_path, union, meta, dic=_dic)
+    live = set(dic["term"])
+    # a clause with no indexed term can never match -> empty result
+    if any(not (set(ts) & live) for ts in cl_terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    n_cl_of = {t: sum(1 for ts in cl_terms if t in ts) for t in live}
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+    scored = _scored(spark, index_path, sorted(live), meta, idf_by_term,
+                     posts=_posts, allowed=allowed,
+                     denied=tombstones_df(spark, index_path, meta))
+    pairs = spark.createDataFrame(
+        [(ci, t, 1.0 / n_cl_of[t])
+         for ci, ts in enumerate(cl_terms) for t in ts if t in live],
+        "clause int, term string, w double")
+    agg = (scored.join(F.broadcast(pairs), "term")
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("partial") * F.col("w")).alias("score"),
+                F.countDistinct("clause").alias("_nc"))
+           .filter(F.col("_nc") == len(cl_terms))
+           .select("doc_id", "score"))
+    return deterministic_topk(agg, k)
 
 
 def fetch_hits(spark: SparkSession, index_path: str, hits: DataFrame,

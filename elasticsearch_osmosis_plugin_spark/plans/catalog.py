@@ -163,11 +163,23 @@ def snapshot_index(index_path: str, snap_path: str) -> dict[str, Any]:
 
 def restore_index(snap_path: str, index_path: str) -> None:
     """ES restore analog: replace ``index_path`` with the snapshot's
-    state. The restored copy is staged beside the target and swapped
-    in with rename (old index removed after the new one is complete),
-    so readers never observe a half-restored index."""
+    state, staged fully before going live.
+
+    When ``index_path`` is an ALIAS (``create_alias``), the restore is
+    truly atomic: the copy stages under a fresh versioned directory
+    and the alias repoints with ``os.replace`` — readers see the old
+    or the restored index, never neither. That is the recommended
+    layout for online restores (exactly ES's restore-then-alias-swap
+    practice). For a plain directory, POSIX cannot atomically swap two
+    non-empty dirs, so there is a brief rename-rename window where the
+    path is absent; offline maintenance only."""
     if not os.path.exists(os.path.join(snap_path, "meta.json")):
         raise FileNotFoundError(f"not a snapshot: {snap_path}")
+    if os.path.islink(index_path):
+        dest = f"{os.path.realpath(index_path)}.restore.{uuid.uuid4().hex[:8]}"
+        shutil.copytree(snap_path, dest)
+        create_alias(index_path, dest)  # atomic repoint; old dir kept
+        return
     tmp = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
     shutil.copytree(snap_path, tmp)
     old = f"{index_path}.old.{uuid.uuid4().hex[:8]}"

@@ -329,3 +329,29 @@ def test_snapshot_restore_point_in_time(spark, tmp_path):
     assert topk(spark, idx, "public static", k=10).collect() == before
     with pytest.raises(FileNotFoundError):
         catalog.restore_index(str(tmp_path / "nosnap"), idx)
+
+
+def test_restore_via_alias_is_atomic(spark, tmp_path):
+    """Online restore path: with an alias layout, restore stages the
+    copy and atomically repoints — the alias always resolves."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        build_index,
+        delete_docs,
+    )
+
+    idx = str(tmp_path / "v1")
+    alias = str(tmp_path / "live")
+    snap = str(tmp_path / "snap")
+    build_index(spark, generate_corpus_df(spark, seed=3, n=40), idx, CFG,
+                n_groups=1)
+    catalog.create_alias(alias, idx)
+    before = topk(spark, alias, "public", k=5).collect()
+    catalog.snapshot_index(alias, snap)
+    delete_docs(spark, alias, [before[0]["doc_id"]])
+    assert topk(spark, alias, "public", k=5).collect() != before
+    catalog.restore_index(snap, alias)
+    assert os.path.islink(alias)                      # still an alias
+    assert topk(spark, alias, "public", k=5).collect() == before
+    assert catalog.resolve_alias(alias) != os.path.realpath(idx)

@@ -146,3 +146,8 @@ def test_cli_fsck(spark, cli_index, capsys):
                         "--source", f"{SF}/documents.parquet",
                         "--id-col", "doc_id", "--text-col", "text"])
     assert out[0]["ok"] and out[0]["row_invariant"]["ok"]
+
+
+def test_cli_alias_requires_index_or_drop(spark, capsys):
+    with pytest.raises(SystemExit):
+        main(["alias", "--alias", "/tmp/nope_alias"])

@@ -136,3 +136,15 @@ def test_update_partial_merge(spark, store):
         dao.update(spark, root, "node", 3, {"nope": 1})
     with pytest.raises(ValueError):
         dao.update(spark, root, "node", 3, {"id": 4})
+
+
+def test_update_on_custom_kind_store(spark, tmp_path):
+    """update must write through for stores built with non-default
+    supported_kinds (a quarantined merge row would be a silent no-op)."""
+    root = str(tmp_path / "relstore")
+    rows = spark.createDataFrame([("relation", 7, "r7")],
+                                 "kind string, id long, body string")
+    dao.save_all(spark, root, rows, supported_kinds=("relation",))
+    merged = dao.update(spark, root, "relation", 7, {"body": "R7v2"})
+    assert merged["body"] == "R7v2"
+    assert dao.find(spark, root, "relation", 7)["body"] == "R7v2"

@@ -88,10 +88,75 @@ def test_bool_ranked_and(spark, idx):
     body = {"query": {"bool": {"must": [
         {"match": {"content": "public"}},
         {"match": {"content": "id0042"}}]}}}
-    got = dsl.search(spark, idx, body)
+    got = dsl.search(spark, idx, body).collect()
     want = query.topk(spark, idx, "id0042 public", k=10,
-                      minimum_should_match=2)
-    assert _rows(got) == _rows(want)
+                      minimum_should_match=2).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_bool_must_clause_semantics(spark, idx, corpus_rows):
+    """ES clause semantics: a single multi-term match clause is an OR
+    over its terms; two clauses AND their per-clause ORs."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+
+    toks = {d: set(tokenize_py(t, "code")) for d, t in
+            zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    body = {"query": {"bool": {"must": [
+        {"match": {"content": "id0042 id0007"}},   # OR within the clause
+        {"match": {"content": "public"}}]}}, "size": 10**6}
+    got = {r["doc_id"] for r in dsl.search(spark, idx, body).collect()}
+    want = {d for d, ts in toks.items()
+            if ({"id0042", "id0007"} & ts) and "public" in ts}
+    assert got == want and got
+    # the old (wrong) conjunction-of-all-terms reading would be smaller
+    all_terms = {d for d, ts in toks.items()
+                 if {"id0042", "id0007", "public"} <= ts}
+    assert all_terms < want
+
+
+def test_post_filter_on_constant_score_forms(spark, idx):
+    """post_filter must restrict term/phrase/span forms too (it was
+    silently dropped for them once): filter applied before the size
+    cut, scores untouched."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    java = {r["doc_id"] for r in catalog.read_table(spark, idx, "docstats")
+            .filter(F.col("lang") == "java").select("doc_id").collect()}
+    body = {"query": {"term": {"content": "public"}},
+            "post_filter": {"term": {"lang": "java"}}, "size": 10**6}
+    got = [d for d, s in _rows(dsl.search(spark, idx, body))]
+    unfiltered = {r["doc_id"] for r in
+                  intersect.match_all_terms(spark, idx, "public").collect()}
+    assert got == sorted(unfiltered & java) and got
+    with pytest.raises(ValueError):
+        dsl.search(spark, idx, {"query": {"dis_max": {"queries": [
+            {"match": {"content": "x"}}]}},
+            "post_filter": {"term": {"lang": "java"}}})
+
+
+def test_search_after_keeps_msm_semantics(spark, idx):
+    """Pages use the SAME operator=and semantics as page 1."""
+    q = {"query": {"match": {"content":
+         {"query": "public id0042", "operator": "and"}}}}
+    page1 = dsl.search(spark, idx, {**q, "size": 3}).collect()
+    cursor = [page1[-1]["score"], page1[-1]["doc_id"]]
+    page2 = dsl.search(spark, idx, {**q, "search_after": cursor,
+                                    "size": 3}).collect()
+    full = query.topk(spark, idx, "id0042 public", k=6,
+                      minimum_should_match=2).collect()
+    assert [r["doc_id"] for r in page1 + page2] ==         [r["doc_id"] for r in full]
+
+
+def test_terms_subagg_rejects_non_top_hits(spark, idx):
+    with pytest.raises(ValueError):
+        dsl.search_aggs(spark, idx, {
+            "query": {"match": {"content": "public"}},
+            "aggs": {"x": {"terms": {"field": "lang"},
+                           "aggs": {"a": {"avg": {"field": "dl"}}}}}})
 
 
 def test_bool_filter_context(spark, idx):

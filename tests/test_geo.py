@@ -136,7 +136,8 @@ def test_geotile_grid(spark):
     pts = [(0, 48.8566, 2.3522), (1, 40.7128, -74.0060),
            (2, -33.8688, 151.2093), (3, 89.9, 10.0),   # pole clamp
            (4, 0.0, 180.0), (5, 0.0, -180.0),          # seam
-           (6, 48.86, 2.35)]                           # same tile as 0
+           (6, 48.86, 2.35),                           # same tile as 0
+           (7, -90.0, 0.0)]                            # south-pole y clamp
     df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
 
     def py_tile(lat, lon, z):
@@ -147,6 +148,7 @@ def test_geotile_grid(spark):
         phi = m.radians(lat)
         y = int(m.floor((1.0 - m.log(m.tan(phi) + 1.0 / m.cos(phi)) / m.pi)
                         / 2.0 * n))
+        y = min(max(y, 0), n - 1)
         return f"{z}/{x}/{y}"
 
     for z in (0, 3, 7, 12):

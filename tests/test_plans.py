@@ -104,6 +104,12 @@ def test_map_side_ops_have_no_exchange(spark):
     assert "Exchange" not in p2
     p3 = _plan(pack_sequences_partitioned(docs, 64))
     assert "Exchange" not in p3
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        chunk_documents,
+    )
+
+    p4 = _plan(chunk_documents(docs, 8, ordered=False))
+    assert "Exchange" not in p4
 
 
 def test_classic_similarity_plan(spark, index_path):
