@@ -13,14 +13,23 @@ Scope (compiles to existing, individually-gated operators — each DSL
 form is tested equal to its direct operator call):
 
 - query: match_all, match (+ operator=and / minimum_should_match),
-  match_phrase, match_phrase_prefix, term, terms, prefix, fuzzy,
-  bool (must/should/must_not/filter + minimum_should_match),
-  function_score, dis_max, span_near, more_like_this
-- top-level: size, search_after, post_filter, collapse, rescore, aggs
-- aggs: terms, stats, histogram, date_histogram, percentiles,
-  cardinality, significant_terms, top_hits
+  match_phrase (+ slop), match_phrase_prefix, term, terms, prefix,
+  fuzzy, bool (must/should/must_not/filter + minimum_should_match;
+  ranked must-of-match uses ES clause semantics via
+  ``query.topk_clauses``), boosting, function_score, dis_max,
+  span_near, more_like_this
+- top-level: size, search_after, post_filter, collapse, rescore,
+  _source (fetch-phase hydration), aggs
+- aggs: terms (+ top_hits sub-agg), stats, histogram, date_histogram,
+  range, percentiles, cardinality, significant_terms
 - filter contexts (post_filter / bool.filter on carry columns): term,
-  terms, range (gt/gte/lt/lte), exists, and/or/not via bool
+  terms, range (gt/gte/lt/lte), exists, geo_distance,
+  geo_bounding_box, and/or/not via bool
+
+post_filter semantics: applied before the size cut everywhere. Query
+forms whose operators cannot honor it (collapse, rescore, boosting,
+function_score, dis_max, more_like_this) REJECT it with ValueError
+rather than silently dropping the filter.
 
 Scoring notes mirroring ES: unscored retrieval forms (term/terms/
 prefix/fuzzy/bool-of-filters, span_near) return constant_score hits
