@@ -248,6 +248,21 @@ def q_range_agg_idx(spark, sf_dir):
                      [(None, 200.0), (200.0, 400.0), (300.0, None)])
 
 
+def q_filters_agg_idx(spark, sf_dir):
+    """ES filters agg: named (possibly overlapping) filter buckets over
+    the 'spark' hits, one conditional-sum pass."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        filters_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return filters_agg(spark, idx, "spark", {
+        "english": F.col("lang") == "en",
+        "long_doc": F.col("n_chars") >= 300,
+        "missing_lang": F.col("lang").isNull(),
+    })
+
+
 def q_term_vectors_idx(spark, sf_dir):
     """ES _termvectors analog for doc 42: per-term tf + positions from
     the stored term vector, df/cf collection stats from the dictionary
@@ -1266,6 +1281,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_search": q_dsl_search,
     "term_vectors_idx": q_term_vectors_idx,
     "terms_stats_idx": q_terms_stats_idx,
+    "filters_agg_idx": q_filters_agg_idx,
     "range_agg_idx": q_range_agg_idx,
     "bm25_explain": q_bm25_explain,
     "bm25_topk_batch": q_bm25_topk_batch,
@@ -1446,6 +1462,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
+        "filters_agg_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT * FROM toks WHERE list_contains(toks, 'spark'))
+SELECT bucket, n_docs FROM (
+  SELECT 'english' AS bucket,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_docs
+  FROM hits
+  UNION ALL
+  SELECT 'long_doc',
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT FROM hits
+  UNION ALL
+  SELECT 'missing_lang',
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT FROM hits)
+ORDER BY bucket""",
         "terms_stats_idx": f"""
 WITH {TOK_CTE}
 SELECT lang, count(*) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v,

@@ -502,6 +502,42 @@ def range_agg(spark: SparkSession, index_path: str, query: str,
             .orderBy("bucket"))
 
 
+def filters_agg(spark: SparkSession, index_path: str, query: str,
+                named_filters: dict, mode: str = "any") -> DataFrame:
+    """ES filters aggregation: named filter-context buckets over the
+    docs matching ``query`` -> (bucket, n_docs), bucket-name order.
+    ``named_filters``: {name: Column predicate over doc-store columns}
+    (build them with ``dsl.filter_column`` for the JSON form). One
+    semi-joined doc-store pass computes EVERY bucket as a conditional
+    sum — no per-bucket scan, buckets may overlap (ES semantics)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    if not named_filters:
+        return spark.createDataFrame([], "bucket string, n_docs long")
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    hits = ds.join(docs, "doc_id", "left_semi")
+    counts = hits.agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(sorted(named_filters.items(),
+                                             key=lambda kv: kv[0]))])
+    names = sorted(named_filters)
+    stack = ", ".join(f"'{n}', _c{i}" for i, n in enumerate(names))
+    return (counts.selectExpr(
+        f"stack({len(names)}, {stack}) AS (bucket, n_docs)")
+        .orderBy("bucket"))
+
+
+def missing_agg(spark: SparkSession, index_path: str, query: str,
+                field: str, mode: str = "any") -> DataFrame:
+    """ES missing aggregation: count of matching docs with a null
+    field -> one (n_missing) row (degenerate filters_agg)."""
+    out = filters_agg(spark, index_path, query,
+                      {"missing": F.col(field).isNull()}, mode)
+    return out.select(F.col("n_docs").alias("n_missing"))
+
+
 def percentiles_agg(spark: SparkSession, index_path: str, query: str,
                     value_col: str,
                     percentiles: tuple = (0.25, 0.5, 0.75, 0.95),

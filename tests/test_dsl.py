@@ -431,3 +431,29 @@ def test_fetch_phase_source_hydration(spark, idx):
         "_source": ["lang"], "size": 5}).collect()
     assert [(r["doc_id"], r["lang"]) for r in via] == \
         [(r["doc_id"], r["lang"]) for r in got]
+
+
+def test_filters_and_missing_agg(spark, idx):
+    """Named filter buckets computed in one conditional-sum pass ==
+    python re-derivation; missing agg counts nulls (zero here)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        filters_agg,
+        missing_agg,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    hits = {r["doc_id"] for r in
+            intersect.match_any_terms(spark, idx, "public").collect()}
+    ds = {r["doc_id"]: (r["lang"], r["dl"]) for r in
+          catalog.read_table(spark, idx, "docstats")
+          .select("doc_id", "lang", "dl").collect()}
+    got = {r["bucket"]: r["n_docs"] for r in filters_agg(
+        spark, idx, "public",
+        {"java": F.col("lang") == "java",
+         "long": F.col("dl") >= 100}).collect()}
+    want = {"java": sum(1 for d in hits if ds[d][0] == "java"),
+            "long": sum(1 for d in hits if ds[d][1] >= 100)}
+    assert got == want
+    assert missing_agg(spark, idx, "public", "lang") \
+        .collect()[0]["n_missing"] == 0
+    assert filters_agg(spark, idx, "public", {}).count() == 0
