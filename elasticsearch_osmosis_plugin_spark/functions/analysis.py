@@ -285,11 +285,14 @@ def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
     buckets corpora into head/middle/tail on exactly this statistic.
 
     Plan: one explode+groupBy builds the unigram table (or pass
-    ``vocab_df(term, cnt)`` from a reference corpus), a broadcast-able
-    join scores tokens, one aggregation per doc. With a reference
-    vocab this is map-side end-to-end (vocab broadcast); OOV tokens
-    get an add-one-smoothed floor probability so a single unseen term
-    cannot dominate."""
+    ``vocab_df(term, cnt)`` from a reference corpus — the CCNet shape,
+    where the LM is trained on a bounded reference like Wikipedia),
+    a join scores tokens, one aggregation per doc. A PROVIDED vocab is
+    assumed bounded and broadcasts (map-side end-to-end); the
+    corpus-mode vocab is corpus-sized (every distinct term) and joins
+    through the normal shuffle path — broadcasting it at 100 TB would
+    be a scale-killer. OOV tokens get an add-one-smoothed floor
+    probability so a single unseen term cannot dominate."""
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(tokens_col(text_col)).alias("term")))
     if vocab_df is None:
@@ -300,12 +303,15 @@ def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
         # pair emitters)
         toks = toks.localCheckpoint(eager=True)
         vocab_df = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        vocab_rel = vocab_df  # unbounded: no broadcast hint
+    else:
+        vocab_rel = F.broadcast(vocab_df)
     totals = vocab_df.agg(F.sum("cnt").alias("n"),
                           F.count(F.lit(1)).alias("v")).collect()[0]
     n_total, v = float(totals["n"]), float(totals["v"])
     # add-one smoothing; OOV -> cnt 0 under the same denominator
     p = (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / F.lit(n_total + v)
-    scored = (toks.join(F.broadcast(vocab_df), "term", "left")
+    scored = (toks.join(vocab_rel, "term", "left")
               .select("doc_id", (-F.log2(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
