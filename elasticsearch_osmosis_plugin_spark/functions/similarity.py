@@ -381,7 +381,8 @@ def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    n_lists: int = 1, seed: int = 42,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   cents: np.ndarray | None = None) -> DataFrame:
+                   cents: np.ndarray | None = None,
+                   max_list_size: int | None = None) -> DataFrame:
     """SemDeDup-shaped semantic deduplication over an embedding
     column: coarse k-means clustering, exact cosine near-dup pairs
     WITHIN each coarse cluster, connected components, keep the minimum
@@ -393,7 +394,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     in the same k-means cluster with high probability), so candidate
     volume is ~n^2 / n_lists for balanced lists. Approximate recall
     across list boundaries, exact precision (every emitted pair is
-    re-checked with the exact cosine)."""
+    re-checked with the exact cosine).
+
+    ``max_list_size`` guards the skew case (one giant coarse list —
+    e.g. boilerplate embeddings collapsing onto a centroid — would
+    reintroduce the quadratic join): lists larger than the cap are
+    EXCLUDED from pair generation, so their members keep is_keep=True.
+    That is an explicit recall trade the caller opts into, not a
+    silent truncation — leave it None to compare everything."""
     from elasticsearch_osmosis_plugin_spark.functions.cluster import (
         duplicate_clusters,
     )
@@ -406,6 +414,12 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
             cents = ivf_centroids(df, n_lists, seed,
                                   id_col=id_col, vec_col=vec_col)
         base = base.withColumn("_list", ivf_assign_col("v", cents))
+        if max_list_size is not None:
+            sizes = (base.groupBy("_list")
+                     .agg(F.count(F.lit(1)).alias("_n"))
+                     .filter(F.col("_n") <= max_list_size)
+                     .select("_list"))
+            base = base.join(F.broadcast(sizes), "_list", "left_semi")
         join_cond = [F.col("a._list") == F.col("b._list"),
                      F.col("a.vid") < F.col("b.vid")]
     else:

@@ -256,3 +256,16 @@ def test_semantic_dedup(spark, embeddings):
     assert coarse == again                      # deterministic
     exact_nonkeep = {d for d, (_, k) in got.items() if not k}
     assert {d for d, k in coarse.items() if not k} <= exact_nonkeep
+
+
+def test_semantic_dedup_list_cap(spark, embeddings):
+    """max_list_size skew guard: capping below every list size keeps
+    everything (no pairs, all keepers) — an explicit recall trade."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    capped = semantic_dedup(embeddings, threshold=0.9, n_lists=2,
+                            max_list_size=1)
+    assert capped.filter("NOT is_keep").count() == 0
+    assert capped.count() == embeddings.count()
