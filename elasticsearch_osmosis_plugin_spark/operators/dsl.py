@@ -14,7 +14,7 @@ form is tested equal to its direct operator call):
 
 - query: match_all, match (+ operator=and / minimum_should_match),
   match_phrase (+ slop), match_phrase_prefix, term, terms, prefix,
-  fuzzy, bool (must/should/must_not/filter + minimum_should_match;
+  fuzzy, exists, bool (must/should/must_not/filter + minimum_should_match;
   ranked must-of-match uses ES clause semantics via
   ``query.topk_clauses``), boosting, function_score, dis_max,
   span_near, more_like_this
@@ -226,6 +226,13 @@ def _search_query(spark: SparkSession, index_path: str,
         return query.topk(spark, index_path, text, k=k,
                           post_filter=post_col, boosts=boosts,
                           minimum_should_match=msm)
+
+    if kind == "exists":
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        ids = (catalog.read_table(spark, index_path, "docstats")
+               .filter(F.col(spec["field"]).isNotNull()).select("doc_id"))
+        return _finish_ids(spark, index_path, ids, post_col, k)
 
     if kind == "match_phrase":
         fld, mspec = _one_entry(spec, "match_phrase")

@@ -457,3 +457,13 @@ def test_filters_and_missing_agg(spark, idx):
     assert missing_agg(spark, idx, "public", "lang") \
         .collect()[0]["n_missing"] == 0
     assert filters_agg(spark, idx, "public", {}).count() == 0
+
+
+def test_exists_query_form(spark, idx):
+    got = dsl.search(spark, idx, {"query": {"exists": {"field": "lang"}},
+                                  "size": 10**6})
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    n = catalog.read_table(spark, idx, "docstats") \
+        .filter("lang IS NOT NULL").count()
+    assert got.count() == n > 0
