@@ -14,12 +14,13 @@ form is tested equal to its direct operator call):
 
 - query: match_all, match (+ operator=and / minimum_should_match),
   match_phrase (+ slop), match_phrase_prefix, term, terms, prefix,
-  fuzzy, exists, bool (must/should/must_not/filter + minimum_should_match;
+  wildcard, regexp, fuzzy, ids, range, constant_score, exists,
+  bool (must/should/must_not/filter + minimum_should_match;
   ranked must-of-match uses ES clause semantics via
   ``query.topk_clauses``), boosting, function_score, dis_max,
   span_near, more_like_this
-- top-level: size, search_after, post_filter, collapse, rescore,
-  _source (fetch-phase hydration), aggs
+- top-level: size, from, sort, search_after, post_filter, collapse,
+  rescore, _source (fetch-phase hydration), aggs
 - aggs: terms (+ top_hits sub-agg), stats, histogram, date_histogram,
   range, percentiles, cardinality, significant_terms
 - filter contexts (post_filter / bool.filter on carry columns): term,
@@ -128,6 +129,41 @@ def _const_hits(spark: SparkSession, ids: DataFrame) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _live_ids(spark: SparkSession, index_path: str,
+              ids: DataFrame) -> DataFrame:
+    """Exclude tombstoned docs from a docstats-derived id stream.
+
+    Postings-side operators anti-join tombstones inside
+    ``query._live``; forms that enumerate the doc-store directly
+    (match_all / exists / ids / range / constant_score) must apply the
+    same exclusion or deleted docs resurface until a purge."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        load_meta,
+        tombstones_df,
+    )
+
+    tombs = tombstones_df(spark, index_path, load_meta(index_path))
+    if tombs is None:
+        return ids
+    return ids.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """ES wildcard -> anchored Java regex: ``*`` -> ``.*``, ``?`` ->
+    ``.``, everything else literal."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in r"\.[]{}()<>+-=!^$|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _finish_ids(spark: SparkSession, index_path: str, ids: DataFrame,
                 post_col, k: int) -> DataFrame:
     """Constant-score epilogue shared by every filter-ish query form:
@@ -153,7 +189,16 @@ def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
     Aggregations go through :func:`search_aggs`.
     """
     src = body.get("_source")
+    frm = int(body.get("from", 0))
+    if frm and "search_after" in body:
+        raise ValueError("from and search_after are mutually exclusive")
     hits = _search_query(spark, index_path, body)
+    if frm:
+        # ES from+size pagination: _search_query already ranked the
+        # first from+size hits; skip the first ``from`` of them. The
+        # offset applies to the ordered plan (GlobalLimit with offset
+        # after the sort), so pages are stable across calls.
+        hits = hits.offset(frm)
     if src:
         from elasticsearch_osmosis_plugin_spark.operators.query import (
             fetch_hits,
@@ -169,10 +214,16 @@ def _search_query(spark: SparkSession, index_path: str,
     from elasticsearch_osmosis_plugin_spark.operators import scorefn
 
     body = dict(body)
-    k = int(body.get("size", 10))
+    # from+size: the branches below rank/limit to k internally, so
+    # they must produce the first from+size hits; search() then skips
+    # the first ``from``.
+    k = int(body.get("size", 10)) + int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})
     post = body.get("post_filter")
     post_col = filter_column(post) if post is not None else None
+
+    if "sort" in body:
+        return _sorted_search(spark, index_path, body, q, post_col, k)
 
     if "collapse" in body:
         if post_col is not None:
@@ -207,7 +258,8 @@ def _search_query(spark: SparkSession, index_path: str,
         ds = catalog.read_table(spark, index_path, "docstats")
         if post_col is not None:
             ds = ds.filter(post_col)
-        return _const_hits(spark, ds.select("doc_id")).limit(k)
+        return _const_hits(spark, _live_ids(
+            spark, index_path, ds.select("doc_id"))).limit(k)
 
     if kind == "match":
         fld, mspec = _one_entry(spec, "match")
@@ -227,12 +279,36 @@ def _search_query(spark: SparkSession, index_path: str,
                           post_filter=post_col, boosts=boosts,
                           minimum_should_match=msm)
 
-    if kind == "exists":
+    if kind in ("exists", "range", "ids"):
         from elasticsearch_osmosis_plugin_spark.plans import catalog
 
-        ids = (catalog.read_table(spark, index_path, "docstats")
-               .filter(F.col(spec["field"]).isNotNull()).select("doc_id"))
+        ds = catalog.read_table(spark, index_path, "docstats")
+        if kind == "exists":
+            ds = ds.filter(F.col(spec["field"]).isNotNull())
+        elif kind == "range":
+            # range in query context: same predicate as the filter
+            # context, constant-score hits (the ES pre-5.x rewrite)
+            ds = ds.filter(filter_column({kind: spec}))
+        else:  # ids query: {"ids": {"values": [..]}}
+            vals = [int(v) for v in spec["values"]]
+            ds = ds.filter(F.col("doc_id").isin(vals))
+        ids = _live_ids(spark, index_path, ds.select("doc_id"))
         return _finish_ids(spark, index_path, ids, post_col, k)
+
+    if kind == "constant_score":
+        # {"constant_score": {"filter": {...}, "boost": b}} — filter
+        # context over doc-store carry columns, every hit scored b
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        boost = float(spec.get("boost", 1.0))
+        cond = filter_column(spec["filter"])
+        if post_col is not None:
+            cond = cond & post_col
+        ids = _live_ids(spark, index_path,
+                        catalog.read_table(spark, index_path, "docstats")
+                        .filter(cond).select("doc_id"))
+        return (ids.select("doc_id", F.lit(boost).alias("score"))
+                .orderBy("doc_id").limit(k))
 
     if kind == "match_phrase":
         fld, mspec = _one_entry(spec, "match_phrase")
@@ -273,6 +349,14 @@ def _search_query(spark: SparkSession, index_path: str,
             val = val["value"]
         return _finish_ids(spark, index_path, intersect.match_expanded(
             spark, index_path, str(val)), post_col, k)
+
+    if kind in ("wildcard", "regexp"):
+        fld, val = _one_entry(spec, kind)
+        if isinstance(val, dict):
+            val = val["value"]
+        pat = _wildcard_regex(str(val)) if kind == "wildcard" else str(val)
+        return _finish_ids(spark, index_path, intersect.match_expanded(
+            spark, index_path, pat, mode="regex"), post_col, k)
 
     if kind == "fuzzy":
         fld, val = _one_entry(spec, "fuzzy")
@@ -399,6 +483,87 @@ def _search_query(spark: SparkSession, index_path: str,
             max_query_terms=int(spec.get("max_query_terms", 25)))
 
     raise ValueError(f"unsupported query type: {kind}")
+
+
+def _unranked_ids(spark: SparkSession, index_path: str,
+                  q: dict) -> DataFrame:
+    """Full (uncut) matching doc-id set for a sortable query form.
+
+    Sorting replaces relevance ranking, so the size cut must happen on
+    the sort keys over the COMPLETE match set — a score-ranked top-k
+    would drop docs the sort order wants."""
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    kind, spec = _one_entry(q, "query")
+    if kind == "match_all":
+        ids = catalog.read_table(spark, index_path, "docstats") \
+            .select("doc_id")
+        return _live_ids(spark, index_path, ids)
+    if kind == "match":
+        _, mspec = _one_entry(spec, "match")
+        text, opts = _match_args(mspec)
+        if opts.get("operator", "or") == "and":
+            return intersect.match_all_terms(spark, index_path, text)
+        return intersect.match_any_terms(spark, index_path, text)
+    if kind == "term":
+        _, val = _one_entry(spec, "term")
+        if isinstance(val, dict):
+            val = val["value"]
+        return intersect.match_all_terms(spark, index_path, str(val))
+    if kind == "terms":
+        _, vals = _one_entry(spec, "terms")
+        return intersect.match_any_terms(spark, index_path, " ".join(vals))
+    if kind in ("exists", "range", "ids", "constant_score"):
+        ds = catalog.read_table(spark, index_path, "docstats")
+        if kind == "exists":
+            ds = ds.filter(F.col(spec["field"]).isNotNull())
+        elif kind == "constant_score":
+            ds = ds.filter(filter_column(spec["filter"]))
+        elif kind == "range":
+            ds = ds.filter(filter_column({kind: spec}))
+        else:
+            ds = ds.filter(
+                F.col("doc_id").isin([int(v) for v in spec["values"]]))
+        return _live_ids(spark, index_path, ds.select("doc_id"))
+    raise ValueError(f"sort is not supported with query type: {kind}")
+
+
+def _sorted_search(spark: SparkSession, index_path: str, body: dict,
+                   q: dict, post_col, k: int) -> DataFrame:
+    """Top-level ``sort``: ES field sorting. Hits are ordered by the
+    sort keys (doc-store carry columns or ``doc_id``), the size cut
+    applies on that order, and — like ES with ``track_scores`` off —
+    no relevance score is computed (``score`` is null). ``doc_id``
+    ascending is always the final tiebreak so pages are deterministic.
+    Returns (doc_id, score, <sort fields...>) — sort values ride along
+    like ES's per-hit ``sort`` array."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ids = _unranked_ids(spark, index_path, q)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if post_col is not None:
+        ds = ds.filter(post_col)
+    hits = ds.join(ids, "doc_id", "left_semi")
+
+    keys, fields = [], []
+    for entry in body["sort"]:
+        if isinstance(entry, str):
+            fld, order = entry, "asc"
+        else:
+            fld, o = _one_entry(entry, "sort entry")
+            order = (o.get("order", "asc") if isinstance(o, dict) else o)
+        if fld == "_doc":
+            fld = "doc_id"
+        col = F.col(fld)
+        keys.append(col.desc() if order == "desc" else col.asc())
+        if fld != "doc_id":
+            fields.append(fld)
+    keys.append(F.col("doc_id").asc())
+    return (hits.orderBy(*keys)
+            .select("doc_id",
+                    F.lit(None).cast("double").alias("score"), *fields)
+            .limit(k))
 
 
 def search_aggs(spark: SparkSession, index_path: str,

@@ -467,3 +467,113 @@ def test_exists_query_form(spark, idx):
     n = catalog.read_table(spark, idx, "docstats") \
         .filter("lang IS NOT NULL").count()
     assert got.count() == n > 0
+
+
+def test_ids_range_constant_score(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    got = dsl.search(spark, idx, {
+        "query": {"ids": {"values": [3, 1, 999999]}}, "size": 10})
+    assert [d for d, _ in _rows(got)] == [1, 3]
+
+    ds = catalog.read_table(spark, idx, "docstats")
+    want = sorted(r["doc_id"] for r in
+                  ds.filter("dl >= 100 AND dl < 200").collect())
+    got = dsl.search(spark, idx, {
+        "query": {"range": {"dl": {"gte": 100, "lt": 200}}},
+        "size": 10**6})
+    assert [d for d, _ in _rows(got)] == want and want
+
+    got = dsl.search(spark, idx, {
+        "query": {"constant_score": {
+            "filter": {"term": {"lang": "java"}}, "boost": 2.5}},
+        "size": 10**6})
+    n_java = ds.filter(F.col("lang") == "java").count()
+    rows = _rows(got)
+    assert len(rows) == n_java > 0
+    assert all(s == 2.5 for _, s in rows)
+
+
+def test_wildcard_and_regexp(spark, idx):
+    got = dsl.search(spark, idx, {
+        "query": {"wildcard": {"content": "id00*"}}, "size": 10**6})
+    want = intersect.match_expanded(spark, idx, "id00")
+    assert [d for d, _ in _rows(got)] == \
+        [r["doc_id"] for r in want.collect()]
+
+    got = dsl.search(spark, idx, {
+        "query": {"wildcard": {"content": "?ublic"}}, "size": 10**6})
+    want = intersect.match_all_terms(spark, idx, "public")
+    assert [d for d, _ in _rows(got)] == \
+        [r["doc_id"] for r in want.collect()]
+
+    got = dsl.search(spark, idx, {
+        "query": {"regexp": {"content": "id004[0-9]"}}, "size": 10**6})
+    want = intersect.match_expanded(spark, idx, "id004[0-9]", mode="regex")
+    assert [d for d, _ in _rows(got)] == \
+        [r["doc_id"] for r in want.collect()]
+
+
+def test_sort_by_field(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ds = catalog.read_table(spark, idx, "docstats") \
+        .select("doc_id", "dl").collect()
+    want = [r["doc_id"] for r in
+            sorted(ds, key=lambda r: (-r["dl"], r["doc_id"]))][:7]
+    got = dsl.search(spark, idx, {
+        "query": {"match_all": {}},
+        "sort": [{"dl": {"order": "desc"}}], "size": 7})
+    rows = got.collect()
+    assert [r["doc_id"] for r in rows] == want
+    # ES track_scores=false: no relevance score under field sort
+    assert all(r["score"] is None for r in rows)
+    # sort values ride along per hit
+    dl_by_id = {r["doc_id"]: r["dl"] for r in ds}
+    assert [r["dl"] for r in rows] == [dl_by_id[d] for d in want]
+
+    # sort restricted to a match query's doc set (OR semantics)
+    hits = {r["doc_id"] for r in
+            intersect.match_any_terms(spark, idx, "id0042").collect()}
+    got = dsl.search(spark, idx, {
+        "query": {"match": {"content": "id0042"}},
+        "sort": [{"dl": {"order": "asc"}}], "size": 10**6}).collect()
+    assert {r["doc_id"] for r in got} == hits
+    dls = [dl_by_id[r["doc_id"]] for r in got]
+    assert dls == sorted(dls)
+
+
+def test_from_pagination(spark, idx):
+    full = query.topk(spark, idx, "public static", k=9).collect()
+    p2 = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}},
+        "from": 3, "size": 3}).collect()
+    assert [(r["doc_id"], r["score"]) for r in p2] == \
+        [(r["doc_id"], r["score"]) for r in full[3:6]]
+    with pytest.raises(ValueError, match="search_after"):
+        dsl.search(spark, idx, {
+            "query": {"match": {"content": "public"}},
+            "from": 2, "search_after": [1.0, 5]})
+
+
+def test_docstore_forms_exclude_tombstones(spark, corpus_df,
+                                           tmp_path_factory):
+    """match_all / exists / ids / range / sort enumerate docstats, not
+    postings — they must still honor logical deletes immediately."""
+    from elasticsearch_osmosis_plugin_spark.plans import build as b
+
+    path = str(tmp_path_factory.mktemp("dsltomb") / "index")
+    build_index(spark, corpus_df.limit(20), path, CFG,
+                id_col="doc_id", n_groups=1)
+    victim = dsl.search(spark, path, {"query": {"match_all": {}},
+                                      "size": 1}).collect()[0]["doc_id"]
+    b.delete_docs(spark, path, [victim])
+    for body in (
+        {"query": {"match_all": {}}, "size": 10**6},
+        {"query": {"exists": {"field": "lang"}}, "size": 10**6},
+        {"query": {"ids": {"values": [int(victim)]}}},
+        {"query": {"range": {"dl": {"gte": 0}}}, "size": 10**6},
+        {"query": {"match_all": {}}, "sort": ["dl"], "size": 10**6},
+    ):
+        got = {r["doc_id"] for r in dsl.search(spark, path, body).collect()}
+        assert victim not in got, body
