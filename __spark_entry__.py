@@ -292,6 +292,56 @@ def q_dsl_search(spark, sf_dir):
     return _rerank_score_x1e4(raw, 10)
 
 
+def q_query_string_idx(spark, sf_dir):
+    """Lucene query_string syntax under the hard gate: required term
+    (BM25), boosted optional term, constant-score phrase + prefix
+    clauses, and an exclusion — one parse, one shared postings decode:
+    ``+spark "query join" win* dup^2 -merge``."""
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        query_string_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = query_string_topk(spark, idx, '+spark "query join" win* dup^2 -merge',
+                            k=30)
+    return _rerank_score_x1e4(raw, 10)
+
+
+QS_ORACLE_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('spark', 'dup') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (SELECT tf.doc_id, tf.term,
+              ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) AS p
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+feat AS (SELECT doc_id,
+    CASE WHEN len(toks) >= 2 AND list_contains(
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]), 'query join')
+         THEN 1.0 ELSE 0.0 END AS ph,
+    CASE WHEN len(list_filter(toks, t -> t LIKE 'win%')) > 0
+         THEN 1.0 ELSE 0.0 END AS pf,
+    list_contains(toks, 'merge') AS has_merge
+  FROM toks),
+scored AS (SELECT doc_id,
+                  max(CASE WHEN term = 'spark' THEN p END) AS sp,
+                  sum(CASE WHEN term = 'dup' THEN 2.0 * p ELSE 0.0 END) AS dp
+           FROM bm GROUP BY doc_id)
+SELECT s.doc_id,
+       floor((s.sp + s.dp + f.ph + f.pf) * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM scored s JOIN feat f USING (doc_id)
+WHERE s.sp IS NOT NULL AND NOT f.has_merge
+ORDER BY floor((s.sp + s.dp + f.ph + f.pf) * 10000.0 + 0.5) DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_classic_tfidf_idx(spark, sf_dir):
     """Lucene ClassicSimilarity top-k (the ES 0.90 default TF-IDF the
     reference stack actually ranked with); 'zzz' is (near-)absent, so
@@ -1279,6 +1329,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classic_tfidf_idx": q_classic_tfidf_idx,
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
+    "query_string_idx": q_query_string_idx,
     "term_vectors_idx": q_term_vectors_idx,
     "terms_stats_idx": q_terms_stats_idx,
     "filters_agg_idx": q_filters_agg_idx,
@@ -1462,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
+        "query_string_idx": QS_ORACLE_SQL,
         "filters_agg_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT * FROM toks WHERE list_contains(toks, 'spark'))

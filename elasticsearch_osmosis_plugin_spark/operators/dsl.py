@@ -15,6 +15,7 @@ form is tested equal to its direct operator call):
 - query: match_all, match (+ operator=and / minimum_should_match),
   match_phrase (+ slop), match_phrase_prefix, term, terms, prefix,
   wildcard, regexp, fuzzy, ids, range, constant_score, exists,
+  query_string (Lucene classic syntax via ``operators.querystring``),
   bool (must/should/must_not/filter + minimum_should_match;
   ranked must-of-match uses ES clause semantics via
   ``query.topk_clauses``), boosting, function_score, dis_max,
@@ -309,6 +310,21 @@ def _search_query(spark: SparkSession, index_path: str,
                         .filter(cond).select("doc_id"))
         return (ids.select("doc_id", F.lit(boost).alias("score"))
                 .orderBy("doc_id").limit(k))
+
+    if kind == "query_string":
+        # {"query_string": {"query": "...", "default_operator": "AND"}}
+        # — Lucene classic syntax via operators.querystring
+        from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+            query_string_topk,
+        )
+
+        if post_col is not None:
+            raise ValueError("post_filter with query_string is not supported")
+        qtext = spec["query"] if isinstance(spec, dict) else str(spec)
+        return query_string_topk(
+            spark, index_path, qtext, k=k,
+            default_operator=(spec.get("default_operator", "OR")
+                              if isinstance(spec, dict) else "OR"))
 
     if kind == "match_phrase":
         fld, mspec = _one_entry(spec, "match_phrase")

@@ -419,6 +419,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_path: str,
         "groups": list(range(n_groups)),
         "wand_slack": 1.0,
         "positions": cfg.store_positions,
+        "text_col": text_col,
         "lineage": lineage, "metrics": metrics,
         "build_wall_s": time.time() - t0,
     }
