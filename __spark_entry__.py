@@ -787,6 +787,19 @@ def q_percentiles_idx(spark, sf_dir):
                            exact=True)
 
 
+def q_scan_scroll_idx(spark, sf_dir):
+    """ES 0.90 scan+scroll analog: page 2 of the keyset-paged
+    (_doc-ordered) full match set for 'spark' — the cursor is page 1's
+    last doc_id, read from the SAME scan relation (no scoring, no
+    global sort; each page is a pruned scan + per-partition top-N)."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import scan_after
+
+    idx = _index_for(spark, sf_dir)
+    p1 = scan_after(spark, idx, "spark", page_size=50).collect()
+    return scan_after(spark, idx, "spark", page_size=50,
+                      after_doc_id=p1[-1]["doc_id"])
+
+
 def q_bm25_topk_hot(spark, sf_dir):
     """BM25 with a stop-like hot term + rare term mix (skew fixture)."""
     return _bm25(spark, sf_dir, "dup table merge", 10)
@@ -1330,6 +1343,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
+    "scan_scroll_idx": q_scan_scroll_idx,
     "term_vectors_idx": q_term_vectors_idx,
     "terms_stats_idx": q_terms_stats_idx,
     "filters_agg_idx": q_filters_agg_idx,
@@ -1514,6 +1528,13 @@ def oracle_sql() -> dict[str, str]:
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "query_string_idx": QS_ORACLE_SQL,
+        # page 2 == rows 51-100 of the doc_id-ordered match set (keyset
+        # after page 1's last id is identical to OFFSET on a unique key)
+        "scan_scroll_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks WHERE list_contains(toks, 'spark')
+ORDER BY doc_id LIMIT 50 OFFSET 50
+""",
         "filters_agg_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT * FROM toks WHERE list_contains(toks, 'spark'))

@@ -504,6 +504,78 @@ def fetch_hits(spark: SparkSession, index_path: str, hits: DataFrame,
     return out.orderBy(*order)
 
 
+def scan_df(spark: SparkSession, index_path: str, query: str | None = None,
+            mode: str = "any", post_filter=None) -> DataFrame:
+    """ES 0.90 scan (``search_type=scan``) as a DataFrame: the COMPLETE
+    match set, unranked and unsorted — the bulk-export path. Scoring
+    and the global sort are skipped entirely (exactly why ES scan
+    exists: exporting a 100 TB hit set must not pay a top-k ranking),
+    so the result streams partition-parallel straight into a write.
+
+    ``query=None`` is match_all (every live doc); ``mode`` is "any"
+    (OR) or "all" (AND) over the query terms; ``post_filter`` is a
+    Column over doc-store carry columns.
+    """
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    if query is None:
+        meta = load_meta(index_path)
+        ids = catalog.read_table(spark, index_path, "docstats") \
+            .select("doc_id")
+        ids = _live(ids, tombstones_df(spark, index_path, meta))
+    elif mode == "all":
+        ids = intersect.match_all_terms(spark, index_path, query)
+    elif mode == "any":
+        ids = intersect.match_any_terms(spark, index_path, query)
+    else:
+        raise ValueError(f"scan_df: unknown mode {mode!r}")
+    if post_filter is not None:
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+        ids = ids.join(allowed, "doc_id", "left_semi")
+    return ids.select("doc_id")
+
+
+def scan_after(spark: SparkSession, index_path: str, query: str | None = None,
+               page_size: int = 1000, after_doc_id: int | None = None,
+               mode: str = "any", post_filter=None,
+               fetch: Sequence[str] | None = None) -> DataFrame:
+    """One scroll page of a scan: keyset pagination in ``_doc``
+    (doc_id) order — the ES scan+scroll cursor protocol. Each page is
+    ``WHERE doc_id > cursor ORDER BY doc_id LIMIT page_size``, so a
+    page costs a pruned scan + a per-partition top-N (no global sort
+    materialization, no OFFSET re-scan) and pages tile the full match
+    set exactly once. ``fetch`` hydrates the page via the fetch phase.
+    """
+    ids = scan_df(spark, index_path, query, mode, post_filter)
+    if after_doc_id is not None:
+        ids = ids.filter(F.col("doc_id") > int(after_doc_id))
+    page = ids.orderBy("doc_id").limit(int(page_size))
+    if fetch:
+        return fetch_hits(spark, index_path, page, list(fetch))
+    return page
+
+
+def scan_iter(spark: SparkSession, index_path: str, query: str | None = None,
+              page_size: int = 1000, mode: str = "any", post_filter=None,
+              fetch: Sequence[str] | None = None):
+    """Driver-side generator over scan pages (the scroll loop a client
+    would run). For whole-set EXPORT prefer :func:`scan_df` — one
+    distributed write beats O(n/page_size) paged jobs; this iterator
+    exists for protocol parity and incremental consumers."""
+    cursor = None
+    while True:
+        rows = scan_after(spark, index_path, query, page_size, cursor,
+                          mode, post_filter, fetch).collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < page_size:
+            return
+        cursor = rows[-1]["doc_id"]
+
+
 def topk_multi(spark: SparkSession, index_paths: Sequence[str],
                query: str, k: int = 10) -> DataFrame:
     """ES multi-index search (``GET /idx1,idx2/_search``) with

@@ -1025,3 +1025,49 @@ def test_multi_match_best_fields(spark, corpus_rows, corpus_df,
     assert [r["doc_id"] for r in got] == [d for _, d in want]
     for r, (ns, _) in zip(got, want):
         assert abs(r["score"] - (-ns)) < 1e-9
+
+
+def test_scan_scroll(spark, index_path):
+    """Scan pages tile the full match set exactly once in doc_id
+    order; scan_df is the unranked complete set; mode='all' scans the
+    conjunction; match_all scan covers every live doc."""
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        scan_df,
+        scan_iter,
+    )
+
+    want = sorted(r["doc_id"] for r in
+                  intersect.match_any_terms(spark, index_path,
+                                            "public static").collect())
+    assert want, "fixture terms must match"
+    got = []
+    for page in scan_iter(spark, index_path, "public static", page_size=7):
+        ids = [r["doc_id"] for r in page]
+        assert ids == sorted(ids) and len(ids) <= 7
+        got.extend(ids)
+    assert got == want
+
+    assert sorted(r["doc_id"] for r in
+                  scan_df(spark, index_path, "public static").collect()) == want
+
+    inter = sorted(r["doc_id"] for r in
+                   intersect.match_all_terms(spark, index_path,
+                                             "public static").collect())
+    assert sorted(r["doc_id"] for r in
+                  scan_df(spark, index_path, "public static",
+                          mode="all").collect()) == inter
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    n_all = catalog.read_table(spark, index_path, "docstats").count()
+    assert scan_df(spark, index_path).count() == n_all
+
+
+def test_scan_fetch_hydrates(spark, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.query import scan_after
+
+    page = scan_after(spark, index_path, "public", page_size=5,
+                      fetch=["lang"]).collect()
+    assert len(page) == 5
+    assert all("lang" in r.asDict() for r in page)
