@@ -1181,6 +1181,50 @@ def q_geotile_grid(spark, sf_dir):
     return geotile_grid(pts, 4)
 
 
+def q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid over the synthetic points (precision 3): base32
+    interleave buckets; the grid arithmetic is identical IEEE ops on
+    both engines so cell edges cannot diverge."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import geohash_grid
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    return geohash_grid(pts, 3)
+
+
+def _geohash_oracle_sql(precision: int) -> str:
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    terms = []
+    for j in range(bits):
+        src, src_bits, kk = ("x", lon_bits, j // 2) if j % 2 == 0 \
+            else ("y", lat_bits, (j - 1) // 2)
+        terms.append(f"((({src} >> {src_bits - 1 - kk}) & 1) "
+                     f"<< {bits - 1 - j})")
+    h = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"((h >> {5 * (precision - 1 - i)}) & 31)::INT + 1, 1)"
+        for i in range(precision))
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents),
+cells AS (
+  SELECT doc_id,
+         least(greatest(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)!r}), 0),
+               {(1 << lon_bits) - 1})::BIGINT AS x,
+         least(greatest(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}), 0),
+               {(1 << lat_bits) - 1})::BIGINT AS y
+  FROM pts),
+hashes AS (SELECT doc_id, ({h})::BIGINT AS h FROM cells)
+SELECT {chars} AS geohash, count(*) AS n_docs
+FROM hashes GROUP BY 1 ORDER BY n_docs DESC, geohash
+"""
+
+
 PERCOLATE_QUERIES = {"q_spark": "spark query", "q_dup": "dup",
                      "q_window_merge": "window merge"}
 
@@ -1416,6 +1460,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_distance_filter": q_geo_distance_filter,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geotile_grid": q_geotile_grid,
+    "geohash_grid": q_geohash_grid,
     "train_eval_split": q_train_eval_split,
     "revenue_per_order": q_revenue_per_order,
     "customers_by_region": q_customers_by_region,
@@ -2211,6 +2256,7 @@ sc AS (SELECT t.doc_id,
 SELECT doc_id, count(*) AS n_tokens,
        floor(avg(nll) * 10000.0 + 0.5)::BIGINT AS nll_x1e4
 FROM sc GROUP BY doc_id ORDER BY doc_id""",
+        "geohash_grid": _geohash_oracle_sql(3),
         "geotile_grid": """
 WITH pts AS (
   SELECT doc_id,

@@ -267,6 +267,56 @@ def geotile_cell(lat, lon, zoom: int) -> Column:
                        y.cast("string"))
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(lat, lon, precision: int) -> Column:
+    """Geohash of a point at ``precision`` chars (ES geohash_grid /
+    geohash_cell bucket key) as a pure column expression.
+
+    The standard encoding: longitude and latitude are binary
+    subdivisions of their ranges (lon gets the even interleave bits
+    starting at the MSB), 5 bits per base32 character. Rather than the
+    textbook per-bit loop, the cell indices are computed in closed
+    form — x = floor((lon+180)/360 * 2^lon_bits) — and the interleave
+    is unrolled into a fixed sum of shift/mask terms, so the whole
+    hash is one whole-stage-codegen arithmetic expression (no UDF)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)).cast("long")
+    y = F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)).cast("long")
+    x = F.least(F.greatest(x, F.lit(0)), F.lit((1 << lon_bits) - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit((1 << lat_bits) - 1))
+    # interleaved hash int: bit j from the MSB is lon for even j
+    h = F.lit(0).cast("long")
+    for j in range(bits):
+        src, src_bits, k = (x, lon_bits, j // 2) if j % 2 == 0 \
+            else (y, lat_bits, (j - 1) // 2)
+        h = h + F.shiftleft(
+            F.shiftright(src, src_bits - 1 - k).bitwiseAND(F.lit(1)),
+            bits - 1 - j)
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    return F.concat(*[
+        F.element_at(alphabet,
+                     (F.shiftright(h, 5 * (precision - 1 - i))
+                      .bitwiseAND(F.lit(31)) + 1).cast("int"))
+        for i in range(precision)])
+
+
+def geohash_grid(df: DataFrame, precision: int, lat_col: str = "lat",
+                 lon_col: str = "lon") -> DataFrame:
+    """ES geohash_grid aggregation: bucket points by geohash cell ->
+    (geohash, n_docs), count-desc then key. One map-side-combined
+    groupBy, same shape as :func:`geotile_grid`."""
+    cell = geohash_cell(F.col(lat_col), F.col(lon_col), precision)
+    return (df.groupBy(cell.alias("geohash"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("geohash")))
+
+
 def geotile_grid(df: DataFrame, zoom: int, lat_col: str = "lat",
                  lon_col: str = "lon") -> DataFrame:
     """ES geotile_grid aggregation: bucket points by web-mercator tile

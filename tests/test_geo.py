@@ -163,3 +163,59 @@ def test_geotile_grid(spark):
     assert sum(grid.values()) == len(pts)
     with _pytest.raises(ValueError):
         geotile_cell(F.col("lat"), F.col("lon"), 99)
+
+
+def test_geohash_cell_golden(spark):
+    """Canonical geohash test vectors (textbook encoding) + agreement
+    with an independent per-bit reference implementation."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        GEOHASH_BASE32,
+        geohash_cell,
+    )
+
+    def ref_geohash(lat, lon, precision):
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        out, bit, ch, even = [], 0, 0, True
+        while len(out) < precision:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lon_lo = mid
+                else:
+                    ch = ch * 2
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lat_lo = mid
+                else:
+                    ch = ch * 2
+                    lat_hi = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(GEOHASH_BASE32[ch])
+                bit, ch = 0, 0
+        return "".join(out)
+
+    pts = [(57.64911, 10.40744), (48.8566, 2.3522), (-33.8688, 151.2093),
+           (0.0001, 0.0001), (-89.9, -179.9), (89.9, 179.9)]
+    for p in (1, 3, 5, 9):
+        df = spark.createDataFrame(pts, "lat double, lon double")
+        got = [r["gh"] for r in df.select(
+            geohash_cell(F.col("lat"), F.col("lon"), p).alias("gh")).collect()]
+        want = [ref_geohash(lat, lon, p) for lat, lon in pts]
+        assert got == want, (p, got, want)
+    # the canonical example from the geohash spec
+    assert ref_geohash(57.64911, 10.40744, 11) == "u4pruydqqvj"
+
+
+def test_geohash_grid_counts(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.geo import geohash_grid
+
+    pts = [(10.0 + i * 0.001, 20.0) for i in range(5)] + [(-40.0, 100.0)] * 3
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = geohash_grid(df, 4).collect()
+    assert [r["n_docs"] for r in rows] == [5, 3]
