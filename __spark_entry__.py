@@ -964,6 +964,100 @@ def q_contamination(spark, sf_dir):
     return dedupe.contamination(tr, ev, n=5, threshold=0.5)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search (modern ES `rrf` retriever): BM25 over the
+    persisted index fused with embedding-cosine ranking by
+    reciprocal-rank fusion — ranks assigned at the x1e4 fixed point in
+    both engines, window 20 per source, 1/(60+rank) sum."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import rrf_fuse
+
+    bm = _bm25_idx(spark, sf_dir, "spark query join", 20, "scoreall")
+    emb = _t(spark, sf_dir, "embeddings")
+    cos = (similarity.cosine_scores(emb, _query_vec(spark, sf_dir))
+           .select(F.col("vec_id").alias("doc_id"),
+                   x1e4(F.col("cos")).alias("score_x1e4"))
+           .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(20))
+    return rrf_fuse({"bm25": bm, "cos": cos}, k=10, rrf_k=60)
+
+
+HYBRID_RRF_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('join', 'query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bmr AS (SELECT doc_id, row_number() OVER (
+          ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id) AS rank
+        FROM scored),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT vec_id AS doc_id,
+              floor(list_dot_product(embedding::DOUBLE[], qv)
+              / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(qv, qv))) * 10000.0 + 0.5) AS cx
+      FROM embeddings CROSS JOIN q),
+csr AS (SELECT doc_id, row_number() OVER (ORDER BY cx DESC, doc_id) AS rank
+        FROM cs),
+u AS (SELECT doc_id, rank FROM bmr WHERE rank <= 20
+      UNION ALL SELECT doc_id, rank FROM csr WHERE rank <= 20)
+SELECT doc_id,
+       floor(sum(1.0 / (60 + rank)) * 1000000.0 + 0.5)::BIGINT AS rrf_x1e6,
+       count(*) AS n_sources
+FROM u GROUP BY doc_id
+ORDER BY floor(sum(1.0 / (60 + rank)) * 1000000.0 + 0.5) DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al.): every repeated 5-token
+    window corpus-wide, first occurrence kept, all others merged into
+    maximal per-doc token spans to cut."""
+    out = dedupe.duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+    return out.select("doc_id",
+                      F.col("span_start").cast("long").alias("span_start"),
+                      F.col("span_end").cast("long").alias("span_end"),
+                      "n_windows")
+
+
+DUP_SPANS_SQL = f"""
+WITH {TOK_CTE},
+occ AS (SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(toks) - 4),
+          i -> struct_pack(pos := i - 1,
+                           g := array_to_string(list_slice(toks, i, i + 4),
+                                                ' ')))) AS s
+        FROM toks),
+o AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM occ),
+w AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS n_occ,
+             min(doc_id * 1048576 + pos) OVER (PARTITION BY g) AS first_key
+      FROM o),
+f AS (SELECT doc_id, pos FROM w
+      WHERE n_occ > 1 AND doc_id * 1048576 + pos <> first_key),
+b AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER wd IS NULL
+                       OR pos - lag(pos) OVER wd > 5
+                  THEN 1 ELSE 0 END AS brk
+      FROM f WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM b)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_simhash(spark, sf_dir):
     return dedupe.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1446,6 +1540,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
     "contamination": q_contamination,
+    "hybrid_rrf": q_hybrid_rrf,
+    "duplicate_spans": q_duplicate_spans,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "cosine_topk": q_cosine_topk,
@@ -2141,6 +2237,8 @@ WITH {TOK_CTE}
 SELECT md5(array_to_string(toks, ' ')) AS fp, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM toks GROUP BY 1 HAVING count(*) > 1""",
+        "hybrid_rrf": HYBRID_RRF_SQL,
+        "duplicate_spans": DUP_SPANS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # the prefix-filtered plan is an exact optimization: same oracle
         "ngram_jaccard_prefix": _NGRAM_JACCARD_SQL,

@@ -164,6 +164,11 @@ def main() -> int:
         timed("q_ngram_jaccard_scale", lambda: ngram_jaccard_pairs_prefix(
             docs, n=3, threshold=0.5, max_shingle_df=200, hash_shingles=True)
             .write.format("noop").mode("overwrite").save())
+        from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+            duplicate_spans,
+        )
+        timed("q_duplicate_spans", lambda: duplicate_spans(docs, k=5)
+              .write.format("noop").mode("overwrite").save())
     finally:
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
 

@@ -426,3 +426,94 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 7,
            .filter(F.col("hamming") <= max_hamming)
            .distinct())
     return _materialized(out, [sh])
+
+
+def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicate-SPAN detection (substring dedup, Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every k-token window that occurs more than once corpus-wide, keep
+    its FIRST occurrence (global min (doc_id, pos)), and emit the
+    maximal token-position spans to cut from every other document —
+    adjacent/overlapping flagged windows merged per doc.
+
+    The paper builds a suffix array; the Spark-native equivalent is a
+    rolling k-token window join — same duplicated-substring set for
+    span length >= k, no giant global sort, one shuffle:
+
+    1. posexplode the k-shingle array -> (doc_id, pos, xxhash64(gram));
+    2. ONE window over the gram hash gives each occurrence the group
+       count and the global first key (doc_id*2^20 + pos) — count > 1
+       and key != first marks the occurrence as a cut candidate;
+    3. gaps-and-islands per doc (windows overlap iff pos gap <= k)
+       merges flagged windows into maximal [span_start, span_end)
+       token spans.
+
+    Returns (doc_id, span_start, span_end, n_windows) — span bounds
+    are token positions, end-exclusive; n_windows is the number of
+    flagged k-windows merged into the span.
+
+    Scale: the heavy relation is n_tokens rows of (long, int, long);
+    the gram string itself never shuffles (hashed before the
+    exchange). Hot grams (boilerplate) concentrate in one hash group
+    each — the window over the gram hash degrades to that group's
+    size, bounded by total corpus tokens, and only counts/min are
+    aggregated. Position key packs pos into 20 bits: docs longer than
+    2^20 tokens would need a wider shift.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    occ = (df.filter(F.size(toks) >= k)
+           .select(F.col(id_col).alias("doc_id"),
+                   F.posexplode(grams).alias("pos", "g")))
+    key = F.col("doc_id") * (1 << 20) + F.col("pos")
+    wg = W.partitionBy("g")
+    flagged = (occ
+               .withColumn("n_occ", F.count(F.lit(1)).over(wg))
+               .withColumn("first_key", F.min(key).over(wg))
+               .filter((F.col("n_occ") > 1) & (key != F.col("first_key")))
+               .select("doc_id", "pos"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.lag("pos").over(wd).isNull()
+                 | (F.col("pos") - F.lag("pos").over(wd) > k), 1).otherwise(0)
+    island = F.sum(brk).over(
+        wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (flagged.withColumn("island", island)
+            .groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("island"))
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Apply duplicate-span decisions: remove every token whose
+    position falls in a [span_start, span_end) interval of ``spans``
+    (the output of :func:`duplicate_spans`) and rebuild the text.
+
+    Returns (doc_id, clean_text, n_tokens_cut). Docs with no spans
+    pass through untouched (left join). The span list per doc is tiny
+    (merged maximal intervals), so it aggregates to an array and the
+    per-token containment test is a pure Catalyst ``exists`` over that
+    array — no shuffle beyond the spans-side groupBy, corpus text
+    never moves twice.
+    """
+    sp = (spans.groupBy(F.col("doc_id").alias("_sid"))
+          .agg(F.collect_list(F.struct(
+              F.col("span_start").cast("int").alias("s"),
+              F.col("span_end").cast("int").alias("e"))).alias("_spans")))
+    toks = tokens_col(text_col)
+    joined = df.join(sp, F.col(id_col) == F.col("_sid"), "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]))
+    kept = F.when(F.col("_spans").isNull(), toks).otherwise(
+        F.filter(toks, lambda t, i: ~covered(i)))
+    return (joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_cut")))

@@ -358,3 +358,47 @@ def top_hits(spark: SparkSession, index_path: str, query: str,
             .filter(F.col("rank") <= n_hits)
             .select(bucket_col, "rank", "doc_id", "score")
             .orderBy(bucket_col, "rank"))
+
+
+def rrf_fuse(rankings: dict[str, DataFrame], k: int = 10, rrf_k: int = 60,
+             id_col: str = "doc_id", score_col: str = "score_x1e4",
+             window: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrievals (hybrid search:
+    modern ES's `rrf` retriever — lexical BM25 fused with a
+    vector-similarity ranking; Cormack et al. 2009 formula
+    ``sum_s 1/(rrf_k + rank_s(d))``).
+
+    Each input DataFrame carries (id_col, score_col); ranks are
+    assigned per source by (score desc, id asc) — pass FIXED-POINT
+    scores (x1e4) so rank boundaries are engine-deterministic. A doc
+    absent from a source contributes nothing for it. ``window`` caps
+    each source's contribution to its top-N rows (ES rank_window_size);
+    default: everything the caller retrieved.
+
+    Returns (doc_id, rrf_x1e6, n_sources) ordered by fused score.
+
+    Scale: inputs are already top-k' slices (bounded rows), so the
+    union + window-rank + groupBy all run on k'-sized data — the
+    expensive retrievals stay in their own pruned plans; fusion adds
+    no corpus-sized work.
+    """
+    from pyspark.sql import Window as W
+
+    tagged = []
+    for name, df in sorted(rankings.items()):
+        w = W.partitionBy(F.lit(name)).orderBy(F.desc("_s"), F.asc("doc_id"))
+        r = (df.select(F.col(id_col).alias("doc_id"),
+                       F.col(score_col).alias("_s"))
+             .withColumn("rank", F.row_number().over(w))
+             .withColumn("src", F.lit(name)))
+        if window is not None:
+            r = r.filter(F.col("rank") <= window)
+        tagged.append(r.select("doc_id", "rank", "src"))
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    fused = (allr.groupBy("doc_id")
+             .agg(F.floor(F.sum(1.0 / (F.lit(float(rrf_k)) + F.col("rank")))
+                          * 1e6 + F.lit(0.5)).cast("long").alias("rrf_x1e6"),
+                  F.count(F.lit(1)).alias("n_sources")))
+    return fused.orderBy(F.desc("rrf_x1e6"), F.asc("doc_id")).limit(k)

@@ -269,3 +269,73 @@ def test_semantic_dedup_list_cap(spark, embeddings):
                             max_list_size=1)
     assert capped.filter("NOT is_keep").count() == 0
     assert capped.count() == embeddings.count()
+
+
+def test_duplicate_spans(spark):
+    """Substring dedup: keep-first, span merge, within-doc repeats."""
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        duplicate_spans,
+    )
+
+    # 'a b c d e' occurs at (1,0), (2,2), (3,0), (3,8), (4,2); global
+    # first is doc 1 pos 0, every other occurrence is flagged. Docs 2
+    # and 4 share the longer 'a b c d e f g' run, whose extra windows
+    # are first seen in doc 2 -> doc 2 keeps them, doc 4 flags pos
+    # 2,3,4 which merge into ONE maximal span [2, 9).
+    rows = [
+        (1, "a b c d e x y z q r"),
+        (2, "u v a b c d e f g h"),
+        (4, "p q a b c d e f g s"),
+        (3, "a b c d e m m m a b c d e n"),
+        (5, "totally unrelated tokens only here appear once nothing"),
+    ]
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in duplicate_spans(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               k=5).collect()}
+    assert got == {(2, 2, 7, 1), (3, 0, 5, 1), (3, 8, 13, 1), (4, 2, 9, 3)}
+
+
+def test_cut_spans(spark):
+    """Span application: covered tokens removed, text rebuilt,
+    untouched docs pass through."""
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z w")],
+        "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 1, 3, 1), (1, 5, 7, 1)],
+        "doc_id long, span_start long, span_end long, n_windows long")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens_cut"])
+           for r in cut_spans(docs, spans).collect()}
+    assert got[1] == ("a d e h", 4)      # cut [1,3) and [5,7)
+    assert got[2] == ("x y z w", 0)
+
+
+def test_rrf_fuse(spark):
+    """RRF semantics: 1/(k+rank) sum, fixed-point rank ties on id,
+    window cap, docs absent from one source still fuse."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(10, 900), (20, 800), (30, 700)], "doc_id long, score_x1e4 long")
+    cos = spark.createDataFrame(
+        [(20, 990), (40, 980), (10, 970)], "doc_id long, score_x1e4 long")
+    rows = rrf_fuse({"bm25": bm, "cos": cos}, k=10, rrf_k=60).collect()
+    got = {r["doc_id"]: (r["rrf_x1e6"], r["n_sources"]) for r in rows}
+    exp = {
+        10: round((1 / 61 + 1 / 63) * 1e6),   # bm rank 1, cos rank 3
+        20: round((1 / 62 + 1 / 61) * 1e6),
+        30: round((1 / 63) * 1e6),
+        40: round((1 / 62) * 1e6),
+    }
+    assert {d: v[0] for d, v in got.items()} == exp
+    assert got[10][1] == 2 and got[30][1] == 1
+    # fused order: 20 (both near top) first, then 10
+    assert [r["doc_id"] for r in rows][:2] == [20, 10]
+    # window=1 keeps only each source's top row
+    w1 = {r["doc_id"]: r["rrf_x1e6"]
+          for r in rrf_fuse({"bm25": bm, "cos": cos}, k=10, rrf_k=60,
+                            window=1).collect()}
+    assert set(w1) == {10, 20} and w1[10] == round(1e6 / 61)
