@@ -964,6 +964,46 @@ def q_contamination(spark, sf_dir):
     return dedupe.contamination(tr, ev, n=5, threshold=0.5)
 
 
+def q_common_terms_idx(spark, sf_dir):
+    """ES `common` terms query (dynamic-stopword, 0.90/1.x era):
+    'dup' (df ~0.05) selects, 'table'/'merge' (df ~0.78) only boost —
+    cutoff 0.5 splits them by df/N computed from the index dictionary
+    in Spark and from the corpus in DuckDB."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        common_terms_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = common_terms_topk(spark, idx, "dup table merge", k=30,
+                            cutoff_frequency=0.5)
+    return _rerank_score_x1e4(raw, 10)
+
+
+COMMON_TERMS_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('dup', 'merge', 'table') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cls AS (SELECT df.term,
+               CASE WHEN df.df / stats.n_docs <= 0.5 THEN 1 ELSE 0 END
+                 AS is_low
+        FROM df CROSS JOIN stats),
+bm AS (SELECT tf.doc_id, tf.term,
+              ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) AS p
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+agg AS (SELECT bm.doc_id, sum(bm.p) AS s, sum(cls.is_low) AS n_low
+        FROM bm JOIN cls USING (term) GROUP BY bm.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM agg WHERE n_low >= 1
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid search (modern ES `rrf` retriever): BM25 over the
     persisted index fused with embedding-cosine ranking by
@@ -1540,6 +1580,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
     "contamination": q_contamination,
+    "common_terms_idx": q_common_terms_idx,
     "hybrid_rrf": q_hybrid_rrf,
     "duplicate_spans": q_duplicate_spans,
     "simhash": q_simhash,
@@ -2237,6 +2278,7 @@ WITH {TOK_CTE}
 SELECT md5(array_to_string(toks, ' ')) AS fp, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM toks GROUP BY 1 HAVING count(*) > 1""",
+        "common_terms_idx": COMMON_TERMS_SQL,
         "hybrid_rrf": HYBRID_RRF_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

@@ -280,6 +280,20 @@ def _search_query(spark: SparkSession, index_path: str,
                           post_filter=post_col, boosts=boosts,
                           minimum_should_match=msm)
 
+    if kind == "common":
+        # {"common": {"text": {"query": "...", "cutoff_frequency": f}}}
+        # — the 0.90/1.x dynamic-stopword query
+        from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+            common_terms_topk,
+        )
+
+        fld, mspec = _one_entry(spec, "common")
+        text, opts = _match_args(mspec)
+        return common_terms_topk(
+            spark, index_path, text, k=k,
+            cutoff_frequency=float(opts.get("cutoff_frequency", 0.01)),
+            post_filter=post_col)
+
     if kind in ("exists", "range", "ids"):
         from elasticsearch_osmosis_plugin_spark.plans import catalog
 

@@ -402,3 +402,51 @@ def rrf_fuse(rankings: dict[str, DataFrame], k: int = 10, rrf_k: int = 60,
                           * 1e6 + F.lit(0.5)).cast("long").alias("rrf_x1e6"),
                   F.count(F.lit(1)).alias("n_sources")))
     return fused.orderBy(F.desc("rrf_x1e6"), F.asc("doc_id")).limit(k)
+
+
+def common_terms_topk(spark: SparkSession, index_path: str, query: str,
+                      k: int = 10, cutoff_frequency: float = 0.01,
+                      *, post_filter=None) -> DataFrame:
+    """ES `common` terms query (the 0.90/1.x-era dynamic-stopword
+    query): split the query's terms by document frequency at
+    ``cutoff_frequency`` (df/N). Low-frequency terms SELECT documents
+    (OR — a doc must match at least one); high-frequency terms never
+    select on their own, they only add their BM25 partial to docs the
+    low-freq terms already matched. If EVERY term is above the cutoff,
+    ES rewrites the query to a conjunction of the high-freq terms —
+    mirrored here (doc must match all terms).
+
+    One postings decode for the term union, one aggregation: the
+    low-freq match count falls out of the same groupBy that sums the
+    score (a conditional countDistinct), so the selection predicate
+    costs no extra pass. Scores are corpus-global BM25 — identical to
+    what scoreall would assign the same (doc, terms).
+    """
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs = float(meta["n_docs"])
+    idf_by_term = {r.term: idf(n_docs, int(r.df)) for r in dic.itertuples()}
+    low = sorted(r.term for r in dic.itertuples()
+                 if float(r.df) / n_docs <= cutoff_frequency)
+    live = sorted(dic["term"])
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+    denied = tombstones_df(spark, index_path, meta)
+    per_doc = (_scored(spark, index_path, live, meta, idf_by_term,
+                       allowed=allowed, denied=denied)
+               .groupBy("doc_id")
+               .agg(F.sum("partial").alias("score"),
+                    F.count_distinct(
+                        F.when(F.col("term").isin(low), F.col("term")))
+                     .alias("_n_low"),
+                    F.count_distinct("term").alias("_n_t")))
+    sel = (per_doc.filter(F.col("_n_low") >= 1) if low
+           else per_doc.filter(F.col("_n_t") >= len(live)))
+    return deterministic_topk(sel.select("doc_id", "score"), k)

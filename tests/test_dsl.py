@@ -577,3 +577,41 @@ def test_docstore_forms_exclude_tombstones(spark, corpus_df,
     ):
         got = {r["doc_id"] for r in dsl.search(spark, path, body).collect()}
         assert victim not in got, body
+
+
+def test_common_terms_query(spark, idx):
+    """ES `common` query: low-df terms select (OR), high-df terms only
+    boost scores of already-selected docs; all-high degrades to a
+    conjunction. DSL `common` routes to the same operator."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        common_terms_topk,
+    )
+
+    meta = query.load_meta(idx)
+    n = float(meta["n_docs"])
+    dic = query.dictionary_rows(spark, idx, ["id0000", "id1638"], meta)
+    dfs = {r.term: float(r.df) for r in dic.itertuples()}
+    assert dfs["id0000"] / n > 0.1 > dfs["id1638"] / n  # fixture sanity
+
+    # mixed: selection == docs matching the rare term; score == the
+    # scoreall BM25 sum over BOTH terms on those docs
+    got = common_terms_topk(spark, idx, "id0000 id1638", k=500,
+                            cutoff_frequency=0.1).collect()
+    rare_ids = {r["doc_id"] for r in
+                intersect.match_any_terms(spark, idx, "id1638").collect()}
+    assert {r["doc_id"] for r in got} == rare_ids
+    base = {r["doc_id"]: r["score"] for r in
+            query.topk(spark, idx, "id0000 id1638", k=500).collect()}
+    for r in got:
+        assert abs(r["score"] - base[r["doc_id"]]) < 1e-12
+
+    # all-high: conjunction of the terms
+    allhigh = common_terms_topk(spark, idx, "id0000 id0002", k=500,
+                                cutoff_frequency=0.1).collect()
+    both = {r["doc_id"] for r in
+            intersect.match_all_terms(spark, idx, "id0000 id0002").collect()}
+    assert {r["doc_id"] for r in allhigh} == both
+
+    via = dsl.search(spark, idx, {"query": {"common": {"content": {
+        "query": "id0000 id1638", "cutoff_frequency": 0.1}}}, "size": 500})
+    assert _rows(via) == [(r["doc_id"], r["score"]) for r in got]
