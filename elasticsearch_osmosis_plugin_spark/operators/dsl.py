@@ -179,7 +179,8 @@ def _finish_ids(spark: SparkSession, index_path: str, ids: DataFrame,
     return _const_hits(spark, ids).limit(k)
 
 
-def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
+def search(spark: SparkSession, index_path: str, body: dict,
+           knn_source: DataFrame | None = None) -> DataFrame:
     """Run an ES-style search body against the index.
 
     Returns the hits DataFrame: (doc_id, score) for ranked forms,
@@ -188,12 +189,24 @@ def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
     A top-level ``"_source": [col, ...]`` hydrates the hits with
     doc-store fields via the fetch phase (``query.fetch_hits``).
     Aggregations go through :func:`search_aggs`.
+
+    Vector search: a top-level ``"knn"`` section (modern ES) scores
+    ``knn_source`` (vec_id = doc_id, embedding) by exact cosine; with
+    a ``"query"`` alongside, scores SUM on the hit union (ES 8.x
+    combine). A top-level ``"retriever": {"rrf": ...}`` fuses its
+    standard/knn sub-retrievers by reciprocal rank
+    (:func:`~elasticsearch_osmosis_plugin_spark.operators.scorefn.rrf_fuse`).
     """
     src = body.get("_source")
     frm = int(body.get("from", 0))
     if frm and "search_after" in body:
         raise ValueError("from and search_after are mutually exclusive")
-    hits = _search_query(spark, index_path, body)
+    if "retriever" in body:
+        hits = _retriever_search(spark, index_path, body, knn_source)
+    elif "knn" in body:
+        hits = _knn_search(spark, index_path, body, knn_source)
+    else:
+        hits = _search_query(spark, index_path, body)
     if frm:
         # ES from+size pagination: _search_query already ranked the
         # first from+size hits; skip the first ``from`` of them. The
@@ -207,6 +220,79 @@ def search(spark: SparkSession, index_path: str, body: dict) -> DataFrame:
 
         hits = fetch_hits(spark, index_path, hits, list(src))
     return hits
+
+
+def _knn_cosine(spark: SparkSession, knn: dict, knn_source,
+                k: int) -> DataFrame:
+    if knn_source is None:
+        raise ValueError("knn search needs knn_source (vec_id, embedding)")
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    qv = [float(x) for x in knn["query_vector"]]
+    kk = int(knn.get("k", k))
+    return (cosine_topk(knn_source, qv, k=kk,
+                        vec_col=knn.get("field", "embedding"))
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.col("cos").alias("score")))
+
+
+def _knn_search(spark: SparkSession, index_path: str, body: dict,
+                knn_source) -> DataFrame:
+    """Top-level knn section (modern ES `_search` with `knn`): exact
+    cosine top-k over the vector source; with a lexical `query`
+    alongside, scores SUM over the hit union (the documented 8.x
+    combine — a doc in only one ranking keeps that score)."""
+    k = int(body.get("size", 10)) + int(body.get("from", 0))
+    kn = _knn_cosine(spark, body["knn"], knn_source, k)
+    if "query" not in body:
+        return kn
+    lex = _search_query(spark, index_path,
+                        {kk: v for kk, v in body.items() if kk != "knn"})
+    merged = (lex.select("doc_id", F.col("score").alias("_l"))
+              .join(kn.select("doc_id", F.col("score").alias("_v")),
+                    "doc_id", "full_outer")
+              .select("doc_id",
+                      (F.coalesce(F.col("_l"), F.lit(0.0))
+                       + F.coalesce(F.col("_v"), F.lit(0.0))).alias("score")))
+    from elasticsearch_osmosis_plugin_spark.operators.topk import (
+        deterministic_topk,
+    )
+
+    return deterministic_topk(merged, k)
+
+
+def _retriever_search(spark: SparkSession, index_path: str, body: dict,
+                      knn_source) -> DataFrame:
+    """`retriever.rrf` (modern ES): run each standard/knn
+    sub-retriever at rank_window_size, fuse by reciprocal rank at the
+    x1e4 fixed point. Returns (doc_id, rrf_x1e6, n_sources)."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import rrf_fuse
+
+    spec = body["retriever"]
+    kind, rspec = _one_entry(spec, "retriever")
+    if kind != "rrf":
+        raise ValueError(f"unsupported retriever: {kind}")
+    k = int(body.get("size", 10)) + int(body.get("from", 0))
+    window = int(rspec.get("rank_window_size", max(k, 10)))
+    rankings = {}
+    for i, sub in enumerate(rspec["retrievers"]):
+        skind, sspec = _one_entry(sub, "sub-retriever")
+        if skind == "standard":
+            r = _search_query(spark, index_path,
+                              dict(sspec, size=window))
+        elif skind == "knn":
+            r = _knn_cosine(spark, sspec, knn_source, window)
+        else:
+            raise ValueError(f"unsupported sub-retriever: {skind}")
+        rankings[f"r{i}"] = r.select(
+            "doc_id",
+            F.floor(F.col("score") * 10000.0 + F.lit(0.5))
+             .cast("long").alias("score_x1e4"))
+    return rrf_fuse(rankings, k=k,
+                    rrf_k=int(rspec.get("rank_constant", 60)),
+                    window=window)
 
 
 def _search_query(spark: SparkSession, index_path: str,

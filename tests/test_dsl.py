@@ -615,3 +615,55 @@ def test_common_terms_query(spark, idx):
     via = dsl.search(spark, idx, {"query": {"common": {"content": {
         "query": "id0000 id1638", "cutoff_frequency": 0.1}}}, "size": 500})
     assert _rows(via) == [(r["doc_id"], r["score"]) for r in got]
+
+
+def test_knn_and_rrf_retriever(spark, idx, corpus_df):
+    """DSL vector surfaces: top-level knn == direct cosine_topk; knn +
+    query == score sum on the hit union; retriever.rrf == direct
+    rrf_fuse of its sub-retrievers."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import rrf_fuse
+
+    # deterministic fake embeddings keyed off doc_id
+    emb = corpus_df.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[((F.col("doc_id") * (i + 1) + i) % 7 + 1).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    qv = [1.0, 2.0, 0.5, 3.0]
+
+    via = dsl.search(spark, idx, {"knn": {"query_vector": qv, "k": 8}},
+                     knn_source=emb)
+    direct = cosine_topk(emb, qv, k=8)
+    assert _rows(via) == [(r["vec_id"], r["cos"]) for r in direct.collect()]
+
+    # knn + query: sum combine on the union
+    body = {"knn": {"query_vector": qv, "k": 8},
+            "query": {"match": {"content": "public static"}}, "size": 300}
+    got = {r["doc_id"]: r["score"]
+           for r in dsl.search(spark, idx, body, knn_source=emb).collect()}
+    lex = {r["doc_id"]: r["score"] for r in
+           query.topk(spark, idx, "public static", k=300).collect()}
+    vec = {r["vec_id"]: r["cos"] for r in cosine_topk(emb, qv, k=8).collect()}
+    assert set(got) == set(lex) | set(vec)
+    for d, s in got.items():
+        assert abs(s - (lex.get(d, 0.0) + vec.get(d, 0.0))) < 1e-12
+
+    # retriever.rrf == direct fuse at the fixed point
+    body = {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"content": "public static"}}}},
+        {"knn": {"query_vector": qv, "k": 20}},
+    ], "rank_constant": 60, "rank_window_size": 20}}, "size": 10}
+    via = dsl.search(spark, idx, body, knn_source=emb)
+    x4 = lambda df, i, s: df.select(  # noqa: E731
+        F.col(i).alias("doc_id"),
+        F.floor(F.col(s) * 10000.0 + F.lit(0.5)).cast("long")
+         .alias("score_x1e4"))
+    direct = rrf_fuse(
+        {"r0": x4(query.topk(spark, idx, "public static", k=20), "doc_id",
+                  "score"),
+         "r1": x4(cosine_topk(emb, qv, k=20), "vec_id", "cos")},
+        k=10, rrf_k=60, window=20)
+    assert [tuple(r) for r in via.collect()] == \
+        [tuple(r) for r in direct.collect()]
