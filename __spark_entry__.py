@@ -1258,6 +1258,39 @@ def _synth_points(docs):
     return docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
 
 
+def q_geo_distance_agg(spark, sf_dir):
+    """ES geo_distance aggregation: ring buckets (open-ended +
+    overlapping) of haversine km from Paris over the deterministic
+    points table — one conditional-count pass."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        geo_distance_agg,
+    )
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    return geo_distance_agg(pts, 48.8566, 2.3522,
+                            [(None, 3000.0), (3000.0, 9000.0),
+                             (6000.0, None)])
+
+
+GEO_DISTANCE_AGG_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents),
+d AS (SELECT 2.0 * 6371.0087714 * asin(sqrt(
+        pow(sin(radians(48.8566 - lat) / 2), 2)
+        + cos(radians(lat)) * cos(radians(48.8566))
+          * pow(sin(radians(2.3522 - lon) / 2), 2))) AS km
+      FROM pts)
+SELECT '*-3000' AS bucket, count(*) FILTER (km < 3000.0) AS n_docs FROM d
+UNION ALL
+SELECT '3000-9000', count(*) FILTER (km >= 3000.0 AND km < 9000.0) FROM d
+UNION ALL
+SELECT '6000-*', count(*) FILTER (km >= 6000.0) FROM d
+"""
+
+
 def q_geo_distance_filter(spark, sf_dir):
     """B8 under the hard gate: haversine geo-distance filter over a
     deterministic synthetic points table (the reference's
@@ -1595,6 +1628,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "unigram_logprob": q_unigram_logprob,
     "geo_distance_filter": q_geo_distance_filter,
+    "geo_distance_agg": q_geo_distance_agg,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geotile_grid": q_geotile_grid,
     "geohash_grid": q_geohash_grid,
@@ -2414,6 +2448,7 @@ tiles AS (
   FROM pts)
 SELECT '4/' || x || '/' || y AS tile, count(*) AS n_docs
 FROM tiles GROUP BY 1 ORDER BY n_docs DESC, tile""",
+        "geo_distance_agg": GEO_DISTANCE_AGG_SQL,
         "geo_distance_filter": """
 WITH pts AS (
   SELECT doc_id,

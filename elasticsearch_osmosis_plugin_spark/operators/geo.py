@@ -326,3 +326,39 @@ def geotile_grid(df: DataFrame, zoom: int, lat_col: str = "lat",
     return (df.groupBy(cell.alias("tile"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc("tile")))
+
+
+def geo_distance_agg(df: DataFrame, lat: float, lon: float,
+                     ranges, lat_col: str = "lat",
+                     lon_col: str = "lon") -> DataFrame:
+    """ES geo_distance aggregation: ring buckets of haversine distance
+    from an origin -> (bucket, n_docs). Ranges are [from, to) km pairs
+    with open ends allowed (None), overlapping allowed — exactly the
+    ES range-agg family semantics (each doc counts in EVERY bucket it
+    falls in).
+
+    ONE conditional-count pass (like filters_agg): the distance is
+    computed once per row inside whole-stage codegen, each bucket is a
+    sum(when(...)), and only N_buckets counters cross the exchange —
+    no per-bucket scans, no explode.
+    """
+    d = haversine_km(F.col(lat_col), F.col(lon_col),
+                     F.lit(float(lat)), F.lit(float(lon)))
+    aggs, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (d >= float(lo))
+        if hi is not None:
+            cond = cond & (d < float(hi))
+        key = (f"{'*' if lo is None else format(float(lo), 'g')}"
+               f"-{'*' if hi is None else format(float(hi), 'g')}")
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"_b{i}"))
+    row = df.agg(*aggs)
+    pairs = F.array(*[F.struct(F.lit(k).alias("bucket"),
+                               F.col(f"_b{i}").alias("n_docs"))
+                      for i, k in enumerate(keys)])
+    return (row.select(F.explode(pairs).alias("p"))
+            .select("p.bucket", "p.n_docs"))

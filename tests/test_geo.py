@@ -219,3 +219,32 @@ def test_geohash_grid_counts(spark):
     df = spark.createDataFrame(pts, "lat double, lon double")
     rows = geohash_grid(df, 4).collect()
     assert [r["n_docs"] for r in rows] == [5, 3]
+
+
+def test_geo_distance_agg(spark):
+    """Ring buckets: open ends, overlap, [from, to) boundary."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        geo_distance_agg,
+        haversine_km,
+    )
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(1, 48.8566, 2.3522),      # 0 km (origin itself)
+         (2, 50.0, 8.0),            # ~Frankfurt ~ 450 km
+         (3, 40.7, -74.0),          # ~NYC ~ 5840 km
+         (4, -33.9, 151.2)],        # ~Sydney ~ 16960 km
+        "doc_id long, lat double, lon double")
+    got = {r["bucket"]: r["n_docs"]
+           for r in geo_distance_agg(
+               pts, 48.8566, 2.3522,
+               [(None, 1000.0), (1000.0, 10000.0), (5000.0, None)]).collect()}
+    assert got == {"*-1000": 2, "1000-10000": 1, "5000-*": 2}
+    # boundary is [from, to): a point exactly at 'to' falls out
+    d2 = pts.filter(F.col("doc_id") == 2).select(
+        haversine_km(F.col("lat"), F.col("lon"),
+                     F.lit(48.8566), F.lit(2.3522)).alias("km")).first()["km"]
+    edge = {r["bucket"]: r["n_docs"]
+            for r in geo_distance_agg(pts, 48.8566, 2.3522,
+                                      [(None, d2), (d2, None)]).collect()}
+    assert edge[f"{d2:g}-*"] >= 1 and edge[f"*-{d2:g}"] == 1
