@@ -577,7 +577,8 @@ def scan_iter(spark: SparkSession, index_path: str, query: str | None = None,
 
 
 def topk_multi(spark: SparkSession, index_paths: Sequence[str],
-               query: str, k: int = 10) -> DataFrame:
+               query: str, k: int = 10,
+               indices_boost: Sequence[float] | None = None) -> DataFrame:
     """ES multi-index search (``GET /idx1,idx2/_search``) with
     ``dfs_query_then_fetch`` semantics: collection statistics (df,
     N, avgdl) are combined across ALL indexes before scoring, so the
@@ -586,6 +587,11 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
     per-shard stats skew scores (the dfs mode exists precisely to fix
     that; here exactness is the default and is pinned by a
     union-rebuild identity test).
+
+    ``indices_boost``: optional per-index score multipliers (ES
+    indices_boost body section, one float per index_path) — a boost
+    scales that index's partial scores linearly, folded into its
+    per-term idf map so every downstream bound stays valid.
 
     Plan: one tiny dictionary lookup per index (driver-side sum of
     df/cf — the distributed-frequency phase), then each index's pruned
@@ -616,13 +622,19 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
     # from each index's (avgdl * n_docs)
     avgdl_g = sum(m["avgdl"] * m["n_docs"] for m in metas) / n_g
     idf_g = {t: idf(n_g, d) for t, d in df_g.items()}
+    if indices_boost is not None and len(indices_boost) != len(index_paths):
+        raise ValueError("indices_boost needs one weight per index")
     parts = []
-    for p, m, dic in zip(index_paths, metas, dics):
+    for i, (p, m, dic) in enumerate(zip(index_paths, metas, dics)):
         live = sorted(set(dic["term"]))
         if not live:
             continue
         m_scaled = dict(m, avgdl=avgdl_g)
-        parts.append(_scored(spark, p, live, m_scaled, idf_g,
+        idf_i = idf_g
+        if indices_boost is not None:
+            w = float(indices_boost[i])
+            idf_i = {t: v * w for t, v in idf_g.items()}
+        parts.append(_scored(spark, p, live, m_scaled, idf_i,
                              denied=tombstones_df(spark, p, m)))
     out = parts[0]
     for more in parts[1:]:

@@ -295,6 +295,22 @@ def test_topk_multi_equals_union_rebuild(spark, tmp_path):
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
         for g, w in zip(got, want):
             assert abs(g["score"] - w["score"]) < 1e-9
+    # indices_boost: per-index linear score scaling, same ranking math
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    ids_a = {r["doc_id"] for r in catalog.read_table(spark, pa, "docstats")
+             .select("doc_id").collect()}
+    base = {r["doc_id"]: r["score"] for r in
+            topk_multi(spark, [pa, pb], "public static", k=200).collect()}
+    boosted = topk_multi(spark, [pa, pb], "public static", k=200,
+                         indices_boost=[2.0, 0.5]).collect()
+    assert len(boosted) == len(base)
+    for r in boosted:
+        w = 2.0 if r["doc_id"] in ids_a else 0.5
+        assert abs(r["score"] - w * base[r["doc_id"]]) < 1e-9
+    with pytest.raises(ValueError):
+        topk_multi(spark, [pa, pb], "public", k=5, indices_boost=[1.0])
+
     # stats combination refuses mismatched tokenization configs
     pc = str(tmp_path / "ic")
     build_index(spark, b, pc, EngineConfig(analyzer="simple", n_segments=2,
