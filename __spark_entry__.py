@@ -964,6 +964,52 @@ def q_contamination(spark, sf_dir):
     return dedupe.contamination(tr, ev, n=5, threshold=0.5)
 
 
+SPARSE_QW = {"spark": 1.0, "query": 0.6, "dup": 2.0}
+
+
+def q_sparse_vector_topk(spark, sf_dir):
+    """Learned sparse retrieval (ES rank_features / ELSER shape):
+    doc features = tf/dl impact weights built from the text, query =
+    a tiny {token: weight} dict, score = sparse dot product. The
+    map-column path and the inverted impact layout are rank-identical
+    (pytest); the driver row runs the map path."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.sparsevec import (
+        sparse_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = analysis.tokens_col("text")
+    tf = (docs.select("doc_id", F.size(toks).alias("_dl"),
+                      F.explode(toks).alias("term"))
+          .groupBy("doc_id", "term", "_dl")
+          .agg(F.count(F.lit(1)).alias("_tf")))
+    feats = (tf.groupBy("doc_id")
+             .agg(F.map_from_entries(F.collect_list(F.struct(
+                 F.col("term"),
+                 (F.col("_tf").cast("double") / F.col("_dl"))
+                 .alias("w")))).alias("features")))
+    raw = sparse_topk(feats, SPARSE_QW, k=10)
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+SPARSE_VECTOR_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('dup', 'query', 'spark') GROUP BY doc_id, term),
+qw AS (SELECT * FROM (VALUES ('spark', 1.0), ('query', 0.6), ('dup', 2.0))
+       AS t(term, w)),
+scored AS (SELECT tf.doc_id, sum(qw.w * tf.tf / dl.dl) AS s
+           FROM tf JOIN dl USING (doc_id) JOIN qw USING (term)
+           GROUP BY tf.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM scored WHERE s > 0.0
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10
+"""
+
+
 def q_common_terms_idx(spark, sf_dir):
     """ES `common` terms query (dynamic-stopword, 0.90/1.x era):
     'dup' (df ~0.05) selects, 'table'/'merge' (df ~0.78) only boost —
@@ -1614,6 +1660,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "contamination": q_contamination,
     "common_terms_idx": q_common_terms_idx,
+    "sparse_vector_topk": q_sparse_vector_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "duplicate_spans": q_duplicate_spans,
     "simhash": q_simhash,
@@ -2313,6 +2360,7 @@ SELECT md5(array_to_string(toks, ' ')) AS fp, count(*) AS n_docs,
        min(doc_id) AS keep_doc_id
 FROM toks GROUP BY 1 HAVING count(*) > 1""",
         "common_terms_idx": COMMON_TERMS_SQL,
+        "sparse_vector_topk": SPARSE_VECTOR_SQL,
         "hybrid_rrf": HYBRID_RRF_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

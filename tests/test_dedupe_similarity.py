@@ -339,3 +339,48 @@ def test_rrf_fuse(spark):
           for r in rrf_fuse({"bm25": bm, "cos": cos}, k=10, rrf_k=60,
                             window=1).collect()}
     assert set(w1) == {10, 20} and w1[10] == round(1e6 / 61)
+
+
+def test_sparse_vector_topk(spark, tmp_path):
+    """Learned sparse retrieval: map-lookup path == inverted impact
+    path (rank + score), zero-match docs excluded, persisted impact
+    layout partition-prunes and returns the same ranking."""
+    import pytest as _pytest
+
+    from elasticsearch_osmosis_plugin_spark.operators.sparsevec import (
+        read_impact_layout,
+        sparse_topk,
+        sparse_topk_inverted,
+        write_impact_layout,
+    )
+
+    rows = [
+        (1, {"cat": 0.9, "dog": 0.2}),
+        (2, {"dog": 0.7, "fish": 0.5}),
+        (3, {"bird": 1.0}),               # matches nothing below
+        (4, {"cat": 0.1, "fish": 0.3, "dog": 0.05}),
+    ]
+    feats = spark.createDataFrame(rows, "doc_id long, features map<string,double>")
+    qw = {"cat": 1.0, "fish": 2.0}
+    got = sparse_topk(feats, qw, k=10).collect()
+    # hand-checked: 2 -> 1.0, 1 -> 0.9, 4 -> 0.7; 3 excluded
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(2, 1.0), (1, 0.9), (4, 0.7)]
+
+    exploded = feats.select("doc_id", F.explode("features")
+                            .alias("term", "weight"))
+    inv = sparse_topk_inverted(exploded, qw, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in inv] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in got]
+
+    path = str(tmp_path / "impacts")
+    write_impact_layout(exploded, path, n_buckets=8)
+    pruned = read_impact_layout(spark, path, qw, n_buckets=8)
+    via = sparse_topk_inverted(pruned, qw, k=10)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in via.collect()] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in got]
+    plan = via._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [impact_bkt" in plan
+
+    with _pytest.raises(ValueError):
+        sparse_topk(feats, {}, k=5)
