@@ -1562,6 +1562,42 @@ def q_date_histogram_events(spark, sf_dir):
                     "n_docs"))
 
 
+def q_pipeline_aggs_events(spark, sf_dir):
+    """ES pipeline aggs (derivative / cumulative_sum / moving_fn
+    unweightedAvg) over the day-bucket date_histogram of the event
+    log — window functions over the bucket frame, never the corpus."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        bucket_pipeline,
+        date_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = bucket_pipeline(date_histogram(ev, "ts", "day"),
+                        derivative=True, cumulative_sum=True, moving_avg=3)
+    return b.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_ts"), "n_docs",
+        F.col("derivative").cast("long").alias("derivative"),
+        F.col("cumulative_sum").cast("long").alias("cumulative_sum"),
+        x1e4(F.col("moving_avg")).alias("moving_avg_x1e4"))
+
+
+PIPELINE_AGGS_SQL = """
+WITH b AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
+         count(*)::DOUBLE AS v
+  FROM events GROUP BY 1)
+SELECT bucket_ts, v::BIGINT AS n_docs,
+       (v - lag(v) OVER w)::BIGINT AS derivative,
+       sum(v) OVER (ORDER BY bucket_ts
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cumulative_sum,
+       floor(avg(v) OVER (ORDER BY bucket_ts
+                          ROWS 2 PRECEDING) * 10000.0 + 0.5)::BIGINT
+         AS moving_avg_x1e4
+FROM b WINDOW w AS (ORDER BY bucket_ts) ORDER BY bucket_ts
+"""
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based sessionization via window functions (30 min gap)."""
     ev = _t(spark, sf_dir, "events")
@@ -1686,6 +1722,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "events_windowed": q_events_windowed,
     "date_histogram_events": q_date_histogram_events,
+    "pipeline_aggs_events": q_pipeline_aggs_events,
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
 }
@@ -2573,6 +2610,7 @@ SELECT c_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
+        "pipeline_aggs_events": PIPELINE_AGGS_SQL,
         "date_histogram_events": """
 SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts, count(*) AS n_docs
 FROM events GROUP BY 1 ORDER BY 1""",

@@ -893,3 +893,54 @@ def cardinality_agg(spark: SparkSession, index_path: str, query: str,
            else F.approx_count_distinct(value_col, rsd))
     return (ds.join(docs, "doc_id", "left_semi")
             .agg(agg.alias("cardinality")))
+
+
+def bucket_pipeline(buckets: DataFrame, value_col: str = "n_docs",
+                    key_col: str = "bucket", *, derivative: bool = False,
+                    cumulative_sum: bool = False,
+                    moving_avg: int | None = None) -> DataFrame:
+    """ES pipeline aggregations over a bucketed series (the
+    derivative / cumulative_sum / moving_fn family): add the requested
+    columns to a (key, value) bucket frame, ordered by key.
+
+    - ``derivative``: value - lag(value) (null in the first bucket,
+      exactly ES's derivative on a gapless series);
+    - ``cumulative_sum``: running sum including the current bucket;
+    - ``moving_avg``: unweighted mean of the trailing N-bucket window
+      INCLUDING the current bucket (ES moving_fn unweightedAvg with
+      shift=1 alignment).
+
+    Scale note: pipeline aggs run on the BUCKET frame, which is
+    date-histogram-sized (thousands of rows), not corpus-sized — a
+    single-partition window here is deliberate and cheap; the heavy
+    lifting already happened in the bucketing groupBy."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(key_col)
+    out = buckets
+    v = F.col(value_col).cast("double")
+    if derivative:
+        out = out.withColumn("derivative", v - F.lag(v).over(w))
+    if cumulative_sum:
+        out = out.withColumn(
+            "cumulative_sum",
+            F.sum(v).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    if moving_avg is not None:
+        out = out.withColumn(
+            "moving_avg",
+            F.avg(v).over(w.rowsBetween(-(int(moving_avg) - 1),
+                                        W.currentRow)))
+    return out.orderBy(key_col)
+
+
+def sibling_bucket_stats(buckets: DataFrame,
+                         value_col: str = "n_docs") -> DataFrame:
+    """ES sibling pipeline aggs (avg_bucket / min_bucket / max_bucket /
+    sum_bucket) in one pass: a single-row frame of stats over the
+    bucket values."""
+    v = F.col(value_col).cast("double")
+    return buckets.agg(F.avg(v).alias("avg_bucket"),
+                       F.min(v).alias("min_bucket"),
+                       F.max(v).alias("max_bucket"),
+                       F.sum(v).alias("sum_bucket"),
+                       F.count(F.lit(1)).alias("n_buckets"))

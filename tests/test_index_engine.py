@@ -1071,3 +1071,29 @@ def test_scan_fetch_hydrates(spark, index_path):
                       fetch=["lang"]).collect()
     assert len(page) == 5
     assert all("lang" in r.asDict() for r in page)
+
+
+def test_bucket_pipeline_and_sibling_stats(spark):
+    """Pipeline aggs: derivative/cumsum/moving_avg golden values on a
+    hand-built series; sibling bucket stats in one pass."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        bucket_pipeline,
+        sibling_bucket_stats,
+    )
+
+    b = spark.createDataFrame(
+        [(1, 10), (2, 13), (3, 7), (4, 7)], "bucket long, n_docs long")
+    got = bucket_pipeline(b, derivative=True, cumulative_sum=True,
+                          moving_avg=2).collect()
+    assert [(r["bucket"], r["derivative"], r["cumulative_sum"],
+             r["moving_avg"]) for r in got] == [
+        (1, None, 10.0, 10.0),
+        (2, 3.0, 23.0, 11.5),
+        (3, -6.0, 30.0, 10.0),
+        (4, 0.0, 37.0, 7.0),
+    ]
+    s = sibling_bucket_stats(b).collect()[0]
+    assert (s["avg_bucket"], s["min_bucket"], s["max_bucket"],
+            s["sum_bucket"], s["n_buckets"]) == (9.25, 7.0, 13.0, 37.0, 4)
