@@ -1562,6 +1562,64 @@ def q_date_histogram_events(spark, sf_dir):
                     "n_docs"))
 
 
+def q_percentile_ranks_idx(spark, sf_dir):
+    """ES percentile_ranks agg (inverse percentiles) over the 'spark'
+    hits: % of matching docs with dl <= each probe value — exact and
+    mergeable (conditional counts, no sketch)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        percentile_ranks_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    r = percentile_ranks_agg(spark, idx, "spark", "dl",
+                             [150.0, 250.0, 400.0])
+    return r.select(F.col("value").cast("long").alias("value"),
+                    x1e4(F.col("rank_pct")).alias("rank_pct_x1e4"))
+
+
+PERCENTILE_RANKS_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT dl.dl FROM dl JOIN hits USING (doc_id)),
+s AS (SELECT count(*)::DOUBLE AS n,
+             sum(CASE WHEN dl <= 150.0 THEN 1 ELSE 0 END)::DOUBLE AS le1,
+             sum(CASE WHEN dl <= 250.0 THEN 1 ELSE 0 END)::DOUBLE AS le2,
+             sum(CASE WHEN dl <= 400.0 THEN 1 ELSE 0 END)::DOUBLE AS le3
+      FROM v)
+SELECT 150 AS value,
+       floor(le1 * 100.0 / n * 10000.0 + 0.5)::BIGINT AS rank_pct_x1e4 FROM s
+UNION ALL SELECT 250, floor(le2 * 100.0 / n * 10000.0 + 0.5)::BIGINT FROM s
+UNION ALL SELECT 400, floor(le3 * 100.0 / n * 10000.0 + 0.5)::BIGINT FROM s
+"""
+
+
+def q_composite_agg_events(spark, sf_dir):
+    """ES composite aggregation with after-key paging: page 2 of the
+    (event_type, day) bucket enumeration, cursor read from page 1 —
+    each page is an independent pruned pass, no global state."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        composite_agg,
+    )
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+                  .alias("day_ts")))
+    p1 = composite_agg(ev, ["event_type", "day_ts"], size=10).collect()
+    after = (p1[-1]["event_type"], p1[-1]["day_ts"])
+    return composite_agg(ev, ["event_type", "day_ts"], size=10, after=after)
+
+
+COMPOSITE_AGG_SQL = """
+SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_ts,
+       count(*) AS n_docs
+FROM events GROUP BY 1, 2
+ORDER BY event_type, day_ts LIMIT 10 OFFSET 10
+"""
+
+
 def q_pipeline_aggs_events(spark, sf_dir):
     """ES pipeline aggs (derivative / cumulative_sum / moving_fn
     unweightedAvg) over the day-bucket date_histogram of the event
@@ -1723,6 +1781,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "date_histogram_events": q_date_histogram_events,
     "pipeline_aggs_events": q_pipeline_aggs_events,
+    "percentile_ranks_idx": q_percentile_ranks_idx,
+    "composite_agg_events": q_composite_agg_events,
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
 }
@@ -2611,6 +2671,8 @@ SELECT c_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "pipeline_aggs_events": PIPELINE_AGGS_SQL,
+        "percentile_ranks_idx": PERCENTILE_RANKS_SQL,
+        "composite_agg_events": COMPOSITE_AGG_SQL,
         "date_histogram_events": """
 SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts, count(*) AS n_docs
 FROM events GROUP BY 1 ORDER BY 1""",

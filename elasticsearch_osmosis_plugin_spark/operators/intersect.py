@@ -944,3 +944,64 @@ def sibling_bucket_stats(buckets: DataFrame,
                        F.max(v).alias("max_bucket"),
                        F.sum(v).alias("sum_bucket"),
                        F.count(F.lit(1)).alias("n_buckets"))
+
+
+def percentile_ranks_agg(spark: SparkSession, index_path: str, query: str,
+                         value_col: str, values, mode: str = "any") -> DataFrame:
+    """ES percentile_ranks aggregation (the inverse of percentiles):
+    for each probe value, the percentage of matching docs whose
+    ``value_col`` is <= it -> (value, rank_pct).
+
+    One conditional-count pass over the hit stream (a sum(when(...))
+    per probe value plus one total count — all in the same partial
+    aggregation); no sort, no sketch needed for the <=-fraction
+    definition, so exact AND mergeable at any scale."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    vals = ds.join(docs, "doc_id", "left_semi")
+    v = F.col(value_col).cast("double")
+    probes = [float(x) for x in values]
+    aggs = [F.sum(F.when(v <= p, 1).otherwise(0)).alias(f"_le{i}")
+            for i, p in enumerate(probes)]
+    row = vals.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(p).alias("value"),
+                 (F.col(f"_le{i}").cast("double") * 100.0
+                  / F.col("_n")).alias("rank_pct"))
+        for i, p in enumerate(probes)])
+    return (row.select(F.explode(pairs).alias("p"))
+            .select("p.value", "p.rank_pct").orderBy("value"))
+
+
+def composite_agg(df: DataFrame, sources, size: int = 10,
+                  after: tuple | None = None) -> DataFrame:
+    """ES composite aggregation: multi-source bucket enumeration in
+    deterministic key order with after-key (keyset) paging — the agg
+    ES built for exporting ALL buckets without deep from-paging.
+
+    ``sources``: ordered column names forming the composite key;
+    ``after``: the last page's final key tuple — the next page starts
+    strictly after it.
+
+    Plan: one groupBy over the sources; the after-key becomes a
+    lexicographic row filter BEFORE the per-partition top-size cut
+    (TakeOrderedAndProject), so each page is a fresh pruned pass —
+    no global state, any page is computable independently (exactly
+    how ES resumes a composite cursor)."""
+    cols = list(sources)
+    g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    if after is not None:
+        if len(after) != len(cols):
+            raise ValueError("after key arity != sources arity")
+        # lexicographic 'strictly greater than after'
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for c, a in zip(cols, after):
+            cond = cond | (eq & (F.col(c) > F.lit(a)))
+            eq = eq & (F.col(c) == F.lit(a))
+        g = g.filter(cond)
+    return g.orderBy(*[F.asc(c) for c in cols]).limit(int(size))

@@ -1097,3 +1097,32 @@ def test_bucket_pipeline_and_sibling_stats(spark):
     s = sibling_bucket_stats(b).collect()[0]
     assert (s["avg_bucket"], s["min_bucket"], s["max_bucket"],
             s["sum_bucket"], s["n_buckets"]) == (9.25, 7.0, 13.0, 37.0, 4)
+
+
+def test_composite_agg_paging(spark):
+    """Composite agg: lexicographic after-key paging covers every
+    bucket exactly once, pages independent of each other."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        composite_agg,
+    )
+
+    df = spark.range(0, 120).select(
+        (F.col("id") % 5).cast("string").alias("a"),
+        (F.col("id") % 7).alias("b"))
+    want = [((r["a"], r["b"]), r["n_docs"]) for r in
+            df.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("a", "b").collect()]
+    got, after = [], None
+    while True:
+        page = composite_agg(df, ["a", "b"], size=7, after=after).collect()
+        if not page:
+            break
+        got.extend(((r["a"], r["b"]), r["n_docs"]) for r in page)
+        after = (page[-1]["a"], page[-1]["b"])
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        composite_agg(df, ["a", "b"], size=5, after=("0",))
