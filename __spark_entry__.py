@@ -1562,6 +1562,56 @@ def q_date_histogram_events(spark, sf_dir):
                     "n_docs"))
 
 
+def q_has_child(spark, sf_dir):
+    """ES has_child (score_mode=sum): customers having >= 2 orders
+    with o_totalprice > 100000, scored by the exact cents sum of those
+    orders' totals — parent/child join over co-partitionable keys."""
+    from elasticsearch_osmosis_plugin_spark.operators.parentchild import (
+        has_child,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    out = has_child(cust, orders, "c_custkey", "o_custkey",
+                    child_filter=F.col("o_totalprice") > 100000.0,
+                    child_score=cents, score_mode="sum", min_children=2)
+    return out.select("c_custkey", "c_mktsegment",
+                      F.col("score").cast("long").alias("score_cents"))
+
+
+HAS_CHILD_SQL = """
+WITH ch AS (
+  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS s,
+         count(*) AS nc
+  FROM orders WHERE o_totalprice > 100000.0 GROUP BY 1)
+SELECT c.c_custkey, c.c_mktsegment, ch.s AS score_cents
+FROM customer c JOIN ch ON ch.o_custkey = c.c_custkey
+WHERE ch.nc >= 2
+"""
+
+
+def q_has_parent(spark, sf_dir):
+    """ES has_parent filter: orders whose customer is in the BUILDING
+    segment — the filtered parent key set broadcasts."""
+    from elasticsearch_osmosis_plugin_spark.operators.parentchild import (
+        has_parent,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = has_parent(cust, orders, "c_custkey", "o_custkey",
+                     parent_filter=F.col("c_mktsegment") == "BUILDING")
+    return out.select("o_orderkey", "o_custkey")
+
+
+HAS_PARENT_SQL = """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 def q_percentile_ranks_idx(spark, sf_dir):
     """ES percentile_ranks agg (inverse percentiles) over the 'spark'
     hits: % of matching docs with dl <= each probe value — exact and
@@ -1782,6 +1832,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_histogram_events": q_date_histogram_events,
     "pipeline_aggs_events": q_pipeline_aggs_events,
     "percentile_ranks_idx": q_percentile_ranks_idx,
+    "has_child": q_has_child,
+    "has_parent": q_has_parent,
     "composite_agg_events": q_composite_agg_events,
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
@@ -2672,6 +2724,8 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "pipeline_aggs_events": PIPELINE_AGGS_SQL,
         "percentile_ranks_idx": PERCENTILE_RANKS_SQL,
+        "has_child": HAS_CHILD_SQL,
+        "has_parent": HAS_PARENT_SQL,
         "composite_agg_events": COMPOSITE_AGG_SQL,
         "date_histogram_events": """
 SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts, count(*) AS n_docs

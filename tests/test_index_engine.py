@@ -1126,3 +1126,45 @@ def test_composite_agg_paging(spark):
 
     with _pytest.raises(ValueError):
         composite_agg(df, ["a", "b"], size=5, after=("0",))
+
+
+def test_has_child_has_parent(spark):
+    """Parent-child semantics on a hand-built pair of tables: score
+    modes, min_children, constant-score semi-joins."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.parentchild import (
+        has_child,
+        has_parent,
+    )
+
+    par = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "pid long, tag string")
+    ch = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 3.0), (12, 2, 9.0), (13, 9, 1.0)],
+        "cid long, fk long, v double")
+
+    semi = has_child(par, ch, "pid", "fk").collect()
+    assert {r["pid"] for r in semi} == {1, 2}
+    two = has_child(par, ch, "pid", "fk", min_children=2).collect()
+    assert {r["pid"] for r in two} == {1}
+    mx = {r["pid"]: r["score"] for r in has_child(
+        par, ch, "pid", "fk", child_score=F.col("v"),
+        score_mode="max").collect()}
+    assert mx == {1: 5.0, 2: 9.0}
+    sm = {r["pid"]: r["score"] for r in has_child(
+        par, ch, "pid", "fk", child_filter=F.col("v") > 3.0,
+        child_score=F.col("v"), score_mode="sum").collect()}
+    assert sm == {1: 5.0, 2: 9.0}
+    av = {r["pid"]: r["score"] for r in has_child(
+        par, ch, "pid", "fk", child_score=F.col("v"),
+        score_mode="avg").collect()}
+    assert av == {1: 4.0, 2: 9.0}
+
+    kids = has_parent(par, ch, "pid", "fk",
+                      parent_filter=F.col("tag") == "a").collect()
+    assert {r["cid"] for r in kids} == {10, 11}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        has_child(par, ch, "pid", "fk", score_mode="sum")
