@@ -1454,6 +1454,48 @@ def q_percolate(spark, sf_dir):
     return percolate(docs, PERCOLATE_QUERIES, analyzer="simple")
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture (multilingual alpha-sampling rule):
+    per-lang keep rates ~ p^(alpha-1) normalized to max 1, realized by
+    the deterministic md5 filter. The oracle inlines the thresholds
+    computed by the SAME python rate function over DuckDB's counts."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        temperature_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_mixture(docs, stratum_col="lang", alpha=0.3)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _temperature_oracle_sql() -> str:
+    import duckdb
+
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        temperature_rates,
+    )
+
+    con = duckdb.connect()
+    sizes = dict(con.execute(
+        f"SELECT lang, count(*) FROM read_parquet("
+        f"'{ANN_ORACLE_SF_DIR}/documents.parquet') GROUP BY lang"
+    ).fetchall())
+    con.close()
+    rates = temperature_rates(sizes, alpha=0.3)
+    cases = " ".join(f"WHEN '{s}' THEN {int(r * 1_000_000)}"
+                     for s, r in sorted(rates.items()))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 2, 15))::UBIGINT
+           % 1000000 AS k
+  FROM documents)
+SELECT doc_id, lang FROM keyed
+WHERE k < (CASE lang {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic mixture weighting: per-lang sampling rates via a
     cross-engine md5 key hash — pure filter, reproducible under any
@@ -1560,6 +1602,44 @@ def q_date_histogram_events(spark, sf_dir):
     return (date_histogram(ev, "ts", "day")
             .select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
                     "n_docs"))
+
+
+def q_adjacency_matrix_idx(spark, sf_dir):
+    """ES adjacency_matrix agg over the 'spark' hits: per-filter and
+    pairwise-intersection doc counts in one conditional-sum pass."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        adjacency_matrix_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return adjacency_matrix_agg(spark, idx, "spark", {
+        "en": F.col("lang") == "en",
+        "fr": F.col("lang") == "fr",
+        "long": F.col("n_chars") >= 300,
+    })
+
+
+ADJACENCY_MATRIX_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+h AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+c AS (SELECT
+  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+  sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS c_long,
+  sum(CASE WHEN lang = 'en' AND lang = 'fr' THEN 1 ELSE 0 END) AS c_en_fr,
+  sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS c_en_long,
+  sum(CASE WHEN lang = 'fr' AND n_chars >= 300 THEN 1 ELSE 0 END) AS c_fr_long
+  FROM h)
+SELECT bucket, n_docs FROM (
+  SELECT 'en' AS bucket, c_en AS n_docs FROM c
+  UNION ALL SELECT 'en&fr', c_en_fr FROM c
+  UNION ALL SELECT 'en&long', c_en_long FROM c
+  UNION ALL SELECT 'fr', c_fr FROM c
+  UNION ALL SELECT 'fr&long', c_fr_long FROM c
+  UNION ALL SELECT 'long', c_long FROM c)
+WHERE n_docs > 0 ORDER BY bucket
+"""
 
 
 def q_has_child(spark, sf_dir):
@@ -1814,6 +1894,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "mixture_sample": q_mixture_sample,
+    "temperature_mixture": q_temperature_mixture,
     "pack_sequences": q_pack_sequences,
     "percolate": q_percolate,
     "chunk_documents": q_chunk_documents,
@@ -1832,6 +1913,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_histogram_events": q_date_histogram_events,
     "pipeline_aggs_events": q_pipeline_aggs_events,
     "percentile_ranks_idx": q_percentile_ranks_idx,
+    "adjacency_matrix_idx": q_adjacency_matrix_idx,
     "has_child": q_has_child,
     "has_parent": q_has_parent,
     "composite_agg_events": q_composite_agg_events,
@@ -1922,6 +2004,8 @@ def oracle_sql() -> dict[str, str]:
         if os.path.exists(f"{ANN_ORACLE_SF_DIR}/embeddings.parquet"):
             out["ann_lsh_topk"] = _ann_lsh_oracle_sql()
             out["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+        if os.path.exists(f"{ANN_ORACLE_SF_DIR}/documents.parquet"):
+            out["temperature_mixture"] = _temperature_oracle_sql()
     except Exception:  # noqa: BLE001 — oracle generation must not kill the gate
         pass
     return out | {
@@ -2724,6 +2808,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "pipeline_aggs_events": PIPELINE_AGGS_SQL,
         "percentile_ranks_idx": PERCENTILE_RANKS_SQL,
+        "adjacency_matrix_idx": ADJACENCY_MATRIX_SQL,
         "has_child": HAS_CHILD_SQL,
         "has_parent": HAS_PARENT_SQL,
         "composite_agg_events": COMPOSITE_AGG_SQL,

@@ -137,3 +137,53 @@ def pack_sequences_partitioned(df: DataFrame, budget: int, *,
             })
 
     return df.select(id_col, n_tokens_col).mapInPandas(pack, out_schema)
+
+
+def temperature_rates(sizes: dict[str, int], alpha: float = 0.3,
+                      budget: float | None = None) -> dict[str, float]:
+    """Temperature-scaled mixture rates (the multilingual-LM alpha
+    sampling rule: target share of stratum i ~ p_i^alpha with
+    p_i = n_i / N). Returns per-stratum KEEP RATES for
+    :func:`stratified_mixture` that realize the alpha-scaled target
+    mixture from the observed sizes.
+
+    rate_i = c * p_i^(alpha-1), c chosen so max rate == 1.0 (nothing
+    upsampled past its data — ES of duplication is out of scope for a
+    keep-rate sampler), or scaled down further to hit ``budget``
+    (target total kept fraction of N, when feasible).
+
+    alpha=1 keeps everything equally (natural mixture); alpha=0 aims
+    at a uniform mixture across strata (small strata fully kept, big
+    ones cut). Plain driver-side arithmetic — the heavy lifting stays
+    in the map-side md5 filter."""
+    if not sizes:
+        return {}
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    n = float(sum(sizes.values()))
+    if n <= 0:
+        return {s: 0.0 for s in sizes}
+    raw = {s: (k / n) ** (alpha - 1.0) if k > 0 else 0.0
+           for s, k in sizes.items()}
+    top = max(raw.values())
+    rates = {s: v / top for s, v in raw.items()}
+    if budget is not None:
+        kept = sum(rates[s] * k for s, k in sizes.items()) / n
+        if kept > budget > 0:
+            scale = budget / kept
+            rates = {s: v * scale for s, v in rates.items()}
+    return rates
+
+
+def temperature_mixture(df: DataFrame, *, stratum_col: str,
+                        alpha: float = 0.3, budget: float | None = None,
+                        id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Alpha-sampled mixture in two passes: ONE count-by-stratum agg
+    (map-side combined) to observe sizes, then the deterministic
+    keep-rate filter of :func:`stratified_mixture`. Reproducible under
+    any partitioning; strata never shuffle."""
+    sizes = {r[0]: r[1] for r in
+             df.groupBy(stratum_col).count().collect()}
+    rates = temperature_rates(sizes, alpha=alpha, budget=budget)
+    return stratified_mixture(df, rates, stratum_col=stratum_col,
+                              id_col=id_col, seed=seed)

@@ -1005,3 +1005,36 @@ def composite_agg(df: DataFrame, sources, size: int = 10,
             eq = eq & (F.col(c) == F.lit(a))
         g = g.filter(cond)
     return g.orderBy(*[F.asc(c) for c in cols]).limit(int(size))
+
+
+def adjacency_matrix_agg(spark: SparkSession, index_path: str, query: str,
+                         named_filters: dict, mode: str = "any",
+                         separator: str = "&") -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts for every named
+    filter AND every pairwise intersection -> (bucket, n_docs), keys
+    "a" and "a&b" in name order, empty buckets dropped (ES drops
+    zero-doc cells). One semi-joined doc-store pass computes the whole
+    m + m(m-1)/2 matrix as conditional sums — no per-cell scan."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    if not named_filters:
+        return spark.createDataFrame([], "bucket string, n_docs long")
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    hits = ds.join(docs, "doc_id", "left_semi")
+    names = sorted(named_filters)
+    cells = [(n, named_filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}{separator}{b}",
+                          named_filters[a] & named_filters[b]))
+    counts = hits.agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(cells)])
+    pairs = F.array(*[F.struct(F.lit(n).alias("bucket"),
+                               F.col(f"_c{i}").alias("n_docs"))
+                      for i, (n, _) in enumerate(cells)])
+    return (counts.select(F.explode(pairs).alias("p"))
+            .select("p.bucket", "p.n_docs")
+            .filter(F.col("n_docs") > 0).orderBy("bucket"))

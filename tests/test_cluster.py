@@ -296,3 +296,46 @@ def test_unigram_logprob_score(spark):
     ref = {r["doc_id"]: r["nll_x1e4"] for r in
            unigram_logprob_score(df, vocab_df=vocab).collect()}
     assert ref[9] > ref[0]              # OOV floor > in-vocab prob
+
+
+def test_temperature_rates_and_mixture(spark):
+    """Alpha-sampling rule: alpha=1 keeps everything, alpha=0 targets
+    a uniform mixture (smallest stratum fully kept), budget scales
+    down, and the realized mixture moves toward uniform."""
+    import pytest as _pytest
+
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        temperature_mixture,
+        temperature_rates,
+    )
+
+    sizes = {"en": 8000, "fr": 1000, "de": 1000}
+    r1 = temperature_rates(sizes, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    r0 = temperature_rates(sizes, alpha=0.0)
+    assert abs(r0["fr"] - 1.0) < 1e-12 and abs(r0["de"] - 1.0) < 1e-12
+    assert abs(r0["en"] - 1000 / 8000) < 1e-12   # uniform target
+    rb = temperature_rates(sizes, alpha=0.0, budget=0.15)
+    kept = sum(rb[s] * n for s, n in sizes.items()) / sum(sizes.values())
+    assert abs(kept - 0.15) < 1e-9
+    with _pytest.raises(ValueError):
+        temperature_rates(sizes, alpha=1.5)
+
+    from pyspark.sql import functions as F
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise(
+            F.when(F.col("id") % 10 == 8, "fr").otherwise("de"))
+        .alias("lang"))
+    out = temperature_mixture(df, stratum_col="lang", alpha=0.3)
+    mix = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    nat = {"en": 2400, "fr": 300, "de": 300}
+    # small strata kept nearly whole, big stratum cut hard
+    assert mix["fr"] > 0.9 * nat["fr"] and mix["de"] > 0.9 * nat["de"]
+    assert mix["en"] < 0.6 * nat["en"]
+    # deterministic: rerun identical
+    again = {r["lang"]: r["n"] for r in
+             temperature_mixture(df, stratum_col="lang", alpha=0.3)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == mix
