@@ -1604,6 +1604,96 @@ def q_date_histogram_events(spark, sf_dir):
                     "n_docs"))
 
 
+def q_geo_bounds(spark, sf_dir):
+    """ES geo_bounds agg: bbox of the deterministic point set (exact
+    min/max, no float-order sensitivity)."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import geo_bounds
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    b = geo_bounds(pts)
+    return b.select(x1e4(F.col("top")).alias("top_x1e4"),
+                    x1e4(F.col("bottom")).alias("bottom_x1e4"),
+                    x1e4(F.col("left")).alias("left_x1e4"),
+                    x1e4(F.col("right")).alias("right_x1e4"))
+
+
+GEO_BOUNDS_SQL = """
+WITH pts AS (
+  SELECT ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT floor(max(lat) * 10000.0 + 0.5)::BIGINT AS top_x1e4,
+       floor(min(lat) * 10000.0 + 0.5)::BIGINT AS bottom_x1e4,
+       floor(min(lon) * 10000.0 + 0.5)::BIGINT AS left_x1e4,
+       floor(max(lon) * 10000.0 + 0.5)::BIGINT AS right_x1e4
+FROM pts
+"""
+
+
+def q_weighted_avg_idx(spark, sf_dir):
+    """ES weighted_avg agg over the 'spark' hits: dl weighted by
+    n_chars (integer sums stay exact in doubles -> cross-engine
+    bit-identical before the fixed point)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        weighted_avg_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    r = weighted_avg_agg(spark, idx, "spark", "dl", "n_chars")
+    return r.select(x1e4(F.col("weighted_avg")).alias("wavg_x1e4"), "n")
+
+
+WEIGHTED_AVG_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT dl.dl, d.n_chars::DOUBLE AS w
+      FROM dl JOIN hits USING (doc_id) JOIN documents d USING (doc_id))
+SELECT floor(sum(dl * w) / sum(w) * 10000.0 + 0.5)::BIGINT AS wavg_x1e4,
+       count(*) AS n
+FROM v
+"""
+
+
+def q_string_stats_idx(spark, sf_dir):
+    """ES string_stats agg (show_distribution entropy) over the
+    'spark' hits' source field: lengths + Shannon entropy of the
+    character distribution."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        string_stats_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    r = string_stats_agg(spark, idx, "spark", "source")
+    return r.select("count", "min_length", "max_length",
+                    x1e4(F.col("avg_length")).alias("avg_len_x1e4"),
+                    x1e4(F.col("entropy")).alias("entropy_x1e4"))
+
+
+STRING_STATS_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+src AS (SELECT d.source FROM documents d JOIN hits USING (doc_id)
+        WHERE d.source IS NOT NULL),
+lens AS (SELECT count(*) AS count,
+                min(len(source))::BIGINT AS min_length,
+                max(len(source))::BIGINT AS max_length,
+                floor(avg(len(source)) * 10000.0 + 0.5)::BIGINT
+                  AS avg_len_x1e4
+         FROM src),
+chars AS (SELECT unnest(string_split(source, '')) AS c FROM src),
+hist AS (SELECT c, count(*)::DOUBLE AS n FROM chars WHERE c <> ''
+         GROUP BY c),
+ent AS (SELECT floor((log2(sum(n)) - sum(n * log2(n)) / sum(n))
+                     * 10000.0 + 0.5)::BIGINT AS entropy_x1e4 FROM hist)
+SELECT lens.*, ent.entropy_x1e4 FROM lens CROSS JOIN ent
+"""
+
+
 def q_adjacency_matrix_idx(spark, sf_dir):
     """ES adjacency_matrix agg over the 'spark' hits: per-filter and
     pairwise-intersection doc counts in one conditional-sum pass."""
@@ -1914,6 +2004,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_aggs_events": q_pipeline_aggs_events,
     "percentile_ranks_idx": q_percentile_ranks_idx,
     "adjacency_matrix_idx": q_adjacency_matrix_idx,
+    "geo_bounds": q_geo_bounds,
+    "weighted_avg_idx": q_weighted_avg_idx,
+    "string_stats_idx": q_string_stats_idx,
     "has_child": q_has_child,
     "has_parent": q_has_parent,
     "composite_agg_events": q_composite_agg_events,
@@ -2809,6 +2902,9 @@ GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "pipeline_aggs_events": PIPELINE_AGGS_SQL,
         "percentile_ranks_idx": PERCENTILE_RANKS_SQL,
         "adjacency_matrix_idx": ADJACENCY_MATRIX_SQL,
+        "geo_bounds": GEO_BOUNDS_SQL,
+        "weighted_avg_idx": WEIGHTED_AVG_SQL,
+        "string_stats_idx": STRING_STATS_SQL,
         "has_child": HAS_CHILD_SQL,
         "has_parent": HAS_PARENT_SQL,
         "composite_agg_events": COMPOSITE_AGG_SQL,

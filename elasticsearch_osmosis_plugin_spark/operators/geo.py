@@ -362,3 +362,24 @@ def geo_distance_agg(df: DataFrame, lat: float, lon: float,
                       for i, k in enumerate(keys)])
     return (row.select(F.explode(pairs).alias("p"))
             .select("p.bucket", "p.n_docs"))
+
+
+def geo_bounds(df: DataFrame, lat_col: str = "lat",
+               lon_col: str = "lon") -> DataFrame:
+    """ES geo_bounds aggregation: the bounding box of the point set ->
+    one row (top, bottom, left, right). Plain min/max — map-side
+    combined, no shuffle beyond 4 scalars."""
+    return df.agg(F.max(lat_col).alias("top"),
+                  F.min(lat_col).alias("bottom"),
+                  F.min(lon_col).alias("left"),
+                  F.max(lon_col).alias("right"))
+
+
+def geo_centroid(df: DataFrame, lat_col: str = "lat",
+                 lon_col: str = "lon") -> DataFrame:
+    """ES geo_centroid aggregation: arithmetic mean of the points ->
+    one row (lat, lon, count) — exactly ES's planar centroid (it
+    averages coordinates, not great-circle midpoints)."""
+    return df.agg(F.avg(lat_col).alias("lat"),
+                  F.avg(lon_col).alias("lon"),
+                  F.count(F.lit(1)).alias("count"))

@@ -1038,3 +1038,77 @@ def adjacency_matrix_agg(spark: SparkSession, index_path: str, query: str,
     return (counts.select(F.explode(pairs).alias("p"))
             .select("p.bucket", "p.n_docs")
             .filter(F.col("n_docs") > 0).orderBy("bucket"))
+
+
+def weighted_avg_agg(spark: SparkSession, index_path: str, query: str,
+                     value_col: str, weight_col: str,
+                     mode: str = "any") -> DataFrame:
+    """ES weighted_avg aggregation over query hits:
+    sum(v * w) / sum(w) -> one row. One pass, two partial sums."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col, weight_col)
+    hits = ds.join(docs, "doc_id", "left_semi")
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    return hits.agg((F.sum(v * w) / F.sum(w)).alias("weighted_avg"),
+                    F.count(F.lit(1)).alias("n"))
+
+
+def string_stats_agg(spark: SparkSession, index_path: str, query: str,
+                     field: str, mode: str = "any") -> DataFrame:
+    """ES string_stats aggregation (with show_distribution's entropy)
+    over query hits: count, min/max/avg length, and the Shannon
+    entropy (bits) of the CHARACTER distribution across all values.
+
+    Entropy needs the global char histogram: explode to (char, n) —
+    the histogram is alphabet-sized after the map-side combine, so the
+    shuffle moves at most |alphabet| rows per partition; lengths ride
+    a separate scalar agg and the two tiny results cross-join."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", field)
+    hits = (ds.join(docs, "doc_id", "left_semi")
+            .filter(F.col(field).isNotNull()))
+    lens = hits.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length(field)).cast("long").alias("min_length"),
+        F.max(F.length(field)).cast("long").alias("max_length"),
+        F.avg(F.length(field)).alias("avg_length"))
+    chars = (hits.select(F.explode(F.split(F.col(field), "")).alias("c"))
+             .filter(F.col("c") != "")
+             .groupBy("c").agg(F.count(F.lit(1)).alias("n")))
+    ent = (chars.agg(F.sum("n").alias("_t"),
+                     F.sum(F.col("n") * F.log2(F.col("n"))).alias("_nlogn"))
+           .select((F.log2(F.col("_t"))
+                    - F.col("_nlogn") / F.col("_t")).alias("entropy")))
+    return lens.crossJoin(ent)
+
+
+def matrix_stats_agg(spark: SparkSession, index_path: str, query: str,
+                     field_a: str, field_b: str,
+                     mode: str = "any") -> DataFrame:
+    """ES matrix_stats aggregation for a field pair over query hits:
+    means, population variances, covariance and Pearson correlation —
+    Spark's built-in second-moment aggregates (one pass, mergeable;
+    the same streaming-moments math ES runs)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", field_a, field_b)
+    hits = ds.join(docs, "doc_id", "left_semi")
+    a = F.col(field_a).cast("double")
+    b = F.col(field_b).cast("double")
+    return hits.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg(a).alias("mean_a"), F.avg(b).alias("mean_b"),
+                    F.var_pop(a).alias("var_a"), F.var_pop(b).alias("var_b"),
+                    F.covar_pop(a, b).alias("covariance"),
+                    F.corr(a, b).alias("correlation"))

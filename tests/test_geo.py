@@ -248,3 +248,23 @@ def test_geo_distance_agg(spark):
             for r in geo_distance_agg(pts, 48.8566, 2.3522,
                                       [(None, d2), (d2, None)]).collect()}
     assert edge[f"{d2:g}-*"] >= 1 and edge[f"*-{d2:g}"] == 1
+
+
+def test_geo_bounds_and_centroid(spark):
+    """geo_bounds = exact bbox; geo_centroid = planar coordinate mean
+    (ES averages coordinates) — golden values on 0.25-representable
+    points (exact in binary, no float slop)."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        geo_bounds,
+        geo_centroid,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 10.25, -3.5), (2, -2.75, 7.0), (3, 4.5, 1.25)],
+        "doc_id long, lat double, lon double")
+    b = geo_bounds(pts).collect()[0]
+    assert (b["top"], b["bottom"], b["left"], b["right"]) == \
+        (10.25, -2.75, -3.5, 7.0)
+    c = geo_centroid(pts).collect()[0]
+    assert (c["lat"], c["count"]) == (4.0, 3)
+    assert abs(c["lon"] - (-3.5 + 7.0 + 1.25) / 3) < 1e-12

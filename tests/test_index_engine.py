@@ -1168,3 +1168,53 @@ def test_has_child_has_parent(spark):
 
     with _pytest.raises(ValueError):
         has_child(par, ch, "pid", "fk", score_mode="sum")
+
+
+def test_weighted_avg_string_matrix_stats(spark, index_path):
+    idx = index_path
+    """weighted_avg / string_stats / matrix_stats golden checks
+    against driver-side recomputation over the same hit set."""
+    import math
+
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_any_terms,
+        matrix_stats_agg,
+        string_stats_agg,
+        weighted_avg_agg,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    hits = {r["doc_id"] for r in
+            match_any_terms(spark, idx, "public").collect()}
+    ds = [r for r in catalog.read_table(spark, idx, "docstats")
+          .select("doc_id", "dl", "repo").collect()
+          if r["doc_id"] in hits]
+
+    # self-weighted mean: sum(dl^2)/sum(dl) != plain avg
+    w = weighted_avg_agg(spark, idx, "public", "dl", "dl").collect()[0]
+    want = (sum(r["dl"] * r["dl"] for r in ds)
+            / sum(r["dl"] for r in ds))
+    assert w["n"] == len(ds) and abs(w["weighted_avg"] - want) < 1e-9
+
+    s = string_stats_agg(spark, idx, "public", "repo").collect()[0]
+    lens = [len(r["repo"]) for r in ds]
+    assert (s["count"], s["min_length"], s["max_length"]) == \
+        (len(ds), min(lens), max(lens))
+    assert abs(s["avg_length"] - sum(lens) / len(lens)) < 1e-9
+    hist = Counter("".join(r["repo"] for r in ds))
+    t = sum(hist.values())
+    ent = -sum(n / t * math.log2(n / t) for n in hist.values())
+    assert abs(s["entropy"] - ent) < 1e-9
+
+    m = matrix_stats_agg(spark, idx, "public", "dl", "doc_id").collect()[0]
+    n = len(ds)
+    ma = sum(r["dl"] for r in ds) / n
+    mb = sum(r["doc_id"] for r in ds) / n
+    cov = sum((r["dl"] - ma) * (r["doc_id"] - mb) for r in ds) / n
+    va = sum((r["dl"] - ma) ** 2 for r in ds) / n
+    vb = sum((r["doc_id"] - mb) ** 2 for r in ds) / n
+    assert m["n"] == n
+    assert abs(m["covariance"] - cov) < 1e-6 * abs(cov)
+    assert abs(m["correlation"] - cov / math.sqrt(va * vb)) < 1e-9
