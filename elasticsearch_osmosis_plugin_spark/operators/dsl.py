@@ -747,3 +747,21 @@ def search_aggs(spark: SparkSession, index_path: str,
         else:
             raise ValueError(f"unsupported agg type: {akind}")
     return out
+
+
+def validate_query(spark: SparkSession, index_path: str,
+                   body: dict) -> tuple[bool, str | None]:
+    """ES _validate/query analog: compile the search body WITHOUT
+    executing it — returns (valid, explanation). Compilation builds
+    the full logical plan (every operator the body routes to runs its
+    argument checking and Catalyst analysis), but no job is submitted;
+    an invalid body returns (False, the error) instead of raising, the
+    _validate contract."""
+    try:
+        if int(body.get("from", 0)) and "search_after" in body:
+            raise ValueError("from and search_after are mutually exclusive")
+        df = _search_query(spark, index_path, dict(body))
+        df.schema  # force analysis without an action
+        return True, None
+    except Exception as e:  # noqa: BLE001 — the API reports, never raises
+        return False, f"{type(e).__name__}: {e}"

@@ -667,3 +667,18 @@ def test_knn_and_rrf_retriever(spark, idx, corpus_df):
         k=10, rrf_k=60, window=20)
     assert [tuple(r) for r in via.collect()] == \
         [tuple(r) for r in direct.collect()]
+
+
+def test_validate_query(spark, idx):
+    """_validate/query: compiles without executing; invalid bodies
+    report instead of raising."""
+    ok, err = dsl.validate_query(spark, idx, {
+        "query": {"match": {"content": "public static"}}, "size": 5})
+    assert ok and err is None
+    ok, err = dsl.validate_query(spark, idx, {
+        "query": {"nonsense_query": {}}})
+    assert not ok and err
+    ok, err = dsl.validate_query(spark, idx, {
+        "query": {"match": {"content": "x"}}, "from": 3,
+        "search_after": [1.0, 2]})
+    assert not ok and "mutually exclusive" in err

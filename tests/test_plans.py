@@ -120,3 +120,26 @@ def test_classic_similarity_plan(spark, index_path):
     plan = _plan(topk_classic(spark, index_path, "public static", k=10))
     assert plan.count("MapInPandas") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_two_exchanges(spark):
+    """Substring dedup plan shape: exactly TWO shuffles — one on the
+    gram hash (count/first-key window), one on doc_id (island merge);
+    the island groupBy reuses the doc_id partitioning, and the gram
+    STRING never crosses an exchange (hashed before it)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(20)],
+        "doc_id long, text string")
+    out = duplicate_spans(docs, k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]   # AQE prints both plans
+    n_ex = final.count("Exchange hashpartitioning")
+    assert n_ex == 2, final
+    assert "Exchange hashpartitioning(g#" in final
