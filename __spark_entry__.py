@@ -342,6 +342,61 @@ LIMIT 10
 """
 
 
+def q_lm_dirichlet_idx(spark, sf_dir):
+    """Lucene LMDirichlet similarity (ES similarity module, mu=2000)
+    over the persisted index: collection-LM smoothing, per-clause
+    0-clamp, zero-evidence docs dropped."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_lm
+
+    idx = _index_for(spark, sf_dir)
+    raw = topk_lm(spark, idx, "spark query join", k=30,
+                  similarity="lm_dirichlet", mu=2000.0)
+    return _rerank_score_x1e4(raw, 10)
+
+
+def q_lm_jelinek_mercer_idx(spark, sf_dir):
+    """Lucene LMJelinekMercer similarity (lambda=0.1) over the
+    persisted index."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_lm
+
+    idx = _index_for(spark, sf_dir)
+    raw = topk_lm(spark, idx, "dup table merge", k=30,
+                  similarity="lm_jelinek_mercer", lam=0.1)
+    return _rerank_score_x1e4(raw, 10)
+
+
+LM_MU, LM_LAM = 2000.0, 0.1
+
+
+def _lm_oracle_sql(terms: list[str], k: int, similarity: str) -> str:
+    """DuckDB twin of topk_lm: P(t|C) = (cf+1)/(T+1) with T = ALL
+    corpus tokens; per-clause greatest(0, .); HAVING s > 0 mirrors the
+    engine's zero-evidence drop."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    if similarity == "lm_dirichlet":
+        clause = (f"ln(1.0 + tf.tf / ({LM_MU} * ((cf.cf + 1.0) / (tot.t + 1.0))))"
+                  f" + ln({LM_MU} / (dl.dl + {LM_MU}))")
+    else:
+        clause = (f"ln(1.0 + (1.0 - {LM_LAM}) * tf.tf "
+                  f"/ (dl.dl * {LM_LAM} * ((cf.cf + 1.0) / (tot.t + 1.0))))")
+    return f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({term_list}) GROUP BY doc_id, term),
+cf AS (SELECT term, count(*)::DOUBLE AS cf FROM tok
+       WHERE term IN ({term_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, sum(greatest(0.0, {clause})) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+  HAVING sum(greatest(0.0, {clause})) > 0.0)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT {k}
+"""
+
+
 def q_classic_tfidf_idx(spark, sf_dir):
     """Lucene ClassicSimilarity top-k (the ES 0.90 default TF-IDF the
     reference stack actually ranked with); 'zzz' is (near-)absent, so
@@ -1911,6 +1966,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
     "classic_tfidf_idx": q_classic_tfidf_idx,
+    "lm_dirichlet_idx": q_lm_dirichlet_idx,
+    "lm_jelinek_mercer_idx": q_lm_jelinek_mercer_idx,
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
@@ -2113,6 +2170,10 @@ def oracle_sql() -> dict[str, str]:
             sorted({"dup", "table", "merge"}), 10,
             post_filter_sql="d.lang = 'en'"),
         "classic_tfidf_idx": _classic_oracle_sql(CLASSIC_TERMS, 10),
+        "lm_dirichlet_idx": _lm_oracle_sql(
+            sorted({"spark", "query", "join"}), 10, "lm_dirichlet"),
+        "lm_jelinek_mercer_idx": _lm_oracle_sql(
+            sorted({"dup", "table", "merge"}), 10, "lm_jelinek_mercer"),
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),

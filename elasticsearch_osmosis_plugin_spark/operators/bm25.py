@@ -179,6 +179,38 @@ def bm25_oracle(rows: list[tuple[int, str]], query: str, k: int,
     return out[:k]
 
 
+def lm_oracle(rows: list[tuple[int, str]], query: str, k: int,
+              similarity: str = "lm_dirichlet", mu: float = 2000.0,
+              lam: float = 0.1, analyzer: str = "code") -> list[tuple[int, float]]:
+    """Naive single-process Lucene LM-similarity oracle — the
+    rank-identity oracle for ``operators.query.topk_lm``. Collection
+    model (cf+1)/(T+1); per-term clauses clamped at 0; docs whose
+    clamped sum is 0 are not hits."""
+    terms = sorted(set(tokenize_py(query, analyzer)))
+    if not terms:
+        return []
+    toks = {d: tokenize_py(t, analyzer) for d, t in rows}
+    total = sum(len(v) for v in toks.values())
+    cf = {t: sum(v.count(t) for v in toks.values()) for t in terms}
+    p = {t: (cf[t] + 1.0) / (total + 1.0) for t in terms}
+    out = []
+    for d, v in toks.items():
+        dl, s = len(v), 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            if similarity == "lm_dirichlet":
+                w = math.log(1.0 + tf / (mu * p[t])) + math.log(mu / (dl + mu))
+            else:
+                w = math.log(1.0 + (1.0 - lam) * tf / (dl * lam * p[t]))
+            s += max(w, 0.0)
+        if s > 0.0:
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
 def classic_oracle(rows: list[tuple[int, str]], query: str, k: int,
                    analyzer: str = "code") -> list[tuple[int, float]]:
     """Naive single-process Lucene ClassicSimilarity (TF-IDF) — the

@@ -299,6 +299,92 @@ def topk_after(spark: SparkSession, index_path: str, query: str,
     return deterministic_topk(scores, k)
 
 
+def _decode_score_lm(p_by_term: dict[str, float], kind: str,
+                     mu: float, lam: float):
+    """mapInPandas kernel for the Lucene language-model similarities.
+
+    ``p_by_term`` carries the collection LM P(t|C) = (cf_t+1)/(T+1)
+    (Lucene ``LMSimilarity.DefaultCollectionModel``); per-posting
+    partials, each clamped at 0 exactly as Lucene's ``score()`` does:
+
+    - dirichlet:      log(1 + tf/(mu*p)) + log(mu/(dl+mu))
+    - jelinek_mercer: log(1 + (1-l)*tf/(dl*l*p))
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, ids_vb, tfs_vb, dls_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["dls_vb"]):
+                d = np.cumsum(vb_decode(ids_vb), dtype=np.uint64).astype(np.int64)
+                tf = vb_decode(tfs_vb).astype(np.float64)
+                dl = vb_decode(dls_vb).astype(np.float64)
+                p = p_by_term[term]
+                # ln(1+x) spelled exactly as the DuckDB twin computes
+                # it (same double for 1+x into the same libm log)
+                if kind == "dirichlet":
+                    w = np.log(1.0 + tf / (mu * p)) + np.log(mu / (dl + mu))
+                else:
+                    w = np.log(1.0 + (1.0 - lam) * tf / (dl * lam * p))
+                w = np.maximum(w, 0.0)
+                outs.append(pd.DataFrame({"term": term, "doc_id": d, "partial": w}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def topk_lm(spark: SparkSession, index_path: str, query: str,
+            k: int = 10, *, similarity: str = "lm_dirichlet",
+            mu: float = 2000.0, lam: float = 0.1, post_filter=None,
+            _meta=None, _posts=None, _dic=None) -> DataFrame:
+    """Top-k under the Lucene language-model similarities — the ES
+    ``similarity`` module's ``LMDirichlet`` (mu=2000) and
+    ``LMJelinekMercer`` (lambda=0.1) settings a reference user could
+    select per-field instead of the default (``ESNodeITest.java``-era
+    indices chose similarity in the mapping JSON the plugin passes
+    verbatim, ``ElasticSearchWriterFactory.java:89-99``).
+
+    Collection model P(t|C) = (cf_t + 1) / (T + 1) with T = total
+    tokens in the index; T is recovered EXACTLY from meta as
+    round(avgdl * n_docs) (avgdl = T/n_docs in float64 is lossless to
+    invert below 2^52 tokens). Per-term partials are clamped at 0
+    (Lucene returns max(0, score) per clause), so docs matching only
+    with negative LM evidence drop out — same physical plan as
+    scoreall BM25, only the decode kernel differs.
+    """
+    if similarity not in ("lm_dirichlet", "lm_jelinek_mercer"):
+        raise ValueError(f"unknown LM similarity: {similarity!r}")
+    meta = _meta if _meta is not None else load_meta(index_path)
+    terms = query_terms(query, meta)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dic = dictionary_rows(spark, index_path, terms, meta, dic=_dic)
+    cf_by_term = {r.term: int(r.cf) for r in dic.itertuples()}
+    live_terms = sorted(cf_by_term)
+    if not live_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    total_tokens = round(float(meta["avgdl"]) * int(meta["n_docs"]))
+    p_by_term = {t: (cf_by_term[t] + 1.0) / (total_tokens + 1.0)
+                 for t in live_terms}
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+    denied = tombstones_df(spark, index_path, meta)
+    kind = "dirichlet" if similarity == "lm_dirichlet" else "jm"
+    pruned = _pruned_postings(spark, index_path, live_terms, meta, _posts)
+    out = pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb").mapInPandas(
+        _decode_score_lm(p_by_term, kind, float(mu), float(lam)),
+        DECODED_SCHEMA)
+    out = _live(out, denied)
+    if allowed is not None:
+        out = out.join(allowed, "doc_id", "left_semi")
+    scores = (out.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+              .filter(F.col("score") > 0.0))
+    return deterministic_topk(scores, k)
+
+
 def _decode_score_classic(w_by_term: dict[str, float]):
     """mapInPandas kernel for ClassicSimilarity: per-posting partial
     w_t * sqrt(tf) / sqrt(dl), with w_t = queryNorm * idf_t^2 folded
@@ -683,6 +769,14 @@ class Searcher:
         return topk_classic(self.spark, self.index_path, query, k,
                             post_filter=post_filter, _meta=self.meta,
                             _posts=self.posts, _dic=self.dic)
+
+    def topk_lm(self, query: str, k: int = 10, *,
+                similarity: str = "lm_dirichlet", mu: float = 2000.0,
+                lam: float = 0.1, post_filter=None) -> DataFrame:
+        return topk_lm(self.spark, self.index_path, query, k,
+                       similarity=similarity, mu=mu, lam=lam,
+                       post_filter=post_filter, _meta=self.meta,
+                       _posts=self.posts, _dic=self.dic)
 
     def topk_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         return topk_many(self.spark, self.index_path, queries, k,

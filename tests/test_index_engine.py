@@ -255,6 +255,47 @@ def test_topk_classic_rank_identical(spark, corpus_rows, index_path, query):
         assert abs(r["score"] - s) < 1e-9
 
 
+@pytest.mark.parametrize("similarity,query", [
+    ("lm_dirichlet", "id0001"),
+    ("lm_dirichlet", "public static void"),
+    ("lm_dirichlet", "id0042 id0007"),
+    ("lm_jelinek_mercer", "id0001"),
+    ("lm_jelinek_mercer", "public static void"),
+])
+def test_topk_lm_rank_identical(spark, corpus_rows, index_path,
+                                similarity, query):
+    """Lucene LM similarities (Dirichlet mu=2000, Jelinek-Mercer
+    lambda=0.1) match the single-process Python oracle rank- AND
+    score-identically, including the per-clause 0-clamp and the
+    zero-evidence drop."""
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import lm_oracle
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_lm
+
+    got = topk_lm(spark, index_path, query, k=10,
+                  similarity=similarity).collect()
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    want = lm_oracle(rows, query, k=10, similarity=similarity)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], (similarity, query)
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
+def test_topk_lm_post_filter_and_validation(spark, corpus_rows, index_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_lm
+
+    unfiltered = {r["doc_id"]: r["score"] for r in
+                  topk_lm(spark, index_path, "public static", k=80).collect()}
+    filtered = topk_lm(spark, index_path, "public static", k=10,
+                       post_filter=F.col("doc_id") % 2 == 0).collect()
+    assert filtered and all(r["doc_id"] % 2 == 0 for r in filtered)
+    for r in filtered:  # scores untouched by the filter (B6 semantics)
+        assert abs(r["score"] - unfiltered[r["doc_id"]]) < 1e-12
+    with pytest.raises(ValueError, match="unknown LM similarity"):
+        topk_lm(spark, index_path, "public", similarity="bm25f")
+
+
 def test_topk_classic_post_filter_keeps_scores(spark, corpus_rows, index_path):
     from pyspark.sql import functions as F
 
