@@ -560,6 +560,65 @@ def q_bool_query_idx(spark, sf_dir):
                       must_not="merge", minimum_should_match=1)
 
 
+def q_terms_set_idx(spark, sf_dir):
+    """ES terms_set query: per-doc minimum_should_match threshold
+    (here the field form, threshold = doc_id % 3 + 1)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import terms_set
+
+    idx = _index_for(spark, sf_dir)
+    return terms_set(spark, idx, "spark window dup join",
+                     (F.col("doc_id") % 3 + 1).cast("long"))
+
+
+TERMS_SET_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+m AS (SELECT doc_id, count(DISTINCT term) AS n_matched FROM tok
+      WHERE term IN ('dup', 'join', 'spark', 'window') GROUP BY doc_id)
+SELECT doc_id, n_matched FROM m
+WHERE n_matched >= (doc_id % 3 + 1) ORDER BY doc_id
+"""
+
+
+def q_distance_feature_idx(spark, sf_dir):
+    """ES distance_feature query: BM25 + weight*pivot/(pivot+|v-origin|)
+    additive boost (the WAND-friendly function_score alternative)."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        distance_feature,
+        function_score_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = function_score_topk(
+        spark, idx, "spark query", k=30,
+        functions=[distance_feature("n_chars", 300.0, 50.0, weight=2.0)],
+        boost_mode="sum")
+    return _rerank_score_x1e4(raw, 10)
+
+
+DIST_FEAT_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+boosted AS (
+  SELECT s.doc_id,
+         s.s + 2.0 * 50.0 / (50.0 + abs(d.n_chars::DOUBLE - 300.0)) AS b
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, floor(b * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM boosted
+ORDER BY floor(b * 10000.0 + 0.5) DESC, doc_id LIMIT 10
+"""
+
+
 def q_min_should_match_idx(spark, sf_dir):
     """ES minimum_should_match: >= 2 of 4 optional terms."""
     from elasticsearch_osmosis_plugin_spark.operators.intersect import (
@@ -1968,6 +2027,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classic_tfidf_idx": q_classic_tfidf_idx,
     "lm_dirichlet_idx": q_lm_dirichlet_idx,
     "lm_jelinek_mercer_idx": q_lm_jelinek_mercer_idx,
+    "terms_set_idx": q_terms_set_idx,
+    "distance_feature_idx": q_distance_feature_idx,
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
@@ -2174,6 +2235,8 @@ def oracle_sql() -> dict[str, str]:
             sorted({"spark", "query", "join"}), 10, "lm_dirichlet"),
         "lm_jelinek_mercer_idx": _lm_oracle_sql(
             sorted({"dup", "table", "merge"}), 10, "lm_jelinek_mercer"),
+        "terms_set_idx": TERMS_SET_SQL,
+        "distance_feature_idx": DIST_FEAT_SQL,
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),

@@ -781,6 +781,43 @@ def match_min_should(spark: SparkSession, index_path: str, query: str,
             .orderBy("doc_id"))
 
 
+def terms_set(spark: SparkSession, index_path: str, terms_query: str,
+              min_expr) -> DataFrame:
+    """ES terms_set query: a doc matches when the number of DISTINCT
+    query terms it contains >= a PER-DOC threshold
+    (minimum_should_match_field — here generalized to any Column over
+    doc-store rows, so ``F.col("required_matches")`` reproduces the ES
+    field form exactly). Returns (doc_id, n_matched) ordered by doc_id
+    (filter context, like match_bool).
+
+    Plan: one decode of the query terms' postings -> per-doc distinct
+    term count -> join the doc-store for the threshold columns (the
+    hit-count stream is the small side; the store scan reads only
+    doc_id + referenced columns) -> threshold predicate. A threshold
+    larger than the number of live query terms can never match —
+    mirrored by the plain predicate, no special-casing needed."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    terms = query_terms(terms_query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, n_matched long")
+    posts = _pruned_postings(spark, index_path, list(dic["term"]), meta)
+    decoded = posts.select(*_SCORE_COLS).mapInPandas(
+        _decode_score({t: 1.0 for t in dic["term"]},
+                      meta["k1"], meta["b"], meta["avgdl"]),
+        DECODED_SCHEMA)
+    hits = (decoded.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_matched")))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    out = (hits.join(ds, "doc_id")
+           .filter(F.col("n_matched") >= min_expr)
+           .select("doc_id", "n_matched"))
+    return (_live(out, tombstones_df(spark, index_path, meta))
+            .orderBy("doc_id"))
+
+
 def match_bool(spark: SparkSession, index_path: str, *,
                must: str | None = None, should: str | None = None,
                must_not: str | None = None,

@@ -52,6 +52,17 @@ def field_value_factor(field: str, factor: float = 1.0,
     raise ValueError(f"unknown modifier: {modifier}")
 
 
+def distance_feature(field: str, origin: float, pivot: float,
+                     weight: float = 1.0):
+    """ES distance_feature query's boost as a doc-store Column:
+    weight * pivot / (pivot + |v - origin|). Unlike decay functions
+    it is ADDED to the relevance score (use boost_mode="sum"), which
+    keeps it a static WAND-compatible bound (<= weight) — exactly why
+    ES introduced it as a fast alternative to function_score."""
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    return F.lit(float(weight)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+
+
 def decay_fn(field: str, origin: float, scale: float, *,
              offset: float = 0.0, decay: float = 0.5,
              kind: str = "gauss"):

@@ -255,6 +255,53 @@ def test_topk_classic_rank_identical(spark, corpus_rows, index_path, query):
         assert abs(r["score"] - s) < 1e-9
 
 
+def test_terms_set_per_doc_threshold(spark, corpus_rows, index_path):
+    """terms_set: per-doc minimum_should_match threshold over the
+    doc-store dl column — matches a python recompute exactly."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import terms_set
+    from pyspark.sql import functions as F
+
+    q = "public static import id0001"
+    got = {r["doc_id"]: r["n_matched"] for r in
+           terms_set(spark, index_path, q,
+                     (F.col("dl") % 3 + 1)).collect()}
+    terms = set(tokenize_py(q, "code"))
+    want = {}
+    for d, content in zip(corpus_rows["doc_id"], corpus_rows["content"]):
+        toks = tokenize_py(content, "code")
+        n = len(terms & set(toks))
+        if n and n >= (len(toks) % 3 + 1):
+            want[d] = n
+    assert got == want
+    # unmatchable threshold -> empty
+    assert terms_set(spark, index_path, q, F.lit(99)).count() == 0
+
+
+def test_distance_feature_additive_boost(spark, corpus_rows, index_path):
+    """distance_feature adds weight*pivot/(pivot+|dl-origin|) to the
+    BM25 score (boost_mode=sum) without touching relevance."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        distance_feature,
+        function_score_topk,
+    )
+
+    base = {r["doc_id"]: r["score"] for r in
+            topk(spark, index_path, "public static", k=80).collect()}
+    dl = {d: len(tokenize_py(c, "code"))
+          for d, c in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    got = function_score_topk(
+        spark, index_path, "public static", k=10,
+        functions=[distance_feature("dl", 100.0, 20.0, weight=2.0)],
+        boost_mode="sum").collect()
+    assert len(got) == 10
+    for r in got:
+        boost = 2.0 * 20.0 / (20.0 + abs(dl[r["doc_id"]] - 100.0))
+        assert abs(r["score"] - (base[r["doc_id"]] + boost)) < 1e-9
+
+
 @pytest.mark.parametrize("similarity,query", [
     ("lm_dirichlet", "id0001"),
     ("lm_dirichlet", "public static void"),
