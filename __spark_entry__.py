@@ -780,6 +780,50 @@ def q_suggest_prefix_idx(spark, sf_dir):
     return suggest_prefix(spark, idx, "s", size=5)
 
 
+def q_suggest_phrase_idx(spark, sf_dir):
+    """ES phrase-suggester analog: whole-input did-you-mean
+    ('qery windoq' -> 'query window'), per-slot dictionary candidates
+    rescored by a StupidBackoff bigram LM from positional postings."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_phrase,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    s = suggest_phrase(spark, idx, "qery windoq", max_edits=1,
+                       per_slot=5, size=5)
+    return s.select("phrase", x1e4(F.col("score")).alias("score_x1e4"))
+
+
+def _suggest_phrase_oracle_sql() -> str:
+    def cand(tok: str) -> str:
+        return (f"(SELECT term, cf FROM (SELECT term, cf, row_number() OVER ("
+                f"ORDER BY levenshtein(term, '{tok}'), df DESC, term) AS rn "
+                f"FROM uni WHERE abs(len(term) - {len(tok)}) <= 1 "
+                f"AND levenshtein(term, '{tok}') <= 1) WHERE rn <= 5)")
+    return f"""
+WITH {TOK_EXPLODED_CTE},
+uni AS (SELECT term, count(*)::DOUBLE AS cf,
+               count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tok),
+c0 AS {cand("qery")},
+c1 AS {cand("windoq")},
+bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1]))
+         AS bigram FROM toks WHERE len(toks) >= 2),
+bcnt AS (SELECT bigram, count(*)::DOUBLE AS c FROM bg GROUP BY bigram),
+scored AS (
+  SELECT c0.term || ' ' || c1.term AS phrase,
+         ln(c0.cf / tot.t)
+         + (CASE WHEN bc.c > 0 THEN ln(bc.c / c0.cf)
+                 ELSE ln(0.4 * c1.cf / tot.t) END) AS s
+  FROM c0 CROSS JOIN c1 CROSS JOIN tot
+  LEFT JOIN bcnt bc ON bc.bigram = c0.term || ' ' || c1.term
+  ORDER BY s DESC, phrase LIMIT 5)
+SELECT phrase, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+"""
+
+
 def q_cardinality_idx(spark, sf_dir):
     """ES cardinality-aggregation analog (exact twin; the approx HLL
     path is pytest-checked against this within rsd)."""
@@ -2029,6 +2073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_jelinek_mercer_idx": q_lm_jelinek_mercer_idx,
     "terms_set_idx": q_terms_set_idx,
     "distance_feature_idx": q_distance_feature_idx,
+    "suggest_phrase_idx": q_suggest_phrase_idx,
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
@@ -2237,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
             sorted({"dup", "table", "merge"}), 10, "lm_jelinek_mercer"),
         "terms_set_idx": TERMS_SET_SQL,
         "distance_feature_idx": DIST_FEAT_SQL,
+        "suggest_phrase_idx": _suggest_phrase_oracle_sql(),
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),

@@ -909,6 +909,122 @@ def suggest_prefix(spark: SparkSession, index_path: str, prefix: str,
             .orderBy(F.desc("cf"), "term").limit(size))
 
 
+def suggest_phrase(spark: SparkSession, index_path: str, text: str,
+                   *, max_edits: int = 1, per_slot: int = 5,
+                   size: int = 5, discount: float = 0.4) -> DataFrame:
+    """ES phrase-suggester analog (whole-input did-you-mean): per-slot
+    candidate terms from the dictionary (Levenshtein <= ``max_edits``,
+    ES generator ranking — distance asc, df desc, term asc — capped at
+    ``per_slot``; an indexed input token is its own distance-0
+    candidate), candidate phrases = per-slot cross product, ranked by
+    a StupidBackoff bigram LM (Brants et al. 2007 — the family ES's
+    phrase suggester smooths with):
+
+        P(w_i | w_{i-1}) = count(w_{i-1} w_i) / cf(w_{i-1})   if > 0
+                           else ``discount`` * cf(w_i) / T
+        score = ln(cf(w_0)/T) + sum_i ln P(w_i | w_{i-1})
+
+    Distributed stats, driver-side enumeration: unigram cf/df come
+    from the dictionary (metadata only, one pass for ALL slots);
+    bigram adjacency counts are ONE pruned positional-postings decode
+    of the candidate terms + ONE self-join keyed (doc, slot->slot+1)
+    counting positions p of a with p+1 of b — never a corpus scan,
+    never term vectors, so suggestion cost is independent of corpus
+    size. The cross-product scoring runs on the driver over at most
+    per_slot^n_slots tiny tuples. A slot whose token has no dictionary
+    candidate yields no suggestions (nothing to correct toward).
+
+    Returns (phrase, score), score desc, phrase asc, top ``size``."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    meta = load_meta(index_path)
+    slots = tokenize_py(text, meta["analyzer"],
+                        min_len=meta.get("min_token_len", 1),
+                        max_len=meta.get("max_token_len", 64))
+    out_schema = "phrase string, score double"
+    if not slots:
+        return spark.createDataFrame([], out_schema)
+
+    # one metadata pass: per-slot candidate generation over the
+    # dictionary; length prefilter prunes before the edit-distance
+    # kernel, window rank caps each slot
+    from pyspark.sql import Window as PW
+
+    dic = (dictionary_df(spark, index_path)
+           .groupBy("term").agg(F.sum("df").alias("df"),
+                                F.sum("cf").alias("cf")))
+    slot_df = spark.createDataFrame(list(enumerate(slots)),
+                                    "slot int, tok string")
+    w = PW.partitionBy("slot").orderBy("distance", F.desc("df"), "term")
+    cands = (dic.join(F.broadcast(slot_df),
+                      F.abs(F.length("term") - F.length("tok")) <= max_edits)
+             .withColumn("distance", F.levenshtein(F.col("term"), F.col("tok")))
+             .filter(F.col("distance") <= max_edits)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= per_slot)
+             .select("slot", "term", "cf").collect())
+    by_slot: dict[int, list] = {}
+    cf: dict[str, float] = {}
+    for r in cands:
+        by_slot.setdefault(r["slot"], []).append(r["term"])
+        cf[r["term"]] = float(r["cf"])
+    if len(by_slot) < len(slots):
+        return spark.createDataFrame([], out_schema)
+    total = round(float(meta["avgdl"]) * int(meta["n_docs"]))
+
+    # bigram adjacency counts for candidate pairs: one pruned
+    # positional decode + one (doc, slot+1) join
+    bigram: dict[tuple[str, str], float] = {}
+    if len(slots) > 1:
+        uniq = sorted({t for ts in by_slot.values() for t in ts})
+        posts = _pruned_postings(spark, index_path, uniq, meta)
+        occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+               .mapInPandas(_decode_positions(uniq), POSITIONS_SCHEMA)
+               .groupBy("term", "doc_id")
+               .agg(F.collect_list("pos").alias("poss")))
+        occ = _live(occ, tombstones_df(spark, index_path, meta))
+        pairs = spark.createDataFrame(
+            [(s, t) for s, ts in by_slot.items() for t in ts],
+            "slot int, term string")
+        a = (occ.join(F.broadcast(pairs), "term")
+             .select("slot", F.col("term").alias("ta"), "doc_id",
+                     F.transform("poss", lambda x: x + 1).alias("pa")))
+        b = (occ.join(F.broadcast(pairs.withColumn("slot", F.col("slot") - 1)),
+                      "term")
+             .select("slot", F.col("term").alias("tb"), "doc_id",
+                     F.col("poss").alias("pb")))
+        counts = (a.join(b, ["slot", "doc_id"])
+                  .select("ta", "tb",
+                          F.size(F.array_intersect("pa", "pb")).alias("c"))
+                  .groupBy("ta", "tb").agg(F.sum("c").alias("c"))
+                  .filter(F.col("c") > 0).collect())
+        for r in counts:
+            bigram[(r["ta"], r["tb"])] = float(r["c"])
+
+    import itertools
+    import math as _m
+
+    rows = []
+    for combo in itertools.product(*(by_slot[i] for i in range(len(slots)))):
+        s = _m.log(cf[combo[0]] / total)
+        for prev, cur in zip(combo, combo[1:]):
+            c = bigram.get((prev, cur), 0.0)
+            if c > 0:
+                s += _m.log(c / cf[prev])
+            else:
+                s += _m.log(discount * cf[cur] / total)
+        rows.append((" ".join(combo), s))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(rows[:size], out_schema)
+
+
 def cardinality_agg(spark: SparkSession, index_path: str, query: str,
                     value_col: str, mode: str = "any",
                     exact: bool = True, rsd: float = 0.05) -> DataFrame:

@@ -255,6 +255,72 @@ def test_topk_classic_rank_identical(spark, corpus_rows, index_path, query):
         assert abs(r["score"] - s) < 1e-9
 
 
+def test_suggest_phrase_stupid_backoff(spark, corpus_rows, index_path):
+    """Phrase suggester: distributed candidate generation + positional
+    bigram counts reproduce a direct single-process StupidBackoff
+    rerank over the token streams, phrase- and score-identically."""
+    import itertools
+    import math
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_phrase,
+    )
+
+    text, max_edits, per_slot, size = "pubic statik", 1, 5, 5
+    got = suggest_phrase(spark, index_path, text, max_edits=max_edits,
+                         per_slot=per_slot, size=size).collect()
+
+    # single-process oracle
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    streams = [tokenize_py(c, "code") for c in corpus_rows["content"]]
+    cf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for s in streams:
+        for t in s:
+            cf[t] = cf.get(t, 0) + 1
+        for t in set(s):
+            df[t] = df.get(t, 0) + 1
+        for a, b in zip(s, s[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    total = sum(cf.values())
+    slots = tokenize_py(text, "code")
+    by_slot = []
+    for tok in slots:
+        cands = [(lev(t, tok), -df[t], t) for t in cf
+                 if abs(len(t) - len(tok)) <= max_edits
+                 and lev(t, tok) <= max_edits]
+        cands.sort()
+        by_slot.append([t for _, _, t in cands[:per_slot]])
+    want = []
+    for combo in itertools.product(*by_slot):
+        sc = math.log(cf[combo[0]] / total)
+        for p, c in zip(combo, combo[1:]):
+            bc = big.get((p, c), 0)
+            sc += (math.log(bc / cf[p]) if bc > 0
+                   else math.log(0.4 * cf[c] / total))
+        want.append((" ".join(combo), sc))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:size]
+    assert [(r["phrase"]) for r in got] == [p for p, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+    # the corrected phrase ranks first
+    assert got[0]["phrase"] == "public static"
+    # absent slot candidate set -> no suggestions
+    assert suggest_phrase(spark, index_path, "zzqqzz public",
+                          max_edits=1).count() == 0
+
+
 def test_terms_set_per_doc_threshold(spark, corpus_rows, index_path):
     """terms_set: per-doc minimum_should_match threshold over the
     doc-store dl column — matches a python recompute exactly."""
