@@ -1112,6 +1112,83 @@ def q_dup_clusters(spark, sf_dir):
     return cluster.duplicate_clusters(docs, pairs)
 
 
+def _dsir_slices(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    raw = docs.filter(F.col("doc_id") % 17 != 0)
+    return raw, tgt
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance log-weights of every raw doc
+    against the eval-slice target LM (hashed unigram+bigram buckets,
+    Laplace smoothing) — the data-selection scorer, full relation."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        dsir_log_weights,
+    )
+
+    raw, tgt = _dsir_slices(spark, sf_dir)
+    w = dsir_log_weights(raw, tgt, n_buckets=256)
+    return w.select("doc_id", x1e4(F.col("logw")).alias("logw_x1e4"))
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR selection: Gumbel top-k resampling (deterministic md5
+    uniforms), the 50 raw docs drawn toward the target distribution."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import dsir_sample
+
+    raw, tgt = _dsir_slices(spark, sf_dir)
+    s = dsir_sample(raw, tgt, 50, n_buckets=256, seed=7)
+    return s.select("doc_id", x1e4(F.col("key")).alias("key_x1e4"))
+
+
+_DSIR_B = 256
+_DSIR_BASE = f"""
+WITH {TOK_CTE},
+gl AS (SELECT doc_id,
+              toks || list_filter(
+                list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1]),
+                x -> x IS NOT NULL) AS grams
+       FROM toks),
+g AS (SELECT doc_id,
+             (('0x' || substr(md5(unnest(grams)), 2, 15))::UBIGINT
+              % {_DSIR_B})::BIGINT AS b
+      FROM gl),
+ctt AS (SELECT b, count(*)::DOUBLE AS c FROM g WHERE doc_id % 17 = 0 GROUP BY b),
+ctr AS (SELECT b, count(*)::DOUBLE AS c FROM g WHERE doc_id % 17 <> 0 GROUP BY b),
+tt AS (SELECT sum(c) AS t FROM ctt),
+tr AS (SELECT sum(c) AS t FROM ctr),
+lr AS (SELECT list(v ORDER BY b) AS arr FROM (
+    SELECT ab.b,
+           ln((coalesce(ctt.c, 0.0) + 1.0) / (tt.t + {_DSIR_B}.0))
+           - ln((coalesce(ctr.c, 0.0) + 1.0) / (tr.t + {_DSIR_B}.0)) AS v
+    FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b) ab
+    LEFT JOIN ctt USING (b) LEFT JOIN ctr USING (b)
+    CROSS JOIN tt CROSS JOIN tr)),
+lw AS (SELECT doc_id,
+              list_aggregate(list_transform(grams,
+                x -> lr.arr[(('0x' || substr(md5(x), 2, 15))::UBIGINT
+                             % {_DSIR_B})::BIGINT + 1]), 'sum') AS logw
+       FROM gl CROSS JOIN lr WHERE doc_id % 17 <> 0)
+"""
+
+DSIR_WEIGHTS_SQL = _DSIR_BASE + """
+SELECT doc_id, floor(logw * 10000.0 + 0.5)::BIGINT AS logw_x1e4 FROM lw
+"""
+
+DSIR_SAMPLE_SQL = _DSIR_BASE + """
+, keyed AS (SELECT doc_id,
+    logw - ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR || ':7'), 2, 15))
+                    ::UBIGINT % 1000000)::DOUBLE + 0.5) / 1000000.0)) AS key
+  FROM lw
+  ORDER BY 2 DESC, doc_id LIMIT 50)
+SELECT doc_id, floor(key * 10000.0 + 0.5)::BIGINT AS key_x1e4 FROM keyed
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train-eval decontamination: overlap of each training doc's
     5-gram shingles against the (broadcast) eval set's shingles; the
@@ -2136,6 +2213,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
     "contamination": q_contamination,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
     "common_terms_idx": q_common_terms_idx,
     "sparse_vector_topk": q_sparse_vector_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -2919,6 +2998,8 @@ SELECT s.doc_id, s.n_shingles, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
          AS overlap_x1e4,
        coalesce(h.n_hit, 0)::DOUBLE / s.n_shingles >= 0.5 AS contaminated
 FROM sizes s LEFT JOIN hits h USING (doc_id)""",
+        "dsir_weights": DSIR_WEIGHTS_SQL,
+        "dsir_sample": DSIR_SAMPLE_SQL,
         "simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM fp",
         "simhash_neardup": _SIMHASH_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

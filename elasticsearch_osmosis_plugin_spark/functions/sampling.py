@@ -187,3 +187,105 @@ def temperature_mixture(df: DataFrame, *, stratum_col: str,
     rates = temperature_rates(sizes, alpha=alpha, budget=budget)
     return stratified_mixture(df, rates, stratum_col=stratum_col,
                               id_col=id_col, seed=seed)
+
+
+# ---------------------------------------------------------------- DSIR
+
+def _gram_bucket(g: Column, n_buckets: int) -> Column:
+    """Hashed n-gram feature index: the 60-bit md5 fold mod B (the
+    cross-engine hash trick — identical in Spark, DuckDB, Python)."""
+    h = F.conv(F.substring(F.md5(g), 2, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def _grams_col(text_col: str, bigrams: bool) -> Column:
+    """Hashed-feature gram list: unigrams (simple-analyzer tokens),
+    optionally followed by space-joined bigrams — list ORDER is part
+    of the contract (the per-doc weight folds in this order, so the
+    DuckDB twin reproduces sums bit-for-bit)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(text_col)
+    if not bigrams:
+        return toks
+    # slice length must be exact (start+INT_MAX overflows to NULL);
+    # concat (not concat_ws) propagates the null past-the-end pad, so
+    # the trailing non-bigram filters out with isNotNull
+    bi = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1,
+                                                     F.lit(0))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull())
+    return F.concat(toks, bi)
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame, *,
+                     n_buckets: int = 256, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     bigrams: bool = True) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, *Data Selection
+    for Language Models via Importance Resampling*): score every raw
+    doc by how much its hashed n-gram feature distribution looks like
+    the TARGET corpus rather than the RAW corpus.
+
+    Features: unigrams + bigrams hashed into ``n_buckets`` buckets.
+    Bucket unigram LMs with Laplace smoothing:
+    p[b] = (ct_target[b]+1)/(T_target+B), q[b] likewise over raw;
+    log w(x) = sum over x's gram occurrences of ln(p[b]) - ln(q[b]).
+
+    Plan (100 TB shape): TWO count aggregations (explode -> groupBy
+    bucket, map-side combined, B rows each) train the models; the
+    per-doc weight is then a PURE MAP — the B-sized log-ratio table is
+    folded into the plan as an array literal and each doc reduces
+    ``aggregate(transform(grams, g -> lr[bucket(g)]))`` with no join,
+    no shuffle, no UDF. The fold is sequential in gram order, so the
+    DuckDB twin reproduces scores bit-for-bit.
+
+    Returns raw ``(id_col, logw)``."""
+    grams = _grams_col(text_col, bigrams)
+
+    def counts(df: DataFrame) -> tuple[list[float], float]:
+        rows = (df.select(F.explode(grams).alias("g"))
+                .select(_gram_bucket(F.col("g"), n_buckets).alias("b"))
+                .groupBy("b").count().collect())
+        ct = [0.0] * n_buckets
+        for r in rows:
+            ct[int(r["b"])] = float(r["count"])
+        return ct, sum(ct)
+
+    ct_t, tot_t = counts(target)
+    ct_r, tot_r = counts(raw)
+    if tot_t <= 0 or tot_r <= 0:
+        raise ValueError("dsir_log_weights: empty target or raw corpus")
+    import math
+
+    lr = [math.log((ct_t[b] + 1.0) / (tot_t + n_buckets))
+          - math.log((ct_r[b] + 1.0) / (tot_r + n_buckets))
+          for b in range(n_buckets)]
+    lr_arr = F.array(*[F.lit(v) for v in lr])
+    logw = F.aggregate(
+        F.transform(grams,
+                    lambda g: F.element_at(lr_arr, _gram_bucket(g, n_buckets)
+                                           .cast("int") + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return raw.select(F.col(id_col), logw.alias("logw"))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, k: int, *,
+                n_buckets: int = 256, id_col: str = "doc_id",
+                text_col: str = "text", bigrams: bool = True,
+                seed: int = 0) -> DataFrame:
+    """DSIR selection: Gumbel top-k resampling without replacement —
+    keep the k raw docs with the largest ``logw + Gumbel(u)`` where
+    ``u`` is the deterministic md5 uniform of (id, seed) (so the draw
+    is reproducible under any partitioning, like every sampler here).
+
+    Returns ``(id_col, logw, key)`` ordered by key desc, id asc — the
+    standard Gumbel-max equivalence to sampling proportional to w(x)
+    without replacement."""
+    w = dsir_log_weights(raw, target, n_buckets=n_buckets, id_col=id_col,
+                         text_col=text_col, bigrams=bigrams)
+    u = (sample_key(id_col, seed).cast("double") + 0.5) / float(_DENOM)
+    key = F.col("logw") - F.log(-F.log(u))
+    return (w.withColumn("key", key)
+            .orderBy(F.desc("key"), F.asc(id_col)).limit(int(k)))

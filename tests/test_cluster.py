@@ -339,3 +339,57 @@ def test_temperature_rates_and_mixture(spark):
              temperature_mixture(df, stratum_col="lang", alpha=0.3)
              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == mix
+
+
+def test_dsir_weights_and_sample(spark):
+    """DSIR log-weights match a single-process recompute (hashed
+    unigram+bigram buckets, Laplace smoothing), target-like docs
+    outscore off-distribution ones, and the Gumbel top-k draw is
+    deterministic under repartitioning."""
+    import hashlib
+    import math
+
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    tgt_rows = [(i, "spark query join window " * 5) for i in range(10)]
+    raw_rows = ([(100 + i, "spark query join filter " * 5) for i in range(5)]
+                + [(200 + i, "banana apple pear kiwi " * 5) for i in range(5)])
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    B = 64
+    got = {r["doc_id"]: r["logw"] for r in
+           dsir_log_weights(raw, tgt, n_buckets=B).collect()}
+
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[1:16], 16) % B
+
+    ct_t, ct_r = [0.0] * B, [0.0] * B
+    for _, tx in tgt_rows:
+        for g in grams(tx):
+            ct_t[bucket(g)] += 1
+    for _, tx in raw_rows:
+        for g in grams(tx):
+            ct_r[bucket(g)] += 1
+    tt, tr = sum(ct_t), sum(ct_r)
+    lr = [math.log((ct_t[b] + 1) / (tt + B)) - math.log((ct_r[b] + 1) / (tr + B))
+          for b in range(B)]
+    for did, tx in raw_rows:
+        want = 0.0
+        for g in grams(tx):
+            want += lr[bucket(g)]
+        assert abs(got[did] - want) < 1e-9, did
+    # target-like raw docs must outscore the off-distribution ones
+    assert min(got[d] for d in range(100, 105)) > \
+        max(got[d] for d in range(200, 205))
+    s1 = dsir_sample(raw, tgt, 5, n_buckets=B, seed=3).collect()
+    s2 = dsir_sample(raw.repartition(7), tgt, 5, n_buckets=B, seed=3).collect()
+    assert [(r["doc_id"], r["key"]) for r in s1] == \
+        [(r["doc_id"], r["key"]) for r in s2]
+    assert len(s1) == 5
