@@ -2136,6 +2136,89 @@ def q_type_dispatch_counts(spark, sf_dir):
     return ev.groupBy(kind.alias("kind")).agg(F.count(F.lit(1)).alias("n"))
 
 
+RANK_EVAL_REQS = {"r0": "spark query join", "r1": "dup window merge"}
+
+
+def q_rank_eval_idx(spark, sf_dir):
+    """ES _rank_eval analog: precision/recall/MRR/DCG/NDCG/ERR per
+    request over batched index rankings (one postings decode for all
+    requests); judgments are a deterministic synthetic rated set."""
+    from elasticsearch_osmosis_plugin_spark.operators.rankeval import rank_eval
+
+    idx = _index_for(spark, sf_dir)
+    rated = (_t(spark, sf_dir, "documents").select("doc_id")
+             .filter(F.col("doc_id") % 5 == 0))
+    ratings = None
+    for qid in sorted(RANK_EVAL_REQS):
+        r = rated.select(F.lit(qid).alias("query_id"), "doc_id",
+                         (F.col("doc_id") % 3).cast("int").alias("rating"))
+        ratings = r if ratings is None else ratings.unionByName(r)
+    return rank_eval(spark, idx, RANK_EVAL_REQS, ratings, k=10)
+
+
+def _rank_eval_oracle_sql(k: int = 10) -> str:
+    """Full metric twin: BM25 fixed-point rankings per request UNION'd,
+    ratings = (doc_id %% 5 == 0, rating = doc_id %% 3, max_rating 2),
+    ERR's prefix survival product as exp(cumulative ln-sum)."""
+    ranked_union = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, * FROM ("
+        + _bm25_oracle_sql(sorted(set(q.split())), k) + ")"
+        for qid, q in sorted(RANK_EVAL_REQS.items()))
+    qids_union = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id" for qid in sorted(RANK_EVAL_REQS))
+    return f"""
+WITH ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_x1e4 DESC, doc_id) AS rank
+  FROM ({ranked_union})),
+ratings AS (
+  SELECT q.query_id, d.doc_id, (d.doc_id % 3)::INT AS rating
+  FROM ({qids_union}) q CROSS JOIN documents d WHERE d.doc_id % 5 = 0),
+hits AS (
+  SELECT r.query_id, r.rank, coalesce(rt.rating, 0) AS rating
+  FROM ranked r LEFT JOIN ratings rt
+    ON r.query_id = rt.query_id AND r.doc_id = rt.doc_id),
+parts AS (
+  SELECT query_id, rank,
+         CASE WHEN rating >= 1 THEN 1.0 ELSE 0.0 END AS rel,
+         (pow(2.0, rating) - 1.0) / log2(rank + 1.0) AS dcg_part,
+         (pow(2.0, rating) - 1.0) / 4.0 / rank
+           * exp(coalesce(sum(ln(1.0 - (pow(2.0, rating) - 1.0) / 4.0))
+                 OVER (PARTITION BY query_id ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0.0)) AS err_part,
+         CASE WHEN rating >= 1 THEN 1.0 / rank END AS rr
+  FROM hits),
+agg AS (
+  SELECT query_id, count(*) AS n_retrieved, sum(rel) AS n_rel_ret,
+         sum(dcg_part) AS dcg, sum(err_part) AS err,
+         coalesce(max(rr), 0.0) AS mrr
+  FROM parts GROUP BY query_id),
+ideal AS (
+  SELECT query_id,
+         sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS n_rel_total,
+         sum(CASE WHEN irk <= {k}
+             THEN (pow(2.0, rating) - 1.0) / log2(irk + 1.0)
+             ELSE 0.0 END) AS idcg
+  FROM (SELECT query_id, rating,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rating DESC, doc_id) AS irk
+        FROM ratings) GROUP BY query_id)
+SELECT a.query_id, a.n_retrieved::BIGINT AS n_retrieved,
+  floor(a.n_rel_ret / a.n_retrieved * 10000.0 + 0.5)::BIGINT
+    AS precision_x1e4,
+  floor(CASE WHEN i.n_rel_total > 0 THEN a.n_rel_ret / i.n_rel_total
+        ELSE 0.0 END * 10000.0 + 0.5)::BIGINT AS recall_x1e4,
+  floor(a.mrr * 10000.0 + 0.5)::BIGINT AS mrr_x1e4,
+  floor(a.dcg * 10000.0 + 0.5)::BIGINT AS dcg_x1e4,
+  floor(CASE WHEN i.idcg > 0 THEN a.dcg / i.idcg ELSE 0.0 END
+        * 10000.0 + 0.5)::BIGINT AS ndcg_x1e4,
+  floor(a.err * 10000.0 + 0.5)::BIGINT AS err_x1e4
+FROM agg a LEFT JOIN ideal i USING (query_id) ORDER BY a.query_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2254,6 +2337,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "composite_agg_events": q_composite_agg_events,
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
+    "rank_eval_idx": q_rank_eval_idx,
 }
 
 
@@ -3181,4 +3265,5 @@ FROM g GROUP BY user_id""",
 SELECT CASE WHEN event_type IN ('click','view','purchase') THEN event_type
             ELSE 'quarantined' END AS kind, count(*) AS n
 FROM events GROUP BY 1""",
+        "rank_eval_idx": _rank_eval_oracle_sql(10),
     }
