@@ -2136,6 +2136,106 @@ def q_type_dispatch_counts(spark, sf_dir):
     return ev.groupBy(kind.alias("kind")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_rare_terms_idx(spark, sf_dir):
+    """ES rare_terms agg: long-tail buckets (count <= max_doc_count)
+    of a doc-store field over the query hits, rare-first order."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        rare_terms_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return rare_terms_agg(spark, idx, "spark window", "n_chars",
+                          max_doc_count=2)
+
+
+def q_multi_terms_idx(spark, sf_dir):
+    """ES multi_terms agg: compound (lang, source) buckets over the
+    query hits, count desc then key order, top 8."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        multi_terms_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return multi_terms_agg(spark, idx, "spark window", ["lang", "source"],
+                           size=8)
+
+
+def q_global_stats_idx(spark, sf_dir):
+    """ES global agg: stats escape the query scope — computed over ALL
+    live docs (avg from the exact integer sum, cross-engine)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        global_stats_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    s = global_stats_agg(spark, idx, "n_chars")
+    return s.select(
+        F.col("n"), F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        x1e4(F.col("sum_v").cast("double") / F.col("n")).alias("avg_x1e4"))
+
+
+DATE_RANGES = [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
+               ("2024-01-15", None)]
+
+
+def q_date_range_events(spark, sf_dir):
+    """ES date_range agg: explicit [from, to) timestamp buckets (open
+    ends, overlapping ranges both count) over the event log."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_range,
+    )
+
+    return date_range(_t(spark, sf_dir, "events"), "ts", DATE_RANGES)
+
+
+def q_sampler_idx(spark, sf_dir):
+    """ES sampler agg: sub-agg restricted to the shard_size best-
+    scoring hits (fixed-point rank boundary, cross-engine)."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        sampler_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return sampler_agg(spark, idx, "spark window", "lang", shard_size=50)
+
+
+def q_diversified_sampler_idx(spark, sf_dir):
+    """ES diversified_sampler agg: at most max_docs_per_value docs per
+    source survive into the best-hits sample (de-bias), then facet."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        diversified_sampler_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return diversified_sampler_agg(spark, idx, "spark window", "lang",
+                                   "source", shard_size=50,
+                                   max_docs_per_value=2)
+
+
+def _scored_fp_cte(terms: list[str]) -> str:
+    """Shared DuckDB CTE chain: BM25 scoreall of ``terms`` ->
+    scored(doc_id, s) — the sampler/diversified twins rank on the
+    x1e4 fixed point of s."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""{TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({term_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)"""
+
+
 RANK_EVAL_REQS = {"r0": "spark query join", "r1": "dup window merge"}
 
 
@@ -2338,6 +2438,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
     "rank_eval_idx": q_rank_eval_idx,
+    "rare_terms_idx": q_rare_terms_idx,
+    "multi_terms_idx": q_multi_terms_idx,
+    "global_stats_idx": q_global_stats_idx,
+    "date_range_events": q_date_range_events,
+    "sampler_idx": q_sampler_idx,
+    "diversified_sampler_idx": q_diversified_sampler_idx,
 }
 
 
@@ -3266,4 +3372,55 @@ SELECT CASE WHEN event_type IN ('click','view','purchase') THEN event_type
             ELSE 'quarantined' END AS kind, count(*) AS n
 FROM events GROUP BY 1""",
         "rank_eval_idx": _rank_eval_oracle_sql(10),
+        "rare_terms_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, n_chars FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+SELECT n_chars, count(*) AS n_docs FROM hits GROUP BY n_chars
+HAVING count(*) <= 2 ORDER BY n_docs, n_chars""",
+        "multi_terms_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, lang, source FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+SELECT lang, source, count(*) AS n_docs FROM hits GROUP BY lang, source
+ORDER BY n_docs DESC, lang, source LIMIT 8""",
+        "global_stats_idx": """
+SELECT count(*) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v,
+       sum(n_chars)::BIGINT AS sum_v,
+       floor(sum(n_chars)::DOUBLE / count(*) * 10000.0 + 0.5)::BIGINT
+         AS avg_x1e4
+FROM documents""",
+        "date_range_events": """
+WITH r AS (
+  SELECT unnest([
+    struct_pack(bucket := '*-2024-01-10',
+                lo := TIMESTAMP '1900-01-01', hi := TIMESTAMP '2024-01-10'),
+    struct_pack(bucket := '2024-01-10-2024-01-20',
+                lo := TIMESTAMP '2024-01-10', hi := TIMESTAMP '2024-01-20'),
+    struct_pack(bucket := '2024-01-15-*',
+                lo := TIMESTAMP '2024-01-15', hi := TIMESTAMP '9999-01-01')
+  ], recursive := true))
+SELECT r.bucket, count(*) AS n_docs
+FROM events e JOIN r ON e.ts >= r.lo AND e.ts < r.hi
+GROUP BY r.bucket ORDER BY r.bucket""",
+        "sampler_idx": f"""
+WITH {_scored_fp_cte(['spark', 'window'])},
+ranked AS (SELECT doc_id, row_number() OVER (
+             ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id) AS rk
+           FROM scored)
+SELECT d.lang, count(*) AS n_docs
+FROM ranked r JOIN documents d USING (doc_id) WHERE r.rk <= 50
+GROUP BY d.lang ORDER BY n_docs DESC, lang""",
+        "diversified_sampler_idx": f"""
+WITH {_scored_fp_cte(['spark', 'window'])},
+fp AS (SELECT sc.doc_id, d.lang, d.source,
+              floor(sc.s * 10000.0 + 0.5)::BIGINT AS fp
+       FROM scored sc JOIN documents d USING (doc_id)),
+div AS (SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY fp DESC, doc_id) AS rn
+        FROM fp),
+sample AS (SELECT lang FROM div WHERE rn <= 2
+           ORDER BY fp DESC, doc_id LIMIT 50)
+SELECT lang, count(*) AS n_docs FROM sample
+GROUP BY lang ORDER BY n_docs DESC, lang""",
     }

@@ -1265,3 +1265,97 @@ def matrix_stats_agg(spark: SparkSession, index_path: str, query: str,
                     F.var_pop(a).alias("var_a"), F.var_pop(b).alias("var_b"),
                     F.covar_pop(a, b).alias("covariance"),
                     F.corr(a, b).alias("correlation"))
+
+
+def rare_terms_agg(spark: SparkSession, index_path: str, query: str,
+                   facet_col: str, max_doc_count: int = 1,
+                   mode: str = "any") -> DataFrame:
+    """ES rare_terms aggregation: the long-tail complement of the terms
+    agg — buckets of ``facet_col`` whose doc count over the matching
+    docs is <= ``max_doc_count``, ordered count-asc then value (ES's
+    rare-first order). Same one-semi-join plan as ``facet_counts``;
+    the rarity cut is a post-aggregation filter over bucket-sized data,
+    so scale cost is identical to the plain terms agg (ES implements
+    this with a CuckooFilter for the same reason: the heavy lifting is
+    the count, not the cut)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col)
+    return (ds.join(docs, "doc_id", "left_semi")
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") <= int(max_doc_count))
+            .orderBy(F.asc("n_docs"), F.asc(facet_col)))
+
+
+def multi_terms_agg(spark: SparkSession, index_path: str, query: str,
+                    cols: Sequence[str], size: int = 10,
+                    mode: str = "any") -> DataFrame:
+    """ES multi_terms aggregation: compound-key buckets over several
+    doc-store fields of the matching docs -> (*cols, n_docs), count
+    desc then key order, top ``size`` (ES default order). One grouped
+    count over the compound key — map-side combined; the size cut is a
+    TakeOrderedAndProject, never a full sort."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", *cols)
+    return (ds.join(docs, "doc_id", "left_semi")
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), *[F.asc(c) for c in cols])
+            .limit(int(size)))
+
+
+def global_stats_agg(spark: SparkSession, index_path: str,
+                     value_col: str) -> DataFrame:
+    """ES global aggregation: escapes the query scope — sub-stats run
+    over ALL live docs in the index regardless of any query context.
+    Degenerate one-pass scalar aggregate of the doc-store (tombstones
+    excluded, like every query path)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        load_meta as _lm,
+        tombstones_df as _tombs,
+    )
+
+    meta = _lm(index_path)
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    tombs = _tombs(spark, index_path, meta)
+    if tombs is not None:
+        ds = ds.join(tombs, "doc_id", "left_anti")
+    v = F.col(value_col)
+    return ds.agg(F.count(F.lit(1)).alias("n"),
+                  F.min(v).alias("min_v"), F.max(v).alias("max_v"),
+                  F.sum(v).alias("sum_v"), F.avg(v).alias("avg_v"))
+
+
+def date_range(df: DataFrame, ts_col: str,
+               ranges: Sequence[tuple[str | None, str | None]]) -> DataFrame:
+    """ES date_range aggregation core: explicit [from, to) timestamp
+    buckets over any DataFrame -> (bucket, n_docs), labels with ES's
+    open-end conventions ("*-to", "from-*"); a row lands in EVERY
+    range containing it (ranges may overlap). Bounds are ISO strings
+    parsed once as literals; one conditional array + explode, exactly
+    the numeric ``range_agg`` plan."""
+    t = F.col(ts_col).cast("timestamp")
+    entries = []
+    for lo, hi in ranges:
+        label = (lo if lo is not None else "*") + "-" + \
+                (hi if hi is not None else "*")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (t >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (t < F.to_timestamp(F.lit(hi)))
+        entries.append(F.when(cond, F.lit(label)))
+    buckets = F.array_compact(F.array(*entries))
+    return (df.select(F.explode(buckets).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))

@@ -461,3 +461,78 @@ def common_terms_topk(spark: SparkSession, index_path: str, query: str,
     sel = (per_doc.filter(F.col("_n_low") >= 1) if low
            else per_doc.filter(F.col("_n_t") >= len(live)))
     return deterministic_topk(sel.select("doc_id", "score"), k)
+
+
+def _fp_ranked_sample(scores: DataFrame, shard_size: int) -> DataFrame:
+    """Top ``shard_size`` hits by the x1e4 fixed-point score (desc,
+    doc_id asc) — the deterministic boundary rule every engine twin
+    can reproduce. TakeOrderedAndProject-sized: shard_size rows move."""
+    fp = F.floor(F.col("score") * 10000.0 + F.lit(0.5)).cast("long")
+    return (scores.select("doc_id", fp.alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id"))
+            .limit(int(shard_size)))
+
+
+def sampler_agg(spark: SparkSession, index_path: str, query: str,
+                facet_col: str, shard_size: int = 100) -> DataFrame:
+    """ES sampler aggregation: restrict sub-aggregations to the
+    ``shard_size`` best-scoring hits, then bucket those by
+    ``facet_col`` -> (facet, n_docs), count desc then value.
+
+    Plan: the usual pruned scoreall pass -> fixed-point top-shard_size
+    cut (TakeOrderedAndProject) -> semi-join prunes the doc-store read
+    to (doc_id, facet_col) of the sample -> a tiny groupBy. Sub-agg
+    cost is bounded by shard_size regardless of corpus size — exactly
+    the knob's purpose in ES."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    scores = _match_scores(spark, index_path, query, meta)
+    if scores is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    sample = _fp_ranked_sample(scores, shard_size)
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col)
+    return (ds.join(sample.select("doc_id"), "doc_id", "left_semi")
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
+def diversified_sampler_agg(spark: SparkSession, index_path: str,
+                            query: str, facet_col: str, dedup_col: str,
+                            shard_size: int = 100,
+                            max_docs_per_value: int = 1) -> DataFrame:
+    """ES diversified_sampler aggregation: like ``sampler_agg`` but at
+    most ``max_docs_per_value`` docs per distinct ``dedup_col`` value
+    survive into the sample (de-biasing a dominant source before the
+    best-hits cut — ES's anti-"single noisy domain" knob).
+
+    Plan: scoreall -> join the dedup field in -> per-value window
+    row_number over the fixed-point order keeps the top
+    max_docs_per_value of each value (WindowGroupLimit pushes this cut
+    below the exchange) -> global top-shard_size -> facet groupBy."""
+    from pyspark.sql import Window
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    scores = _match_scores(spark, index_path, query, meta)
+    if scores is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col, dedup_col)
+    fp = F.floor(F.col("score") * 10000.0 + F.lit(0.5)).cast("long")
+    scored = scores.join(ds, "doc_id").select(
+        "doc_id", facet_col, dedup_col, fp.alias("score_x1e4"))
+    w = Window.partitionBy(dedup_col).orderBy(
+        F.desc("score_x1e4"), F.asc("doc_id"))
+    diversified = (scored.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= int(max_docs_per_value))
+                   .drop("_rn"))
+    sample = (diversified
+              .orderBy(F.desc("score_x1e4"), F.asc("doc_id"))
+              .limit(int(shard_size)))
+    return (sample.groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet_col)))

@@ -1,0 +1,133 @@
+"""rare_terms / multi_terms / global / date_range / sampler /
+diversified_sampler aggregations — recompute goldens from already-
+verified building blocks (match_any_terms hit sets, _match_scores)."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+    date_range,
+    global_stats_agg,
+    match_any_terms,
+    multi_terms_agg,
+    rare_terms_agg,
+)
+from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+    diversified_sampler_agg,
+    sampler_agg,
+)
+from elasticsearch_osmosis_plugin_spark.plans import catalog
+from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+Q = "id0000 id0001 public"  # Zipf-head terms: most of the corpus matches
+
+
+@pytest.fixture(scope="module")
+def agg_index(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("agg3") / "index")
+    build_index(spark, corpus_df, path,
+                EngineConfig(n_segments=4, n_buckets=4, block_size=16),
+                id_col="doc_id", n_groups=1)
+    return path
+
+
+@pytest.fixture(scope="module")
+def hit_rows(spark, agg_index):
+    hits = match_any_terms(spark, agg_index, Q)
+    ds = catalog.read_table(spark, agg_index, "docstats") \
+        .select("doc_id", "lang", "repo", "dl")
+    return ds.join(hits, "doc_id", "left_semi").collect()
+
+
+def test_rare_terms_matches_recount(spark, agg_index, hit_rows):
+    counts = Counter(r["lang"] for r in hit_rows)
+    want = sorted(((n, v) for v, n in counts.items() if n <= 3))
+    got = rare_terms_agg(spark, agg_index, Q, "lang",
+                         max_doc_count=3).collect()
+    assert [(r["n_docs"], r["lang"]) for r in got] == want
+    # higher threshold keeps everything, rare-first order
+    got_all = rare_terms_agg(spark, agg_index, Q, "lang",
+                             max_doc_count=10**9).collect()
+    assert len(got_all) == len(counts)
+    assert [r["n_docs"] for r in got_all] == sorted(counts.values())
+
+
+def test_multi_terms_matches_recount(spark, agg_index, hit_rows):
+    counts = Counter((r["lang"], r["repo"]) for r in hit_rows)
+    want = sorted(((-n,) + k for k, n in counts.items()))[:5]
+    got = multi_terms_agg(spark, agg_index, Q, ["lang", "repo"],
+                          size=5).collect()
+    assert [(-r["n_docs"], r["lang"], r["repo"]) for r in got] == want
+
+
+def test_global_stats_escapes_query_scope(spark, agg_index, corpus_rows):
+    row = global_stats_agg(spark, agg_index, "dl").collect()[0]
+    assert row["n"] == len(corpus_rows)  # ALL docs, not query hits
+    assert row["min_v"] <= row["avg_v"] <= row["max_v"]
+
+
+def test_date_range_buckets(spark):
+    df = spark.createDataFrame(
+        [("2024-01-05",), ("2024-02-10",), ("2024-02-20",), ("2024-06-01",)],
+        "d string").select(F.col("d").cast("timestamp").alias("ts"))
+    out = date_range(df, "ts", [
+        (None, "2024-02-01"),
+        ("2024-02-01", "2024-03-01"),
+        ("2024-02-01", None),  # overlaps the previous range (ES allows)
+    ]).collect()
+    got = {r["bucket"]: r["n_docs"] for r in out}
+    assert got == {"*-2024-02-01": 1, "2024-02-01-2024-03-01": 2,
+                   "2024-02-01-*": 3}
+
+
+def _fp(x: float) -> int:
+    return math.floor(x * 10000.0 + 0.5)
+
+
+@pytest.fixture(scope="module")
+def scored_rows(spark, agg_index):
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        _match_scores,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+    scores = _match_scores(spark, agg_index, Q, load_meta(agg_index))
+    ds = catalog.read_table(spark, agg_index, "docstats") \
+        .select("doc_id", "lang", "repo")
+    return scores.join(ds, "doc_id").collect()
+
+
+def test_sampler_agg_matches_recompute(spark, agg_index, scored_rows):
+    ranked = sorted(scored_rows,
+                    key=lambda r: (-_fp(r["score"]), r["doc_id"]))
+    sample = ranked[:20]
+    assert len(ranked) > 20  # cut must actually bite
+    counts = Counter(r["lang"] for r in sample)
+    want = sorted(((-n, v) for v, n in counts.items()))
+    got = sampler_agg(spark, agg_index, Q, "lang", shard_size=20).collect()
+    assert [(-r["n_docs"], r["lang"]) for r in got] == want
+
+
+def test_diversified_sampler_matches_recompute(spark, agg_index, scored_rows):
+    ranked = sorted(scored_rows,
+                    key=lambda r: (-_fp(r["score"]), r["doc_id"]))
+    per_repo: Counter = Counter()
+    diversified = []
+    for r in ranked:
+        if per_repo[r["repo"]] < 2:
+            per_repo[r["repo"]] += 1
+            diversified.append(r)
+    sample = diversified[:15]
+    counts = Counter(r["lang"] for r in sample)
+    want = sorted(((-n, v) for v, n in counts.items()))
+    got = diversified_sampler_agg(spark, agg_index, Q, "lang", "repo",
+                                  shard_size=15,
+                                  max_docs_per_value=2).collect()
+    assert [(-r["n_docs"], r["lang"]) for r in got] == want
+    # the dedup cap must actually bite: megarepo dominates the corpus
+    assert any(v > 2 for v in Counter(
+        r["repo"] for r in ranked[:15]).values())
