@@ -2215,6 +2215,42 @@ def q_diversified_sampler_idx(spark, sf_dir):
                                    max_docs_per_value=2)
 
 
+def q_random_score_idx(spark, sf_dir):
+    """ES random_score function: reproducible (seed, field)-hashed
+    weight replacing the relevance score — a deterministic shuffle of
+    the hit set, identical across engines via the md5 fold."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        function_score_topk,
+        random_score,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    # fetch extra raw-ranked rows, then cut on the x1e4 fixed point
+    # (the oracle's tie rule at the k boundary)
+    raw = function_score_topk(spark, idx, "spark window", k=30,
+                              functions=[random_score(seed=7)],
+                              boost_mode="replace")
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_script_score_idx(spark, sf_dir):
+    """ES script_score: score = script(_score, doc) as a Catalyst
+    column (_score * sqrt(n_chars)) — painless-to-Catalyst, no UDF."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        script_score_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = script_score_topk(
+        spark, idx, "spark window",
+        F.col("_score") * F.sqrt(F.col("n_chars").cast("double")), k=30)
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
 def _scored_fp_cte(terms: list[str]) -> str:
     """Shared DuckDB CTE chain: BM25 scoreall of ``terms`` ->
     scored(doc_id, s) — the sampler/diversified twins rank on the
@@ -2444,6 +2480,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_range_events": q_date_range_events,
     "sampler_idx": q_sampler_idx,
     "diversified_sampler_idx": q_diversified_sampler_idx,
+    "random_score_idx": q_random_score_idx,
+    "script_score_idx": q_script_score_idx,
 }
 
 
@@ -3411,6 +3449,22 @@ ranked AS (SELECT doc_id, row_number() OVER (
 SELECT d.lang, count(*) AS n_docs
 FROM ranked r JOIN documents d USING (doc_id) WHERE r.rk <= 50
 GROUP BY d.lang ORDER BY n_docs DESC, lang""",
+        "random_score_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window')),
+w AS (SELECT doc_id,
+        (('0x' || substr(md5(doc_id::VARCHAR || ':7'), 2, 15))
+         ::UBIGINT::BIGINT % 1000000) / 1000000.0 AS s
+      FROM hits)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM w
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10""",
+        "script_score_idx": f"""
+WITH {_scored_fp_cte(['spark', 'window'])},
+sc AS (SELECT s.doc_id, s.s * sqrt(d.n_chars::DOUBLE) AS s
+       FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM sc
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10""",
         "diversified_sampler_idx": f"""
 WITH {_scored_fp_cte(['spark', 'window'])},
 fp AS (SELECT sc.doc_id, d.lang, d.source,

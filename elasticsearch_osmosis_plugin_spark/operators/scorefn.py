@@ -536,3 +536,56 @@ def diversified_sampler_agg(spark: SparkSession, index_path: str,
     return (sample.groupBy(facet_col)
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
+def random_score(seed: int = 0, field: str = "doc_id"):
+    """ES random_score function: a reproducible pseudo-random weight in
+    [0, 1) from (seed, field value) — ES hashes the seed with the
+    field (default _seq_no/_id) for exactly this determinism. Here the
+    hash is the engine's standard cross-engine md5 fold ("<v>:<seed>"
+    -> 60 bits -> [0, 1e6) / 1e6), identical in Spark SQL and the
+    DuckDB twins, stable under any repartitioning. Compose it into
+    ``function_score_topk(functions=[...])``."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(field).cast("string"),
+                          F.lit(str(seed)))), 2, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
+
+
+def script_score_topk(spark: SparkSession, index_path: str, query: str,
+                      script, k: int = 10) -> DataFrame:
+    """ES script_score query: score = script(_score, doc) — full
+    control over the final score, relevance available as ``_score``.
+
+    Spark-first reading: the "script" IS a Catalyst Column expression
+    over the doc-store row with the BM25 relevance bound to the
+    ``_score`` column (the painless-to-Catalyst translation a user
+    does by hand: ``F.col("_score") * F.log1p(F.col("n_likes"))``).
+    It stays whole-stage-codegen JVM-side — no interpreter, no UDF —
+    which is the entire point of re-expressing painless as columns.
+
+    ES requires script scores to be non-negative; negative results
+    raise there, here they are clamped to 0 with the same user-visible
+    intent (documented deviation: clamp, not error — a distributed
+    assert would cost an extra action).
+
+    Plan: identical to function_score (one decode -> doc-store join ->
+    expression -> deterministic top-k)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    scores = (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term,
+                      denied=tombstones_df(spark, index_path, meta))
+              .groupBy("doc_id").agg(F.sum("partial").alias("_score")))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    joined = ds.join(scores, "doc_id")
+    return deterministic_topk(
+        joined.select("doc_id",
+                      F.greatest(script.cast("double"), F.lit(0.0))
+                      .alias("score")), k)

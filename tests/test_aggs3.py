@@ -131,3 +131,66 @@ def test_diversified_sampler_matches_recompute(spark, agg_index, scored_rows):
     # the dedup cap must actually bite: megarepo dominates the corpus
     assert any(v > 2 for v in Counter(
         r["repo"] for r in ranked[:15]).values())
+
+
+def test_random_score_deterministic_and_uniform(spark, agg_index):
+    """random_score: reproducible across runs, [0,1), md5-fold twin."""
+    import hashlib
+
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        function_score_topk,
+        random_score,
+    )
+
+    got1 = function_score_topk(spark, agg_index, Q, k=10,
+                               functions=[random_score(seed=7)],
+                               boost_mode="replace").collect()
+    got2 = function_score_topk(spark, agg_index, Q, k=10,
+                               functions=[random_score(seed=7)],
+                               boost_mode="replace").collect()
+    assert [(r["doc_id"], r["score"]) for r in got1] == \
+           [(r["doc_id"], r["score"]) for r in got2]
+    assert all(0.0 <= r["score"] < 1.0 for r in got1)
+
+    def py_weight(doc_id: int) -> float:
+        h = int(hashlib.md5(f"{doc_id}:7".encode()).hexdigest()[1:16], 16)
+        return (h % 1_000_000) / 1_000_000.0
+
+    for r in got1:
+        assert r["score"] == py_weight(r["doc_id"])
+    # a different seed produces a different permutation
+    other = function_score_topk(spark, agg_index, Q, k=10,
+                                functions=[random_score(seed=8)],
+                                boost_mode="replace").collect()
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in got1]
+
+
+def test_script_score_matches_recompute(spark, agg_index, scored_rows):
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        script_score_topk,
+    )
+
+    ds = {r["doc_id"]: r["dl"]
+          for r in catalog.read_table(spark, agg_index, "docstats")
+          .select("doc_id", "dl").collect()}
+    want = sorted(
+        ((r["score"] * math.sqrt(ds[r["doc_id"]]), r["doc_id"])
+         for r in scored_rows),
+        key=lambda t: (-t[0], t[1]))[:10]
+    got = script_score_topk(
+        spark, agg_index, Q,
+        F.col("_score") * F.sqrt(F.col("dl").cast("double")),
+        k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (s, _) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
+def test_script_score_clamps_negative(spark, agg_index):
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        script_score_topk,
+    )
+
+    got = script_score_topk(spark, agg_index, Q,
+                            F.col("_score") - F.lit(1e9), k=5).collect()
+    assert got and all(r["score"] == 0.0 for r in got)
