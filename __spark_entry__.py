@@ -2251,6 +2251,28 @@ def q_script_score_idx(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_nested_query_events(spark, sf_dir):
+    """ES nested type + nested query: events nest per-user as
+    array<struct>, the query needs event_type AND value on the SAME
+    element (object flattening would match across elements); inner
+    hits counted, score_mode=sum over integer cents (exact)."""
+    from elasticsearch_osmosis_plugin_spark.operators.nested import (
+        nest_children,
+        nested_score,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    nested = nest_children(ev, "user_id", ["event_type", "value"], "evs")
+    pred = lambda e: (e["event_type"] == "purchase") & (e["value"] > 150)  # noqa: E731
+    out = nested_score(nested, "evs", pred,
+                       lambda e: F.round(e["value"] * 100), "sum")
+    return (out.select(
+        "user_id",
+        F.size(F.filter("evs", pred)).alias("n_hits"),
+        F.col("score").cast("long").alias("sum_cents"))
+        .orderBy("user_id"))
+
+
 def _scored_fp_cte(terms: list[str]) -> str:
     """Shared DuckDB CTE chain: BM25 scoreall of ``terms`` ->
     scored(doc_id, s) — the sampler/diversified twins rank on the
@@ -2482,6 +2504,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diversified_sampler_idx": q_diversified_sampler_idx,
     "random_score_idx": q_random_score_idx,
     "script_score_idx": q_script_score_idx,
+    "nested_query_events": q_nested_query_events,
 }
 
 
@@ -3410,6 +3433,11 @@ SELECT CASE WHEN event_type IN ('click','view','purchase') THEN event_type
             ELSE 'quarantined' END AS kind, count(*) AS n
 FROM events GROUP BY 1""",
         "rank_eval_idx": _rank_eval_oracle_sql(10),
+        "nested_query_events": """
+SELECT user_id, count(*) AS n_hits,
+       sum(round(value * 100))::BIGINT AS sum_cents
+FROM events WHERE event_type = 'purchase' AND value > 150
+GROUP BY user_id ORDER BY user_id""",
         "rare_terms_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT doc_id, n_chars FROM toks
