@@ -2273,6 +2273,75 @@ def q_nested_query_events(spark, sf_dir):
         .orderBy("user_id"))
 
 
+def _synth_url_col():
+    """Deterministic pseudo-URL from (source, doc_id) exercising every
+    normalization rule: scheme+WWW case, optional trailing slash,
+    tracking params, fragments. Both engines build the SAME string,
+    then each runs its OWN normalizer — the parity row checks two
+    independent implementations agree."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/p"),
+        (d % 7).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=x&q="),
+                                    (d % 11).cast("string")))
+         .when(d % 3 == 1, F.concat(F.lit("?q="), (d % 11).cast("string"),
+                                    F.lit("&fbclid=zz")))
+         .otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+
+def q_url_dup_groups(spark, sf_dir):
+    """CCNet-style URL dedup: canonicalize (case/scheme/www/tracking
+    params/fragment/trailing slash) then exact-group."""
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        url_dup_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("url"))
+    out = url_dup_groups(docs, "url")
+    return out.select("norm_url", "n_docs", "keep_id",
+                      F.array_join("doc_ids", ",").alias("ids_csv"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: corpus ranked by the unigram-LM proxy,
+    equal-frequency 3-way split (bucket 1 = head)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        ccnet_buckets,
+    )
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
+
+
+def q_c4_quality_flags(spark, sf_dir):
+    """C4 page filters: lorem/brace/policy flags, word count, terminal-
+    punctuation line ratio, composite keep decision — one codegen pass."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        c4_quality_flags,
+    )
+
+    return c4_quality_flags(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quantized_cosine_topk(spark, sf_dir):
+    """int8 scalar quantization (SQ8) + exact integer-cosine top-k:
+    the per-vector scales cancel, so ranking needs no dequantize."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dfq = quantize_embeddings(emb)
+    raw = cosine_topk_quantized(dfq, _query_vec(spark, sf_dir), k=30)
+    return (raw.select("vec_id", x1e4(F.col("cos")).alias("cos_x1e4"))
+            .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")).limit(10))
+
+
 def _scored_fp_cte(terms: list[str]) -> str:
     """Shared DuckDB CTE chain: BM25 scoreall of ``terms`` ->
     scored(doc_id, s) — the sampler/diversified twins rank on the
@@ -2505,6 +2574,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_score_idx": q_random_score_idx,
     "script_score_idx": q_script_score_idx,
     "nested_query_events": q_nested_query_events,
+    "url_dup_groups": q_url_dup_groups,
+    "ccnet_buckets": q_ccnet_buckets,
+    "c4_quality_flags": q_c4_quality_flags,
+    "quantized_cosine_topk": q_quantized_cosine_topk,
 }
 
 
@@ -3433,6 +3506,89 @@ SELECT CASE WHEN event_type IN ('click','view','purchase') THEN event_type
             ELSE 'quarantined' END AS kind, count(*) AS n
 FROM events GROUP BY 1""",
         "rank_eval_idx": _rank_eval_oracle_sql(10),
+        "url_dup_groups": r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.example.com/p' || (doc_id % 7)
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&q=' || (doc_id % 11)
+                 WHEN doc_id % 3 = 1 THEN '?q=' || (doc_id % 11) || '&fbclid=zz'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+u1 AS (SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(lower(url),
+           '#.*$', ''), '^[a-z][a-z0-9+.-]*://', ''), '^www\.', '') AS u
+       FROM raw),
+parts AS (SELECT doc_id,
+   regexp_replace(CASE WHEN strpos(u, '?') > 0
+                       THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END,
+                  '/$', '') AS base,
+   CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1)
+        ELSE '' END AS qs
+  FROM u1),
+kept AS (SELECT doc_id, base,
+   list_filter(string_split(qs, '&'), p -> p <> '' AND NOT
+     regexp_matches(p,
+       '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)=')) AS ps
+  FROM parts),
+norm AS (SELECT doc_id,
+   CASE WHEN len(ps) > 0 THEN base || '?' || array_to_string(ps, '&')
+        ELSE base END AS norm_url
+  FROM kept)
+SELECT norm_url, count(*) AS n_docs, min(doc_id) AS keep_id,
+       array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
+FROM norm GROUP BY norm_url HAVING count(*) >= 2 ORDER BY norm_url""",
+        "ccnet_buckets": f"""
+WITH {TOK_EXPLODED_CTE},
+vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM vocab),
+sc AS (SELECT t.doc_id,
+              -log2((vocab.cnt + 1.0) / (tot.n + tot.v)) AS nll
+       FROM tok t JOIN vocab USING (term) CROSS JOIN tot),
+per AS (SELECT doc_id, count(*) AS n_tokens,
+               floor(avg(nll) * 10000.0 + 0.5)::BIGINT AS nll_x1e4
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, n_tokens, nll_x1e4,
+       ntile(3) OVER (ORDER BY nll_x1e4, doc_id) AS bucket
+FROM per ORDER BY doc_id""",
+        "c4_quality_flags": r"""
+WITH base AS (
+  SELECT doc_id, text,
+    regexp_matches(text, '(?i)lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace,
+    regexp_matches(text,
+      '(?i)(cookie policy|privacy policy|terms of use|uses cookies)')
+      AS has_policy,
+    len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))::BIGINT
+      AS n_words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM documents)
+SELECT doc_id, has_lorem, has_brace, has_policy, n_words,
+  CASE WHEN len(lines) > 0 THEN
+    floor(len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')))
+          ::DOUBLE / len(lines) * 10000.0 + 0.5)::BIGINT
+  ELSE 0 END AS terminal_ratio_x1e4,
+  (NOT has_lorem AND NOT has_brace AND NOT has_policy AND n_words >= 5)
+    AS keep
+FROM base ORDER BY doc_id""",
+        "quantized_cosine_topk": """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+qv AS (SELECT vec_id,
+         list_transform(v, x -> round(
+           x / (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END))
+           ::BIGINT) AS q
+       FROM sc),
+qq AS (SELECT q AS quq FROM qv WHERE vec_id = 0),
+s AS (SELECT vec_id,
+        list_dot_product(q, quq)::DOUBLE
+        / (sqrt(list_dot_product(q, q)::DOUBLE)
+           * sqrt(list_dot_product(quq, quq)::DOUBLE)) AS c
+      FROM qv CROSS JOIN qq WHERE list_dot_product(q, q) > 0)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
+ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT 10""",
         "nested_query_events": """
 SELECT user_id, count(*) AS n_hits,
        sum(round(value * 100))::BIGINT AS sum_cents

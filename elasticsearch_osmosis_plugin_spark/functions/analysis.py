@@ -317,3 +317,71 @@ def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  x1e4(F.avg("nll")).alias("nll_x1e4"))
             .orderBy("doc_id"))
+
+
+def ccnet_buckets(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  vocab_df: DataFrame | None = None,
+                  n_buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split: rank every doc by the unigram-LM
+    quality proxy (:func:`unigram_logprob_score`, lower = more fluent)
+    and cut the corpus into ``n_buckets`` equal-frequency bands —
+    bucket 1 = head (best), ``n_buckets`` = tail. (doc_id, n_tokens,
+    nll_x1e4, bucket). Ties break on doc_id so the split is exactly
+    reproducible across engines and runs.
+
+    Plan: the LM scoring pass + ONE global ntile window. The window's
+    total-order sort is the same cost profile as any global ranking
+    (range-partitioned sort, no driver collect); CCNet itself does a
+    corpus-wide percentile cut here too."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_score(df, id_col=id_col, text_col=text_col,
+                                   vocab_df=vocab_df)
+    w = Window.orderBy(F.asc("nll_x1e4"), F.asc("doc_id"))
+    return scored.withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+
+
+# C4's text-quality heuristics (Raffel et al. 2020, appendix): the
+# line- and page-level rules the C4 pipeline applies to Common Crawl.
+_C4_POLICY_RE = r"(?i)(cookie policy|privacy policy|terms of use|uses cookies)"
+_C4_LOREM_RE = r"(?i)lorem ipsum"
+
+
+def c4_quality_flags(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_words: int = 5) -> DataFrame:
+    """C4-style page filters as one pure-column pass -> per-doc flags
+    plus the composite keep decision:
+
+    - ``has_lorem``      page contains "lorem ipsum"
+    - ``has_brace``      page contains "{" (code/JS leakage)
+    - ``has_policy``     boilerplate policy phrases
+    - ``n_words``        whitespace word count
+    - ``terminal_ratio_x1e4``  fraction of lines ending in terminal
+      punctuation (. ! ? ") — C4 keeps only lines that do; here the
+      per-page ratio is surfaced so the cut threshold stays a knob
+    - ``keep``           no lorem/brace/policy AND n_words >= min_words
+
+    Everything is a Catalyst regexp/array expression — whole-stage
+    codegen, no UDF, trivially scale-safe."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda ln: F.trim(ln) != "")
+    terminal = F.filter(lines, lambda ln: F.trim(ln).rlike('[.!?"]$'))
+    has_lorem = F.col(text_col).rlike(_C4_LOREM_RE)
+    has_brace = F.col(text_col).contains("{")
+    has_policy = F.col(text_col).rlike(_C4_POLICY_RE)
+    n_words = F.size(words)
+    ratio = F.when(F.size(lines) > 0,
+                   F.size(terminal).cast("double")
+                   / F.size(lines).cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_policy.alias("has_policy"),
+        n_words.cast("long").alias("n_words"),
+        x1e4(ratio).alias("terminal_ratio_x1e4"),
+        (~has_lorem & ~has_brace & ~has_policy
+         & (n_words >= int(min_words))).alias("keep"))

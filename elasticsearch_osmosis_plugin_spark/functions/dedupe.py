@@ -517,3 +517,124 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_cut")))
+
+
+# ---------------------------------------------------------------- URL dedup
+
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)="
+
+
+def url_normalize(url) -> "F.Column":
+    """CCNet-style URL canonicalization as one Catalyst expression
+    chain: lowercase -> drop fragment -> drop scheme -> drop leading
+    "www." -> drop tracking query params (utm_*, fbclid, gclid, ...)
+    -> drop a trailing "?" / "/". Two pages that differ only in those
+    decorations normalize to the same key, which is what CCNet dedups
+    Common Crawl on before any content hashing (cheap: no tokenize,
+    no shuffle — a narrow map)."""
+    u = F.lower(url if isinstance(url, F.Column) else F.col(url))
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    base = F.regexp_replace(F.substring_index(u, "?", 1), r"/$", "")
+    qs = F.when(u.contains("?"), F.substring_index(u, "?", -1)) \
+          .otherwise(F.lit(""))
+    kept = F.filter(F.split(qs, "&"),
+                    lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE))
+    return F.when(F.size(kept) > 0,
+                  F.concat(base, F.lit("?"), F.array_join(kept, "&"))) \
+            .otherwise(base)
+
+
+def url_dup_groups(df: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized URL: (norm_url, n_docs, keep_id,
+    doc_ids) for groups with >= 2 members — the URL-level first pass of
+    a Common-Crawl-style pipeline (hash groupBy, scale-safe; content
+    dedup runs after)."""
+    norm = url_normalize(url_col).alias("norm_url")
+    return (df.select(norm, F.col(id_col).alias("doc_id"))
+            .groupBy("norm_url")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy("norm_url"))
+
+
+# ------------------------------------------------------------- bloom filter
+
+def _bloom_index_cols(col: "F.Column", n_bits: int, k: int, seed: int):
+    """k bucket indices from the engine's cross-engine md5 fold of
+    "<v>:<seed>:<i>" — pure column expressions."""
+    out = []
+    for i in range(k):
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws(":", col.cast("string"),
+                              F.lit(str(seed)), F.lit(str(i)))),
+            2, 15), 16, 10).cast("long")
+        out.append(F.pmod(h, F.lit(n_bits)))
+    return out
+
+
+def bloom_build(df: DataFrame, col: str, n_bits: int = 1 << 20,
+                k: int = 4, seed: int = 0) -> np.ndarray:
+    """Build a Bloom filter over a column, distributed: each row emits
+    its k bucket indices (map-side), `distinct()` reduces to at most
+    ``n_bits`` ints, and only THOSE reach the driver — the collect is
+    bounded by the filter size, never the corpus size. Returns a
+    packed bit array (n_bits/8 bytes) for broadcasting."""
+    idx = (df.select(F.explode(F.array(
+               *_bloom_index_cols(F.col(col), n_bits, k, seed))).alias("i"))
+           .distinct().collect())
+    bits = np.zeros(n_bits, dtype=bool)
+    if idx:
+        bits[np.fromiter((r["i"] for r in idx), dtype=np.int64)] = True
+    return np.packbits(bits)
+
+
+def bloom_might_contain(spark, packed: np.ndarray, col: str,
+                        n_bits: int = 1 << 20, k: int = 4,
+                        seed: int = 0):
+    """Membership Column: True iff ALL k bits are set (standard Bloom
+    "might contain"; False is a guarantee of absence). The packed
+    filter broadcasts once per executor (n_bits/8 bytes — 128 KiB at
+    the default size); the check is an Arrow-batched pandas UDF over
+    the md5 fold, the one per-row Python step in this module (the bit
+    probe needs random access into the broadcast array)."""
+    bc = spark.sparkContext.broadcast(packed)
+
+    @F.pandas_udf(T.BooleanType())
+    def _check(vs: pd.Series) -> pd.Series:
+        bits = np.unpackbits(bc.value).astype(bool)
+        out = np.ones(len(vs), dtype=bool)
+        for j, v in enumerate(vs):
+            s = str(v)
+            for i in range(k):
+                h = int(hashlib.md5(
+                    f"{s}:{seed}:{i}".encode()).hexdigest()[1:16], 16)
+                if not bits[h % n_bits]:
+                    out[j] = False
+                    break
+        return pd.Series(out)
+
+    return _check(F.col(col).cast("string"))
+
+
+def bloom_new_docs(spark, new_df: DataFrame, corpus_df: DataFrame,
+                   col: str = "fp", n_bits: int = 1 << 20, k: int = 4,
+                   seed: int = 0) -> DataFrame:
+    """Incremental dedup of a new batch against a corpus WITHOUT
+    joining the corpus: keep rows whose key the corpus Bloom filter
+    definitely does not contain.
+
+    Guarantees: no false negatives — every returned row is genuinely
+    new. False positives (rate ~ (1 - e^{-kn/m})^k) drop some new rows
+    as "seen"; size n_bits for the corpus cardinality accordingly.
+    This is the streaming-friendly complement of the exact anti-join:
+    the corpus is scanned ONCE at build time (micro-batches then
+    filter map-side against the broadcast bits), where an anti-join
+    would re-shuffle corpus-sized state every batch."""
+    packed = bloom_build(corpus_df, col, n_bits, k, seed)
+    return new_df.filter(
+        ~bloom_might_contain(spark, packed, col, n_bits, k, seed))

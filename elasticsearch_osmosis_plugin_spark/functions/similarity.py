@@ -432,3 +432,66 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                      F.col("b.vid").alias("doc_b")))
     return duplicate_clusters(df.select(F.col(id_col).alias("doc_id")),
                               pairs)
+
+
+# -------------------------------------------------------- int8 quantization
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization (the FAISS SQ8 shape): per-vector
+    scale = max|v| / 127, q_i = round(v_i / scale) in [-127, 127] ->
+    (id, qvec array<int>, scale). 4x memory cut for the ANN corpus;
+    cosine over the int vectors needs NO dequantize (the per-vector
+    scales cancel), so the scale column only serves reconstruction.
+
+    round() is HALF_UP/away-from-zero in both Spark and DuckDB, which
+    keeps the quantized grid (and thus every downstream ranking)
+    bit-identical across engines. Pure column expressions — narrow
+    map, no UDF, no shuffle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+         .alias("qvec"),
+        scale.alias("scale"))
+
+
+def quantize_vec_py(vec) -> tuple[list[int], float]:
+    """Driver-side twin of :func:`quantize_embeddings` for query
+    vectors — floor(x+0.5)/ceil(x-0.5) to match SQL HALF_UP (numpy's
+    round is half-to-even and would disagree on the grid)."""
+    import math as _math
+
+    x = [float(t) for t in vec]
+    amax = max((abs(t) for t in x), default=0.0)
+    scale = amax / 127.0 if amax > 0 else 1.0
+    q = [int(_math.floor(t / scale + 0.5)) if t >= 0
+         else int(_math.ceil(t / scale - 0.5)) for t in x]
+    return q, scale
+
+
+def cosine_topk_quantized(dfq: DataFrame, query_vec: Sequence[float],
+                          k: int = 10, id_col: str = "vec_id",
+                          qvec_col: str = "qvec") -> DataFrame:
+    """Exact cosine over the int8-quantized corpus: integer dot and
+    norms (exact in int64), one double division at the end ->
+    (vec_id, cos). Approximation error comes ONLY from the grid, not
+    the arithmetic; agreement with float cosine is the recall test.
+    Same narrow TakeOrderedAndProject plan as :func:`cosine_topk`."""
+    q, _ = quantize_vec_py(query_vec)
+    qc = F.array(*[F.lit(int(t)) for t in q])
+    a = F.transform(F.col(qvec_col), lambda x: x.cast("long"))
+    b = F.transform(qc, lambda x: x.cast("long"))
+    dot = F.zip_with(a, b, lambda x, y: x * y)
+    sdot = F.aggregate(dot, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(a, lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb = sum(t * t for t in q)
+    cos = F.when((na > 0) & (F.lit(nb) > 0),
+                 sdot.cast("double")
+                 / (F.sqrt(na.cast("double")) * F.lit(float(nb) ** 0.5))) \
+           .otherwise(F.lit(0.0))
+    scores = dfq.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+    return deterministic_topk(scores, k, score_col="cos", id_col="vec_id")
