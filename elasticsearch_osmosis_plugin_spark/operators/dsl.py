@@ -19,7 +19,10 @@ form is tested equal to its direct operator call):
   bool (must/should/must_not/filter + minimum_should_match;
   ranked must-of-match uses ES clause semantics via
   ``query.topk_clauses``), boosting, function_score, dis_max,
-  span_near, more_like_this
+  span_near (+ span_or clauses), span_first, span_not, intervals
+  (match / any_of / all_of proximity rules), more_like_this
+- APIs: msearch (N bodies), field_caps, search_template /
+  render_template (mustache subset), validate_query
 - top-level: size, from, sort, search_after, post_filter, collapse,
   rescore, _source (fetch-phase hydration), aggs
 - aggs: terms (+ top_hits sub-agg), stats, histogram, date_histogram,
@@ -61,6 +64,80 @@ def _match_args(spec) -> tuple[str, dict]:
         spec = dict(spec)
         return spec.pop("query"), spec
     return spec, {}
+
+
+def _span_clause_terms(c: dict) -> list[str]:
+    """A span clause -> its alternative terms: ``span_term`` yields one,
+    ``span_or`` of span_terms yields the union (one slot, many
+    alternatives — Lucene's SpanOrQuery under a SpanNearQuery)."""
+    kind, spec = _one_entry(c, "span clause")
+    if kind == "span_term":
+        return [str(_one_entry(spec, "span_term")[1])]
+    if kind == "span_or":
+        out: list[str] = []
+        for sub in spec["clauses"]:
+            out.extend(_span_clause_terms(sub))
+        return out
+    raise ValueError(f"unsupported span clause: {kind}")
+
+
+# slop stand-in for ES intervals' max_gaps=-1 (unbounded width)
+_UNBOUNDED_SLOP = 1 << 30
+
+
+def _intervals_ids(spark: SparkSession, index_path: str,
+                   ispec: dict) -> DataFrame:
+    """ES intervals query rules -> matching doc ids.
+
+    Supported rules (the proximity subset the engine's span operators
+    express): ``match`` (ordered / max_gaps -> span_near; max_gaps=-1
+    unordered degenerates to the conjunction), ``any_of`` (union of its
+    sub-rules), ``all_of`` whose sources are single-term matches or
+    any_of of single-term matches (-> per-slot alternatives via
+    span_or_near). Scripted filters / prefix rules are not supported."""
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+
+    kind, spec = _one_entry(ispec, "intervals rule")
+    if kind == "match":
+        q = str(spec["query"])
+        gaps = int(spec.get("max_gaps", -1))
+        ordered = bool(spec.get("ordered", False))
+        if len(q.split()) == 1 or (gaps < 0 and not ordered):
+            return intersect.match_all_terms(spark, index_path, q)
+        return intersect.span_near(
+            spark, index_path, q,
+            slop=_UNBOUNDED_SLOP if gaps < 0 else gaps, in_order=ordered)
+    if kind == "any_of":
+        subs = [_intervals_ids(spark, index_path, s)
+                for s in spec["intervals"]]
+        out = subs[0]
+        for s in subs[1:]:
+            out = out.unionByName(s)
+        return out.distinct().orderBy("doc_id")
+    if kind == "all_of":
+        slots: list[list[str]] = []
+        for s in spec["intervals"]:
+            k2, sp2 = _one_entry(s, "intervals rule")
+            if k2 == "match" and len(str(sp2["query"]).split()) == 1:
+                slots.append([str(sp2["query"])])
+            elif k2 == "any_of":
+                alts: list[str] = []
+                for sub in sp2["intervals"]:
+                    k3, sp3 = _one_entry(sub, "intervals rule")
+                    if k3 != "match" or len(str(sp3["query"]).split()) != 1:
+                        raise ValueError("all_of sources must be single-"
+                                         "term matches (or any_of of them)")
+                    alts.append(str(sp3["query"]))
+                slots.append(alts)
+            else:
+                raise ValueError("all_of sources must be single-term "
+                                 "matches (or any_of of them)")
+        gaps = int(spec.get("max_gaps", -1))
+        return intersect.span_or_near(
+            spark, index_path, slots,
+            slop=_UNBOUNDED_SLOP if gaps < 0 else gaps,
+            in_order=bool(spec.get("ordered", False)))
+    raise ValueError(f"unsupported intervals rule: {kind}")
 
 
 def filter_column(dsl: dict) -> Column:
@@ -581,12 +658,45 @@ def _search_query(spark: SparkSession, index_path: str,
             tie_breaker=float(spec.get("tie_breaker", 0.0)))
 
     if kind == "span_near":
-        terms = [_one_entry(c["span_term"], "span_term")[1]
-                 for c in spec["clauses"]]
-        return _finish_ids(spark, index_path, intersect.span_near(
-            spark, index_path, " ".join(str(t) for t in terms),
-            slop=int(spec.get("slop", 0)),
-            in_order=bool(spec.get("in_order", True))), post_col, k)
+        slots = [_span_clause_terms(c) for c in spec["clauses"]]
+        slop = int(spec.get("slop", 0))
+        in_order = bool(spec.get("in_order", True))
+        if all(len(s) == 1 for s in slots):
+            ids = intersect.span_near(
+                spark, index_path, " ".join(s[0] for s in slots),
+                slop=slop, in_order=in_order)
+        else:  # >=1 span_or clause -> the union-of-spans slot decode
+            ids = intersect.span_or_near(spark, index_path, slots,
+                                         slop=slop, in_order=in_order)
+        return _finish_ids(spark, index_path, ids, post_col, k)
+
+    if kind == "span_first":
+        terms = _span_clause_terms(spec["match"])
+        if len(terms) != 1:
+            raise ValueError("span_first.match must be one span_term")
+        return _finish_ids(spark, index_path, intersect.span_first(
+            spark, index_path, terms[0], end=int(spec["end"])),
+            post_col, k)
+
+    if kind == "span_not":
+        inc = _span_clause_terms(spec["include"])
+        exc = _span_clause_terms(spec["exclude"])
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError("span_not include/exclude must be span_term")
+        dist = int(spec.get("dist", 0))
+        return _finish_ids(spark, index_path, intersect.span_not(
+            spark, index_path, inc[0], exc[0],
+            pre=int(spec.get("pre", dist)),
+            post=int(spec.get("post", dist))), post_col, k)
+
+    if kind == "intervals":
+        # ES intervals query, the modern span surface. Supported rules:
+        # match (ordered/max_gaps -> span_near semantics) and any_of of
+        # matches (-> per-slot alternatives). all_of nests one level as
+        # its sources' slots.
+        _, ispec = _one_entry(spec, "intervals")
+        ids = _intervals_ids(spark, index_path, ispec)
+        return _finish_ids(spark, index_path, ids, post_col, k)
 
     if kind == "more_like_this":
         if post_col is not None:
@@ -765,3 +875,112 @@ def validate_query(spark: SparkSession, index_path: str,
         return True, None
     except Exception as e:  # noqa: BLE001 — the API reports, never raises
         return False, f"{type(e).__name__}: {e}"
+
+
+def msearch(spark: SparkSession, index_path: str, bodies: list[dict],
+            knn_source: DataFrame | None = None) -> list[DataFrame]:
+    """ES _msearch analog: N independent search bodies against one
+    index -> one hits DataFrame per body, in request order (the ES
+    response's ``responses`` array).
+
+    Each body compiles to its own lazy plan; nothing executes here, so
+    a caller can union/collect them however it likes. Spark-first
+    note: the per-body plans share the Searcher-style cached relations
+    underneath (dictionary/postings file index), so N bodies cost N
+    prunings of the same relations — not N session setups. For N
+    queries that are plain BM25 ``match`` forms, prefer
+    ``query.topk_many`` (ONE postings decode for all queries); msearch
+    is the general router for heterogeneous bodies."""
+    return [search(spark, index_path, dict(b), knn_source=knn_source)
+            for b in bodies]
+
+
+def field_caps(spark: SparkSession, index_path: str) -> DataFrame:
+    """ES _field_caps analog: per-field capabilities of the index ->
+    (field, type, searchable, aggregatable).
+
+    The indexed text column is searchable (fulltext via the inverted
+    index) but not aggregatable (like ES ``text``); doc-store carry
+    columns are aggregatable keyword/numeric-ish fields (like ES
+    ``keyword``/numerics: exact filters, aggs, sorts); ``doc_id`` is
+    both (it IS the index key). Metadata-only: one docstats schema
+    read, no data scan."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+    meta = load_meta(index_path)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    text_col = meta.get("text_col", "content")
+    internal = {"tokens", "dl", "content_sha", "grp"}
+    rows = []
+    for f_ in ds.schema.fields:
+        if f_.name in internal:
+            continue
+        is_text = f_.name == text_col
+        rows.append((f_.name, f_.dataType.simpleString(),
+                     is_text or f_.name == "doc_id", not is_text))
+    # the text column is searchable even when the doc-store dropped it
+    # (build only stages what it needs; the index still answers queries)
+    if all(r[0] != text_col for r in rows):
+        rows.append((text_col, "string", True, False))
+    return spark.createDataFrame(
+        sorted(rows), "field string, type string, searchable boolean, "
+                      "aggregatable boolean")
+
+
+def render_template(template: str | dict, params: dict) -> dict:
+    """ES search-template rendering (the mustache subset templates
+    actually use): ``{{var}}`` substitutes the parameter's JSON value;
+    ``{{#toJson}}var{{/toJson}}`` embeds a structured parameter;
+    ``{{var}}{{^var}}default{{/var}}`` is NOT supported (documented
+    deviation — use python defaults at the call site).
+
+    A string template is rendered textually then JSON-parsed (exactly
+    ES's model: templates are stored as source strings, parameters are
+    spliced in, the result must parse). A dict template renders every
+    string leaf."""
+    import json as _json
+    import re as _re
+
+    def _subst(s: str) -> str:
+        def one(m):
+            key = m.group(1).strip()
+            if key not in params:
+                raise KeyError(f"missing template parameter: {key}")
+            v = params[key]
+            return v if isinstance(v, str) else _json.dumps(v)
+
+        s = _re.sub(r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}",
+                    lambda m: _json.dumps(params[m.group(1)]), s)
+        return _re.sub(r"\{\{(\w+)\}\}", one, s)
+
+    if isinstance(template, str):
+        return _json.loads(_subst(template))
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, str) and "{{" in node:
+            out = _subst(node)
+            # a pure "{{var}}" leaf keeps the parameter's native type
+            stripped = node.strip()
+            if (stripped.startswith("{{") and stripped.endswith("}}")
+                    and stripped.count("{{") == 1):
+                key = stripped[2:-2].strip()
+                return params[key] if key in params else out
+            return out
+        return node
+
+    return walk(template)
+
+
+def search_template(spark: SparkSession, index_path: str,
+                    template: str | dict, params: dict,
+                    knn_source: DataFrame | None = None) -> DataFrame:
+    """ES _search/template analog: render the stored template with
+    ``params`` (see :func:`render_template`) and run the resulting
+    body through :func:`search`."""
+    return search(spark, index_path, render_template(template, params),
+                  knn_source=knn_source)

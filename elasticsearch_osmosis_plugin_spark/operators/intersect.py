@@ -27,6 +27,20 @@ from elasticsearch_osmosis_plugin_spark.plans.build import load_meta, tombstones
 _SCORE_COLS = ["term", "doc_ids_vb", "tfs_vb", "dls_vb"]
 
 
+def _one_term(text: str, meta: dict) -> str:
+    """Analyze ``text`` and require exactly one token (span clauses
+    take single-term operands)."""
+    ts = query_terms(text, meta)
+    if len(ts) != 1:
+        raise ValueError(f"expected exactly one term, got {ts!r} "
+                         f"from {text!r}")
+    return ts[0]
+
+
+def _drop_tombstones(spark, index_path, occ, meta) -> DataFrame:
+    return _live(occ, tombstones_df(spark, index_path, meta))
+
+
 def _term_docs(spark, index_path, term, meta) -> DataFrame:
     posts = _pruned_postings(spark, index_path, [term], meta)
     decoded = posts.select(*_SCORE_COLS).mapInPandas(
@@ -213,6 +227,136 @@ def span_near(spark: SparkSession, index_path: str, phrase: str,
             # slot has none — the tightest window anchored at s.
             # greatest() SKIPS nulls, so an empty filter must null the
             # accumulator explicitly or a missing slot looks satisfied.
+            def merge(acc, arr):
+                nxt = F.array_min(F.filter(arr, lambda x: x >= s))
+                return F.when(acc.isNull() | nxt.isNull(),
+                              F.lit(None).cast("long")) \
+                    .otherwise(F.greatest(acc, nxt))
+
+            far = F.aggregate(allv, s, merge)
+            return F.coalesce(far - s - F.lit(k - 1) <= F.lit(slop),
+                              F.lit(False))
+
+        pred = F.exists(F.array_sort(F.array_distinct(F.flatten(allv))), ok)
+    return doc.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+def span_first(spark: SparkSession, index_path: str, term: str,
+               end: int) -> DataFrame:
+    """ES/Lucene span_first: docs where the term span ends at or before
+    position ``end`` — for a single-term span at 0-based position p the
+    span end is p+1, so the rule is p < end (Lucene
+    ``SpanFirstQuery``). One pruned positions decode for the term, a
+    min-position aggregate, no doc-store touch."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+
+    meta = load_meta(index_path)
+    if not meta.get("positions", False):
+        raise ValueError("span_first needs positional postings")
+    t = _one_term(term, meta)
+    posts = _pruned_postings(spark, index_path, [t], meta)
+    occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+           .mapInPandas(_decode_positions([t]), POSITIONS_SCHEMA))
+    occ = _drop_tombstones(spark, index_path, occ, meta)
+    return (occ.groupBy("doc_id").agg(F.min("pos").alias("_p"))
+            .filter(F.col("_p") < int(end))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def span_not(spark: SparkSession, index_path: str, include: str,
+             exclude: str, pre: int = 0, post: int = 0) -> DataFrame:
+    """ES/Lucene span_not: docs with an occurrence of ``include`` that
+    does NOT overlap an occurrence of ``exclude`` widened by ``pre``
+    positions before and ``post`` after (Lucene ``SpanNotQuery``
+    semantics on single-term spans: keep p iff no exclude occurrence q
+    with p - pre <= q <= p + post).
+
+    ONE positions decode for both terms; the per-doc existence check is
+    a pure Catalyst exists/filter over the two position arrays — docs
+    without any exclude occurrence pass trivially (left join)."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+
+    meta = load_meta(index_path)
+    if not meta.get("positions", False):
+        raise ValueError("span_not needs positional postings")
+    ti = _one_term(include, meta)
+    te = _one_term(exclude, meta)
+    if ti == te:
+        raise ValueError("span_not include and exclude must differ")
+    uniq = sorted({ti, te})
+    posts = _pruned_postings(spark, index_path, uniq, meta)
+    occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+           .mapInPandas(_decode_positions(uniq), POSITIONS_SCHEMA))
+    occ = _drop_tombstones(spark, index_path, occ, meta)
+    per = (occ.groupBy("doc_id")
+           .agg(F.sort_array(F.collect_list(
+                    F.when(F.col("term") == ti, F.col("pos")))).alias("inc"),
+                F.sort_array(F.collect_list(
+                    F.when(F.col("term") == te, F.col("pos")))).alias("exc")))
+    keep = F.exists(
+        F.col("inc"),
+        lambda p: ~F.exists(F.col("exc"),
+                            lambda q: (q >= p - F.lit(int(pre)))
+                            & (q <= p + F.lit(int(post)))))
+    return (per.filter(F.size("inc") > 0).filter(keep)
+            .select("doc_id").orderBy("doc_id"))
+
+
+def span_or_near(spark: SparkSession, index_path: str,
+                 slots: list[list[str]], slop: int = 0,
+                 in_order: bool = True) -> DataFrame:
+    """Lucene span_or composed under span_near: each slot is a LIST of
+    alternative terms (a ``span_or`` clause); the document matches when
+    some choice of one alternative per slot satisfies the span_near
+    window rule. ``_slot_position_lists`` already merges several terms
+    into one slot's position list, which is exactly span_or's union-of-
+    spans semantics for single-term alternatives.
+
+    Same plan as span_near: one positions decode for the term union,
+    candidates = docs with >=1 alternative in EVERY slot."""
+    meta = load_meta(index_path)
+    if not meta.get("positions", False):
+        raise ValueError("span_or_near needs positional postings")
+    norm = [[_one_term(t, meta) for t in alts] for alts in slots]
+    if not norm or any(not alts for alts in norm):
+        raise ValueError("every slot needs >=1 alternative term")
+    if not in_order:
+        flat = [t for alts in norm for t in alts]
+        if len(set(flat)) < len(flat):
+            raise ValueError("unordered span_or_near requires distinct terms")
+    # candidates: per-slot OR, all slots ANDed — via the grouped decode
+    slot_terms = [(i, t) for i, alts in enumerate(norm) for t in alts]
+    k = len(norm)
+    all_docs = match_any_terms(
+        spark, index_path, " ".join(sorted({t for _, t in slot_terms})))
+    doc = _slot_position_lists(spark, index_path, slot_terms, all_docs, meta)
+    lists = [F.col("m")[i] for i in range(k)]
+    if k == 1:
+        return doc.select("doc_id").orderBy("doc_id")
+
+    if in_order:
+        rest = F.array(*lists[1:])
+
+        def ok(s):
+            chain = F.aggregate(
+                rest, s,
+                lambda acc, arr: F.when(
+                    acc.isNull(), F.lit(None).cast("long")
+                ).otherwise(F.array_min(F.filter(arr, lambda x: x > acc))))
+            return F.coalesce(chain - s - F.lit(k - 1) <= F.lit(slop),
+                              F.lit(False))
+
+        pred = F.exists(lists[0], ok)
+    else:
+        allv = F.array(*lists)
+
+        def ok(s):
             def merge(acc, arr):
                 nxt = F.array_min(F.filter(arr, lambda x: x >= s))
                 return F.when(acc.isNull() | nxt.isNull(),
@@ -1051,7 +1195,8 @@ def cardinality_agg(spark: SparkSession, index_path: str, query: str,
 def bucket_pipeline(buckets: DataFrame, value_col: str = "n_docs",
                     key_col: str = "bucket", *, derivative: bool = False,
                     cumulative_sum: bool = False,
-                    moving_avg: int | None = None) -> DataFrame:
+                    moving_avg: int | None = None,
+                    serial_diff: int | None = None) -> DataFrame:
     """ES pipeline aggregations over a bucketed series (the
     derivative / cumulative_sum / moving_fn family): add the requested
     columns to a (key, value) bucket frame, ordered by key.
@@ -1061,7 +1206,9 @@ def bucket_pipeline(buckets: DataFrame, value_col: str = "n_docs",
     - ``cumulative_sum``: running sum including the current bucket;
     - ``moving_avg``: unweighted mean of the trailing N-bucket window
       INCLUDING the current bucket (ES moving_fn unweightedAvg with
-      shift=1 alignment).
+      shift=1 alignment);
+    - ``serial_diff``: value - lag(value, N) (ES serial_diff with
+      lag=N; null for the first N buckets).
 
     Scale note: pipeline aggs run on the BUCKET frame, which is
     date-histogram-sized (thousands of rows), not corpus-sized — a
@@ -1083,7 +1230,82 @@ def bucket_pipeline(buckets: DataFrame, value_col: str = "n_docs",
             "moving_avg",
             F.avg(v).over(w.rowsBetween(-(int(moving_avg) - 1),
                                         W.currentRow)))
+    if serial_diff is not None:
+        out = out.withColumn("serial_diff",
+                             v - F.lag(v, int(serial_diff)).over(w))
     return out.orderBy(key_col)
+
+
+def bucket_script(buckets: DataFrame, script_sql: str,
+                  out_col: str = "bucket_script") -> DataFrame:
+    """ES bucket_script pipeline agg: a per-bucket computed metric from
+    the bucket's other metrics (``params.a / params.b`` in ES becomes a
+    plain SQL expression over the bucket frame's columns — the
+    painless-to-Catalyst translation, whole-stage codegen, no UDF).
+    Division by zero yields null (ANSI off), matching ES's skipped
+    bucket behaviour under gap_policy=skip."""
+    return buckets.withColumn(out_col, F.expr(script_sql).cast("double"))
+
+
+def bucket_selector(buckets: DataFrame, predicate_sql: str) -> DataFrame:
+    """ES bucket_selector pipeline agg: drop buckets where the
+    predicate over the bucket's metrics is false/null (ES removes the
+    bucket from the response)."""
+    return buckets.where(F.expr(predicate_sql))
+
+
+def bucket_sort(buckets: DataFrame, sort_cols, *, from_: int = 0,
+                size: int | None = None) -> DataFrame:
+    """ES bucket_sort pipeline agg: re-order the parent's buckets by
+    metric columns and truncate with from/size paging. ``sort_cols``
+    is a list of (col, "asc"|"desc") pairs; runs on the bucket frame
+    (thousands of rows), so the global sort is deliberate and cheap."""
+    order = [F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc()
+             for c, d in sort_cols]
+    out = buckets.orderBy(*order)
+    if from_:
+        out = out.offset(int(from_))
+    if size is not None:
+        out = out.limit(int(size))
+    return out
+
+
+# Calendar ladder for auto_date_histogram: (interval, nominal seconds).
+# ES picks from a similar rounding ladder; here one entry per
+# date_trunc grain (documented simplification: no 5m/30m sub-multiples).
+AUTO_DH_LADDER = (("hour", 3600), ("day", 86400), ("week", 604800),
+                  ("month", 2629800), ("quarter", 7889400),
+                  ("year", 31557600))
+
+
+def auto_date_histogram(df: DataFrame, ts_col: str,
+                        target_buckets: int = 10) -> DataFrame:
+    """ES auto_date_histogram: pick the smallest calendar interval
+    whose ESTIMATED bucket count (span / nominal-interval-seconds,
+    floor + 1, computed on exact microsecond arithmetic) fits
+    ``target_buckets``, then bucket with one date_trunc groupBy ->
+    (bucket, n_docs, interval).
+
+    Two actions by design: a scalar min/max agg (map-side combined,
+    one row to the driver) to choose the interval, then the normal
+    histogram pass — the same shape ES uses (it reduces after
+    collecting, we choose before). Deterministic given the data, so a
+    SQL twin can reproduce the choice with the same ladder."""
+    row = df.agg(F.min(F.col(ts_col)).alias("lo"),
+                 F.max(F.col(ts_col)).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return (df.sparkSession
+                .createDataFrame([], "bucket timestamp, n_docs long")
+                .withColumn("interval", F.lit("hour")))
+    d = row["hi"] - row["lo"]
+    span_us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    interval = AUTO_DH_LADDER[-1][0]
+    for name, sec in AUTO_DH_LADDER:
+        if span_us // (sec * 1_000_000) + 1 <= int(target_buckets):
+            interval = name
+            break
+    return date_histogram(df, ts_col, interval) \
+        .withColumn("interval", F.lit(interval))
 
 
 def sibling_bucket_stats(buckets: DataFrame,

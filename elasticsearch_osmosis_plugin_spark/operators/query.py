@@ -299,6 +299,113 @@ def topk_after(spark: SparkSession, index_path: str, query: str,
     return deterministic_topk(scores, k)
 
 
+RAW_TF_SCHEMA = "term string, doc_id long, tf double, dl double"
+
+
+def _decode_raw_tf(_terms):
+    """mapInPandas kernel: posting blocks -> raw (term, doc_id, tf, dl)
+    rows (no scoring — callers that blend tfs across terms, e.g. the
+    synonym query, aggregate first and score after)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, ids_vb, tfs_vb, dls_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"],
+                    pdf["dls_vb"]):
+                d = np.cumsum(vb_decode(ids_vb),
+                              dtype=np.uint64).astype(np.int64)
+                tf = vb_decode(tfs_vb).astype(np.float64)
+                dl = vb_decode(dls_vb).astype(np.float64)
+                outs.append(pd.DataFrame(
+                    {"term": term, "doc_id": d, "tf": tf, "dl": dl}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def topk_synonyms(spark: SparkSession, index_path: str,
+                  groups: list[list[str]], k: int = 10, *,
+                  post_filter=None,
+                  _meta=None, _posts=None, _dic=None) -> DataFrame:
+    """Top-k BM25 with query-time synonym expansion — Lucene
+    ``SynonymQuery`` semantics (what ES's query-time ``synonym`` /
+    ``synonym_graph`` token filter compiles match clauses into): each
+    ``groups`` entry is ONE scoring clause whose members are treated as
+    the same pseudo-term — tf = SUM of member tfs in the doc, df (for
+    idf) = MAX member df. A group with no indexed member contributes
+    nothing; a doc scores on a group iff it contains >=1 member.
+
+    Plan: one pruned postings decode for the member union (raw tf/dl,
+    no per-term scoring), a (doc, group) aggregation blending tfs, the
+    BM25 partial computed ON the blended tf as a Catalyst expression,
+    then the usual deterministic top-k cut. Group mapping is a literal
+    broadcast map — nothing corpus-sized shuffles except the decoded
+    postings of the requested terms."""
+    meta = _meta if _meta is not None else load_meta(index_path)
+    norm: list[list[str]] = []
+    for alts in groups:
+        members = []
+        for a in alts:
+            ts = query_terms(a, meta)
+            if len(ts) != 1:
+                raise ValueError(f"synonym member must analyze to one "
+                                 f"token, got {ts!r} from {a!r}")
+            members.append(ts[0])
+        if not members:
+            raise ValueError("empty synonym group")
+        norm.append(sorted(set(members)))
+    flat = sorted({t for alts in norm for t in alts})
+    if len(flat) != sum(len(a) for a in norm):
+        raise ValueError("a term may appear in only one synonym group")
+    dic = dictionary_rows(spark, index_path, flat, meta, dic=_dic)
+    if dic.empty:
+        return spark.createDataFrame([], "doc_id long, score double")
+    df_by_term = {r.term: int(r.df) for r in dic.itertuples()}
+    # group idf from the MAX member df (Lucene SynonymQuery.docFreq)
+    gid_of: dict[str, int] = {}
+    idf_of_gid: dict[int, float] = {}
+    live_terms: list[str] = []
+    for gi, alts in enumerate(norm):
+        present = [t for t in alts if t in df_by_term]
+        if not present:
+            continue
+        idf_of_gid[gi] = idf(meta["n_docs"],
+                             max(df_by_term[t] for t in present))
+        for t in present:
+            gid_of[t] = gi
+        live_terms.extend(present)
+    if not live_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(post_filter).select("doc_id"))
+    denied = tombstones_df(spark, index_path, meta)
+    pruned = _pruned_postings(spark, index_path, sorted(live_terms), meta,
+                              _posts)
+    raw = pruned.select("term", "doc_ids_vb", "tfs_vb", "dls_vb") \
+        .mapInPandas(_decode_raw_tf(live_terms), RAW_TF_SCHEMA)
+    raw = _live(raw, denied)
+    if allowed is not None:
+        raw = raw.join(allowed, "doc_id", "left_semi")
+    gmap = F.create_map(*[x for t, g in gid_of.items()
+                          for x in (F.lit(t), F.lit(g))])
+    imap = F.create_map(*[x for g, v in idf_of_gid.items()
+                          for x in (F.lit(g), F.lit(v))])
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    blended = (raw.withColumn("_g", gmap[F.col("term")])
+               .groupBy("doc_id", "_g")
+               .agg(F.sum("tf").alias("_tf"), F.first("dl").alias("_dl")))
+    partial = (imap[F.col("_g")] * F.col("_tf") * F.lit(k1 + 1.0)
+               / (F.col("_tf") + F.lit(k1) * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("_dl") / F.lit(avgdl))))
+    scores = (blended.withColumn("_p", partial)
+              .groupBy("doc_id").agg(F.sum("_p").alias("score")))
+    return deterministic_topk(scores, k)
+
+
 def _decode_score_lm(p_by_term: dict[str, float], kind: str,
                      mu: float, lam: float):
     """mapInPandas kernel for the Lucene language-model similarities.
@@ -641,6 +748,26 @@ def scan_after(spark: SparkSession, index_path: str, query: str | None = None,
     if fetch:
         return fetch_hits(spark, index_path, page, list(fetch))
     return page
+
+
+def scan_sliced(spark: SparkSession, index_path: str,
+                slice_id: int, max_slices: int,
+                query: str | None = None, mode: str = "any",
+                post_filter=None) -> DataFrame:
+    """ES sliced scroll (``"slice": {"id": i, "max": m}``): partition a
+    scan into ``max_slices`` disjoint, collectively-exhaustive slices
+    so independent consumers export in parallel. ES slices on a hash
+    of _id; here slice membership is ``pmod(md5_fold(doc_id), m) == i``
+    (the engine's standard cross-engine hash) — a codegen predicate on
+    the already-pruned scan, no shuffle, and the union over i of the
+    slices is exactly :func:`scan_df`."""
+    m, i = int(max_slices), int(slice_id)
+    if not 0 <= i < m:
+        raise ValueError(f"slice id {i} outside [0, {m})")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 15),
+               16, 10).cast("long")
+    ids = scan_df(spark, index_path, query, mode, post_filter)
+    return ids.filter(F.pmod(h, F.lit(m)) == F.lit(i))
 
 
 def scan_iter(spark: SparkSession, index_path: str, query: str | None = None,

@@ -194,3 +194,66 @@ def test_script_score_clamps_negative(spark, agg_index):
     got = script_score_topk(spark, agg_index, Q,
                             F.col("_score") - F.lit(1e9), k=5).collect()
     assert got and all(r["score"] == 0.0 for r in got)
+
+
+def test_bucket_script_selector_sort_serial_diff(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        bucket_pipeline,
+        bucket_script,
+        bucket_selector,
+        bucket_sort,
+    )
+
+    rows = [(i, float(10 + (i * 7) % 13), 2 + i % 4) for i in range(12)]
+    b = spark.createDataFrame(rows, "bucket long, sum_v double, n_docs long")
+
+    # serial_diff lag=3: v[i] - v[i-3] on n_docs, null for first 3
+    sd = {r["bucket"]: r["serial_diff"]
+          for r in bucket_pipeline(b, serial_diff=3).collect()}
+    for i in range(12):
+        exp = None if i < 3 else float((2 + i % 4) - (2 + (i - 3) % 4))
+        assert sd[i] == exp
+
+    # bucket_script computes the ratio per bucket
+    bs = bucket_script(b, "sum_v / n_docs", "ratio").collect()
+    for r in bs:
+        assert r["ratio"] == pytest.approx(r["sum_v"] / r["n_docs"])
+
+    # bucket_selector drops non-matching buckets
+    kept = bucket_selector(b, "n_docs >= 4").collect()
+    assert {r["bucket"] for r in kept} == {i for i in range(12) if 2 + i % 4 >= 4}
+
+    # bucket_sort orders + pages like ES from/size
+    srt = bucket_sort(b, [("sum_v", "desc"), ("bucket", "asc")],
+                      from_=2, size=3).collect()
+    expect = sorted(rows, key=lambda r: (-r[1], r[0]))[2:5]
+    assert [(r["bucket"], r["sum_v"]) for r in srt] \
+        == [(e[0], e[1]) for e in expect]
+
+
+def test_auto_date_histogram_interval_choice(spark):
+    import datetime as dt
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        auto_date_histogram,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # 40 days of hourly-ish events: day gives 41 > 12 buckets, week gives
+    # floor(40d span / 7d) + 1 = 6 <= 12 -> week chosen
+    rows = [(i, base + dt.timedelta(days=(i * 40) / 99)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = auto_date_histogram(df, "ts", target_buckets=12)
+    got = out.collect()
+    assert {r["interval"] for r in got} == {"week"}
+    assert sum(r["n_docs"] for r in got) == 100
+    # a 6-hour span fits in <= 12 hour-buckets -> hour chosen
+    rows2 = [(i, base + dt.timedelta(hours=(i * 6) / 19)) for i in range(20)]
+    out2 = auto_date_histogram(
+        spark.createDataFrame(rows2, "id long, ts timestamp"), "ts", 12)
+    assert {r["interval"] for r in out2.collect()} == {"hour"}
+    # empty input -> empty frame, stable schema
+    empty = auto_date_histogram(
+        spark.createDataFrame([], "id long, ts timestamp"), "ts", 12)
+    assert empty.columns == ["bucket", "n_docs", "interval"]
+    assert empty.count() == 0

@@ -682,3 +682,194 @@ def test_validate_query(spark, idx):
         "query": {"match": {"content": "x"}}, "from": 3,
         "search_after": [1.0, 2]})
     assert not ok and "mutually exclusive" in err
+
+
+def test_msearch_matches_individual_searches(spark, idx):
+    """_msearch: one response per body, request order, each equal to
+    its solo search."""
+    bodies = [
+        {"query": {"match": {"content": "public static"}}, "size": 5},
+        {"query": {"term": {"lang": "java"}}, "size": 3},
+    ]
+    outs = dsl.msearch(spark, idx, bodies)
+    assert len(outs) == 2
+    for body, got in zip(bodies, outs):
+        assert _rows(got) == _rows(dsl.search(spark, idx, dict(body)))
+
+
+def test_field_caps(spark, idx):
+    caps = {r["field"]: r for r in dsl.field_caps(spark, idx).collect()}
+    assert caps["content"]["searchable"] and not caps["content"]["aggregatable"]
+    assert caps["doc_id"]["searchable"] and caps["doc_id"]["aggregatable"]
+    assert caps["lang"]["aggregatable"] and not caps["lang"]["searchable"]
+    assert "tokens" not in caps and "dl" not in caps  # internal cols hidden
+
+
+def test_search_template(spark, idx):
+    """_search/template: string template renders + parses + runs equal
+    to the inline body; dict template keeps native param types."""
+    tpl = ('{"query": {"match": {"content": "{{q}}"}}, '
+           '"size": {{size}}}')
+    got = dsl.search_template(spark, idx, tpl,
+                              {"q": "public static", "size": 5})
+    want = dsl.search(spark, idx,
+                      {"query": {"match": {"content": "public static"}},
+                       "size": 5})
+    assert _rows(got) == _rows(want)
+
+    # dict template: pure "{{var}}" leaves keep native types
+    dtpl = {"query": {"terms": {"lang": "{{langs}}"}}, "size": "{{n}}"}
+    got2 = dsl.search_template(spark, idx, dtpl,
+                               {"langs": ["java", "go"], "n": 4})
+    want2 = dsl.search(spark, idx,
+                       {"query": {"terms": {"lang": ["java", "go"]}},
+                        "size": 4})
+    assert _rows(got2) == _rows(want2)
+
+    # toJson embeds structured params into string templates
+    tpl3 = ('{"query": {"terms": {"lang": '
+            '{{#toJson}}langs{{/toJson}}}}, "size": 4}')
+    got3 = dsl.search_template(spark, idx, tpl3, {"langs": ["java", "go"]})
+    assert _rows(got3) == _rows(want2)
+
+    with pytest.raises(KeyError):
+        dsl.render_template('{"size": {{missing}}}', {})
+
+
+def test_topk_synonyms_blended(spark, idx, corpus_rows):
+    """SynonymQuery semantics: tf summed over members, df = max member
+    df — recompute the golden score from the raw corpus."""
+    import math
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_synonyms
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    groups = [["public", "private"], ["return"]]
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    dfs = {}
+    for alts in groups:
+        for t in alts:
+            dfs[t] = sum(1 for ts in toks.values() if t in ts)
+    want = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for alts in groups:
+            present = [t for t in alts if dfs.get(t, 0) > 0]
+            if not present:
+                continue
+            tf = sum(ts.count(t) for t in present)
+            if tf == 0:
+                continue
+            dfg = max(dfs[t] for t in present)
+            idf = math.log(1.0 + (n - dfg + 0.5) / (dfg + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+        if s > 0:
+            want[d] = s
+    got = topk_synonyms(spark, idx, groups, k=15).collect()
+    exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, sc) in zip(got, exp):
+        assert r["score"] == pytest.approx(sc, rel=1e-9)
+
+    with pytest.raises(ValueError):
+        topk_synonyms(spark, idx, [["public"], ["public", "void"]])
+
+
+def test_span_dsl_forms(spark, idx):
+    """span_first / span_not / span_or-under-span_near DSL forms equal
+    their direct operator calls."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        span_first,
+        span_not,
+        span_or_near,
+    )
+
+    got = dsl.search(spark, idx, {
+        "query": {"span_first": {
+            "match": {"span_term": {"content": "public"}}, "end": 5}},
+        "size": 100})
+    want = span_first(spark, idx, "public", end=5)
+    assert [r["doc_id"] for r in got.collect()] \
+        == [r["doc_id"] for r in want.collect()]
+
+    got = dsl.search(spark, idx, {
+        "query": {"span_not": {
+            "include": {"span_term": {"content": "static"}},
+            "exclude": {"span_term": {"content": "public"}},
+            "pre": 1, "post": 1}},
+        "size": 100})
+    want = span_not(spark, idx, "static", "public", pre=1, post=1)
+    assert [r["doc_id"] for r in got.collect()] \
+        == [r["doc_id"] for r in want.collect()]
+
+    got = dsl.search(spark, idx, {
+        "query": {"span_near": {
+            "clauses": [
+                {"span_or": {"clauses": [
+                    {"span_term": {"content": "static"}},
+                    {"span_term": {"content": "class"}}]}},
+                {"span_term": {"content": "return"}}],
+            "slop": 2, "in_order": True}},
+        "size": 100})
+    want = span_or_near(spark, idx, [["static", "class"], ["return"]],
+                        slop=2, in_order=True)
+    assert [r["doc_id"] for r in got.collect()] \
+        == [r["doc_id"] for r in want.collect()]
+
+
+def test_intervals_dsl(spark, idx):
+    """ES intervals query: match / any_of / all_of route onto the span
+    operators."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_all_terms,
+        span_near,
+        span_or_near,
+    )
+
+    # ordered match with max_gaps == span_near
+    got = dsl.search(spark, idx, {
+        "query": {"intervals": {"content": {
+            "match": {"query": "public static", "ordered": True,
+                      "max_gaps": 2}}}},
+        "size": 100})
+    want = span_near(spark, idx, "public static", slop=2, in_order=True)
+    assert [r["doc_id"] for r in got.collect()] \
+        == [r["doc_id"] for r in want.collect()]
+
+    # unordered unbounded == conjunction
+    got = dsl.search(spark, idx, {
+        "query": {"intervals": {"content": {
+            "match": {"query": "public static"}}}},
+        "size": 100})
+    want = match_all_terms(spark, idx, "public static")
+    assert [r["doc_id"] for r in got.collect()] \
+        == [r["doc_id"] for r in want.collect()]
+
+    # any_of == union of sub-rules
+    got = dsl.search(spark, idx, {
+        "query": {"intervals": {"content": {
+            "any_of": {"intervals": [
+                {"match": {"query": "public"}},
+                {"match": {"query": "class"}}]}}}},
+        "size": 200})
+    a = {r["doc_id"] for r in match_all_terms(spark, idx, "public").collect()}
+    b = {r["doc_id"] for r in match_all_terms(spark, idx, "class").collect()}
+    assert {r["doc_id"] for r in got.collect()} == a | b
+
+    # all_of with an any_of source == span_or_near slots
+    got = dsl.search(spark, idx, {
+        "query": {"intervals": {"content": {
+            "all_of": {"intervals": [
+                {"any_of": {"intervals": [
+                    {"match": {"query": "static"}},
+                    {"match": {"query": "class"}}]}},
+                {"match": {"query": "return"}}],
+                "ordered": True, "max_gaps": 2}}}},
+        "size": 200})
+    want = span_or_near(spark, idx, [["static", "class"], ["return"]],
+                        slop=2, in_order=True)
+    assert [r["doc_id"] for r in got.collect()] \
+        == [r["doc_id"] for r in want.collect()]

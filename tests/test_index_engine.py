@@ -1372,3 +1372,66 @@ def test_weighted_avg_string_matrix_stats(spark, index_path):
     assert m["n"] == n
     assert abs(m["covariance"] - cov) < 1e-6 * abs(cov)
     assert abs(m["correlation"] - cov / math.sqrt(va * vb)) < 1e-9
+
+
+def test_span_first_not_or(spark, corpus_rows, index_path):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        span_first,
+        span_not,
+        span_or_near,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+
+    # span_first: 0-based position < end
+    got = {r["doc_id"] for r in
+           span_first(spark, index_path, "public", end=5).collect()}
+    want = {d for d, ts in toks.items() if "public" in ts[:5]}
+    assert got == want and got
+
+    # span_not: an include occurrence with no exclude within [p-pre, p+post]
+    got = {r["doc_id"] for r in
+           span_not(spark, index_path, "static", "public",
+                    pre=1, post=1).collect()}
+    want = set()
+    for d, ts in toks.items():
+        inc = [i for i, t in enumerate(ts) if t == "static"]
+        exc = {i for i, t in enumerate(ts) if t == "public"}
+        if any(all(q not in exc for q in range(p - 1, p + 2)) for p in inc):
+            want.add(d)
+    assert got == want and got
+    with pytest.raises(ValueError):
+        span_not(spark, index_path, "static", "static")
+
+    # span_or_near: (static|class) then return within slop=2, in order —
+    # both alternatives contribute matches in this corpus
+    got = {r["doc_id"] for r in
+           span_or_near(spark, index_path, [["static", "class"], ["return"]],
+                        slop=2, in_order=True).collect()}
+    want = set()
+    for d, ts in toks.items():
+        firsts = [i for i, t in enumerate(ts) if t in ("static", "class")]
+        seconds = [i for i, t in enumerate(ts) if t == "return"]
+        if any(any(i < j and j - i - 1 <= 2 for j in seconds) for i in firsts):
+            want.add(d)
+    assert got == want and len(got) >= 10
+
+
+def test_scan_sliced_partitions_the_scan(spark, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        scan_df,
+        scan_sliced,
+    )
+
+    full = {r["doc_id"] for r in scan_df(spark, index_path, "public").collect()}
+    slices = [{r["doc_id"] for r in
+               scan_sliced(spark, index_path, i, 3, "public").collect()}
+              for i in range(3)]
+    assert slices[0] | slices[1] | slices[2] == full
+    assert not (slices[0] & slices[1] or slices[0] & slices[2]
+                or slices[1] & slices[2])
+    assert sum(bool(s) for s in slices) >= 2  # hash actually spreads
+    with pytest.raises(ValueError):
+        scan_sliced(spark, index_path, 3, 3, "public")
