@@ -888,6 +888,49 @@ def q_span_near_unordered_idx(spark, sf_dir):
     return span_near(spark, idx, "merge window", slop=8, in_order=False)
 
 
+def q_synonym_topk_idx(spark, sf_dir):
+    """Lucene SynonymQuery (ES query-time synonym expansion): clause 1
+    = {spark, window} scored as one pseudo-term (tf summed, df = max
+    member df), clause 2 = {join}."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_synonyms
+
+    idx = _index_for(spark, sf_dir)
+    raw = topk_synonyms(spark, idx, [["spark", "window"], ["join"]], k=30)
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_span_first_idx(spark, sf_dir):
+    """Lucene span_first: term span must end at or before position 10
+    (0-based pos < 10), checked from positional postings."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import span_first
+
+    idx = _index_for(spark, sf_dir)
+    return span_first(spark, idx, "spark", end=10)
+
+
+def q_span_not_idx(spark, sf_dir):
+    """Lucene span_not: a 'query' occurrence with no 'spark' within
+    one position either side (pre=1, post=1)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import span_not
+
+    idx = _index_for(spark, sf_dir)
+    return span_not(spark, idx, "query", "spark", pre=1, post=1)
+
+
+def q_span_or_near_idx(spark, sf_dir):
+    """Lucene span_or under span_near: (spark|merge) then 'join' within
+    slop=4 intervening positions, in order."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        span_or_near,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return span_or_near(spark, idx, [["spark", "merge"], ["join"]],
+                        slop=4, in_order=True)
+
+
 def q_phrase_prefix_idx(spark, sf_dir):
     """ES match_phrase_prefix: fixed terms contiguous + ANY dictionary
     expansion of the trailing prefix at the next position."""
@@ -956,6 +999,41 @@ def q_scan_scroll_idx(spark, sf_dir):
     p1 = scan_after(spark, idx, "spark", page_size=50).collect()
     return scan_after(spark, idx, "spark", page_size=50,
                       after_doc_id=p1[-1]["doc_id"])
+
+
+def q_scan_sliced_idx(spark, sf_dir):
+    """ES sliced scroll: slice 1 of 3 of the 'spark' match set — a
+    codegen md5-fold predicate on the pruned scan, no shuffle."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import scan_sliced
+
+    idx = _index_for(spark, sf_dir)
+    return scan_sliced(spark, idx, 1, 3, "spark").orderBy("doc_id")
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Reproducible training-order shuffle: first 50 epoch positions of
+    the hash-ordered (seed=3) permutation of the documents table."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        shuffle_order,
+    )
+
+    out = shuffle_order(_t(spark, sf_dir, "documents"), seed=3)
+    return (out.filter(F.col("shuffle_pos") < 50)
+            .select("doc_id", "shuffle_pos"))
+
+
+SHUFFLE_ORDER_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf3:' || doc_id::VARCHAR), 2, 15))
+           ::UBIGINT::BIGINT AS key
+  FROM documents),
+p AS (SELECT doc_id,
+             (row_number() OVER (ORDER BY key, doc_id) - 1)::BIGINT
+               AS shuffle_pos
+      FROM k)
+SELECT doc_id, shuffle_pos FROM p WHERE shuffle_pos < 50
+"""
 
 
 def q_bm25_topk_hot(spark, sf_dir):
@@ -2111,6 +2189,84 @@ FROM b WINDOW w AS (ORDER BY bucket_ts) ORDER BY bucket_ts
 """
 
 
+def q_pipeline2_events(spark, sf_dir):
+    """ES bucket_script / bucket_selector / bucket_sort / serial_diff
+    pipeline aggs over the day-bucket event histogram: per-bucket
+    avg value as a bucket_script, serial_diff lag=7 on counts,
+    selector n_docs >= 5, top-10 buckets by the scripted metric."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        bucket_pipeline,
+        bucket_script,
+        bucket_selector,
+        bucket_sort,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("value").alias("sum_value")))
+    b = bucket_pipeline(b, serial_diff=7)
+    b = bucket_script(b, "sum_value / n_docs", "avg_value")
+    b = bucket_selector(b, "n_docs >= 5")
+    b = bucket_sort(b, [("avg_value", "desc"), ("bucket", "asc")], size=10)
+    return b.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_ts"), "n_docs",
+        x1e4(F.col("avg_value")).alias("avg_value_x1e4"),
+        F.col("serial_diff").cast("long").alias("serial_diff"))
+
+
+PIPELINE2_SQL = """
+WITH b AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
+         count(*)::BIGINT AS n_docs, sum(value) AS sv
+  FROM events GROUP BY 1),
+p AS (
+  SELECT bucket_ts, n_docs,
+         (n_docs::DOUBLE - lag(n_docs::DOUBLE, 7)
+            OVER (ORDER BY bucket_ts)) AS sd,
+         sv / n_docs AS av
+  FROM b)
+SELECT bucket_ts, n_docs,
+       floor(av * 10000.0 + 0.5)::BIGINT AS avg_value_x1e4,
+       sd::BIGINT AS serial_diff
+FROM p WHERE n_docs >= 5 ORDER BY av DESC, bucket_ts LIMIT 10
+"""
+
+
+def q_auto_date_histogram_events(spark, sf_dir):
+    """ES auto_date_histogram: the engine picks the smallest calendar
+    interval fitting <= 12 estimated buckets, then one date_trunc
+    groupBy; the oracle twin reproduces the choice from the same
+    microsecond span arithmetic and ladder."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        auto_date_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = auto_date_histogram(ev, "ts", target_buckets=12)
+    return b.select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "n_docs", "interval")
+
+
+AUTO_DH_SQL = """
+WITH mm AS (
+  SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us FROM events),
+iv AS (
+  SELECT CASE
+    WHEN span_us // (3600::BIGINT * 1000000) + 1 <= 12 THEN 'hour'
+    WHEN span_us // (86400::BIGINT * 1000000) + 1 <= 12 THEN 'day'
+    WHEN span_us // (604800::BIGINT * 1000000) + 1 <= 12 THEN 'week'
+    WHEN span_us // (2629800::BIGINT * 1000000) + 1 <= 12 THEN 'month'
+    WHEN span_us // (7889400::BIGINT * 1000000) + 1 <= 12 THEN 'quarter'
+    ELSE 'year' END AS p
+  FROM mm)
+SELECT epoch(date_trunc(iv.p, ts))::BIGINT AS bucket_ts,
+       count(*)::BIGINT AS n_docs, iv.p AS interval
+FROM events, iv GROUP BY 1, 3 ORDER BY 1
+"""
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based sessionization via window functions (30 min gap)."""
     ev = _t(spark, sf_dir, "events")
@@ -2326,6 +2482,49 @@ def q_c4_quality_flags(spark, sf_dir):
     return c4_quality_flags(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shaped hashed-ngram linear classifier (seeded demo
+    weights): unigram+bigram features -> md5 bucket -> integer milli-
+    weight -> sigmoid(mean). Pure codegen — no shuffle, no join."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        hashed_ngram_classifier,
+    )
+
+    return hashed_ngram_classifier(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUALITY_CLASSIFIER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           toks || list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+         ELSE toks END AS grams
+  FROM toks),
+sc AS (
+  SELECT doc_id, len(grams)::BIGINT AS n_feats,
+         CASE WHEN len(grams) > 0 THEN
+           list_sum(list_transform(grams, g ->
+             (('0x' || substr(md5('w:7:' ||
+                ((('0x' || substr(md5(g), 2, 15))::UBIGINT::BIGINT)
+                 % 262144)::VARCHAR),
+              2, 15))::UBIGINT::BIGINT % 2001 - 1000)
+           ))::DOUBLE / (1000.0 * len(grams))
+         ELSE 0.0 END AS mean
+  FROM gr)
+SELECT doc_id, n_feats,
+       floor((1.0 / (1.0 + exp(-mean))) * 10000.0 + 0.5)::BIGINT
+         AS prob_x1e4
+FROM sc ORDER BY doc_id
+"""
+
+
 def q_quantized_cosine_topk(spark, sf_dir):
     """int8 scalar quantization (SQ8) + exact integer-cosine top-k:
     the per-vector scales cancel, so ranking needs no dequantize."""
@@ -2465,6 +2664,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
     "scan_scroll_idx": q_scan_scroll_idx,
+    "scan_sliced_idx": q_scan_sliced_idx,
+    "shuffle_order": q_shuffle_order,
     "term_vectors_idx": q_term_vectors_idx,
     "terms_stats_idx": q_terms_stats_idx,
     "filters_agg_idx": q_filters_agg_idx,
@@ -2494,6 +2695,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "significant_terms_idx": q_significant_terms_idx,
     "span_near_idx": q_span_near_idx,
     "span_near_unordered_idx": q_span_near_unordered_idx,
+    "span_first_idx": q_span_first_idx,
+    "synonym_topk_idx": q_synonym_topk_idx,
+    "span_not_idx": q_span_not_idx,
+    "span_or_near_idx": q_span_or_near_idx,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "rescore_idx": q_rescore_idx,
     "top_hits_idx": q_top_hits_idx,
@@ -2554,6 +2759,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "date_histogram_events": q_date_histogram_events,
     "pipeline_aggs_events": q_pipeline_aggs_events,
+    "pipeline2_events": q_pipeline2_events,
+    "auto_date_histogram_events": q_auto_date_histogram_events,
     "percentile_ranks_idx": q_percentile_ranks_idx,
     "adjacency_matrix_idx": q_adjacency_matrix_idx,
     "geo_bounds": q_geo_bounds,
@@ -2577,6 +2784,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dup_groups": q_url_dup_groups,
     "ccnet_buckets": q_ccnet_buckets,
     "c4_quality_flags": q_c4_quality_flags,
+    "quality_classifier": q_quality_classifier,
     "quantized_cosine_topk": q_quantized_cosine_topk,
 }
 
@@ -2692,6 +2900,14 @@ def oracle_sql() -> dict[str, str]:
         "query_string_idx": QS_ORACLE_SQL,
         # page 2 == rows 51-100 of the doc_id-ordered match set (keyset
         # after page 1's last id is identical to OFFSET on a unique key)
+        "shuffle_order": SHUFFLE_ORDER_SQL,
+        "scan_sliced_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE list_contains(toks, 'spark')
+  AND ('0x' || substr(md5(doc_id::VARCHAR), 2, 15))::UBIGINT::BIGINT
+      % 3 = 1
+ORDER BY doc_id""",
         "scan_scroll_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks WHERE list_contains(toks, 'spark')
@@ -3025,6 +3241,53 @@ WHERE len(list_filter(generate_series(1, len(toks)), i ->
       toks[i] = 'merge' AND len(list_filter(
         generate_series(greatest(i - 9, 1), least(i + 9, len(toks))),
         j -> toks[j] = 'window')) > 0)) > 0
+ORDER BY doc_id""",
+        "synonym_topk_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('spark', 'window', 'join') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gdf AS (SELECT g, max(df) AS df FROM (
+          SELECT CASE WHEN term IN ('spark', 'window') THEN 0 ELSE 1 END AS g,
+                 df FROM dfs) GROUP BY g),
+gtf AS (SELECT doc_id,
+               CASE WHEN term IN ('spark', 'window') THEN 0 ELSE 1 END AS g,
+               sum(tf) AS tf
+        FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT gtf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+              * gtf.tf * ({BM25_K1} + 1.0)
+              / (gtf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM gtf JOIN dl USING (doc_id) JOIN gdf USING (g) CROSS JOIN stats
+  GROUP BY gtf.doc_id)
+SELECT doc_id, floor(score * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM scored ORDER BY score_x1e4 DESC, doc_id LIMIT 10""",
+        "span_first_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, least(10, len(toks))),
+      i -> toks[i] = 'spark')) > 0
+ORDER BY doc_id""",
+        "span_not_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, len(toks)), i ->
+      toks[i] = 'query' AND len(list_filter(
+        generate_series(greatest(i - 1, 1), least(i + 1, len(toks))),
+        j -> toks[j] = 'spark')) = 0)) > 0
+ORDER BY doc_id""",
+        "span_or_near_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, len(toks)), i ->
+      (toks[i] = 'spark' OR toks[i] = 'merge') AND len(list_filter(
+        generate_series(i + 1, least(i + 5, len(toks))),
+        j -> toks[j] = 'join')) > 0)) > 0
 ORDER BY doc_id""",
         "phrase_prefix_idx": f"""
 WITH {TOK_CTE}
@@ -3475,6 +3738,8 @@ SELECT c_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "pipeline_aggs_events": PIPELINE_AGGS_SQL,
+        "pipeline2_events": PIPELINE2_SQL,
+        "auto_date_histogram_events": AUTO_DH_SQL,
         "percentile_ranks_idx": PERCENTILE_RANKS_SQL,
         "adjacency_matrix_idx": ADJACENCY_MATRIX_SQL,
         "geo_bounds": GEO_BOUNDS_SQL,
@@ -3552,6 +3817,7 @@ per AS (SELECT doc_id, count(*) AS n_tokens,
 SELECT doc_id, n_tokens, nll_x1e4,
        ntile(3) OVER (ORDER BY nll_x1e4, doc_id) AS bucket
 FROM per ORDER BY doc_id""",
+        "quality_classifier": QUALITY_CLASSIFIER_SQL,
         "c4_quality_flags": r"""
 WITH base AS (
   SELECT doc_id, text,

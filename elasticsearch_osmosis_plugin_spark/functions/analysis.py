@@ -385,3 +385,123 @@ def c4_quality_flags(df: DataFrame, *, id_col: str = "doc_id",
         x1e4(ratio).alias("terminal_ratio_x1e4"),
         (~has_lorem & ~has_brace & ~has_policy
          & (n_words >= int(min_words))).alias("keep"))
+
+
+def _md5_fold60(col: Column) -> Column:
+    """The engine's standard cross-engine hash: md5 -> 15 hex chars ->
+    60-bit non-negative long (identical in Spark SQL and DuckDB; same
+    fold the MinHash / random_score paths use)."""
+    return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
+
+
+def _word_grams(text_col: str) -> Column:
+    """Unigrams + space-joined bigrams of the simple-analyzer tokens —
+    the fastText feature set (wordNgrams=2) as one array expression."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= 2, F.concat(toks, bigrams)).otherwise(toks)
+
+
+def hashed_ngram_classifier(df: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", seed: int = 7,
+                            n_bits: int = 18,
+                            weights_df: DataFrame | None = None) -> DataFrame:
+    """fastText-shaped quality classifier over the hashing trick:
+    features are unigrams + word-bigrams hashed into ``2**n_bits``
+    buckets, the doc score is sigmoid(mean bucket weight) -> (doc_id,
+    n_feats, prob_x1e4). The standard model-based quality filter of an
+    LLM-data pipeline (CCNet/fastText lang+quality models, GPT-3's
+    WebText classifier) re-expressed as Spark column algebra.
+
+    Two modes:
+    - ``weights_df(bucket long, weight double)`` — a trained linear
+      model (train offline, e.g. scikit/fastText, export buckets):
+      features explode, bucket via the md5 fold, broadcast join, one
+      per-doc aggregation. The join is the hashing trick's whole point:
+      the model is dense in bucket space (<= 2**n_bits rows, fits in a
+      broadcast) no matter how open the vocabulary is.
+    - seeded (default) — weights derived deterministically from
+      (seed, bucket) by a second md5 fold, uniform in [-1, 1]: a
+      reproducible stand-in with identical plumbing and a cross-engine
+      DuckDB twin, used by tests and the driver gate.
+
+    Seeded mode never leaves codegen (transform + aggregate over the
+    gram array — zero shuffles, zero joins); weights mode is
+    explode -> broadcast-join -> groupBy, still one corpus pass."""
+    grams = _word_grams(text_col)
+    if weights_df is None:
+        bucket = lambda g: F.pmod(_md5_fold60(g), F.lit(1 << n_bits))  # noqa: E731
+        # integer milli-weights in [-1000, 1000]: the per-doc SUM is
+        # exact in both engines, so the mean (one division) is
+        # bit-identical cross-engine — float accumulation order can't
+        # perturb the fixed-point output
+        w = lambda g: F.pmod(_md5_fold60(  # noqa: E731
+            F.concat(F.lit(f"w:{seed}:"), bucket(g).cast("string"))),
+            F.lit(2001)) - 1000
+        s = F.aggregate(grams, F.lit(0).cast("long"),
+                        lambda acc, g: acc + w(g))
+        n = F.size(grams)
+        mean = F.when(n > 0, s.cast("double")
+                      / (F.lit(1000.0) * n)).otherwise(F.lit(0.0))
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+        return df.select(F.col(id_col).alias("doc_id"),
+                         n.cast("long").alias("n_feats"),
+                         x1e4(prob).alias("prob_x1e4"))
+    feats = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode_outer(grams).alias("g"))
+    feats = feats.withColumn(
+        "bucket", F.when(F.col("g").isNotNull(),
+                         F.pmod(_md5_fold60(F.col("g")),
+                                F.lit(1 << n_bits))))
+    scored = feats.join(F.broadcast(weights_df), "bucket", "left")
+    agg = scored.groupBy("doc_id").agg(
+        F.count("g").alias("n_feats"),
+        F.coalesce(F.avg("weight"), F.lit(0.0)).alias("_mean"))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.when(
+        F.col("n_feats") > 0, F.col("_mean")).otherwise(F.lit(0.0))))
+    return agg.select("doc_id", F.col("n_feats").cast("long").alias("n_feats"),
+                      x1e4(prob).alias("prob_x1e4"))
+
+
+def paragraph_dup_stats(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Cross-document paragraph-level exact dedup stats (the C4 "three-
+    sentence span" / paragraph dedup family): split each doc on blank
+    lines, hash paragraphs with the cross-engine md5 fold, count each
+    hash corpus-wide, and report per doc -> (doc_id, n_paras,
+    n_dup_paras, dup_ratio_x1e4) where a paragraph is "dup" when its
+    hash occurs in MORE THAN ONE document.
+
+    Plan: explode paragraphs -> distinct (doc, hash) -> per-hash
+    doc-frequency groupBy -> per-doc rollup. Two shuffles on the
+    paragraph stream, both on hashed 60-bit keys (never paragraph
+    text), map-side combined — the same shape as exact doc dedup, one
+    level finer."""
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\s*\n"),
+                    lambda p: F.trim(p)),
+        lambda p: p != "")
+    pe = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode_outer(paras).alias("para"))
+          .withColumn("ph", F.when(F.col("para").isNotNull(),
+                                   _md5_fold60(F.col("para")))))
+    per_doc_hash = (pe.groupBy("doc_id", "ph")
+                    .agg(F.count("para").alias("_n")))
+    hash_docs = (per_doc_hash.filter(F.col("ph").isNotNull())
+                 .groupBy("ph")
+                 .agg(F.count(F.lit(1)).alias("_docs")))
+    joined = per_doc_hash.join(hash_docs, "ph", "left")
+    out = (joined.groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("ph").isNotNull(), F.col("_n"))
+                      .otherwise(F.lit(0))).alias("n_paras"),
+                F.sum(F.when(F.col("_docs") > 1, F.col("_n"))
+                      .otherwise(F.lit(0))).alias("n_dup_paras")))
+    ratio = F.when(F.col("n_paras") > 0,
+                   F.col("n_dup_paras").cast("double")
+                   / F.col("n_paras").cast("double")).otherwise(F.lit(0.0))
+    return out.select("doc_id",
+                      F.col("n_paras").cast("long").alias("n_paras"),
+                      F.col("n_dup_paras").cast("long").alias("n_dup_paras"),
+                      x1e4(ratio).alias("dup_ratio_x1e4"))

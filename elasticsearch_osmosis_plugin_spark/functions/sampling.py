@@ -289,3 +289,31 @@ def dsir_sample(raw: DataFrame, target: DataFrame, k: int, *,
     key = F.col("logw") - F.log(-F.log(u))
     return (w.withColumn("key", key)
             .orderBy(F.desc("key"), F.asc(id_col)).limit(int(k)))
+
+
+def shuffle_order(df: DataFrame, *, id_col: str = "doc_id",
+                  seed: int = 0) -> DataFrame:
+    """Reproducible global shuffle for training order: adds
+    ``shuffle_pos`` (0-based epoch position) by sorting on the 60-bit
+    md5 fold of (id, seed) with id as the tiebreak — the standard
+    "hash-ordered epoch" an LLM data pipeline uses so every rerun,
+    resume, and worker sees the SAME example order. A new seed is a
+    new independent permutation.
+
+    Scale note: epoch ordering is inherently a global sort, but a
+    range-partitioned sort on a 60-bit key is exactly what Spark's
+    sort-shuffle is built for; for sharded output prefer writing with
+    ``repartitionByRange(shuffle_key)`` + ``sortWithinPartitions`` and
+    let consumers read shards in order — same permutation, no single
+    global sort barrier."""
+    from pyspark.sql import Window as W
+
+    key = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(f"shuf{seed}"),
+                          F.col(id_col).cast("string"))), 2, 15),
+        16, 10).cast("long")
+    w = W.orderBy(F.col("_shuffle_key"), F.col(id_col))
+    return (df.withColumn("_shuffle_key", key)
+            .withColumn("shuffle_pos",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .drop("_shuffle_key"))

@@ -393,3 +393,24 @@ def test_dsir_weights_and_sample(spark):
     assert [(r["doc_id"], r["key"]) for r in s1] == \
         [(r["doc_id"], r["key"]) for r in s2]
     assert len(s1) == 5
+
+
+def test_shuffle_order_permutation(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        shuffle_order,
+    )
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)],
+                               "doc_id long, text string")
+    out = shuffle_order(df, seed=1).collect()
+    # a permutation: every position exactly once, all rows kept
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(200))
+    assert {r["doc_id"] for r in out} == set(range(200))
+    # deterministic under repartitioning
+    again = shuffle_order(df.repartition(7), seed=1).collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in again} \
+        == {(r["doc_id"], r["shuffle_pos"]) for r in out}
+    # a different seed is a different permutation
+    other = shuffle_order(df, seed=2).collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in other} \
+        != {(r["doc_id"], r["shuffle_pos"]) for r in out}

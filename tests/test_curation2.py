@@ -128,3 +128,72 @@ def test_quantize_grid_and_recall(spark, embeddings_df=None):
               for r in cosine_topk_quantized(dfq, qv, k=10).collect()]
     # int8 grid error is tiny at dim 16: expect high top-10 agreement
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_hashed_ngram_classifier_modes(spark):
+    """Seeded mode recomputes exactly; weights mode applies a trained
+    model through the same hashing; empty text scores sigmoid(0)."""
+    import hashlib
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        hashed_ngram_classifier,
+    )
+
+    docs = [(0, "good clean prose here"), (1, "spam spam spam buy now"),
+            (2, ""), (3, "one")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def fold(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[1:16], 16)
+
+    def grams(t):
+        toks = [x for x in t.lower().split() if x]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    got = {r["doc_id"]: r for r in
+           hashed_ngram_classifier(df, seed=7, n_bits=18).collect()}
+    for d, t in docs:
+        gs = grams(t)
+        s = sum(fold(f"w:7:{fold(g) % (1 << 18)}") % 2001 - 1000 for g in gs)
+        mean = s / (1000.0 * len(gs)) if gs else 0.0
+        prob = 1.0 / (1.0 + math.exp(-mean))
+        assert got[d]["n_feats"] == len(gs)
+        assert got[d]["prob_x1e4"] == math.floor(prob * 10000.0 + 0.5)
+    assert got[2]["prob_x1e4"] == 5000  # sigmoid(0)
+
+    # weights mode: a model that loves "spam" features
+    wrows = [(fold("spam") % (1 << 18), 3.0),
+             (fold("spam spam") % (1 << 18), 2.0)]
+    wdf = spark.createDataFrame(wrows, "bucket long, weight double")
+    got_w = {r["doc_id"]: r["prob_x1e4"] for r in
+             hashed_ngram_classifier(df, weights_df=wdf).collect()}
+    assert got_w[1] > got_w[0]  # spammy doc scores higher
+    assert got_w[2] == 5000  # no features -> sigmoid(0)
+    assert set(got_w) == {0, 1, 2, 3}  # empty doc kept (explode_outer)
+
+
+def test_paragraph_dup_stats(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        paragraph_dup_stats,
+    )
+
+    docs = [
+        (0, "shared para one\n\nunique a\n\nshared para two"),
+        (1, "shared para one\n\nunique b"),
+        (2, "unique c\n \nshared para two"),  # blank-ish separator line
+        (3, "all unique here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dup_stats(df).collect()}
+    assert got[0]["n_paras"] == 3 and got[0]["n_dup_paras"] == 2
+    assert got[1]["n_paras"] == 2 and got[1]["n_dup_paras"] == 1
+    assert got[2]["n_paras"] == 2 and got[2]["n_dup_paras"] == 1
+    assert got[3]["n_paras"] == 1 and got[3]["n_dup_paras"] == 0
+    assert got[4]["n_paras"] == 0 and got[4]["dup_ratio_x1e4"] == 0
+    assert got[0]["dup_ratio_x1e4"] == math.floor(2 / 3 * 10000 + 0.5)
+    # a paragraph repeated WITHIN one doc only is not a cross-doc dup
+    df2 = spark.createDataFrame(
+        [(0, "x\n\nx"), (1, "y")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r for r in paragraph_dup_stats(df2).collect()}
+    assert got2[0]["n_dup_paras"] == 0
