@@ -644,6 +644,78 @@ def q_stats_agg_idx(spark, sf_dir):
         x1e4(F.col("sum_v").cast("double") / F.col("n")).alias("avg_x1e4"))
 
 
+def q_extended_stats_idx(spark, sf_dir):
+    """ES extended_stats: stats + sum_of_squares + population std-dev
+    bounds over query hits (integer sums exact cross-engine; std on
+    the x1e4 fixed point)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        extended_stats_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    s = extended_stats_agg(spark, idx, "spark window", "dl", sigma=2.0)
+    return s.select(
+        "n", F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+        x1e4(F.col("avg_v")).alias("avg_x1e4"),
+        x1e4(F.col("std_deviation")).alias("std_x1e4"),
+        x1e4(F.col("std_upper")).alias("upper_x1e4"),
+        x1e4(F.col("std_lower")).alias("lower_x1e4"))
+
+
+def q_top_metrics_idx(spark, sf_dir):
+    """ES top_metrics: the lang of the longest hit (max dl, ties to min
+    doc_id) — one mergeable max_by, no sort."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        top_metrics_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    t = top_metrics_agg(spark, idx, "spark window", "lang", "dl")
+    return t.select(F.col("sort_value").cast("long").alias("sort_value"),
+                    "metric_value", "doc_id")
+
+
+def q_mad_idx(spark, sf_dir):
+    """ES median_absolute_deviation (exact twin: interpolated median in
+    both engines; mad doubled to a long — halves stay exact)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        median_absolute_deviation_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    m = median_absolute_deviation_agg(spark, idx, "spark window", "dl")
+    return m.select("n", (F.col("mad") * 2).cast("long").alias("mad_x2"))
+
+
+def q_t_test_idx(spark, sf_dir):
+    """ES t_test (Welch): dl distribution of 'spark' hits vs 'dup'
+    hits."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        t_test_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    t = t_test_agg(spark, idx, "spark", "dup", "dl")
+    return t.select("n_a", "n_b", x1e4(F.col("t_stat")).alias("t_x1e4"))
+
+
+def q_histogram_filled_idx(spark, sf_dir):
+    """ES histogram with min_doc_count=0 + extended_bounds: the gapless
+    bucket grid pipeline aggs assume, empty buckets emitted."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        histogram_filled,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return histogram_filled(spark, idx, "spark", "dl", 20,
+                            extended_bounds=(0.0, 400.0))
+
+
 def q_histogram_agg_idx(spark, sf_dir):
     """ES histogram-aggregation analog: fixed-width dl buckets over
     query hits."""
@@ -1648,6 +1720,46 @@ SELECT '3000-9000', count(*) FILTER (km >= 3000.0 AND km < 9000.0) FROM d
 UNION ALL
 SELECT '6000-*', count(*) FILTER (km >= 6000.0) FROM d
 """
+
+
+_POLY = [(-30.0, -60.0), (40.0, -60.0), (40.0, 0.0),
+         (0.0, 0.0), (0.0, 60.0), (-30.0, 60.0)]  # concave L
+
+
+def q_geo_polygon_filter(spark, sf_dir):
+    """ES geo_polygon filter: even-odd ray casting against a concave
+    query polygon, unrolled into one codegen expression over the
+    deterministic points table."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import within_polygon
+
+    pts = _synth_points(_t(spark, sf_dir, "documents"))
+    return within_polygon(pts, _POLY).select("doc_id").orderBy("doc_id")
+
+
+def _geo_polygon_oracle_sql() -> str:
+    """DuckDB twin of within_polygon: identical per-edge crossing
+    arithmetic (same operand order), horizontal edges skipped just like
+    the operator."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        lat1, lon1 = _POLY[i]
+        lat2, lon2 = _POLY[(i + 1) % n]
+        if lat1 == lat2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({lat1} > lat) <> ({lat2} > lat)) AND "
+            f"(lon < ({lon2 - lon1}) * (lat - ({lat1})) / ({lat2 - lat1}) "
+            f"+ ({lon1})) THEN 1 ELSE 0 END)")
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT doc_id FROM pts
+WHERE ({' + '.join(terms)}) % 2 = 1
+ORDER BY doc_id"""
 
 
 def q_geo_distance_filter(spark, sf_dir):
@@ -2681,6 +2793,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_query_idx": q_bool_query_idx,
     "min_should_match_idx": q_min_should_match_idx,
     "stats_agg_idx": q_stats_agg_idx,
+    "extended_stats_idx": q_extended_stats_idx,
+    "top_metrics_idx": q_top_metrics_idx,
+    "mad_idx": q_mad_idx,
+    "t_test_idx": q_t_test_idx,
+    "histogram_filled_idx": q_histogram_filled_idx,
+    "geo_polygon_filter": q_geo_polygon_filter,
     "histogram_agg_idx": q_histogram_agg_idx,
     "highlight_idx": q_highlight_idx,
     "fuzzy_match_idx": q_fuzzy_match_idx,
@@ -3051,6 +3169,56 @@ SELECT doc_id FROM toks
 WHERE list_contains(toks, 'spark')::INT + list_contains(toks, 'window')::INT
     + list_contains(toks, 'dup')::INT + list_contains(toks, 'join')::INT >= 2
 ORDER BY doc_id""",
+        "geo_polygon_filter": _geo_polygon_oracle_sql(),
+        "extended_stats_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+SELECT count(*) AS n, min(dl)::BIGINT AS min_v, max(dl)::BIGINT AS max_v,
+       sum(dl)::BIGINT AS sum_v, sum(dl * dl)::BIGINT AS sum_sq,
+       floor(avg(dl) * 10000.0 + 0.5)::BIGINT AS avg_x1e4,
+       floor(stddev_pop(dl) * 10000.0 + 0.5)::BIGINT AS std_x1e4,
+       floor((avg(dl) + 2.0 * stddev_pop(dl)) * 10000.0 + 0.5)::BIGINT
+         AS upper_x1e4,
+       floor((avg(dl) - 2.0 * stddev_pop(dl)) * 10000.0 + 0.5)::BIGINT
+         AS lower_x1e4
+FROM hits""",
+        "top_metrics_idx": f"""
+WITH {TOK_CTE}
+SELECT len(toks)::BIGINT AS sort_value, lang AS metric_value, doc_id
+FROM toks
+WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window')
+ORDER BY sort_value DESC, doc_id LIMIT 1""",
+        "mad_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT len(toks)::DOUBLE AS dl FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window')),
+med AS (SELECT quantile_cont(dl, 0.5) AS m FROM hits)
+SELECT count(*) AS n,
+       (quantile_cont(abs(dl - med.m), 0.5) * 2)::BIGINT AS mad_x2
+FROM hits, med GROUP BY med.m""",
+        "t_test_idx": f"""
+WITH {TOK_CTE},
+a AS (SELECT count(*)::BIGINT AS n, avg(len(toks)::DOUBLE) AS m,
+             var_samp(len(toks)::DOUBLE) AS s2
+      FROM toks WHERE list_contains(toks, 'spark')),
+b AS (SELECT count(*)::BIGINT AS n, avg(len(toks)::DOUBLE) AS m,
+             var_samp(len(toks)::DOUBLE) AS s2
+      FROM toks WHERE list_contains(toks, 'dup'))
+SELECT a.n AS n_a, b.n AS n_b,
+       floor((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n)
+             * 10000.0 + 0.5)::BIGINT AS t_x1e4
+FROM a, b""",
+        "histogram_filled_idx": f"""
+WITH {TOK_CTE},
+cnt AS (SELECT (floor(len(toks) / 20.0) * 20)::BIGINT AS bucket,
+               count(*)::BIGINT AS n_docs
+        FROM toks WHERE list_contains(toks, 'spark') GROUP BY 1),
+grid AS (SELECT unnest(generate_series(
+           least(0, (SELECT min(bucket) FROM cnt)),
+           greatest(400, (SELECT max(bucket) FROM cnt)), 20)) AS bucket)
+SELECT grid.bucket, coalesce(cnt.n_docs, 0) AS n_docs
+FROM grid LEFT JOIN cnt USING (bucket) ORDER BY bucket""",
         "stats_agg_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT doc_id, len(toks) AS dl FROM toks

@@ -383,3 +383,38 @@ def geo_centroid(df: DataFrame, lat_col: str = "lat",
     return df.agg(F.avg(lat_col).alias("lat"),
                   F.avg(lon_col).alias("lon"),
                   F.count(F.lit(1)).alias("count"))
+
+
+def point_in_polygon(polygon: list[tuple[float, float]],
+                     lat_col: str = "lat", lon_col: str = "lon") -> Column:
+    """ES geo_polygon filter predicate: even-odd ray casting of each
+    point against a query-literal polygon of (lat, lon) vertices. The
+    polygon is query-time constant, so the crossing test UNROLLS into
+    one whole-stage-codegen expression (a sum of per-edge conditional
+    counts) — no UDF, no join, fully distributable; horizontal edges
+    never cross the eastward ray and are skipped at compile time.
+    Boundary points follow the strict even-odd rule (edges traced
+    half-open in latitude), same as Lucene's crossing count."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    y, x = F.col(lat_col), F.col(lon_col)
+    crossings = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        lat1, lon1 = polygon[i]
+        lat2, lon2 = polygon[(i + 1) % n]
+        if lat1 == lat2:
+            continue  # horizontal edge: the eastward ray never crosses
+        straddles = (F.lit(lat1) > y) != (F.lit(lat2) > y)
+        x_at = (F.lit(lon2 - lon1) * (y - F.lit(lat1))
+                / F.lit(lat2 - lat1) + F.lit(lon1))
+        crossings = crossings + F.when(straddles & (x < x_at), 1) \
+            .otherwise(0)
+    return F.pmod(crossings, F.lit(2)) == F.lit(1)
+
+
+def within_polygon(df: DataFrame, polygon: list[tuple[float, float]],
+                   lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """ES geo_polygon filter: rows whose point lies inside the polygon
+    (see :func:`point_in_polygon`)."""
+    return df.filter(point_in_polygon(polygon, lat_col, lon_col))

@@ -9,6 +9,8 @@ under AQE when a term's postings are tiny.
 
 from __future__ import annotations
 
+import math
+
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1580,4 +1582,161 @@ def date_range(df: DataFrame, ts_col: str,
     buckets = F.array_compact(F.array(*entries))
     return (df.select(F.explode(buckets).alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def _hit_values(spark: SparkSession, index_path: str, query: str,
+                value_col: str, mode: str = "any") -> DataFrame:
+    """(doc_id, value_col) of the docs matching ``query`` — the shared
+    hit-stream semi-join every metric agg starts from."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", value_col)
+    return ds.join(docs, "doc_id", "left_semi")
+
+
+def extended_stats_agg(spark: SparkSession, index_path: str, query: str,
+                       value_col: str, sigma: float = 2.0,
+                       mode: str = "any") -> DataFrame:
+    """ES extended_stats aggregation: the stats block plus
+    sum_of_squares, POPULATION variance / std_deviation (ES's
+    definition), and the sigma std-deviation bounds — all mergeable
+    second-moment aggregates, one map-side-combined pass over the hit
+    stream."""
+    vals = _hit_values(spark, index_path, query, value_col, mode)
+    v = F.col(value_col).cast("double")
+    row = vals.agg(F.count(F.lit(1)).alias("n"),
+                   F.min(v).alias("min_v"), F.max(v).alias("max_v"),
+                   F.sum(v).alias("sum_v"), F.avg(v).alias("avg_v"),
+                   F.sum(v * v).alias("sum_sq"),
+                   F.var_pop(v).alias("variance"))
+    sd = F.sqrt(F.col("variance"))
+    return row.select(
+        "n", "min_v", "max_v", "sum_v", "avg_v", "sum_sq", "variance",
+        sd.alias("std_deviation"),
+        (F.col("avg_v") + F.lit(float(sigma)) * sd).alias("std_upper"),
+        (F.col("avg_v") - F.lit(float(sigma)) * sd).alias("std_lower"))
+
+
+def top_metrics_agg(spark: SparkSession, index_path: str, query: str,
+                    metric_col: str, sort_col: str, *,
+                    descending: bool = True,
+                    mode: str = "any") -> DataFrame:
+    """ES top_metrics aggregation (size=1): the value of
+    ``metric_col`` in the hit with the max (or min) ``sort_col`` ->
+    one row (sort_value, metric_value). ``max_by``/``min_by`` are
+    mergeable JVM aggregates — one pass, no sort, no window. Ties on
+    the sort value break on min doc_id for cross-engine determinism."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", metric_col, sort_col)
+    vals = ds.join(docs, "doc_id", "left_semi")
+    s, d = F.col(sort_col).cast("double"), F.col("doc_id")
+    # deterministic tie-break: order on (sort, -doc_id) / (sort, doc_id)
+    key = F.struct(s.alias("s"),
+                   (-d).alias("t") if descending else d.alias("t"))
+    pick = F.max_by(F.struct(s.alias("sort_value"),
+                             F.col(metric_col).alias("metric_value"),
+                             d.alias("doc_id")), key) if descending \
+        else F.min_by(F.struct(s.alias("sort_value"),
+                               F.col(metric_col).alias("metric_value"),
+                               d.alias("doc_id")), key)
+    return vals.agg(pick.alias("_p")).select(
+        F.col("_p.sort_value").alias("sort_value"),
+        F.col("_p.metric_value").alias("metric_value"),
+        F.col("_p.doc_id").alias("doc_id"))
+
+
+def median_absolute_deviation_agg(spark: SparkSession, index_path: str,
+                                  query: str, value_col: str,
+                                  mode: str = "any") -> DataFrame:
+    """ES median_absolute_deviation aggregation, EXACT twin:
+    median(|v - median(v)|) with the linear-interpolated median
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, exact halves on
+    integer inputs). Two passes over the hit values (median, then
+    deviations) — ES uses a t-digest sketch; the exact definition here
+    is the oracle-able baseline, and ``percentile_approx`` swaps in as
+    the one-pass sketch path at scale."""
+    vals = _hit_values(spark, index_path, query, value_col, mode) \
+        .select(F.col(value_col).cast("double").alias("v"))
+    vals = vals.localCheckpoint(eager=True)  # two consumers, one scan
+    med = vals.agg(F.expr(
+        "percentile(v, 0.5)").alias("m")).collect()[0]["m"]
+    if med is None:
+        return spark.createDataFrame([(0, None)], "n long, mad double")
+    dev = vals.select(F.abs(F.col("v") - F.lit(float(med))).alias("d"))
+    return dev.agg(F.count(F.lit(1)).alias("n"),
+                   F.expr("percentile(d, 0.5)").alias("mad"))
+
+
+def t_test_agg(spark: SparkSession, index_path: str, query_a: str,
+               query_b: str, value_col: str,
+               mode: str = "any") -> DataFrame:
+    """ES t_test aggregation (heteroscedastic / Welch, the ES default):
+    compare ``value_col`` between the hit sets of two queries ->
+    (n_a, n_b, t_stat). Welch's t = (mean_a - mean_b) /
+    sqrt(s2_a/n_a + s2_b/n_b) with SAMPLE variances — two independent
+    mergeable-moment passes, a scalar combine, no shuffle beyond the
+    hit streams."""
+    a = _hit_values(spark, index_path, query_a, value_col, mode) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg(F.col(value_col).cast("double")).alias("m"),
+             F.var_samp(F.col(value_col).cast("double")).alias("s2")) \
+        .collect()[0]
+    b = _hit_values(spark, index_path, query_b, value_col, mode) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg(F.col(value_col).cast("double")).alias("m"),
+             F.var_samp(F.col(value_col).cast("double")).alias("s2")) \
+        .collect()[0]
+    spark_ = spark
+    if not a["n"] or not b["n"] or a["s2"] is None or b["s2"] is None:
+        return spark_.createDataFrame(
+            [(int(a["n"] or 0), int(b["n"] or 0), None)],
+            "n_a long, n_b long, t_stat double")
+    import math as _math
+
+    denom = _math.sqrt(a["s2"] / a["n"] + b["s2"] / b["n"])
+    t = (a["m"] - b["m"]) / denom if denom > 0 else None
+    return spark_.createDataFrame([(int(a["n"]), int(b["n"]), t)],
+                                  "n_a long, n_b long, t_stat double")
+
+
+def histogram_filled(spark: SparkSession, index_path: str, query: str,
+                     value_col: str, interval: float, *,
+                     min_doc_count: int = 0,
+                     extended_bounds: tuple[float, float] | None = None,
+                     mode: str = "any") -> DataFrame:
+    """ES histogram with ``min_doc_count: 0`` + ``extended_bounds``:
+    emit EMPTY buckets too — the gapless series pipeline aggs assume.
+    The observed bucket range (optionally widened by extended_bounds)
+    expands via ``sequence()`` (a driver-free lateral range, thousands
+    of rows) and left-joins the counted buckets; cost stays the
+    counting groupBy."""
+    base = histogram_agg(spark, index_path, query, value_col, interval,
+                         mode)
+    if min_doc_count > 0:
+        return base.filter(F.col("n_docs") >= int(min_doc_count))
+    lo_hi = base.agg(F.min("bucket").alias("lo"),
+                     F.max("bucket").alias("hi")).collect()[0]
+    if lo_hi["lo"] is None and extended_bounds is None:
+        return base
+    step = int(interval)
+    lo = int(lo_hi["lo"]) if lo_hi["lo"] is not None else None
+    hi = int(lo_hi["hi"]) if lo_hi["hi"] is not None else None
+    if extended_bounds is not None:
+        eb_lo = int(math.floor(extended_bounds[0] / interval) * interval)
+        eb_hi = int(math.floor(extended_bounds[1] / interval) * interval)
+        lo = eb_lo if lo is None else min(lo, eb_lo)
+        hi = eb_hi if hi is None else max(hi, eb_hi)
+    grid = spark.range(1).select(F.explode(F.sequence(
+        F.lit(lo), F.lit(hi), F.lit(step))).alias("bucket"))
+    return (grid.join(base, "bucket", "left")
+            .select("bucket",
+                    F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"))
             .orderBy("bucket"))

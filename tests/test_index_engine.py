@@ -1435,3 +1435,96 @@ def test_scan_sliced_partitions_the_scan(spark, index_path):
     assert sum(bool(s) for s in slices) >= 2  # hash actually spreads
     with pytest.raises(ValueError):
         scan_sliced(spark, index_path, 3, 3, "public")
+
+
+def test_extended_stats_top_metrics_mad_ttest(spark, corpus_rows, index_path):
+    import statistics
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        extended_stats_agg,
+        match_any_terms,
+        median_absolute_deviation_agg,
+        t_test_agg,
+        top_metrics_agg,
+    )
+
+    toks = {d: tokenize_py(t, "code")
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    hits = {r["doc_id"] for r in
+            match_any_terms(spark, index_path, "public").collect()}
+    vals = [dl[d] for d in hits]
+
+    es = extended_stats_agg(spark, index_path, "public", "dl",
+                            sigma=2.0).collect()[0]
+    assert es["n"] == len(vals)
+    assert es["sum_v"] == sum(vals) and es["min_v"] == min(vals)
+    assert es["variance"] == pytest.approx(statistics.pvariance(vals))
+    assert es["std_upper"] == pytest.approx(
+        es["avg_v"] + 2.0 * statistics.pstdev(vals))
+
+    tm = top_metrics_agg(spark, index_path, "public", "lang",
+                         "dl").collect()[0]
+    best = sorted(hits, key=lambda d: (-dl[d], d))[0]
+    assert tm["doc_id"] == best and tm["sort_value"] == dl[best]
+
+    mad = median_absolute_deviation_agg(spark, index_path, "public",
+                                        "dl").collect()[0]
+    med = statistics.median(vals)
+    assert mad["mad"] == pytest.approx(
+        statistics.median(abs(v - med) for v in vals))
+
+    tt = t_test_agg(spark, index_path, "public", "return",
+                    "dl").collect()[0]
+    hits_b = {r["doc_id"] for r in
+              match_any_terms(spark, index_path, "return").collect()}
+    vb = [dl[d] for d in hits_b]
+    import math as m
+    want_t = (statistics.fmean(vals) - statistics.fmean(vb)) / m.sqrt(
+        statistics.variance(vals) / len(vals)
+        + statistics.variance(vb) / len(vb))
+    assert tt["n_a"] == len(vals) and tt["n_b"] == len(vb)
+    assert tt["t_stat"] == pytest.approx(want_t)
+
+
+def test_histogram_filled_gapless(spark, index_path):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        histogram_agg,
+        histogram_filled,
+    )
+
+    base = {r["bucket"]: r["n_docs"] for r in
+            histogram_agg(spark, index_path, "public", "dl",
+                          20).collect()}
+    out = histogram_filled(spark, index_path, "public", "dl", 20,
+                           extended_bounds=(0, max(base) + 40)).collect()
+    buckets = [r["bucket"] for r in out]
+    assert buckets == list(range(0, max(base) + 41, 20))  # gapless grid
+    for r in out:
+        assert r["n_docs"] == base.get(r["bucket"], 0)
+    # min_doc_count prunes instead of filling
+    pruned = histogram_filled(spark, index_path, "public", "dl", 20,
+                              min_doc_count=2).collect()
+    assert all(r["n_docs"] >= 2 for r in pruned)
+
+
+def test_within_polygon_ray_casting(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        point_in_polygon,
+        within_polygon,
+    )
+
+    # concave polygon (an L shape) exercises the parity rule
+    poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+            (4.0, 10.0), (0.0, 10.0)]
+    pts = [(0, 2.0, 2.0, True), (1, 8.0, 2.0, True), (2, 2.0, 8.0, True),
+           (3, 8.0, 8.0, False),  # inside bbox, outside the L
+           (4, -1.0, 5.0, False), (5, 5.0, 3.9, True),
+           (6, 5.0, 4.1, False), (7, 11.0, 1.0, False)]
+    df = spark.createDataFrame([(i, la, lo) for i, la, lo, _ in pts],
+                               "doc_id long, lat double, lon double")
+    got = {r["doc_id"] for r in within_polygon(df, poly).collect()}
+    assert got == {i for i, _, _, keep in pts if keep}
+    with pytest.raises(ValueError):
+        point_in_polygon([(0.0, 0.0), (1.0, 1.0)])
