@@ -1554,6 +1554,24 @@ def q_cosine_topk(spark, sf_dir):
             .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")).limit(10))
 
 
+def q_knn_filtered(spark, sf_dir):
+    """ES 8 filtered kNN through the DSL: the metadata filter restricts
+    candidates BEFORE the k-selection (pre-filtering), so the response
+    always holds k matching vectors."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.dsl import search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _index_for(spark, sf_dir)
+    raw = search(spark, idx, {
+        "knn": {"query_vector": _query_vec(spark, sf_dir), "k": 30,
+                "filter": {"term": {"label": 1}}}},
+        knn_source=emb)
+    return (raw.select(F.col("doc_id").alias("vec_id"),
+                       x1e4(F.col("score")).alias("cos_x1e4"))
+            .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")).limit(10))
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact cosine near-dup pairs (embedding dedupe baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2855,6 +2873,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "cosine_topk": q_cosine_topk,
+    "knn_filtered": q_knn_filtered,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3761,6 +3780,15 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""",
+        "knn_filtered": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS c
+      FROM embeddings CROSS JOIN q WHERE label = 1)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
+ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT 10""",
         "cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id,

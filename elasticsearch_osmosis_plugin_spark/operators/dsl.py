@@ -309,7 +309,15 @@ def _knn_cosine(spark: SparkSession, knn: dict, knn_source,
 
     qv = [float(x) for x in knn["query_vector"]]
     kk = int(knn.get("k", k))
-    return (cosine_topk(knn_source, qv, k=kk,
+    src = knn_source
+    if "filter" in knn:
+        # ES 8 filtered kNN is PRE-filtering: candidates are restricted
+        # before the k-selection, so the response always holds k
+        # matching vectors (a post-filter could return fewer). The
+        # filter compiles like any filter context, over the vector
+        # source's metadata columns, and pushes down into its scan.
+        src = src.filter(filter_column(knn["filter"]))
+    return (cosine_topk(src, qv, k=kk,
                         vec_col=knn.get("field", "embedding"))
             .select(F.col("vec_id").alias("doc_id"),
                     F.col("cos").alias("score")))

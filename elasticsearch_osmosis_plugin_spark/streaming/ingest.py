@@ -40,6 +40,31 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes",
                     "n", "total_value"))
 
 
+def trending_terms(docs: DataFrame, *, ts_col: str = "ts",
+                   text_col: str = "text", window: str = "1 hour",
+                   watermark: str = "2 hours",
+                   min_count: int = 2) -> DataFrame:
+    """Windowed term frequencies over a document stream — the
+    "trending terms" feed a live index pipeline surfaces (the streaming
+    analog of the terms facet): tokenize with the engine's simple
+    analyzer, explode, tumbling-window count with a late-data
+    watermark -> (window_start, term, n). Works identically on a batch
+    DataFrame (the stream-vs-batch equality tests exploit exactly
+    that). ``min_count`` drops the long tail before it ever shuffles
+    to the sink."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        tokens_col,
+    )
+
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    toks = docs.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), F.explode(tokens_col(text_col)).alias("term"))
+    return (toks.groupBy(F.window(ts_col, window).alias("w"), "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= int(min_count))
+            .select(F.col("w.start").alias("window_start"), "term", "n"))
+
+
 def run_stream_to_memory(spark: SparkSession, path: str, schema: StructType,
                          query_name: str = "eosp_stream",
                          window: str = "5 minutes") -> DataFrame:

@@ -873,3 +873,25 @@ def test_intervals_dsl(spark, idx):
                         slop=2, in_order=True)
     assert [r["doc_id"] for r in got.collect()] \
         == [r["doc_id"] for r in want.collect()]
+
+
+def test_knn_filter_prefilters(spark, idx, corpus_df):
+    """ES 8 filtered kNN: the metadata filter restricts candidates
+    BEFORE the k cut — equal to cosine_topk over the filtered source,
+    and k matching hits come back (a post-filter would return fewer)."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    emb = corpus_df.select(
+        F.col("doc_id").alias("vec_id"), F.col("lang"),
+        F.array(*[((F.col("doc_id") * (i + 1) + i) % 7 + 1).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    qv = [1.0, 2.0, 0.5, 3.0]
+    body = {"knn": {"query_vector": qv, "k": 8,
+                    "filter": {"term": {"lang": "java"}}}}
+    via = dsl.search(spark, idx, body, knn_source=emb)
+    direct = cosine_topk(emb.filter(F.col("lang") == "java"), qv, k=8)
+    assert _rows(via.select("doc_id", "score")) \
+        == [(r["vec_id"], r["cos"]) for r in direct.collect()]
+    assert via.count() == 8  # pre-filtering still fills k

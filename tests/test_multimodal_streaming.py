@@ -329,3 +329,59 @@ def test_streaming_percolate(spark, tmp_path):
     got = {(r["doc_id"], r["query_id"]) for r in
            spark.sql("SELECT * FROM t_perc").collect()}
     assert got == {(1, "qj"), (1, "qsj"), (3, "qj")}
+
+
+def test_trending_terms_stream_matches_batch(spark, tmp_path):
+    """Windowed trending terms: the streaming result (append mode,
+    watermark-closed windows) equals the same operator run as a plain
+    batch aggregation."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        trending_terms,
+    )
+
+    d = tmp_path / "trend_stream"
+    d.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+    t0 = datetime(2026, 1, 1, 0, 5)
+    t1 = datetime(2026, 1, 1, 1, 5)
+    t2 = datetime(2026, 1, 1, 9, 0)  # advances watermark past t0/t1 windows
+    batches = {
+        "a": [(1, t0, "spark spark join"), (2, t0, "spark window")],
+        "b": [(3, t1, "join join window"), (4, t1, "spark join")],
+        "c": [(5, t2, "closer closer")],
+    }
+    for i, (name, rows) in enumerate(batches.items()):
+        staging = str(tmp_path / f"trstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(str(d)))
+    q = (trending_terms(src, window="1 hour", watermark="1 hour",
+                        min_count=2)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_trend").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["window_start"], r["term"]): r["n"]
+               for r in spark.sql("SELECT * FROM t_trend").collect()}
+    finally:
+        q.stop()
+    batch_rows = [r for rows in batches.values() for r in rows]
+    batch = spark.createDataFrame(batch_rows, schema)
+    want_all = {(r["window_start"], r["term"]): r["n"]
+                for r in trending_terms(batch, window="1 hour",
+                                        min_count=2).collect()}
+    # append mode emits only watermark-closed windows (t0/t1 hours)
+    want = {k: v for k, v in want_all.items()
+            if k[0].hour in (0, 1)}
+    assert got == want and want  # non-trivial: spark/join windows present
