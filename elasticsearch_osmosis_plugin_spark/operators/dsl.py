@@ -24,7 +24,10 @@ form is tested equal to its direct operator call):
 - APIs: msearch (N bodies), field_caps, search_template /
   render_template (mustache subset), validate_query
 - top-level: size, from, sort, search_after, post_filter, collapse,
-  rescore, _source (fetch-phase hydration), aggs
+  rescore, _source (fetch-phase hydration), aggs, runtime_mappings
+  (query-time computed fields: filterable + sortable, script source is
+  a SQL expression — the painless-to-Catalyst contract), knn.filter
+  (ES 8 filtered kNN pre-filtering)
 - aggs: terms (+ top_hits sub-agg), stats, histogram, date_histogram,
   range, percentiles, cardinality, significant_terms
 - filter contexts (post_filter / bool.filter on carry columns): term,
@@ -140,27 +143,51 @@ def _intervals_ids(spark: SparkSession, index_path: str,
     raise ValueError(f"unsupported intervals rule: {kind}")
 
 
-def filter_column(dsl: dict) -> Column:
+def compile_runtime_mappings(spec: dict) -> dict[str, Column]:
+    """ES runtime_mappings: query-time computed fields. Each mapping's
+    script source is a SQL expression over doc-store columns (the
+    painless-to-Catalyst translation, same contract as script_score) —
+    it stays whole-stage codegen and filters on it still prune the
+    hit stream, they just can't push into the parquet scan (exactly
+    ES's runtime-field tradeoff: no index structure, evaluated per
+    query)."""
+    out: dict[str, Column] = {}
+    for name, m in (spec or {}).items():
+        script = m.get("script", m)
+        src = script["source"] if isinstance(script, dict) else script
+        out[name] = F.expr(str(src))
+    return out
+
+
+def _fld(name: str, runtime: dict[str, Column] | None) -> Column:
+    if runtime and name in runtime:
+        return runtime[name]
+    return F.col(name)
+
+
+def filter_column(dsl: dict,
+                  runtime: dict[str, Column] | None = None) -> Column:
     """Compile a filter-context DSL node to a Column predicate over
-    doc-store carry columns (used for post_filter and bool.filter)."""
+    doc-store carry columns (used for post_filter and bool.filter).
+    ``runtime`` maps runtime-field names to their computed Columns."""
     kind, spec = _one_entry(dsl, "filter")
     if kind == "term":
         fld, val = _one_entry(spec, "term filter")
         if isinstance(val, dict):
             val = val["value"]
-        return F.col(fld) == F.lit(val)
+        return _fld(fld, runtime) == F.lit(val)
     if kind == "terms":
         fld, vals = _one_entry(spec, "terms filter")
-        return F.col(fld).isin(list(vals))
+        return _fld(fld, runtime).isin(list(vals))
     if kind == "range":
         fld, bounds = _one_entry(spec, "range filter")
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
         cond = F.lit(True)
         for op, val in bounds.items():
-            cond = cond & getattr(F.col(fld), ops[op])(F.lit(val))
+            cond = cond & getattr(_fld(fld, runtime), ops[op])(F.lit(val))
         return cond
     if kind == "exists":
-        return F.col(spec["field"]).isNotNull()
+        return _fld(spec["field"], runtime).isNotNull()
     if kind == "geo_distance":
         # ES geo_distance filter: {"distance": "10km", "location":
         # {"lat": .., "lon": ..}} over (lat, lon) doc columns — the
@@ -188,15 +215,15 @@ def filter_column(dsl: dict) -> Column:
     if kind == "bool":
         cond = F.lit(True)
         for clause in spec.get("must", []) + spec.get("filter", []):
-            cond = cond & filter_column(clause)
-        shoulds = [filter_column(c) for c in spec.get("should", [])]
+            cond = cond & filter_column(clause, runtime)
+        shoulds = [filter_column(c, runtime) for c in spec.get("should", [])]
         if shoulds:
             any_ = shoulds[0]
             for c in shoulds[1:]:
                 any_ = any_ | c
             cond = cond & any_
         for clause in spec.get("must_not", []):
-            cond = cond & ~filter_column(clause)
+            cond = cond & ~filter_column(clause, runtime)
         return cond
     raise ValueError(f"unsupported filter type: {kind}")
 
@@ -391,11 +418,13 @@ def _search_query(spark: SparkSession, index_path: str,
     # the first ``from``.
     k = int(body.get("size", 10)) + int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})
+    runtime = compile_runtime_mappings(body.get("runtime_mappings", {}))
     post = body.get("post_filter")
-    post_col = filter_column(post) if post is not None else None
+    post_col = filter_column(post, runtime) if post is not None else None
 
     if "sort" in body:
-        return _sorted_search(spark, index_path, body, q, post_col, k)
+        return _sorted_search(spark, index_path, body, q, post_col, k,
+                              runtime=runtime)
 
     if "collapse" in body:
         if post_col is not None:
@@ -764,7 +793,8 @@ def _unranked_ids(spark: SparkSession, index_path: str,
 
 
 def _sorted_search(spark: SparkSession, index_path: str, body: dict,
-                   q: dict, post_col, k: int) -> DataFrame:
+                   q: dict, post_col, k: int,
+                   runtime: dict[str, Column] | None = None) -> DataFrame:
     """Top-level ``sort``: ES field sorting. Hits are ordered by the
     sort keys (doc-store carry columns or ``doc_id``), the size cut
     applies on that order, and — like ES with ``track_scores`` off —
@@ -776,6 +806,8 @@ def _sorted_search(spark: SparkSession, index_path: str, body: dict,
 
     ids = _unranked_ids(spark, index_path, q)
     ds = catalog.read_table(spark, index_path, "docstats")
+    for name, col in (runtime or {}).items():
+        ds = ds.withColumn(name, col)  # runtime fields sortable like ES
     if post_col is not None:
         ds = ds.filter(post_col)
     hits = ds.join(ids, "doc_id", "left_semi")

@@ -895,3 +895,28 @@ def test_knn_filter_prefilters(spark, idx, corpus_df):
     assert _rows(via.select("doc_id", "score")) \
         == [(r["vec_id"], r["cos"]) for r in direct.collect()]
     assert via.count() == 8  # pre-filtering still fills k
+
+
+def test_runtime_mappings(spark, idx):
+    """ES runtime fields: a computed field filters (post_filter) and
+    sorts like a stored one — equal to the hand-written Column."""
+    rt = {"dl_sq": {"type": "long", "script": {"source": "dl * dl"}}}
+
+    # post_filter on a runtime field == post_filter on the expression
+    body = {"query": {"match": {"content": "public static"}},
+            "runtime_mappings": rt,
+            "post_filter": {"range": {"dl_sq": {"gte": 900}}}, "size": 50}
+    got = dsl.search(spark, idx, body)
+    want = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}}, "size": 50,
+        "post_filter": {"range": {"dl": {"gte": 30}}}})
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+    # sort on a runtime field, sort values ride along
+    body2 = {"query": {"term": {"lang": "java"}},
+             "runtime_mappings": rt,
+             "sort": [{"dl_sq": "desc"}], "size": 5}
+    got2 = dsl.search(spark, idx, body2).collect()
+    assert [r["dl_sq"] for r in got2] \
+        == sorted((r["dl_sq"] for r in got2), reverse=True)
+    assert all(r["dl_sq"] is not None for r in got2)
