@@ -2777,7 +2777,78 @@ FROM agg a LEFT JOIN ideal i USING (query_id) ORDER BY a.query_id
 
 # ---------------------------------------------------------------- registry
 
+
+
+def q_boxplot_idx(spark, sf_dir):
+    """ES boxplot agg: quartiles + Tukey 1.5*IQR whisker values of dl
+    over the 'spark window' hit set (exact interpolated quartiles —
+    the quantile_cont rule — so the twin is value-for-value)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        boxplot_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    b = boxplot_agg(spark, idx, "spark window", "dl")
+    return b.select(
+        "n", F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        x1e4(F.col("q1")).alias("q1_x1e4"),
+        x1e4(F.col("q2")).alias("q2_x1e4"),
+        x1e4(F.col("q3")).alias("q3_x1e4"),
+        F.col("lower").cast("long").alias("lower_v"),
+        F.col("upper").cast("long").alias("upper_v"))
+
+
+def q_rate_events(spark, sf_dir):
+    """ES rate agg under a month date_histogram: per-day event rate
+    with exact calendar-month divisors (Jan/31 vs Feb/28-29)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import rate_agg
+
+    ev = _t(spark, sf_dir, "events")
+    r = rate_agg(ev, "ts", "month", "day")
+    return r.select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "n_docs", x1e4(F.col("rate")).alias("rate_x1e4"))
+
+
+def q_normalize_events(spark, sf_dir):
+    """ES normalize pipeline agg (percent_of_sum) over the day-bucket
+    event histogram — a full-frame window over thousands of buckets."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram,
+        normalize_pipeline,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = normalize_pipeline(date_histogram(ev, "ts", "day"),
+                           method="percent_of_sum")
+    return b.select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "n_docs", x1e4(F.col("normalized")).alias("pct_x1e4"))
+
+
+def q_moving_percentiles_events(spark, sf_dir):
+    """ES moving_percentiles pipeline agg: trailing-3-bucket median of
+    the day histogram, exact interpolation (quantile_cont rule)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram,
+        moving_percentiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = moving_percentiles(date_histogram(ev, "ts", "day"),
+                           window=3, percentile=0.5)
+    return b.select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "n_docs", x1e4(F.col("moving_pct")).alias("mp_x1e4"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "boxplot_idx": q_boxplot_idx,
+    "rate_events": q_rate_events,
+    "normalize_events": q_normalize_events,
+    "moving_percentiles_events": q_moving_percentiles_events,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_hot": q_bm25_topk_hot,
     "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
@@ -3238,6 +3309,45 @@ grid AS (SELECT unnest(generate_series(
            greatest(400, (SELECT max(bucket) FROM cnt)), 20)) AS bucket)
 SELECT grid.bucket, coalesce(cnt.n_docs, 0) AS n_docs
 FROM grid LEFT JOIN cnt USING (bucket) ORDER BY bucket""",
+        "boxplot_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, len(toks) AS dl FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window')),
+q AS (SELECT count(*) AS n, min(dl) AS min_v, max(dl) AS max_v,
+             quantile_cont(dl, 0.25) AS q1, quantile_cont(dl, 0.5) AS q2,
+             quantile_cont(dl, 0.75) AS q3 FROM hits)
+SELECT n, min_v::BIGINT AS min_v, max_v::BIGINT AS max_v,
+       floor(q1 * 10000.0 + 0.5)::BIGINT AS q1_x1e4,
+       floor(q2 * 10000.0 + 0.5)::BIGINT AS q2_x1e4,
+       floor(q3 * 10000.0 + 0.5)::BIGINT AS q3_x1e4,
+       (SELECT min(dl) FROM hits WHERE dl >= q.q1 - 1.5 * (q.q3 - q.q1))
+         ::BIGINT AS lower_v,
+       (SELECT max(dl) FROM hits WHERE dl <= q.q3 + 1.5 * (q.q3 - q.q1))
+         ::BIGINT AS upper_v
+FROM q""",
+        "rate_events": """
+WITH b AS (SELECT date_trunc('month', ts) AS bucket, count(*) AS n_docs
+           FROM events GROUP BY 1)
+SELECT epoch(bucket)::BIGINT AS bucket_ts, n_docs,
+       floor(n_docs::DOUBLE
+             / date_diff('day', bucket, bucket + INTERVAL 1 MONTH)
+             * 10000.0 + 0.5)::BIGINT AS rate_x1e4
+FROM b ORDER BY 1""",
+        "normalize_events": """
+WITH b AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
+                  count(*) AS n_docs FROM events GROUP BY 1)
+SELECT bucket_ts, n_docs,
+       floor(n_docs::DOUBLE / sum(n_docs) OVER () * 100.0
+             * 10000.0 + 0.5)::BIGINT AS pct_x1e4
+FROM b ORDER BY bucket_ts""",
+        "moving_percentiles_events": """
+WITH b AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
+                  count(*) AS n_docs FROM events GROUP BY 1)
+SELECT bucket_ts, n_docs,
+       floor(quantile_cont(n_docs::DOUBLE, 0.5)
+               OVER (ORDER BY bucket_ts ROWS 2 PRECEDING)
+             * 10000.0 + 0.5)::BIGINT AS mp_x1e4
+FROM b ORDER BY bucket_ts""",
         "stats_agg_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT doc_id, len(toks) AS dl FROM toks

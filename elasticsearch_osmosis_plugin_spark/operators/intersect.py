@@ -1740,3 +1740,153 @@ def histogram_filled(spark: SparkSession, index_path: str, query: str,
             .select("bucket",
                     F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"))
             .orderBy("bucket"))
+
+
+def boxplot_agg(spark: SparkSession, index_path: str, query: str,
+                value_col: str, mode: str = "any") -> DataFrame:
+    """ES boxplot aggregation: min/max/q1/q2/q3 of a doc-store numeric
+    column over the docs matching ``query``, plus the whisker values —
+    the closest observed values inside the 1.5*IQR Tukey fences (ES's
+    documented whisker rule) -> one row.
+
+    Two passes over the top-k-free hit values by design (same shape as
+    ES: quartiles come from the sketch, whiskers need a value scan):
+    pass 1 is one mergeable agg for n/min/max + exact interpolated
+    quartiles (identical interpolation to DuckDB's quantile_cont, so
+    the oracle is value-for-value); the fence constants then fold into
+    pass 2's conditional min/max as literals. Both passes are column-
+    pruned scans of (doc_id, value) semi-joined to the hit stream —
+    nothing corpus-wide shuffles."""
+    vals = _hit_values(spark, index_path, query, value_col, mode)
+    v = F.col(value_col).cast("double")
+    row = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+         .alias("qs")).collect()[0]
+    schema = ("n long, min_v double, max_v double, q1 double, q2 double, "
+              "q3 double, lower double, upper double")
+    if not row["n"]:
+        return spark.createDataFrame([], schema)
+    q1, q2, q3 = (float(x) for x in row["qs"])
+    iqr = q3 - q1
+    lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    wh = vals.agg(
+        F.min(F.when(v >= F.lit(lo_fence), v)).alias("lower"),
+        F.max(F.when(v <= F.lit(hi_fence), v)).alias("upper")).collect()[0]
+    return spark.createDataFrame(
+        [(int(row["n"]), float(row["min_v"]), float(row["max_v"]),
+          q1, q2, q3, float(wh["lower"]), float(wh["upper"]))], schema)
+
+
+# nominal seconds per rate unit (sub-month units are fixed-length;
+# month-family divisors use exact calendar month counts instead)
+_RATE_UNIT_S = {"second": 1, "minute": 60, "hour": 3600,
+                "day": 86400, "week": 604800}
+_RATE_MONTHS = {"month": 1.0, "quarter": 3.0, "year": 12.0}
+
+
+def rate_agg(df: DataFrame, ts_col: str, calendar_interval: str = "month",
+             unit: str = "day", value_col: str | None = None) -> DataFrame:
+    """ES rate aggregation under a date_histogram: per calendar bucket,
+    the doc count (or sum of ``value_col``) RESCALED to a per-``unit``
+    rate -> (bucket, n_docs, rate). A 31-day January and a 28-day
+    February with equal counts report different per-day rates — the
+    divisor is each bucket's exact calendar length in units, computed
+    from the bucket key's bound arithmetic (bucket vs bucket + 1
+    interval), entirely in codegen after the groupBy.
+
+    ``unit`` must not exceed ``calendar_interval`` (ES rejects that
+    too). Sub-month units divide the bucket's exact span in seconds;
+    month-family units divide by the exact month count. One map-side-
+    combined groupBy; the divisor is a projection over the BUCKET
+    frame (thousands of rows), not a join."""
+    order = ["second", "minute", "hour", "day", "week", "month",
+             "quarter", "year"]
+    if unit not in order or calendar_interval not in order:
+        raise ValueError(f"unknown unit/interval: {unit}/{calendar_interval}")
+    if order.index(unit) > order.index(calendar_interval):
+        raise ValueError(
+            f"rate unit {unit} exceeds the histogram interval "
+            f"{calendar_interval}")
+    val = (F.sum(F.col(value_col).cast("double")) if value_col
+           else F.count(F.lit(1)).cast("double"))
+    buckets = (df.groupBy(F.date_trunc(calendar_interval, F.col(ts_col))
+                          .alias("bucket"))
+               .agg(F.count(F.lit(1)).alias("n_docs"), val.alias("_v")))
+    nxt = F.col("bucket") + F.expr(f"INTERVAL 1 {calendar_interval}")
+    if unit in _RATE_UNIT_S:
+        divisor = ((F.unix_timestamp(nxt) - F.unix_timestamp("bucket"))
+                   / F.lit(float(_RATE_UNIT_S[unit])))
+    else:
+        divisor = F.lit(_RATE_MONTHS[calendar_interval]
+                        / _RATE_MONTHS[unit])
+    return (buckets.select("bucket", "n_docs",
+                           (F.col("_v") / divisor).alias("rate"))
+            .orderBy("bucket"))
+
+
+def normalize_pipeline(buckets: DataFrame, value_col: str = "n_docs",
+                       method: str = "percent_of_sum",
+                       key_col: str = "bucket",
+                       out_col: str = "normalized") -> DataFrame:
+    """ES normalize pipeline aggregation: rescale a bucket metric
+    across the whole bucket frame -> buckets + ``out_col``. Methods
+    (ES's set): ``percent_of_sum`` (v/sum*100), ``mean``
+    ((v-mean)/(max-min)), ``rescale_0_1``, ``rescale_0_100``,
+    ``z-score`` ((v-mean)/population stddev), ``softmax``
+    (exp(v)/sum(exp(v))).
+
+    Runs as window functions over the BUCKET frame (thousands of
+    rows, the single-partition window is deliberate — same reasoning
+    as :func:`bucket_pipeline`)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.lit(1)).rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing)
+    v = F.col(value_col).cast("double")
+    if method == "percent_of_sum":
+        out = v / F.sum(v).over(w) * 100.0
+    elif method == "mean":
+        out = (v - F.avg(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    elif method == "rescale_0_1":
+        out = (v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    elif method == "rescale_0_100":
+        out = (v - F.min(v).over(w)) \
+            / (F.max(v).over(w) - F.min(v).over(w)) * 100.0
+    elif method == "z-score":
+        out = (v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)
+    elif method == "softmax":
+        out = F.exp(v) / F.sum(F.exp(v)).over(w)
+    else:
+        raise ValueError(f"unknown normalize method: {method}")
+    return buckets.withColumn(out_col, out).orderBy(key_col)
+
+
+def moving_percentiles(buckets: DataFrame, value_col: str = "n_docs",
+                       window: int = 3, percentile: float = 0.5,
+                       key_col: str = "bucket",
+                       out_col: str = "moving_pct") -> DataFrame:
+    """ES moving_percentiles pipeline agg: the percentile of the
+    trailing ``window`` buckets INCLUDING the current one (shift=1
+    alignment, same as :func:`bucket_pipeline`'s moving_avg), exact
+    linear interpolation (index p*(n-1), the quantile_cont rule) ->
+    buckets + ``out_col``.
+
+    ES slides a t-digest; here the window is tiny (a handful of bucket
+    values), so the exact form is a sorted-array expression over a
+    collect_list window — still pure Catalyst on the bucket frame."""
+    from pyspark.sql import Window as W
+
+    if not 0.0 <= percentile <= 1.0:
+        raise ValueError("percentile must be in [0, 1]")
+    w = W.orderBy(key_col).rowsBetween(-(int(window) - 1), W.currentRow)
+    arr = F.sort_array(F.collect_list(F.col(value_col).cast("double"))
+                       .over(w))
+    n = F.size(arr)
+    idx = F.lit(float(percentile)) * (n - F.lit(1)).cast("double")
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    val = (F.element_at(arr, lo + 1) * (F.lit(1.0) - frac)
+           + F.element_at(arr, F.least(lo + 2, n)) * frac)
+    return buckets.withColumn(out_col, val).orderBy(key_col)

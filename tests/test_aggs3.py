@@ -257,3 +257,86 @@ def test_auto_date_histogram_interval_choice(spark):
         spark.createDataFrame([], "id long, ts timestamp"), "ts", 12)
     assert empty.columns == ["bucket", "n_docs", "interval"]
     assert empty.count() == 0
+
+
+def test_boxplot_agg_matches_numpy_rule(spark, agg_index, hit_rows):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        boxplot_agg,
+    )
+
+    vals = sorted(float(r["dl"]) for r in hit_rows)
+
+    def q(p):
+        idx = p * (len(vals) - 1)
+        lo = int(math.floor(idx))
+        frac = idx - lo
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] * (1 - frac) + vals[hi] * frac
+
+    q1, q2, q3 = q(0.25), q(0.5), q(0.75)
+    iqr = q3 - q1
+    lower = min(v for v in vals if v >= q1 - 1.5 * iqr)
+    upper = max(v for v in vals if v <= q3 + 1.5 * iqr)
+    row = boxplot_agg(spark, agg_index, Q, "dl").collect()[0]
+    assert row["n"] == len(vals)
+    assert row["min_v"] == vals[0] and row["max_v"] == vals[-1]
+    for got, want in [(row["q1"], q1), (row["q2"], q2), (row["q3"], q3),
+                      (row["lower"], lower), (row["upper"], upper)]:
+        assert abs(got - want) < 1e-9
+    # empty hit set -> empty frame, not a crash
+    assert boxplot_agg(spark, agg_index, "zzzznope", "dl").count() == 0
+
+
+def test_rate_agg_calendar_divisors(spark):
+    from datetime import datetime
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import rate_agg
+
+    rows = [(i, datetime(2024, 1, 5 + i), float(i)) for i in range(3)] \
+        + [(10 + i, datetime(2024, 2, 10 + i), 10.0) for i in range(2)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    got = {r["bucket"].month: r for r in
+           rate_agg(df, "ts", "month", "day").collect()}
+    # Jan 2024 has 31 days, Feb 2024 (leap) 29
+    assert abs(got[1]["rate"] - 3 / 31) < 1e-12
+    assert abs(got[2]["rate"] - 2 / 29) < 1e-12
+    got_v = {r["bucket"].month: r for r in
+             rate_agg(df, "ts", "month", "day", value_col="v").collect()}
+    assert abs(got_v[1]["rate"] - (0 + 1 + 2) / 31) < 1e-12
+    # month unit under a year bucket divides by 12
+    per_year = rate_agg(df, "ts", "year", "month").collect()[0]
+    assert abs(per_year["rate"] - 5 / 12) < 1e-12
+    with pytest.raises(ValueError):
+        rate_agg(df, "ts", "day", "month")
+
+
+def test_normalize_and_moving_percentiles(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        moving_percentiles,
+        normalize_pipeline,
+    )
+
+    rows = [(1, 10.0), (2, 30.0), (3, 20.0), (4, 40.0)]
+    df = spark.createDataFrame(rows, "bucket long, n_docs double")
+    pos = normalize_pipeline(df, method="percent_of_sum").collect()
+    assert [r["normalized"] for r in pos] == [10.0, 30.0, 20.0, 40.0]
+    r01 = normalize_pipeline(df, method="rescale_0_1").collect()
+    assert [r["normalized"] for r in r01] == [0.0, 2 / 3, 1 / 3, 1.0]
+    mean = normalize_pipeline(df, method="mean").collect()
+    assert [round(r["normalized"], 9) for r in mean] == [
+        round((v - 25.0) / 30.0, 9) for v in (10.0, 30.0, 20.0, 40.0)]
+    soft = normalize_pipeline(df, method="softmax").collect()
+    import numpy as np
+
+    e = np.exp([10.0, 30.0, 20.0, 40.0])
+    for got, want in zip([r["normalized"] for r in soft], e / e.sum()):
+        assert abs(got - want) < 1e-12
+    with pytest.raises(ValueError):
+        normalize_pipeline(df, method="nope")
+
+    mp = moving_percentiles(df, window=3, percentile=0.5).collect()
+    # trailing-3 windows: [10], [10,30], [10,20,30], [20,30,40]
+    assert [r["moving_pct"] for r in mp] == [10.0, 20.0, 20.0, 30.0]
+    p25 = moving_percentiles(df, window=3, percentile=0.25).collect()
+    # window [10,20,30] p25 -> 15; [20,30,40] -> 25
+    assert [r["moving_pct"] for r in p25] == [10.0, 15.0, 15.0, 25.0]
