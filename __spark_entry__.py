@@ -2844,7 +2844,161 @@ def q_moving_percentiles_events(spark, sf_dir):
                     "n_docs", x1e4(F.col("moving_pct")).alias("mp_x1e4"))
 
 
+
+
+PINNED_IDS = [42, 7, 999999999]  # one bogus id: dropped, not an error
+
+
+def q_pinned_idx(spark, sf_dir):
+    """ES pinned query: listed ids first in list order, organic BM25
+    after (promoted ids excluded) — emitted as (rank, doc_id); the
+    synthetic pinned scores are an implementation detail."""
+    from pyspark.sql import Window as PW
+
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import pinned_topk
+
+    idx = _index_for(spark, sf_dir)
+    raw = pinned_topk(spark, idx, PINNED_IDS, "spark query", k=10)
+    w = PW.orderBy(F.desc("score"), F.asc("doc_id"))
+    return raw.select(F.row_number().over(w).alias("rank"), "doc_id")
+
+
+PINNED_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+pin AS (SELECT p.doc_id, p.pos
+        FROM (VALUES (42, 0), (7, 1), (999999999, 2)) p(doc_id, pos)
+        JOIN documents d USING (doc_id)),
+united AS (
+  SELECT doc_id, 0 AS grp, pos AS o1, 0.0 AS o2 FROM pin
+  UNION ALL
+  SELECT doc_id, 1, 0, -floor(s * 10000.0 + 0.5) FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM pin))
+SELECT row_number() OVER (ORDER BY grp, o1, o2, doc_id) AS rank, doc_id
+FROM united ORDER BY grp, o1, o2, doc_id LIMIT 10
+"""
+
+
+def q_match_bool_prefix_idx(spark, sf_dir):
+    """ES match_bool_prefix: 'spark' scored BM25 as a should clause,
+    trailing 'que' a constant-score prefix clause; union semantics."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        match_bool_prefix_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = match_bool_prefix_topk(spark, idx, "spark que", k=30,
+                                 max_expansions=1000)
+    return _rerank_score_x1e4(raw, 10)
+
+
+MATCH_BOOL_PREFIX_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+       WHERE term = 'spark' GROUP BY doc_id),
+df AS (SELECT count(*)::DOUBLE AS df FROM tf),
+bm AS (SELECT tf.doc_id,
+              ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) AS s
+       FROM tf JOIN dl USING (doc_id) CROSS JOIN df CROSS JOIN stats),
+pref AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'que%'),
+united AS (
+  SELECT coalesce(b.doc_id, p.doc_id) AS doc_id,
+         coalesce(b.s, 0.0)
+         + (CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS s
+  FROM bm b FULL OUTER JOIN pref p ON b.doc_id = p.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM united
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10
+"""
+
+
+CF_WEIGHTS = {"text": 1.0, "source": 2.0}
+
+
+def q_combined_fields_idx(spark, sf_dir):
+    """ES combined_fields (BM25F-lite, term-centric): text + source^2
+    blend into one pseudo-field BEFORE BM25 — exact union df, blended
+    tf/dl/avgdl; the DuckDB twin recomputes the whole blend."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        combined_fields_topk,
+    )
+
+    txt = _index_for(spark, sf_dir)
+    srcx = _index_for(spark, sf_dir, field="source")
+    raw = combined_fields_topk(spark, {"text": txt, "source": srcx},
+                               "spark src3", k=30,
+                               field_weights=CF_WEIGHTS)
+    return _rerank_score_x1e4(raw, 10)
+
+
+COMBINED_FIELDS_SQL = f"""
+WITH {TOK_CTE},
+stoks AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(source), '\\s+'),
+                             x -> x <> '') AS stoks FROM documents),
+dlc AS (SELECT t.doc_id,
+               1.0 * len(t.toks) + 2.0 * len(s.stoks) AS dlc
+        FROM toks t JOIN stoks s USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlc) AS avgdl FROM dlc),
+q AS (SELECT unnest(['spark', 'src3']) AS term),
+tfc AS (SELECT d.doc_id, q.term,
+               1.0 * len(list_filter(t.toks, x -> x = q.term))
+               + 2.0 * len(list_filter(s.stoks, x -> x = q.term)) AS tfc
+        FROM documents d JOIN toks t USING (doc_id)
+        JOIN stoks s USING (doc_id) CROSS JOIN q),
+nz AS (SELECT * FROM tfc WHERE tfc > 0),
+dfc AS (SELECT term, count(*)::DOUBLE AS dfc FROM nz GROUP BY term),
+scored AS (
+  SELECT nz.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfc.dfc + 0.5) / (dfc.dfc + 0.5))
+              * nz.tfc * ({BM25_K1} + 1.0)
+              / (nz.tfc + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dlc.dlc / stats.avgdl))
+            ) AS s
+  FROM nz JOIN dlc USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats
+  GROUP BY nz.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10
+"""
+
+
+
+
+def q_significant_text_idx(spark, sf_dir):
+    """ES significant_text: JLH significance with filter_duplicate_text
+    — identical token streams count once in the foreground."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        significant_text,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    s = significant_text(spark, idx, "window dup", size=10, min_doc_count=3)
+    return s.select("term", "df_fg", "df_bg",
+                    x1e4(F.col("jlh")).alias("jlh_x1e4"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "significant_text_idx": q_significant_text_idx,
+    "pinned_idx": q_pinned_idx,
+    "match_bool_prefix_idx": q_match_bool_prefix_idx,
+    "combined_fields_idx": q_combined_fields_idx,
     "boxplot_idx": q_boxplot_idx,
     "rate_events": q_rate_events,
     "normalize_events": q_normalize_events,
@@ -3348,6 +3502,9 @@ SELECT bucket_ts, n_docs,
                OVER (ORDER BY bucket_ts ROWS 2 PRECEDING)
              * 10000.0 + 0.5)::BIGINT AS mp_x1e4
 FROM b ORDER BY bucket_ts""",
+        "pinned_idx": PINNED_SQL,
+        "match_bool_prefix_idx": MATCH_BOOL_PREFIX_SQL,
+        "combined_fields_idx": COMBINED_FIELDS_SQL,
         "stats_agg_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT doc_id, len(toks) AS dl FROM toks
@@ -3513,6 +3670,27 @@ nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM hits),
 nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 fg AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
        WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY term),
+bg AS (SELECT term, count(*)::DOUBLE AS df_bg FROM tokd GROUP BY term)
+SELECT term, df_fg::BIGINT AS df_fg, df_bg::BIGINT AS df_bg,
+  floor(((df_fg / n_fg) - (df_bg / n_docs))
+        * ((df_fg / n_fg) / (df_bg / n_docs)) * 10000.0 + 0.5)::BIGINT
+    AS jlh_x1e4
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nd
+WHERE df_fg >= 3
+ORDER BY ((df_fg / n_fg) - (df_bg / n_docs))
+         * ((df_fg / n_fg) / (df_bg / n_docs)) DESC, term
+LIMIT 10""",
+        "significant_text_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, toks FROM toks
+         WHERE list_contains(toks, 'window') OR list_contains(toks, 'dup')),
+dedup AS (SELECT min(doc_id) AS doc_id, any_value(toks) AS toks
+          FROM hits GROUP BY md5(array_to_string(toks, chr(31)))),
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+fgd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM dedup),
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM dedup),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+fg AS (SELECT term, count(*)::DOUBLE AS df_fg FROM fgd GROUP BY term),
 bg AS (SELECT term, count(*)::DOUBLE AS df_bg FROM tokd GROUP BY term)
 SELECT term, df_fg::BIGINT AS df_fg, df_bg::BIGINT AS df_bg,
   floor(((df_fg / n_fg) - (df_bg / n_docs))

@@ -284,7 +284,8 @@ def _finish_ids(spark: SparkSession, index_path: str, ids: DataFrame,
 
 
 def search(spark: SparkSession, index_path: str, body: dict,
-           knn_source: DataFrame | None = None) -> DataFrame:
+           knn_source: DataFrame | None = None,
+           field_indexes: dict[str, str] | None = None) -> DataFrame:
     """Run an ES-style search body against the index.
 
     Returns the hits DataFrame: (doc_id, score) for ranked forms,
@@ -310,7 +311,13 @@ def search(spark: SparkSession, index_path: str, body: dict,
     elif "knn" in body:
         hits = _knn_search(spark, index_path, body, knn_source)
     else:
-        hits = _search_query(spark, index_path, body)
+        hits = _search_query(spark, index_path, body, field_indexes)
+    if "min_score" in body:
+        # ES min_score: hits scoring below the floor are excluded.
+        # Applied to the ranked hit frame (post-k here; ES filters at
+        # collection time — identical whenever >= k hits clear the
+        # floor, and never returns a below-floor hit either way).
+        hits = hits.filter(F.col("score") >= float(body["min_score"]))
     if frm:
         # ES from+size pagination: _search_query already ranked the
         # first from+size hits; skip the first ``from`` of them. The
@@ -323,6 +330,12 @@ def search(spark: SparkSession, index_path: str, body: dict,
         )
 
         hits = fetch_hits(spark, index_path, hits, list(src))
+    for name, sf in body.get("script_fields", {}).items():
+        # ES script_fields: per-hit computed values at FETCH time (the
+        # fetch-phase sibling of runtime_mappings) — a SQL script over
+        # the hit frame's columns (hydrate dependencies via _source),
+        # whole-stage codegen, top-k-sized input.
+        hits = hits.withColumn(name, F.expr(sf["script"]["source"]))
     return hits
 
 
@@ -408,7 +421,8 @@ def _retriever_search(spark: SparkSession, index_path: str, body: dict,
 
 
 def _search_query(spark: SparkSession, index_path: str,
-                  body: dict) -> DataFrame:
+                  body: dict,
+                  field_indexes: dict[str, str] | None = None) -> DataFrame:
     from elasticsearch_osmosis_plugin_spark.operators import intersect, query
     from elasticsearch_osmosis_plugin_spark.operators import scorefn
 
@@ -540,6 +554,60 @@ def _search_query(spark: SparkSession, index_path: str,
             default_operator=(spec.get("default_operator", "OR")
                               if isinstance(spec, dict) else "OR"))
 
+
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query body (the
+        # escape hatch client libraries use to embed raw queries);
+        # decode and recurse — routing only, never semantics.
+        import base64
+        import json
+
+        inner = json.loads(base64.b64decode(spec["query"]))
+        return _search_query(spark, index_path, dict(body, query=inner),
+                             field_indexes)
+
+    if kind == "pinned":
+        if post_col is not None:
+            raise ValueError("post_filter with pinned is not supported")
+        org = spec.get("organic", {})
+        _, mspec = _one_entry(org["match"], "pinned organic")
+        return scorefn.pinned_topk(
+            spark, index_path, [int(i) for i in spec["ids"]],
+            _match_args(mspec)[0], k=k)
+
+    if kind == "match_bool_prefix":
+        if post_col is not None:
+            raise ValueError(
+                "post_filter with match_bool_prefix is not supported")
+        fld, mspec = _one_entry(spec, "match_bool_prefix")
+        text, opts = _match_args(mspec)
+        return scorefn.match_bool_prefix_topk(
+            spark, index_path, text, k=k,
+            max_expansions=int(opts.get("max_expansions", 50)))
+
+    if kind in ("multi_match", "combined_fields"):
+        if post_col is not None:
+            raise ValueError(f"post_filter with {kind} is not supported")
+        if field_indexes is None:
+            raise ValueError(f"{kind} needs field_indexes "
+                             "(one persisted index per field)")
+        weights: dict[str, float] = {}
+        for f in spec["fields"]:
+            name, _, boost = f.partition("^")
+            weights[name] = float(boost) if boost else 1.0
+        paths = {f: field_indexes[f] for f in weights}
+        if kind == "combined_fields":
+            return scorefn.combined_fields_topk(
+                spark, paths, spec["query"], k=k, field_weights=weights)
+        mm_type = spec.get("type", "best_fields")
+        if mm_type != "best_fields":
+            raise ValueError(f"unsupported multi_match type: {mm_type}")
+        if any(w != 1.0 for w in weights.values()):
+            raise ValueError("multi_match per-field boosts not supported")
+        return scorefn.multi_match_best_fields(
+            spark, paths, spec["query"], k=k,
+            tie_breaker=float(spec.get("tie_breaker", 0.0)))
+
     if kind == "match_phrase":
         fld, mspec = _one_entry(spec, "match_phrase")
         text, opts = _match_args(mspec)
@@ -570,6 +638,25 @@ def _search_query(spark: SparkSession, index_path: str,
 
     if kind == "terms":
         fld, vals = _one_entry(spec, "terms")
+        if isinstance(vals, dict):
+            # ES terms lookup: fetch the term list from a field of one
+            # stored document (possibly in another index) — a 1-row
+            # column-pruned point read, then the normal terms query.
+            from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+            lk_idx = vals.get("index", index_path)
+            rows = (catalog.read_table(spark, lk_idx, "docstats")
+                    .filter(F.col("doc_id") == int(vals["id"]))
+                    .select(vals["path"]).collect())
+            v = rows[0][0] if rows else None
+            if v is None:
+                vals = []
+            elif isinstance(v, (list, tuple)):
+                vals = [str(x) for x in v]
+            else:
+                vals = [str(v)]
+        if not vals:
+            return spark.createDataFrame([], "doc_id long, score double")
         return _finish_ids(spark, index_path, intersect.match_any_terms(
             spark, index_path, " ".join(vals)), post_col, k)
 
@@ -894,6 +981,15 @@ def search_aggs(spark: SparkSession, index_path: str,
             out[name] = intersect.significant_terms(
                 spark, index_path, qtext,
                 size=int(aspec.get("size", 10)))
+        elif akind == "significant_text":
+            out[name] = intersect.significant_text(
+                spark, index_path, qtext,
+                size=int(aspec.get("size", 10)),
+                filter_duplicate_text=bool(
+                    aspec.get("filter_duplicate_text", True)))
+        elif akind == "boxplot":
+            out[name] = intersect.boxplot_agg(
+                spark, index_path, qtext, aspec["field"])
         else:
             raise ValueError(f"unsupported agg type: {akind}")
     return out

@@ -1890,3 +1890,86 @@ def moving_percentiles(buckets: DataFrame, value_col: str = "n_docs",
     val = (F.element_at(arr, lo + 1) * (F.lit(1.0) - frac)
            + F.element_at(arr, F.least(lo + 2, n)) * frac)
     return buckets.withColumn(out_col, val).orderBy(key_col)
+
+
+def significant_text(spark: SparkSession, index_path: str, query: str,
+                     size: int = 10, min_doc_count: int = 3,
+                     mode: str = "any",
+                     filter_duplicate_text: bool = True) -> DataFrame:
+    """ES significant_text aggregation: :func:`significant_terms` over
+    the hit docs' text with the ``filter_duplicate_text`` twist —
+    near-boilerplate copies (identical token sequences) count ONCE in
+    the foreground, so mirrored/syndicated text can't fabricate
+    significance (exactly why ES added this agg). Dedup key is the md5
+    of the token stream, computed in codegen on the already-pruned hit
+    rows; one row per duplicate group survives (min doc_id, for
+    determinism). Background stats stay corpus-wide from the
+    dictionary — ES keeps bg duplicate-naive too."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    meta = load_meta(index_path)
+    hits = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("significant_text needs the term-vector store")
+    fg_docs = ds.select("doc_id", "tokens").join(hits, "doc_id", "left_semi")
+    if filter_duplicate_text:
+        fg_docs = (fg_docs
+                   .withColumn("_fp", F.md5(F.array_join("tokens", "\x1f")))
+                   .groupBy("_fp")
+                   .agg(F.min("doc_id").alias("doc_id"),
+                        F.first("tokens").alias("tokens"))
+                   .drop("_fp"))
+    fg = (fg_docs
+          .select(F.explode(F.array_distinct("tokens")).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("df_fg")))
+    n_fg = fg_docs.select(F.count(F.lit(1)).alias("n_fg"))
+    bg = (dictionary_df(spark, index_path)
+          .groupBy("term").agg(F.sum("df").alias("df_bg")))
+    n_docs = float(meta["n_docs"])
+    fg_rate = F.col("df_fg") / F.col("n_fg")
+    bg_rate = F.col("df_bg") / F.lit(n_docs)
+    return (fg.join(bg, "term").crossJoin(F.broadcast(n_fg))
+            .filter(F.col("df_fg") >= min_doc_count)
+            .select("term", "df_fg", "df_bg",
+                    ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("jlh"))
+            .orderBy(F.desc("jlh"), F.asc("term")).limit(size))
+
+
+def mtermvectors(spark: SparkSession, index_path: str,
+                 doc_ids: Sequence[int]) -> DataFrame:
+    """ES _mtermvectors: :func:`term_vectors` for a batch of ids in ONE
+    doc-store point read + ONE dictionary lookup -> (doc_id, term, tf,
+    positions, df, cf). Unknown ids are silently absent from the
+    result (ES marks them found=false), never an error."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        dictionary_rows,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("mtermvectors needs the term-vector store")
+    ids = [int(d) for d in doc_ids]
+    rows = (ds.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "tokens").collect())
+    tf: dict[tuple[int, str], int] = {}
+    pos: dict[tuple[int, str], list[int]] = {}
+    for r in rows:
+        for i, t in enumerate(r["tokens"]):
+            key = (r["doc_id"], t)
+            tf[key] = tf.get(key, 0) + 1
+            pos.setdefault(key, []).append(i)
+    terms = sorted({t for _, t in tf})
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    stats = {r.term: (int(r.df), int(r.cf)) for r in dic.itertuples()}
+    out = [(d, t, tf[(d, t)], pos[(d, t)], *stats[t])
+           for d, t in sorted(tf)]
+    return spark.createDataFrame(
+        out, "doc_id long, term string, tf long, positions array<long>, "
+             "df long, cf long")

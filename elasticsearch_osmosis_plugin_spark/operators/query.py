@@ -1100,3 +1100,127 @@ def match_count(spark: SparkSession, index_path: str, query: str, *,
                   .mapInPandas(ids_only, "doc_id long"),
                   tombstones_df(spark, index_path, meta))
             .select("doc_id").distinct().count())
+
+
+def delete_by_query(spark: SparkSession, index_path: str,
+                    query: str | None = None, mode: str = "any",
+                    post_filter=None) -> int:
+    """ES _delete_by_query: tombstone every doc matching the query
+    (same matching surface as :func:`scan_df`), returning the number
+    newly deleted. Logical deletes — the ES/Lucene model exactly:
+    version_conflict-free here because the id set is computed and
+    applied in one snapshot; ``merge.purge_deletes`` is the physical
+    reclaim (ES's forcemerge role)."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+
+    meta = load_meta(index_path)
+    before = int(meta.get("tombstones_n") or 0)
+    ids = scan_df(spark, index_path, query, mode=mode,
+                  post_filter=post_filter)
+    total = delete_docs(spark, index_path, ids)
+    return total - before
+
+
+def update_by_query(spark: SparkSession, index_path: str,
+                    assignments: dict[str, str],
+                    query: str | None = None, mode: str = "any",
+                    post_filter=None) -> int:
+    """ES _update_by_query: apply a script to every doc matching the
+    query. The "script" is a dict of {carry column: SQL expression}
+    (the painless-to-Catalyst translation used everywhere else in this
+    engine); expressions see the doc's current columns. Returns the
+    number of updated docs.
+
+    Only CARRY columns may change — doc_id/seg/grp (identity/layout),
+    tokens/dl (the analyzed text: changing it without reindexing would
+    silently desync postings — ES recomputes the inverted fields on
+    every update_by_query because _source is the truth; here the
+    analyzed fields are immutable, use :func:`reindex` to re-analyze),
+    and content_sha (the row invariant) are all protected.
+
+    Plan: one conditional projection over docstats (hit flag via a
+    left join against the match-id stream), swapped atomically with
+    the manifest preserved — the same full-segment-rewrite cost
+    profile Lucene pays for updates, minus the merge amplification."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    protected = {"doc_id", "seg", "grp", "tokens", "dl", "content_sha"}
+    ds = catalog.read_table(spark, index_path, "docstats")
+    bad = sorted(set(assignments) - set(ds.columns))
+    if bad:
+        raise ValueError(f"unknown columns: {bad}")
+    locked = sorted(set(assignments) & protected)
+    if locked:
+        raise ValueError(f"cannot update_by_query protected columns "
+                         f"{locked}; reindex to re-analyze")
+    hits = scan_df(spark, index_path, query, mode=mode,
+                   post_filter=post_filter)
+    n = hits.count()
+    flagged = ds.join(hits.withColumn("_hit", F.lit(True)),
+                      "doc_id", "left")
+    schema_cols = ds.columns
+    for col_name, sql in assignments.items():
+        flagged = flagged.withColumn(
+            col_name,
+            F.when(F.col("_hit"), F.expr(sql).cast(ds.schema[col_name]
+                                                   .dataType))
+            .otherwise(F.col(col_name)))
+    manifest = dict(catalog.read_manifest(index_path, "docstats"))
+    manifest["updated_by_query"] = int(manifest.get("updated_by_query",
+                                                    0)) + n
+    catalog.create_or_replace(flagged.select(*schema_cols), index_path,
+                              "docstats", manifest=manifest,
+                              partition_by=["grp"])
+    return n
+
+
+def reindex(spark: SparkSession, src_index: str, dest_path: str,
+            cfg=None, query: str | None = None, mode: str = "any",
+            post_filter=None, n_groups: int = 1) -> dict:
+    """ES _reindex: build a NEW index at ``dest_path`` from the live
+    (optionally query-filtered) docs of ``src_index``, re-analyzing
+    under ``cfg`` (default: the source's config — the
+    change-your-mapping workflow). Tombstoned docs are dropped for
+    real, exactly like ES reindex skipping deleted docs.
+
+    The source of truth is the stored term vector: the reconstructed
+    text is the token stream space-joined (this engine's _source for
+    the analyzed field). The built-in analyzer family is idempotent on
+    its own output (lowercased, split, filtered), so reindexing under
+    the SAME analyzer is score-identical to a purge+rebuild; a
+    different analyzer re-tokenizes the reconstruction, which is the
+    best any engine can do once the raw field is gone (ES needs
+    _source enabled for reindex for the same reason). Requires the
+    term-vector store. Carry columns ride along; returns the new
+    index's meta."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    meta = load_meta(src_index)
+    ds = catalog.read_table(spark, src_index, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            src_index, "docstats").get("term_vectors", False):
+        raise ValueError("reindex needs the term-vector store "
+                         "(drop_term_vectors removed the _source analog)")
+    ids = scan_df(spark, src_index, query, mode=mode,
+                  post_filter=post_filter)
+    internal = {"seg", "grp", "tokens", "dl", "content_sha"}
+    carry = [c for c in ds.columns if c not in internal | {"doc_id"}]
+    docs = (ds.join(ids, "doc_id", "left_semi")
+            .select("doc_id", F.array_join("tokens", " ").alias("_text"),
+                    *carry))
+    if cfg is None:
+        src_cfg = dict(catalog.read_manifest(src_index, "docstats")
+                       .get("cfg", {}))
+        cfg = EngineConfig(
+            analyzer=meta.get("analyzer", "code"),
+            k1=float(meta.get("k1", 1.2)), b=float(meta.get("b", 0.75)),
+            n_segments=int(src_cfg.get("n_segments", 8)),
+            n_buckets=int(meta.get("n_buckets", 8)),
+            block_size=int(meta.get("block_size", 64)),
+            store_positions=bool(meta.get("positions", True)),
+            resume=False)
+    return build_index(spark, docs, dest_path, cfg, id_col="doc_id",
+                       text_col="_text", carry_cols=carry,
+                       n_groups=n_groups)

@@ -26,7 +26,9 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
 from elasticsearch_osmosis_plugin_spark.operators.query import (
+    _live,
     _scored,
     dictionary_rows,
     idf,
@@ -589,3 +591,187 @@ def script_score_topk(spark: SparkSession, index_path: str, query: str,
         joined.select("doc_id",
                       F.greatest(script.cast("double"), F.lit(0.0))
                       .alias("score")), k)
+
+
+def pinned_topk(spark: SparkSession, index_path: str, ids: Sequence[int],
+                organic: str, k: int = 10) -> DataFrame:
+    """ES pinned query: the listed doc ids rank FIRST, in list order,
+    ahead of every organic hit; the organic ranking (BM25 over
+    ``organic``) follows with the promoted ids excluded. ES implements
+    this with synthetic scores counting down from above any possible
+    organic score (PinnedQueryBuilder), and so does this: pinned doc i
+    scores ``1e9 - i``. Pinned ids must exist and be live (ES returns
+    pinned docs even when they don't match the organic query — but
+    never deleted ones); missing ids are dropped, not errors.
+
+    Plan: the pin list is query-literal-sized (a broadcast), the
+    organic side is the usual pruned scoreall decode; one anti-join
+    drops promoted ids from the organic stream."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    pin = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(ids)], "doc_id long, _pos int")
+    ds = catalog.read_table(spark, index_path, "docstats").select("doc_id")
+    tomb = tombstones_df(spark, index_path, meta)
+    if tomb is not None:
+        ds = ds.join(F.broadcast(tomb), "doc_id", "left_anti")
+    pinned = (ds.join(F.broadcast(pin), "doc_id")
+              .select("doc_id",
+                      (F.lit(1.0e9) - F.col("_pos")).alias("score")))
+    org = _match_scores(spark, index_path, organic, meta)
+    if org is not None:
+        org = org.join(F.broadcast(pin.select("doc_id")),
+                       "doc_id", "left_anti")
+        pinned = pinned.unionByName(org)
+    return deterministic_topk(pinned, k)
+
+
+def match_bool_prefix_topk(spark: SparkSession, index_path: str, text: str,
+                           k: int = 10,
+                           max_expansions: int = 50) -> DataFrame:
+    """ES match_bool_prefix: the input's terms become SHOULD clauses of
+    a bool query — every term but the last scored with BM25, the last
+    treated as a prefix query under its constant-score rewrite
+    (contributing 1.0, the same rewrite this engine's query_string
+    applies to ``win*``). Union semantics (minimum_should_match=1):
+    a doc matching only the prefix still ranks.
+
+    One scored decode for the full terms + one capped dictionary
+    expansion for the prefix; a full-outer combine sums the parts."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_expanded,
+    )
+
+    meta = load_meta(index_path)
+    toks = tokenize_py(text, meta["analyzer"],
+                       min_len=meta.get("min_token_len", 1),
+                       max_len=meta.get("max_token_len", 64))
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    *full, prefix = toks
+    org = (_match_scores(spark, index_path, " ".join(full), meta)
+           if full else None)
+    pref = (match_expanded(spark, index_path, prefix, mode="prefix",
+                           max_expansions=max_expansions)
+            .select("doc_id", F.lit(1.0).alias("_p")))
+    if org is None:
+        return deterministic_topk(
+            pref.select("doc_id", F.col("_p").alias("score")), k)
+    merged = (org.withColumnRenamed("score", "_s")
+              .join(pref, "doc_id", "full_outer")
+              .select("doc_id",
+                      (F.coalesce(F.col("_s"), F.lit(0.0))
+                       + F.coalesce(F.col("_p"), F.lit(0.0))).alias("score")))
+    return deterministic_topk(merged, k)
+
+
+TF_SCHEMA = "term string, doc_id long, tf double"
+
+
+def _decode_tf():
+    """mapInPandas kernel: posting blocks -> raw (term, doc_id, tf)."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_osmosis_plugin_spark.functions.varbyte import vb_decode
+
+    def fn(batches):
+        for pdf in batches:
+            outs = []
+            for term, ids_vb, tfs_vb in zip(
+                    pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"]):
+                d = np.cumsum(vb_decode(ids_vb),
+                              dtype=np.uint64).astype(np.int64)
+                tf = vb_decode(tfs_vb).astype(np.float64)
+                outs.append(pd.DataFrame(
+                    {"term": term, "doc_id": d, "tf": tf}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def combined_fields_topk(spark: SparkSession,
+                         field_indexes: dict[str, str], query: str,
+                         k: int = 10,
+                         field_weights: dict[str, float] | None = None) \
+        -> DataFrame:
+    """ES combined_fields (Lucene CombinedFieldQuery / BM25F-lite):
+    TERM-CENTRIC multi-field scoring — the fields blend into one
+    pseudo-field BEFORE BM25, instead of combining per-field scores
+    after (that's multi_match best_fields). Per term t and doc d:
+
+        tf_c(t,d)  = sum_f w_f * tf_f(t,d)
+        dl_c(d)    = sum_f w_f * dl_f(d)
+        avgdl_c    = mean_d dl_c(d)
+        df_c(t)    = |{d : tf_c(t,d) > 0}|        (exact union df)
+
+    and score(d) = sum_t idf(df_c) * BM25(tf_c, dl_c, avgdl_c).
+    Lucene approximates df_c with max_f df_f; the distributed engine
+    can afford the EXACT union df (one groupBy over the decoded term
+    rows, which the scoring pass needs anyway), so it uses it — same
+    monotone family, better calibrated, and cheap here. Fields must
+    share the analyzer (ES requires this too).
+
+    Plan: one pruned raw-tf decode per field index (no per-field
+    scoring), a union + (term, doc) groupBy builds tf_c; dl_c is a
+    union + doc groupBy over the docstats dl columns (column-pruned
+    scans); df_c comes from the tf_c frame itself (tiny, per-term) and
+    broadcast-joins back. At the 100 TB design point dl_c/avgdl_c are
+    build-time artifacts; query-time computation here keeps the
+    operator self-contained over the existing per-field layout."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    w = {f: float((field_weights or {}).get(f, 1.0)) for f in field_indexes}
+    metas = {f: load_meta(p) for f, p in field_indexes.items()}
+    analyzers = {m["analyzer"] for m in metas.values()}
+    if len(analyzers) != 1:
+        raise ValueError(f"combined_fields needs one analyzer: {analyzers}")
+    k1 = float(next(iter(metas.values()))["k1"])
+    b = float(next(iter(metas.values()))["b"])
+    n_docs = max(m["n_docs"] for m in metas.values())
+
+    tf_parts, dl_parts = [], []
+    for f, path in field_indexes.items():
+        meta = metas[f]
+        terms = query_terms(query, meta)
+        dic = dictionary_rows(spark, path, terms, meta)
+        if not dic.empty:
+            from elasticsearch_osmosis_plugin_spark.operators.query import (
+                _pruned_postings,
+            )
+
+            raw = (_pruned_postings(spark, path, list(dic["term"]), meta)
+                   .select("term", "doc_ids_vb", "tfs_vb")
+                   .mapInPandas(_decode_tf(), TF_SCHEMA))
+            raw = _live(raw, tombstones_df(spark, path, meta))
+            tf_parts.append(raw.select(
+                "term", "doc_id", (F.col("tf") * w[f]).alias("wtf")))
+        dl_parts.append(
+            catalog.read_table(spark, path, "docstats")
+            .select("doc_id", (F.col("dl").cast("double") * w[f])
+                    .alias("wdl")))
+    if not tf_parts:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    tfc = tf_parts[0]
+    for part in tf_parts[1:]:
+        tfc = tfc.unionByName(part)
+    tfc = tfc.groupBy("term", "doc_id").agg(F.sum("wtf").alias("tfc"))
+
+    dlc = dl_parts[0]
+    for part in dl_parts[1:]:
+        dlc = dlc.unionByName(part)
+    dlc = dlc.groupBy("doc_id").agg(F.sum("wdl").alias("dlc"))
+    avgdl_c = float(dlc.agg(F.avg("dlc")).collect()[0][0] or 1.0)
+
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    idf_c = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("dfc")
+                                + F.lit(0.5)) / (F.col("dfc") + F.lit(0.5)))
+    partial = (F.col("tfc") * F.lit(k1 + 1.0)
+               / (F.col("tfc") + F.lit(k1) * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("dlc") / F.lit(avgdl_c)))) * idf_c
+    scored = (tfc.join(F.broadcast(dfc), "term")
+              .join(dlc, "doc_id")
+              .groupBy("doc_id").agg(F.sum(partial).alias("score")))
+    return deterministic_topk(scored, k)

@@ -920,3 +920,114 @@ def test_runtime_mappings(spark, idx):
     assert [r["dl_sq"] for r in got2] \
         == sorted((r["dl_sq"] for r in got2), reverse=True)
     assert all(r["dl_sq"] is not None for r in got2)
+
+
+def test_pinned_wrapper_bool_prefix(spark, idx):
+    """pinned / wrapper / match_bool_prefix routing: each DSL form is
+    value-identical to its direct operator call; wrapper is pure
+    routing around the encoded body."""
+    import base64
+    import json
+
+    got = dsl.search(spark, idx, {
+        "query": {"pinned": {"ids": [7, 3],
+                             "organic": {"match": {"content": "public"}}}},
+        "size": 6})
+    want = scorefn.pinned_topk(spark, idx, [7, 3], "public", k=6)
+    assert _rows(got) == _rows(want)
+    assert [r[0] for r in _rows(got)[:2]] == [7, 3]
+
+    inner = {"match": {"content": "public static"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    got = dsl.search(spark, idx, {"query": {"wrapper": {"query": b64}}})
+    want = dsl.search(spark, idx, {"query": inner})
+    assert _rows(got) == _rows(want)
+
+    got = dsl.search(spark, idx, {
+        "query": {"match_bool_prefix": {"content": "public buf"}}})
+    want = scorefn.match_bool_prefix_topk(spark, idx, "public buf", k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_multi_match_and_combined_fields_routing(spark, corpus_df, idx,
+                                                 tmp_path_factory):
+    repo_idx = str(tmp_path_factory.mktemp("dslrepo") / "index")
+    build_index(spark, corpus_df, repo_idx, CFG, id_col="doc_id",
+                text_col="repo", n_groups=1)
+    fi = {"content": idx, "repo": repo_idx}
+    got = dsl.search(spark, idx, {
+        "query": {"multi_match": {"query": "public",
+                                  "fields": ["content", "repo"],
+                                  "tie_breaker": 0.3}}},
+        field_indexes=fi)
+    want = scorefn.multi_match_best_fields(spark, fi, "public", k=10,
+                                           tie_breaker=0.3)
+    assert _rows(got) == _rows(want)
+
+    got = dsl.search(spark, idx, {
+        "query": {"combined_fields": {"query": "public",
+                                      "fields": ["content", "repo^2"]}}},
+        field_indexes=fi)
+    want = scorefn.combined_fields_topk(
+        spark, fi, "public", k=10,
+        field_weights={"content": 1.0, "repo": 2.0})
+    assert _rows(got) == _rows(want)
+    with pytest.raises(ValueError):
+        dsl.search(spark, idx, {"query": {"combined_fields": {
+            "query": "public", "fields": ["content"]}}})
+
+
+def test_terms_lookup_min_score_script_fields(spark, idx, corpus_rows):
+    """terms lookup reads the term list from a stored doc field;
+    min_score floors the ranked hits; script_fields compute per-hit
+    values over hydrated _source columns."""
+    # lookup doc 5's stored term vector -> same hits as the literal
+    # terms query over that token list (docs sharing any term)
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    toks = sorted(set(tokenize_py(corpus_rows["content"][5], "code")))
+    got = dsl.search(spark, idx, {
+        "query": {"terms": {"content": {"index": idx, "id": 5,
+                                        "path": "tokens"}}},
+        "size": 100})
+    want = dsl.search(spark, idx, {
+        "query": {"terms": {"content": toks}}, "size": 100})
+    assert _rows(got) == _rows(want) and _rows(got)
+    # unknown lookup id -> empty, not an error
+    assert dsl.search(spark, idx, {
+        "query": {"terms": {"content": {"index": idx, "id": 10**9,
+                                        "path": "tokens"}}}}).count() == 0
+
+    full = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}}, "size": 10})
+    scores = sorted((r["score"] for r in full.collect()), reverse=True)
+    floor = scores[3]
+    got = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public static"}}, "size": 10,
+        "min_score": floor})
+    assert all(r["score"] >= floor for r in got.collect())
+    assert got.count() == sum(1 for s in scores if s >= floor)
+
+    hits = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}}, "size": 5,
+        "_source": ["dl", "repo"],
+        "script_fields": {
+            "dl_sq": {"script": {"source": "dl * dl"}},
+            "tag": {"script": {"source": "concat(repo, ':', dl)"}}}})
+    for r in hits.collect():
+        assert r["dl_sq"] == r["dl"] * r["dl"]
+        assert r["tag"] == f"{r['repo']}:{r['dl']}"
+
+
+def test_aggs_significant_text_and_boxplot(spark, idx):
+    got = dsl.search_aggs(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "aggs": {"sig": {"significant_text": {"field": "content",
+                                              "size": 5}},
+                 "box": {"boxplot": {"field": "dl"}}}})
+    want_sig = intersect.significant_text(spark, idx, "public", size=5)
+    assert _rows(got["sig"]) == _rows(want_sig)
+    want_box = intersect.boxplot_agg(spark, idx, "public", "dl")
+    assert _rows(got["box"]) == _rows(want_box)

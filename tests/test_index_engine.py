@@ -1528,3 +1528,102 @@ def test_within_polygon_ray_casting(spark):
     assert got == {i for i, _, _, keep in pts if keep}
     with pytest.raises(ValueError):
         point_in_polygon([(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_pinned_topk(spark, corpus_rows, index_path):
+    """Pinned ids rank first in list order (even non-matching docs);
+    organic BM25 follows with promoted ids excluded; dead/unknown
+    pinned ids are dropped."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import pinned_topk
+
+    organic = "public static"
+    want_org = [d for d, _ in _oracle_ids(corpus_rows, organic, 50)]
+    # pin: one organic hit (promoted out of its organic slot), one doc
+    # that does NOT match the organic query, one unknown id
+    non_match = next(d for d in corpus_rows["doc_id"] if d not in want_org)
+    pins = [int(want_org[3]), int(non_match), 10**9]
+    got = pinned_topk(spark, index_path, pins, organic, k=6).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[:2] == pins[:2]
+    assert got[0]["score"] > got[1]["score"] > 1e8
+    rest = [d for d in want_org if d not in pins]
+    assert ids[2:] == rest[:4]
+
+
+def test_match_bool_prefix_topk(spark, corpus_rows, index_path):
+    """Full terms score BM25 (OR), the trailing prefix adds a
+    constant 1.0; union semantics — prefix-only docs still rank."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_oracle
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        match_bool_prefix_topk,
+    )
+
+    rows = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    s_full = dict(bm25_oracle(rows, "public", k=10_000))
+    pref_docs = {d for d, t in rows
+                 if any(tok.startswith("buf")
+                        for tok in tokenize_py(t, "code"))}
+    assert pref_docs and any(d not in s_full for d in pref_docs)
+    want = sorted(
+        (-(s_full.get(d, 0.0) + (1.0 if d in pref_docs else 0.0)), d)
+        for d in set(s_full) | pref_docs)[:10]
+    got = match_bool_prefix_topk(spark, index_path, "public buf",
+                                 k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (ns, _) in zip(got, want):
+        assert abs(r["score"] - (-ns)) < 1e-9
+
+
+def test_combined_fields_topk(spark, corpus_rows, corpus_df,
+                              index_path, tmp_path):
+    """Term-centric BM25F blend: tf/dl blend across fields BEFORE one
+    BM25, exact union df — score-identical to a single-process
+    recompute."""
+    import math as m
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        combined_fields_topk,
+    )
+
+    repo_idx = str(tmp_path / "cf_repo_idx")
+    build_index(spark, corpus_df, repo_idx, CFG, id_col="doc_id",
+                text_col="repo", n_groups=1)
+    repo_val = corpus_rows["repo"][0]
+    query, w = f"public {repo_val}", {"content": 1.0, "repo": 2.5}
+    terms = sorted(set(tokenize_py(query, "code")))
+
+    toks_c = {d: tokenize_py(t, "code") for d, t in
+              zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    toks_r = {d: tokenize_py(t, "code") for d, t in
+              zip(corpus_rows["doc_id"], corpus_rows["repo"])}
+    n = len(toks_c)
+    dlc = {d: w["content"] * len(toks_c[d]) + w["repo"] * len(toks_r[d])
+           for d in toks_c}
+    avgdl = sum(dlc.values()) / n
+    tfc = {t: {d: w["content"] * toks_c[d].count(t)
+               + w["repo"] * toks_r[d].count(t) for d in toks_c
+               if toks_c[d].count(t) + toks_r[d].count(t)}
+           for t in terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for t in terms:
+        dfc = len(tfc[t])
+        if not dfc:
+            continue
+        i = m.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+        for d, tf in tfc[t].items():
+            want[d] = want.get(d, 0.0) + i * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dlc[d] / avgdl))
+    top = sorted(((-s, d) for d, s in want.items()))[:10]
+    got = combined_fields_topk(
+        spark, {"content": index_path, "repo": repo_idx}, query,
+        k=10, field_weights=w).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in top]
+    for r, (ns, _) in zip(got, top):
+        assert abs(r["score"] - (-ns)) < 1e-9
