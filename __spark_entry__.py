@@ -2994,7 +2994,50 @@ def q_significant_text_idx(spark, sf_dir):
                     x1e4(F.col("jlh")).alias("jlh_x1e4"))
 
 
+
+
+def q_terms_subaggs_idx(spark, sf_dir):
+    """ES terms agg + metric sub-aggs (avg/max/cardinality) in ONE
+    groupBy over the hit stream."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        terms_subaggs,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    t = terms_subaggs(spark, idx, "spark window", "lang",
+                      {"avg_dl": ("avg", "dl"),
+                       "max_dl": ("max", "dl"),
+                       "n_sources": ("cardinality", "source")})
+    return t.select("lang", "n_docs", x1e4(F.col("avg_dl")).alias("avg_x1e4"),
+                    F.col("max_dl").cast("long").alias("max_dl"),
+                    "n_sources")
+
+
+
+
+HN_POSITIVES = [(1, 4), (2, 6)]
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR/ANCE shape): per training query the
+    top-k cosine corpus vectors minus self and known positives, one
+    corpus scan with a broadcast query batch."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id").isin([1, 2]))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    positives = spark.createDataFrame(HN_POSITIVES,
+                                      "query_id long, vec_id long")
+    got = similarity.hard_negatives(emb, queries, positives, k=10)
+    return got.select("query_id", "vec_id",
+                      x1e4(F.col("cos")).alias("cos_x1e4"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hard_negatives": q_hard_negatives,
+    "terms_subaggs_idx": q_terms_subaggs_idx,
     "significant_text_idx": q_significant_text_idx,
     "pinned_idx": q_pinned_idx,
     "match_bool_prefix_idx": q_match_bool_prefix_idx,
@@ -3701,6 +3744,15 @@ WHERE df_fg >= 3
 ORDER BY ((df_fg / n_fg) - (df_bg / n_docs))
          * ((df_fg / n_fg) / (df_bg / n_docs)) DESC, term
 LIMIT 10""",
+        "terms_subaggs_idx": f"""
+WITH {TOK_CTE},
+hits AS (SELECT * FROM toks
+         WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+SELECT lang, count(*) AS n_docs,
+       floor(avg(len(toks)) * 10000.0 + 0.5)::BIGINT AS avg_x1e4,
+       max(len(toks))::BIGINT AS max_dl,
+       count(DISTINCT source) AS n_sources
+FROM hits GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10""",
         "span_near_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks
@@ -4077,6 +4129,27 @@ s AS (SELECT vec_id,
       FROM embeddings CROSS JOIN q WHERE label = 1)
 SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
 ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT 10""",
+        "hard_negatives": """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM b
+      WHERE vec_id IN (1, 2)),
+pos(query_id, vec_id) AS (VALUES (1, 4), (2, 6)),
+s AS (SELECT q.query_id, b.vec_id,
+             list_dot_product(b.v, q.qv) / (b.nrm * q.qn) AS c
+      FROM b CROSS JOIN q
+      WHERE b.vec_id <> q.query_id
+        AND NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.query_id = q.query_id
+                          AND p.vec_id = b.vec_id)),
+r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id, vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4
+FROM r WHERE rn <= 10 ORDER BY query_id, c DESC, vec_id""",
         "cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id,

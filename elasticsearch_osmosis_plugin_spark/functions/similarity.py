@@ -495,3 +495,55 @@ def cosine_topk_quantized(dfq: DataFrame, query_vec: Sequence[float],
            .otherwise(F.lit(0.0))
     scores = dfq.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
     return deterministic_topk(scores, k, score_col="cos", id_col="vec_id")
+
+
+def hard_negatives(df: DataFrame, queries: DataFrame,
+                   positives: DataFrame | None = None, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for
+    each training query, the top-k most-similar corpus vectors that
+    are NOT known positives — the standard dense-retrieval negative
+    sampler (DPR/ANCE-style, cosine flavor).
+
+    ``queries``: (query_id, query vector) rows — query embeddings live
+    in a DataFrame (not literals) because real mining runs thousands
+    of training queries per pass. ``positives``: (query_id, vec_id)
+    pairs to exclude; a query's own id is always excluded (the trivial
+    positive).
+
+    Plan: one corpus scan; the query frame broadcasts (bounded by the
+    training batch, small vs the corpus) into a crossJoin so every
+    (row, query) cosine is computed in codegen with the row norm
+    evaluated once; positives anti-join BEFORE the per-query window
+    rank, so every returned row is a usable negative (post-filtering
+    would under-fill). At larger query batches, pre-bucket both sides
+    with the LSH/IVF layouts and feed candidates here — identical
+    downstream."""
+    from pyspark.sql import Window
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = df.select(F.col(id_col).alias("vec_id"), v.alias("_v"),
+                       _norm(v).alias("_nv"))
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qf = queries.select(F.col("query_id"), qv.alias("_q"),
+                        _norm(qv).alias("_nq"))
+    scored = (corpus.crossJoin(F.broadcast(qf))
+              .select("query_id", "vec_id",
+                      (_dot(F.col("_v"), F.col("_q"))
+                       / (F.col("_nv") * F.col("_nq"))).alias("cos")))
+    # self-exclusion by string identity: when queries ARE corpus docs
+    # (query_id = the doc's vec_id, the usual mining setup) the doc
+    # never returns itself; symbolic query ids ("q1") compare unequal
+    # to every vec_id instead of null-coercing the whole frame away
+    scored = scored.filter(F.col("vec_id").cast("string")
+                           != F.col("query_id").cast("string"))
+    if positives is not None:
+        pos = positives.select(F.col("query_id"),
+                               F.col("vec_id").cast("long").alias("vec_id"))
+        scored = scored.join(F.broadcast(pos), ["query_id", "vec_id"],
+                             "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .orderBy("query_id", F.desc("cos"), F.asc("vec_id")))

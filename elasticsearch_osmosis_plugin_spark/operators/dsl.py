@@ -324,6 +324,18 @@ def search(spark: SparkSession, index_path: str, body: dict,
         # offset applies to the ordered plan (GlobalLimit with offset
         # after the sort), so pages are stable across calls.
         hits = hits.offset(frm)
+    if body.get("explain"):
+        # ES explain=true: attach the per-term score breakdown to each
+        # hit (match-family bodies only — the breakdown is BM25 terms)
+        qkind, qspec = _one_entry(body.get("query", {}), "query")
+        if qkind != "match":
+            raise ValueError("explain=true supports match queries here")
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            explain_hits,
+        )
+
+        _, mspec = _one_entry(qspec, "match")
+        hits = explain_hits(spark, index_path, hits, _match_args(mspec)[0])
     if src:
         from elasticsearch_osmosis_plugin_spark.operators.query import (
             fetch_hits,
@@ -942,14 +954,23 @@ def search_aggs(spark: SparkSession, index_path: str,
         sub = {k2: v for k2, v in agg.items() if k2 != "aggs"}
         akind, aspec = _one_entry(sub, "agg")
         if akind == "terms" and "aggs" in agg:
-            _, thspec = _one_entry(agg["aggs"], "sub-agg")
-            skind, hits = _one_entry(thspec, "terms sub-agg")
-            if skind != "top_hits":
+            subs = {n2: _one_entry(s, "terms sub-agg")
+                    for n2, s in agg["aggs"].items()}
+            kinds = {sk for sk, _ in subs.values()}
+            if kinds == {"top_hits"}:
+                _, hits = next(iter(subs.values()))
+                out[name] = scorefn.top_hits(
+                    spark, index_path, qtext, aspec["field"],
+                    n_hits=int(hits.get("size", 3)))
+            elif kinds <= set(intersect._SUBAGG_OPS):
+                out[name] = intersect.terms_subaggs(
+                    spark, index_path, qtext, aspec["field"],
+                    {n2: (sk, sspec["field"])
+                     for n2, (sk, sspec) in subs.items()},
+                    size=int(aspec.get("size", 10)))
+            else:
                 raise ValueError(
-                    f"unsupported terms sub-agg: {skind} (only top_hits)")
-            out[name] = scorefn.top_hits(
-                spark, index_path, qtext, aspec["field"],
-                n_hits=int(hits.get("size", 3)))
+                    f"unsupported terms sub-aggs: {sorted(kinds)}")
         elif akind == "terms":
             out[name] = intersect.facet_counts(
                 spark, index_path, qtext, aspec["field"])

@@ -1973,3 +1973,52 @@ def mtermvectors(spark: SparkSession, index_path: str,
     return spark.createDataFrame(
         out, "doc_id long, term string, tf long, positions array<long>, "
              "df long, cf long")
+
+
+_SUBAGG_OPS = {
+    "avg": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "value_count": lambda c: F.count(c),
+    "cardinality": lambda c: F.countDistinct(c),
+    "stddev": lambda c: F.stddev_pop(c),
+}
+
+
+def terms_subaggs(spark: SparkSession, index_path: str, query: str,
+                  facet_col: str,
+                  subaggs: dict[str, tuple[str, str]],
+                  mode: str = "any", size: int = 10) -> DataFrame:
+    """ES terms aggregation with METRIC sub-aggregations — the
+    canonical bucket+metric pattern (`terms` over a keyword field,
+    `avg`/`sum`/`min`/`max`/`value_count`/`cardinality`/`stddev` of
+    numeric fields per bucket). ``subaggs`` maps output name ->
+    (op, field). Buckets ordered count-desc then key (ES default),
+    top ``size``.
+
+    One hit-semi-joined doc-store scan (column-pruned to the facet +
+    referenced fields) and ONE groupBy compute every sub-metric —
+    all mergeable aggregates, map-side combined; nothing per-bucket
+    runs a second pass (ES computes sub-aggs in the same collector
+    sweep for the same reason)."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    bad = sorted(op for op, _ in subaggs.values() if op not in _SUBAGG_OPS)
+    if bad:
+        raise ValueError(f"unsupported sub-agg ops: {bad}")
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    fields = sorted({f for _, f in subaggs.values()})
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col, *fields)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, (op, field) in subaggs.items():
+        # count-ish ops keep the column's own type (strings are fine);
+        # numeric ops cast so int fields aggregate as doubles
+        col = (F.col(field) if op in ("value_count", "cardinality")
+               else F.col(field).cast("double"))
+        aggs.append(_SUBAGG_OPS[op](col).alias(name))
+    return (ds.join(docs, "doc_id", "left_semi")
+            .groupBy(facet_col).agg(*aggs)
+            .orderBy(F.desc("n_docs"), F.asc(facet_col)).limit(size))

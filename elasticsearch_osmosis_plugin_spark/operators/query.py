@@ -1224,3 +1224,33 @@ def reindex(spark: SparkSession, src_index: str, dest_path: str,
     return build_index(spark, docs, dest_path, cfg, id_col="doc_id",
                        text_col="_text", carry_cols=carry,
                        n_groups=n_groups)
+
+
+def explain_hits(spark: SparkSession, index_path: str, hits: DataFrame,
+                 query: str) -> DataFrame:
+    """ES ``explain=true`` per-hit breakdown: attach to each ranked hit
+    an ``explanation`` array of (term, partial BM25 contribution)
+    structs, term-ordered — the _explanation payload ES builds per hit.
+
+    Costs one extra pruned postings decode semi-joined to the hit ids
+    (top-k-sized broadcast), same as ES re-walking the scorer tree for
+    explained hits; the ranking itself is untouched."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return hits.withColumn(
+            "explanation",
+            F.array().cast("array<struct<term:string,partial:double>>"))
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    partials = _scored(spark, index_path, list(dic["term"]), meta,
+                       idf_by_term,
+                       allowed=F.broadcast(hits.select("doc_id")))
+    expl = (partials
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("term", "partial")))
+                 .alias("explanation")))
+    order = [F.desc("score"), F.asc("doc_id")] if "score" in hits.columns \
+        else [F.asc("doc_id")]
+    return hits.join(expl, "doc_id", "left").orderBy(*order)

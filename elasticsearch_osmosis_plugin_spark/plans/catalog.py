@@ -199,3 +199,57 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
         schema = StructType.fromJson(json.loads(man["schema"]))
         return spark.read.schema(schema).parquet(table_path(root, name))
     return spark.read.parquet(table_path(root, name))
+
+
+def rollover(alias: str, max_docs: int | None = None,
+             max_groups: int | None = None) -> dict[str, Any]:
+    """ES _rollover analog — the log-pipeline lifecycle primitive: if
+    the alias's CURRENT index exceeds a condition, create a fresh
+    empty sibling (``<base>-NNNNNN``) and repoint the alias to it
+    atomically; writers keep appending to the alias, readers of the
+    old generation are untouched.
+
+    Conditions (any satisfied rolls): ``max_docs`` (live doc count
+    from meta — metadata-only, no scan), ``max_groups`` (LSM append
+    groups since the last compaction — the "too many segments"
+    signal). Returns {rolled, old_index, new_index, conditions} like
+    the ES response. The new index is an empty shell sharing the old
+    config; the first ``build_index``/``append_index_group`` into it
+    materializes tables.
+    """
+    import json
+    import re
+
+    cur = resolve_alias(alias)
+    if cur == os.path.abspath(alias):
+        raise FileNotFoundError(f"not an alias: {alias}")
+    with open(os.path.join(cur, "meta.json")) as f:
+        meta = json.load(f)
+    n_docs = int(meta.get("n_docs", 0)) - int(meta.get("tombstones_n") or 0)
+    n_groups = len(meta.get("groups", [])) or int(meta.get("n_groups", 1))
+    conds = {}
+    if max_docs is not None:
+        conds["max_docs"] = n_docs >= int(max_docs)
+    if max_groups is not None:
+        conds["max_groups"] = n_groups >= int(max_groups)
+    out = {"old_index": cur, "new_index": None,
+           "rolled_over": any(conds.values()), "conditions": conds}
+    if not out["rolled_over"]:
+        return out
+    m = re.search(r"-(\d{6})$", cur)
+    gen = int(m.group(1)) + 1 if m else 1
+    base = cur[:m.start()] if m else cur
+    new = f"{base}-{gen:06d}"
+    os.makedirs(new, exist_ok=False)
+    shell = {k: meta[k] for k in ("analyzer", "k1", "b", "n_buckets",
+                                  "block_size", "positions")
+             if k in meta}
+    shell |= {"n_docs": 0, "avgdl": 0.0, "groups": [], "metrics": [],
+              "rolled_from": cur}
+    tmp = os.path.join(new, "_meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(shell, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(new, "meta.json"))
+    create_alias(alias, new)
+    out["new_index"] = new
+    return out

@@ -384,3 +384,41 @@ def test_sparse_vector_topk(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         sparse_topk(feats, {}, k=5)
+
+
+def test_hard_negatives(spark):
+    """Top-k cosine negatives per training query: self and known
+    positives excluded BEFORE the k-cut; numpy recompute agrees."""
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((12, 4)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, rows[0][1]), (5, rows[5][1])],
+        "query_id long, embedding array<float>")
+    positives = spark.createDataFrame(
+        [(0, 3), (5, 1)], "query_id long, vec_id long")
+
+    got = hard_negatives(df, queries, positives, k=3).collect()
+    vf = vecs.astype(np.float32).astype(np.float64)
+    for qid in (0, 5):
+        cos = vf @ vf[qid] / (np.linalg.norm(vf, axis=1)
+                              * np.linalg.norm(vf[qid]))
+        banned = {qid, {0: 3, 5: 1}[qid]}
+        want = sorted(((-c, i) for i, c in enumerate(cos)
+                       if i not in banned))[:3]
+        mine = [(r["vec_id"], r["cos"]) for r in got if r["query_id"] == qid]
+        assert [v for v, _ in mine] == [i for _, i in want]
+        for (_, c_got), (nc, _) in zip(mine, want):
+            assert abs(c_got - (-nc)) < 1e-9
+        assert banned.isdisjoint({v for v, _ in mine})
+    # no positives frame: only self excluded
+    got2 = hard_negatives(df, queries, None, k=11).collect()
+    assert {r["vec_id"] for r in got2 if r["query_id"] == 0} \
+        == set(range(1, 12))

@@ -151,12 +151,22 @@ def test_search_after_keeps_msm_semantics(spark, idx):
     assert [r["doc_id"] for r in page1 + page2] ==         [r["doc_id"] for r in full]
 
 
-def test_terms_subagg_rejects_non_top_hits(spark, idx):
+def test_terms_subagg_routes_metrics(spark, idx):
+    """metric sub-aggs route to terms_subaggs; mixing top_hits with a
+    metric is still rejected."""
+    got = dsl.search_aggs(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "aggs": {"x": {"terms": {"field": "lang"},
+                       "aggs": {"a": {"avg": {"field": "dl"}}}}}})
+    want = intersect.terms_subaggs(spark, idx, "public", "lang",
+                                   {"a": ("avg", "dl")})
+    assert _rows(got["x"]) == _rows(want)
     with pytest.raises(ValueError):
         dsl.search_aggs(spark, idx, {
             "query": {"match": {"content": "public"}},
             "aggs": {"x": {"terms": {"field": "lang"},
-                           "aggs": {"a": {"avg": {"field": "dl"}}}}}})
+                           "aggs": {"a": {"avg": {"field": "dl"}},
+                                    "h": {"top_hits": {"size": 2}}}}}})
 
 
 def test_bool_filter_context(spark, idx):
@@ -1031,3 +1041,59 @@ def test_aggs_significant_text_and_boxplot(spark, idx):
     assert _rows(got["sig"]) == _rows(want_sig)
     want_box = intersect.boxplot_agg(spark, idx, "public", "dl")
     assert _rows(got["box"]) == _rows(want_box)
+
+
+def test_terms_metric_subaggs(spark, idx, corpus_rows):
+    """terms + metric sub-aggs (avg/max/cardinality) in one groupBy —
+    recomputed from the raw rows."""
+    from collections import defaultdict
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    got = dsl.search_aggs(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10},
+                           "aggs": {"avg_dl": {"avg": {"field": "dl"}},
+                                    "max_dl": {"max": {"field": "dl"}},
+                                    "n_repos": {"cardinality":
+                                                {"field": "repo"}}}}}})
+    rows = got["langs"].collect()
+    toks = {d: tokenize_py(t, "code") for d, t in
+            zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    per = defaultdict(list)
+    for d, lang, repo in zip(corpus_rows["doc_id"], corpus_rows["lang"],
+                             corpus_rows["repo"]):
+        if "public" in toks[d]:
+            per[lang].append((len(toks[d]), repo))
+    want = sorted(((-len(v), k) for k, v in per.items()))
+    assert [(r["lang"], r["n_docs"]) for r in rows] == \
+        [(k, -n) for n, k in want]
+    for r in rows:
+        vals = per[r["lang"]]
+        assert abs(r["avg_dl"] - sum(d for d, _ in vals) / len(vals)) < 1e-9
+        assert r["max_dl"] == max(d for d, _ in vals)
+        assert r["n_repos"] == len({rp for _, rp in vals})
+    with pytest.raises(ValueError):
+        dsl.search_aggs(spark, idx, {
+            "query": {"match": {"content": "public"}},
+            "aggs": {"x": {"terms": {"field": "lang"},
+                           "aggs": {"bad": {"derivative": {"field": "dl"}}}}}})
+
+
+def test_explain_per_hit(spark, idx):
+    """explain=true attaches the per-term BM25 breakdown; parts sum to
+    the hit's score; ranking untouched."""
+    body = {"query": {"match": {"content": "public static"}}, "size": 5}
+    plain = dsl.search(spark, idx, body).collect()
+    expl = dsl.search(spark, idx, {**body, "explain": True}).collect()
+    assert [(r["doc_id"], r["score"]) for r in expl] == \
+        [(r["doc_id"], r["score"]) for r in plain]
+    for r in expl:
+        parts = {e["term"]: e["partial"] for e in r["explanation"]}
+        assert set(parts) <= {"public", "static"} and parts
+        assert abs(sum(parts.values()) - r["score"]) < 1e-9
+    with pytest.raises(ValueError):
+        dsl.search(spark, idx, {"query": {"term": {"content": "public"}},
+                                "explain": True})

@@ -142,3 +142,36 @@ def test_mtermvectors_matches_solo(spark, mut_index):
             for r in got if r["doc_id"] == 9]
     assert got7 == solo7 and got9 == solo9
     assert {r["doc_id"] for r in got} == {7, 9}
+
+
+def test_rollover(spark, corpus_df, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.plans.catalog import (
+        resolve_alias,
+        rollover,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+
+    base = str(tmp_path / "logs-000001")
+    alias = str(tmp_path / "logs_write")
+    build_index(spark, corpus_df, base, CFG, id_col="doc_id", n_groups=1)
+    cat.create_alias(alias, base)
+    # below threshold: no roll
+    r = rollover(alias, max_docs=10**6)
+    assert not r["rolled_over"] and r["new_index"] is None
+    assert resolve_alias(alias) == base
+    # over threshold: new generation, alias repointed, old untouched
+    r = rollover(alias, max_docs=10)
+    assert r["rolled_over"] and r["new_index"].endswith("logs-000002")
+    assert resolve_alias(alias) == r["new_index"]
+    assert topk(spark, base, "public static", k=5).count() == 5
+    # the fresh generation is empty until something builds into it
+    r2 = rollover(alias, max_docs=10)
+    assert not r2["rolled_over"]
+    # building through the alias materializes generation 2
+    build_index(spark, corpus_df.limit(20), alias, CFG,
+                id_col="doc_id", n_groups=1)
+    assert load_meta(alias)["n_docs"] == 20
+    assert topk(spark, alias, "public", k=3).count() >= 1
+    assert load_meta(base)["n_docs"] == corpus_df.count()
+    with pytest.raises(FileNotFoundError):
+        rollover(base, max_docs=1)  # not an alias
