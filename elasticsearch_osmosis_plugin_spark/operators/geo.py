@@ -418,3 +418,84 @@ def within_polygon(df: DataFrame, polygon: list[tuple[float, float]],
     """ES geo_polygon filter: rows whose point lies inside the polygon
     (see :func:`point_in_polygon`)."""
     return df.filter(point_in_polygon(polygon, lat_col, lon_col))
+
+
+def _lit_point_in_ring(coords: Column, lat: float, lon: float) -> Column:
+    """Even-odd ray cast of a LITERAL point against a column-side ring
+    — the dual of :func:`point_in_polygon`, for when the polygon is
+    the data. The ring is IMPLICITLY closed (a last->first wrap edge,
+    the same ``% n`` convention point_in_polygon uses), so closed and
+    open encodings of the same ring agree. Same half-open-in-latitude
+    crossing rule; horizontal edges never straddle, and their x_at
+    division-by-zero nulls are absorbed by the false straddle
+    conjunct."""
+    la, lo = F.lit(float(lat)), F.lit(float(lon))
+
+    def crosses(s):
+        a, b = s["a"], s["b"]
+        straddle = (a["lat"] > la) != (b["lat"] > la)
+        x_at = ((b["lon"] - a["lon"]) * (la - a["lat"])
+                / (b["lat"] - a["lat"]) + a["lon"])
+        return straddle & (lo < x_at)
+
+    wrap = F.array(F.struct(F.element_at(coords, -1).alias("a"),
+                            F.element_at(coords, 1).alias("b")))
+    edges = F.concat(_segments(coords), wrap)
+    return F.pmod(F.size(F.filter(edges, crosses)), F.lit(2)) == F.lit(1)
+
+
+def shape_bbox_relation(coords: Column, lat_min: float, lat_max: float,
+                        lon_min: float, lon_max: float,
+                        relation: str = "intersects") -> Column:
+    """ES geo_shape query spatial relations against a query envelope
+    (``intersects`` / ``disjoint`` / ``within`` / ``contains``), over
+    shapes stored as coordinate arrays (linestrings, or rings for
+    polygon semantics — the reference's way model; rings may be open
+    or closed, the area relations implicitly close them).
+
+    - ``within``: every vertex inside the envelope (the envelope is
+      convex, so vertex containment contains the whole polyline);
+    - ``contains``: the ring encloses the WHOLE envelope — all four
+      envelope corners ray-cast inside AND the boundary never touches
+      the box (a boundary crossing would put part of the envelope
+      outside); linestrings can never contain an area;
+    - ``intersects``: boundary intersection (the B7 separating-axis
+      test) OR full enclosure — a ring drawn around the envelope
+      intersects it in area semantics even though no segment touches;
+    - ``disjoint``: the complement of intersects.
+
+    Everything stays pure column expressions over the literal
+    envelope — one codegen pass, no UDF, no join."""
+    # rings are implicitly closed for the area relations (the same
+    # convention as point_in_polygon's % n wrap): append the closing
+    # edge when the encoding is open so the enclosure ray cast and the
+    # boundary test see the SAME geometry
+    closed = F.when(
+        F.element_at(coords, 1) == F.element_at(coords, -1), coords) \
+        .otherwise(F.concat(coords, F.array(F.element_at(coords, 1))))
+    # open polylines keep pure linestring semantics for the boundary
+    # test (no phantom closing edge); the CONTAINS check instead sees
+    # the closed geometry, consistent with the enclosure ray cast
+    boundary = shape_intersects_bbox(coords, lat_min, lat_max,
+                                     lon_min, lon_max)
+    boundary_closed = shape_intersects_bbox(closed, lat_min, lat_max,
+                                            lon_min, lon_max)
+    corners = [(lat_min, lon_min), (lat_min, lon_max),
+               (lat_max, lon_min), (lat_max, lon_max)]
+    enclosed = F.size(coords) >= F.lit(4)
+    for la, lo in corners:
+        enclosed = enclosed & _lit_point_in_ring(coords, la, lo)
+    contains = enclosed & ~boundary_closed
+    if relation == "contains":
+        return contains
+    if relation == "intersects":
+        return boundary | contains
+    if relation == "disjoint":
+        return ~(boundary | contains)
+    if relation == "within":
+        la_min, la_max = F.lit(float(lat_min)), F.lit(float(lat_max))
+        lo_min, lo_max = F.lit(float(lon_min)), F.lit(float(lon_max))
+        return (F.size(coords) >= 1) & F.forall(
+            coords, lambda p: p["lat"].between(la_min, la_max)
+            & p["lon"].between(lo_min, lo_max))
+    raise ValueError(f"unknown geo_shape relation: {relation}")

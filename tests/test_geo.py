@@ -268,3 +268,46 @@ def test_geo_bounds_and_centroid(spark):
     c = geo_centroid(pts).collect()[0]
     assert (c["lat"], c["count"]) == (4.0, 3)
     assert abs(c["lon"] - (-3.5 + 7.0 + 1.25) / 3) < 1e-12
+
+
+def test_shape_bbox_relations(spark):
+    """All four ES geo_shape relations vs the [1,2]x[1,2] envelope:
+    enclosing ring = contains (+intersects), inner polyline = within
+    (+intersects), crossing segment = intersects only, far shape =
+    disjoint; linestrings never contain."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        shape_bbox_relation,
+    )
+
+    def ring(pts):
+        return [{"lat": float(a), "lon": float(b)} for a, b in pts]
+
+    rows = [
+        # closed ring around the whole envelope
+        (1, ring([(0, 0), (0, 3), (3, 3), (3, 0), (0, 0)])),
+        # polyline fully inside
+        (2, ring([(1.2, 1.2), (1.8, 1.8)])),
+        # segment crossing the box, both endpoints outside
+        (3, ring([(0.0, 1.5), (3.0, 1.5)])),
+        # far away
+        (4, ring([(10, 10), (11, 11)])),
+        # same ring, OPEN encoding: implicitly closed for the area
+        # relations, so it behaves exactly like shape 1
+        (5, ring([(0, 0), (0, 3), (3, 3), (3, 0)])),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, coords array<struct<lat:double,lon:double>>")
+    got = {}
+    for rel in ("intersects", "disjoint", "within", "contains"):
+        col = shape_bbox_relation(F.col("coords"), 1.0, 2.0, 1.0, 2.0, rel)
+        got[rel] = {r["id"] for r in df.filter(col).collect()}
+    assert got["contains"] == {1, 5}
+    assert got["within"] == {2}
+    assert 2 in got["intersects"] and 3 in got["intersects"] \
+        and 1 in got["intersects"]
+    assert 4 in got["disjoint"] and 4 not in got["intersects"]
+    assert 5 in got["intersects"]
+    assert got["intersects"] | got["disjoint"] == {1, 2, 3, 4, 5}
+    assert got["intersects"] & got["disjoint"] == set()
+    with pytest.raises(ValueError):
+        shape_bbox_relation(F.col("coords"), 1, 2, 1, 2, "overlaps")
