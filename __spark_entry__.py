@@ -3035,7 +3035,23 @@ def q_hard_negatives(spark, sf_dir):
                       x1e4(F.col("cos")).alias("cos_x1e4"))
 
 
+
+
+def q_date_histogram_fixed_events(spark, sf_dir):
+    """ES date_histogram fixed_interval (12h): epoch-aligned constant
+    buckets, exact microsecond arithmetic."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram_fixed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = date_histogram_fixed(ev, "ts", "12h")
+    return h.select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "n_docs")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "date_histogram_fixed_events": q_date_histogram_fixed_events,
     "hard_negatives": q_hard_negatives,
     "terms_subaggs_idx": q_terms_subaggs_idx,
     "significant_text_idx": q_significant_text_idx,
@@ -3753,6 +3769,10 @@ SELECT lang, count(*) AS n_docs,
        max(len(toks))::BIGINT AS max_dl,
        count(DISTINCT source) AS n_sources
 FROM hits GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10""",
+        "date_histogram_fixed_events": """
+SELECT (epoch(ts)::BIGINT // 43200) * 43200 AS bucket_ts,
+       count(*) AS n_docs
+FROM events GROUP BY 1 ORDER BY 1""",
         "span_near_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks

@@ -27,6 +27,11 @@ consistently on both the build and query side.
 - ``code``: extract [A-Za-z0-9]+ runs (splits snake_case at ``_``),
   then split camelCase boundaries, lowercase. Optional per-lang
   stopword removal.
+- ``whitespace``: the ES whitespace analyzer — split on whitespace
+  runs, NO lowercasing (case-sensitive matching, e.g. exact symbol
+  search over code).
+- ``keyword``: the ES keyword analyzer — the whole input is ONE token,
+  untouched (exact-value matching on an "analyzed" field).
 - ``english``: the ES/Lucene english analysis-chain analog —
   ``simple`` tokens -> Lucene's classic 33-word English stop set ->
   S-stemmer (Harman 1991: ies->y unless e/a precedes; es->e unless
@@ -107,6 +112,10 @@ def tokenize_py(text: str, analyzer: str = "code",
         return []
     if analyzer == "simple":
         toks = [t for t in _WS.split(text.lower()) if t]
+    elif analyzer == "whitespace":
+        toks = [t for t in _WS.split(text) if t]
+    elif analyzer == "keyword":
+        toks = [text] if text else []
     elif analyzer == "code":
         s = _CAMEL_1.sub(" ", text)
         s = _CAMEL_2.sub(" ", s)
@@ -137,6 +146,10 @@ def tokenize_series(s: pd.Series, analyzer: str = "code",
     s = s.fillna("")
     if analyzer == "simple":
         lists = s.str.lower().str.findall(r"\S+")
+    elif analyzer == "whitespace":
+        lists = s.str.findall(r"\S+")
+    elif analyzer == "keyword":
+        lists = s.map(lambda t: [t] if t else [])
     elif analyzer == "code":
         x = s.str.replace(_CAMEL_1, " ", regex=True)
         x = x.str.replace(_CAMEL_2, " ", regex=True)
@@ -171,13 +184,19 @@ def tokenize_expr(col, analyzer: str = "code",
     Raises ValueError for analyzers/options only the pandas path
     supports (per-language stopword removal) so callers can fall back.
     """
-    if analyzer not in ("simple", "code", "english"):
+    if analyzer not in ("simple", "code", "english", "whitespace",
+                        "keyword"):
         raise ValueError(f"unknown analyzer: {analyzer}")
     if isinstance(col, str):
         col = F.col(col)
     col = F.coalesce(col, F.lit(""))  # tokenize_py(None) == []
     if analyzer == "simple":
         toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    elif analyzer == "whitespace":
+        toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    elif analyzer == "keyword":
+        toks = F.when(col == "", F.array().cast("array<string>")) \
+            .otherwise(F.array(col))
     elif analyzer == "code":
         x = F.regexp_replace(col, "(?<=[a-z0-9])(?=[A-Z])", " ")
         x = F.regexp_replace(x, "(?<=[A-Z])(?=[A-Z][a-z])", " ")

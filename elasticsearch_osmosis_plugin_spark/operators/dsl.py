@@ -459,6 +459,15 @@ def _search_query(spark: SparkSession, index_path: str,
         if qkind != "match":
             raise ValueError("collapse requires a match query here")
         _, spec = _one_entry(qspec, "match")
+        inner = body["collapse"].get("inner_hits")
+        if inner:
+            # ES collapse.inner_hits: the top-N hits WITHIN each
+            # collapsed group — exactly the terms+top_hits shape, so it
+            # routes to the same WindowGroupLimit operator
+            return scorefn.top_hits(
+                spark, index_path, _match_args(spec)[0],
+                body["collapse"]["field"],
+                n_hits=int(inner.get("size", 3)))
         return scorefn.collapse_topk(
             spark, index_path, _match_args(spec)[0],
             body["collapse"]["field"], k=k)
@@ -689,12 +698,14 @@ def _search_query(spark: SparkSession, index_path: str,
 
     if kind == "fuzzy":
         fld, val = _one_entry(spec, "fuzzy")
-        fuzz = 1
+        fuzz, transp = 1, False
         if isinstance(val, dict):
             fuzz = int(val.get("fuzziness", 1))
+            transp = bool(val.get("transpositions", False))
             val = val["value"]
         return _finish_ids(spark, index_path, intersect.match_fuzzy(
-            spark, index_path, str(val), max_edits=fuzz), post_col, k)
+            spark, index_path, str(val), max_edits=fuzz,
+            transpositions=transp), post_col, k)
 
     if kind == "bool":
         must = [c for c in spec.get("must", [])]
@@ -982,9 +993,19 @@ def search_aggs(spark: SparkSession, index_path: str,
                 spark, index_path, qtext, aspec["field"],
                 float(aspec["interval"]))
         elif akind == "date_histogram":
-            out[name] = intersect.date_histogram_agg(
-                spark, index_path, qtext, aspec["field"],
-                aspec.get("calendar_interval", "day"))
+            if "fixed_interval" in aspec:
+                from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+                hits = intersect.match_any_terms(spark, index_path, qtext)
+                ds = (catalog.read_table(spark, index_path, "docstats")
+                      .select("doc_id", aspec["field"])
+                      .join(hits, "doc_id", "left_semi"))
+                out[name] = intersect.date_histogram_fixed(
+                    ds, aspec["field"], aspec["fixed_interval"])
+            else:
+                out[name] = intersect.date_histogram_agg(
+                    spark, index_path, qtext, aspec["field"],
+                    aspec.get("calendar_interval", "day"))
         elif akind == "percentiles":
             pcts = tuple(p / 100.0 for p in
                          aspec.get("percents", (25, 50, 75, 95)))
@@ -1032,6 +1053,26 @@ def validate_query(spark: SparkSession, index_path: str,
         return True, None
     except Exception as e:  # noqa: BLE001 — the API reports, never raises
         return False, f"{type(e).__name__}: {e}"
+
+
+def count(spark: SparkSession, index_path: str, body: dict) -> int:
+    """ES _count API: how many docs match the query — no ranking, no
+    fetch, no size cut. Routes through the same unranked-id compiler
+    the sort path uses (every count is over the COMPLETE match set);
+    a filter-context ``post_filter`` composes like in search. Single-
+    term match bodies could take the dictionary df fast path
+    (``query.match_count``) — this API keeps the general compiler so
+    every countable body form works."""
+    q = dict(body).get("query", {"match_all": {}})
+    ids = _unranked_ids(spark, index_path, q)
+    post = body.get("post_filter")
+    if post is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        allowed = (catalog.read_table(spark, index_path, "docstats")
+                   .filter(filter_column(post)).select("doc_id"))
+        ids = ids.join(allowed, "doc_id", "left_semi")
+    return ids.count()
 
 
 def msearch(spark: SparkSession, index_path: str, bodies: list[dict],

@@ -13,6 +13,8 @@ import math
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_osmosis_plugin_spark.operators.query import (
@@ -454,22 +456,56 @@ def expand_terms(spark: SparkSession, index_path: str, pattern: str,
     return [r["term"] for r in rows]
 
 
+def _osa_udf(query: str):
+    """Optimal-string-alignment (Damerau with non-overlapping adjacent
+    transpositions — Lucene's fuzzy model when transpositions=true)
+    as an Arrow-batched kernel. Runs only over the length-prefiltered
+    DICTIONARY slice (metadata-sized), never the corpus, so the
+    per-string Python DP is bounded by vocabulary, not data."""
+    from pyspark.sql import types as T
+
+    def osa(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        prev2, prev = None, list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    cur[j] = min(cur[j], prev2[j - 2] + 1)
+            prev2, prev = prev, cur
+        return prev[lb]
+
+    @F.pandas_udf(T.IntegerType())
+    def _d(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: osa(t, query))
+
+    return _d
+
+
 def expand_fuzzy(spark: SparkSession, index_path: str, term: str,
                  max_edits: int = 1, max_expansions: int = 50,
+                 transpositions: bool = False,
                  _dic=None) -> list[str]:
-    """ES fuzzy-query expansion: dictionary terms within Levenshtein
-    distance ``max_edits`` of ``term`` (ES AUTO fuzziness caps at 2).
-    A length pre-filter (||t|-|q|| <= max_edits) prunes the dictionary
-    scan before the edit-distance kernel runs; expansion is capped
-    deterministically by (distance, term) — closest first, exactly
-    ES's behavior of preferring nearer terms under the cap."""
+    """ES fuzzy-query expansion: dictionary terms within edit distance
+    ``max_edits`` of ``term`` (ES AUTO fuzziness caps at 2).
+    ``transpositions=True`` switches Levenshtein to OSA/Damerau (an
+    adjacent swap costs 1, Lucene's transpositions=true default); the
+    plain-Levenshtein default stays the JVM ``levenshtein`` codegen
+    path. A length pre-filter (||t|-|q|| <= max_edits) prunes the
+    dictionary scan before the edit-distance kernel runs; expansion is
+    capped deterministically by (distance, term) — closest first,
+    exactly ES's behavior of preferring nearer terms under the cap."""
     from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
 
     dic = dictionary_df(spark, index_path) if _dic is None else _dic
     cand = dic.filter(
         F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
-    rows = (cand.select("term",
-                        F.levenshtein(F.col("term"), F.lit(term)).alias("d"))
+    d = (_osa_udf(term)(F.col("term")) if transpositions
+         else F.levenshtein(F.col("term"), F.lit(term)))
+    rows = (cand.select("term", d.alias("d"))
             .filter(F.col("d") <= max_edits)
             .select("term", "d").distinct()
             .orderBy("d", "term").limit(max_expansions).collect())
@@ -477,12 +513,13 @@ def expand_fuzzy(spark: SparkSession, index_path: str, term: str,
 
 
 def match_fuzzy(spark: SparkSession, index_path: str, term: str,
-                max_edits: int = 1,
-                max_expansions: int = 50) -> DataFrame:
+                max_edits: int = 1, max_expansions: int = 50,
+                transpositions: bool = False) -> DataFrame:
     """doc_ids containing >=1 term within ``max_edits`` of ``term``
     (constant-score, ES fuzzy-query analog)."""
     meta = load_meta(index_path)
-    terms = expand_fuzzy(spark, index_path, term, max_edits, max_expansions)
+    terms = expand_fuzzy(spark, index_path, term, max_edits, max_expansions,
+                         transpositions=transpositions)
     if not terms:
         return spark.createDataFrame([], "doc_id long")
     posts = _pruned_postings(spark, index_path, terms, meta)
@@ -550,6 +587,36 @@ def date_histogram(df: DataFrame, ts_col: str,
     if interval not in CALENDAR_INTERVALS:
         raise ValueError(f"interval must be one of {CALENDAR_INTERVALS}")
     return (df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))
+
+
+_FIXED_UNIT_US = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+                  "h": 3_600_000_000, "d": 86_400_000_000}
+
+
+def date_histogram_fixed(df: DataFrame, ts_col: str,
+                         fixed_interval: str) -> DataFrame:
+    """ES date_histogram with ``fixed_interval`` ("90s", "30m", "2h",
+    "7d", ...): constant-width epoch-aligned buckets, as opposed to
+    the calendar boundaries of :func:`date_histogram`. Exact
+    microsecond arithmetic (unix_micros floor-division), one map-side-
+    combined groupBy — and because the bucket function is a pure
+    epoch expression, the SAME query is twin-able in any SQL engine."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", fixed_interval)
+    if not m:
+        raise ValueError(f"bad fixed_interval: {fixed_interval!r}")
+    width_us = int(m.group(1)) * _FIXED_UNIT_US[m.group(2)]
+    if width_us <= 0:
+        raise ValueError("fixed_interval must be positive")
+    # NTZ columns cast to instant semantics under the engine's fixed
+    # UTC session timezone (same convention as the calendar variant)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.timestamp_micros(
+        (F.floor(us / F.lit(width_us)) * F.lit(width_us)).cast("long"))
+    return (df.groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("bucket"))
 

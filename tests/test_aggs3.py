@@ -340,3 +340,36 @@ def test_normalize_and_moving_percentiles(spark):
     p25 = moving_percentiles(df, window=3, percentile=0.25).collect()
     # window [10,20,30] p25 -> 15; [20,30,40] -> 25
     assert [r["moving_pct"] for r in p25] == [10.0, 15.0, 15.0, 25.0]
+
+
+def test_date_histogram_fixed_and_fuzzy_transpositions(spark, agg_index):
+    from datetime import datetime, timedelta
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram_fixed,
+        expand_fuzzy,
+        match_fuzzy,
+    )
+
+    rows = [(i, datetime(2024, 1, 1, 0, 0) + timedelta(minutes=i * 7))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    all_buckets = date_histogram_fixed(df, "ts", "30m").collect()
+    # minutes 0,7,14,21,28 -> :00; 35,42,49,56 -> :30; 63 -> 1:00
+    assert [(r["bucket"].hour, r["bucket"].minute, r["n_docs"])
+            for r in all_buckets] == [(0, 0, 5), (0, 30, 4), (1, 0, 1)]
+    with pytest.raises(ValueError):
+        date_histogram_fixed(df, "ts", "monthly")
+
+    # transpositions: 'pbulic' is OSA distance 1 from 'public'
+    # (adjacent swap) but Levenshtein 2
+    lev = expand_fuzzy(spark, agg_index, "pbulic", max_edits=1)
+    osa = expand_fuzzy(spark, agg_index, "pbulic", max_edits=1,
+                       transpositions=True)
+    assert "public" not in lev and "public" in osa
+    ids = {r["doc_id"] for r in match_fuzzy(
+        spark, agg_index, "pbulic", max_edits=1,
+        transpositions=True).collect()}
+    want = {r["doc_id"] for r in match_any_terms(
+        spark, agg_index, "public").collect()}
+    assert ids >= want and want

@@ -1097,3 +1097,68 @@ def test_explain_per_hit(spark, idx):
     with pytest.raises(ValueError):
         dsl.search(spark, idx, {"query": {"term": {"content": "public"}},
                                 "explain": True})
+
+
+def test_fixed_interval_and_fuzzy_transpositions_routing(spark, tmp_path,
+                                                          idx):
+    """fixed_interval routes through the hit-pruned store scan; fuzzy
+    transpositions reach the OSA kernel."""
+    from datetime import datetime, timedelta
+
+    rows = [(i, "apple pie" if i % 2 == 0 else "banana split",
+             datetime(2024, 3, 1) + timedelta(hours=6 * i))
+            for i in range(8)]
+    tsidx = str(tmp_path / "tsidx")
+    build_index(spark,
+                spark.createDataFrame(rows,
+                                      "doc_id long, text string, ts timestamp"),
+                tsidx, EngineConfig(analyzer="simple", n_segments=2,
+                                    n_buckets=2, block_size=8),
+                id_col="doc_id", text_col="text", n_groups=1)
+    got = dsl.search_aggs(spark, tsidx, {
+        "query": {"match": {"text": "apple"}},
+        "aggs": {"h": {"date_histogram": {"field": "ts",
+                                          "fixed_interval": "1d"}}}})
+    # apple docs: i=0,2,4,6 at hours 0,12,24,36 -> days 1,1,2,2
+    assert [(r["bucket"].day, r["n_docs"])
+            for r in got["h"].collect()] == [(1, 2), (2, 2)]
+    got = dsl.search(spark, idx, {
+        "query": {"fuzzy": {"content": {"value": "pbulic", "fuzziness": 1,
+                                        "transpositions": True}}},
+        "size": 10**6})
+    want = intersect.match_fuzzy(spark, idx, "pbulic", max_edits=1,
+                                 transpositions=True)
+    assert [d for d, _ in _rows(got)] == [r["doc_id"] for r in want.collect()]
+    assert got.count() > 0
+
+
+def test_count_api_and_collapse_inner_hits(spark, idx):
+    """_count: complete-match-set cardinality for every countable body
+    form (+post_filter); collapse.inner_hits routes to top_hits."""
+    n_or = dsl.count(spark, idx, {
+        "query": {"match": {"content": "public static"}}})
+    assert n_or == intersect.match_any_terms(
+        spark, idx, "public static").count() > 0
+    n_and = dsl.count(spark, idx, {
+        "query": {"match": {"content":
+                            {"query": "public static", "operator": "and"}}}})
+    assert n_and == intersect.match_all_terms(
+        spark, idx, "public static").count()
+    assert dsl.count(spark, idx, {}) == \
+        dsl.count(spark, idx, {"query": {"match_all": {}}})
+    n_post = dsl.count(spark, idx, {
+        "query": {"term": {"content": "public"}},
+        "post_filter": {"term": {"lang": "java"}}})
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    java = {r["doc_id"] for r in catalog.read_table(spark, idx, "docstats")
+            .filter(F.col("lang") == "java").select("doc_id").collect()}
+    pub = {r["doc_id"] for r in
+           intersect.match_all_terms(spark, idx, "public").collect()}
+    assert n_post == len(pub & java)
+
+    got = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "collapse": {"field": "lang", "inner_hits": {"size": 2}}})
+    want = scorefn.top_hits(spark, idx, "public", "lang", n_hits=2)
+    assert _rows(got) == _rows(want)

@@ -143,3 +143,42 @@ def test_duplicate_spans_two_exchanges(spark):
     n_ex = final.count("Exchange hashpartitioning")
     assert n_ex == 2, final
     assert "Exchange hashpartitioning(g#" in final
+
+
+def test_round2b_operators_plan_shapes(spark, corpus_df, index_path,
+                                       tmp_path_factory):
+    """pinned / terms_subaggs / combined_fields / explain keep the
+    shapes that matter at scale: top-k via TakeOrderedAndProject,
+    small sides broadcast, NO sort-merge joins."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        terms_subaggs,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        explain_hits,
+        topk,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        combined_fields_topk,
+        pinned_topk,
+    )
+
+    repo_idx = str(tmp_path_factory.mktemp("pidx2") / "index")
+    build_index(spark, corpus_df, repo_idx,
+                EngineConfig(n_segments=8, n_buckets=8, resume=False),
+                id_col="doc_id", text_col="repo", n_groups=1)
+    frames = {
+        "pinned": pinned_topk(spark, index_path, [3, 5], "public", k=10),
+        "subaggs": terms_subaggs(spark, index_path, "public", "lang",
+                                 {"a": ("avg", "dl")}),
+        "combined": combined_fields_topk(
+            spark, {"content": index_path, "repo": repo_idx}, "public", k=10),
+        "explain": explain_hits(
+            spark, index_path, topk(spark, index_path, "public", k=5),
+            "public"),
+    }
+    for name, df in frames.items():
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        if name in ("pinned", "combined"):
+            assert "TakeOrderedAndProject" in plan, name

@@ -102,7 +102,8 @@ def test_tokenize_expr_matches_python(spark):
     sdf = spark.createDataFrame(
         [(i, t) for i, t in enumerate(ASCII_CASES)] + [(999, None)],
         "id long, content string")
-    for analyzer in ("code", "simple", "english"):
+    for analyzer in ("code", "simple", "english", "whitespace",
+                     "keyword"):
         got = {r["id"]: r["toks"] for r in sdf.select(
             "id", tokenize_expr("content", analyzer).alias("toks")).collect()}
         for i, t in enumerate(ASCII_CASES):
@@ -155,3 +156,50 @@ def test_analyze_endpoint(spark):
     en = [r["token"] for r in
           analyze(spark, "The bodies of tables", "english").collect()]
     assert en == ["body", "table"]
+
+
+def test_whitespace_and_keyword_analyzers(spark):
+    """The two remaining ES built-in analyzers: whitespace keeps case
+    (exact-symbol search over code), keyword emits the whole value as
+    one token; all three twins agree, and an index built with
+    whitespace matches case-sensitively end-to-end."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_expr,
+        tokenize_series,
+    )
+
+    cases = ["Foo BAR baz", "getIndexBuffer X", "", "  spaced  out  "]
+    for t in cases:
+        for an in ("whitespace", "keyword"):
+            py = tokenize_py(t, an)
+            pd_ = tokenize_series(pd.Series([t]), an).iloc[0]
+            assert list(pd_) == py, (an, t)
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                                "id long, content string")
+    for an in ("whitespace", "keyword"):
+        got = {r["id"]: r["toks"] for r in sdf.select(
+            "id", tokenize_expr("content", an).alias("toks")).collect()}
+        for i, t in enumerate(cases):
+            assert got[i] == tokenize_py(t, an), (an, t)
+    assert tokenize_py("Foo BAR", "whitespace") == ["Foo", "BAR"]
+    assert tokenize_py("Foo BAR", "keyword") == ["Foo BAR"]
+
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_all_terms,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/wsidx"
+    df = spark.createDataFrame(
+        [(0, "Foo bar"), (1, "foo Bar"), (2, "FOO BAR")],
+        "doc_id long, text string")
+    build_index(spark, df, path,
+                EngineConfig(analyzer="whitespace", n_segments=2,
+                             n_buckets=2, block_size=8),
+                id_col="doc_id", text_col="text", n_groups=1)
+    assert [r["doc_id"] for r in
+            match_all_terms(spark, path, "Foo").collect()] == [0]
+    assert [r["doc_id"] for r in
+            match_all_terms(spark, path, "FOO").collect()] == [2]
