@@ -3050,7 +3050,115 @@ def q_date_histogram_fixed_events(spark, sf_dir):
                     "n_docs")
 
 
+
+
+def q_span_containing_idx(spark, sf_dir):
+    """Lucene span_containing: a 'spark .. join' span (slop 4, in
+    order) that covers a 'query' occurrence."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        span_containing,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return span_containing(spark, idx, "spark join", "query", slop=4)
+
+
+MLT_TEXT = "spark query window zzznotaterm"
+
+
+def q_more_like_this_text(spark, sf_dir):
+    """ES more_like_this with free text: analyzed, top tf*idf terms
+    selected, no source exclusion."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        more_like_this_text,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = more_like_this_text(spark, idx, MLT_TEXT, max_query_terms=2, k=30)
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+MLT_TEXT_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          GROUP BY term),
+srctf AS (SELECT * FROM (VALUES ('spark', 1.0), ('query', 1.0),
+                                ('window', 1.0), ('zzznotaterm', 1.0))
+          s(term, tf)),
+sel AS (SELECT s.term FROM srctf s JOIN dfall USING (term) CROSS JOIN stats
+        ORDER BY s.tf * ln(1.0 + (stats.n_docs - dfall.df + 0.5)
+                                 / (dfall.df + 0.5)) DESC, s.term
+        LIMIT 2),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM scored
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10"""
+
+
+def _temperature_tok_oracle_sql() -> str:
+    import duckdb
+
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        temperature_rates,
+    )
+
+    con = duckdb.connect()
+    sizes = dict(con.execute(
+        f"SELECT lang, sum(len(list_filter(string_split_regex(lower(text), "
+        f"'\\s+'), x -> x <> '')))::DOUBLE FROM read_parquet("
+        f"'{ANN_ORACLE_SF_DIR}/documents.parquet') GROUP BY lang"
+    ).fetchall())
+    con.close()
+    rates = temperature_rates(sizes, alpha=0.3)
+    cases = " ".join(f"WHEN '{s}' THEN {int(r * 1_000_000)}"
+                     for s, r in sorted(rates.items()))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 2, 15))::UBIGINT
+           % 1000000 AS k
+  FROM documents)
+SELECT doc_id, lang FROM keyed
+WHERE k < (CASE lang {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+def q_temperature_mixture_tok(spark, sf_dir):
+    """Token-budget temperature mixture: stratum size = token SUM (the
+    LM-mix form), keep decision per-doc via the md5 filter."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        token_count,
+    )
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        temperature_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = token_count(docs, "doc_id", "text")
+    kept = temperature_mixture(docs.join(weights, "doc_id"),
+                               stratum_col="lang", alpha=0.3,
+                               weight_col="n_tokens")
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "span_containing_idx": q_span_containing_idx,
+    "more_like_this_text": q_more_like_this_text,
+    "temperature_mixture_tok": q_temperature_mixture_tok,
     "date_histogram_fixed_events": q_date_histogram_fixed_events,
     "hard_negatives": q_hard_negatives,
     "terms_subaggs_idx": q_terms_subaggs_idx,
@@ -3294,6 +3402,7 @@ def oracle_sql() -> dict[str, str]:
             out["ann_ivf_topk"] = _ann_ivf_oracle_sql()
         if os.path.exists(f"{ANN_ORACLE_SF_DIR}/documents.parquet"):
             out["temperature_mixture"] = _temperature_oracle_sql()
+            out["temperature_mixture_tok"] = _temperature_tok_oracle_sql()
     except Exception:  # noqa: BLE001 — oracle generation must not kill the gate
         pass
     return out | {
@@ -3773,6 +3882,16 @@ FROM hits GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10""",
 SELECT (epoch(ts)::BIGINT // 43200) * 43200 AS bucket_ts,
        count(*) AS n_docs
 FROM events GROUP BY 1 ORDER BY 1""",
+        "more_like_this_text": MLT_TEXT_SQL,
+        "span_containing_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, len(toks)), i ->
+      toks[i] = 'spark' AND len(list_filter(
+        generate_series(i + 1, least(i + 5, len(toks))),
+        j -> toks[j] = 'join' AND len(list_filter(
+          generate_series(i, j), p -> toks[p] = 'query')) > 0)) > 0)) > 0
+ORDER BY doc_id""",
         "span_near_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks

@@ -145,6 +145,36 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--index", required=True)
         _add_common(s)
 
+    dq = sub.add_parser("delete-by-query",
+                        help="tombstone every doc matching a query")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--query", required=True)
+    dq.add_argument("--mode", default="any", choices=["any", "all"])
+    _add_common(dq)
+
+    uq = sub.add_parser("update-by-query",
+                        help="apply column=SQL assignments to matching docs")
+    uq.add_argument("--index", required=True)
+    uq.add_argument("--query", required=True)
+    uq.add_argument("--set", required=True, action="append",
+                    help="col=SQL expression (repeatable)")
+    uq.add_argument("--mode", default="any", choices=["any", "all"])
+    _add_common(uq)
+
+    ri = sub.add_parser("reindex", help="rebuild a new index from the "
+                        "live (optionally filtered) docs")
+    ri.add_argument("--index", required=True, help="source index")
+    ri.add_argument("--dest", required=True)
+    ri.add_argument("--query", default=None)
+    ri.add_argument("--n-groups", type=int, default=1)
+    _add_common(ri)
+
+    ro = sub.add_parser("rollover", help="roll an alias to a new index "
+                        "generation when a condition is met")
+    ro.add_argument("--alias", required=True)
+    ro.add_argument("--max-docs", type=int, default=None)
+    ro.add_argument("--max-groups", type=int, default=None)
+
     fs = sub.add_parser("fsck", help="distributed index integrity audit")
     fs.add_argument("--index", required=True)
     fs.add_argument("--source", default=None,
@@ -204,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
                         full = os.path.join(dirpath, fn)
                         z.write(full, os.path.relpath(full, base))
         print(json.dumps({"written": args.out}))
+        return 0
+
+    if args.cmd == "rollover":
+        # pure catalog/filesystem operation — no Spark session needed
+        from elasticsearch_osmosis_plugin_spark.plans.catalog import rollover
+
+        print(json.dumps(rollover(args.alias, max_docs=args.max_docs,
+                                  max_groups=args.max_groups), default=str))
         return 0
 
     spark = _get_spark(args)
@@ -271,6 +309,32 @@ def main(argv: list[str] | None = None) -> int:
         from elasticsearch_osmosis_plugin_spark.plans.merge import index_stats
 
         print(json.dumps(index_stats(spark, args.index), default=str))
+    elif args.cmd == "delete-by-query":
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            delete_by_query,
+        )
+
+        n = delete_by_query(spark, args.index, args.query, mode=args.mode)
+        print(json.dumps({"deleted": n}))
+    elif args.cmd == "update-by-query":
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            update_by_query,
+        )
+
+        assigns = {}
+        for kv in args.set:
+            col_name, _, expr = kv.partition("=")
+            assigns[col_name.strip()] = expr
+        n = update_by_query(spark, args.index, assigns, args.query,
+                            mode=args.mode)
+        print(json.dumps({"updated": n}))
+    elif args.cmd == "reindex":
+        from elasticsearch_osmosis_plugin_spark.operators.query import reindex
+
+        meta = reindex(spark, args.index, args.dest, query=args.query,
+                       n_groups=args.n_groups)
+        print(json.dumps({"dest": args.dest, "n_docs": meta["n_docs"]},
+                         default=str))
     elif args.cmd == "fsck":
         from elasticsearch_osmosis_plugin_spark.plans.merge import verify_index
 

@@ -177,13 +177,22 @@ def temperature_rates(sizes: dict[str, int], alpha: float = 0.3,
 
 def temperature_mixture(df: DataFrame, *, stratum_col: str,
                         alpha: float = 0.3, budget: float | None = None,
-                        id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+                        id_col: str = "doc_id", seed: int = 0,
+                        weight_col: str | None = None) -> DataFrame:
     """Alpha-sampled mixture in two passes: ONE count-by-stratum agg
     (map-side combined) to observe sizes, then the deterministic
     keep-rate filter of :func:`stratified_mixture`. Reproducible under
-    any partitioning; strata never shuffle."""
+    any partitioning; strata never shuffle.
+
+    ``weight_col`` switches the stratum size from doc COUNT to the
+    column's SUM — the token-budget form LM data mixes actually use
+    (a stratum of few huge documents is as big as one of many small
+    ones); the keep decision stays per-doc, so expected kept TOKENS
+    per stratum hit the alpha-scaled token shares."""
+    sizes_agg = (F.sum(F.col(weight_col).cast("double")) if weight_col
+                 else F.count(F.lit(1)).cast("double"))
     sizes = {r[0]: r[1] for r in
-             df.groupBy(stratum_col).count().collect()}
+             df.groupBy(stratum_col).agg(sizes_agg.alias("n")).collect()}
     rates = temperature_rates(sizes, alpha=alpha, budget=budget)
     return stratified_mixture(df, rates, stratum_col=stratum_col,
                               id_col=id_col, seed=seed)

@@ -836,6 +836,21 @@ def _search_query(spark: SparkSession, index_path: str,
             pre=int(spec.get("pre", dist)),
             post=int(spec.get("post", dist))), post_col, k)
 
+
+    if kind in ("span_containing", "span_within"):
+        bk, bspec = _one_entry(spec["big"], "span big")
+        if bk != "span_near":
+            raise ValueError("span big must be span_near here")
+        bterms = [_span_clause_terms(c)[0] for c in bspec["clauses"]]
+        lterms = _span_clause_terms(spec["little"])
+        if len(lterms) != 1:
+            raise ValueError("span little must be one span_term")
+        fn = (intersect.span_containing if kind == "span_containing"
+              else intersect.span_within)
+        return _finish_ids(spark, index_path, fn(
+            spark, index_path, " ".join(bterms), lterms[0],
+            slop=int(bspec.get("slop", 0))), post_col, k)
+
     if kind == "intervals":
         # ES intervals query, the modern span surface. Supported rules:
         # match (ordered/max_gaps -> span_near semantics) and any_of of
@@ -850,9 +865,14 @@ def _search_query(spark: SparkSession, index_path: str,
             raise ValueError(
                 "post_filter with more_like_this is not supported")
         like = spec["like"]
-        doc_id = like[0]["_id"] if isinstance(like, list) else like["_id"]
+        first = like[0] if isinstance(like, list) else like
+        if isinstance(first, str):
+            # ES free-text like: analyze the text, no source exclusion
+            return intersect.more_like_this_text(
+                spark, index_path, first, k=k,
+                max_query_terms=int(spec.get("max_query_terms", 25)))
         return intersect.more_like_this(
-            spark, index_path, int(doc_id), k=k,
+            spark, index_path, int(first["_id"]), k=k,
             max_query_terms=int(spec.get("max_query_terms", 25)))
 
     raise ValueError(f"unsupported query type: {kind}")

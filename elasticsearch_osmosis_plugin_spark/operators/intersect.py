@@ -869,6 +869,35 @@ def more_like_this(spark: SparkSession, index_path: str, like_doc_id: int,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def more_like_this_text(spark: SparkSession, index_path: str, like: str,
+                        max_query_terms: int = 5, k: int = 10) -> DataFrame:
+    """ES more_like_this with free TEXT ``like`` (no stored doc): the
+    input analyzes through the index's own chain, the most
+    characteristic terms (tf*idf, deterministic ties) become the
+    query, and nothing is excluded from the results (there is no
+    source doc). The dictionary lookup prices idf; unknown terms drop
+    out exactly as ES ignores terms absent from the index."""
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import idf, topk
+
+    meta = load_meta(index_path)
+    tf = Counter(tokenize_py(like, meta["analyzer"],
+                             min_len=meta.get("min_token_len", 1),
+                             max_len=meta.get("max_token_len", 64)))
+    dic = dictionary_rows(spark, index_path, sorted(tf), meta)
+    ranked = sorted(
+        ((-tf[r.term] * idf(meta["n_docs"], int(r.df)), r.term)
+         for r in dic.itertuples()))
+    terms = [t for _, t in ranked[:max_query_terms]]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return topk(spark, index_path, " ".join(terms), k=k)
+
+
 def term_vectors(spark: SparkSession, index_path: str,
                  doc_id: int) -> DataFrame:
     """ES _termvectors API analog: per-term statistics of ONE document
@@ -2089,3 +2118,74 @@ def terms_subaggs(spark: SparkSession, index_path: str, query: str,
     return (ds.join(docs, "doc_id", "left_semi")
             .groupBy(facet_col).agg(*aggs)
             .orderBy(F.desc("n_docs"), F.asc(facet_col)).limit(size))
+
+
+def span_containing(spark: SparkSession, index_path: str, big: str,
+                    little: str, slop: int = 0) -> DataFrame:
+    """Lucene SpanContainingQuery: docs where some ``big`` span (the
+    phrase's terms in order within ``slop`` intervening positions)
+    CONTAINS an occurrence of the ``little`` term. SpanWithinQuery
+    matches the same DOCUMENT set (the two differ in which spans they
+    emit for scoring, not in which docs qualify) — see
+    :func:`span_within`.
+
+    Position logic: for each start s of the first big term, the greedy
+    chain gives the minimal valid end; any last-term occurrence
+    between that end and the slop bound is also a valid end (the
+    intermediate chain is reusable), so containment reduces to
+    "exists little position in [s, max valid end]" — all pure Catalyst
+    array expressions over ONE positions decode."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    meta = load_meta(index_path)
+    terms = tokenize_py(big, meta["analyzer"],
+                        min_len=meta.get("min_token_len", 1),
+                        max_len=meta.get("max_token_len", 64))
+    lt = _one_term(little, meta)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    if not meta.get("positions", False):
+        raise ValueError("span_containing needs positional postings "
+                         "(store_positions=True)")
+    cands = (match_all_terms(spark, index_path, big)
+             .join(match_all_terms(spark, index_path, lt),
+                   "doc_id", "left_semi"))
+    k = len(terms)
+    slot_terms = list(enumerate(terms)) + [(k, lt)]
+    doc = _slot_position_lists(spark, index_path, slot_terms, cands, meta)
+    lists = [F.col("m")[i] for i in range(k)]
+    little_ps = F.col("m")[k]
+    bound = F.lit(int(slop) + k - 1)
+
+    def ok(s):
+        if k == 1:
+            min_end = s
+        else:
+            rest = F.array(*lists[1:])
+            min_end = F.aggregate(
+                rest, s,
+                lambda acc, arr: F.when(
+                    acc.isNull(), F.lit(None).cast("long")
+                ).otherwise(F.array_min(F.filter(arr, lambda x: x > acc))))
+        valid = F.coalesce(min_end - s <= bound, F.lit(False))
+        max_end = F.array_max(F.filter(
+            lists[k - 1] if k > 1 else F.array(s),
+            lambda x: (x >= F.coalesce(min_end, F.lit(1 << 62)))
+            & (x - s <= bound)))
+        contained = F.exists(
+            little_ps, lambda p: (p >= s) & (p <= max_end))
+        return valid & F.coalesce(contained, F.lit(False))
+
+    return (doc.filter(F.exists(lists[0], ok))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def span_within(spark: SparkSession, index_path: str, big: str,
+                little: str, slop: int = 0) -> DataFrame:
+    """Lucene SpanWithinQuery: docs with a ``little`` occurrence
+    inside a ``big`` span — document-level equivalent of
+    :func:`span_containing` (Lucene's two queries emit different
+    spans from the same containment relation)."""
+    return span_containing(spark, index_path, big, little, slop=slop)

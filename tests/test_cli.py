@@ -151,3 +151,40 @@ def test_cli_fsck(spark, cli_index, capsys):
 def test_cli_alias_requires_index_or_drop(spark, capsys):
     with pytest.raises(SystemExit):
         main(["alias", "--alias", "/tmp/nope_alias"])
+
+
+def test_cli_maintenance_commands(spark, tmp_path, capsys):
+    """delete-by-query / update-by-query / reindex / rollover drive the
+    maintenance APIs end-to-end from the CLI."""
+    src = str(tmp_path / "m-000001")
+    rc = main(["build", "--input", f"{SF}/documents.parquet",
+               "--index", src, "--id-col", "doc_id", "--text-col", "text",
+               "--analyzer", "simple", "--n-segments", "2",
+               "--n-buckets", "2", "--n-groups", "1",
+               "--shuffle-partitions", "4"])
+    assert rc == 0
+
+    out = _run(capsys, ["update-by-query", "--index", src,
+                        "--query", "spark",
+                        "--set", "lang=upper(lang)"])
+    assert out[-1]["updated"] > 0
+
+    dest = str(tmp_path / "re")
+    out = _run(capsys, ["reindex", "--index", src, "--dest", dest,
+                        "--query", "spark"])
+    assert out[-1]["n_docs"] > 0
+
+    out = _run(capsys, ["delete-by-query", "--index", src,
+                        "--query", "spark"])
+    n_del = out[-1]["deleted"]
+    assert n_del == out[-2 if len(out) > 1 else -1]["deleted"]
+    assert n_del > 0
+    out = _run(capsys, ["count", "--index", src, "--query", "spark"])
+    assert out[-1]["count"] == 0
+
+    alias = str(tmp_path / "m_write")
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    catalog.create_alias(alias, src)
+    out = _run(capsys, ["rollover", "--alias", alias, "--max-docs", "1"])
+    assert out[-1]["rolled_over"] and out[-1]["new_index"].endswith("000002")

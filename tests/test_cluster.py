@@ -414,3 +414,32 @@ def test_shuffle_order_permutation(spark):
     other = shuffle_order(df, seed=2).collect()
     assert {(r["doc_id"], r["shuffle_pos"]) for r in other} \
         != {(r["doc_id"], r["shuffle_pos"]) for r in out}
+
+
+def test_temperature_mixture_token_weighted(spark):
+    """weight_col switches stratum size to token sums: a stratum of
+    few huge docs samples like one of many small docs."""
+    from elasticsearch_osmosis_plugin_spark.functions.sampling import (
+        temperature_mixture,
+        temperature_rates,
+    )
+
+    rows = [(i, "big", 1000) for i in range(10)] \
+        + [(100 + i, "small", 25) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    # token sizes: big=10k, small=10k -> equal strata under weights;
+    # doc counts are 10 vs 400 -> wildly different without weights
+    kept_w = temperature_mixture(df, stratum_col="lang", alpha=0.0,
+                                 weight_col="n_tok")
+    by = {r["lang"]: r["n"] for r in
+          kept_w.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # equal token mass -> both rates 1.0 -> everything kept
+    assert by == {"big": 10, "small": 400}
+    # unweighted at alpha=0 targets uniform DOC mixture: the big-doc
+    # stratum (fewer docs) keeps all, the small-doc stratum subsamples
+    kept = temperature_mixture(df, stratum_col="lang", alpha=0.0)
+    byu = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert byu["big"] == 10 and byu["small"] < 400
+    rates = temperature_rates({"big": 10, "small": 400}, alpha=0.0)
+    assert rates["big"] == 1.0 and abs(rates["small"] - 10 / 400) < 1e-12

@@ -1162,3 +1162,19 @@ def test_count_api_and_collapse_inner_hits(spark, idx):
         "collapse": {"field": "lang", "inner_hits": {"size": 2}}})
     want = scorefn.top_hits(spark, idx, "public", "lang", n_hits=2)
     assert _rows(got) == _rows(want)
+
+
+def test_span_containing_routing(spark, idx):
+    body = {"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"content": "public"}},
+            {"span_term": {"content": "void"}}], "slop": 6}},
+        "little": {"span_term": {"content": "static"}}}}, "size": 10**6}
+    got = dsl.search(spark, idx, body)
+    want = intersect.span_containing(spark, idx, "public void", "static",
+                                     slop=6)
+    assert [d for d, _ in _rows(got)] == [r["doc_id"] for r in want.collect()]
+    body["query"] = {"span_within": dict(
+        body["query"]["span_containing"])}
+    got2 = dsl.search(spark, idx, body)
+    assert _rows(got2) == _rows(got)

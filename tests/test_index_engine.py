@@ -1627,3 +1627,76 @@ def test_combined_fields_topk(spark, corpus_rows, corpus_df,
     assert [r["doc_id"] for r in got] == [d for _, d in top]
     for r, (ns, _) in zip(got, top):
         assert abs(r["score"] - (-ns)) < 1e-9
+
+
+def test_more_like_this_text(spark, corpus_rows, index_path):
+    """Free-text like: analyzed through the index chain, top tf*idf
+    terms become the query, nothing excluded; identical to topk over
+    the recomputed term selection."""
+    import math as m
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        more_like_this_text,
+    )
+
+    like = "public static getIndexBuffer zzznotaterm"
+    tf = Counter(tokenize_py(like, "code"))
+    toks = {d: tokenize_py(t, "code") for d, t in
+            zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    n = len(toks)
+    df_map = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            df_map[t] += 1
+    ranked = sorted(
+        (-tf[t] * m.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5)), t)
+        for t in tf if df_map[t] > 0)
+    sel = [t for _, t in ranked[:3]]
+    got = more_like_this_text(spark, index_path, like,
+                              max_query_terms=3, k=10).collect()
+    want = topk(spark, index_path, " ".join(sel), k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+    # all-unknown text -> empty, not an error
+    assert more_like_this_text(spark, index_path, "zz qq xx").count() == 0
+
+
+def test_span_containing(spark, corpus_rows, index_path):
+    """Containment recomputed single-process: some in-order big span
+    (within slop) must cover a little occurrence."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        span_containing,
+        span_within,
+    )
+
+    big, little, slop = "public void", "static", 6
+    b1, b2 = big.split()
+    want = set()
+    for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"]):
+        toks = tokenize_py(t, "code")
+        p1s = [i for i, x in enumerate(toks) if x == b1]
+        p2s = [i for i, x in enumerate(toks) if x == b2]
+        ls = [i for i, x in enumerate(toks) if x == little]
+        if any(s < e and e - s - 1 <= slop and any(s <= p <= e for p in ls)
+               for s in p1s for e in p2s):
+            want.add(d)
+    got = {r["doc_id"] for r in span_containing(
+        spark, index_path, big, little, slop=slop).collect()}
+    assert got == want and want
+    # a containment-failing doc set exists (the predicate is not just
+    # the conjunction of the three terms)
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_all_terms,
+    )
+    all3 = {r["doc_id"] for r in match_all_terms(
+        spark, index_path, f"{big} {little}").collect()}
+    assert want < all3
+    w = {r["doc_id"] for r in span_within(
+        spark, index_path, big, little, slop=slop).collect()}
+    assert w == got
