@@ -3155,7 +3155,24 @@ def q_temperature_mixture_tok(spark, sf_dir):
     return kept.select("doc_id", "lang").orderBy("doc_id")
 
 
+
+
+def q_date_histogram_terms_events(spark, sf_dir):
+    """ES nested buckets (date_histogram -> terms): per-day event-type
+    breakdown in ONE two-key groupBy."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram_terms,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = date_histogram_terms(ev, "ts", "event_type", "day",
+                             size_per_bucket=3)
+    return h.select(F.unix_timestamp(F.col("bucket")).alias("bucket_ts"),
+                    "event_type", "n_docs")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "date_histogram_terms_events": q_date_histogram_terms_events,
     "span_containing_idx": q_span_containing_idx,
     "more_like_this_text": q_more_like_this_text,
     "temperature_mixture_tok": q_temperature_mixture_tok,
@@ -3892,6 +3909,15 @@ WHERE len(list_filter(generate_series(1, len(toks)), i ->
         j -> toks[j] = 'join' AND len(list_filter(
           generate_series(i, j), p -> toks[p] = 'query')) > 0)) > 0)) > 0
 ORDER BY doc_id""",
+        "date_histogram_terms_events": """
+WITH b AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
+                  event_type, count(*) AS n_docs
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket_ts
+                                   ORDER BY n_docs DESC, event_type) AS rn
+      FROM b)
+SELECT bucket_ts, event_type, n_docs FROM r WHERE rn <= 3
+ORDER BY bucket_ts, n_docs DESC, event_type""",
         "span_near_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks

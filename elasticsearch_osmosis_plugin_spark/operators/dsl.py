@@ -212,6 +212,25 @@ def filter_column(dsl: dict,
         tl, br = box["top_left"], box["bottom_right"]
         return (F.col("lat").between(float(br["lat"]), float(tl["lat"]))
                 & F.col("lon").between(float(tl["lon"]), float(br["lon"])))
+    if kind == "geo_shape":
+        # ES geo_shape filter: {"<coords field>": {"shape": {"type":
+        # "envelope", "coordinates": [[lon_min, lat_max], [lon_max,
+        # lat_min]]}, "relation": "intersects"}} over a stored
+        # coordinate-array column (the way model) — all four spatial
+        # relations via operators.geo.shape_bbox_relation.
+        from elasticsearch_osmosis_plugin_spark.operators.geo import (
+            shape_bbox_relation,
+        )
+
+        fld, gspec = _one_entry(spec, "geo_shape")
+        shape = gspec["shape"]
+        if shape.get("type") != "envelope":
+            raise ValueError("geo_shape supports envelope query shapes")
+        (lon_min, lat_max), (lon_max, lat_min) = shape["coordinates"]
+        return shape_bbox_relation(
+            F.col(fld), float(lat_min), float(lat_max),
+            float(lon_min), float(lon_max),
+            relation=str(gspec.get("relation", "intersects")))
     if kind == "bool":
         cond = F.lit(True)
         for clause in spec.get("must", []) + spec.get("filter", []):
@@ -1012,6 +1031,23 @@ def search_aggs(spark: SparkSession, index_path: str,
             out[name] = intersect.histogram_agg(
                 spark, index_path, qtext, aspec["field"],
                 float(aspec["interval"]))
+        elif akind == "date_histogram" and "aggs" in agg:
+            skind, sspec = _one_entry(
+                _one_entry(agg["aggs"], "dh sub-agg")[1], "dh sub-agg")
+            if skind != "terms":
+                raise ValueError(
+                    f"unsupported date_histogram sub-agg: {skind}")
+            from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+            hits = intersect.match_any_terms(spark, index_path, qtext)
+            ds = (catalog.read_table(spark, index_path, "docstats")
+                  .select("doc_id", aspec["field"], sspec["field"])
+                  .join(hits, "doc_id", "left_semi"))
+            out[name] = intersect.date_histogram_terms(
+                ds, aspec["field"], sspec["field"],
+                aspec.get("calendar_interval", "day"),
+                size_per_bucket=(int(sspec["size"]) if "size" in sspec
+                                 else None))
         elif akind == "date_histogram":
             if "fixed_interval" in aspec:
                 from elasticsearch_osmosis_plugin_spark.plans import catalog

@@ -2189,3 +2189,29 @@ def span_within(spark: SparkSession, index_path: str, big: str,
     :func:`span_containing` (Lucene's two queries emit different
     spans from the same containment relation)."""
     return span_containing(spark, index_path, big, little, slop=slop)
+
+
+def date_histogram_terms(df: DataFrame, ts_col: str, term_col: str,
+                         interval: str = "day",
+                         size_per_bucket: int | None = None) -> DataFrame:
+    """ES date_histogram with a terms SUB-BUCKET (the nested-bucket
+    composition every dashboard uses: per day, the breakdown by type).
+    ES runs a collector per parent bucket; the relational form is just
+    ONE two-key map-side-combined groupBy -> (bucket, term, n_docs) —
+    strictly cheaper than parent-then-child passes at any scale.
+    ``size_per_bucket`` keeps only the top-N terms per parent bucket
+    (ES's terms size), via the same WindowGroupLimit shape as
+    top_hits."""
+    if interval not in CALENDAR_INTERVALS:
+        raise ValueError(f"interval must be one of {CALENDAR_INTERVALS}")
+    out = (df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"),
+                      F.col(term_col))
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    if size_per_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("bucket").orderBy(F.desc("n_docs"),
+                                            F.asc(term_col))
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= int(size_per_bucket)).drop("_rn"))
+    return out.orderBy("bucket", F.desc("n_docs"), F.asc(term_col))

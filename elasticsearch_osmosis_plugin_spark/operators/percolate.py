@@ -25,25 +25,39 @@ from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
 )
 
 
-def percolate(df: DataFrame, queries: dict[str, str], *,
+def percolate(df: DataFrame, queries: dict[str, str | dict], *,
               analyzer: str = "code", mode: str = "all",
               id_col: str = "doc_id", text_col: str = "text",
               ordered: bool = True) -> DataFrame:
     """-> (doc_id, query_id) for every (doc, registered query) match,
     (doc_id, query_id)-ordered. ``mode="all"``: the doc must contain
     every query term (ES match operator=and, the percolator's usual
-    registration form); ``mode="any"``: at least one term. Docs
-    matching nothing produce no rows (exactly the API's behavior).
-    ``ordered=False`` skips the final global sort — required when
-    ``df`` is a streaming DataFrame (per-micro-batch output has no
-    global order to impose), and the fastest choice whenever the
-    caller aggregates the matches anyway."""
+    registration form); ``mode="any"``: at least one term. A query may
+    also register as ``{"match_phrase": "..."}`` — contiguous-sequence
+    matching via the same phrase expression the index-side path uses,
+    still map-side (each registered phrase unrolls into the one
+    projection). Docs matching nothing produce no rows (exactly the
+    API's behavior). ``ordered=False`` skips the final global sort —
+    required when ``df`` is a streaming DataFrame (per-micro-batch
+    output has no global order to impose), and the fastest choice
+    whenever the caller aggregates the matches anyway."""
     if mode not in ("all", "any"):
         raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    phrases: dict[str, list[str]] = {}
+    term_qs: dict[str, str] = {}
+    for qid, q in queries.items():
+        if isinstance(q, dict):
+            kind = next(iter(q))
+            if kind != "match_phrase":
+                raise ValueError(f"unsupported percolator query: {kind}")
+            phrases[qid] = tokenize_py(str(q[kind]), analyzer)
+        else:
+            term_qs[qid] = q
+    phrases = {qid: ts for qid, ts in phrases.items() if ts}
     qterms = {qid: sorted(set(tokenize_py(q, analyzer)))
-              for qid, q in queries.items()}
+              for qid, q in term_qs.items()}
     qterms = {qid: ts for qid, ts in qterms.items() if ts}
-    if not qterms:
+    if not qterms and not phrases:
         return df.sparkSession.createDataFrame(
             [], "doc_id long, query_id string")
     registered = F.array(*[
@@ -55,8 +69,18 @@ def percolate(df: DataFrame, queries: dict[str, str], *,
         hit = lambda q: F.size(F.array_except(q["terms"], F.col("_toks"))) == 0  # noqa: E731
     else:
         hit = lambda q: F.arrays_overlap(q["terms"], F.col("_toks"))  # noqa: E731
-    out = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-           .select("doc_id",
-                   F.explode(F.filter(registered, hit)).alias("_q"))
-           .select("doc_id", F.col("_q.qid").alias("query_id")))
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        phrase_match_expr,
+    )
+
+    seq = tokenize_expr(text_col, analyzer)  # positional, for phrases
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                     *([seq.alias("_seq")] if phrases else []))
+    matched = F.transform(F.filter(registered, hit), lambda q: q["qid"]) \
+        if qterms else F.array().cast("array<string>")
+    for qid, ts in sorted(phrases.items()):
+        matched = F.concat(matched, F.when(
+            phrase_match_expr(F.col("_seq"), ts),
+            F.array(F.lit(qid))).otherwise(F.array().cast("array<string>")))
+    out = (base.select("doc_id", F.explode(matched).alias("query_id")))
     return out.orderBy("doc_id", "query_id") if ordered else out

@@ -1178,3 +1178,89 @@ def test_span_containing_routing(spark, idx):
         body["query"]["span_containing"])}
     got2 = dsl.search(spark, idx, body)
     assert _rows(got2) == _rows(got)
+
+
+def test_date_histogram_terms_subagg(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    rows = [(i, "apple pie", "a" if i % 3 else "b",
+             datetime(2024, 3, 1) + timedelta(hours=12 * i))
+            for i in range(8)]
+    tsidx = str(tmp_path / "dhidx")
+    build_index(spark, spark.createDataFrame(
+        rows, "doc_id long, text string, kind string, ts timestamp"),
+        tsidx, EngineConfig(analyzer="simple", n_segments=2, n_buckets=2,
+                            block_size=8),
+        id_col="doc_id", text_col="text", n_groups=1)
+    got = dsl.search_aggs(spark, tsidx, {
+        "query": {"match": {"text": "apple"}},
+        "aggs": {"h": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "day"},
+                       "aggs": {"by": {"terms": {"field": "kind"}}}}}})
+    rows_out = [(r["bucket"].day, r["kind"], r["n_docs"])
+                for r in got["h"].collect()]
+    # day 1: i=0,1 -> b,a; day 2: i=2,3 -> a,a; day 3: i=4,5 -> a,b;
+    # day 4: i=6,7 -> b? i%3: 0->b,1->a,2->a,3->b? no: i%3 -> 0:b 1:a 2:a
+    # 3:b? 3%3==0 -> b. 4,5 -> a,a; 6 -> b, 7 -> a
+    from collections import Counter
+
+    want = Counter()
+    for i in range(8):
+        day = (datetime(2024, 3, 1) + timedelta(hours=12 * i)).day
+        want[(day, "a" if i % 3 else "b")] += 1
+    assert sorted(rows_out) == sorted((d, k, n)
+                                      for (d, k), n in want.items())
+
+
+def test_geo_shape_filter_context(spark):
+    """geo_shape envelope filter over a stored coords column: all four
+    relations equal their direct shape_bbox_relation calls."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        shape_bbox_relation,
+    )
+
+    def ring(pts):
+        return [{"lat": float(a), "lon": float(b)} for a, b in pts]
+
+    rows = [(1, ring([(0, 0), (0, 3), (3, 3), (3, 0), (0, 0)])),
+            (2, ring([(1.2, 1.2), (1.8, 1.8)])),
+            (3, ring([(0.0, 1.5), (3.0, 1.5)])),
+            (4, ring([(10, 10), (11, 11)]))]
+    df = spark.createDataFrame(
+        rows, "id long, coords array<struct<lat:double,lon:double>>")
+    for rel in ("intersects", "disjoint", "within", "contains"):
+        spec = {"geo_shape": {"coords": {
+            "shape": {"type": "envelope",
+                      "coordinates": [[1.0, 2.0], [2.0, 1.0]]},
+            "relation": rel}}}
+        got = {r["id"] for r in df.filter(dsl.filter_column(spec)).collect()}
+        want = {r["id"] for r in df.filter(shape_bbox_relation(
+            F.col("coords"), 1.0, 2.0, 1.0, 2.0, rel)).collect()}
+        assert got == want, rel
+    with pytest.raises(ValueError):
+        dsl.filter_column({"geo_shape": {"coords": {
+            "shape": {"type": "circle", "coordinates": [0, 0]}}}})
+
+
+def test_percolate_phrase_registrations(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.percolate import (
+        percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha gamma"),
+         (2, "alpha gamma")],
+        "doc_id long, text string")
+    got = percolate(docs, {
+        "q_terms": "alpha beta",
+        "q_phrase": {"match_phrase": "alpha beta"}}, analyzer="simple")
+    rows = {(r["doc_id"], r["query_id"]) for r in got.collect()}
+    # conjunction matches 0 and 1; the phrase only doc 0
+    assert rows == {(0, "q_terms"), (1, "q_terms"), (0, "q_phrase")}
+    # phrase-only registration set works too (no term queries at all)
+    only = percolate(docs, {"p": {"match_phrase": "beta gamma"}},
+                     analyzer="simple")
+    assert {(r["doc_id"], r["query_id"]) for r in only.collect()} \
+        == {(0, "p")}
+    with pytest.raises(ValueError):
+        percolate(docs, {"x": {"wildcard": "a*"}}, analyzer="simple")
