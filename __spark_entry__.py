@@ -3171,7 +3171,145 @@ def q_date_histogram_terms_events(spark, sf_dir):
                     "event_type", "n_docs")
 
 
+
+
+def _synth_segments(docs):
+    """Deterministic 2-point segment per doc (twin arithmetic in SQL):
+    start = the _synth_points point, end = start + a bounded
+    deterministic offset — some segments cross the query envelope with
+    both endpoints outside, exercising the separating-axis branch."""
+    lat1 = ((F.col("doc_id") * 7919) % 18000) / 100.0 - 90.0 + 0.005
+    lon1 = ((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0 + 0.005
+    dlat = ((F.col("doc_id") * 31) % 400) / 10.0 - 20.0 + 0.003
+    dlon = ((F.col("doc_id") * 53) % 800) / 10.0 - 40.0 + 0.003
+    coords = F.array(
+        F.struct(lat1.alias("lat"), lon1.alias("lon")),
+        F.struct((lat1 + dlat).alias("lat"), (lon1 + dlon).alias("lon")))
+    return docs.select("doc_id", coords.alias("coords"))
+
+
+SHAPE_BOX = (30.0, 60.0, -10.0, 40.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+def q_shape_intersects(spark, sf_dir):
+    """geo_shape relation=intersects under the hard gate: segment vs
+    envelope separating-axis test (crossings with both endpoints
+    outside must match)."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        shape_bbox_relation,
+    )
+
+    segs = _synth_segments(_t(spark, sf_dir, "documents"))
+    return (segs.filter(shape_bbox_relation(F.col("coords"), *SHAPE_BOX,
+                                            relation="intersects"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_shape_within(spark, sf_dir):
+    """geo_shape relation=within: every vertex inside the envelope."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        shape_bbox_relation,
+    )
+
+    segs = _synth_segments(_t(spark, sf_dir, "documents"))
+    return (segs.filter(shape_bbox_relation(F.col("coords"), *SHAPE_BOX,
+                                            relation="within"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+_SEG_CTE = """
+segs AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat1,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon1,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005
+           + ((doc_id * 31) % 400) / 10.0 - 20.0 + 0.003 AS lat2,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005
+           + ((doc_id * 53) % 800) / 10.0 - 40.0 + 0.003 AS lon2
+  FROM documents)
+"""
+
+SHAPE_INTERSECTS_SQL = f"""
+WITH {_SEG_CTE}
+SELECT doc_id FROM segs
+WHERE (lat1 BETWEEN 30.0 AND 60.0 AND lon1 BETWEEN -10.0 AND 40.0)
+   OR (lat2 BETWEEN 30.0 AND 60.0 AND lon2 BETWEEN -10.0 AND 40.0)
+   OR (greatest(lon1, lon2) >= -10.0 AND least(lon1, lon2) <= 40.0
+       AND greatest(lat1, lat2) >= 30.0 AND least(lat1, lat2) <= 60.0
+       AND least(
+             (lon2 - lon1) * (30.0 - lat1) - (lat2 - lat1) * (-10.0 - lon1),
+             (lon2 - lon1) * (60.0 - lat1) - (lat2 - lat1) * (-10.0 - lon1),
+             (lon2 - lon1) * (30.0 - lat1) - (lat2 - lat1) * (40.0 - lon1),
+             (lon2 - lon1) * (60.0 - lat1) - (lat2 - lat1) * (40.0 - lon1)
+           ) <= 0
+       AND greatest(
+             (lon2 - lon1) * (30.0 - lat1) - (lat2 - lat1) * (-10.0 - lon1),
+             (lon2 - lon1) * (60.0 - lat1) - (lat2 - lat1) * (-10.0 - lon1),
+             (lon2 - lon1) * (30.0 - lat1) - (lat2 - lat1) * (40.0 - lon1),
+             (lon2 - lon1) * (60.0 - lat1) - (lat2 - lat1) * (40.0 - lon1)
+           ) >= 0)
+ORDER BY doc_id"""
+
+SHAPE_WITHIN_SQL = f"""
+WITH {_SEG_CTE}
+SELECT doc_id FROM segs
+WHERE lat1 BETWEEN 30.0 AND 60.0 AND lon1 BETWEEN -10.0 AND 40.0
+  AND lat2 BETWEEN 30.0 AND 60.0 AND lon2 BETWEEN -10.0 AND 40.0
+ORDER BY doc_id"""
+
+
+MTV_IDS = [7, 42]
+
+
+def q_mtermvectors_idx(spark, sf_dir):
+    """ES _mtermvectors: batched per-doc term statistics."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        mtermvectors,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    tv = mtermvectors(spark, idx, MTV_IDS)
+    return tv.select(
+        "doc_id", "term", "tf",
+        F.array_join(F.col("positions").cast("array<string>"), ",")
+         .alias("positions"),
+        "df", "cf").orderBy("doc_id", "term")
+
+
+def q_terms_lookup_idx(spark, sf_dir):
+    """ES terms lookup: the term list fetched from doc 42's stored
+    term vector, then the standard terms (OR) query."""
+    from elasticsearch_osmosis_plugin_spark.operators.dsl import search
+
+    idx = _index_for(spark, sf_dir)
+    hits = search(spark, idx, {
+        "query": {"terms": {"text": {"index": idx, "id": 42,
+                                     "path": "tokens"}}},
+        "size": 10**6})
+    return hits.select("doc_id").orderBy("doc_id")
+
+
+
+
+def q_curation_verdict(spark, sf_dir):
+    """The composed curation keep/drop decision (C4 + Gopher + PII)
+    with every failing rule named — under the hard gate."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        curation_verdict,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = curation_verdict(docs)
+    return v.select("doc_id", "keep",
+                    F.array_join("reasons", ",").alias("reasons"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_verdict": q_curation_verdict,
+    "shape_intersects": q_shape_intersects,
+    "shape_within": q_shape_within,
+    "mtermvectors_idx": q_mtermvectors_idx,
+    "terms_lookup_idx": q_terms_lookup_idx,
     "date_histogram_terms_events": q_date_histogram_terms_events,
     "span_containing_idx": q_span_containing_idx,
     "more_like_this_text": q_more_like_this_text,
@@ -3918,6 +4056,84 @@ r AS (SELECT *, row_number() OVER (PARTITION BY bucket_ts
       FROM b)
 SELECT bucket_ts, event_type, n_docs FROM r WHERE rn <= 3
 ORDER BY bucket_ts, n_docs DESC, event_type""",
+        "shape_intersects": SHAPE_INTERSECTS_SQL,
+        "shape_within": SHAPE_WITHIN_SQL,
+        "mtermvectors_idx": f"""
+WITH {TOK_CTE},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) - 1 AS p
+        FROM toks),
+dstats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+           FROM pos GROUP BY term)
+SELECT p.doc_id, p.term, count(*) AS tf,
+       array_to_string(list_sort(list(p.p)), ',') AS positions,
+       d.df, d.cf
+FROM pos p JOIN dstats d USING (term)
+WHERE p.doc_id IN (7, 42)
+GROUP BY p.doc_id, p.term, d.df, d.cf
+ORDER BY p.doc_id, p.term""",
+        "terms_lookup_idx": f"""
+WITH {TOK_CTE},
+lookup AS (SELECT DISTINCT unnest(list_distinct(toks)) AS term FROM toks
+           WHERE doc_id = 42),
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks)
+SELECT DISTINCT doc_id FROM tokd JOIN lookup USING (term)
+ORDER BY doc_id""",
+        "curation_verdict": f"""
+WITH {TOK_CTE},
+base AS (
+  SELECT doc_id, text,
+    regexp_matches(text, '(?i)lorem ipsum') AS has_lorem,
+    contains(text, '{{') AS has_brace,
+    regexp_matches(text,
+      '(?i)(cookie policy|privacy policy|terms of use|uses cookies)')
+      AS has_policy,
+    len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::BIGINT
+      AS n_words
+  FROM documents),
+ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+lstat AS (SELECT doc_id,
+  CASE WHEN len(lines) > 0
+       THEN len(list_filter(lines,
+              l -> len(list_filter(lines, x -> x = l)) > 1))::DOUBLE
+            / len(lines)
+       ELSE 0.0 END AS dlf FROM ln),
+tc AS (SELECT doc_id,
+              coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS tok_chars FROM toks),
+g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+         i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+       FROM toks WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c * (length(gram) - 1)) AS v FROM c2 GROUP BY doc_id),
+pii AS (SELECT doc_id,
+  len(regexp_extract_all(text, '{analysis.PII_PATTERNS["email"]}')) > 0
+  OR len(regexp_extract_all(text, '{analysis.PII_PATTERNS["ipv4"]}')) > 0
+  OR len(regexp_extract_all(text, '{analysis.PII_PATTERNS["phone"]}')) > 0
+    AS has_pii
+  FROM documents),
+j AS (SELECT b.doc_id, b.has_lorem, b.has_brace, b.has_policy, b.n_words,
+             floor(l.dlf * 10000.0 + 0.5)::BIGINT AS dup_x,
+             floor(CASE WHEN tc.tok_chars > 0
+                   THEN coalesce(t2.v, 0)::DOUBLE / tc.tok_chars
+                   ELSE 0.0 END * 10000.0 + 0.5)::BIGINT AS top2_x,
+             p.has_pii
+      FROM base b JOIN lstat l USING (doc_id) JOIN tc USING (doc_id)
+      LEFT JOIN t2 USING (doc_id) JOIN pii p USING (doc_id))
+SELECT doc_id,
+  coalesce(array_to_string(list_filter([
+    CASE WHEN has_lorem THEN 'c4_lorem' END,
+    CASE WHEN has_brace THEN 'c4_brace' END,
+    CASE WHEN has_policy THEN 'c4_policy' END,
+    CASE WHEN n_words < 5 THEN 'too_short' END,
+    CASE WHEN dup_x > 3000 THEN 'dup_lines' END,
+    CASE WHEN n_words >= 20 AND top2_x > 2000 THEN 'repetitive_2gram' END,
+    CASE WHEN has_pii THEN 'pii' END], x -> x IS NOT NULL), ','), '')
+    AS reasons,
+  (NOT has_lorem AND NOT has_brace AND NOT has_policy AND n_words >= 5
+   AND dup_x <= 3000 AND NOT (n_words >= 20 AND top2_x > 2000)
+   AND NOT has_pii) AS keep
+FROM j ORDER BY doc_id""",
         "span_near_idx": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM toks

@@ -197,3 +197,36 @@ def test_paragraph_dup_stats(spark):
         [(0, "x\n\nx"), (1, "y")], "doc_id long, text string")
     got2 = {r["doc_id"]: r for r in paragraph_dup_stats(df2).collect()}
     assert got2[0]["n_dup_paras"] == 0
+
+
+def test_curation_verdict(spark):
+    """Every failing rule named; keep iff no reasons; PII toggle."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        curation_verdict,
+    )
+
+    good = ("A perfectly normal paragraph of text. It has several "
+            "sentences. They all differ nicely and end properly.")
+    rows = [
+        (0, good),
+        (1, "lorem ipsum dolor sit amet and then some more words here."),
+        (2, "short one"),  # < 5 words
+        (3, "contact me at bob@example.com for details about the offer."),
+        (4, "la la la la la la la la la la la la la la la la la la."),
+        (5, "same line here.\nsame line here.\nsame line here.\nok end."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], sorted(r["reasons"]))
+           for r in curation_verdict(df, min_words=5,
+                                     rep_min_words=12).collect()}
+    assert got[0] == (True, [])
+    assert got[1][0] is False and "c4_lorem" in got[1][1]
+    assert got[2] == (False, ["too_short"])
+    assert got[3][0] is False and "pii" in got[3][1]
+    assert got[4][0] is False and "repetitive_2gram" in got[4][1]
+    assert got[5][0] is False and "dup_lines" in got[5][1]
+    # allow_pii drops the pii rule only
+    got_pii = {r["doc_id"]: r["keep"] for r in
+               curation_verdict(df, min_words=5, rep_min_words=12,
+                                allow_pii=True).collect()}
+    assert got_pii[3] is True and got_pii[1] is False
