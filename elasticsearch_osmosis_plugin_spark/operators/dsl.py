@@ -13,26 +13,34 @@ Scope (compiles to existing, individually-gated operators — each DSL
 form is tested equal to its direct operator call):
 
 - query: match_all, match (+ operator=and / minimum_should_match),
-  match_phrase (+ slop), match_phrase_prefix, term, terms, prefix,
-  wildcard, regexp, fuzzy, ids, range, constant_score, exists,
-  query_string (Lucene classic syntax via ``operators.querystring``),
-  bool (must/should/must_not/filter + minimum_should_match;
-  ranked must-of-match uses ES clause semantics via
-  ``query.topk_clauses``), boosting, function_score, dis_max,
-  span_near (+ span_or clauses), span_first, span_not, intervals
-  (match / any_of / all_of proximity rules), more_like_this
-- APIs: msearch (N bodies), field_caps, search_template /
-  render_template (mustache subset), validate_query
-- top-level: size, from, sort, search_after, post_filter, collapse,
-  rescore, _source (fetch-phase hydration), aggs, runtime_mappings
-  (query-time computed fields: filterable + sortable, script source is
-  a SQL expression — the painless-to-Catalyst contract), knn.filter
-  (ES 8 filtered kNN pre-filtering)
-- aggs: terms (+ top_hits sub-agg), stats, histogram, date_histogram,
-  range, percentiles, cardinality, significant_terms
+  match_phrase (+ slop), match_phrase_prefix, match_bool_prefix, term,
+  terms (+ terms LOOKUP: list fetched from a stored doc), prefix,
+  wildcard, regexp, fuzzy (+ transpositions), ids, range,
+  constant_score, exists, query_string (Lucene classic syntax via
+  ``operators.querystring``), bool (must/should/must_not/filter +
+  minimum_should_match; ranked must-of-match uses ES clause semantics
+  via ``query.topk_clauses``), boosting, function_score, dis_max,
+  pinned, wrapper (base64 body), multi_match / combined_fields (per-
+  field indexes via ``field_indexes``), span_near (+ span_or clauses),
+  span_first, span_not, span_containing / span_within, intervals
+  (match / any_of / all_of proximity rules), more_like_this (stored-
+  doc and free-text like)
+- APIs: msearch (N bodies), count (_count), field_caps,
+  search_template / render_template (mustache subset), validate_query
+- top-level: size, from, sort, search_after, post_filter, collapse
+  (+ inner_hits), rescore, min_score, explain (per-hit breakdown),
+  _source (fetch-phase hydration), script_fields, aggs,
+  runtime_mappings (query-time computed fields: filterable + sortable,
+  script source is a SQL expression — the painless-to-Catalyst
+  contract), knn.filter / knn.similarity (ES 8 pre-filtering + floor)
+- aggs: terms (+ top_hits OR metric sub-aggs), stats, histogram,
+  date_histogram (calendar/fixed_interval, + terms sub-bucket), range,
+  percentiles, cardinality, significant_terms, significant_text,
+  boxplot
 - filter contexts (post_filter / bool.filter on carry columns): term,
   terms, range (gt/gte/lt/lte), exists, geo_distance,
-  geo_bounding_box, and/or/not via bool
+  geo_bounding_box, geo_shape (envelope, all four relations),
+  and/or/not via bool
 
 post_filter semantics: applied before the size cut everywhere. Query
 forms whose operators cannot honor it (collapse, rescore, boosting,
@@ -381,6 +389,7 @@ def _knn_cosine(spark: SparkSession, knn: dict, knn_source,
     qv = [float(x) for x in knn["query_vector"]]
     kk = int(knn.get("k", k))
     src = knn_source
+    sim = knn.get("similarity")
     if "filter" in knn:
         # ES 8 filtered kNN is PRE-filtering: candidates are restricted
         # before the k-selection, so the response always holds k
@@ -388,10 +397,15 @@ def _knn_cosine(spark: SparkSession, knn: dict, knn_source,
         # filter compiles like any filter context, over the vector
         # source's metadata columns, and pushes down into its scan.
         src = src.filter(filter_column(knn["filter"]))
-    return (cosine_topk(src, qv, k=kk,
-                        vec_col=knn.get("field", "embedding"))
-            .select(F.col("vec_id").alias("doc_id"),
-                    F.col("cos").alias("score")))
+    out = (cosine_topk(src, qv, k=kk,
+                       vec_col=knn.get("field", "embedding"))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cos").alias("score")))
+    if sim is not None:
+        # ES 8 knn.similarity: a similarity floor — vectors below it
+        # never return, even if fewer than k clear it
+        out = out.filter(F.col("score") >= float(sim))
+    return out
 
 
 def _knn_search(spark: SparkSession, index_path: str, body: dict,

@@ -2215,3 +2215,33 @@ def date_histogram_terms(df: DataFrame, ts_col: str, term_col: str,
         out = (out.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") <= int(size_per_bucket)).drop("_rn"))
     return out.orderBy("bucket", F.desc("n_docs"), F.asc(term_col))
+
+
+def term_vectors_artificial(spark: SparkSession, index_path: str,
+                            text: str) -> DataFrame:
+    """ES _termvectors with an ARTIFICIAL document (the request-body
+    ``doc`` form — no stored doc involved): analyze the text through
+    the index's chain, per-term tf + positions from the analysis,
+    df/cf collection statistics from the dictionary; terms absent from
+    the index report df=0/cf=0 (ES's behavior for unseen terms)."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        dictionary_rows,
+    )
+
+    meta = load_meta(index_path)
+    toks = tokenize_py(text, meta["analyzer"],
+                       min_len=meta.get("min_token_len", 1),
+                       max_len=meta.get("max_token_len", 64))
+    tf: dict[str, int] = {}
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        tf[t] = tf.get(t, 0) + 1
+        pos.setdefault(t, []).append(i)
+    dic = dictionary_rows(spark, index_path, sorted(tf), meta)
+    stats = {r.term: (int(r.df), int(r.cf)) for r in dic.itertuples()}
+    out = [(t, tf[t], pos[t], *stats.get(t, (0, 0))) for t in sorted(tf)]
+    return spark.createDataFrame(
+        out, "term string, tf long, positions array<long>, df long, cf long")

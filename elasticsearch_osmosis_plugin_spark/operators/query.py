@@ -1254,3 +1254,28 @@ def explain_hits(spark: SparkSession, index_path: str, hits: DataFrame,
     order = [F.desc("score"), F.asc("doc_id")] if "score" in hits.columns \
         else [F.asc("doc_id")]
     return hits.join(expl, "doc_id", "left").orderBy(*order)
+
+
+def explain_doc(spark: SparkSession, index_path: str, doc_id: int,
+                query: str) -> dict:
+    """ES GET /<index>/_explain/<id>: did THIS doc match, and why —
+    {matched, score, explanation: [(term, partial), ...]} for one doc.
+    One dictionary lookup + one postings decode pruned to the query
+    terms, filtered to the doc — the same plan explain_hits uses with
+    a 1-row hit frame."""
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return {"matched": False, "score": 0.0, "explanation": []}
+    idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                   for r in dic.itertuples()}
+    hit = spark.createDataFrame([(int(doc_id),)], "doc_id long")
+    rows = (_scored(spark, index_path, list(dic["term"]), meta, idf_by_term,
+                    allowed=F.broadcast(hit),
+                    denied=tombstones_df(spark, index_path, meta))
+            .orderBy("term").collect())
+    expl = [(r["term"], float(r["partial"])) for r in rows]
+    return {"matched": bool(expl),
+            "score": float(sum(p for _, p in expl)),
+            "explanation": expl}

@@ -1264,3 +1264,58 @@ def test_percolate_phrase_registrations(spark):
         == {(0, "p")}
     with pytest.raises(ValueError):
         percolate(docs, {"x": {"wildcard": "a*"}}, analyzer="simple")
+
+
+def test_knn_similarity_floor(spark, idx):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((6, 4)).round(3)
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    qv = [float(x) for x in vecs[0]]
+    body = {"knn": {"field": "embedding", "query_vector": qv, "k": 6}}
+    full = dsl.search(spark, idx, body, knn_source=src).collect()
+    floor = sorted((r["score"] for r in full), reverse=True)[2]
+    got = dsl.search(spark, idx, {
+        "knn": dict(body["knn"], similarity=floor)},
+        knn_source=src).collect()
+    assert all(r["score"] >= floor for r in got)
+    assert len(got) == sum(1 for r in full if r["score"] >= floor) < 6
+
+
+def test_term_vectors_artificial_and_explain_doc(spark, idx, corpus_rows):
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        explain_doc,
+        topk,
+    )
+
+    text = "public static zzzunseen public"
+    tv = {r["term"]: r for r in intersect.term_vectors_artificial(
+        spark, idx, text).collect()}
+    assert tv["public"]["tf"] == 2 and list(tv["public"]["positions"]) == [0, 3]
+    assert tv["zzzunseen"]["df"] == 0 and tv["zzzunseen"]["cf"] == 0
+    # stored-doc term stats agree with the artificial path for a real doc
+    real = {r["term"]: (r["df"], r["cf"]) for r in
+            intersect.term_vectors(spark, idx, 7).collect()}
+    art = {r["term"]: (r["df"], r["cf"]) for r in
+           intersect.term_vectors_artificial(
+               spark, idx, corpus_rows["content"][7]).collect()}
+    assert real == art
+
+    top = topk(spark, idx, "public static", k=1).collect()[0]
+    ex = explain_doc(spark, idx, top["doc_id"], "public static")
+    assert ex["matched"] and abs(ex["score"] - top["score"]) < 1e-9
+    assert {t for t, _ in ex["explanation"]} <= {"public", "static"}
+    toks = set(tokenize_py(corpus_rows["content"][0], "code"))
+    miss = next(d for d, t in zip(corpus_rows["doc_id"],
+                                  corpus_rows["content"])
+                if not ({"public", "static"}
+                        & set(tokenize_py(t, "code"))))
+    assert explain_doc(spark, idx, miss, "public static") == {
+        "matched": False, "score": 0.0, "explanation": []}
+    _ = toks
