@@ -3304,7 +3304,59 @@ def q_curation_verdict(spark, sf_dir):
                     F.array_join("reasons", ",").alias("reasons"))
 
 
+def q_scripted_metric_idx(spark, sf_dir):
+    """ES scripted_metric agg under the painless-to-Catalyst contract:
+    per-doc SQL map over the 'spark' hits + one declarative aggregate
+    (Spark's partial aggregation == ES combine_script, the final merge
+    == reduce_script)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        scripted_metric_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    out = scripted_metric_agg(
+        spark, idx, "spark",
+        map_script="n_chars * CASE WHEN lang = 'en' THEN 2 ELSE 1 END",
+        reduce_script="sum(_mapped)")
+    return out.select(
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("value"))
+
+
+def q_nested_terms_agg_orders(spark, sf_dir):
+    """ES nested agg + terms sub-agg + reverse_nested in ONE pass over
+    orders nested per customer: n_nested = the nested doc_count
+    (element multiplicity counts), n_docs = the reverse_nested parent
+    count (distinct customers)."""
+    from elasticsearch_osmosis_plugin_spark.operators.nested import (
+        nest_children,
+        nested_terms_agg,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    nested = nest_children(orders, "o_custkey", ["o_orderstatus"], "os")
+    return nested_terms_agg(nested, "os", "o_orderstatus", "o_custkey")
+
+
+def q_track_total_hits_idx(spark, sf_dir):
+    """ES track_total_hits=true: the exact query-match total carried
+    alongside the size-cut ranking (match_all totals come straight off
+    index meta; match totals via the dictionary/postings count)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators import dsl
+
+    idx = _index_for(spark, sf_dir)
+    raw = dsl.search(spark, idx, {
+        "query": {"match": {"text": "spark query join"}},
+        "size": 25, "track_total_hits": True})
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"),
+                       "total_hits")
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(5))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scripted_metric_idx": q_scripted_metric_idx,
+    "nested_terms_agg_orders": q_nested_terms_agg_orders,
+    "track_total_hits_idx": q_track_total_hits_idx,
     "curation_verdict": q_curation_verdict,
     "shape_intersects": q_shape_intersects,
     "shape_within": q_shape_within,
@@ -4037,6 +4089,25 @@ FROM hits GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10""",
 SELECT (epoch(ts)::BIGINT // 43200) * 43200 AS bucket_ts,
        count(*) AS n_docs
 FROM events GROUP BY 1 ORDER BY 1""",
+        "scripted_metric_idx": f"""
+WITH {TOK_CTE}
+SELECT floor(sum(n_chars * CASE WHEN lang = 'en' THEN 2 ELSE 1 END)
+             + 0.5)::BIGINT AS value
+FROM toks WHERE list_contains(toks, 'spark')""",
+        "nested_terms_agg_orders": """
+SELECT o_orderstatus, count(*)::BIGINT AS n_nested,
+       count(DISTINCT o_custkey)::BIGINT AS n_docs
+FROM orders GROUP BY o_orderstatus
+ORDER BY n_nested DESC, o_orderstatus""",
+        "track_total_hits_idx": f"""
+SELECT b.doc_id, b.score_x1e4, t.total_hits
+FROM ({_bm25_oracle_sql(sorted(["spark", "query", "join"]), 5)}) b
+CROSS JOIN (
+  SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM (
+    WITH {TOK_EXPLODED_CTE}
+    SELECT doc_id FROM tok
+    WHERE term IN ('spark', 'query', 'join'))) t
+ORDER BY b.score_x1e4 DESC, b.doc_id""",
         "more_like_this_text": MLT_TEXT_SQL,
         "span_containing_idx": f"""
 WITH {TOK_CTE}

@@ -339,6 +339,45 @@ def search(spark: SparkSession, index_path: str, body: dict,
         hits = _knn_search(spark, index_path, body, knn_source)
     else:
         hits = _search_query(spark, index_path, body, field_indexes)
+    if body.get("track_total_hits"):
+        # ES track_total_hits=true: the EXACT number of query matches,
+        # not the size-cut hit count. Carried as a constant column on
+        # the hit frame (the DataFrame shape of ES's response-level
+        # hits.total). Counting is a separate pruned job: match_all
+        # reads the live-doc count straight off the index meta, match
+        # counts via the dictionary/postings (single-term match_all
+        # never decodes a posting). In ES a doc below min_score does
+        # not count toward the total — that interaction is not
+        # supported here, so reject rather than return a wrong total.
+        if "min_score" in body:
+            raise ValueError("track_total_hits with min_score is not "
+                             "supported (the total would ignore the "
+                             "floor)")
+        qkind, qspec = _one_entry(body.get("query", {"match_all": {}}),
+                                  "query")
+        if qkind == "match_all":
+            from elasticsearch_osmosis_plugin_spark.plans.build import (
+                load_meta,
+            )
+
+            meta = load_meta(index_path)
+            total = int(meta["n_docs"]) - int(meta.get("tombstones_n") or 0)
+        elif qkind == "match":
+            from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+                match_all_terms,
+            )
+            from elasticsearch_osmosis_plugin_spark.operators.query import (
+                match_count,
+            )
+
+            text, mopts = _match_args(_one_entry(qspec, "match")[1])
+            total = (match_all_terms(spark, index_path, text).count()
+                     if mopts.get("operator") == "and"
+                     else match_count(spark, index_path, text))
+        else:
+            raise ValueError("track_total_hits supports match / "
+                             f"match_all bodies, not {qkind}")
+        hits = hits.withColumn("total_hits", F.lit(int(total)))
     if "min_score" in body:
         # ES min_score: hits scoring below the floor are excluded.
         # Applied to the ranked hit frame (post-k here; ES filters at

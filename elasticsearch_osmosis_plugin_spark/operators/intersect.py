@@ -2245,3 +2245,30 @@ def term_vectors_artificial(spark: SparkSession, index_path: str,
     out = [(t, tf[t], pos[t], *stats.get(t, (0, 0))) for t in sorted(tf)]
     return spark.createDataFrame(
         out, "term string, tf long, positions array<long>, df long, cf long")
+
+
+def scripted_metric_agg(spark: SparkSession, index_path: str, query: str,
+                        map_script: str, reduce_script: str,
+                        mode: str = "any") -> DataFrame:
+    """ES scripted_metric aggregation under the engine's
+    painless-to-Catalyst contract (the same contract runtime_mappings
+    and script_fields use): ``map_script`` is a per-document SQL
+    expression over the doc-store columns (ES's map_script, run once
+    per matching doc; its value lands in ``_mapped``), and
+    ``reduce_script`` is a SQL AGGREGATE expression over ``_mapped``.
+
+    ES splits the shard-local merge (combine_script) from the
+    cross-shard merge (reduce_script); Spark's partial aggregation IS
+    the per-shard combine and the final exchange IS the reduce, so the
+    two collapse into one declarative aggregate and stay map-side
+    combined + whole-stage codegen'd — no state object ships around.
+
+    Returns one row ``(value double)``."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats")
+    hits = ds.join(docs, "doc_id", "left_semi")
+    return (hits.withColumn("_mapped", F.expr(map_script))
+            .agg(F.expr(reduce_script).cast("double").alias("value")))

@@ -47,6 +47,30 @@ def nest_children(children: DataFrame, parent_col: str,
             .agg(F.sort_array(F.collect_list(s)).alias(nested_col)))
 
 
+def nested_terms_agg(df: DataFrame, nested_col: str, key_field: str,
+                     parent_col: str) -> DataFrame:
+    """ES ``nested`` aggregation with a ``terms`` sub-agg AND a
+    ``reverse_nested`` sub-agg, in one pass: bucket the nested
+    elements of ``nested_col`` by ``key_field`` ->
+    (key_field, n_nested, n_docs), ordered by n_nested desc then key.
+
+    - ``n_nested`` is the nested agg's doc_count (ES counts the hidden
+      sub-documents, so multiplicity inside one parent counts);
+    - ``n_docs`` is what a ``reverse_nested: {}`` sub-agg restores —
+      distinct PARENT documents holding >= 1 element in the bucket.
+
+    One explode + one groupBy (the single shuffle, keyed by the
+    bucket); count is map-side combined and the distinct-parent count
+    is Spark's partial-aggregation distinct — no sub-document join,
+    which is the whole point of the array<struct> representation."""
+    ex = df.select(F.col(parent_col),
+                   F.explode(F.col(nested_col)).alias("_e"))
+    return (ex.groupBy(F.col(f"_e.{key_field}").alias(key_field))
+            .agg(F.count(F.lit(1)).alias("n_nested"),
+                 F.countDistinct(parent_col).alias("n_docs"))
+            .orderBy(F.desc("n_nested"), F.asc(key_field)))
+
+
 def nested_match(df: DataFrame, nested_col: str,
                  pred: Callable[[Column], Column]) -> DataFrame:
     """ES nested query: keep rows where at least one element of

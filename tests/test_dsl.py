@@ -1319,3 +1319,45 @@ def test_term_vectors_artificial_and_explain_doc(spark, idx, corpus_rows):
     assert explain_doc(spark, idx, miss, "public static") == {
         "matched": False, "score": 0.0, "explanation": []}
     _ = toks
+
+
+def test_track_total_hits(spark, idx):
+    body = {"query": {"match": {"content": "public static"}},
+            "size": 3, "track_total_hits": True}
+    got = dsl.search(spark, idx, body).collect()
+    assert len(got) == 3
+    want = query.match_count(spark, idx, "public static")
+    assert {r["total_hits"] for r in got} == {want} and want > 3
+    # operator=and totals docs holding ALL terms
+    body_and = {"query": {"match": {"content":
+                {"query": "public static", "operator": "and"}}},
+                "size": 2, "track_total_hits": True}
+    n_and = dsl.search(spark, idx, body_and).collect()[0]["total_hits"]
+    assert n_and == intersect.match_all_terms(
+        spark, idx, "public static").count() < want
+    # match_all totals the live doc count straight off meta
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    n_live = catalog.read_table(spark, idx, "docstats").count()
+    top = dsl.search(spark, idx, {"query": {"match_all": {}}, "size": 1,
+                                  "track_total_hits": True}).collect()
+    assert top[0]["total_hits"] == n_live
+    with pytest.raises(ValueError):
+        dsl.search(spark, idx, dict(body, min_score=0.1))
+    with pytest.raises(ValueError):
+        dsl.search(spark, idx, {"query": {"term": {"content": "public"}},
+                                "track_total_hits": True})
+
+
+def test_scripted_metric_agg(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    got = intersect.scripted_metric_agg(
+        spark, idx, "public static",
+        map_script="dl * 2", reduce_script="sum(_mapped)",
+        mode="any").collect()[0]["value"]
+    ds = catalog.read_table(spark, idx, "docstats")
+    hits = ds.join(intersect.match_any_terms(spark, idx, "public static"),
+                   "doc_id", "left_semi")
+    want = 2.0 * hits.agg(F.sum("dl")).collect()[0][0]
+    assert got == want > 0

@@ -69,3 +69,19 @@ def test_nest_children_roundtrip(spark):
         nested, "evs",
         lambda e: (e["kind"] == "x") & (e["v"] > 5)).collect()}
     assert got == want == {1}
+
+
+def test_nested_terms_agg(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.nested import (
+        nested_terms_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [{"k": "x"}, {"k": "x"}, {"k": "y"}]),
+         (2, [{"k": "x"}]),
+         (3, [{"k": "y"}])],
+        "id long, els array<struct<k:string>>")
+    got = [tuple(r) for r in nested_terms_agg(df, "els", "k", "id").collect()]
+    # n_nested counts elements (doc 1 holds "x" twice -> 3 total);
+    # n_docs is the reverse_nested parent count (doc 1 counts once)
+    assert got == [("x", 3, 2), ("y", 2, 2)]
