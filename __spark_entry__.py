@@ -280,6 +280,103 @@ def q_term_vectors_idx(spark, sf_dir):
         "df", "cf").orderBy("term")
 
 
+ANALYZE_TEXT = "The Sparks  QueryJoin of tables  dup dup"
+
+
+def q_analyze_api(spark, sf_dir):
+    """ES _analyze endpoint analog: the token stream (position, token,
+    char offsets) two analysis chains emit for one input — `simple`
+    carries exact char offsets (repeated token, double spaces), the
+    `english` chain (stop removal + S-stemmer) rewrites token text so
+    its offsets are null. Same ``tokenize_expr`` the index build and
+    query side run."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import analyze
+
+    a = (analyze(spark, ANALYZE_TEXT, "simple")
+         .withColumn("analyzer", F.lit("simple")))
+    b = (analyze(spark, ANALYZE_TEXT, "english")
+         .withColumn("analyzer", F.lit("english")))
+    return a.unionByName(b).select("analyzer", "position", "token",
+                                   "start_offset", "end_offset")
+
+
+def _analyze_oracle_sql() -> str:
+    """DuckDB twin: recursive left-to-right cursor walk reproduces the
+    offset fold for `simple`; the `english` chain reuses the stop+stem
+    transform of TOK_EN_CTE over the literal (offsets NULL)."""
+    txt = ANALYZE_TEXT.replace("'", "''")
+    stem = (
+        "CASE WHEN t LIKE '%ies' THEN "
+        "CASE WHEN regexp_matches(t, '^.+[^ea]ies$') "
+        "THEN substr(t, 1, len(t) - 3) || 'y' ELSE t END "
+        "WHEN t LIKE '%es' THEN "
+        "CASE WHEN regexp_matches(t, '^.+[^aeo]es$') "
+        "THEN substr(t, 1, len(t) - 1) ELSE t END "
+        "WHEN t LIKE '%s' THEN "
+        "CASE WHEN regexp_matches(t, '^.+[^su]s$') "
+        "THEN substr(t, 1, len(t) - 1) ELSE t END ELSE t END")
+    return rf"""
+WITH RECURSIVE tk AS (
+  SELECT lower('{txt}') AS s,
+         list_filter(string_split_regex(lower('{txt}'), '\s+'),
+                     x -> x <> '') AS toks
+), r AS (
+  SELECT 0 AS position, toks[1] AS token,
+         strpos(s, toks[1]) - 1 AS start_offset,
+         strpos(s, toks[1]) - 1 + len(toks[1]) AS end_offset
+  FROM tk WHERE len(toks) > 0
+  UNION ALL
+  SELECT r.position + 1, tk.toks[r.position + 2],
+         r.end_offset
+           + strpos(substr(tk.s, r.end_offset + 1),
+                    tk.toks[r.position + 2]) - 1,
+         r.end_offset
+           + strpos(substr(tk.s, r.end_offset + 1),
+                    tk.toks[r.position + 2]) - 1
+           + len(tk.toks[r.position + 2])
+  FROM r, tk WHERE r.position + 2 <= len(tk.toks)
+), en AS (
+  SELECT list_transform(
+           list_filter(string_split_regex(lower('{txt}'), '\s+'),
+                       x -> x <> '' AND x NOT IN ({_STOP_EN_LUCENE})),
+           t -> {stem}) AS toks
+)
+SELECT 'simple' AS analyzer, position, token,
+       start_offset::INT AS start_offset, end_offset::INT AS end_offset
+FROM r
+UNION ALL
+SELECT 'english', generate_subscripts(toks, 1) - 1, unnest(toks),
+       NULL::INT, NULL::INT
+FROM en
+"""
+
+
+def q_index_stats(spark, sf_dir):
+    """ES _stats / _cat/indices analog: collection-level statistics off
+    the dictionary alone; the oracle recomputes every number from the
+    raw documents table, so the row ties dictionary df/cf/avgdl to the
+    corpus end-to-end (tokenize -> SPIMI -> dictionary aggregation)."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import index_stats
+
+    idx = _index_for(spark, sf_dir)
+    return index_stats(spark, idx).select(
+        "n_docs", "n_terms", "total_tokens", "sum_df", "avgdl_x1e4")
+
+
+INDEX_STATS_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+d AS (SELECT count(DISTINCT term) AS n_terms,
+             count(*) AS total_tokens FROM tok),
+df AS (SELECT count(*) AS sum_df
+       FROM (SELECT DISTINCT term, doc_id FROM tok)),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT nd.n_docs, d.n_terms, d.total_tokens, df.sum_df,
+       floor(d.total_tokens::DOUBLE / nd.n_docs * 10000.0 + 0.5)::BIGINT
+         AS avgdl_x1e4
+FROM d, df, nd
+"""
+
+
 def q_dsl_search(spark, sf_dir):
     """ES JSON search body routed through the DSL compiler — must be
     value-identical to the plain BM25 oracle (the compiler adds
@@ -930,6 +1027,52 @@ def q_fuzzy_match_idx(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     return match_fuzzy(spark, idx, "windoe", max_edits=1,
                        max_expansions=1000)
+
+
+def q_terms_sharded_idx(spark, sf_dir):
+    """ES distributed terms agg under the hard gate: 4 hash-shards each
+    return their local top-6 source buckets, coordinator-merged counts
+    + ES's doc_count_error_upper_bound + sum_other_doc_count, all
+    value-for-value vs the SQL twin of the same scatter-gather."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        terms_agg_sharded,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return terms_agg_sharded(spark, idx, "spark", "source",
+                             size=5, shard_size=6, n_shards=4)
+
+
+TERMS_SHARDED_SQL = f"""
+WITH {TOK_CTE},
+hits AS (SELECT doc_id, source FROM toks WHERE list_contains(toks, 'spark')),
+sh AS (SELECT source,
+              ('0x' || substr(md5(doc_id::VARCHAR), 2, 15))
+                ::UBIGINT::BIGINT % 4 AS shard
+       FROM hits),
+per AS (SELECT shard, source, count(*) AS c FROM sh GROUP BY shard, source),
+ranked AS (SELECT *,
+                  row_number() OVER (PARTITION BY shard
+                                     ORDER BY c DESC, source) AS rn,
+                  count(*) OVER (PARTITION BY shard) AS n_tot
+           FROM per),
+ret AS (SELECT * FROM ranked WHERE rn <= 6),
+serr AS (SELECT shard,
+                CASE WHEN max(n_tot) <= 6 THEN 0 ELSE min(c) END AS err
+         FROM ret GROUP BY shard),
+tot AS (SELECT sum(err) AS total_err FROM serr),
+cand AS (SELECT source, sum(c) AS doc_count FROM ret GROUP BY source),
+pres AS (SELECT r.source, sum(s.err) AS perr
+         FROM ret r JOIN serr s USING (shard) GROUP BY r.source),
+th AS (SELECT count(*) AS total_hits FROM hits),
+top AS (SELECT c.source, c.doc_count,
+               (t.total_err - p.perr) AS doc_count_error_upper_bound
+        FROM cand c JOIN pres p USING (source) CROSS JOIN tot t
+        ORDER BY c.doc_count DESC, c.source LIMIT 5)
+SELECT source, doc_count, doc_count_error_upper_bound,
+       th.total_hits - sum(doc_count) OVER () AS sum_other_doc_count
+FROM top CROSS JOIN th
+"""
 
 
 def q_facet_counts_idx(spark, sf_dir):
@@ -3377,6 +3520,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_events": q_rate_events,
     "normalize_events": q_normalize_events,
     "moving_percentiles_events": q_moving_percentiles_events,
+    "analyze_api": q_analyze_api,
+    "index_stats": q_index_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_hot": q_bm25_topk_hot,
     "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
@@ -3420,6 +3565,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight_idx": q_highlight_idx,
     "fuzzy_match_idx": q_fuzzy_match_idx,
     "facet_counts_idx": q_facet_counts_idx,
+    "terms_sharded_idx": q_terms_sharded_idx,
     "function_score_idx": q_function_score_idx,
     "decay_score_idx": q_decay_score_idx,
     "dis_max_idx": q_dis_max_idx,
@@ -3628,6 +3774,9 @@ def oracle_sql() -> dict[str, str]:
             sorted({"spark", "query", "join"}), 10, "lm_dirichlet"),
         "lm_jelinek_mercer_idx": _lm_oracle_sql(
             sorted({"dup", "table", "merge"}), 10, "lm_jelinek_mercer"),
+        "terms_sharded_idx": TERMS_SHARDED_SQL,
+        "analyze_api": _analyze_oracle_sql(),
+        "index_stats": INDEX_STATS_SQL,
         "terms_set_idx": TERMS_SET_SQL,
         "distance_feature_idx": DIST_FEAT_SQL,
         "suggest_phrase_idx": _suggest_phrase_oracle_sql(),

@@ -245,13 +245,67 @@ def term_frequencies(tokens: Iterable[str]) -> dict[str, int]:
     return tf
 
 
+_ANALYZE_OUT = ("array<struct<position:int,token:string,"
+                "start_offset:int,end_offset:int>>")
+
+
+def _offsets_fold(toks, ref):
+    """Fold emitted tokens into (position, token, start, end) structs by
+    scanning ``ref`` left-to-right with a cursor: each token's start is
+    its first occurrence at-or-after the previous token's end, exactly
+    the char positions the whitespace-split produced them from (tokens
+    are verbatim substrings of ``ref`` for these analyzers). One
+    ``aggregate`` expression — stays in whole-stage codegen."""
+    def _step(acc, t):
+        # 1-based hit within the uncovered suffix -> absolute 0-based
+        start = (acc["cur"]
+                 + F.position(t, F.substring(ref, acc["cur"] + 1,
+                                             F.length(ref))) - 1)
+        end = start + F.length(t)
+        row = F.struct(
+            F.size(acc["out"]).cast("int").alias("position"),
+            t.alias("token"),
+            start.cast("int").alias("start_offset"),
+            end.cast("int").alias("end_offset"))
+        return F.struct(end.cast("int").alias("cur"),
+                        F.concat(acc["out"], F.array(row)).alias("out"))
+
+    init = F.struct(F.lit(0).cast("int").alias("cur"),
+                    F.array().cast(_ANALYZE_OUT).alias("out"))
+    return F.aggregate(toks, init, _step, lambda acc: acc["out"])
+
+
 def analyze(spark, text: str, analyzer: str = "code",
             min_len: int = 1, max_len: int = 64):
     """ES _analyze endpoint analog: run a string through the engine's
-    ACTUAL Catalyst analysis chain -> (position, token) DataFrame.
-    Debugging surface: what you see here is exactly what the index
-    build and the query tokenizer produce (same ``tokenize_expr``)."""
+    ACTUAL Catalyst analysis chain -> (position, token, start_offset,
+    end_offset) DataFrame. Debugging surface: what you see here is
+    exactly what the index build and the query tokenizer produce (same
+    ``tokenize_expr``).
+
+    Offsets are the ES char offsets of each token in the input for the
+    analyzers whose tokens are verbatim substrings of it (``simple`` —
+    offsets over the lowercased text, same char positions since
+    lowercasing is 1:1 on ASCII — ``whitespace``, ``keyword``). The
+    ``code``/``english`` chains REWRITE token text (camelCase split,
+    stemming), so their offsets are null — like ES, the token stream is
+    still exact; unlike ES we don't thread a char-map through the
+    filters (the index stores positions, never offsets, so nothing
+    downstream consumes them).
+
+    A token dropped by the ``min_len``/``max_len`` filter does not
+    advance the offset cursor, so a later identical substring inside
+    the dropped token's span can claim its offset — ES computes offsets
+    before token filters and cannot drift this way. Positions (what the
+    index actually stores) are unaffected."""
     df = spark.createDataFrame([(text,)], "text string")
-    return df.select(
-        F.posexplode(tokenize_expr("text", analyzer, min_len, max_len))
-        .alias("position", "token"))
+    toks = tokenize_expr("text", analyzer, min_len, max_len)
+    ref = {"simple": F.lower(F.col("text")),
+           "whitespace": F.col("text"),
+           "keyword": F.col("text")}.get(analyzer)
+    if ref is None:  # token text != input substring: no char offsets
+        return df.select(
+            F.posexplode(toks).alias("position", "token"),
+            F.lit(None).cast("int").alias("start_offset"),
+            F.lit(None).cast("int").alias("end_offset"))
+    return df.select(F.inline(_offsets_fold(toks, ref)))

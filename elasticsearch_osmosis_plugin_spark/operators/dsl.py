@@ -706,10 +706,12 @@ def _search_query(spark: SparkSession, index_path: str,
         text, opts = _match_args(mspec)
         slop = int(opts.get("slop", 0))
         if slop > 0:
-            # ES match_phrase with slop == ordered span_near over the
-            # phrase terms with that slop
-            return _finish_ids(spark, index_path, intersect.span_near(
-                spark, index_path, text, slop=slop, in_order=True),
+            # ES sloppy phrase: minimal-total-displacement cost
+            # (SloppyPhraseMatcher semantics — a transposition costs 2)
+            return _finish_ids(
+                spark, index_path,
+                intersect.match_phrase(spark, index_path, text, slop=slop)
+                .select("doc_id"),
                 post_col, k)
         return _finish_ids(spark, index_path, intersect.match_phrase(
             spark, index_path, text), post_col, k)

@@ -80,7 +80,8 @@ def phrase_match_expr(tokens_col, terms: list[str]):
         lambda i: F.slice(tokens_col, i, n) == phrase)).otherwise(F.lit(False))
 
 
-def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame:
+def match_phrase(spark: SparkSession, index_path: str, phrase: str,
+                 slop: int = 0) -> DataFrame:
     """doc_ids containing the phrase's terms CONTIGUOUSLY IN ORDER
     (ES match_phrase analog). Two-stage plan, fully index-side when the
     index stores positions (the default — the role ES positional
@@ -94,8 +95,23 @@ def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame
        distinct phrase slots, no per-row Python beyond the varbyte
        decode kernel.
 
+    ``slop > 0`` is ES's SLOPPY phrase (SloppyPhraseMatcher semantics,
+    not span_near's window rule): the cost of a match is the minimal
+    total displacement ``min over occurrence choices and integer anchor
+    a of sum_i |p_i - (a + i)|`` — ES's documented examples fall out
+    exactly (one intervening token costs 1, an adjacent transposition
+    costs 2, so "query join"~2 matches "join query" but ~1 does not).
+    Returns (doc_id, slop_cost) with slop_cost <= slop. The anchor
+    minimization is exact: cost is piecewise-linear in ``a``, so the
+    minimum is attained at some occurrence's own alignment d = p - i,
+    and only those anchors are enumerated. Phrases with a REPEATED
+    term can undercount cost (two slots may claim one occurrence) —
+    the same repeating-positions family of edge cases Lucene's greedy
+    matcher documents. Requires positional postings.
+
     Falls back to term-vector adjacency verification for indexes built
-    with ``store_positions=False`` (requires retained tokens)."""
+    with ``store_positions=False`` (requires retained tokens;
+    slop == 0 only)."""
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
     from elasticsearch_osmosis_plugin_spark.plans import catalog
 
@@ -107,9 +123,37 @@ def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame
         return spark.createDataFrame([], "doc_id long")
     cands = match_all_terms(spark, index_path, phrase)
     if len(terms) == 1:
+        if slop > 0:
+            return cands.withColumn("slop_cost",
+                                    F.lit(0).cast("int"))
         return cands
 
     if meta.get("positions", False):
+        if slop > 0:
+            docs = _slot_position_lists(
+                spark, index_path, list(enumerate(terms)), cands, meta)
+            ents = F.map_entries(F.col("m"))
+            # candidate anchors: every occurrence's own alignment
+            # d = p - slot (the minimum of the piecewise-linear cost
+            # is attained at one of these)
+            anchors = F.array_distinct(F.flatten(F.transform(
+                ents, lambda kv: F.transform(
+                    kv["value"], lambda p: p - kv["key"]))))
+
+            def _cost(a):
+                return F.aggregate(
+                    ents, F.lit(0).cast("bigint"),
+                    lambda acc, kv: acc + F.array_min(F.transform(
+                        kv["value"],
+                        lambda p: F.abs(p - (a + kv["key"])))))
+
+            scored = docs.select(
+                "doc_id",
+                F.array_min(F.transform(anchors, _cost))
+                .cast("int").alias("slop_cost"))
+            return (scored.filter(F.col("slop_cost") <= slop)
+                    .orderBy("doc_id"))
+
         from elasticsearch_osmosis_plugin_spark.operators.query import (
             POSITIONS_SCHEMA,
             _decode_positions,
@@ -130,6 +174,9 @@ def match_phrase(spark: SparkSession, index_path: str, phrase: str) -> DataFrame
                 .filter(F.col("n_slots") == len(terms)))
         return hits.select("doc_id").distinct().orderBy("doc_id")
 
+    if slop > 0:
+        raise ValueError("sloppy phrase (slop > 0) needs positional "
+                         "postings (store_positions=True)")
     ds = catalog.read_table(spark, index_path, "docstats")
     if "tokens" not in ds.columns or not catalog.read_manifest(
             index_path, "docstats").get("term_vectors", False):
@@ -997,6 +1044,72 @@ def facet_counts(spark: SparkSession, index_path: str, query: str,
             .groupBy(facet_col)
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
+def terms_agg_sharded(spark: SparkSession, index_path: str, query: str,
+                      facet_col: str, size: int = 10,
+                      shard_size: int | None = None, n_shards: int = 4,
+                      mode: str = "any") -> DataFrame:
+    """ES terms aggregation with the DISTRIBUTED merge protocol made
+    explicit: each of ``n_shards`` deterministic hash-shards returns
+    its local top ``shard_size`` buckets, the coordinator merge sums
+    the partial counts and reports ES's exact accuracy metadata —
+    per-bucket ``doc_count_error_upper_bound`` (the worst case a
+    shard's truncated tail could add: sum of the last-returned count of
+    every shard that did NOT return the bucket; 0 for exhausted shards)
+    and ``sum_other_doc_count`` (hits outside the final buckets).
+
+    This is the semantics of ES's scatter-gather terms agg verbatim
+    (shard_size defaults to ES's ``size * 1.5 + 10``); ``facet_counts``
+    is the exact single-pass twin. At 100 TB the heavy work is ONE
+    (shard, value) groupBy — the same single shuffle the exact agg
+    pays — and everything after operates on <= n_shards * shard_size
+    rows; the point of carrying the protocol is the error metadata,
+    which tells a user when a truncated agg can be trusted.
+
+    Shard = 60-bit md5 fold of doc_id mod n_shards — identical in
+    Spark and the DuckDB oracle, so the gate checks the merge protocol
+    value-for-value, error bounds included."""
+    from pyspark.sql import Window as PW
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)
+    docs = (match_any_terms(spark, index_path, query) if mode == "any"
+            else match_all_terms(spark, index_path, query))
+    ds = catalog.read_table(spark, index_path, "docstats") \
+        .select("doc_id", facet_col)
+    hits = ds.join(docs, "doc_id", "left_semi")
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                2, 15), 16, 10).cast("long")
+             % F.lit(int(n_shards))).alias("shard")
+    per = (hits.select(shard, facet_col)
+           .groupBy("shard", facet_col)
+           .agg(F.count(F.lit(1)).alias("c")))
+    w = PW.partitionBy("shard").orderBy(F.desc("c"), F.asc(facet_col))
+    ranked = (per.withColumn("rn", F.row_number().over(w))
+              .withColumn("n_tot", F.count(F.lit(1))
+                          .over(PW.partitionBy("shard"))))
+    ret = ranked.filter(F.col("rn") <= shard_size)
+    # a shard that returned ALL its buckets contributes no uncertainty
+    serr = (ret.groupBy("shard")
+            .agg(F.when(F.max("n_tot") <= shard_size, F.lit(0))
+                 .otherwise(F.min("c")).cast("long").alias("err")))
+    tot = serr.agg(F.sum("err").alias("total_err"))
+    cand = ret.groupBy(facet_col).agg(F.sum("c").alias("doc_count"))
+    pres = (ret.join(F.broadcast(serr), "shard")
+            .groupBy(facet_col).agg(F.sum("err").alias("perr")))
+    th = hits.agg(F.count(F.lit(1)).alias("total_hits"))
+    top = (cand.join(pres, facet_col).crossJoin(F.broadcast(tot))
+           .withColumn("doc_count_error_upper_bound",
+                       (F.col("total_err") - F.col("perr")).cast("long"))
+           .orderBy(F.desc("doc_count"), F.asc(facet_col)).limit(size))
+    return (top.crossJoin(F.broadcast(th))
+            .select(facet_col, "doc_count", "doc_count_error_upper_bound",
+                    (F.col("total_hits")
+                     - F.sum("doc_count").over(PW.partitionBy()))
+                    .cast("long").alias("sum_other_doc_count")))
 
 
 def match_min_should(spark: SparkSession, index_path: str, query: str,

@@ -602,3 +602,37 @@ def postings_df(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.schema(POSTING_SCHEMA + ", group int") \
         .option("basePath", base).parquet(
             *[os.path.join(base, f"group={g}") for g in index_groups(meta)])
+
+
+def index_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """ES ``GET <index>/_stats`` / ``_cat/indices`` analog: one row of
+    collection-level statistics, every corpus-derived number taken from
+    the DICTIONARY (the tiny per-term metadata table), never from the
+    compressed postings payloads or the doc-store.
+
+    - ``n_docs``/``avgdl_x1e4`` come from the build manifest (meta.json),
+    - ``n_terms`` = dictionary cardinality (distinct terms),
+    - ``total_tokens`` = sum(cf)  — every token the analyzer emitted,
+    - ``sum_df`` = sum(df)        — total (term, doc) postings,
+    - ``n_blocks`` = posting blocks (the WAND skip-list grain),
+    - ``tombstones`` = docs deleted-but-unmerged (ES's docs.deleted).
+
+    Like ES, stats reflect the PHYSICAL index: tombstoned docs stay in
+    cf/df until a merge rewrites the postings. The identities
+    ``total_tokens == sum over docs of dl`` and ``avgdl == total_tokens
+    / n_docs`` tie the dictionary to the raw corpus — the driver oracle
+    recomputes both sides from the documents table in SQL, so a drift
+    anywhere in tokenize/SPIMI/merge breaks the row."""
+    meta = load_meta(index_path)
+    dic = dictionary_df(spark, index_path)
+    return dic.agg(
+        F.lit(int(meta["n_docs"])).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cf").alias("total_tokens"),
+        F.sum("df").alias("sum_df"),
+        F.sum("n_blocks").alias("n_blocks"),
+        F.floor(F.sum("cf") / F.lit(int(meta["n_docs"])) * 10000.0 + 0.5)
+         .alias("avgdl_x1e4"),
+        F.lit(int(meta.get("tombstones_n") or 0)).cast("long")
+         .alias("tombstones"),
+    )

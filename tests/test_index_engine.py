@@ -149,6 +149,56 @@ def test_match_count(spark, corpus_rows, index_path):
     assert got == want
 
 
+def test_index_stats_ties_dictionary_to_corpus(spark, corpus_rows, index_path):
+    """ES _stats analog: every dictionary-derived number must equal the
+    same statistic recomputed from the raw corpus by the Python twin —
+    n_terms/cf/df drift anywhere in tokenize -> SPIMI -> dictionary
+    breaks this."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.plans.build import index_stats
+
+    row = index_stats(spark, index_path).collect()[0]
+    toks = [tokenize_py(t, "code") for t in corpus_rows["content"]]
+    total = sum(len(ts) for ts in toks)
+    assert row["n_docs"] == len(corpus_rows)
+    assert row["n_terms"] == len({t for ts in toks for t in ts})
+    assert row["total_tokens"] == total
+    assert row["sum_df"] == sum(len(set(ts)) for ts in toks)
+    assert row["avgdl_x1e4"] == int(total / len(corpus_rows) * 10000.0 + 0.5)
+    assert row["tombstones"] == 0
+    assert row["n_blocks"] >= row["n_terms"]  # >=1 block per term
+
+
+def test_terms_agg_sharded_error_bounds(spark, corpus_rows, index_path):
+    """ES scatter-gather terms agg: reported doc_count <= true count <=
+    doc_count + doc_count_error_upper_bound (the ES accuracy contract),
+    sum_other_doc_count ties to total hits, and exhausted shards
+    (shard_size >= shard cardinality) collapse to the exact agg with
+    zero error."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        facet_counts,
+        terms_agg_sharded,
+    )
+
+    exact = {r["lang"]: r["n_docs"] for r in
+             facet_counts(spark, index_path, "id0000", "lang").collect()}
+    total_hits = sum(exact.values())
+    approx = terms_agg_sharded(spark, index_path, "id0000", "lang",
+                               size=3, shard_size=2, n_shards=4).collect()
+    assert approx and len(exact) > 3  # non-degenerate: truncation real
+    assert any(r["doc_count_error_upper_bound"] > 0 for r in approx)
+    for r in approx:
+        assert (r["doc_count"] <= exact[r["lang"]]
+                <= r["doc_count"] + r["doc_count_error_upper_bound"]), r
+        assert r["sum_other_doc_count"] == \
+            total_hits - sum(x["doc_count"] for x in approx)
+    ex = terms_agg_sharded(spark, index_path, "id0000", "lang",
+                           size=50, shard_size=50, n_shards=4).collect()
+    assert {r["lang"]: r["doc_count"] for r in ex} == exact
+    assert all(r["doc_count_error_upper_bound"] == 0 for r in ex)
+    assert all(r["sum_other_doc_count"] == 0 for r in ex)
+
+
 def test_boolean_and_or(spark, corpus_rows, index_path):
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
 
@@ -188,6 +238,57 @@ def test_match_phrase(spark, corpus_rows, index_path):
     ph_docs = {r["doc_id"] for r in
                match_phrase(spark, index_path, "static public").collect()}
     assert ph_docs <= and_docs
+
+
+def _py_sloppy_cost(toks, terms):
+    """Python twin of the sloppy-phrase displacement cost: min over
+    anchors a (each occurrence's own alignment) of sum over slots of
+    the nearest occurrence's |p - (a + slot)|."""
+    occ = [[p for p, t in enumerate(toks) if t == term] for term in terms]
+    if any(not o for o in occ):
+        return None
+    anchors = {p - i for i, o in enumerate(occ) for p in o}
+    return min(sum(min(abs(p - (a + i)) for p in o)
+                   for i, o in enumerate(occ)) for a in anchors)
+
+
+def test_match_phrase_slop(spark, corpus_rows, index_path, tmp_path):
+    """ES sloppy phrase (SloppyPhraseMatcher cost): one intervening
+    token costs 1, an adjacent transposition costs 2 — so "query
+    join"~1 does NOT match "join query" but ~2 does. Verified on ES's
+    documented examples and value-for-value (doc set + slop_cost)
+    against the Python displacement twin over the full corpus."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+
+    tiny = spark.createDataFrame(
+        [(0, "query join"), (1, "query fast join"), (2, "join query"),
+         (3, "query alpha beta join"), (4, "join the query")],
+        "doc_id long, content string")
+    tp = str(tmp_path / "slop_idx")
+    build_index(spark, tiny, tp, CFG, id_col="doc_id", n_groups=1)
+    got = {r["doc_id"]: r["slop_cost"] for r in
+           match_phrase(spark, tp, "query join", slop=10).collect()}
+    # contiguous 0; one gap 1; transposition 2; two gaps 2; "join the
+    # query" = transposition + gap = 3
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3}
+    assert {r["doc_id"] for r in
+            match_phrase(spark, tp, "query join", slop=1).collect()} == {0, 1}
+    # slop=0 keeps the exact contiguous path and schema
+    ex = match_phrase(spark, tp, "query join").collect()
+    assert [r["doc_id"] for r in ex] == [0] and ex[0].asDict() == {"doc_id": 0}
+
+    # full-corpus sweep vs the Python twin
+    for phrase, slop in (("static public", 2), ("get index buffer", 3)):
+        terms = tokenize_py(phrase, "code")
+        want = {}
+        for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"]):
+            c = _py_sloppy_cost(tokenize_py(t, "code"), terms)
+            if c is not None and c <= slop:
+                want[d] = c
+        got = {r["doc_id"]: r["slop_cost"] for r in
+               match_phrase(spark, index_path, phrase, slop=slop).collect()}
+        assert got == want, phrase
 
 
 def test_match_bool(spark, corpus_rows, index_path):

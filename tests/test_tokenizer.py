@@ -153,9 +153,45 @@ def test_analyze_endpoint(spark):
     got = analyze(spark, "getIndexBuffer flushes Buffers", "code").collect()
     assert [(r["position"], r["token"]) for r in got] == list(
         enumerate(tokenize_py("getIndexBuffer flushes Buffers", "code")))
+    # token text is rewritten by the code chain -> no char offsets
+    assert all(r["start_offset"] is None and r["end_offset"] is None
+               for r in got)
     en = [r["token"] for r in
           analyze(spark, "The bodies of tables", "english").collect()]
     assert en == ["body", "table"]
+
+
+def _py_offsets(text: str, tokens: list[str], ref: str):
+    """Pure-Python twin of the analyze() offset fold (cursor walk)."""
+    out, cur = [], 0
+    for pos, t in enumerate(tokens):
+        start = ref.index(t, cur)
+        out.append((pos, t, start, start + len(t)))
+        cur = start + len(t)
+    return out
+
+
+def test_analyze_offsets_verbatim_analyzers(spark):
+    """ES _analyze char offsets: simple/whitespace/keyword tokens are
+    verbatim substrings — offsets must be the exact char spans, through
+    repeated tokens, multi-space runs, and a token that is a substring
+    of an earlier one ('dup' inside 'dupdup')."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import analyze
+
+    text = "DupDup  dup  Dup\tend dup"
+    for analyzer, ref in (("simple", text.lower()), ("whitespace", text)):
+        rows = [(r["position"], r["token"], r["start_offset"],
+                 r["end_offset"]) for r in analyze(spark, text, analyzer)
+                .orderBy("position").collect()]
+        want = _py_offsets(text, tokenize_py(text, analyzer), ref)
+        assert rows == want, analyzer
+        # offsets really do slice the token back out of the input
+        for _, tok, s, e in rows:
+            assert ref[s:e] == tok
+    kw = analyze(spark, text, "keyword").collect()
+    assert [(r["position"], r["token"], r["start_offset"], r["end_offset"])
+            for r in kw] == [(0, text, 0, len(text))]
+    assert analyze(spark, "", "simple").count() == 0
 
 
 def test_whitespace_and_keyword_analyzers(spark):
