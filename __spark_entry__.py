@@ -377,6 +377,226 @@ FROM d, df, nd
 """
 
 
+def q_categorize_text_events(spark, sf_dir):
+    """ES categorize_text agg over log-like event messages: the token
+    skeleton (lowercase, non-alphanumeric split, digit-bearing tokens
+    dropped — the variable parts) buckets '{event_type} {props}'
+    strings whose raw forms are all distinct."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        categorize_text,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    msg = ev.select(F.concat_ws(" ", "event_type", "props").alias("message"))
+    return categorize_text(msg, "message", size=10, max_matched_tokens=5)
+
+
+CATEGORIZE_TEXT_SQL = r"""
+WITH m AS (SELECT event_type || ' ' || props AS message FROM events),
+k AS (SELECT array_to_string(list_slice(list_filter(
+        string_split_regex(lower(message), '[^a-z0-9]+'),
+        t -> t <> '' AND NOT regexp_matches(t, '[0-9]')), 1, 5), ' ')
+        AS category
+      FROM m)
+SELECT category, count(*) AS doc_count FROM k
+GROUP BY category ORDER BY doc_count DESC, category LIMIT 10
+"""
+
+
+def q_var_width_histogram_events(spark, sf_dir):
+    """ES variable_width_histogram (deterministic quantile-seeded
+    variant) over event values: 4 nearest-centroid buckets with ES's
+    (min, key, max, doc_count) response shape."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        variable_width_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = variable_width_histogram(ev, "value", buckets=4)
+    return h.select(x1e4(F.col("min_v")).alias("min_x1e4"),
+                    x1e4(F.col("key")).alias("key_x1e4"),
+                    x1e4(F.col("max_v")).alias("max_x1e4"),
+                    "doc_count")
+
+
+VAR_WIDTH_HIST_SQL = """
+WITH q AS (SELECT quantile_cont(value, [0.125, 0.375, 0.625, 0.875])
+             AS cents FROM events),
+c AS (SELECT generate_subscripts(cents, 1) AS idx, unnest(cents) AS cv
+      FROM q),
+a AS (SELECT e.event_id, e.value, c.idx,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY abs(e.value - c.cv), c.idx) AS rn
+      FROM events e CROSS JOIN c),
+g AS (SELECT min(value) AS min_v, avg(value) AS key, max(value) AS max_v,
+             count(*) AS doc_count
+      FROM a WHERE rn = 1 GROUP BY idx)
+SELECT floor(min_v * 10000.0 + 0.5)::BIGINT AS min_x1e4,
+       floor(key * 10000.0 + 0.5)::BIGINT AS key_x1e4,
+       floor(max_v * 10000.0 + 0.5)::BIGINT AS max_x1e4,
+       doc_count
+FROM g ORDER BY key
+"""
+
+
+def q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets agg: apriori-pruned frequent 1- and
+    2-itemsets of per-document distinct terms with min_support=0.55
+    (basket-local pair enumeration over the broadcast-pruned frequent
+    vocabulary — no self-join)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        frequent_item_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.filter(
+        F.split(F.lower("text"), r"\s+"),
+        lambda t: t != "")).alias("term"))
+    return frequent_item_sets(tok, "doc_id", "term",
+                              min_support=0.55, size=15)
+
+
+FREQUENT_ITEM_SETS_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+b AS (SELECT DISTINCT doc_id, term FROM tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM b),
+mc AS (SELECT greatest(1, ceil(0.55 * n)::BIGINT) AS min_cnt FROM nd),
+f1 AS (SELECT term, count(*) AS doc_count FROM b GROUP BY term
+       HAVING count(*) >= (SELECT min_cnt FROM mc)),
+pr AS (SELECT x.doc_id, x.term AS ta, y.term AS tb
+       FROM b x JOIN b y USING (doc_id)
+       WHERE x.term < y.term
+         AND x.term IN (SELECT term FROM f1)
+         AND y.term IN (SELECT term FROM f1)),
+f2 AS (SELECT ta || ' ' || tb AS items, 2 AS set_size,
+              count(*) AS doc_count
+       FROM pr GROUP BY ta, tb
+       HAVING count(*) >= (SELECT min_cnt FROM mc)),
+u AS (SELECT term AS items, 1 AS set_size, doc_count FROM f1
+      UNION ALL SELECT * FROM f2)
+SELECT items, set_size, doc_count,
+       floor(doc_count::DOUBLE / (SELECT n FROM nd) * 10000.0 + 0.5)::BIGINT
+         AS support_x1e4
+FROM u ORDER BY doc_count DESC, set_size, items LIMIT 15
+"""
+
+
+def q_bm25_topk_shrunk(spark, sf_dir):
+    """ES _shrink analog under the hard gate: the cached 8-bucket SPIMI
+    index shrinks to 2 term buckets (pure hardlink + partition-dir
+    remap — md5(term)%8 coalesced by %2 IS md5(term)%2, zero bytes
+    copied), then serves the standard BM25 query against the plain
+    corpus-SQL oracle."""
+    import os
+    import tempfile
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.plans.merge import shrink_index
+
+    src = _index_for(spark, sf_dir)
+    dst = os.path.join(os.path.dirname(src), "index_shrunk2")
+    if not os.path.exists(os.path.join(dst, "meta.json")):
+        shrink_index(spark, src, dst, 2)
+    raw = topk(spark, dst, "spark query join", k=30, strategy="scoreall")
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_matrix_stats_idx(spark, sf_dir):
+    """ES matrix_stats agg (full response shape: mean / population
+    variance / skewness g1 / kurtosis m4/m2^2 per field + covariance
+    + correlation) for the (dl, n_chars) pair over 'spark window'
+    hits — the oracle recomputes every moment from raw tokenization."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        matrix_stats_agg,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    m = matrix_stats_agg(spark, idx, "spark window", "dl", "n_chars")
+    return m.select(
+        "n", x1e4(F.col("mean_a")).alias("mean_a_x1e4"),
+        x1e4(F.col("var_a")).alias("var_a_x1e4"),
+        x1e4(F.col("skew_a")).alias("skew_a_x1e4"),
+        x1e4(F.col("kurt_a")).alias("kurt_a_x1e4"),
+        x1e4(F.col("mean_b")).alias("mean_b_x1e4"),
+        x1e4(F.col("skew_b")).alias("skew_b_x1e4"),
+        x1e4(F.col("kurt_b")).alias("kurt_b_x1e4"),
+        x1e4(F.col("covariance")).alias("cov_x1e4"),
+        x1e4(F.col("correlation")).alias("corr_x1e4"))
+
+
+MATRIX_STATS_SQL = f"""
+WITH {TOK_CTE},
+h AS (SELECT len(toks)::DOUBLE AS a, n_chars::DOUBLE AS b FROM toks
+      WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window')),
+r AS (SELECT count(*) AS n,
+             avg(a) AS m1a, avg(a*a) AS m2a, avg(a*a*a) AS m3a,
+             avg(a*a*a*a) AS m4a,
+             avg(b) AS m1b, avg(b*b) AS m2b, avg(b*b*b) AS m3b,
+             avg(b*b*b*b) AS m4b,
+             covar_pop(a, b) AS cov, corr(a, b) AS cr
+      FROM h),
+s AS (SELECT n,
+             m1a AS mean_a, m2a - m1a*m1a AS va,
+             m3a - 3*m1a*m2a + 2*m1a*m1a*m1a AS c3a,
+             m4a - 4*m1a*m3a + 6*m1a*m1a*m2a - 3*m1a*m1a*m1a*m1a AS c4a,
+             m1b AS mean_b, m2b - m1b*m1b AS vb,
+             m3b - 3*m1b*m2b + 2*m1b*m1b*m1b AS c3b,
+             m4b - 4*m1b*m3b + 6*m1b*m1b*m2b - 3*m1b*m1b*m1b*m1b AS c4b,
+             cov, cr
+      FROM r)
+SELECT n,
+       floor(mean_a * 10000.0 + 0.5)::BIGINT AS mean_a_x1e4,
+       floor(va * 10000.0 + 0.5)::BIGINT AS var_a_x1e4,
+       floor(c3a / pow(va, 1.5) * 10000.0 + 0.5)::BIGINT AS skew_a_x1e4,
+       floor(c4a / (va * va) * 10000.0 + 0.5)::BIGINT AS kurt_a_x1e4,
+       floor(mean_b * 10000.0 + 0.5)::BIGINT AS mean_b_x1e4,
+       floor(c3b / pow(vb, 1.5) * 10000.0 + 0.5)::BIGINT AS skew_b_x1e4,
+       floor(c4b / (vb * vb) * 10000.0 + 0.5)::BIGINT AS kurt_b_x1e4,
+       floor(cov * 10000.0 + 0.5)::BIGINT AS cov_x1e4,
+       floor(cr * 10000.0 + 0.5)::BIGINT AS corr_x1e4
+FROM s
+"""
+
+
+def q_ingest_pipeline_events(spark, sf_dir):
+    """ES ingest pipeline (_ingest) over events: dissect the raw props
+    payload, convert the capture, derive a scripted field, uppercase —
+    the whole processor chain folds into ONE Catalyst projection; the
+    oracle replays each processor in SQL."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_pipeline(ev, [
+        {"dissect": {"field": "props", "pattern": '{"k": %{kval}}'}},
+        {"convert": {"field": "kval", "type": "long", "target_field": "kv"}},
+        {"script": {"target_field": "vk", "source": "value * kv"}},
+        {"uppercase": {"field": "event_type", "target_field": "etype_u"}},
+        {"set": {"field": "high", "value": "hot",
+                 "if": "kv >= 50"}},
+    ])
+    return out.select("event_id", "etype_u", "kv",
+                      x1e4(F.col("vk")).alias("vk_x1e4"),
+                      F.coalesce(F.col("high"), F.lit("cold")).alias("heat"))
+
+
+INGEST_PIPELINE_SQL = r"""
+SELECT event_id, upper(event_type) AS etype_u,
+       CAST(regexp_extract(props, '^\{"k": (.*)\}$', 1) AS BIGINT) AS kv,
+       floor(value * CAST(regexp_extract(props, '^\{"k": (.*)\}$', 1)
+                          AS BIGINT) * 10000.0 + 0.5)::BIGINT AS vk_x1e4,
+       CASE WHEN CAST(regexp_extract(props, '^\{"k": (.*)\}$', 1) AS BIGINT)
+                 >= 50 THEN 'hot' ELSE 'cold' END AS heat
+FROM events
+"""
+
+
 def q_dsl_search(spark, sf_dir):
     """ES JSON search body routed through the DSL compiler — must be
     value-identical to the plain BM25 oracle (the compiler adds
@@ -2368,6 +2588,54 @@ WHERE c.c_mktsegment = 'BUILDING'
 """
 
 
+def q_children_agg(spark, sf_dir):
+    """ES children aggregation: bucket customers by market segment,
+    step down into each one's orders (child_filter on order status)
+    and compute per-bucket child doc_count + revenue metrics."""
+    from elasticsearch_osmosis_plugin_spark.operators.parentchild import (
+        children_agg,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return children_agg(
+        cust, orders, "c_custkey", "o_custkey", "c_mktsegment",
+        metrics={"sum_price_cents": F.sum(cents),
+                 "max_price_cents": F.max(cents)},
+        child_filter=F.col("o_orderstatus") == "O")
+
+
+CHILDREN_AGG_SQL = """
+SELECT c.c_mktsegment, count(*) AS doc_count,
+       sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT) AS sum_price_cents,
+       max(floor(o.o_totalprice * 100 + 0.5)::BIGINT) AS max_price_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY c.c_mktsegment
+ORDER BY doc_count DESC, c.c_mktsegment
+"""
+
+
+def q_parent_id(spark, sf_dir):
+    """ES parent_id query: all orders of one named customer — a
+    pushed-down literal equality over the child table."""
+    from elasticsearch_osmosis_plugin_spark.operators.parentchild import (
+        parent_id,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    key = orders.agg(F.min("o_custkey")).collect()[0][0]
+    return (parent_id(orders, "o_custkey", key)
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+
+
+PARENT_ID_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+"""
+
+
 def q_percentile_ranks_idx(spark, sf_dir):
     """ES percentile_ranks agg (inverse percentiles) over the 'spark'
     hits: % of matching docs with dl <= each probe value — exact and
@@ -3522,6 +3790,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_percentiles_events": q_moving_percentiles_events,
     "analyze_api": q_analyze_api,
     "index_stats": q_index_stats,
+    "categorize_text_events": q_categorize_text_events,
+    "var_width_histogram_events": q_var_width_histogram_events,
+    "frequent_item_sets": q_frequent_item_sets,
+    "matrix_stats_idx": q_matrix_stats_idx,
+    "bm25_topk_shrunk": q_bm25_topk_shrunk,
+    "ingest_pipeline_events": q_ingest_pipeline_events,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_hot": q_bm25_topk_hot,
     "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
@@ -3650,6 +3924,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_stats_idx": q_string_stats_idx,
     "has_child": q_has_child,
     "has_parent": q_has_parent,
+    "children_agg": q_children_agg,
+    "parent_id": q_parent_id,
     "composite_agg_events": q_composite_agg_events,
     "sessionization": q_sessionization,
     "type_dispatch_counts": q_type_dispatch_counts,
@@ -3777,6 +4053,13 @@ def oracle_sql() -> dict[str, str]:
         "terms_sharded_idx": TERMS_SHARDED_SQL,
         "analyze_api": _analyze_oracle_sql(),
         "index_stats": INDEX_STATS_SQL,
+        "categorize_text_events": CATEGORIZE_TEXT_SQL,
+        "var_width_histogram_events": VAR_WIDTH_HIST_SQL,
+        "frequent_item_sets": FREQUENT_ITEM_SETS_SQL,
+        "matrix_stats_idx": MATRIX_STATS_SQL,
+        "bm25_topk_shrunk": _bm25_oracle_sql(
+            sorted({"spark", "query", "join"}), 10),
+        "ingest_pipeline_events": INGEST_PIPELINE_SQL,
         "terms_set_idx": TERMS_SET_SQL,
         "distance_feature_idx": DIST_FEAT_SQL,
         "suggest_phrase_idx": _suggest_phrase_oracle_sql(),
@@ -4905,6 +5188,8 @@ GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "string_stats_idx": STRING_STATS_SQL,
         "has_child": HAS_CHILD_SQL,
         "has_parent": HAS_PARENT_SQL,
+        "children_agg": CHILDREN_AGG_SQL,
+        "parent_id": PARENT_ID_SQL,
         "composite_agg_events": COMPOSITE_AGG_SQL,
         "date_histogram_events": """
 SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts, count(*) AS n_docs

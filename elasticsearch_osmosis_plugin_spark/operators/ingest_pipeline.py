@@ -1,0 +1,135 @@
+"""ES ingest pipelines (_ingest): a processor list compiled to pure
+Catalyst column transforms, applied to a DataFrame before indexing.
+
+The reference indexes documents verbatim (no ingest node in the 0.90
+stack, `ElasticSearchWriterTask.java:40-82` ships entity JSON as-is);
+modern ES front-loads a per-document processor pipeline on the ingest
+node. The Spark restatement: each processor is a (field -> Column)
+rewrite, the whole pipeline folds into ONE projection over the input
+(Catalyst collapses adjacent projects), so a 20-processor pipeline
+costs the same single codegen'd map as one — per-document, streaming-
+safe, no Python in the row path.
+
+Supported processors (each spec is ES's ``{type: {params}}`` shape,
+with ES's ``if`` conditional — a SQL predicate over the current row —
+honored on every one):
+
+- ``set`` (value literal or ``copy_from``, ``override``)
+- ``rename``, ``remove``
+- ``convert`` (integer/long/double/string/boolean, ``target_field``)
+- ``lowercase`` / ``uppercase`` / ``trim``
+- ``gsub`` (regex replace), ``split`` (regex -> array)
+- ``dissect`` (ES dissect patterns ``%{a} %{b}`` with literal
+  separators -> one regexp_extract per key)
+- ``script`` (a SQL expression over the row, ES's painless analog —
+  the same surface runtime_mappings / update_by_query use)
+
+``on_failure`` is not emulated: a processor whose input column is
+NULL propagates NULL (Spark semantics), and a malformed ``convert``
+yields NULL rather than a dropped document — the documented deviation
+(ES's default is to fail the document; NULL-propagation is the
+distributed-friendly equivalent of ``ignore_failure: true``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_CONVERT = {"integer": "int", "long": "long", "double": "double",
+            "float": "float", "string": "string", "boolean": "boolean"}
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """ES dissect pattern -> (anchored regex, ordered keys). Literal
+    separators between ``%{key}`` refs must match exactly; each key
+    captures lazily up to the next literal (the dissect rule)."""
+    keys = re.findall(r"%\{([^}]+)\}", pattern)
+    parts = re.split(r"%\{[^}]+\}", pattern)
+    rx = "^"
+    for i, lit in enumerate(parts):
+        rx += re.escape(lit)
+        if i < len(keys):
+            nxt = parts[i + 1] if i + 1 < len(parts) else ""
+            rx += "(.*?)" if nxt else "(.*)"
+    return rx + "$", keys
+
+
+def _apply_one(df: DataFrame, kind: str, p: dict) -> DataFrame:
+    cond = F.expr(p["if"]) if "if" in p else None
+
+    def put(field: str, col: Column) -> DataFrame:
+        if cond is not None:
+            old = F.col(field) if field in df.columns else F.lit(None)
+            col = F.when(cond, col).otherwise(old)
+        return df.withColumn(field, col)
+
+    if kind == "set":
+        field = p["field"]
+        val = (F.col(p["copy_from"]) if "copy_from" in p
+               else F.lit(p["value"]))
+        if not p.get("override", True) and field in df.columns:
+            val = F.coalesce(F.col(field), val)
+        return put(field, val)
+    if kind == "rename":
+        return df.withColumnRenamed(p["field"], p["target_field"])
+    if kind == "remove":
+        fields = p["field"] if isinstance(p["field"], list) else [p["field"]]
+        return df.drop(*fields)
+    if kind == "convert":
+        t = _CONVERT[p["type"]]
+        return put(p.get("target_field", p["field"]),
+                   F.col(p["field"]).cast(t))
+    if kind == "lowercase":
+        return put(p.get("target_field", p["field"]),
+                   F.lower(F.col(p["field"])))
+    if kind == "uppercase":
+        return put(p.get("target_field", p["field"]),
+                   F.upper(F.col(p["field"])))
+    if kind == "trim":
+        return put(p.get("target_field", p["field"]),
+                   F.trim(F.col(p["field"])))
+    if kind == "gsub":
+        return put(p.get("target_field", p["field"]),
+                   F.regexp_replace(F.col(p["field"]),
+                                    p["pattern"], p["replacement"]))
+    if kind == "split":
+        return put(p.get("target_field", p["field"]),
+                   F.split(F.col(p["field"]), p["separator"]))
+    if kind == "dissect":
+        rx, keys = _dissect_regex(p["pattern"])
+        out = df
+        for i, k in enumerate(keys, start=1):
+            col = F.regexp_extract(F.col(p["field"]), rx, i)
+            if cond is not None:
+                col = F.when(cond, col).otherwise(F.lit(None).cast("string"))
+            out = out.withColumn(k, col)
+        return out
+    if kind == "script":
+        return put(p["target_field"], F.expr(p["source"]))
+    raise ValueError(f"unsupported ingest processor: {kind}")
+
+
+def apply_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """Run an ES ingest-pipeline processor list over ``df``. Processors
+    apply in order; Catalyst collapses the chain of projections into
+    one codegen'd map over the scan."""
+    out = df
+    for spec in processors:
+        if len(spec) != 1:
+            raise ValueError(f"processor spec must be one {{type: params}} "
+                             f"entry: {spec}")
+        (kind, p), = spec.items()
+        out = _apply_one(out, kind, p)
+    return out
+
+
+def simulate_pipeline(spark, processors: list[dict],
+                      docs: list[dict]) -> DataFrame:
+    """ES ``_ingest/pipeline/_simulate``: run the pipeline over inline
+    documents and return the transformed rows (the debugging surface —
+    same compiled plan the real ingest path runs)."""
+    df = spark.createDataFrame([tuple(d.values()) for d in docs],
+                               list(docs[0].keys()))
+    return apply_pipeline(df, processors)

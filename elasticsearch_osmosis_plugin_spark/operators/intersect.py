@@ -1681,9 +1681,13 @@ def matrix_stats_agg(spark: SparkSession, index_path: str, query: str,
                      field_a: str, field_b: str,
                      mode: str = "any") -> DataFrame:
     """ES matrix_stats aggregation for a field pair over query hits:
-    means, population variances, covariance and Pearson correlation —
-    Spark's built-in second-moment aggregates (one pass, mergeable;
-    the same streaming-moments math ES runs)."""
+    the full per-field response shape — mean, population variance,
+    skewness (g1 = m3/m2^1.5) and kurtosis (m4/m2^2, plain not excess)
+    — plus covariance and Pearson correlation. One mergeable pass: the
+    third/fourth moments come from raw power sums (avg of x, x^2, x^3,
+    x^4) combined after the aggregate, so every input shuffles exactly
+    once and the whole row reduces map-side (the same streaming-moments
+    math ES's MatrixStatsAggregator runs shard-locally then merges)."""
     from elasticsearch_osmosis_plugin_spark.plans import catalog
 
     docs = (match_any_terms(spark, index_path, query) if mode == "any"
@@ -1693,11 +1697,31 @@ def matrix_stats_agg(spark: SparkSession, index_path: str, query: str,
     hits = ds.join(docs, "doc_id", "left_semi")
     a = F.col(field_a).cast("double")
     b = F.col(field_b).cast("double")
-    return hits.agg(F.count(F.lit(1)).alias("n"),
-                    F.avg(a).alias("mean_a"), F.avg(b).alias("mean_b"),
-                    F.var_pop(a).alias("var_a"), F.var_pop(b).alias("var_b"),
-                    F.covar_pop(a, b).alias("covariance"),
-                    F.corr(a, b).alias("correlation"))
+
+    def _pows(x, tag):
+        return [F.avg(x).alias(f"_m1{tag}"),
+                F.avg(x * x).alias(f"_m2{tag}"),
+                F.avg(x * x * x).alias(f"_m3{tag}"),
+                F.avg(x * x * x * x).alias(f"_m4{tag}")]
+
+    raw = hits.agg(F.count(F.lit(1)).alias("n"),
+                   *_pows(a, "a"), *_pows(b, "b"),
+                   F.covar_pop(a, b).alias("covariance"),
+                   F.corr(a, b).alias("correlation"))
+
+    def _shape(tag):
+        u = F.col(f"_m1{tag}")
+        m2 = F.col(f"_m2{tag}") - u * u
+        m3 = (F.col(f"_m3{tag}") - 3 * u * F.col(f"_m2{tag}")
+              + 2 * u * u * u)
+        m4 = (F.col(f"_m4{tag}") - 4 * u * F.col(f"_m3{tag}")
+              + 6 * u * u * F.col(f"_m2{tag}") - 3 * u * u * u * u)
+        return [u.alias(f"mean_{tag}"), m2.alias(f"var_{tag}"),
+                (m3 / F.pow(m2, 1.5)).alias(f"skew_{tag}"),
+                (m4 / (m2 * m2)).alias(f"kurt_{tag}")]
+
+    return raw.select("n", *_shape("a"), *_shape("b"),
+                      "covariance", "correlation")
 
 
 def rare_terms_agg(spark: SparkSession, index_path: str, query: str,
@@ -2385,3 +2409,131 @@ def scripted_metric_agg(spark: SparkSession, index_path: str, query: str,
     hits = ds.join(docs, "doc_id", "left_semi")
     return (hits.withColumn("_mapped", F.expr(map_script))
             .agg(F.expr(reduce_script).cast("double").alias("value")))
+
+
+def categorize_text(df: DataFrame, text_col: str, size: int = 10,
+                    max_matched_tokens: int = 5) -> DataFrame:
+    """ES categorize_text aggregation: bucket semi-structured log-like
+    messages by their TOKEN SKELETON -> (category, doc_count), top
+    ``size`` by count. The skeleton follows the ES categorization
+    tokenizer's core rule — lowercase, split on non-alphanumerics,
+    DROP every token containing a digit (digits mark the variable
+    parts of a message: ids, timestamps, counts) — then keeps the
+    first ``max_matched_tokens`` surviving tokens as the category key,
+    so "error {k: 69}" and "error {k: 7}" land in one bucket.
+
+    Deviation from ES, by design: ES merges categories bottom-up with
+    a 70%-token-similarity heuristic that depends on document arrival
+    order — unusable as a deterministic distributed operator. The
+    skeleton key is order-independent, gives identical buckets on any
+    partitioning, and reduces with one map-side-combined groupBy (the
+    key is computed in whole-stage codegen; nothing but the tiny
+    bucket frame shuffles)."""
+    key = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: (t != "") & ~t.rlike("[0-9]")),
+            1, max_matched_tokens),
+        " ")
+    return (df.groupBy(key.alias("category"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("category"))
+            .limit(size))
+
+
+def frequent_item_sets(df: DataFrame, id_col: str, item_col: str,
+                       min_support: float = 0.25, size: int = 10,
+                       ) -> DataFrame:
+    """ES frequent_item_sets aggregation (sizes 1 and 2): itemsets of
+    per-document DISTINCT values of ``item_col`` (one row per
+    (doc, item) — the exploded basket) whose support — fraction of
+    documents containing every item of the set — clears
+    ``min_support``. Returns (items, set_size, doc_count,
+    support_x1e4), top ``size`` by doc_count then items.
+
+    Apriori-pruned, ES's own strategy (their docs: "the algorithm
+    only considers items that appear in at least min_support of the
+    transactions"): frequent 1-itemsets are one groupBy over the
+    basket stream; baskets are then semi-joined to that (broadcast —
+    the frequent vocabulary is tiny by construction) BEFORE pair
+    enumeration, so every emitted pair already has both legs frequent.
+    Pairs are generated basket-locally from the per-doc sorted
+    frequent-item array (no self-join: collect_set per doc, nested
+    transform+flatten), so the only corpus-sized shuffles are the two
+    groupBys on (item) and (doc) — pair count is bounded by
+    C(frequent-items-per-basket, 2), not basket size."""
+    baskets = df.select(F.col(id_col).alias("_doc"),
+                        F.col(item_col).alias("_item")).distinct()
+    n_docs = baskets.select("_doc").distinct().count()
+    min_cnt = max(1, int(math.ceil(min_support * n_docs)))
+
+    f1 = (baskets.groupBy("_item")
+          .agg(F.count(F.lit(1)).alias("doc_count"))
+          .filter(F.col("doc_count") >= min_cnt))
+
+    per_doc = (baskets.join(F.broadcast(f1.select("_item")), "_item",
+                            "left_semi")
+               .groupBy("_doc")
+               .agg(F.array_sort(F.collect_set("_item")).alias("_items")))
+    items = F.col("_items")
+    idxs = F.sequence(F.lit(1), F.size(items))
+    pairs_col = F.flatten(F.transform(
+        idxs, lambda i: F.transform(
+            F.slice(items, i + 1, F.size(items)),
+            lambda y: F.array(F.element_at(items, i), y))))
+    f2 = (per_doc.select(F.explode(pairs_col).alias("_pair"))
+          .groupBy("_pair")
+          .agg(F.count(F.lit(1)).alias("doc_count"))
+          .filter(F.col("doc_count") >= min_cnt)
+          .select(F.array_join("_pair", " ").alias("items"),
+                  F.lit(2).alias("set_size"), "doc_count"))
+
+    out = f1.select(F.col("_item").alias("items"),
+                    F.lit(1).alias("set_size"),
+                    "doc_count").unionByName(f2)
+    sup = F.floor(F.col("doc_count") / F.lit(float(n_docs))
+                  * 10000.0 + F.lit(0.5)).cast("long")
+    return (out.withColumn("support_x1e4", sup)
+            .orderBy(F.desc("doc_count"), F.asc("set_size"), F.asc("items"))
+            .limit(size))
+
+
+def variable_width_histogram(df: DataFrame, value_col: str,
+                             buckets: int = 4) -> DataFrame:
+    """ES variable_width_histogram: cluster a numeric field into
+    ``buckets`` variable-width buckets -> (min_v, key = bucket mean,
+    max_v, doc_count) ordered by key, ES's exact response shape.
+
+    Deviation from ES, by design: ES runs an arrival-order-dependent
+    streaming clusterer (nearest-cluster merge as docs stream through
+    the shard) whose buckets change with routing — meaningless for a
+    deterministic distributed engine. Here centroids are seeded at the
+    ``buckets`` midpoint quantiles ((2i+1)/2k, exact interpolated —
+    the quantile_cont rule, so an external SQL twin reproduces them
+    bit-for-bit) and every value joins its nearest centroid (ties to
+    the lower index). Two passes like ES's collect+reduce: pass 1 is
+    one mergeable quantile agg, whose k constants fold into pass 2's
+    assignment expression as literals — the assignment runs in
+    whole-stage codegen and only the k-row bucket frame shuffles."""
+    v = F.col(value_col).cast("double")
+    qs = [(2 * i + 1) / (2.0 * buckets) for i in range(buckets)]
+    row = df.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+                 .alias("cents")).collect()[0]
+    if row["cents"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "min_v double, key double, max_v double, doc_count long")
+    cents = [float(c) for c in row["cents"]]
+    # argmin over literal centroids, ties -> lower index: fold a
+    # running (best_idx, best_dist) pair left-to-right
+    best_idx, best_dist = F.lit(0), F.abs(v - F.lit(cents[0]))
+    for i in range(1, buckets):
+        d = F.abs(v - F.lit(cents[i]))
+        best_idx = F.when(d < best_dist, F.lit(i)).otherwise(best_idx)
+        best_dist = F.when(d < best_dist, d).otherwise(best_dist)
+    return (df.groupBy(best_idx.alias("_b"))
+            .agg(F.min(v).alias("min_v"), F.avg(v).alias("key"),
+                 F.max(v).alias("max_v"),
+                 F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("key")
+            .select("min_v", "key", "max_v", "doc_count"))

@@ -67,3 +67,32 @@ def has_parent(parents: DataFrame, children: DataFrame, parent_key: str,
     pa = parents if parent_filter is None else parents.filter(parent_filter)
     return children.join(pa.select(F.col(parent_key).alias(child_fk)),
                          child_fk, "left_semi")
+
+
+def parent_id(children: DataFrame, child_fk: str, parent: object) -> DataFrame:
+    """ES parent_id query: the children of ONE named parent. A literal
+    equality predicate — pushes into the child scan (PushedFilters),
+    reads nothing else."""
+    return children.filter(F.col(child_fk) == F.lit(parent))
+
+
+def children_agg(parents: DataFrame, children: DataFrame, parent_key: str,
+                 child_fk: str, bucket_col: str, metrics: dict[str, Column],
+                 child_filter: Column | None = None) -> DataFrame:
+    """ES `children` aggregation: bucket PARENTS by ``bucket_col``,
+    then step down into each parent's children and compute ``metrics``
+    (name -> aggregate Column over child rows) per bucket, plus ES's
+    per-bucket child doc_count. One join + one groupBy: children
+    project only (fk, metric inputs), pick up their parent's bucket
+    value, and aggregate map-side-combined on the bucket key — the
+    parent table contributes just (key, bucket), so with a selective
+    parent side Catalyst broadcasts it and the only shuffle is the
+    k-bucket frame."""
+    ch = children if child_filter is None else children.filter(child_filter)
+    pa = parents.select(F.col(parent_key).alias(child_fk),
+                        F.col(bucket_col))
+    joined = ch.join(pa, child_fk, "inner")
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    aggs += [c.alias(name) for name, c in metrics.items()]
+    return (joined.groupBy(bucket_col).agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc(bucket_col)))

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -377,3 +379,145 @@ def verify_index(spark: SparkSession, index_path: str,
         out["tombstones"] = {"ok": True, "orphans": 0}
     out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
     return out
+
+
+def _posting_tables(index_path: str, meta: dict) -> list[str]:
+    """Every committed posting table of an index, across both layouts
+    (per-group LSM dirs and/or the compacted postings_merged)."""
+    names = [f"postings/group={g}" for g in index_groups(meta)
+             if catalog.table_exists(index_path, f"postings/group={g}")]
+    if catalog.table_exists(index_path, "postings_merged"):
+        names.append("postings_merged")
+    return names
+
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    shutil.copytree(os.path.realpath(src), dst, copy_function=os.link)
+
+
+def _write_meta_unlinked(root: str, meta: dict) -> None:
+    """Replace ``root``/meta.json via a NEW file + os.replace. The
+    tree arrived by hardlink, so an in-place open(..., "w") would
+    truncate the inode SHARED with the source index — os.replace
+    swaps the directory entry instead, leaving the source untouched."""
+    tmp = os.path.join(root, "_meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+
+
+def _remap_bucket_dirs(table_dir: str, new_n: int) -> None:
+    """Coalesce bucket=B partition dirs into bucket=B%new_n by MOVING
+    their files (prefixed with the old bucket id so merged dirs never
+    collide). The bucket value is directory-encoded, so no data file
+    is read, rewritten, or even opened."""
+    for d in sorted(os.listdir(table_dir)):
+        if not d.startswith("bucket="):
+            continue
+        old = int(d.split("=", 1)[1])
+        nb = old % new_n
+        if nb == old:
+            continue
+        dst = os.path.join(table_dir, f"bucket={nb}")
+        os.makedirs(dst, exist_ok=True)
+        src = os.path.join(table_dir, d)
+        for f in os.listdir(src):
+            # keep Hadoop sidecars hidden: ".part-X.crc" must stay
+            # dot-prefixed AND keep tracking its renamed data file
+            new = (f".b{old}_{f[1:]}" if f.startswith(".")
+                   else f"b{old}_{f}")
+            os.rename(os.path.join(src, f), os.path.join(dst, new))
+        os.rmdir(src)
+
+
+def shrink_index(spark: SparkSession, src_path: str, dst_path: str,
+                 n_buckets: int) -> dict:
+    """ES _shrink analog: create ``dst_path`` as a copy of the index
+    with FEWER term buckets — ``n_buckets`` must be a factor of the
+    source's, exactly ES's shard-count rule, and for the same reason:
+    a factor target makes the move pure routing arithmetic. Since
+    bucket = md5(term) % n and new_n | n, the new bucket of every row
+    is just ``old_bucket % new_n`` — so the whole operation is
+    HARDLINKS plus partition-directory renames. No Spark job, no data
+    file opened, zero bytes copied (ES's _shrink hardlinks segment
+    files for the same reason). Queries over the result prune on the
+    coarser buckets immediately; docstats, positions and tombstones
+    carry over untouched."""
+    meta = load_meta(src_path)
+    old_n = meta["n_buckets"]
+    if n_buckets <= 0 or old_n % n_buckets != 0 or n_buckets >= old_n:
+        raise ValueError(
+            f"shrink target n_buckets={n_buckets} must be a proper "
+            f"factor of the source's {old_n} (ES _shrink rule)")
+    if os.path.exists(dst_path):
+        raise FileExistsError(f"shrink target exists: {dst_path}")
+    t0 = time.time()
+    tmp = f"{dst_path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        _hardlink_tree(src_path, tmp)
+        for name in _posting_tables(tmp, meta) + ["dictionary"]:
+            _remap_bucket_dirs(catalog.table_path(tmp, name), n_buckets)
+        meta["n_buckets"] = n_buckets
+        meta.setdefault("metrics", []).append(
+            {"stage": "shrink", "from_buckets": old_n,
+             "to_buckets": n_buckets, "wall_s": time.time() - t0})
+        _write_meta_unlinked(tmp, meta)
+        os.rename(tmp, dst_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return meta
+
+
+def split_index(spark: SparkSession, src_path: str, dst_path: str,
+                n_buckets: int) -> dict:
+    """ES _split analog: create ``dst_path`` with MORE term buckets —
+    ``n_buckets`` must be a multiple of the source's (ES's rule).
+    Unlike shrink, rows must re-route (md5(term) % new_n splits each
+    old bucket), but the pass is over POSTING ROWS ONLY: the corpus is
+    never re-tokenized and the compressed payloads move verbatim; the
+    dictionary re-buckets the same way. Docstats (and tombstones) are
+    hardlinked, not copied. Cost at 100 TB: one shuffle of the
+    compressed index (a few % of corpus size), vs a full rebuild."""
+    meta = load_meta(src_path)
+    old_n = meta["n_buckets"]
+    if n_buckets % old_n != 0 or n_buckets <= old_n:
+        raise ValueError(
+            f"split target n_buckets={n_buckets} must be a proper "
+            f"multiple of the source's {old_n} (ES _split rule)")
+    if os.path.exists(dst_path):
+        raise FileExistsError(f"split target exists: {dst_path}")
+    t0 = time.time()
+    # same md5-prefix hash as build.bucket_of, as a column expression
+    nb = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+          .cast("long") % n_buckets).cast("int")
+    tmp = f"{dst_path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        _hardlink_tree(src_path, tmp)
+        for name in _posting_tables(src_path, meta):
+            man = catalog.read_manifest(src_path, name)
+            man.pop("schema", None)
+            rows = (catalog.read_table(spark, src_path, name)
+                    .withColumn("bucket", nb)
+                    .repartition(min(n_buckets,
+                                     spark.sparkContext.defaultParallelism
+                                     * 2), "bucket")
+                    .sortWithinPartitions("term", "seg", "block"))
+            catalog.create_or_replace(rows, tmp, name, manifest=man,
+                                      partition_by=["bucket"])
+        dman = catalog.read_manifest(src_path, "dictionary")
+        dman.pop("schema", None)
+        dic = (catalog.read_table(spark, src_path, "dictionary")
+               .withColumn("bucket", nb)
+               .repartition(min(n_buckets, 64), "bucket")
+               .sortWithinPartitions("term"))
+        catalog.create_or_replace(dic, tmp, "dictionary", manifest=dman,
+                                  partition_by=["bucket"])
+        meta["n_buckets"] = n_buckets
+        meta.setdefault("metrics", []).append(
+            {"stage": "split", "from_buckets": old_n,
+             "to_buckets": n_buckets, "wall_s": time.time() - t0})
+        _write_meta_unlinked(tmp, meta)
+        os.rename(tmp, dst_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return meta

@@ -373,3 +373,119 @@ def test_date_histogram_fixed_and_fuzzy_transpositions(spark, agg_index):
     want = {r["doc_id"] for r in match_any_terms(
         spark, agg_index, "public").collect()}
     assert ids >= want and want
+
+
+def test_categorize_text_skeleton_buckets(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        categorize_text,
+    )
+
+    msgs = [
+        ("Shutting down node 17",),
+        ("Shutting down node 442",),
+        ("Shutting DOWN node 9",),
+        ("User 9 logged in from 10.0.0.3",),
+        ("User 123 logged in from 10.1.2.9",),
+        ("heartbeat ok",),
+        ("one two three four five six seven",),  # key caps at 5 tokens
+    ]
+    df = spark.createDataFrame(msgs, "message string")
+    got = {r["category"]: r["doc_count"]
+           for r in categorize_text(df, "message", size=10).collect()}
+    assert got == {"shutting down node": 3,
+                   "user logged in from": 2,
+                   "heartbeat ok": 1,
+                   "one two three four five": 1}
+
+
+def test_frequent_item_sets_matches_bruteforce(spark, corpus_rows):
+    from itertools import combinations
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        frequent_item_sets,
+    )
+
+    baskets = {int(d): set(tokenize_py(t, "code"))
+               for d, t in zip(corpus_rows["doc_id"],
+                               corpus_rows["content"])}
+    n = len(baskets)
+    min_sup = 0.4
+    min_cnt = max(1, math.ceil(min_sup * n))
+    c1 = Counter(t for b in baskets.values() for t in b)
+    f1 = {t for t, c in c1.items() if c >= min_cnt}
+    c2 = Counter()
+    for b in baskets.values():
+        for pair in combinations(sorted(t for t in b if t in f1), 2):
+            c2[pair] += 1
+    want = {(t, 1): c for t, c in c1.items() if c >= min_cnt}
+    want |= {(" ".join(p), 2): c for p, c in c2.items() if c >= min_cnt}
+    top = sorted(want.items(),
+                 key=lambda kv: (-kv[1], kv[0][1], kv[0][0]))[:20]
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, b in baskets.items() for t in b],
+        "doc_id long, term string")
+    got = frequent_item_sets(docs, "doc_id", "term",
+                             min_support=min_sup, size=20).collect()
+    assert [((r["items"], r["set_size"]), r["doc_count"]) for r in got] \
+        == top
+    for r in got:
+        assert r["support_x1e4"] == math.floor(
+            r["doc_count"] / n * 10000.0 + 0.5)
+
+
+def test_variable_width_histogram_quantile_seeded(spark):
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        variable_width_histogram,
+    )
+
+    rng = np.random.default_rng(7)
+    # trimodal, balanced: the k midpoint quantiles land one per mode,
+    # so the data-driven (not equal-width) buckets recover the modes
+    vals = np.concatenate([rng.normal(0, 1, 100),
+                           rng.normal(50, 2, 100),
+                           rng.normal(200, 5, 100)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    k = 3
+    got = variable_width_histogram(df, "v", buckets=k).collect()
+
+    cents = np.quantile(vals, [(2 * i + 1) / (2 * k) for i in range(k)],
+                        method="linear")
+    assign = np.argmin(np.abs(vals[:, None] - cents[None, :]), axis=1)
+    want = []
+    for b in sorted(set(assign)):
+        m = vals[assign == b]
+        want.append((m.min(), m.mean(), m.max(), len(m)))
+    want.sort(key=lambda t: t[1])
+    assert len(got) == len(want)
+    for r, (lo, key, hi, n) in zip(got, want):
+        assert r["doc_count"] == n
+        assert abs(r["min_v"] - lo) < 1e-9
+        assert abs(r["key"] - key) < 1e-9
+        assert abs(r["max_v"] - hi) < 1e-9
+    # the three modes are recovered
+    assert [r["doc_count"] for r in got] == [100, 100, 100]
+
+
+def test_matrix_stats_skew_kurt(spark, agg_index, hit_rows):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        matrix_stats_agg,
+    )
+
+    m = matrix_stats_agg(spark, agg_index, Q, "dl", "doc_id").collect()[0]
+    a = [float(r["dl"]) for r in hit_rows]
+    n = len(a)
+    mu = sum(a) / n
+    m2 = sum((x - mu) ** 2 for x in a) / n
+    m3 = sum((x - mu) ** 3 for x in a) / n
+    m4 = sum((x - mu) ** 4 for x in a) / n
+    assert m["n"] == n
+    assert abs(m["mean_a"] - mu) < 1e-9
+    assert abs(m["var_a"] - m2) < 1e-6 * m2
+    assert abs(m["skew_a"] - m3 / m2 ** 1.5) < 1e-6
+    assert abs(m["kurt_a"] - m4 / m2 ** 2) < 1e-6

@@ -1801,3 +1801,35 @@ def test_span_containing(spark, corpus_rows, index_path):
     w = {r["doc_id"] for r in span_within(
         spark, index_path, big, little, slop=slop).collect()}
     assert w == got
+
+
+def test_children_agg_and_parent_id(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.parentchild import (
+        children_agg,
+        parent_id,
+    )
+
+    par = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "pid long, tag string")
+    ch = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 3.0), (12, 2, 9.0), (13, 3, 2.0),
+         (14, 9, 1.0)],
+        "cid long, fk long, v double")
+
+    rows = children_agg(par, ch, "pid", "fk", "tag",
+                        metrics={"sum_v": F.sum("v"),
+                                 "max_v": F.max("v")}).collect()
+    got = {r["tag"]: (r["doc_count"], r["sum_v"], r["max_v"]) for r in rows}
+    # orphan child (fk=9) never counted; bucket 'a' spans two parents
+    assert got == {"a": (3, 10.0, 5.0), "b": (1, 9.0, 9.0)}
+    assert [r["tag"] for r in rows] == ["a", "b"]  # doc_count desc
+
+    filt = children_agg(par, ch, "pid", "fk", "tag",
+                        metrics={"sum_v": F.sum("v")},
+                        child_filter=F.col("v") > 4.0).collect()
+    assert {r["tag"]: r["doc_count"] for r in filt} == {"a": 1, "b": 1}
+
+    kids = parent_id(ch, "fk", 1).collect()
+    assert {r["cid"] for r in kids} == {10, 11}

@@ -175,3 +175,161 @@ def test_rollover(spark, corpus_df, tmp_path):
     assert load_meta(base)["n_docs"] == corpus_df.count()
     with pytest.raises(FileNotFoundError):
         rollover(base, max_docs=1)  # not an alias
+
+
+def test_shrink_index_hardlink_rank_identity(spark, corpus_df, tmp_path):
+    import os
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import bucket_of
+    from elasticsearch_osmosis_plugin_spark.plans.merge import shrink_index
+
+    src = str(tmp_path / "src")
+    build_index(spark, corpus_df, src,
+                EngineConfig(n_segments=4, n_buckets=8, block_size=16),
+                id_col="doc_id", n_groups=1)
+    want = topk(spark, src, "public static void", k=10).collect()
+    ph = {r["doc_id"] for r in
+          match_phrase(spark, src, "id0000 id0000").collect()}
+
+    dst = str(tmp_path / "small")
+    meta = shrink_index(spark, src, dst, 2)
+    assert meta["n_buckets"] == 2
+    got = topk(spark, dst, "public static void", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+    # positional postings survive the remap
+    assert {r["doc_id"] for r in
+            match_phrase(spark, dst, "id0000 id0000").collect()} == ph
+
+    # zero-copy: every data file in the shrunk index is a HARDLINK of a
+    # source file (same inode), and bucket dirs really coalesced
+    pdir = os.path.join(dst, "postings", "group=0")
+    bdirs = sorted(d for d in os.listdir(pdir) if d.startswith("bucket="))
+    assert bdirs == ["bucket=0", "bucket=1"]
+    src_inodes = {os.stat(os.path.join(r, f)).st_ino
+                  for r, _, fs in os.walk(src) for f in fs}
+    linked = [os.path.join(r, f)
+              for r, _, fs in os.walk(pdir) for f in fs
+              if f.endswith(".parquet")]
+    assert linked
+    assert all(os.stat(p).st_ino in src_inodes for p in linked)
+    # routing arithmetic: md5 % 8 coalesced by % 2 == md5 % 2
+    assert all(bucket_of(t, 8) % 2 == bucket_of(t, 2)
+               for t in ("public", "static", "void", "id0000"))
+
+    # the SOURCE index is untouched (hardlinked meta must not be
+    # truncated in place — regression: shrink once rewrote the shared
+    # inode and flipped the source's n_buckets)
+    assert load_meta(src)["n_buckets"] == 8
+    again = topk(spark, src, "public static void", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in again] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+    with pytest.raises(ValueError):
+        shrink_index(spark, src, str(tmp_path / "bad"), 3)
+    with pytest.raises(ValueError):
+        shrink_index(spark, src, str(tmp_path / "bad"), 8)
+
+
+def test_split_index_rank_identity_docstats_hardlinked(spark, corpus_df,
+                                                       tmp_path):
+    import os
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.merge import split_index
+
+    src = str(tmp_path / "src")
+    build_index(spark, corpus_df, src,
+                EngineConfig(n_segments=4, n_buckets=4, block_size=16),
+                id_col="doc_id", n_groups=1)
+    want = topk(spark, src, "public static void", k=10).collect()
+    ph = {r["doc_id"] for r in
+          match_phrase(spark, src, "id0000 id0000").collect()}
+
+    dst = str(tmp_path / "wide")
+    meta = split_index(spark, src, dst, 16)
+    assert meta["n_buckets"] == 16
+    got = topk(spark, dst, "public static void", k=10).collect()
+    # rank-identical; scores to float-reassociation tolerance (the
+    # repartition changes partial-sum order)
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9 * abs(w["score"])
+    assert {r["doc_id"] for r in
+            match_phrase(spark, dst, "id0000 id0000").collect()} == ph
+
+    # the corpus-sized table is NOT rewritten: docstats files hardlink
+    # to the source (split touches posting rows only)
+    src_inodes = {os.stat(os.path.join(r, f)).st_ino
+                  for r, _, fs in os.walk(os.path.join(src, "docstats"))
+                  for f in fs}
+    dsts = [os.path.join(r, f)
+            for r, _, fs in os.walk(os.path.join(dst, "docstats"))
+            for f in fs]
+    assert dsts and all(os.stat(p).st_ino in src_inodes for p in dsts)
+    # postings really spread over more buckets than before
+    pdir = os.path.join(dst, "postings", "group=0")
+    assert len([d for d in os.listdir(pdir)
+                if d.startswith("bucket=")]) > 4
+
+    # source untouched (same hardlink-truncation regression guard)
+    assert load_meta(src)["n_buckets"] == 4
+
+    with pytest.raises(ValueError):
+        split_index(spark, src, str(tmp_path / "bad"), 6)
+    with pytest.raises(ValueError):
+        split_index(spark, src, str(tmp_path / "bad"), 4)
+
+
+def test_ingest_pipeline_processors(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+        simulate_pipeline,
+    )
+
+    rows = simulate_pipeline(spark, [
+        {"dissect": {"field": "msg",
+                     "pattern": "%{ip} - %{verb} %{path}"}},
+        {"uppercase": {"field": "verb"}},
+        {"rename": {"field": "msg", "target_field": "raw"}},
+        {"set": {"field": "site", "value": "eu", "if": "ip like '10.%'"}},
+        {"set": {"field": "code2", "copy_from": "code", "override": False}},
+        {"convert": {"field": "code2", "type": "long"}},
+        {"gsub": {"field": "path", "pattern": "/+", "replacement": "/"}},
+        {"split": {"field": "path", "separator": "/",
+                   "target_field": "segs"}},
+        {"remove": {"field": "code"}},
+    ], [
+        {"msg": "10.0.0.3 - get //a//b", "code": "200"},
+        {"msg": "192.168.1.9 - post /c", "code": None},
+    ]).collect()
+    by_ip = {r["ip"]: r for r in rows}
+    a = by_ip["10.0.0.3"]
+    assert (a["verb"], a["path"], a["site"], a["code2"],
+            list(a["segs"])) == ("GET", "/a/b", "eu", 200, ["", "a", "b"])
+    b = by_ip["192.168.1.9"]
+    assert b["verb"] == "POST" and b["site"] is None
+    assert b["code2"] is None  # override=False kept NULL; convert -> NULL
+    assert "code" not in rows[0].asDict() and "msg" not in rows[0].asDict()
+    assert a["raw"].startswith("10.0.0.3")
+
+    # chain folds into one projection: no shuffle, single scan
+    df = spark.createDataFrame([("x y", 1)], "msg string, code long")
+    out = apply_pipeline(df, [
+        {"dissect": {"field": "msg", "pattern": "%{a} %{b}"}},
+        {"uppercase": {"field": "a"}},
+        {"script": {"target_field": "c", "source": "code * 2"}},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        apply_pipeline(df, [{"nope": {}}])
+    with pytest.raises(ValueError):
+        apply_pipeline(df, [{"set": {"field": "x", "value": 1},
+                             "gsub": {}}])
