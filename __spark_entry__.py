@@ -659,6 +659,57 @@ LIMIT 10
 """
 
 
+def q_simple_query_string_idx(spark, sf_dir):
+    """ES simple_query_string (the lenient search-box language) under
+    the hard gate: ``spark + "query join" -dup | win*`` — an AND
+    alternative (BM25 term + constant-score phrase), an OR prefix
+    alternative, and a group-level exclusion, one shared postings
+    decode."""
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        simple_query_string_topk,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = simple_query_string_topk(
+        spark, idx, 'spark + "query join" -dup | win*', k=30)
+    return _rerank_score_x1e4(raw, 10)
+
+
+SQS_ORACLE_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term = 'spark' GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (SELECT tf.doc_id,
+              ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) AS sp
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+feat AS (SELECT doc_id,
+    CASE WHEN len(toks) >= 2 AND list_contains(
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]), 'query join')
+         THEN 1.0 ELSE 0.0 END AS ph,
+    CASE WHEN len(list_filter(toks, t -> t LIKE 'win%')) > 0
+         THEN 1.0 ELSE 0.0 END AS pf,
+    list_contains(toks, 'dup') AS has_dup
+  FROM toks),
+sc AS (SELECT f.doc_id,
+              CASE WHEN b.sp IS NOT NULL AND f.ph = 1.0
+                   THEN b.sp + 1.0 ELSE 0.0 END + f.pf AS s
+       FROM feat f LEFT JOIN bm b USING (doc_id)
+       WHERE NOT f.has_dup
+         AND ((b.sp IS NOT NULL AND f.ph = 1.0) OR f.pf = 1.0))
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM sc
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_lm_dirichlet_idx(spark, sf_dir):
     """Lucene LMDirichlet similarity (ES similarity module, mu=2000)
     over the persisted index: collection-LM smoothing, per-clause
@@ -1939,6 +1990,39 @@ def q_embedding_neardup(spark, sf_dir):
     """Exact cosine near-dup pairs (embedding dedupe baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs_exact(emb, threshold=0.35)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup end-to-end under the hard gate:
+    exact cosine pairs (n_lists=1 correctness baseline) -> connected
+    components (large-star/small-star) -> every vector labeled
+    (doc_id, cluster_id=min id, is_keep). The oracle rebuilds the
+    same components with a recursive min-label CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.35, id_col="vec_id")
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+  FROM b a JOIN b c ON a.vec_id < c.vec_id
+  WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.35),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id AS doc_id,
+       coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
+       e.vec_id = coalesce(cc.cluster_id, e.vec_id) AS is_keep
+FROM embeddings e LEFT JOIN cc ON cc.doc_id = e.vec_id
+"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -3811,6 +3895,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
+    "simple_query_string_idx": q_simple_query_string_idx,
     "scan_scroll_idx": q_scan_scroll_idx,
     "scan_sliced_idx": q_scan_sliced_idx,
     "shuffle_order": q_shuffle_order,
@@ -3894,6 +3979,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "knn_filtered": q_knn_filtered,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "mixture_sample": q_mixture_sample,
@@ -4067,6 +4153,7 @@ def oracle_sql() -> dict[str, str]:
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "query_string_idx": QS_ORACLE_SQL,
+        "simple_query_string_idx": SQS_ORACLE_SQL,
         # page 2 == rows 51-100 of the doc_id-ordered match set (keyset
         # after page 1's last id is identical to OFFSET on a unique key)
         "shuffle_order": SHUFFLE_ORDER_SQL,
@@ -5043,6 +5130,7 @@ s AS (SELECT vec_id,
       FROM embeddings CROSS JOIN q)
 SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
 ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT 10""",
+        "semantic_dedup": SEMANTIC_DEDUP_SQL,
         "embedding_neardup": """
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -647,6 +647,23 @@ def _search_query(spark: SparkSession, index_path: str,
             default_operator=(spec.get("default_operator", "OR")
                               if isinstance(spec, dict) else "OR"))
 
+    if kind == "simple_query_string":
+        # {"simple_query_string": {"query": "...", "flags": "OR|NOT",
+        #  "default_operator": "AND", "fields": ["text"]}} — the
+        # lenient search-box language via operators.querystring
+        from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+            simple_query_string_topk,
+        )
+
+        if post_col is not None:
+            raise ValueError(
+                "post_filter with simple_query_string is not supported")
+        return simple_query_string_topk(
+            spark, index_path, spec["query"], k=k,
+            default_operator=spec.get("default_operator", "OR"),
+            flags=spec.get("flags", "ALL"),
+            fields=spec.get("fields"))
+
 
     if kind == "wrapper":
         # ES wrapper query: a base64-encoded JSON query body (the

@@ -225,6 +225,17 @@ def query_string_topk(spark: SparkSession, index_path: str, q: str,
                       k: int = 10, default_operator: str = "OR",
                       max_expansions: int = 1000) -> DataFrame:
     """Rank the index with a Lucene query_string -> (doc_id, score)."""
+    tree = parse_query_string(q, default_operator)
+    return compile_tree_topk(spark, index_path, tree, k, max_expansions)
+
+
+def compile_tree_topk(spark: SparkSession, index_path: str, tree: Group,
+                      k: int = 10, max_expansions: int = 1000) -> DataFrame:
+    """Compile a parsed Leaf/Group tree against the index: one shared
+    postings decode for every scored term, metadata-only multi-term
+    expansions, clause algebra as doc_id hash-aggregation, final k-cut
+    a TakeOrderedAndProject. Shared by the classic and the simple
+    query-string parsers."""
     from elasticsearch_osmosis_plugin_spark.operators import intersect
     from elasticsearch_osmosis_plugin_spark.operators.query import (
         _scored,
@@ -236,7 +247,6 @@ def query_string_topk(spark: SparkSession, index_path: str, q: str,
     from elasticsearch_osmosis_plugin_spark.plans import catalog
 
     meta = load_meta(index_path)
-    tree = parse_query_string(q, default_operator)
 
     all_terms: set[str] = set()
     _collect_terms(tree, meta, all_terms)
@@ -265,10 +275,14 @@ def query_string_topk(spark: SparkSession, index_path: str, q: str,
             return (shared.filter(F.col("term").isin(terms))
                     .groupBy("doc_id")
                     .agg((F.sum("partial") * F.lit(leaf.boost)).alias("score")))
-        if leaf.kind == "exists":
+        if leaf.kind in ("exists", "match_all"):
             ds = catalog.read_table(spark, index_path, "docstats")
-            return ds.filter(F.col(leaf.text).isNotNull()).select(
-                "doc_id", F.lit(leaf.boost).alias("score"))
+            if leaf.kind == "exists":
+                ds = ds.filter(F.col(leaf.text).isNotNull())
+            ds = ds.select("doc_id", F.lit(leaf.boost).alias("score"))
+            if denied is not None:
+                ds = ds.join(denied.select("doc_id"), "doc_id", "left_anti")
+            return ds
         if leaf.kind == "phrase":
             toks = _analyzed(leaf.text, meta)
             if not toks:
@@ -342,3 +356,237 @@ def query_string_topk(spark: SparkSession, index_path: str, q: str,
         return base
 
     return deterministic_topk(compile_node(tree), k)
+
+
+# ------------------------------------------------- simple_query_string
+
+_SQS_ALL_FLAGS = frozenset({"AND", "OR", "NOT", "PHRASE", "PREFIX",
+                            "PRECEDENCE", "ESCAPE", "FUZZY", "SLOP",
+                            "NEAR", "WHITESPACE"})
+
+
+def _sqs_flags(flags: str) -> frozenset:
+    if flags.upper() == "ALL":
+        return _SQS_ALL_FLAGS
+    if flags.upper() == "NONE":
+        return frozenset({"WHITESPACE"})
+    out = set()
+    for part in flags.upper().split("|"):
+        part = part.strip()
+        if part and part not in _SQS_ALL_FLAGS:
+            raise ValueError(f"simple_query_string: unknown flag {part!r}")
+        if part:
+            out.add(part)
+    out.add("WHITESPACE")          # term splitting is not optional here
+    if "NEAR" in out:
+        out.add("SLOP")            # ES NEAR == phrase slop
+    return frozenset(out)
+
+
+def _sqs_scan(q: str, fl: frozenset) -> list:
+    """Char-level lenient scan. Yields '(' / ')' / 'AND' / 'OR' /
+    'NOT' / ('PHRASE', (text, slop)) / ('TERM', (text, fuzz, prefix)).
+    Disabled specials fall through as literal word characters; nothing
+    ever raises (the simple parser's contract)."""
+    out: list = []
+    buf: list[str] = []
+    i, n = 0, len(q)
+
+    def flush(fuzz: int | None = None) -> None:
+        if not buf:
+            return
+        text = "".join(buf)
+        buf.clear()
+        prefix = False
+        if fuzz is None and "PREFIX" in fl and text.endswith("*") \
+                and len(text) > 1:
+            text, prefix = text[:-1], True
+        out.append(("TERM", (text, fuzz, prefix)))
+
+    while i < n:
+        c = q[i]
+        if c == "\\" and "ESCAPE" in fl and i + 1 < n:
+            buf.append(q[i + 1])
+            i += 2
+            continue
+        if c.isspace():
+            flush()
+            i += 1
+            continue
+        if c == "+" and "AND" in fl:
+            flush()
+            out.append("AND")
+            i += 1
+            continue
+        if c == "|" and "OR" in fl:
+            flush()
+            out.append("OR")
+            i += 1
+            continue
+        if c == "-" and "NOT" in fl and not buf:
+            out.append("NOT")
+            i += 1
+            continue
+        if c == "(" and "PRECEDENCE" in fl:
+            flush()
+            out.append("(")
+            i += 1
+            continue
+        if c == ")" and "PRECEDENCE" in fl:
+            flush()
+            out.append(")")
+            i += 1
+            continue
+        if c == '"' and "PHRASE" in fl:
+            flush()
+            j = q.find('"', i + 1)
+            if j < 0:                      # unterminated: rest is the phrase
+                text, i = q[i + 1:], n
+            else:
+                text, i = q[i + 1:j], j + 1
+            slop = 0
+            if i < n and q[i] == "~" and "SLOP" in fl:
+                m = re.match(r"~(\d+)", q[i:])
+                if m:
+                    slop, i = int(m.group(1)), i + m.end()
+            out.append(("PHRASE", (text, slop)))
+            continue
+        if c == "~" and "FUZZY" in fl and buf:
+            m = re.match(r"~(\d*)", q[i:])
+            i += m.end()
+            flush(fuzz=int(m.group(1)) if m.group(1) else 2)
+            continue
+        buf.append(c)
+        i += 1
+    flush()
+    return out
+
+
+def parse_simple_query_string(q: str, default_operator: str = "OR",
+                              flags: str = "ALL") -> Group:
+    """ES ``simple_query_string``: the lenient end-user mini-language
+    (``+`` AND, ``|`` OR, ``-`` negation, quoted phrases with ``~N``
+    slop, trailing ``*`` prefix, ``~N`` fuzziness, ``(...)`` groups,
+    ``\\`` escaping; each feature detachable via ``flags``). NEVER
+    raises on malformed input: stray ``)`` is ignored, an unclosed
+    ``(`` or ``"`` closes at end-of-string, dangling operators drop —
+    exactly the discard-invalid-parts contract that makes this the
+    user-facing search-box query in ES.
+
+    Occur algebra (Lucene SimpleQueryParser's flat model): ``|``
+    starts a new alternative, ``+`` (or default_operator=AND
+    whitespace) extends the current one, and ``-`` clauses attach as
+    MUST_NOT to the ENCLOSING group — ``a | -b`` matches a-docs minus
+    b-docs, not "everything except b, or a". One documented
+    divergence: ``+`` binds tighter than ``|`` everywhere (DNF),
+    where Lucene nests left-associatively on operator switches."""
+    fl = _sqs_flags(flags)
+    toks = _sqs_scan(q, fl)
+    pos = 0
+    as_must = default_operator.upper() == "AND"
+
+    def parse_group(depth: int) -> Group | Leaf | None:
+        nonlocal pos
+        alts: list[list] = []
+        cur: list = []
+        nots: list = []
+        neg = False
+        op: str | None = None
+        while pos < len(toks):
+            t = toks[pos]
+            pos += 1
+            if t == ")":
+                if depth:
+                    break
+                continue                    # lenient: stray ')'
+            if t in ("AND", "OR"):
+                op = t
+                continue
+            if t == "NOT":
+                neg = True
+                continue
+            if t == "(":
+                node = parse_group(depth + 1)
+            elif t[0] == "PHRASE":
+                text, slop = t[1]
+                node = Leaf("phrase", text, 1.0, slop=slop) if text.strip() \
+                    else None
+            else:
+                text, fuzz, prefix = t[1]
+                if not text:
+                    node = None
+                elif fuzz is not None:
+                    node = Leaf("fuzzy", text, 1.0, fuzz=fuzz)
+                elif prefix:
+                    node = Leaf("prefix", text, 1.0)
+                else:
+                    node = Leaf("term", text, 1.0)
+            if node is None:               # empty capture: drop silently
+                neg, op = False, None
+                continue
+            if neg:
+                nots.append(node)
+            else:
+                new_alt = (op == "OR") or (op is None and not as_must
+                                           and cur)
+                if new_alt and cur:
+                    alts.append(cur)
+                    cur = []
+                cur.append(node)
+            neg, op = False, None
+        if cur:
+            alts.append(cur)
+
+        def build_alt(items: list):
+            if len(items) == 1:
+                return items[0]
+            return Group([(MUST, it) for it in items])
+
+        if not alts and not nots:
+            return None
+        children: list = []
+        if len(alts) == 1 and len(alts[0]) == 1 and not nots and depth:
+            return alts[0][0]              # transparent inner group
+        if len(alts) <= 1:
+            for it in (alts[0] if alts else []):
+                children.append((MUST, it))
+        else:
+            for a in alts:
+                children.append((SHOULD, build_alt(a)))
+        if not children and nots:
+            children.append((MUST, Leaf("match_all", "")))
+        children.extend((MUST_NOT, x) for x in nots)
+        return Group(children)
+
+    root = parse_group(0)
+    if root is None:
+        return Group([])                   # match none (ES empty query)
+    if isinstance(root, Leaf):
+        return Group([(MUST, root)])
+    return root
+
+
+def simple_query_string_topk(spark: SparkSession, index_path: str, q: str,
+                             k: int = 10, default_operator: str = "OR",
+                             flags: str = "ALL",
+                             fields: list[str] | None = None,
+                             max_expansions: int = 1000) -> DataFrame:
+    """Rank the index with an ES simple_query_string -> (doc_id,
+    score). Same compiled plan as query_string_topk — one shared
+    postings decode, metadata-only expansions, TakeOrderedAndProject
+    k-cut."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import load_meta
+
+    if fields:
+        meta = load_meta(index_path)
+        indexed = meta.get("text_col")
+        for f in fields:
+            name = f.split("^", 1)[0]
+            if indexed is not None and name != indexed:
+                raise ValueError(
+                    f"simple_query_string: unknown field {name!r} "
+                    f"(index covers {indexed!r})")
+    tree = parse_simple_query_string(q, default_operator, flags)
+    if not tree.children:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return compile_tree_topk(spark, index_path, tree, k, max_expansions)

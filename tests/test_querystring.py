@@ -182,3 +182,118 @@ def test_exists_clause(spark, idx):
                  .select("doc_id").collect()}
     has_pub = set(_ids(intersect.match_all_terms(spark, idx, "public")))
     assert set(_ids(got)) == has_pub & with_lang
+
+
+# ------------------------------------------------- simple_query_string
+
+def _sr(n):
+    if isinstance(n, Leaf):
+        return (n.kind, n.text, n.fuzz, n.slop)
+    return [(o, _sr(c)) for o, c in n.children]
+
+
+def test_sqs_parse_shapes():
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        parse_simple_query_string as p,
+    )
+
+    # + binds tighter than |, whitespace takes default_operator
+    assert _sr(p("a + b | c")) == [
+        (SHOULD, [(MUST, ("term", "a", 0, 0)), (MUST, ("term", "b", 0, 0))]),
+        (SHOULD, ("term", "c", 0, 0))]
+    assert _sr(p("a b", default_operator="AND")) == [
+        (MUST, ("term", "a", 0, 0)), (MUST, ("term", "b", 0, 0))]
+    assert _sr(p("a b")) == [
+        (SHOULD, ("term", "a", 0, 0)), (SHOULD, ("term", "b", 0, 0))]
+    # negation attaches to the ENCLOSING group (Lucene flat model)
+    assert _sr(p("a | -b")) == [
+        (MUST, ("term", "a", 0, 0)), (MUST_NOT, ("term", "b", 0, 0))]
+    # purely negative: match_all minus the exclusion
+    assert _sr(p("-b")) == [
+        (MUST, ("match_all", "", 0, 0)), (MUST_NOT, ("term", "b", 0, 0))]
+    # fuzzy / slop / prefix leaves
+    assert _sr(p('a~1 "x y"~2 pre*', default_operator="AND")) == [
+        (MUST, ("fuzzy", "a", 1, 0)), (MUST, ("phrase", "x y", 0, 2)),
+        (MUST, ("prefix", "pre", 0, 0))]
+
+
+def test_sqs_lenient_never_raises():
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        parse_simple_query_string as p,
+    )
+
+    assert _sr(p("((a + b) | c")) == [(MUST, [
+        (SHOULD, [(MUST, ("term", "a", 0, 0)), (MUST, ("term", "b", 0, 0))]),
+        (SHOULD, ("term", "c", 0, 0))])]          # unclosed ( closes at EOF
+    assert _sr(p("a ) b")) == [                    # stray ) ignored
+        (SHOULD, ("term", "a", 0, 0)), (SHOULD, ("term", "b", 0, 0))]
+    assert _sr(p("+ | a")) == [(MUST, ("term", "a", 0, 0))]  # dangling ops
+    assert p("").children == []                    # empty -> match none
+    assert _sr(p('"unterminated pa')) == [
+        (MUST, ("phrase", "unterminated pa", 0, 0))]
+
+
+def test_sqs_flags_disable_features():
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        parse_simple_query_string as p,
+    )
+
+    # NONE: every special char is literal text (one term)
+    assert _sr(p("a+b|c", flags="NONE")) == [(MUST, ("term", "a+b|c", 0, 0))]
+    # only PREFIX|NOT active: + and | are literal, * and - work
+    assert _sr(p("foo* -bar", flags="PREFIX|NOT")) == [
+        (MUST, ("prefix", "foo", 0, 0)), (MUST_NOT, ("term", "bar", 0, 0))]
+    # escape makes a special literal
+    assert _sr(p(r"a\+b")) == [(MUST, ("term", "a+b", 0, 0))]
+    with pytest.raises(ValueError, match="unknown flag"):
+        p("a", flags="BOGUS")
+
+
+def test_sqs_topk_equals_query_string(spark, idx):
+    """The same boolean query through both parsers is value-identical
+    (shared compiler)."""
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        simple_query_string_topk,
+    )
+
+    a = simple_query_string_topk(spark, idx, "spark + index | merge",
+                                 k=20)
+    b = query_string_topk(spark, idx, "(spark AND index) OR merge", k=20)
+    ra = [(r["doc_id"], round(r["score"], 9)) for r in a.collect()]
+    rb = [(r["doc_id"], round(r["score"], 9)) for r in b.collect()]
+    assert ra == rb and ra
+
+
+def test_sqs_negation_and_pure_negative(spark, idx, corpus_df):
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        simple_query_string_topk,
+    )
+
+    n = corpus_df.count()
+    with_merge = intersect.match_all_terms(spark, idx, "merge")
+    nm = with_merge.count()
+    assert 0 < nm < n
+    # -merge alone matches everything except merge docs
+    res = simple_query_string_topk(spark, idx, "-merge", k=n + 10)
+    assert res.count() == n - nm
+    got = {r["doc_id"] for r in res.collect()}
+    assert not got & {r["doc_id"] for r in with_merge.collect()}
+
+
+def test_sqs_dsl_and_fields_validation(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.operators.querystring import (
+        simple_query_string_topk,
+    )
+
+    indexed = query.load_meta(idx)["text_col"]
+    raw = dsl.search(spark, idx, {
+        "query": {"simple_query_string": {
+            "query": "spark + index", "fields": [f"{indexed}^2"]}},
+        "size": 10})
+    direct = simple_query_string_topk(spark, idx, "spark + index", k=10)
+    assert [r["doc_id"] for r in raw.collect()] \
+        == [r["doc_id"] for r in direct.collect()]
+    with pytest.raises(ValueError, match="unknown field"):
+        simple_query_string_topk(spark, idx, "a", fields=["nope"])
+    # empty query matches nothing, never raises
+    assert simple_query_string_topk(spark, idx, "( | ").count() == 0
