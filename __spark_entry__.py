@@ -1290,6 +1290,49 @@ def q_significant_terms_idx(spark, sf_dir):
                     x1e4(F.col("jlh")).alias("jlh_x1e4"))
 
 
+def q_sig_terms_chi2_idx(spark, sf_dir):
+    """significant_terms with the chi_square heuristic (ES's pluggable
+    significance family): Pearson chi² of the 2x2 term-by-hit-set
+    contingency table, background-is-superset cell algebra."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        significant_terms,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    s = significant_terms(spark, idx, "window dup", size=10,
+                          min_doc_count=3, heuristic="chi_square")
+    return s.select("term", "df_fg", "df_bg",
+                    x1e4(F.col("chi_square")).alias("chi2_x1e4"))
+
+
+SIG_CHI2_SQL = f"""
+WITH {TOK_CTE},
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+hits AS (SELECT doc_id FROM toks
+         WHERE list_contains(toks, 'window') OR list_contains(toks, 'dup')),
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM hits),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+fg AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
+       WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY term),
+bg AS (SELECT term, count(*)::DOUBLE AS df_bg FROM tokd GROUP BY term),
+cells AS (SELECT term, df_fg, df_bg, n_fg, n_docs,
+                 df_fg AS a, df_bg - df_fg AS b, n_fg - df_fg AS c,
+                 n_docs - n_fg - (df_bg - df_fg) AS d
+          FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nd
+          WHERE df_fg >= 3),
+sc AS (SELECT term, df_fg, df_bg,
+              CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0
+                   THEN n_docs * (a*d - b*c) * (a*d - b*c)
+                        / ((a+b)*(c+d)*(a+c)*(b+d))
+                   ELSE 0.0 END AS chi2
+       FROM cells)
+SELECT term, df_fg::BIGINT AS df_fg, df_bg::BIGINT AS df_bg,
+       floor(chi2 * 10000.0 + 0.5)::BIGINT AS chi2_x1e4
+FROM sc ORDER BY chi2 DESC, term LIMIT 10
+"""
+
+
 def q_fuzzy_match_idx(spark, sf_dir):
     """ES fuzzy-query analog: Levenshtein dictionary expansion
     (closest-first, capped) -> constant-score doc set, index-side."""
@@ -3933,6 +3976,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_prefix_idx": q_suggest_prefix_idx,
     "cardinality_idx": q_cardinality_idx,
     "significant_terms_idx": q_significant_terms_idx,
+    "sig_terms_chi2_idx": q_sig_terms_chi2_idx,
     "span_near_idx": q_span_near_idx,
     "span_near_unordered_idx": q_span_near_unordered_idx,
     "span_first_idx": q_span_first_idx,
@@ -4555,6 +4599,7 @@ WITH {TOK_CTE},
 hits AS (SELECT doc_id, source FROM toks
          WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
 SELECT count(DISTINCT source) AS cardinality FROM hits""",
+        "sig_terms_chi2_idx": SIG_CHI2_SQL,
         "significant_terms_idx": f"""
 WITH {TOK_CTE},
 tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),

@@ -982,21 +982,35 @@ def term_vectors(spark: SparkSession, index_path: str,
 
 def significant_terms(spark: SparkSession, index_path: str, query: str,
                       size: int = 10, min_doc_count: int = 3,
-                      mode: str = "any") -> DataFrame:
+                      mode: str = "any", heuristic: str = "jlh") -> DataFrame:
     """ES significant_terms aggregation analog: terms over-represented
     in the query's hit set relative to the background corpus, scored
-    with ES's JLH heuristic
+    with ES's pluggable significance-heuristic family (``heuristic``,
+    the same names ES's agg body takes):
 
-        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    - ``jlh`` (ES default): (fg_rate - bg_rate) * (fg_rate / bg_rate)
+      with fg_rate = df_fg / n_hits, bg_rate = df_bg / n_docs;
+    - ``chi_square``: Pearson chi² of the 2x2 (term x in-hit-set)
+      contingency table with background-is-superset cell algebra
+      (a=df_fg, b=df_bg-df_fg, c=n_fg-df_fg, d=n_docs-n_fg-b);
+    - ``mutual_information``: the table's MI in bits (log2), each of
+      the four cells contributing p(x,y)·log2(p(x,y)/(p(x)p(y))),
+      zero-count cells contributing 0;
+    - ``gnd``: 1 / (1 + Google-normalized distance) with
+      fx=df_bg, fy=n_fg, fxy=df_fg — a similarity in (0, 1];
+    - ``percentage``: df_fg / df_bg.
 
-    where fg_rate = df_fg / n_hits and bg_rate = df_bg / n_docs.
+    Formulas are the standard published ones for each name (the exact
+    ES source constants — e.g. MI's include_negatives sign flip — are
+    not bit-promised; the score column is NAMED after the heuristic so
+    callers see which contract they got).
 
     Plan: foreground doc frequencies come from the HIT DOCS' stored
     term vectors (doc-store scan semi-join-pruned to the hit stream,
     distinct terms exploded, one count per term); background
     frequencies come from the DICTIONARY (metadata-only, no posting
-    decode). Output: (term, df_fg, df_bg, jlh) ordered jlh desc, term
-    asc, limit ``size`` — deterministic."""
+    decode). Output: (term, df_fg, df_bg, <heuristic>) ordered score
+    desc, term asc, limit ``size`` — deterministic."""
     from elasticsearch_osmosis_plugin_spark.plans import catalog
     from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
 
@@ -1014,14 +1028,50 @@ def significant_terms(spark: SparkSession, index_path: str, query: str,
     n_fg = fg_docs.select(F.count(F.lit(1)).alias("n_fg"))
     bg = (dictionary_df(spark, index_path)
           .groupBy("term").agg(F.sum("df").alias("df_bg")))
-    n_docs = float(meta["n_docs"])
-    fg_rate = F.col("df_fg") / F.col("n_fg")
-    bg_rate = F.col("df_bg") / F.lit(n_docs)
     return (fg.join(bg, "term").crossJoin(F.broadcast(n_fg))
             .filter(F.col("df_fg") >= min_doc_count)
             .select("term", "df_fg", "df_bg",
-                    ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("jlh"))
-            .orderBy(F.desc("jlh"), F.asc("term")).limit(size))
+                    _sig_heuristic(heuristic, float(meta["n_docs"]))
+                    .alias(heuristic))
+            .orderBy(F.desc(heuristic), F.asc("term")).limit(size))
+
+
+def _sig_heuristic(heuristic: str, n_docs: float):
+    """The significance score Column for one heuristic name, over the
+    joined (df_fg, df_bg, n_fg) frame. Shared by significant_terms
+    (any heuristic) and significant_text (jlh)."""
+    fg_rate = F.col("df_fg") / F.col("n_fg")
+    bg_rate = F.col("df_bg") / F.lit(n_docs)
+    if heuristic == "jlh":
+        return (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    if heuristic == "percentage":
+        return F.col("df_fg") / F.col("df_bg")
+    a = F.col("df_fg").cast("double")
+    b = (F.col("df_bg") - F.col("df_fg")).cast("double")
+    c = (F.col("n_fg") - F.col("df_fg")).cast("double")
+    n = F.lit(n_docs)
+    d = n - F.col("n_fg") - b
+    if heuristic == "chi_square":
+        num = n * (a * d - b * c) * (a * d - b * c)
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    if heuristic == "mutual_information":
+        def cell(o, rx, cx):
+            p = o / n
+            return F.when(o > 0,
+                          p * F.log2(p / ((rx / n) * (cx / n)))) \
+                    .otherwise(F.lit(0.0))
+
+        return (cell(a, a + b, a + c) + cell(b, a + b, b + d)
+                + cell(c, c + d, a + c) + cell(d, c + d, b + d))
+    if heuristic == "gnd":
+        fx = F.log(F.col("df_bg").cast("double"))
+        fy = F.log(F.col("n_fg").cast("double"))
+        fxy = F.log(F.col("df_fg").cast("double"))
+        ngd = ((F.greatest(fx, fy) - fxy)
+               / (F.log(n) - F.least(fx, fy)))
+        return F.lit(1.0) / (F.lit(1.0) + ngd)
+    raise ValueError(f"significant_terms: unknown heuristic {heuristic!r}")
 
 
 def facet_counts(spark: SparkSession, index_path: str, query: str,

@@ -1833,3 +1833,60 @@ def test_children_agg_and_parent_id(spark):
 
     kids = parent_id(ch, "fk", 1).collect()
     assert {r["cid"] for r in kids} == {10, 11}
+
+
+def test_significant_terms_heuristic_family(spark, corpus_rows, index_path):
+    """chi_square / mutual_information / gnd / percentage vs an
+    independent python recompute of each published formula."""
+    import math
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        significant_terms,
+    )
+
+    toks = {d: set(tokenize_py(t, "code"))
+            for d, t in zip(corpus_rows["doc_id"], corpus_rows["content"])}
+    query = "public"
+    hits = {d for d, s in toks.items() if query in s}
+    n_fg, n = float(len(hits)), float(len(toks))
+    fg = Counter(t for d in hits for t in toks[d])
+    bg = Counter(t for s in toks.values() for t in s)
+
+    def scores(heur):
+        out = {}
+        for t, a in fg.items():
+            if a < 3:
+                continue
+            b, c = bg[t] - a, n_fg - a
+            d = n - n_fg - b
+            if heur == "percentage":
+                out[t] = a / bg[t]
+            elif heur == "chi_square":
+                den = (a + b) * (c + d) * (a + c) * (b + d)
+                out[t] = n * (a * d - b * c) ** 2 / den if den > 0 else 0.0
+            elif heur == "mutual_information":
+                s = 0.0
+                for o, rx, cx in ((a, a + b, a + c), (b, a + b, b + d),
+                                  (c, c + d, a + c), (d, c + d, b + d)):
+                    if o > 0:
+                        s += (o / n) * math.log2((o / n) / ((rx / n) * (cx / n)))
+                out[t] = s
+            elif heur == "gnd":
+                fx, fy, fxy = math.log(bg[t]), math.log(n_fg), math.log(a)
+                ngd = (max(fx, fy) - fxy) / (math.log(n) - min(fx, fy))
+                out[t] = 1.0 / (1.0 + ngd)
+        return out
+
+    for heur in ("chi_square", "mutual_information", "gnd", "percentage"):
+        want = scores(heur)
+        top = [t for t in sorted(want, key=lambda t: (-want[t], t))][:10]
+        got = significant_terms(spark, index_path, query, size=10,
+                                min_doc_count=3, heuristic=heur).collect()
+        assert [r["term"] for r in got] == top, heur
+        for r in got:
+            assert abs(r[heur] - want[r["term"]]) < 1e-9, (heur, r["term"])
+
+    with pytest.raises(ValueError, match="unknown heuristic"):
+        significant_terms(spark, index_path, "public", heuristic="bogus")
