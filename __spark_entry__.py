@@ -1946,6 +1946,73 @@ LIMIT 10
 """
 
 
+def q_hybrid_linear(spark, sf_dir):
+    """Modern ES `linear` retriever: the same BM25 + cosine rankings
+    as hybrid_rrf, fused by weighted minmax-normalized SCORES
+    (bm25 weight 2, cosine weight 1, window 20 per source) instead of
+    ranks. Normalization constants come from the x1e4 fixed-point
+    window, so every fused value is engine-deterministic."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import linear_fuse
+
+    bm = _bm25_idx(spark, sf_dir, "spark query join", 20, "scoreall")
+    emb = _t(spark, sf_dir, "embeddings")
+    cos = (similarity.cosine_scores(emb, _query_vec(spark, sf_dir))
+           .select(F.col("vec_id").alias("doc_id"),
+                   x1e4(F.col("cos")).alias("score_x1e4"))
+           .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(20))
+    return linear_fuse({"bm25": bm, "cos": cos},
+                       weights={"bm25": 2.0, "cos": 1.0}, k=10,
+                       normalizer="minmax", window=20)
+
+
+HYBRID_LINEAR_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('join', 'query', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bmw AS (SELECT doc_id, floor(s * 10000.0 + 0.5) AS sx,
+               row_number() OVER (
+                 ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id) AS rank
+        FROM scored),
+bm20 AS (SELECT doc_id, sx FROM bmw WHERE rank <= 20),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT vec_id AS doc_id,
+              floor(list_dot_product(embedding::DOUBLE[], qv)
+              / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(qv, qv))) * 10000.0 + 0.5) AS sx
+      FROM embeddings CROSS JOIN q),
+csw AS (SELECT doc_id, sx, row_number() OVER (ORDER BY sx DESC, doc_id)
+          AS rank FROM cs),
+cs20 AS (SELECT doc_id, sx FROM csw WHERE rank <= 20),
+bmn AS (SELECT min(sx)::DOUBLE AS lo, max(sx)::DOUBLE AS hi FROM bm20),
+csn AS (SELECT min(sx)::DOUBLE AS lo, max(sx)::DOUBLE AS hi FROM cs20),
+u AS (SELECT doc_id, 2.0 * (CASE WHEN hi > lo
+              THEN (sx - lo) / (hi - lo) ELSE 1.0 END) AS contrib
+      FROM bm20 CROSS JOIN bmn
+      UNION ALL
+      SELECT doc_id, 1.0 * (CASE WHEN hi > lo
+              THEN (sx - lo) / (hi - lo) ELSE 1.0 END) AS contrib
+      FROM cs20 CROSS JOIN csn)
+SELECT doc_id,
+       floor(sum(contrib) * 1000000.0 + 0.5)::BIGINT AS linear_x1e6,
+       count(*) AS n_sources
+FROM u GROUP BY doc_id
+ORDER BY floor(sum(contrib) * 1000000.0 + 0.5) DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level dedup (Lee et al.): every repeated 5-token
     window corpus-wide, first occurrence kept, all others merged into
@@ -4017,6 +4084,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "common_terms_idx": q_common_terms_idx,
     "sparse_vector_topk": q_sparse_vector_topk,
     "hybrid_rrf": q_hybrid_rrf,
+    "hybrid_linear": q_hybrid_linear,
     "duplicate_spans": q_duplicate_spans,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -5067,6 +5135,7 @@ FROM toks GROUP BY 1 HAVING count(*) > 1""",
         "common_terms_idx": COMMON_TERMS_SQL,
         "sparse_vector_topk": SPARSE_VECTOR_SQL,
         "hybrid_rrf": HYBRID_RRF_SQL,
+        "hybrid_linear": HYBRID_LINEAR_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         # the prefix-filtered plan is an exact optimization: same oracle

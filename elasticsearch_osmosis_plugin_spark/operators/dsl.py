@@ -481,13 +481,16 @@ def _retriever_search(spark: SparkSession, index_path: str, body: dict,
 
     spec = body["retriever"]
     kind, rspec = _one_entry(spec, "retriever")
-    if kind != "rrf":
+    if kind not in ("rrf", "linear"):
         raise ValueError(f"unsupported retriever: {kind}")
     k = int(body.get("size", 10)) + int(body.get("from", 0))
     window = int(rspec.get("rank_window_size", max(k, 10)))
-    rankings = {}
+    rankings, weights = {}, {}
     for i, sub in enumerate(rspec["retrievers"]):
-        skind, sspec = _one_entry(sub, "sub-retriever")
+        # linear wraps each entry: {"retriever": {...}, "weight": w,
+        # "normalizer": ...}; rrf lists the retrievers bare
+        inner = sub.get("retriever", sub) if kind == "linear" else sub
+        skind, sspec = _one_entry(inner, "sub-retriever")
         if skind == "standard":
             r = _search_query(spark, index_path,
                               dict(sspec, size=window))
@@ -499,6 +502,15 @@ def _retriever_search(spark: SparkSession, index_path: str, body: dict,
             "doc_id",
             F.floor(F.col("score") * 10000.0 + F.lit(0.5))
              .cast("long").alias("score_x1e4"))
+        weights[f"r{i}"] = float(sub.get("weight", 1.0))
+    if kind == "linear":
+        from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+            linear_fuse,
+        )
+
+        return linear_fuse(rankings, weights, k=k,
+                           normalizer=rspec.get("normalizer", "minmax"),
+                           window=window)
     return rrf_fuse(rankings, k=k,
                     rrf_k=int(rspec.get("rank_constant", 60)),
                     window=window)

@@ -417,6 +417,71 @@ def rrf_fuse(rankings: dict[str, DataFrame], k: int = 10, rrf_k: int = 60,
     return fused.orderBy(F.desc("rrf_x1e6"), F.asc("doc_id")).limit(k)
 
 
+def linear_fuse(rankings: dict[str, DataFrame],
+                weights: dict[str, float] | None = None, k: int = 10,
+                normalizer: str = "minmax", window: int | None = None,
+                id_col: str = "doc_id",
+                score_col: str = "score_x1e4") -> DataFrame:
+    """Weighted score fusion of N ranked retrievals — modern ES's
+    ``linear`` retriever (the score-based sibling of ``rrf``): each
+    source's top-``window`` scores are normalized, scaled by the
+    source's weight, and summed per doc.
+
+    ``normalizer``: ``"minmax"`` ((s-min)/(max-min) within the
+    source's window; a degenerate window where max==min normalizes to
+    1.0 — every doc IS the max), ``"l2_norm"`` (s / ||window scores||),
+    or ``"none"`` (raw scores — only sane when the sources share a
+    scale); pass a dict {source: normalizer} for ES's per-retriever
+    form. Pass FIXED-POINT scores (x1e4) so the min/max/norm
+    constants — and thus every fused value — are engine-deterministic.
+
+    Returns (doc_id, linear_x1e6, n_sources) ordered by fused score.
+
+    Scale: like rrf_fuse, fusion runs on the k'-sized top slices; the
+    per-source normalization constants are one tiny agg broadcast back
+    over its own slice. No corpus-sized work."""
+    from pyspark.sql import Window as W
+
+    weights = weights or {}
+    tagged = []
+    for name, df in sorted(rankings.items()):
+        wt = float(weights.get(name, 1.0))
+        nz = (normalizer.get(name, "minmax")
+              if isinstance(normalizer, dict) else normalizer)
+        w = W.partitionBy(F.lit(name)).orderBy(F.desc("_s"), F.asc("doc_id"))
+        r = (df.select(F.col(id_col).alias("doc_id"),
+                       F.col(score_col).cast("double").alias("_s"))
+             .withColumn("_rank", F.row_number().over(w)))
+        if window is not None:
+            r = r.filter(F.col("_rank") <= window)
+        if nz == "minmax":
+            c = r.agg(F.min("_s").alias("_lo"), F.max("_s").alias("_hi"))
+            norm = F.when(F.col("_hi") > F.col("_lo"),
+                          (F.col("_s") - F.col("_lo"))
+                          / (F.col("_hi") - F.col("_lo"))) \
+                    .otherwise(F.lit(1.0))
+        elif nz == "l2_norm":
+            c = r.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_n2"))
+            norm = F.when(F.col("_n2") > 0, F.col("_s") / F.col("_n2")) \
+                    .otherwise(F.lit(0.0))
+        elif nz == "none":
+            c, norm = None, F.col("_s")
+        else:
+            raise ValueError(f"linear_fuse: unknown normalizer {nz!r}")
+        if c is not None:
+            r = r.crossJoin(F.broadcast(c))
+        tagged.append(r.select(
+            "doc_id", (norm * F.lit(wt)).alias("_contrib")))
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    fused = (allr.groupBy("doc_id")
+             .agg(F.floor(F.sum("_contrib") * 1e6 + F.lit(0.5))
+                  .cast("long").alias("linear_x1e6"),
+                  F.count(F.lit(1)).alias("n_sources")))
+    return fused.orderBy(F.desc("linear_x1e6"), F.asc("doc_id")).limit(k)
+
+
 def common_terms_topk(spark: SparkSession, index_path: str, query: str,
                       k: int = 10, cutoff_frequency: float = 0.01,
                       *, post_filter=None) -> DataFrame:

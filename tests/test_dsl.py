@@ -1361,3 +1361,69 @@ def test_scripted_metric_agg(spark, idx):
                    "doc_id", "left_semi")
     want = 2.0 * hits.agg(F.sum("dl")).collect()[0][0]
     assert got == want > 0
+
+
+def test_linear_retriever(spark, idx, corpus_df):
+    """retriever.linear == direct linear_fuse; minmax normalization
+    puts each window's best at weight and worst at 0; l2/none paths
+    and a degenerate (constant-score) window covered."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import linear_fuse
+
+    emb = corpus_df.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[((F.col("doc_id") * (i + 1) + i) % 7 + 1).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    qv = [1.0, 2.0, 0.5, 3.0]
+
+    body = {"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {
+            "match": {"content": "public static"}}}}, "weight": 2.0},
+        {"retriever": {"knn": {"query_vector": qv, "k": 20}},
+         "weight": 1.0},
+    ], "normalizer": "minmax", "rank_window_size": 20}}, "size": 10}
+    via = dsl.search(spark, idx, body, knn_source=emb)
+    x4 = lambda df, i, s: df.select(  # noqa: E731
+        F.col(i).alias("doc_id"),
+        F.floor(F.col(s) * 10000.0 + F.lit(0.5)).cast("long")
+         .alias("score_x1e4"))
+    rankings = {
+        "r0": x4(query.topk(spark, idx, "public static", k=20), "doc_id",
+                 "score"),
+        "r1": x4(cosine_topk(emb, qv, k=20), "vec_id", "cos")}
+    direct = linear_fuse(rankings, {"r0": 2.0, "r1": 1.0}, k=10,
+                         normalizer="minmax", window=20)
+    assert [tuple(r) for r in via.collect()] == \
+        [tuple(r) for r in direct.collect()]
+
+    # minmax: the best doc of a source contributes exactly its weight,
+    # the worst in-window doc exactly 0
+    rows = direct.collect()
+    r0 = rankings["r0"].collect()
+    best0 = max(r0, key=lambda r: (r["score_x1e4"], -r["doc_id"]))
+    by_id = {r["doc_id"]: r["linear_x1e6"] for r in rows}
+    if best0["doc_id"] in by_id:
+        assert by_id[best0["doc_id"]] >= 2_000_000  # weight 2 * 1.0
+
+    # degenerate window (all scores equal) -> everyone normalizes to 1
+    const = rankings["r0"].select("doc_id",
+                                  F.lit(100).alias("score_x1e4"))
+    fused = linear_fuse({"only": const}, {"only": 3.0}, k=5,
+                        normalizer="minmax")
+    assert all(r["linear_x1e6"] == 3_000_000 for r in fused.collect())
+
+    # l2_norm: contributions = w * s/||s||
+    import math
+    vals = [r["score_x1e4"] for r in r0]
+    n2 = math.sqrt(sum(v * v for v in vals))
+    fused = {r["doc_id"]: r["linear_x1e6"]
+             for r in linear_fuse({"r0": rankings["r0"]}, {"r0": 1.0},
+                                  k=100, normalizer="l2_norm").collect()}
+    for r in r0:
+        want = int(math.floor(r["score_x1e4"] / n2 * 1e6 + 0.5))
+        assert fused[r["doc_id"]] == want
+
+    with pytest.raises(ValueError, match="unknown normalizer"):
+        linear_fuse({"a": rankings["r0"]}, normalizer="bogus").collect()
