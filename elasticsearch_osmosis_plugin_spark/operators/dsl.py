@@ -1322,3 +1322,63 @@ def search_template(spark: SparkSession, index_path: str,
     body through :func:`search`."""
     return search(spark, index_path, render_template(template, params),
                   knn_source=knn_source)
+
+
+def profile_search(spark: SparkSession, index_path: str, body: dict,
+                   knn_source: DataFrame | None = None) -> dict:
+    """ES ``_search`` with ``"profile": true``: run the body and
+    return hits WITH an execution breakdown. ES profiles Lucene query
+    nodes and collectors per shard; the honest Spark restatement
+    profiles what actually executes here — compile (body -> logical
+    plan), execution wall time, and the EXECUTED physical plan with
+    the features that decide scale behavior surfaced as booleans the
+    caller can assert on (the same signals ``tests/test_plans.py``
+    pins):
+
+    ``{"hits": [Row...], "took_ms": int, "profile": {
+        "compile_ms", "execute_ms", "n_hits",
+        "plan": <executedPlan string>,
+        "features": {"take_ordered_and_project", "broadcast_joins",
+                     "sort_merge_joins", "wholestage_codegen_stages",
+                     "partition_filters", "pushed_filters",
+                     "exchanges"}}}``
+
+    Like ES, profiling pays the query's real cost (the search runs to
+    completion); unlike ES it adds no instrumentation overhead to the
+    operators themselves — the plan is read from Spark's query
+    execution after the fact."""
+    import time as _t
+
+    t0 = _t.monotonic()
+    df = search(spark, index_path, dict(body), knn_source=knn_source)
+    t1 = _t.monotonic()
+    hits = df.collect()
+    t2 = _t.monotonic()
+    import re as _re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # executedPlan renders a codegen stage as a "*(<id>)" node prefix
+    codegen_ids = set(_re.findall(r"\*\((\d+)\)", plan))
+    feats = {
+        "take_ordered_and_project": "TakeOrderedAndProject" in plan,
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+                           + plan.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "wholestage_codegen_stages": len(codegen_ids),
+        "partition_filters": "PartitionFilters: [" in plan
+                             and "PartitionFilters: []" not in plan,
+        "pushed_filters": "PushedFilters: [" in plan
+                          and "PushedFilters: []" not in plan,
+        "exchanges": plan.count("Exchange"),
+    }
+    return {
+        "hits": hits,
+        "took_ms": int((t2 - t0) * 1000),
+        "profile": {
+            "compile_ms": int((t1 - t0) * 1000),
+            "execute_ms": int((t2 - t1) * 1000),
+            "n_hits": len(hits),
+            "plan": plan,
+            "features": feats,
+        },
+    }

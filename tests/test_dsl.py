@@ -1427,3 +1427,23 @@ def test_linear_retriever(spark, idx, corpus_df):
 
     with pytest.raises(ValueError, match="unknown normalizer"):
         linear_fuse({"a": rankings["r0"]}, normalizer="bogus").collect()
+
+
+def test_profile_search(spark, idx):
+    """_search?profile=true analog: hits identical to the plain
+    search, breakdown + executed-plan features exposed."""
+    body = {"query": {"match": {"content": "public static"}}, "size": 5}
+    out = dsl.profile_search(spark, idx, body)
+    plain = dsl.search(spark, idx, body).collect()
+    assert out["hits"] == plain
+    p = out["profile"]
+    assert p["n_hits"] == len(plain) == 5
+    assert p["compile_ms"] >= 0 and p["execute_ms"] >= 0
+    assert out["took_ms"] >= p["execute_ms"]
+    f = p["features"]
+    # the ranked match query must run as a TakeOrderedAndProject with
+    # codegen stages, and its dictionary join must not sort-merge
+    assert f["take_ordered_and_project"]
+    assert f["wholestage_codegen_stages"] > 0
+    assert f["sort_merge_joins"] == 0
+    assert "TakeOrderedAndProject" in p["plan"]
