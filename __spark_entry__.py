@@ -1290,6 +1290,35 @@ def q_significant_terms_idx(spark, sf_dir):
                     x1e4(F.col("jlh")).alias("jlh_x1e4"))
 
 
+def q_terms_enum_idx(spark, sf_dir):
+    """ES _terms_enum: ordered prefix enumeration of index terms with
+    doc counts — metadata-only (dictionary scan, no posting decode);
+    page 2 fetched through page 1's keyset cursor like ES's
+    search_after."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        terms_enum,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    page1 = terms_enum(spark, idx, prefix="s", size=4)
+    after = page1.collect()[-1]["term"]
+    page2 = terms_enum(spark, idx, prefix="s", size=4, search_after=after)
+    return (page1.withColumn("page", F.lit(1))
+            .unionByName(page2.withColumn("page", F.lit(2))))
+
+
+TERMS_ENUM_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+d AS (SELECT term, count(DISTINCT doc_id) AS doc_count FROM tok
+      WHERE term LIKE 's%' GROUP BY term),
+p1 AS (SELECT term, doc_count, 1 AS page FROM d ORDER BY term LIMIT 4),
+cur AS (SELECT max(term) AS after FROM p1),
+p2 AS (SELECT term, doc_count, 2 AS page FROM d CROSS JOIN cur
+       WHERE term > after ORDER BY term LIMIT 4)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2
+"""
+
+
 def q_sig_terms_chi2_idx(spark, sf_dir):
     """significant_terms with the chi_square heuristic (ES's pluggable
     significance family): Pearson chi² of the 2x2 term-by-hit-set
@@ -4044,6 +4073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cardinality_idx": q_cardinality_idx,
     "significant_terms_idx": q_significant_terms_idx,
     "sig_terms_chi2_idx": q_sig_terms_chi2_idx,
+    "terms_enum_idx": q_terms_enum_idx,
     "span_near_idx": q_span_near_idx,
     "span_near_unordered_idx": q_span_near_unordered_idx,
     "span_first_idx": q_span_first_idx,
@@ -4668,6 +4698,7 @@ hits AS (SELECT doc_id, source FROM toks
          WHERE list_contains(toks, 'spark') OR list_contains(toks, 'window'))
 SELECT count(DISTINCT source) AS cardinality FROM hits""",
         "sig_terms_chi2_idx": SIG_CHI2_SQL,
+        "terms_enum_idx": TERMS_ENUM_SQL,
         "significant_terms_idx": f"""
 WITH {TOK_CTE},
 tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),

@@ -211,6 +211,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     pk = sub.add_parser("package", help="zip the library for --py-files")
     pk.add_argument("--out", default="eosp.zip")
+
+    ct = sub.add_parser("cat", help="_cat operational vitals "
+                        "(indices / segments / aliases) — no Spark job")
+    ct.add_argument("what", choices=("indices", "segments", "aliases"))
+    ct.add_argument("paths", nargs="+",
+                    help="index/alias paths (segments takes exactly one)")
     return ap
 
 
@@ -234,6 +240,24 @@ def main(argv: list[str] | None = None) -> int:
                         full = os.path.join(dirpath, fn)
                         z.write(full, os.path.relpath(full, base))
         print(json.dumps({"written": args.out}))
+        return 0
+
+    if args.cmd == "cat":
+        # pure metadata — the _cat contract is "cheap enough to poll"
+        from elasticsearch_osmosis_plugin_spark.plans.merge import (
+            cat_aliases,
+            cat_indices,
+            cat_segments,
+        )
+
+        if args.what == "indices":
+            print(json.dumps(cat_indices(args.paths), default=str))
+        elif args.what == "segments":
+            if len(args.paths) != 1:
+                raise SystemExit("cat segments takes exactly one index")
+            print(json.dumps(cat_segments(args.paths[0]), default=str))
+        else:
+            print(json.dumps(cat_aliases(args.paths), default=str))
         return 0
 
     if args.cmd == "rollover":

@@ -2587,3 +2587,30 @@ def variable_width_histogram(df: DataFrame, value_col: str,
                  F.count(F.lit(1)).alias("doc_count"))
             .orderBy("key")
             .select("min_v", "key", "max_v", "doc_count"))
+
+
+def terms_enum(spark: SparkSession, index_path: str, prefix: str = "",
+               size: int = 10, search_after: str | None = None) -> DataFrame:
+    """ES _terms_enum API: fast ordered enumeration of index terms
+    matching a prefix (the autocomplete/discovery surface) ->
+    (term, doc_count), term-ascending, ``size`` rows.
+
+    ``search_after`` pages by term keyset (strictly greater), exactly
+    ES's cursor. Like ES, the answer comes from index METADATA only —
+    the dictionary, never a posting decode or corpus scan — and terms
+    contributed solely by deleted-but-unmerged docs may still appear
+    (ES documents the same caveat for its shard-level terms dict).
+
+    Scale: a dictionary scan with the prefix predicate pushed to
+    parquet (dictionary rows ~ vocabulary size, partitioned by term
+    hash; all buckets are touched but each prunes on the pushed
+    startswith filter's min/max term stats)."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    dic = dictionary_df(spark, index_path)
+    if prefix:
+        dic = dic.filter(F.col("term").startswith(prefix))
+    if search_after is not None:
+        dic = dic.filter(F.col("term") > F.lit(search_after))
+    return (dic.groupBy("term").agg(F.sum("df").alias("doc_count"))
+            .orderBy("term").limit(size))

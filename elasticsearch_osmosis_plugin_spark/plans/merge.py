@@ -521,3 +521,82 @@ def split_index(spark: SparkSession, src_path: str, dst_path: str,
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return meta
+
+
+def _tree_bytes_files(root: str) -> tuple[int, int]:
+    total, nf = 0, 0
+    for dirp, _, files in os.walk(root):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirp, f))
+            nf += 1
+    return total, nf
+
+
+def cat_indices(paths: list[str]) -> list[dict]:
+    """ES ``_cat/indices`` analog: one row of operational vitals per
+    index (or alias) path — docs.count (live), docs.deleted
+    (tombstoned-not-purged), store.size in bytes, segment/group count,
+    bucket count, analyzer, health. Pure metadata + a directory walk;
+    NO Spark job and no posting decode (the _cat contract: cheap
+    enough to poll). Health mirrors ES coarsely: ``green`` when
+    meta.json loads and every manifest-listed group directory exists,
+    ``red`` otherwise."""
+    out = []
+    for p in paths:
+        name = os.path.basename(os.path.abspath(p).rstrip("/"))
+        try:
+            meta = load_meta(p)
+        except (OSError, ValueError) as exc:
+            out.append({"index": name, "health": "red",
+                        "error": str(exc)})
+            continue
+        groups = index_groups(meta)
+        missing = [g for g in groups
+                   if not catalog.table_exists(p, f"postings/group={g}")
+                   and not meta.get("merged")]
+        size, _ = _tree_bytes_files(os.path.realpath(p))
+        deleted = int(meta.get("tombstones_n", 0))
+        out.append({
+            "index": name,
+            "health": "red" if missing else "green",
+            "docs_count": int(meta["n_docs"]) - deleted,
+            "docs_deleted": deleted,
+            "store_size_bytes": size,
+            "groups": len(groups),
+            "n_buckets": int(meta["n_buckets"]),
+            "analyzer": meta.get("analyzer"),
+        })
+    return out
+
+
+def cat_segments(index_path: str) -> list[dict]:
+    """ES ``_cat/segments`` analog: one row per LSM group (the segment
+    unit queries union over) — on-disk bytes and file count per
+    posting table, plus the compacted ``postings_merged`` table when
+    present. Directory metadata only."""
+    meta = load_meta(index_path)
+    rows = []
+    names = [(str(g), f"postings/group={g}") for g in index_groups(meta)
+             if catalog.table_exists(index_path, f"postings/group={g}")]
+    if catalog.table_exists(index_path, "postings_merged"):
+        names.append(("merged", "postings_merged"))
+    for label, name in names:
+        size, nf = _tree_bytes_files(catalog.table_path(index_path, name))
+        rows.append({"segment": label, "size_bytes": size, "files": nf})
+    return rows
+
+
+def cat_aliases(paths: list[str]) -> list[dict]:
+    """ES ``_cat/aliases`` analog: (alias, index) for every path that
+    IS an alias (symlink); non-aliases are skipped, dangling aliases
+    report health red."""
+    out = []
+    for p in paths:
+        if not os.path.islink(p):
+            continue
+        target = os.path.realpath(p)
+        ok = os.path.exists(os.path.join(target, "meta.json"))
+        out.append({"alias": os.path.basename(p.rstrip("/")),
+                    "index": os.path.basename(target),
+                    "health": "green" if ok else "red"})
+    return out

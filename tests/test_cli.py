@@ -188,3 +188,29 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     catalog.create_alias(alias, src)
     out = _run(capsys, ["rollover", "--alias", alias, "--max-docs", "1"])
     assert out[-1]["rolled_over"] and out[-1]["new_index"].endswith("000002")
+
+
+def test_cli_cat_apis(spark, cli_index, capsys, tmp_path):
+    """_cat indices/segments/aliases: vitals without a Spark job."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+    from elasticsearch_osmosis_plugin_spark.plans.catalog import create_alias
+
+    meta = load_meta(cli_index)
+    (rows,) = _run(capsys, ["cat", "indices", cli_index])
+    (row,) = rows
+    assert row["health"] == "green"
+    assert row["docs_count"] == meta["n_docs"] and row["docs_deleted"] == 0
+    assert row["store_size_bytes"] > 0 and row["n_buckets"] == 4
+
+    (segs,) = _run(capsys, ["cat", "segments", cli_index])
+    assert len(segs) >= 1
+    assert all(s["size_bytes"] > 0 and s["files"] > 0 for s in segs)
+
+    alias = str(tmp_path / "cur")
+    create_alias(alias, cli_index)
+    (als,) = _run(capsys, ["cat", "aliases", alias, cli_index])
+    assert als == [{"alias": "cur", "index": "index", "health": "green"}]
+
+    # broken path -> red, not an exception
+    (bad,) = _run(capsys, ["cat", "indices", str(tmp_path / "nope")])
+    assert bad[0]["health"] == "red"

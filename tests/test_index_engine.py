@@ -1890,3 +1890,36 @@ def test_significant_terms_heuristic_family(spark, corpus_rows, index_path):
 
     with pytest.raises(ValueError, match="unknown heuristic"):
         significant_terms(spark, index_path, "public", heuristic="bogus")
+
+
+def test_terms_enum(spark, corpus_rows, index_path):
+    """Prefix enumeration matches the corpus vocabulary, keyset paging
+    walks it completely without overlap."""
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import terms_enum
+
+    df_by_term = Counter()
+    for t in corpus_rows["content"]:
+        for term in set(tokenize_py(t, "code")):
+            df_by_term[term] += 1
+    prefix = "p"
+    want = sorted(t for t in df_by_term if t.startswith(prefix))
+    assert len(want) >= 3
+
+    got = terms_enum(spark, index_path, prefix=prefix, size=10_000).collect()
+    assert [r["term"] for r in got] == want
+    for r in got:
+        assert r["doc_count"] == df_by_term[r["term"]]
+
+    # keyset paging: size-2 pages cover the same set, in order
+    walked, after = [], None
+    while True:
+        page = terms_enum(spark, index_path, prefix=prefix, size=2,
+                          search_after=after).collect()
+        if not page:
+            break
+        walked.extend(r["term"] for r in page)
+        after = page[-1]["term"]
+    assert walked == want
