@@ -1104,6 +1104,41 @@ def q_highlight_idx(spark, sf_dir):
     return highlight(spark, idx, "window dup", window=3)
 
 
+def q_highlight_frags_idx(spark, sf_dir):
+    """ES highlight with number_of_fragments=2 + pre/post tags: up to
+    two position-ordered tagged snippets per matching doc, fragments
+    anchored at each distinct matched term's first occurrence."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        highlight_fragments,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return highlight_fragments(spark, idx, "window dup", window=3,
+                               number_of_fragments=2)
+
+
+HIGHLIGHT_FRAGS_SQL = f"""
+WITH {TOK_CTE},
+qt AS (SELECT unnest(['window', 'dup']) AS term),
+occ AS (SELECT doc_id, toks, qt.term,
+               list_min(list_filter(generate_series(1, len(toks)),
+                        i -> toks[i] = qt.term)) AS p1
+        FROM toks CROSS JOIN qt),
+sel AS (SELECT doc_id, toks, term, p1,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY p1, term) AS rn
+        FROM occ WHERE p1 IS NOT NULL),
+fr AS (SELECT doc_id, p1, term,
+         array_to_string(list_transform(
+           list_slice(toks, greatest(1, p1 - 3), least(len(toks), p1 + 3)),
+           t -> CASE WHEN t IN ('window', 'dup')
+                THEN '<em>' || t || '</em>' ELSE t END), ' ') AS frag
+       FROM sel WHERE rn <= 2)
+SELECT doc_id, list(frag ORDER BY p1, term) AS fragments
+FROM fr GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_boosting_idx(spark, sf_dir):
     """ES boosting query: 'spark query' ranking with docs containing
     'dup' demoted to 0.3x — soft must_not under the hard gate."""
@@ -4061,6 +4096,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_polygon_filter": q_geo_polygon_filter,
     "histogram_agg_idx": q_histogram_agg_idx,
     "highlight_idx": q_highlight_idx,
+    "highlight_frags_idx": q_highlight_frags_idx,
     "fuzzy_match_idx": q_fuzzy_match_idx,
     "facet_counts_idx": q_facet_counts_idx,
     "terms_sharded_idx": q_terms_sharded_idx,
@@ -4555,6 +4591,7 @@ SELECT (floor(len(toks) / 20.0) * 20)::BIGINT AS bucket,
        count(*) AS n_docs
 FROM toks WHERE list_contains(toks, 'spark')
 GROUP BY 1 ORDER BY 1""",
+        "highlight_frags_idx": HIGHLIGHT_FRAGS_SQL,
         "highlight_idx": f"""
 WITH {TOK_CTE},
 firstp AS (SELECT doc_id, toks,

@@ -2614,3 +2614,71 @@ def terms_enum(spark: SparkSession, index_path: str, prefix: str = "",
         dic = dic.filter(F.col("term") > F.lit(search_after))
     return (dic.groupBy("term").agg(F.sum("df").alias("doc_count"))
             .orderBy("term").limit(size))
+
+
+def highlight_fragments(spark: SparkSession, index_path: str, query: str,
+                        window: int = 3, number_of_fragments: int = 2,
+                        pre_tag: str = "<em>",
+                        post_tag: str = "</em>") -> DataFrame:
+    """ES highlight with ``number_of_fragments`` + ``pre_tags`` /
+    ``post_tags``: up to N tagged token snippets per matching doc ->
+    (doc_id, fragments array<string>), fragments in position order.
+
+    Fragment anchoring (documented variant of ES's fragment scorer):
+    one fragment at the FIRST occurrence of each distinct matched
+    query term, position-ordered, first ``number_of_fragments`` kept —
+    deterministic and fully declarative (ES's unified highlighter
+    scores passages; anchoring on distinct terms covers the same
+    diversity goal without a sequential passage scan). Fragments may
+    overlap when term occurrences are close. Matched terms inside a
+    fragment are wrapped pre_tag<term>post_tag.
+
+    Same index-side plan as :func:`highlight`: query-term position
+    streams only, doc-store pruned to matching docs."""
+    from pyspark.sql import Window as W
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        POSITIONS_SCHEMA,
+        _decode_positions,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    meta = load_meta(index_path)
+    terms = query_terms(query, meta)
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    if dic.empty:
+        return spark.createDataFrame(
+            [], "doc_id long, fragments array<string>")
+    if not meta.get("positions", False):
+        raise ValueError("highlight needs positional postings "
+                         "(store_positions=True)")
+    ds = catalog.read_table(spark, index_path, "docstats")
+    if "tokens" not in ds.columns or not catalog.read_manifest(
+            index_path, "docstats").get("term_vectors", False):
+        raise ValueError("highlight needs the term-vector store")
+    live = sorted(dic["term"])
+    posts = _pruned_postings(spark, index_path, live, meta)
+    occ = (posts.select("term", "doc_ids_vb", "tfs_vb", "pos_vb")
+           .mapInPandas(_decode_positions(live), POSITIONS_SCHEMA))
+    firsts = (_live(occ, tombstones_df(spark, index_path, meta))
+              .groupBy("doc_id", "term").agg(F.min("pos").alias("pos")))
+    w = W.partitionBy("doc_id").orderBy("pos", "term")
+    sel = (firsts.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= number_of_fragments))
+    start = F.greatest(F.lit(1), F.col("pos") + 1 - window)
+    length = F.least(F.size("tokens"),
+                     F.col("pos") + 1 + window) - start + 1
+    tagged = F.transform(
+        F.slice("tokens", start, length),
+        lambda t: F.when(t.isin(live),
+                         F.concat(F.lit(pre_tag), t, F.lit(post_tag)))
+                   .otherwise(t))
+    frags = (ds.select("doc_id", "tokens").join(sel, "doc_id")
+             .select("doc_id", "pos", "term",
+                     F.array_join(tagged, " ").alias("frag")))
+    return (frags.groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("pos", "term", "frag"))),
+                lambda s: s["frag"]).alias("fragments"))
+            .orderBy("doc_id"))

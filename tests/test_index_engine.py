@@ -1923,3 +1923,34 @@ def test_terms_enum(spark, corpus_rows, index_path):
         walked.extend(r["term"] for r in page)
         after = page[-1]["term"]
     assert walked == want
+
+
+def test_highlight_fragments(spark, corpus_rows, index_path):
+    """Multi-fragment tagged highlighting vs a python recompute of the
+    distinct-term-anchor contract."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        highlight_fragments,
+    )
+
+    qterms = ["public", "static"]
+    window, nfrag = 2, 2
+    got = {r["doc_id"]: r["fragments"] for r in highlight_fragments(
+        spark, index_path, "public static", window=window,
+        number_of_fragments=nfrag).collect()}
+
+    want = {}
+    for d, text in zip(corpus_rows["doc_id"], corpus_rows["content"]):
+        toks = tokenize_py(text, "code")
+        anchors = sorted((toks.index(t), t) for t in qterms if t in toks)
+        frags = []
+        for pos, _t in anchors[:nfrag]:
+            lo, hi = max(0, pos - window), min(len(toks), pos + window + 1)
+            frags.append(" ".join(
+                f"<em>{t}</em>" if t in qterms else t
+                for t in toks[lo:hi]))
+        if frags:
+            want[d] = frags
+    assert got == want
+    assert any(len(f) == 2 for f in got.values())
+    assert all("<em>" in "".join(f) for f in got.values())
