@@ -987,6 +987,30 @@ ORDER BY floor(b * 10000.0 + 0.5) DESC, doc_id LIMIT 10
 """
 
 
+def q_rank_feature_idx(spark, sf_dir):
+    """ES rank_feature query (saturation): BM25 + w * x/(x+pivot)
+    static-feature boost over the n_chars carry column — bounded by w,
+    the WAND-safe static signal ES recommends over function_score."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        function_score_topk,
+        rank_feature,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    raw = function_score_topk(
+        spark, idx, "spark query", k=30,
+        functions=[rank_feature("n_chars", "saturation", pivot=300.0,
+                                weight=2.0)],
+        boost_mode="sum")
+    return _rerank_score_x1e4(raw, 10)
+
+
+RANK_FEATURE_SQL = DIST_FEAT_SQL.replace(
+    "s.s + 2.0 * 50.0 / (50.0 + abs(d.n_chars::DOUBLE - 300.0))",
+    "s.s + 2.0 * greatest(0.0, d.n_chars::DOUBLE)"
+    " / (greatest(0.0, d.n_chars::DOUBLE) + 300.0)")
+
+
 def q_min_should_match_idx(spark, sf_dir):
     """ES minimum_should_match: >= 2 of 4 optional terms."""
     from elasticsearch_osmosis_plugin_spark.operators.intersect import (
@@ -4065,6 +4089,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_jelinek_mercer_idx": q_lm_jelinek_mercer_idx,
     "terms_set_idx": q_terms_set_idx,
     "distance_feature_idx": q_distance_feature_idx,
+    "rank_feature_idx": q_rank_feature_idx,
     "suggest_phrase_idx": q_suggest_phrase_idx,
     "bm25_topk_english": q_bm25_topk_english,
     "dsl_search": q_dsl_search,
@@ -4326,6 +4351,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_pipeline_events": INGEST_PIPELINE_SQL,
         "terms_set_idx": TERMS_SET_SQL,
         "distance_feature_idx": DIST_FEAT_SQL,
+        "rank_feature_idx": RANK_FEATURE_SQL,
         "suggest_phrase_idx": _suggest_phrase_oracle_sql(),
         "bm25_topk_english": _bm25_oracle_sql(
             ["join", "query", "table"], 10, tok_cte=TOK_EN_EXPLODED_CTE),

@@ -65,6 +65,35 @@ def distance_feature(field: str, origin: float, pivot: float,
     return F.lit(float(weight)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
 
 
+def rank_feature(field: str, function: str = "saturation", *,
+                 pivot: float = 1.0, scaling_factor: float = 1.0,
+                 exponent: float = 1.0, weight: float = 1.0):
+    """ES rank_feature query's boost as a doc-store Column — the
+    static-feature relevance signal (pagerank / url_length / ELSER
+    impact shapes), ES's exact parameterizations:
+
+    - ``saturation``: w * x / (x + pivot)   (bounded by w — WAND-safe
+      like distance_feature, exactly why ES recommends it);
+    - ``log``: w * ln(scaling_factor + x)   (unbounded);
+    - ``sigmoid``: w * x^exp / (x^exp + pivot^exp).
+
+    Negative/absent features score 0 (ES: the clause contributes
+    nothing). Combine with the relevance score via
+    ``function_score_topk(..., boost_mode="sum")`` — the
+    distance_feature pattern."""
+    x = F.greatest(F.lit(0.0), F.col(field).cast("double"))
+    if function == "saturation":
+        s = x / (x + F.lit(float(pivot)))
+    elif function == "log":
+        s = F.log(F.lit(float(scaling_factor)) + x)
+    elif function == "sigmoid":
+        xp = F.pow(x, F.lit(float(exponent)))
+        s = xp / (xp + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(f"rank_feature: unknown function {function!r}")
+    return F.lit(float(weight)) * s
+
+
 def decay_fn(field: str, origin: float, scale: float, *,
              offset: float = 0.0, decay: float = 0.5,
              kind: str = "gauss"):

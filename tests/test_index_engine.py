@@ -1954,3 +1954,45 @@ def test_highlight_fragments(spark, corpus_rows, index_path):
     assert got == want
     assert any(len(f) == 2 for f in got.values())
     assert all("<em>" in "".join(f) for f in got.values())
+
+
+def test_rank_feature_functions(spark, corpus_rows, index_path):
+    """saturation / log / sigmoid vs python recompute, composed with
+    BM25 via boost_mode=sum."""
+    import math
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        function_score_topk,
+        rank_feature,
+    )
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py as _tokpy,
+    )
+
+    n = {d: len(_tokpy(t, "code")) for d, t in zip(corpus_rows["doc_id"],
+                                                   corpus_rows["content"])}
+    base = {r["doc_id"]: r["score"]
+            for r in topk(spark, index_path, "public", k=1000).collect()}
+
+    cases = [
+        (dict(function="saturation", pivot=100.0, weight=2.0),
+         lambda x: 2.0 * x / (x + 100.0)),
+        (dict(function="log", scaling_factor=1.0, weight=0.5),
+         lambda x: 0.5 * math.log(1.0 + x)),
+        (dict(function="sigmoid", pivot=100.0, exponent=2.0),
+         lambda x: x ** 2 / (x ** 2 + 100.0 ** 2)),
+    ]
+    for kw, fn in cases:
+        got = function_score_topk(
+            spark, index_path, "public", k=1000,
+            functions=[rank_feature("dl", **kw)],
+            boost_mode="sum").collect()
+        assert got, kw
+        for r in got:
+            want = base[r["doc_id"]] + fn(float(n[r["doc_id"]]))
+            assert abs(r["score"] - want) < 1e-9, (kw, r["doc_id"])
+
+    with pytest.raises(ValueError, match="unknown function"):
+        rank_feature("dl", "bogus")
