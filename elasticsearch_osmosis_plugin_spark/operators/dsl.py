@@ -414,6 +414,36 @@ def search(spark: SparkSession, index_path: str, body: dict,
         # the hit frame's columns (hydrate dependencies via _source),
         # whole-stage codegen, top-k-sized input.
         hits = hits.withColumn(name, F.expr(sf["script"]["source"]))
+    if "highlight" in body:
+        # ES highlight section: tagged fragments attached per hit (the
+        # fetch phase). The highlight query is the body's match /
+        # match_phrase text, or an explicit "highlight_query":
+        # {"match": ...}. Fragments left-join the hit page only — docs
+        # without a term position (e.g. knn-only hits) get null.
+        from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+            highlight_fragments,
+        )
+
+        hl = body["highlight"]
+        hq = hl.get("highlight_query", body.get("query"))
+        qkind, qspec = _one_entry(hq, "highlight query")
+        if qkind not in ("match", "match_phrase"):
+            raise ValueError("highlight needs a match/match_phrase "
+                             f"(highlight_)query, not {qkind}")
+        text = _match_args(_one_entry(qspec, qkind)[1])[0]
+        fspec = next(iter(hl.get("fields", {"_": {}}).values()))
+        frags = highlight_fragments(
+            spark, index_path, text,
+            window=int(fspec.get("window", hl.get("window", 3))),
+            number_of_fragments=int(fspec.get("number_of_fragments",
+                                              hl.get("number_of_fragments",
+                                                     2))),
+            pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
+            post_tag=(hl.get("post_tags") or ["</em>"])[0])
+        hits = hits.join(frags.withColumnRenamed("fragments", "highlight"),
+                         "doc_id", "left")
+        if "score" in hits.columns:   # joins don't preserve sort order
+            hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
     return hits
 
 
@@ -643,6 +673,38 @@ def _search_query(spark: SparkSession, index_path: str,
                         .filter(cond).select("doc_id"))
         return (ids.select("doc_id", F.lit(boost).alias("score"))
                 .orderBy("doc_id").limit(k))
+
+    if kind == "rank_feature":
+        # {"rank_feature": {"field": f, "boost": b, "saturation":
+        #  {"pivot": p}} | {"log": {"scaling_factor": s}} |
+        #  {"sigmoid": {"pivot": p, "exponent": e}}} — a standalone
+        # static-feature ranking (ES's should-clause boost signal);
+        # docs missing the feature never match (ES semantics)
+        from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+            rank_feature,
+        )
+        from elasticsearch_osmosis_plugin_spark.operators.topk import (
+            deterministic_topk,
+        )
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        field = spec["field"]
+        fns = [f for f in ("saturation", "log", "sigmoid") if f in spec]
+        fn = fns[0] if fns else "saturation"
+        params = dict(spec.get(fn, {}))
+        if fn == "saturation" and "pivot" not in params:
+            raise ValueError("rank_feature saturation needs an explicit "
+                             "pivot (ES's auto-pivot needs index stats)")
+        col = rank_feature(field, fn, weight=float(spec.get("boost", 1.0)),
+                           **{k2: float(v) for k2, v in params.items()})
+        ds = (catalog.read_table(spark, index_path, "docstats")
+              .filter(F.col(field).isNotNull()))
+        ds = _live_ids(spark, index_path,
+                       ds.select("doc_id", col.alias("score")))
+        if post_col is not None:
+            raise ValueError("post_filter with rank_feature is not "
+                             "supported")
+        return deterministic_topk(ds, k)
 
     if kind == "query_string":
         # {"query_string": {"query": "...", "default_operator": "AND"}}

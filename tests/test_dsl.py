@@ -1447,3 +1447,46 @@ def test_profile_search(spark, idx):
     assert f["wholestage_codegen_stages"] > 0
     assert f["sort_merge_joins"] == 0
     assert "TakeOrderedAndProject" in p["plan"]
+
+
+def test_rank_feature_query_and_highlight_body(spark, idx):
+    """DSL rank_feature standalone query == direct docstats compute;
+    body highlight section attaches tagged fragments per hit in rank
+    order."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        highlight_fragments,
+    )
+
+    body = {"query": {"rank_feature": {
+        "field": "dl", "boost": 2.0, "saturation": {"pivot": 40.0}}},
+        "size": 8}
+    got = dsl.search(spark, idx, body).collect()
+    assert len(got) == 8
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+
+    dl = {r["doc_id"]: r["dl"] for r in
+          cat.read_table(spark, idx, "docstats")
+          .select("doc_id", "dl").collect()}
+    for r in got:
+        want = 2.0 * dl[r["doc_id"]] / (dl[r["doc_id"]] + 40.0)
+        assert abs(r["score"] - want) < 1e-9
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="explicit\\s+pivot"):
+        dsl.search(spark, idx, {"query": {"rank_feature": {"field": "dl"}}})
+
+    body = {"query": {"match": {"content": "public static"}}, "size": 5,
+            "highlight": {"fields": {"content": {"number_of_fragments": 2}},
+                          "pre_tags": ["<b>"], "post_tags": ["</b>"]}}
+    hl = dsl.search(spark, idx, body).collect()
+    plain = dsl.search(spark, idx, {"query": {"match":
+                                              {"content": "public static"}},
+                                    "size": 5}).collect()
+    assert [(r["doc_id"], r["score"]) for r in hl] \
+        == [(r["doc_id"], r["score"]) for r in plain]
+    direct = {r["doc_id"]: r["fragments"] for r in highlight_fragments(
+        spark, idx, "public static", window=3, number_of_fragments=2,
+        pre_tag="<b>", post_tag="</b>").collect()}
+    for r in hl:
+        assert r["highlight"] == direct.get(r["doc_id"])
+        assert any("<b>" in f for f in r["highlight"])
