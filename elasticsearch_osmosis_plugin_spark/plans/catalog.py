@@ -139,12 +139,21 @@ def drop_alias(alias: str) -> bool:
     return True
 
 
-def snapshot_index(index_path: str, snap_path: str) -> dict[str, Any]:
+def snapshot_index(index_path: str, snap_path: str,
+                   incremental: bool = False) -> dict[str, Any]:
     """ES snapshot API analog: a point-in-time copy of the whole index
     (meta.json + every committed table). The copy lands at
     ``snap_path.tmp`` first and renames into place, so a snapshot
     directory is complete or absent, never partial — the same commit
     protocol every table write uses. Returns the snapshotted meta.
+
+    ``incremental=True`` HARDLINKS every file instead of copying —
+    ES's incremental-snapshot cost model (unchanged segment files are
+    shared between snapshots). Safe here because the engine's write
+    discipline is strictly immutable: data files are never modified in
+    place, and meta.json commits via new-file + ``os.replace`` (a new
+    inode), so mutating the live index after the snapshot can never
+    reach a shared inode. Cost: O(#files) metadata ops, zero bytes.
 
     Driver-side file copy: correct at any index size that fits one
     machine; on a cluster the production analog is a distcp-style
@@ -155,7 +164,8 @@ def snapshot_index(index_path: str, snap_path: str) -> dict[str, Any]:
     if os.path.exists(snap_path):
         raise FileExistsError(f"snapshot target exists: {snap_path}")
     tmp = f"{snap_path}.tmp.{uuid.uuid4().hex[:8]}"
-    shutil.copytree(os.path.realpath(index_path), tmp)
+    shutil.copytree(os.path.realpath(index_path), tmp,
+                    copy_function=os.link if incremental else shutil.copy2)
     os.rename(tmp, snap_path)
     with open(os.path.join(snap_path, "meta.json")) as f:
         return json.load(f)
@@ -252,4 +262,55 @@ def rollover(alias: str, max_docs: int | None = None,
     os.replace(tmp, os.path.join(new, "meta.json"))
     create_alias(alias, new)
     out["new_index"] = new
+    return out
+
+
+def apply_ilm(alias: str, policy: dict[str, Any]) -> dict[str, Any]:
+    """Minimal ES ILM analog — the log-pipeline policy loop, applied
+    on demand (run it from a scheduler; ES polls the same way):
+
+    ``policy`` keys:
+    - ``rollover``: {"max_docs": N, "max_groups": M} — conditions
+      forwarded to :func:`rollover` (hot phase);
+    - ``retention``: {"max_generations": K} — after rollover, keep at
+      most K generation directories for the alias's index FAMILY
+      (``<base>-NNNNNN`` siblings + the unsuffixed base), newest
+      first; older generations are DELETED (delete phase). The
+      generation the alias currently points to is never deleted,
+      whatever K says.
+
+    Returns {"rollover": <rollover report>, "deleted": [paths]} —
+    metadata + directory ops only, no Spark job."""
+    import re
+
+    out: dict[str, Any] = {"rollover": None, "deleted": []}
+    if "rollover" in policy:
+        ro = policy["rollover"]
+        out["rollover"] = rollover(alias, max_docs=ro.get("max_docs"),
+                                   max_groups=ro.get("max_groups"))
+    ret = policy.get("retention")
+    if ret and ret.get("max_generations"):
+        keep_n = int(ret["max_generations"])
+        cur = resolve_alias(alias)
+        m = re.search(r"-(\d{6})$", cur)
+        base = cur[:m.start()] if m else cur
+        fam = []
+        parent = os.path.dirname(base) or "."
+        stem = os.path.basename(base)
+        for d in os.listdir(parent):
+            full = os.path.join(parent, d)
+            if not os.path.isdir(full) or os.path.islink(full):
+                continue
+            if d == stem:
+                fam.append((0, full))
+            else:
+                gm = re.fullmatch(re.escape(stem) + r"-(\d{6})", d)
+                if gm:
+                    fam.append((int(gm.group(1)), full))
+        fam.sort(reverse=True)
+        for _, path in fam[keep_n:]:
+            if os.path.realpath(path) == os.path.realpath(cur):
+                continue
+            shutil.rmtree(path)
+            out["deleted"].append(path)
     return out

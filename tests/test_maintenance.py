@@ -333,3 +333,57 @@ def test_ingest_pipeline_processors(spark):
     with pytest.raises(ValueError):
         apply_pipeline(df, [{"set": {"field": "x", "value": 1},
                              "gsub": {}}])
+
+
+def test_ilm_policy_and_incremental_snapshot(spark, corpus_df, tmp_path):
+    """apply_ilm: hot-phase rollover + delete-phase retention; the
+    current generation survives any retention setting. Incremental
+    snapshots hardlink (inode identity), stay queryable, and survive
+    later mutation of the live index."""
+    import os
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+
+    base = str(tmp_path / "app-000001")
+    alias = str(tmp_path / "app_write")
+    build_index(spark, corpus_df, base, CFG, id_col="doc_id", n_groups=1)
+    cat.create_alias(alias, base)
+
+    # incremental snapshot: hardlinked, rank-identical
+    snap = str(tmp_path / "snap1")
+    cat.snapshot_index(base, snap, incremental=True)
+    src_file = next(
+        os.path.join(dp, f) for dp, _, fs in os.walk(base) for f in fs
+        if f.endswith(".parquet"))
+    twin = os.path.join(snap, os.path.relpath(src_file, base))
+    assert os.stat(src_file).st_ino == os.stat(twin).st_ino
+    before = [(r["doc_id"], round(r["score"], 9))
+              for r in topk(spark, base, "public static", k=5).collect()]
+    assert [(r["doc_id"], round(r["score"], 9))
+            for r in topk(spark, snap, "public static", k=5).collect()] \
+        == before
+    # mutate the live index; the snapshot must not move
+    delete_docs(spark, base, [before[0][0]])
+    assert topk(spark, base, "public static", k=5).collect()[0]["doc_id"] \
+        != before[0][0]
+    assert [(r["doc_id"], round(r["score"], 9))
+            for r in topk(spark, snap, "public static", k=5).collect()] \
+        == before
+
+    # ILM: roll twice, then retention keeps the newest 2 generations
+    r = cat.apply_ilm(alias, {"rollover": {"max_docs": 10}})
+    assert r["rollover"]["rolled_over"] and not r["deleted"]
+    build_index(spark, corpus_df.limit(30), alias, CFG,
+                id_col="doc_id", n_groups=1)
+    r = cat.apply_ilm(alias, {"rollover": {"max_docs": 10},
+                              "retention": {"max_generations": 2}})
+    assert r["rollover"]["rolled_over"]
+    assert r["deleted"] == [base]          # oldest generation dropped
+    assert not os.path.exists(base)
+    assert os.path.exists(r["rollover"]["old_index"])
+    assert cat.resolve_alias(alias) == r["rollover"]["new_index"]
+    # retention never deletes the live generation
+    r = cat.apply_ilm(alias, {"retention": {"max_generations": 0}})
+    assert cat.resolve_alias(alias) not in r["deleted"]
+    assert os.path.exists(cat.resolve_alias(alias))
