@@ -2352,6 +2352,42 @@ def _synth_points(docs):
     return docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
 
 
+def q_geo_line(spark, sf_dir):
+    """ES geo_line aggregation: per-bucket LineString of the synthetic
+    points in doc_id order, truncated at 8 points (complete=false for
+    the bigger buckets), coordinates at the x1e4 fixed point."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import geo_line
+
+    pts = (_synth_points(_t(spark, sf_dir, "documents"))
+           .withColumn("bucket", F.col("doc_id") % 5))
+    g = geo_line(pts, "bucket", "doc_id", size=8)
+    x4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return g.select(
+        "bucket",
+        F.transform(F.col("line"),
+                    lambda p: F.array(x4(p[0]), x4(p[1])))
+         .alias("line_x1e4"),
+        "doc_count", "complete")
+
+
+GEO_LINE_SQL = """
+WITH p AS (SELECT doc_id,
+                  ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+                  ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+                  doc_id % 5 AS bucket
+           FROM documents),
+g AS (SELECT bucket,
+             list([floor(lon * 10000.0 + 0.5)::BIGINT,
+                   floor(lat * 10000.0 + 0.5)::BIGINT]
+                  ORDER BY doc_id) AS pts,
+             count(*) AS doc_count
+      FROM p GROUP BY bucket)
+SELECT bucket, list_slice(pts, 1, 8) AS line_x1e4, doc_count,
+       doc_count <= 8 AS complete
+FROM g ORDER BY bucket
+"""
+
+
 def q_geo_distance_agg(spark, sf_dir):
     """ES geo_distance aggregation: ring buckets (open-ended +
     overlapping) of haversine km from Paris over the deterministic
@@ -4193,6 +4229,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "geo_distance_filter": q_geo_distance_filter,
     "geo_distance_agg": q_geo_distance_agg,
+    "geo_line": q_geo_line,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geotile_grid": q_geotile_grid,
     "geohash_grid": q_geohash_grid,
@@ -5398,6 +5435,7 @@ tiles AS (
 SELECT '4/' || x || '/' || y AS tile, count(*) AS n_docs
 FROM tiles GROUP BY 1 ORDER BY n_docs DESC, tile""",
         "geo_distance_agg": GEO_DISTANCE_AGG_SQL,
+        "geo_line": GEO_LINE_SQL,
         "geo_distance_filter": """
 WITH pts AS (
   SELECT doc_id,

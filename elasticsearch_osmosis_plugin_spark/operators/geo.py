@@ -385,6 +385,34 @@ def geo_centroid(df: DataFrame, lat_col: str = "lat",
                   F.count(F.lit(1)).alias("count"))
 
 
+def geo_line(df: DataFrame, bucket_col: str, sort_col: str,
+             lat_col: str = "lat", lon_col: str = "lon",
+             size: int = 10000) -> DataFrame:
+    """ES geo_line aggregation: per bucket, the points joined into a
+    LineString in ``sort_col`` order (ES's sort field), truncated at
+    ``size`` -> (bucket, line array<[lon, lat]>, doc_count, complete).
+    ``complete`` mirrors ES: false when the bucket held more points
+    than ``size``.
+
+    One groupBy: the (sort, lon, lat) structs aggregate map-side into
+    per-bucket lists, array_sort orders by the struct's leading sort
+    field (no window/shuffle beyond the bucket key), and the GeoJSON-
+    style [lon, lat] projection is a codegen transform."""
+    pts = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.struct(F.col(sort_col).cast("double").alias("s"),
+                 F.col(lon_col).cast("double").alias("lon"),
+                 F.col(lat_col).cast("double").alias("lat")).alias("_p"))
+    g = pts.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("_p")).alias("_pts"),
+        F.count(F.lit(1)).alias("doc_count"))
+    line = F.transform(F.slice("_pts", 1, size),
+                       lambda p: F.array(p["lon"], p["lat"]))
+    return (g.select("bucket", line.alias("line"), "doc_count",
+                     (F.col("doc_count") <= F.lit(size)).alias("complete"))
+            .orderBy("bucket"))
+
+
 def point_in_polygon(polygon: list[tuple[float, float]],
                      lat_col: str = "lat", lon_col: str = "lon") -> Column:
     """ES geo_polygon filter predicate: even-odd ray casting of each

@@ -1276,28 +1276,48 @@ def match_any_terms(spark: SparkSession, index_path: str, query: str) -> DataFra
 
 def suggest_terms(spark: SparkSession, index_path: str, text: str,
                   max_edits: int = 2, size: int = 5,
-                  _dic=None) -> DataFrame:
+                  suggest_mode: str = "always", _dic=None) -> DataFrame:
     """ES term-suggester analog (did-you-mean): dictionary terms within
     Levenshtein distance ``max_edits`` of ``text``, ranked the way ES
     ranks suggestions — distance ascending, then document frequency
     descending (popularity), then term ascending for determinism.
 
+    ``suggest_mode`` (ES's three): ``"always"`` (this module's
+    default — ES defaults to missing), ``"missing"`` (suggest ONLY
+    when ``text`` itself is absent from the index; a correctly-spelled
+    query gets no did-you-mean), ``"popular"`` (only corrections
+    strictly more frequent than the input term). In missing/popular
+    modes the input term itself never appears as its own suggestion.
+
     Metadata-only plan: the DICTIONARY (term/df rows, no postings) is
     length-prefiltered (||t|-|text|| <= max_edits prunes before the
     edit-distance kernel), per-group rows are summed into corpus df,
-    and the final ranking is a tiny TakeOrderedAndProject."""
+    and the final ranking is a tiny TakeOrderedAndProject; the
+    mode's self-df probe is one broadcast scalar over the same frame."""
     from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
 
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
     dic = dictionary_df(spark, index_path) if _dic is None else _dic
     terms = dic.groupBy("term").agg(F.sum("df").alias("df"))
     cand = terms.filter(
         F.abs(F.length("term") - F.lit(len(text))) <= max_edits)
-    return (cand.select(
-                "term",
-                F.levenshtein(F.col("term"), F.lit(text)).alias("distance"),
-                "df")
-            .filter(F.col("distance") <= max_edits)
-            .orderBy("distance", F.desc("df"), "term").limit(size))
+    out = (cand.select(
+               "term",
+               F.levenshtein(F.col("term"), F.lit(text)).alias("distance"),
+               "df")
+           .filter(F.col("distance") <= max_edits))
+    if suggest_mode in ("missing", "popular"):
+        self_df = (terms.filter(F.col("term") == text)
+                   .agg(F.max("df").alias("_self_df")))
+        out = out.crossJoin(F.broadcast(self_df))
+        if suggest_mode == "missing":
+            out = out.filter(F.col("_self_df").isNull())
+        else:
+            out = out.filter(
+                F.col("df") > F.coalesce(F.col("_self_df"), F.lit(0)))
+        out = out.drop("_self_df")
+    return out.orderBy("distance", F.desc("df"), "term").limit(size)
 
 
 def suggest_prefix(spark: SparkSession, index_path: str, prefix: str,

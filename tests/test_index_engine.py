@@ -1996,3 +1996,41 @@ def test_rank_feature_functions(spark, corpus_rows, index_path):
 
     with pytest.raises(ValueError, match="unknown function"):
         rank_feature("dl", "bogus")
+
+
+def test_suggest_modes(spark, corpus_rows, index_path):
+    """ES suggest_mode: missing suppresses suggestions for in-index
+    terms, popular keeps only strictly-more-frequent corrections."""
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_terms,
+    )
+
+    dfc = Counter()
+    for t in corpus_rows["content"]:
+        for term in set(tokenize_py(t, "code")):
+            dfc[term] += 1
+    present = max(dfc, key=lambda t: (dfc[t], t))  # definitely indexed
+
+    # missing: a correctly-spelled term gets NO suggestions
+    assert suggest_terms(spark, index_path, present, max_edits=2,
+                         suggest_mode="missing").count() == 0
+    # missing with a real misspelling behaves like always
+    typo = present[:-1] + ("x" if present[-1] != "x" else "q")
+    if typo not in dfc:
+        a = suggest_terms(spark, index_path, typo, max_edits=2).collect()
+        m = suggest_terms(spark, index_path, typo, max_edits=2,
+                          suggest_mode="missing").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in m] and a
+
+    # popular: every suggestion strictly beats the input's df; the
+    # input term never suggests itself
+    pop = suggest_terms(spark, index_path, present, max_edits=2,
+                        suggest_mode="popular", size=50).collect()
+    assert all(r["df"] > dfc[present] for r in pop)
+    assert present not in {r["term"] for r in pop}
+
+    with pytest.raises(ValueError, match="unknown suggest_mode"):
+        suggest_terms(spark, index_path, "x", suggest_mode="bogus")
