@@ -239,6 +239,14 @@ def filter_column(dsl: dict,
             F.col(fld), float(lat_min), float(lat_max),
             float(lon_min), float(lon_max),
             relation=str(gspec.get("relation", "intersects")))
+    if kind == "script":
+        # ES script filter: {"script": {"source": "..."}} — the SQL
+        # expression over doc columns, same painless-to-Catalyst
+        # contract as runtime_mappings / script_score; stays in
+        # whole-stage codegen, cannot push into the scan (like ES)
+        s = spec.get("script", spec)
+        return F.expr(str(s["source"] if isinstance(s, dict) else s)) \
+                .cast("boolean")
     if kind == "bool":
         cond = F.lit(True)
         for clause in spec.get("must", []) + spec.get("filter", []):
@@ -610,6 +618,10 @@ def _search_query(spark: SparkSession, index_path: str,
             ds = ds.filter(post_col)
         return _const_hits(spark, _live_ids(
             spark, index_path, ds.select("doc_id"))).limit(k)
+
+    if kind == "match_none":
+        # ES match_none: the empty complement of match_all — no scan
+        return spark.createDataFrame([], _CONST_SCORE)
 
     if kind == "match":
         fld, mspec = _one_entry(spec, "match")

@@ -1490,3 +1490,23 @@ def test_rank_feature_query_and_highlight_body(spark, idx):
     for r in hl:
         assert r["highlight"] == direct.get(r["doc_id"])
         assert any("<b>" in f for f in r["highlight"])
+
+
+def test_match_none_and_script_filter(spark, idx):
+    assert dsl.search(spark, idx, {"query": {"match_none": {}}}).count() == 0
+
+    # script filter context == the equivalent column predicate
+    via = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}}, "size": 200,
+        "post_filter": {"script": {"script": {"source": "dl % 2 = 0"}}}})
+    base = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}}, "size": 200})
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+
+    dl = {r["doc_id"]: r["dl"] for r in
+          cat.read_table(spark, idx, "docstats")
+          .select("doc_id", "dl").collect()}
+    want = [(r["doc_id"], r["score"]) for r in base.collect()
+            if dl[r["doc_id"]] % 2 == 0]
+    assert [(r["doc_id"], r["score"]) for r in via.collect()] == want
+    assert want
