@@ -2508,6 +2508,43 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob_score(docs)
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM (Jelinek-Mercer, lam=0.8) perplexity
+    proxy: mean -log2 P(w|v) per doc with unigram add-one backoff —
+    the KenLM-shaped curation signal; bigram events come from one
+    codegen array zip, never a positional self-join."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        bigram_logprob_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, lam=0.8)
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH {TOK_CTE},
+pairs AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> {{'v': toks[i], 'w': toks[i+1]}})) AS p
+          FROM toks WHERE len(toks) >= 2),
+pv AS (SELECT doc_id, p.v AS v, p.w AS w FROM pairs),
+bi AS (SELECT v, w, count(*)::DOUBLE AS c_vw FROM pv GROUP BY v, w),
+ctx AS (SELECT v, sum(c_vw) AS c_v FROM bi GROUP BY v),
+uni AS (SELECT term AS w, count(*)::DOUBLE AS c_w
+        FROM (SELECT unnest(toks) AS term FROM toks) GROUP BY term),
+tot AS (SELECT sum(c_w) AS n, count(*)::DOUBLE AS vsz FROM uni),
+sc AS (SELECT pv.doc_id,
+              -log2(0.8 * coalesce(bi.c_vw, 0) / coalesce(ctx.c_v, 1)
+                    + 0.2 * (coalesce(uni.c_w, 0) + 1.0)
+                          / (tot.n + tot.vsz)) AS nll
+       FROM pv LEFT JOIN bi USING (v, w) LEFT JOIN ctx USING (v)
+       LEFT JOIN uni USING (w) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_events,
+       floor(avg(nll) * 10000.0 + 0.5)::BIGINT AS nll_x1e4
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_geotile_grid(spark, sf_dir):
     """ES geotile_grid over the synthetic points (zoom 4): web-
     mercator z/x/y buckets; the synthetic lat/lon land well inside
@@ -4227,6 +4264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percolate": q_percolate,
     "chunk_documents": q_chunk_documents,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "geo_distance_filter": q_geo_distance_filter,
     "geo_distance_agg": q_geo_distance_agg,
     "geo_line": q_geo_line,
@@ -5406,6 +5444,7 @@ SELECT doc_id, ((s - 1) // 56)::BIGINT AS chunk_id,
        len(list_slice(toks, s, s + 63))::BIGINT AS n_tokens,
        array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text
 FROM st ORDER BY doc_id, chunk_id""",
+        "bigram_logprob": BIGRAM_LOGPROB_SQL,
         "unigram_logprob": f"""
 WITH {TOK_EXPLODED_CTE},
 vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),

@@ -319,6 +319,60 @@ def unigram_logprob_score(df: DataFrame, *, id_col: str = "doc_id",
             .orderBy("doc_id"))
 
 
+def bigram_logprob_score(df: DataFrame, *, lam: float = 0.8,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Interpolated bigram-LM quality proxy (the KenLM-shaped upgrade
+    of :func:`unigram_logprob_score`): per doc, the mean negative
+    log2-probability of each token given its predecessor under a
+    Jelinek-Mercer mixture
+
+        P(w | v) = lam * cnt(v,w)/cnt(v,*) + (1-lam) * P1(w)
+
+    with P1 the add-one-smoothed corpus unigram distribution (so an
+    unseen bigram backs off instead of zeroing the doc). ->
+    (doc_id, n_events, nll_x1e4) over docs with >= 2 tokens; lower =
+    more fluent. This is the perplexity signal CCNet-style pipelines
+    bucket on when they train a real n-gram LM rather than unigrams.
+
+    Plan: bigram events come from ONE codegen zip of each doc's token
+    array with its own tail (no positional self-join); the bigram /
+    context / unigram count tables are corpus-shaped groupBys joined
+    back through the normal shuffle path (never broadcast — at 100 TB
+    the bigram vocabulary is huge), and the doc score is one final
+    aggregation."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("_t"))
+    n = F.size("_t")
+    pairs = (toks.filter(n >= 2)
+             .select("doc_id",
+                     F.explode(F.arrays_zip(
+                         F.slice("_t", 1, n - 1).alias("v"),
+                         F.slice("_t", 2, n - 1).alias("w"))).alias("_p"))
+             .select("doc_id", F.col("_p.v").alias("v"),
+                     F.col("_p.w").alias("w")))
+    pairs = pairs.localCheckpoint(eager=True)   # 3 consumers below
+    bi = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = bi.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    uni = (df.select(F.explode(tokens_col(text_col)).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    tot = uni.agg(F.sum("c_w").alias("n"),
+                  F.count(F.lit(1)).alias("vsz")).collect()[0]
+    n_total, vsz = float(tot["n"]), float(tot["vsz"])
+    p1 = (F.coalesce(F.col("c_w"), F.lit(0)) + 1.0) / F.lit(n_total + vsz)
+    pbg = (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double")
+           / F.coalesce(F.col("c_v"), F.lit(1)).cast("double"))
+    p = F.lit(float(lam)) * pbg + F.lit(1.0 - float(lam)) * p1
+    scored = (pairs.join(bi, ["v", "w"], "left")
+              .join(ctx, "v", "left")
+              .join(uni, "w", "left")
+              .select("doc_id", (-F.log2(p)).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 x1e4(F.avg("nll")).alias("nll_x1e4"))
+            .orderBy("doc_id"))
+
+
 def ccnet_buckets(df: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
                   vocab_df: DataFrame | None = None,

@@ -199,7 +199,10 @@ def test_cli_cat_apis(spark, cli_index, capsys, tmp_path):
     (rows,) = _run(capsys, ["cat", "indices", cli_index])
     (row,) = rows
     assert row["health"] == "green"
-    assert row["docs_count"] == meta["n_docs"] and row["docs_deleted"] == 0
+    # the module-scoped index may already carry tombstones from the
+    # delete test — vitals must reflect them, not a fresh-index guess
+    assert row["docs_deleted"] == int(meta.get("tombstones_n") or 0)
+    assert row["docs_count"] == meta["n_docs"] - row["docs_deleted"]
     assert row["store_size_bytes"] > 0 and row["n_buckets"] == 4
 
     (segs,) = _run(capsys, ["cat", "segments", cli_index])

@@ -443,3 +443,49 @@ def test_temperature_mixture_token_weighted(spark):
     assert byu["big"] == 10 and byu["small"] < 400
     rates = temperature_rates({"big": 10, "small": 400}, alpha=0.0)
     assert rates["big"] == 1.0 and abs(rates["small"] - 10 / 400) < 1e-12
+
+
+def test_bigram_logprob_score(spark):
+    """Hand-computed Jelinek-Mercer golden on a 3-doc corpus; fluent
+    (frequent-bigram) text scores lower NLL than a shuffled variant;
+    <2-token docs drop."""
+    import math
+
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import (
+        bigram_logprob_score,
+    )
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat again"),
+            (2, "mat the on sat cat the"),
+            (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lam = 0.8
+    toks = {d: tokenize_py(t, "simple") for d, t in rows}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    bi = Counter((ts[i], ts[i + 1]) for ts in toks.values()
+                 for i in range(len(ts) - 1))
+    ctx = Counter()
+    for (v, _w), c in bi.items():
+        ctx[v] += c
+    n, vsz = sum(uni.values()), len(uni)
+
+    def nll(ts):
+        out = []
+        for i in range(len(ts) - 1):
+            v, w = ts[i], ts[i + 1]
+            p = (lam * (bi[(v, w)] / ctx[v] if ctx[v] else 0.0)
+                 + (1 - lam) * (uni[w] + 1.0) / (n + vsz))
+            out.append(-math.log2(p))
+        return sum(out) / len(out)
+
+    got = {r["doc_id"]: (r["n_events"], r["nll_x1e4"]) for r in
+           bigram_logprob_score(df, lam=lam).collect()}
+    assert 3 not in got                       # <2 tokens -> no events
+    for d in (0, 1, 2):
+        want = int(math.floor(nll(toks[d]) * 1e4 + 0.5))
+        assert got[d] == (len(toks[d]) - 1, want), d
+    assert got[0][1] < got[2][1]              # fluent < shuffled
