@@ -2294,6 +2294,83 @@ SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
 ORDER BY floor(c * 10000.0 + 0.5) DESC, vec_id LIMIT {k}"""
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product quantization end-to-end under the hard gate: seeded
+    per-subspace codebooks (trained on the same md5-ordered sample in
+    both engines), sequential-fold argmin encoding, ADC table-lookup
+    distances — every code and distance value-for-value vs the SQL
+    twin. The query never reads a raw vector after encoding."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=4, k_sub=8, seed=42)
+    codes = pq_encode(emb, books)
+    raw = pq_topk_adc(codes, _query_vec(spark, sf_dir), books, k=30)
+    return (raw.select(
+                "vec_id",
+                F.floor(F.col("dist2") * 1e6 + F.lit(0.5)).cast("long")
+                 .alias("d2_x1e6"))
+            .orderBy(F.asc("d2_x1e6"), F.asc("vec_id")).limit(10))
+
+
+def _pq_oracle_sql(m: int = 4, k_sub: int = 8, seed: int = 42,
+                   k: int = 10) -> str:
+    """DuckDB PQ twin: trains the same codebooks on the same
+    md5-ordered sample (bit-identical numpy), then encodes and ADC-
+    scores with sequential folds matching the Spark expressions."""
+    import duckdb
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        _sub_slices,
+        lloyd_centroids,
+    )
+
+    path = f"{ANN_ORACLE_SF_DIR}/embeddings.parquet"
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding FROM '{path}' "
+        f"ORDER BY md5(vec_id::VARCHAR || '|{seed}'), vec_id "
+        f"LIMIT 4096").fetchall()
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    qrow = con.sql(f"SELECT embedding FROM '{path}' WHERE vec_id = 0") \
+        .fetchall()[0][0]
+    q = [float(t) for t in qrow]
+    dim = x.shape[1]
+    slices = _sub_slices(dim, m)
+    code_exprs, dist_terms = [], []
+    for j, (s, ln) in enumerate(slices):
+        book = lloyd_centroids(
+            np.ascontiguousarray(x[:, s:s + ln]), k_sub,
+            seed + 7919 * (j + 1), 5)
+        sub = f"list_slice(v, {s + 1}, {s + ln})"
+        scores = ", ".join(
+            f"({float((c * c).sum())!r}::DOUBLE - 2.0 * "
+            f"{_sql_fold_dot(sub, _dlist(c), ln)})" for c in book)
+        code_exprs.append(
+            f"(list_position([{scores}], list_min([{scores}])) - 1)")
+        tbl = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(q[s:s + ln], c):
+                acc += (a - float(b)) * (a - float(b))
+            tbl.append(acc)
+        dist_terms.append(f"({_dlist(tbl)})[c{j} + 1]")
+    codes_sel = ", ".join(f"{e} AS c{j}"
+                          for j, e in enumerate(code_exprs))
+    dist = " + ".join(dist_terms)
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+enc AS (SELECT vec_id, {codes_sel} FROM b),
+sc AS (SELECT vec_id, {dist} AS d2 FROM enc)
+SELECT vec_id, floor(d2 * 1000000.0 + 0.5)::BIGINT AS d2_x1e6
+FROM sc ORDER BY floor(d2 * 1000000.0 + 0.5), vec_id LIMIT {k}"""
+
+
 def _ann_ivf_oracle_sql(n_lists: int = 8, n_probe: int = 3, seed: int = 42,
                         k: int = 10) -> str:
     """Reproduces the Spark path's trained quantizer OUTSIDE Spark:
@@ -4258,6 +4335,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "pq_adc_topk": q_pq_adc_topk,
     "mixture_sample": q_mixture_sample,
     "temperature_mixture": q_temperature_mixture,
     "pack_sequences": q_pack_sequences,
@@ -4393,6 +4471,7 @@ def oracle_sql() -> dict[str, str]:
         if os.path.exists(f"{ANN_ORACLE_SF_DIR}/embeddings.parquet"):
             out["ann_lsh_topk"] = _ann_lsh_oracle_sql()
             out["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+            out["pq_adc_topk"] = _pq_oracle_sql()
         if os.path.exists(f"{ANN_ORACLE_SF_DIR}/documents.parquet"):
             out["temperature_mixture"] = _temperature_oracle_sql()
             out["temperature_mixture_tok"] = _temperature_tok_oracle_sql()

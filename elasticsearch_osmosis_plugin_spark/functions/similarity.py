@@ -547,3 +547,108 @@ def hard_negatives(df: DataFrame, queries: DataFrame,
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn")
             .orderBy("query_id", F.desc("cos"), F.asc("vec_id")))
+
+
+# ------------------------------------------------ product quantization
+
+def _sub_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    """m contiguous subspaces of a dim-vector -> [(start0, len), ...]
+    (0-based starts; the last subspace absorbs the remainder)."""
+    base = dim // m
+    out, pos = [], 0
+    for j in range(m):
+        ln = base + (1 if j < dim % m else 0)
+        out.append((pos, ln))
+        pos += ln
+    return out
+
+
+def pq_codebooks(df: DataFrame, m: int = 4, k_sub: int = 16,
+                 seed: int = 42, sample_n: int = 4096, iters: int = 5,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[np.ndarray]:
+    """Train product-quantization codebooks (the FAISS PQ shape): the
+    vector splits into ``m`` contiguous subspaces, each learning its
+    own ``k_sub``-centroid quantizer on the SAME deterministic
+    hash-ordered sample :func:`ivf_centroids` trains on. Returns
+    [codebook_j (k_sub, dsub_j)] — m*k_sub*dsub floats, tiny at any
+    scale; memory per encoded vector is m codes (m bytes at
+    k_sub<=256) vs 4*dim bytes raw."""
+    rows = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy(ivf_sample_order("_id", seed), F.col("_id"))
+            .limit(sample_n).collect())
+    if not rows:
+        raise ValueError("pq_codebooks: cannot train on an empty input")
+    x = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+    books = []
+    for j, (s, ln) in enumerate(_sub_slices(x.shape[1], m)):
+        books.append(lloyd_centroids(np.ascontiguousarray(x[:, s:s + ln]),
+                                     k_sub, seed + 7919 * (j + 1), iters))
+    return books
+
+
+def pq_encode_expr(vec_col: str, codebooks: list[np.ndarray]):
+    """codes array<int> as PURE column expressions: per subspace, the
+    rank-constant ||c||^2 - 2 v.c scores fold sequentially (the same
+    left-to-right order as the SQL twin's list_reduce), argmin = first
+    index of the min — bit-identical across engines, so PQ gets a
+    full value-for-value oracle, not rows-only. m*k_sub folds of
+    dsub-length slices, all inside whole-stage codegen."""
+    dim = sum(b.shape[1] for b in codebooks)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    for j, (s, ln) in enumerate(_sub_slices(dim, len(codebooks))):
+        sub = F.slice(v, s + 1, ln)
+        scores = []
+        for c in np.ascontiguousarray(codebooks[j], dtype=np.float64):
+            cl = F.array(*[F.lit(float(t)) for t in c])
+            scores.append(F.lit(float((c * c).sum()))
+                          - F.lit(2.0) * _dot(sub, cl))
+        arr = F.array(*scores)
+        codes.append((F.array_position(arr, F.array_min(arr)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode(df: DataFrame, codebooks: list[np.ndarray],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, codes array<int>): the compressed corpus — write this
+    once at ingest; queries never touch the raw vectors again."""
+    return df.select(F.col(id_col).alias("vec_id"),
+                     pq_encode_expr(vec_col, codebooks).alias("codes"))
+
+
+def pq_topk_adc(dfc: DataFrame, query_vec: Sequence[float],
+                codebooks: list[np.ndarray], k: int = 10,
+                codes_col: str = "codes") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (FAISS ADC): the query
+    precomputes one m x k_sub table of exact subspace distances
+    ||q_j - c_j,i||^2 (driver floats -> literals), and each row's
+    approximate squared L2 distance is m table lookups + adds — a
+    single codegen projection over the CODES table, the raw vectors
+    are never read. -> (vec_id, dist2) ascending (nearest first),
+    deterministic (vec_id tiebreak).
+
+    Approximation error comes only from the quantization grid; re-rank
+    the top candidates against raw vectors when exact order matters
+    (the standard FAISS recipe)."""
+    q = [float(t) for t in query_vec]
+    dim = sum(b.shape[1] for b in codebooks)
+    if len(q) != dim:
+        raise ValueError(f"query dim {len(q)} != codebook dim {dim}")
+    dist = None
+    for j, (s, ln) in enumerate(_sub_slices(dim, len(codebooks))):
+        qj = q[s:s + ln]
+        tbl = []
+        for c in codebooks[j]:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                acc += (a - float(b)) * (a - float(b))
+            tbl.append(acc)
+        lit = F.array(*[F.lit(t) for t in tbl])
+        term = F.element_at(lit, F.element_at(F.col(codes_col), j + 1)
+                            + F.lit(1))
+        dist = term if dist is None else dist + term
+    out = dfc.select("vec_id", dist.alias("dist2"))
+    return (out.orderBy(F.asc("dist2"), F.asc("vec_id")).limit(k))

@@ -422,3 +422,47 @@ def test_hard_negatives(spark):
     got2 = hard_negatives(df, queries, None, k=11).collect()
     assert {r["vec_id"] for r in got2 if r["query_id"] == 0} \
         == set(range(1, 12))
+
+
+def test_pq_adc(spark, embeddings):
+    """PQ codes round-trip deterministically, ADC distances equal a
+    numpy recompute, the nearest neighbor of a near-dup pair survives
+    quantization, and L2-exact top-k recall is reasonable."""
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        _sub_slices,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    books = pq_codebooks(embeddings, m=4, k_sub=8, seed=11, sample_n=64)
+    assert [b.shape for b in books] == [(8, 4)] * 4
+    codes = pq_encode(embeddings, books).collect()
+    assert all(len(r["codes"]) == 4 and all(0 <= c < 8 for c in r["codes"])
+               for r in codes)
+    # deterministic: retrain + re-encode identical
+    books2 = pq_codebooks(embeddings, m=4, k_sub=8, seed=11, sample_n=64)
+    assert all((a == b).all() for a, b in zip(books, books2))
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"])
+            for r in embeddings.collect()}
+    q = vecs[0]
+    got = pq_topk_adc(pq_encode(embeddings, books), q, books, k=40).collect()
+
+    # ADC distance == numpy recompute through the same codes
+    code_by_id = {r["vec_id"]: r["codes"] for r in codes}
+    for r in got:
+        d2 = 0.0
+        for j, (s, ln) in enumerate(_sub_slices(16, 4)):
+            c = books[j][code_by_id[r["vec_id"]][j]]
+            d2 += float(((q[s:s + ln] - c) ** 2).sum())
+        assert abs(r["dist2"] - d2) < 1e-9
+
+    # the engineered near-dup (vec 1) quantizes next to its twin
+    ranks = [r["vec_id"] for r in got]
+    assert ranks.index(1) <= 3
+    # recall@10 vs exact L2 — coarse grid, but related vectors stay close
+    exact = sorted(vecs, key=lambda i: float(((vecs[i] - q) ** 2).sum()))[:10]
+    assert len(set(ranks[:10]) & set(exact)) >= 5
