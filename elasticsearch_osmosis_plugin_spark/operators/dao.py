@@ -137,23 +137,54 @@ def save(spark: SparkSession, root: str, row: DataFrame) -> DataFrame:
 
 
 def update(spark: SparkSession, root: str, kind: str, id_: int,
-           fields: dict) -> Row:
+           fields: dict | None = None, script: dict | None = None,
+           upsert: dict | None = None) -> Row:
     """ES _update API analog: partial-document merge — read the doc,
     overlay ``fields``, write it back. Raises :class:`DaoError` when
-    absent (ES 409/404 semantics: _update does not upsert unless asked;
-    use :func:`save` for that). The read prunes to the doc's one
-    (kind, bkt) partition and the write rewrites only that partition —
-    O(partition), not O(store). Returns the merged row.
+    absent (ES 409/404 semantics: _update does not upsert unless
+    asked). The read prunes to the doc's one (kind, bkt) partition and
+    the write rewrites only that partition — O(partition), not
+    O(store). Returns the merged row.
+
+    ``script``: {col: SQL expression over the CURRENT row's columns}
+    — ES's scripted update (``ctx._source.count += 1`` becomes
+    ``{"count": "count + 1"}``), evaluated with the same
+    painless-to-Catalyst contract as update_by_query; applied after
+    ``fields``. ``upsert``: full column->value doc indexed instead
+    when the id is absent (ES's upsert body; scripts do NOT run on
+    the upsert insert, matching ES's default, non-scripted_upsert
+    mode).
 
     Unknown field names are rejected (the store is a fixed-schema
     parquet table, not a mapping-free JSON blob)."""
-    current = find(spark, root, kind, id_)  # DaoError if absent
-    bad = sorted(set(fields) - set(current.asDict()))
+    fields = dict(fields or {})
+    try:
+        current = find(spark, root, kind, id_)  # DaoError if absent
+    except DaoError:
+        if upsert is None:
+            raise
+        row = {"kind": kind, "id": int(id_), **upsert}
+        schema = catalog.read_table(spark, root, DOCSTORE).drop("bkt").schema
+        save_all(spark, root,
+                 spark.createDataFrame(
+                     [tuple(row.get(f.name) for f in schema.fields)], schema),
+                 supported_kinds=(kind,))
+        return find(spark, root, kind, id_)
+    bad = sorted((set(fields) | set(script or {})) - set(current.asDict()))
     if bad:
         raise ValueError(f"unknown fields: {bad}")
-    if any(k in ("kind", "id", "bkt") for k in fields):
+    if any(k in ("kind", "id", "bkt")
+           for k in list(fields) + list(script or {})):
         raise ValueError("cannot update key columns: kind/id/bkt")
     merged = {**current.asDict(), **fields}
+    if script:
+        one = spark.createDataFrame(
+            [tuple(merged[c] for c in current.asDict())],
+            catalog.read_table(spark, root, DOCSTORE).schema)
+        srow = one.select(
+            *[F.expr(expr).alias(c) for c, expr in sorted(script.items())]
+        ).collect()[0]
+        merged = {**merged, **srow.asDict()}
     row = spark.createDataFrame(
         [tuple(merged[c] for c in current.asDict())],
         catalog.read_table(spark, root, DOCSTORE).schema)

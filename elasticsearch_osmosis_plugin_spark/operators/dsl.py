@@ -1340,6 +1340,67 @@ def field_caps(spark: SparkSession, index_path: str) -> DataFrame:
                       "aggregatable boolean")
 
 
+def get_mapping(spark: SparkSession, index_path: str) -> dict:
+    """ES GET /index/_mapping analog: the response-shaped dict —
+    {"properties": {field: {"type": ...}}} derived from the docstats
+    schema + meta. Types map ES-ward: the indexed text column ->
+    "text" (with the analyzer recorded, as ES puts it under the field),
+    strings -> "keyword", integral -> "long", fractional -> "double",
+    arrays -> "nested"-free "keyword"/"float" approximations.
+    Metadata-only; the write side is fixed-schema parquet, so there is
+    deliberately no put_mapping (schema evolves by reindex, the ES
+    recommendation for breaking mapping changes anyway)."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+    meta = load_meta(index_path)
+    text_col = meta.get("text_col", "content")
+    props: dict = {}
+    for r in field_caps(spark, index_path).collect():
+        if r["field"] == text_col:
+            props[r["field"]] = {"type": "text",
+                                 "analyzer": meta.get("analyzer")}
+            continue
+        t = r["type"]
+        if t.startswith("array<float") or t.startswith("array<double"):
+            es = "dense_vector"
+        elif t in ("bigint", "int", "smallint", "tinyint", "long"):
+            es = "long"
+        elif t in ("double", "float"):
+            es = "double"
+        elif t == "boolean":
+            es = "boolean"
+        elif t.startswith("timestamp") or t == "date":
+            es = "date"
+        else:
+            es = "keyword"
+        props[r["field"]] = {"type": es}
+    return {"properties": props}
+
+
+def get_settings(index_path: str) -> dict:
+    """ES GET /index/_settings analog: the operational knobs of the
+    index in one dict — analyzer, BM25 k1/b (the similarity block),
+    bucket/segment layout, positions, doc counts. meta.json only."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+    meta = load_meta(index_path)
+    return {
+        "analysis": {"analyzer": meta.get("analyzer"),
+                     "min_token_len": meta.get("min_token_len"),
+                     "max_token_len": meta.get("max_token_len")},
+        "similarity": {"type": "BM25", "k1": meta.get("k1"),
+                       "b": meta.get("b")},
+        "layout": {"n_buckets": meta.get("n_buckets"),
+                   "block_size": meta.get("block_size"),
+                   "groups": len(meta.get("groups", []) or []) or
+                             meta.get("n_groups"),
+                   "positions": bool(meta.get("positions"))},
+    "docs": {"count": int(meta.get("n_docs", 0))
+                      - int(meta.get("tombstones_n") or 0),
+             "deleted": int(meta.get("tombstones_n") or 0)},
+    }
+
+
 def render_template(template: str | dict, params: dict) -> dict:
     """ES search-template rendering (the mustache subset templates
     actually use): ``{{var}}`` substitutes the parameter's JSON value;

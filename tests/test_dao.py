@@ -148,3 +148,35 @@ def test_update_on_custom_kind_store(spark, tmp_path):
     merged = dao.update(spark, root, "relation", 7, {"body": "R7v2"})
     assert merged["body"] == "R7v2"
     assert dao.find(spark, root, "relation", 7)["body"] == "R7v2"
+
+
+def test_update_script_and_upsert(spark, store):
+    """ES scripted update + upsert: the script sees the CURRENT row
+    (post-fields overlay), upsert inserts on absent ids, scripts skip
+    the upsert insert (ES default mode)."""
+    root, _ = store
+    # scripted: derive from current values
+    merged = dao.update(spark, root, "node", 3,
+                        script={"body": "concat(body, '!')"})
+    assert merged["body"] == "payload3!"
+    # fields apply BEFORE the script
+    merged = dao.update(spark, root, "node", 3, fields={"body": "x"},
+                        script={"body": "upper(body)"})
+    assert merged["body"] == "X"
+    # script on unknown / key columns rejected
+    with pytest.raises(ValueError):
+        dao.update(spark, root, "node", 3, script={"nope": "1"})
+    with pytest.raises(ValueError):
+        dao.update(spark, root, "node", 3, script={"id": "id + 1"})
+    # upsert: absent id inserts the upsert doc, script does NOT run
+    got = dao.update(spark, root, "node", 500, fields={"body": "ignored"},
+                     script={"body": "upper(body)"},
+                     upsert={"body": "fresh"})
+    assert got["body"] == "fresh" and got["id"] == 500
+    # present id: upsert ignored, normal update path
+    got = dao.update(spark, root, "node", 500, fields={"body": "v2"},
+                     upsert={"body": "nope"})
+    assert got["body"] == "v2"
+    # absent + no upsert still raises
+    with pytest.raises(dao.DaoError):
+        dao.update(spark, root, "node", 901, fields={"body": "x"})

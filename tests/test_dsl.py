@@ -1510,3 +1510,21 @@ def test_match_none_and_script_filter(spark, idx):
             if dl[r["doc_id"]] % 2 == 0]
     assert [(r["doc_id"], r["score"]) for r in via.collect()] == want
     assert want
+
+
+def test_get_mapping_and_settings(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.operators.query import load_meta
+
+    meta = load_meta(idx)
+    m = dsl.get_mapping(spark, idx)["properties"]
+    tc = meta["text_col"]
+    assert m[tc] == {"type": "text", "analyzer": meta["analyzer"]}
+    assert m["doc_id"]["type"] == "long"
+    assert all("type" in v for v in m.values())
+
+    s = dsl.get_settings(idx)
+    assert s["similarity"] == {"type": "BM25", "k1": meta["k1"],
+                               "b": meta["b"]}
+    assert s["analysis"]["analyzer"] == meta["analyzer"]
+    assert s["layout"]["n_buckets"] == meta["n_buckets"]
+    assert s["docs"]["count"] + s["docs"]["deleted"] == meta["n_docs"]
