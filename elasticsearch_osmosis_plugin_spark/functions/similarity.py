@@ -652,3 +652,44 @@ def pq_topk_adc(dfc: DataFrame, query_vec: Sequence[float],
         dist = term if dist is None else dist + term
     out = dfc.select("vec_id", dist.alias("dist2"))
     return (out.orderBy(F.asc("dist2"), F.asc("vec_id")).limit(k))
+
+
+def ann_topk_ivfpq(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                   n_lists: int = 8, n_probe: int = 3, m: int = 4,
+                   k_sub: int = 16, seed: int = 42, rerank: int = 0,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cents: np.ndarray | None = None,
+                   codebooks: list[np.ndarray] | None = None) -> DataFrame:
+    """IVF-PQ (the canonical FAISS index shape): coarse-quantizer list
+    pruning (:func:`ann_topk_ivf`'s probe logic) composed with PQ/ADC
+    scoring (:func:`pq_topk_adc`) — only the probed lists' rows are
+    scored, and each is m table lookups, never a raw-vector read.
+
+    ``rerank > 0`` runs the standard refinement: the top ``rerank``
+    ADC candidates re-score EXACT cosine from the raw vectors (a
+    point-lookup-sized second pass), and the final k comes from that
+    exact ordering -> (vec_id, cos). With ``rerank=0`` the result is
+    (vec_id, dist2) in pure ADC order. At ingest scale, persist codes
+    + list ids partitioned by list (``write_ivf_layout``'s pattern) so
+    the probe is partition pruning."""
+    if cents is None:
+        cents = ivf_centroids(df, n_lists, seed, id_col=id_col,
+                              vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks(df, m=m, k_sub=k_sub, seed=seed,
+                                 id_col=id_col, vec_col=vec_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    assign = (ivf_assign_expr(vec_col, cents) if len(cents) <= 32
+              else ivf_assign_col(vec_col, cents))
+    cand = df.withColumn("_list", assign).filter(F.col("_list").isin(probe))
+    codes = cand.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("_raw"),
+                        pq_encode_expr(vec_col, codebooks).alias("codes"))
+    adc = pq_topk_adc(codes, query_vec, codebooks,
+                      k=max(k, rerank))
+    if not rerank:
+        return adc
+    picked = codes.join(adc.select("vec_id"), "vec_id", "left_semi")
+    return cosine_topk(picked, query_vec, k, "vec_id", "_raw")

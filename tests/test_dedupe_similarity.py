@@ -466,3 +466,40 @@ def test_pq_adc(spark, embeddings):
     # recall@10 vs exact L2 — coarse grid, but related vectors stay close
     exact = sorted(vecs, key=lambda i: float(((vecs[i] - q) ** 2).sum()))[:10]
     assert len(set(ranks[:10]) & set(exact)) >= 5
+
+
+def test_ann_ivfpq(spark, embeddings):
+    """IVF-PQ composition: probe-list pruning is a strict candidate
+    subset, ADC ordering is deterministic, and exact re-rank returns
+    true cosines with the engineered near-dup on top."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        ann_topk_ivfpq,
+        cosine_topk,
+    )
+
+    q = [r["embedding"] for r in
+         embeddings.filter("vec_id = 0").collect()][0]
+    adc = ann_topk_ivfpq(embeddings, q, k=40, n_lists=4, n_probe=4,
+                         m=4, k_sub=8, seed=11).collect()
+    # n_probe = n_lists: nothing pruned -> pure PQ over all 40 vectors
+    assert len(adc) == 40
+    assert adc[0]["vec_id"] in (0, 1)       # query + its near-dup share codes
+    again = ann_topk_ivfpq(embeddings, q, k=40, n_lists=4, n_probe=4,
+                           m=4, k_sub=8, seed=11).collect()
+    assert [tuple(r) for r in adc] == [tuple(r) for r in again]
+
+    # pruned probe: candidates are a subset of the unpruned run
+    pruned = ann_topk_ivfpq(embeddings, q, k=40, n_lists=4, n_probe=1,
+                            m=4, k_sub=8, seed=11).collect()
+    assert {r["vec_id"] for r in pruned} <= {r["vec_id"] for r in adc}
+    assert 0 < len(pruned) <= 40
+
+    # exact re-rank: scores are TRUE cosines, near-dup pair leads
+    rr = ann_topk_ivfpq(embeddings, q, k=5, n_lists=4, n_probe=4,
+                        m=4, k_sub=8, seed=11, rerank=20).collect()
+    exact = {r["vec_id"]: r["cos"]
+             for r in cosine_topk(embeddings, q, k=40).collect()}
+    assert rr[0]["vec_id"] == 0 and abs(rr[0]["cos"] - 1.0) < 1e-9
+    assert rr[1]["vec_id"] == 1              # the engineered near-dup
+    for r in rr:
+        assert abs(r["cos"] - exact[r["vec_id"]]) < 1e-9
