@@ -796,13 +796,20 @@ def _search_query(spark: SparkSession, index_path: str,
             return scorefn.combined_fields_topk(
                 spark, paths, spec["query"], k=k, field_weights=weights)
         mm_type = spec.get("type", "best_fields")
-        if mm_type != "best_fields":
-            raise ValueError(f"unsupported multi_match type: {mm_type}")
         if any(w != 1.0 for w in weights.values()):
             raise ValueError("multi_match per-field boosts not supported")
-        return scorefn.multi_match_best_fields(
-            spark, paths, spec["query"], k=k,
-            tie_breaker=float(spec.get("tie_breaker", 0.0)))
+        if mm_type == "best_fields":
+            return scorefn.multi_match_best_fields(
+                spark, paths, spec["query"], k=k,
+                tie_breaker=float(spec.get("tie_breaker", 0.0)))
+        if mm_type == "most_fields":
+            return scorefn.multi_match_most_fields(
+                spark, paths, spec["query"], k=k)
+        if mm_type == "cross_fields":
+            return scorefn.multi_match_cross_fields(
+                spark, paths, spec["query"], k=k,
+                operator=spec.get("operator", "or"))
+        raise ValueError(f"unsupported multi_match type: {mm_type}")
 
     if kind == "match_phrase":
         fld, mspec = _one_entry(spec, "match_phrase")

@@ -240,6 +240,98 @@ def multi_match_best_fields(spark: SparkSession,
     return deterministic_topk(final, k)
 
 
+def multi_match_most_fields(spark: SparkSession,
+                            field_indexes: dict[str, str], query: str,
+                            k: int = 10) -> DataFrame:
+    """ES multi_match type=most_fields: per-field BM25 scores SUM
+    (best_fields takes the max) — the "same text analyzed different
+    ways" combine. Same per-field pruned scoring plan as best_fields;
+    only the final aggregate differs."""
+    scored = []
+    for field, path in field_indexes.items():
+        meta = load_meta(path)
+        terms = query_terms(query, meta)
+        dic = dictionary_rows(spark, path, terms, meta)
+        if dic.empty:
+            continue
+        idf_by_term = {r.term: idf(meta["n_docs"], int(r.df))
+                       for r in dic.itertuples()}
+        scored.append(
+            _scored(spark, path, list(dic["term"]), meta, idf_by_term,
+                    denied=tombstones_df(spark, path, meta))
+            .groupBy("doc_id").agg(F.sum("partial").alias("s")))
+    if not scored:
+        return SparkSession.getActiveSession().createDataFrame(
+            [], "doc_id long, score double")
+    allf = scored[0]
+    for s in scored[1:]:
+        allf = allf.unionByName(s)
+    return deterministic_topk(
+        allf.groupBy("doc_id").agg(F.sum("s").alias("score")), k)
+
+
+def multi_match_cross_fields(spark: SparkSession,
+                             field_indexes: dict[str, str], query: str,
+                             k: int = 10,
+                             operator: str = "or") -> DataFrame:
+    """ES multi_match type=cross_fields: TERM-centric blending — each
+    query term is looked up in every field and scored with a BLENDED
+    document frequency (Lucene's BlendedTermQuery: df = max over the
+    fields, so a term common in `title` but rare in `body` is not
+    spuriously rare), then each (doc, term) takes its best field's
+    partial and a doc sums over terms. ``operator="and"`` requires
+    every query term to match in AT LEAST ONE field (exactly ES's
+    cross_fields AND: per-term cross-field disjunction, conjunction
+    across terms).
+
+    Plan: one pruned per-field decode sharing the blended idf map; the
+    cross-field max and the per-doc sum are two groupBys on
+    (doc_id[, term]) — the second reuses the first's hash partitioning
+    (superset key), no extra exchange."""
+    metas = {f: load_meta(p) for f, p in field_indexes.items()}
+    if not metas:
+        return SparkSession.getActiveSession().createDataFrame(
+            [], "doc_id long, score double")
+    # blended df: max over fields, idf from the (shared) corpus size
+    df_by_term: dict[str, int] = {}
+    dics = {}
+    n_docs = 0
+    for f, p in field_indexes.items():
+        meta = metas[f]
+        n_docs = max(n_docs, int(meta["n_docs"]))
+        dic = dictionary_rows(spark, p, query_terms(query, meta), meta)
+        dics[f] = dic
+        for r in dic.itertuples():
+            df_by_term[r.term] = max(df_by_term.get(r.term, 0), int(r.df))
+    if not df_by_term:
+        return SparkSession.getActiveSession().createDataFrame(
+            [], "doc_id long, score double")
+    blended_idf = {t: idf(n_docs, d) for t, d in df_by_term.items()}
+    parts = []
+    for f, p in field_indexes.items():
+        terms = sorted(set(dics[f]["term"]))
+        if not terms:
+            continue
+        parts.append(
+            _scored(spark, p, terms, metas[f],
+                    {t: blended_idf[t] for t in terms},
+                    denied=tombstones_df(spark, p, metas[f]))
+            .select("doc_id", "term", "partial"))
+    u = parts[0]
+    for s in parts[1:]:
+        u = u.unionByName(s)
+    per_term = (u.groupBy("doc_id", "term")
+                .agg(F.max("partial").alias("p")))
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("p").alias("score"),
+        F.countDistinct("term").alias("_nt"))
+    if operator.lower() == "and":
+        n_terms = len({t for m in metas.values()
+                       for t in query_terms(query, m)})
+        agg = agg.filter(F.col("_nt") == n_terms)
+    return deterministic_topk(agg.select("doc_id", "score"), k)
+
+
 def _match_scores(spark, index_path, query, meta) -> DataFrame | None:
     """Pruned scoreall BM25 of ``query`` -> (doc_id, score), or None
     when no query term exists in the dictionary."""

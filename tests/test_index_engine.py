@@ -2034,3 +2034,92 @@ def test_suggest_modes(spark, corpus_rows, index_path):
 
     with pytest.raises(ValueError, match="unknown suggest_mode"):
         suggest_terms(spark, index_path, "x", suggest_mode="bogus")
+
+
+def test_multi_match_most_and_cross_fields(spark, corpus_rows, corpus_df,
+                                           index_path, tmp_path):
+    """most_fields sums per-field BM25; cross_fields blends df (max
+    over fields) and takes each term's best field — both vs python
+    recomputes; cross_fields AND requires every term somewhere."""
+    import math
+    from collections import Counter
+
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import bm25_oracle
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        multi_match_cross_fields,
+        multi_match_most_fields,
+    )
+
+    repo_idx = str(tmp_path / "repo_idx2")
+    build_index(spark, corpus_df, repo_idx, CFG, id_col="doc_id",
+                text_col="repo", n_groups=1)
+    repo_val = corpus_rows["repo"][0]
+    query = f"public {repo_val}"
+    paths = {"content": index_path, "repo": repo_idx}
+
+    rows_txt = list(zip(corpus_rows["doc_id"], corpus_rows["content"]))
+    rows_rep = list(zip(corpus_rows["doc_id"], corpus_rows["repo"]))
+    s_txt = dict(bm25_oracle(rows_txt, query, k=10_000))
+    s_rep = dict(bm25_oracle(rows_rep, query, k=10_000))
+
+    # most_fields: plain sum
+    want = sorted(((-(s_txt.get(d, 0.0) + s_rep.get(d, 0.0)), d)
+                   for d in set(s_txt) | set(s_rep)))[:10]
+    got = multi_match_most_fields(spark, paths, query, k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (ns, _) in zip(got, want):
+        assert abs(r["score"] - (-ns)) < 1e-9
+
+    # cross_fields: blended idf (df = max over fields), per-term best
+    # field partial, summed per doc — recompute from raw tokenization
+    qterms = set(tokenize_py(query, "code"))
+    fields = {"content": [tokenize_py(t, "code")
+                          for t in corpus_rows["content"]],
+              "repo": [tokenize_py(t, "code") for t in corpus_rows["repo"]]}
+    ids = corpus_rows["doc_id"]
+    n = len(ids)
+    k1, b = 1.2, 0.75
+    df_blend = {t: max(sum(t in set(ts) for ts in toks)
+                       for toks in fields.values()) for t in qterms}
+    score = Counter()
+    matched = {}
+    for fname, toks in fields.items():
+        avgdl = sum(len(ts) for ts in toks) / n
+        for d, ts in zip(ids, toks):
+            dl = len(ts)
+            cnt = Counter(ts)
+            for t in qterms:
+                if cnt[t] and df_blend[t]:
+                    w = (math.log(1.0 + (n - df_blend[t] + 0.5)
+                                  / (df_blend[t] + 0.5))
+                         * cnt[t] * (k1 + 1)
+                         / (cnt[t] + k1 * (1 - b + b * dl / avgdl)))
+                    key = (d, t)
+                    matched[key] = max(matched.get(key, 0.0), w)
+    for (d, _t), w in matched.items():
+        score[d] += w
+    want = sorted(((-s, d) for d, s in score.items()))[:10]
+    got = multi_match_cross_fields(spark, paths, query, k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (ns, _) in zip(got, want):
+        assert abs(r["score"] - (-ns)) < 1e-9
+
+    # operator=and: every query term must match in >= 1 field
+    got_and = multi_match_cross_fields(spark, paths, query, k=100,
+                                       operator="and").collect()
+    nt = {d: len({t for (dd, t) in matched if dd == d})
+          for d in {dd for (dd, _t) in matched}}
+    want_and = {d for d in nt if nt[d] == len(qterms)}
+    assert {r["doc_id"] for r in got_and} == want_and
+
+    # DSL routing
+    from elasticsearch_osmosis_plugin_spark.operators import dsl as _dsl
+
+    via = _dsl.search(spark, index_path, {
+        "query": {"multi_match": {"query": query,
+                                  "fields": ["content", "repo"],
+                                  "type": "cross_fields"}}, "size": 10},
+        field_indexes=paths)
+    assert [r["doc_id"] for r in via.collect()] \
+        == [r["doc_id"] for r in got]
