@@ -2702,3 +2702,28 @@ def highlight_fragments(spark: SparkSession, index_path: str, query: str,
                     F.struct("pos", "term", "frag"))),
                 lambda s: s["frag"]).alias("fragments"))
             .orderBy("doc_id"))
+
+
+def search_shards(spark: SparkSession, index_path: str,
+                  query: str) -> DataFrame:
+    """ES _search_shards analog, re-read for this engine's routing:
+    which posting BUCKETS (the shard analog — ``md5(term) %
+    n_buckets`` partition dirs) a query would read, per analyzed term
+    -> (term, bucket, in_dictionary). The debugging surface for \"why
+    does this query touch N partitions\": pure metadata (one
+    dictionary lookup for the in_dictionary flag, the routing itself
+    is arithmetic — exactly ES's hash-routing answer)."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import (
+        dictionary_rows,
+        query_terms,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import bucket_of
+
+    meta = load_meta(index_path)
+    terms = sorted(set(query_terms(query, meta)))
+    dic = dictionary_rows(spark, index_path, terms, meta)
+    live = set(dic["term"]) if not dic.empty else set()
+    rows = [(t, bucket_of(t, meta["n_buckets"]), t in live)
+            for t in terms]
+    return spark.createDataFrame(
+        rows, "term string, bucket int, in_dictionary boolean")

@@ -314,3 +314,34 @@ def apply_ilm(alias: str, policy: dict[str, Any]) -> dict[str, Any]:
             shutil.rmtree(path)
             out["deleted"].append(path)
     return out
+
+
+def open_pit(index_path: str) -> str:
+    """ES point-in-time (PIT) API analog: freeze the index's CURRENT
+    state and return a PIT id (a path) that searches use instead of
+    the live index — later appends/deletes/compactions never move a
+    PIT reader's results, exactly ES's \"consistent view across
+    search_after pages\" contract. Implementation: an incremental
+    (hardlink) snapshot under ``<index>/.pit/`` — O(#files) metadata,
+    zero bytes, safe under the engine's immutable-write discipline.
+    Close with :func:`close_pit`; orphans are plain directories under
+    ``.pit/`` (list + age-out from any scheduler)."""
+    root = os.path.realpath(index_path)
+    pit_dir = os.path.join(root, ".pit")
+    os.makedirs(pit_dir, exist_ok=True)
+    pit = os.path.join(pit_dir, uuid.uuid4().hex[:16])
+    tmp = f"{pit}.tmp.{uuid.uuid4().hex[:8]}"
+    shutil.copytree(root, tmp, copy_function=os.link,
+                    ignore=shutil.ignore_patterns(".pit"))
+    os.rename(tmp, pit)
+    return pit
+
+
+def close_pit(pit_id: str) -> bool:
+    """Release a PIT. Returns True when it existed (ES's
+    ``succeeded`` flag)."""
+    if os.path.basename(os.path.dirname(pit_id)) != ".pit" \
+            or not os.path.isdir(pit_id):
+        return False
+    shutil.rmtree(pit_id)
+    return True

@@ -387,3 +387,41 @@ def test_ilm_policy_and_incremental_snapshot(spark, corpus_df, tmp_path):
     r = cat.apply_ilm(alias, {"retention": {"max_generations": 0}})
     assert cat.resolve_alias(alias) not in r["deleted"]
     assert os.path.exists(cat.resolve_alias(alias))
+
+
+def test_pit_and_search_shards(spark, corpus_df, tmp_path):
+    """PIT freezes results across live mutation; search_shards reports
+    the md5 bucket routing + dictionary presence."""
+    import os
+
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        search_shards,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        bucket_of,
+        delete_docs,
+    )
+
+    idx = str(tmp_path / "pitidx")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=1)
+    pit = cat.open_pit(idx)
+    before = [(r["doc_id"], round(r["score"], 9))
+              for r in topk(spark, pit, "public static", k=5).collect()]
+    delete_docs(spark, idx, [before[0][0]])
+    # live moved, the PIT view did not
+    assert topk(spark, idx, "public static", k=5).collect()[0]["doc_id"] \
+        != before[0][0]
+    assert [(r["doc_id"], round(r["score"], 9))
+            for r in topk(spark, pit, "public static", k=5).collect()] \
+        == before
+    assert cat.close_pit(pit) is True
+    assert not os.path.exists(pit)
+    assert cat.close_pit(pit) is False
+    assert cat.close_pit(idx) is False     # refuses non-PIT paths
+
+    sh = {r["term"]: (r["bucket"], r["in_dictionary"])
+          for r in search_shards(spark, idx, "public zzznotaterm").collect()}
+    meta = load_meta(idx)
+    assert sh["public"] == (bucket_of("public", meta["n_buckets"]), True)
+    assert sh["zzznotaterm"][1] is False
