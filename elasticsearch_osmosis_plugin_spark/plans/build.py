@@ -595,13 +595,34 @@ def load_meta(index_path: str) -> dict:
 
 
 def postings_df(spark: SparkSession, index_path: str) -> DataFrame:
+    """All live posting rows. After a compaction, groups appended
+    SINCE the merge still serve from their own dirs (postings_merged
+    covers only the groups it merged — ``merged_groups`` in meta, or
+    the merge manifest's count for pre-upgrade indexes): compact →
+    append → query must see the new docs, exactly Lucene's merged +
+    fresh-segments read path."""
     meta = load_meta(index_path)
-    if meta.get("merged") and catalog.table_exists(index_path, "postings_merged"):
-        return catalog.read_table(spark, index_path, "postings_merged")
     base = os.path.join(index_path, "postings")
-    return spark.read.schema(POSTING_SCHEMA + ", group int") \
-        .option("basePath", base).parquet(
-            *[os.path.join(base, f"group={g}") for g in index_groups(meta)])
+
+    def _group_df(groups: list[int]) -> DataFrame:
+        return spark.read.schema(POSTING_SCHEMA + ", group int") \
+            .option("basePath", base).parquet(
+                *[os.path.join(base, f"group={g}") for g in groups])
+
+    if meta.get("merged") and catalog.table_exists(index_path, "postings_merged"):
+        merged = catalog.read_table(spark, index_path, "postings_merged")
+        groups = index_groups(meta)
+        covered = meta.get("merged_groups")
+        if covered is None:
+            n = int(catalog.read_manifest(index_path, "postings_merged")
+                    .get("merged_groups", len(groups)))
+            covered = groups[:n]
+        extra = [g for g in groups if g not in set(covered)
+                 and catalog.table_exists(index_path, f"postings/group={g}")]
+        if not extra:
+            return merged
+        return merged.unionByName(_group_df(extra).drop("group"))
+    return _group_df(index_groups(meta))
 
 
 def index_stats(spark: SparkSession, index_path: str) -> DataFrame:

@@ -47,6 +47,8 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
                   "wall_s": time.time() - t0},
         partition_by=["bucket"])
     meta["merged"] = True
+    meta["merged_groups"] = list(index_groups(meta))  # coverage marker:
+    # groups appended AFTER this merge serve from their own dirs
     meta["metrics"].append({"stage": "merge", "wall_s": time.time() - t0,
                             "n_rows": n_rows})
     tmp = os.path.join(index_path, "_meta.tmp")

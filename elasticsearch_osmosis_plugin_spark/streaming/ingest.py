@@ -174,7 +174,8 @@ def stream_index_ingest(spark: SparkSession, src_path: str,
                         schema: StructType, index_path: str,
                         text_col: str = "text",
                         id_col: str | None = "doc_id",
-                        max_files_per_trigger: int = 1) -> None:
+                        max_files_per_trigger: int = 1,
+                        compact_every: int | None = None) -> None:
     """Streaming ingest INTO the inverted index — the reference's whole
     role (entity stream -> fulltext index,
     ``ElasticSearchWriterTask.java:40-82``) with the index ours: each
@@ -182,16 +183,32 @@ def stream_index_ingest(spark: SparkSession, src_path: str,
     ``plans.build.append_index_group`` (atomic meta swap = the
     refresh/visibility barrier), so searchers see index states that
     each include complete batches only. Exactly-once per batch via the
-    streaming checkpoint + idempotent group replace."""
+    streaming checkpoint + idempotent group replace.
+
+    ``compact_every=N`` is the Lucene-merge-policy analog for the
+    stream: whenever the live group count reaches a multiple of N, the
+    batch handler runs ``plans.merge.compact_index`` inline before
+    returning — searchers only ever see pre- or post-compaction
+    states (the same atomic swap), and the group count stays bounded
+    no matter how long the stream runs (unbounded groups = unbounded
+    per-query segment fan-in, the classic LSM read-amplification
+    failure)."""
     from elasticsearch_osmosis_plugin_spark.plans.build import (
         append_index_group,
+        index_groups,
+        load_meta,
     )
+    from elasticsearch_osmosis_plugin_spark.plans.merge import compact_index
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         append_index_group(batch_df.sparkSession, batch_df, index_path,
                            id_col=id_col, text_col=text_col)
+        if compact_every:
+            n_groups = len(index_groups(load_meta(index_path)))
+            if n_groups >= compact_every and n_groups % compact_every == 0:
+                compact_index(batch_df.sparkSession, index_path)
 
     q = (stream_events(spark, src_path, schema, max_files_per_trigger)
          .writeStream.foreachBatch(handle)

@@ -371,3 +371,74 @@ def test_restore_via_alias_is_atomic(spark, tmp_path):
     assert os.path.islink(alias)                      # still an alias
     assert topk(spark, alias, "public", k=5).collect() == before
     assert catalog.resolve_alias(alias) != os.path.realpath(idx)
+
+
+def test_compact_then_append_visible(spark, corpus_df, tmp_path):
+    """Regression: groups appended AFTER a compaction must serve from
+    their own dirs (postings_merged only covers the groups it merged).
+    compact -> append == append-only, and a re-compact folds the new
+    group in."""
+    from elasticsearch_osmosis_plugin_spark.plans.merge import compact_index
+
+    half = corpus_df.filter("doc_id % 2 = 0")
+    rest = corpus_df.filter("doc_id % 2 = 1")
+
+    i1 = str(tmp_path / "ca")
+    build_index(spark, half, i1, CFG, id_col="doc_id", n_groups=2)
+    compact_index(spark, i1)
+    append_index_group(spark, rest, i1, id_col="doc_id")
+
+    i2 = str(tmp_path / "ao")
+    build_index(spark, half, i2, CFG, id_col="doc_id", n_groups=2)
+    append_index_group(spark, rest, i2, id_col="doc_id")
+
+    def res(p):
+        return [(r["doc_id"], round(r["score"], 9))
+                for r in topk(spark, p, "public static", k=500).collect()]
+
+    want = res(i2)
+    assert res(i1) == want and want
+    compact_index(spark, i1)
+    assert res(i1) == want
+
+
+def test_streaming_ingest_auto_compaction(spark, corpus_rows, tmp_path):
+    """compact_every bounds the live group count while the stream
+    runs, and the compacted stream index stays rank-identical to the
+    batch build."""
+    from elasticsearch_osmosis_plugin_spark.streaming.ingest import (
+        stream_index_ingest,
+    )
+
+    pdf = corpus_rows.rename(columns={"content": "text"})
+    df = spark.createDataFrame(pdf)
+    schema = df.schema
+
+    d = tmp_path / "doc_stream_ac"
+    d.mkdir()
+    preds = ["doc_id % 4 = 0", "doc_id % 4 = 1",
+             "doc_id % 4 = 2", "doc_id % 4 = 3"]
+    for i, pred in enumerate(preds):
+        staging = str(tmp_path / f"acstage_{i}")
+        df.filter(pred).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dst = str(d / f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    inc = str(tmp_path / "stream_idx_ac")
+    build_index(spark, df.limit(0), inc, CFG, id_col="doc_id",
+                text_col="text", n_groups=1)
+    stream_index_ingest(spark, str(d), schema, inc, text_col="text",
+                        id_col="doc_id", compact_every=2)
+    meta = load_meta(inc)
+    assert meta["n_docs"] == len(pdf)
+    assert meta.get("merged")
+    assert any(m["stage"] == "merge" for m in meta["metrics"])
+
+    full = str(tmp_path / "stream_full_ac")
+    build_index(spark, df, full, CFG, id_col="doc_id", text_col="text",
+                n_groups=1)
+    for q in QUERIES:
+        assert _rows((spark, inc), q, "scoreall") \
+            == _rows((spark, full), q, "scoreall"), q
