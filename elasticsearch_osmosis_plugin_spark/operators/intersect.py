@@ -2198,7 +2198,8 @@ def moving_percentiles(buckets: DataFrame, value_col: str = "n_docs",
 def significant_text(spark: SparkSession, index_path: str, query: str,
                      size: int = 10, min_doc_count: int = 3,
                      mode: str = "any",
-                     filter_duplicate_text: bool = True) -> DataFrame:
+                     filter_duplicate_text: bool = True,
+                     heuristic: str = "jlh") -> DataFrame:
     """ES significant_text aggregation: :func:`significant_terms` over
     the hit docs' text with the ``filter_duplicate_text`` twist —
     near-boilerplate copies (identical token sequences) count ONCE in
@@ -2232,14 +2233,12 @@ def significant_text(spark: SparkSession, index_path: str, query: str,
     n_fg = fg_docs.select(F.count(F.lit(1)).alias("n_fg"))
     bg = (dictionary_df(spark, index_path)
           .groupBy("term").agg(F.sum("df").alias("df_bg")))
-    n_docs = float(meta["n_docs"])
-    fg_rate = F.col("df_fg") / F.col("n_fg")
-    bg_rate = F.col("df_bg") / F.lit(n_docs)
     return (fg.join(bg, "term").crossJoin(F.broadcast(n_fg))
             .filter(F.col("df_fg") >= min_doc_count)
             .select("term", "df_fg", "df_bg",
-                    ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("jlh"))
-            .orderBy(F.desc("jlh"), F.asc("term")).limit(size))
+                    _sig_heuristic(heuristic, float(meta["n_docs"]))
+                    .alias(heuristic))
+            .orderBy(F.desc(heuristic), F.asc("term")).limit(size))
 
 
 def mtermvectors(spark: SparkSession, index_path: str,
