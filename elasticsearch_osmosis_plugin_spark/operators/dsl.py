@@ -1253,6 +1253,51 @@ def search_aggs(spark: SparkSession, index_path: str,
         elif akind == "boxplot":
             out[name] = intersect.boxplot_agg(
                 spark, index_path, qtext, aspec["field"])
+        elif akind == "filters":
+            out[name] = intersect.filters_agg(
+                spark, index_path, qtext,
+                {n2: filter_column(f)
+                 for n2, f in aspec["filters"].items()})
+        elif akind == "missing":
+            out[name] = intersect.missing_agg(
+                spark, index_path, qtext, aspec["field"])
+        elif akind == "percentile_ranks":
+            out[name] = intersect.percentile_ranks_agg(
+                spark, index_path, qtext, aspec["field"],
+                list(aspec["values"]))
+        elif akind == "rare_terms":
+            out[name] = intersect.rare_terms_agg(
+                spark, index_path, qtext, aspec["field"],
+                int(aspec.get("max_doc_count", 1)))
+        elif akind == "multi_terms":
+            out[name] = intersect.multi_terms_agg(
+                spark, index_path, qtext,
+                [t["field"] for t in aspec["terms"]],
+                size=int(aspec.get("size", 10)))
+        elif akind == "extended_stats":
+            out[name] = intersect.extended_stats_agg(
+                spark, index_path, qtext, aspec["field"],
+                sigma=float(aspec.get("sigma", 2.0)))
+        elif akind == "weighted_avg":
+            out[name] = intersect.weighted_avg_agg(
+                spark, index_path, qtext,
+                aspec["value"]["field"], aspec["weight"]["field"])
+        elif akind == "string_stats":
+            out[name] = intersect.string_stats_agg(
+                spark, index_path, qtext, aspec["field"])
+        elif akind == "top_metrics":
+            m = aspec["metrics"]
+            m = m[0] if isinstance(m, list) else m
+            srt = aspec.get("sort", {})
+            if isinstance(srt, dict) and srt:
+                skey, sdir = next(iter(srt.items()))
+                sdir = (sdir.get("order", "desc")
+                        if isinstance(sdir, dict) else sdir)
+            else:
+                skey, sdir = str(srt), "desc"
+            out[name] = intersect.top_metrics_agg(
+                spark, index_path, qtext, m["field"], skey,
+                descending=str(sdir).lower() != "asc")
         else:
             raise ValueError(f"unsupported agg type: {akind}")
     return out

@@ -1528,3 +1528,56 @@ def test_get_mapping_and_settings(spark, idx):
     assert s["analysis"]["analyzer"] == meta["analyzer"]
     assert s["layout"]["n_buckets"] == meta["n_buckets"]
     assert s["docs"]["count"] + s["docs"]["deleted"] == meta["n_docs"]
+
+
+def test_search_aggs_extended_routing(spark, idx):
+    """Nine more agg kinds route through the aggs section — each equal
+    to its direct operator call."""
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+
+    q = {"query": {"match": {"content": "public"}}}
+
+    def run(aggs):
+        return dsl.search_aggs(spark, idx, dict(q, aggs=aggs))
+
+    got = run({"f": {"filters": {"filters": {
+        "short": {"range": {"dl": {"lt": 30}}},
+        "java": {"term": {"lang": "java"}}}}}})["f"].collect()
+    want = intersect.filters_agg(
+        spark, idx, "public",
+        {"short": F.col("dl") < 30,
+         "java": F.col("lang") == "java"}).collect()
+    assert got == want
+
+    pairs = [
+        ({"m": {"missing": {"field": "lang"}}},
+         intersect.missing_agg(spark, idx, "public", "lang")),
+        ({"p": {"percentile_ranks": {"field": "dl",
+                                     "values": [20, 40]}}},
+         intersect.percentile_ranks_agg(spark, idx, "public", "dl",
+                                        [20, 40])),
+        ({"r": {"rare_terms": {"field": "repo",
+                               "max_doc_count": 2}}},
+         intersect.rare_terms_agg(spark, idx, "public", "repo", 2)),
+        ({"mt": {"multi_terms": {"terms": [{"field": "lang"},
+                                           {"field": "repo"}],
+                                 "size": 5}}},
+         intersect.multi_terms_agg(spark, idx, "public",
+                                   ["lang", "repo"], size=5)),
+        ({"es": {"extended_stats": {"field": "dl", "sigma": 3.0}}},
+         intersect.extended_stats_agg(spark, idx, "public", "dl",
+                                      sigma=3.0)),
+        ({"wa": {"weighted_avg": {"value": {"field": "dl"},
+                                  "weight": {"field": "doc_id"}}}},
+         intersect.weighted_avg_agg(spark, idx, "public", "dl",
+                                    "doc_id")),
+        ({"ss": {"string_stats": {"field": "repo"}}},
+         intersect.string_stats_agg(spark, idx, "public", "repo")),
+        ({"tm": {"top_metrics": {"metrics": [{"field": "doc_id"}],
+                                 "sort": {"dl": "desc"}}}},
+         intersect.top_metrics_agg(spark, idx, "public", "doc_id",
+                                   "dl", descending=True)),
+    ]
+    for aggs, direct in pairs:
+        name = next(iter(aggs))
+        assert run(aggs)[name].collect() == direct.collect(), name
