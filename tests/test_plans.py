@@ -182,3 +182,57 @@ def test_round2b_operators_plan_shapes(spark, corpus_df, index_path,
         assert "BroadcastHashJoin" in plan, name
         if name in ("pinned", "combined"):
             assert "TakeOrderedAndProject" in plan, name
+
+
+def test_pq_adc_plan_is_narrow(spark):
+    """PQ/ADC scoring is one codegen projection + TakeOrderedAndProject:
+    no join, no shuffle exchange before the k-cut."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, k_sub=8, seed=3)
+    codes = pq_encode(emb, books)
+    q = [r["embedding"] for r in emb.limit(1).collect()][0]
+    plan = _plan(pq_topk_adc(codes, q, books, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] \
+        if "TakeOrderedAndProject" in plan else True
+
+
+def test_linear_fuse_broadcasts_norm_constants(spark, index_path):
+    """linear_fuse's per-source normalization constants must join by
+    BROADCAST (they are one-row aggregates), never sort-merge."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        linear_fuse,
+    )
+
+    x4 = lambda df: df.select(  # noqa: E731
+        "doc_id", F.floor(F.col("score") * 10000.0 + F.lit(0.5))
+        .cast("long").alias("score_x1e4"))
+    a = x4(topk(spark, index_path, "public static", k=20))
+    b = x4(topk(spark, index_path, "import", k=20))
+    plan = _plan(linear_fuse({"a": a, "b": b}, {"a": 2.0}, k=10,
+                             normalizer="minmax", window=20))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_terms_enum_is_metadata_only(spark, index_path):
+    """terms_enum must scan the dictionary (5 stat columns), never a
+    posting payload column."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        terms_enum,
+    )
+
+    plan = _plan(terms_enum(spark, index_path, prefix="p", size=10))
+    assert "doc_ids_vb" not in plan and "pos_vb" not in plan
+    assert "StartsWith(term,p)" in plan.replace(" ", "") \
+        or "PushedFilters" in plan
