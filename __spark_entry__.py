@@ -659,6 +659,85 @@ LIMIT 10
 """
 
 
+def q_multi_match_cross_idx(spark, sf_dir):
+    """multi_match cross_fields under the hard gate: text + source
+    field indexes, Lucene blended df (max across fields), per-term
+    best-field partial, summed per doc."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        multi_match_cross_fields,
+    )
+
+    paths = {"text": _index_for(spark, sf_dir),
+             "source": _index_for(spark, sf_dir, field="source")}
+    raw = multi_match_cross_fields(spark, paths, "spark src3", k=30)
+    return _rerank_score_x1e4(raw, 10)
+
+
+def q_multi_match_most_idx(spark, sf_dir):
+    """multi_match most_fields: per-field BM25 (field-local stats)
+    SUMMED per doc."""
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        multi_match_most_fields,
+    )
+
+    paths = {"text": _index_for(spark, sf_dir),
+             "source": _index_for(spark, sf_dir, field="source")}
+    raw = multi_match_most_fields(spark, paths, "spark src3", k=30)
+    return _rerank_score_x1e4(raw, 10)
+
+
+def _mm_oracle_sql(kind: str) -> str:
+    """Shared CTE scaffold for the two multi_match oracles: the text
+    field tokenizes via TOK_EXPLODED_CTE; the source field is a single
+    'simple'-analyzed token per doc (tf=1, dl=avgdl=1, so its BM25
+    partial collapses to the idf)."""
+    head = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf_t AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         WHERE term IN ('spark', 'src3') GROUP BY doc_id, term),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tf_t GROUP BY term),
+tf_s AS (SELECT doc_id, lower(source) AS term, 1.0 AS tf FROM documents
+         WHERE lower(source) IN ('spark', 'src3')),
+df_s AS (SELECT term, count(*)::DOUBLE AS df FROM tf_s GROUP BY term)"""
+    if kind == "cross":
+        return head + f""",
+bl AS (SELECT term, max(df) AS df FROM
+         (SELECT * FROM df_t UNION ALL SELECT * FROM df_s) GROUP BY term),
+pt AS (SELECT tf_t.doc_id, tf_t.term,
+              ln(1.0 + (stats.n_docs - bl.df + 0.5) / (bl.df + 0.5))
+              * tf_t.tf * ({BM25_K1} + 1.0)
+              / (tf_t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                        + {BM25_B} * dl.dl / stats.avgdl)) AS p
+       FROM tf_t JOIN dl USING (doc_id) JOIN bl USING (term)
+       CROSS JOIN stats),
+ps AS (SELECT tf_s.doc_id, tf_s.term,
+              ln(1.0 + (stats.n_docs - bl.df + 0.5) / (bl.df + 0.5)) AS p
+       FROM tf_s JOIN bl USING (term) CROSS JOIN stats),
+best AS (SELECT doc_id, term, max(p) AS p FROM
+           (SELECT * FROM pt UNION ALL SELECT * FROM ps)
+         GROUP BY doc_id, term),
+sc AS (SELECT doc_id, sum(p) AS s FROM best GROUP BY doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM sc
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10"""
+    return head + f""",
+pt AS (SELECT tf_t.doc_id,
+              ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+              * tf_t.tf * ({BM25_K1} + 1.0)
+              / (tf_t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                        + {BM25_B} * dl.dl / stats.avgdl)) AS p
+       FROM tf_t JOIN dl USING (doc_id) JOIN df_t USING (term)
+       CROSS JOIN stats),
+ps AS (SELECT tf_s.doc_id,
+              ln(1.0 + (stats.n_docs - df_s.df + 0.5) / (df_s.df + 0.5)) AS p
+       FROM tf_s JOIN df_s USING (term) CROSS JOIN stats),
+sc AS (SELECT doc_id, sum(p) AS s FROM
+         (SELECT * FROM pt UNION ALL SELECT * FROM ps) GROUP BY doc_id)
+SELECT doc_id, floor(s * 10000.0 + 0.5)::BIGINT AS score_x1e4 FROM sc
+ORDER BY floor(s * 10000.0 + 0.5) DESC, doc_id LIMIT 10"""
+
+
 def q_simple_query_string_idx(spark, sf_dir):
     """ES simple_query_string (the lenient search-box language) under
     the hard gate: ``spark + "query join" -dup | win*`` — an AND
@@ -4245,6 +4324,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_search": q_dsl_search,
     "query_string_idx": q_query_string_idx,
     "simple_query_string_idx": q_simple_query_string_idx,
+    "multi_match_cross_idx": q_multi_match_cross_idx,
+    "multi_match_most_idx": q_multi_match_most_idx,
     "scan_scroll_idx": q_scan_scroll_idx,
     "scan_sliced_idx": q_scan_sliced_idx,
     "shuffle_order": q_shuffle_order,
@@ -4512,6 +4593,8 @@ def oracle_sql() -> dict[str, str]:
         "dsl_search": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "query_string_idx": QS_ORACLE_SQL,
         "simple_query_string_idx": SQS_ORACLE_SQL,
+        "multi_match_cross_idx": _mm_oracle_sql("cross"),
+        "multi_match_most_idx": _mm_oracle_sql("most"),
         # page 2 == rows 51-100 of the doc_id-ordered match set (keyset
         # after page 1's last id is identical to OFFSET on a unique key)
         "shuffle_order": SHUFFLE_ORDER_SQL,
