@@ -1192,6 +1192,13 @@ def search_aggs(spark: SparkSession, index_path: str,
         elif akind == "stats":
             out[name] = intersect.stats_agg(
                 spark, index_path, qtext, aspec["field"])
+        elif akind in ("avg", "min", "max", "sum", "value_count"):
+            # the single-metric aggs: one column off the stats pass
+            col = {"avg": "avg_v", "min": "min_v", "max": "max_v",
+                   "sum": "sum_v", "value_count": "n"}[akind]
+            out[name] = (intersect.stats_agg(
+                spark, index_path, qtext, aspec["field"])
+                .select(F.col(col).alias("value")))
         elif akind == "histogram":
             out[name] = intersect.histogram_agg(
                 spark, index_path, qtext, aspec["field"],

@@ -1581,3 +1581,16 @@ def test_search_aggs_extended_routing(spark, idx):
     for aggs, direct in pairs:
         name = next(iter(aggs))
         assert run(aggs)[name].collect() == direct.collect(), name
+
+
+def test_single_metric_agg_routing(spark, idx):
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+
+    st = intersect.stats_agg(spark, idx, "public", "dl").collect()[0]
+    want = {"avg": st["avg_v"], "min": st["min_v"], "max": st["max_v"],
+            "sum": st["sum_v"], "value_count": st["n"]}
+    for kind, w in want.items():
+        got = dsl.search_aggs(spark, idx, {
+            "query": {"match": {"content": "public"}},
+            "aggs": {"m": {kind: {"field": "dl"}}}})["m"].collect()
+        assert got[0]["value"] == w, kind
