@@ -108,6 +108,27 @@ def _apply_one(df: DataFrame, kind: str, p: dict) -> DataFrame:
         return out
     if kind == "script":
         return put(p["target_field"], F.expr(p["source"]))
+    if kind == "drop":
+        # ES drop processor: remove the DOCUMENT (not a field) when
+        # the condition holds — the curation-pipeline filter step.
+        # Without an `if` it drops everything (matching ES).
+        if cond is None:
+            return df.limit(0)
+        # a NULL condition must KEEP the row (only a true `if` drops)
+        return df.filter(~F.coalesce(cond, F.lit(False)))
+    if kind == "date":
+        # ES date processor: parse a string field into a timestamp.
+        # ``formats``: Spark datetime patterns tried in order (ES
+        # tries its format list the same way); unparseable -> NULL
+        # (the documented NULL-propagation deviation from ES's
+        # fail-the-document default).
+        col = F.col(p["field"])
+        parsed = None
+        for fmt in p.get("formats", ["yyyy-MM-dd'T'HH:mm:ss"]):
+            # try_to_timestamp: unparseable -> NULL even under ANSI
+            t = F.try_to_timestamp(col, F.lit(fmt))
+            parsed = t if parsed is None else F.coalesce(parsed, t)
+        return put(p.get("target_field", "@timestamp"), parsed)
     raise ValueError(f"unsupported ingest processor: {kind}")
 
 

@@ -425,3 +425,25 @@ def test_pit_and_search_shards(spark, corpus_df, tmp_path):
     meta = load_meta(idx)
     assert sh["public"] == (bucket_of("public", meta["n_buckets"]), True)
     assert sh["zzznotaterm"][1] is False
+
+
+def test_ingest_drop_and_date_processors(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "2024-03-01T10:00:00"), (2, 60, "01/04/2024"),
+         (3, None, "garbage")],
+        "id long, v long, ts string")
+    out = apply_pipeline(df, [
+        {"drop": {"if": "v >= 50"}},
+        {"date": {"field": "ts", "target_field": "t",
+                  "formats": ["yyyy-MM-dd'T'HH:mm:ss", "dd/MM/yyyy"]}},
+    ]).collect()
+    rows = {r["id"]: r for r in out}
+    assert set(rows) == {1, 3}            # v=60 dropped; NULL v kept
+    assert rows[1]["t"].isoformat().startswith("2024-03-01T10:00")
+    assert rows[3]["t"] is None           # unparseable -> NULL, not error
+    # unconditional drop empties the frame
+    assert apply_pipeline(df, [{"drop": {}}]).count() == 0
