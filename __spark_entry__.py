@@ -1886,6 +1886,50 @@ def q_dup_clusters(spark, sf_dir):
     return cluster.duplicate_clusters(docs, pairs)
 
 
+def q_dup_clusters_keep_best(spark, sf_dir):
+    """duplicate_clusters with the keep-best rule: the survivor of
+    each MinHash-LSH duplicate cluster is the member with MAX n_chars
+    (doc_id tiebreak) — the keep rule real curation pipelines use —
+    instead of the arbitrary min id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedupe.minhash_lsh_pairs(docs, n_hashes=4, band_size=2, n=3)
+    return cluster.duplicate_clusters(docs, pairs,
+                                      keep_by=F.col("n_chars"))
+
+
+def _dup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {TOK_CTE}, {_SHINGLE3},
+sig AS (SELECT doc_id, {_MINHASH_SIGS} FROM gr),
+stacked AS (
+  SELECT doc_id, 0 AS band_no,
+         md5(sig0::VARCHAR || '|' || sig1::VARCHAR) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_no,
+         md5(sig2::VARCHAR || '|' || sig3::VARCHAR) AS band_key FROM sig),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+lab AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN cc USING (doc_id)),
+rk AS (SELECT doc_id, cluster_id,
+              row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS rn
+       FROM lab)
+SELECT doc_id, cluster_id, rn = 1 AS is_keep FROM rk"""
+
+
 def _dsir_slices(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tgt = docs.filter(F.col("doc_id") % 17 == 0)
@@ -4400,6 +4444,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
+    "dup_clusters_keep_best": q_dup_clusters_keep_best,
     "contamination": q_contamination,
     "dsir_weights": q_dsir_weights,
     "dsir_sample": q_dsir_sample,
@@ -5487,6 +5532,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
 FROM stacked a JOIN stacked b
   ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "dup_clusters_keep_best": _dup_keep_best_sql(),
         "dup_clusters": f"""
 WITH RECURSIVE {TOK_CTE}, {_SHINGLE3},
 sig AS (SELECT doc_id, {_MINHASH_SIGS} FROM gr),

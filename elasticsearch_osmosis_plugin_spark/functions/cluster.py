@@ -107,14 +107,37 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 def duplicate_clusters(df: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id",
                        a_col: str = "doc_a", b_col: str = "doc_b",
-                       max_iter: int = 25) -> DataFrame:
+                       max_iter: int = 25,
+                       keep_by=None) -> DataFrame:
     """Every doc labeled: (doc_id, cluster_id, is_keep). Docs in no
     pair are their own singleton cluster; the keeper of each cluster
-    is its minimum doc id (deterministic, engine-portable)."""
+    is its minimum doc id (deterministic, engine-portable).
+
+    ``keep_by``: optional Column over ``df``'s row — the keeper
+    becomes the cluster member with the MAXIMUM value (doc_id
+    tiebreak), so a dedup pipeline can keep its best document
+    (longest, highest quality score, freshest) instead of an
+    arbitrary one — the keep rule real curation pipelines need
+    (SemDeDup keeps by centroid distance, RefinedWeb by length).
+    One max_by per cluster on the labeled frame — the groupBy rides
+    the cluster_id key, no extra corpus pass."""
     cc = connected_components(pairs, a_col, b_col, max_iter)
-    return (df.select(F.col(id_col).cast("long").alias("doc_id"))
-            .join(cc, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
-            .withColumn("is_keep", (F.col("doc_id") == F.col("cluster_id"))
-                        .cast("boolean")))
+    labeled = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                         *([keep_by.alias("_kb")] if keep_by is not None
+                           else []))
+               .join(cc, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col("doc_id"))))
+    if keep_by is None:
+        return labeled.select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id"))
+            .cast("boolean").alias("is_keep"))
+    best = (labeled.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("_kb"), (-F.col("doc_id"))
+                                .alias("_nid"))).alias("_best")))
+    return (labeled.join(best, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    ((F.col("_kb") == F.col("_best._kb"))
+                     & (F.col("doc_id") == -F.col("_best._nid")))
+                    .alias("is_keep")))

@@ -489,3 +489,23 @@ def test_bigram_logprob_score(spark):
         want = int(math.floor(nll(toks[d]) * 1e4 + 0.5))
         assert got[d] == (len(toks[d]) - 1, want), d
     assert got[0][1] < got[2][1]              # fluent < shuffled
+
+
+def test_duplicate_clusters_keep_best(spark):
+    """keep_by keeps the max-valued member (doc_id tiebreak);
+    singletons always keep; exactly one keeper per cluster."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, quality long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keep"]) for r in
+           duplicate_clusters(docs, pairs,
+                              keep_by=F.col("quality")).collect()}
+    # cluster {1,2,3,4}: max quality 30 tied between 2 and 3 -> min id 2
+    assert out[2] == (1, True)
+    assert out[1][1] is False and out[3][1] is False and out[4][1] is False
+    assert out[9] == (9, True)            # singleton keeps itself
+    assert sum(1 for _, k in out.values() if k) == 2
