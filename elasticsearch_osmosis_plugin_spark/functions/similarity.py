@@ -693,3 +693,56 @@ def ann_topk_ivfpq(df: DataFrame, query_vec: Sequence[float], k: int = 10,
         return adc
     picked = codes.join(adc.select("vec_id"), "vec_id", "left_semi")
     return cosine_topk(picked, query_vec, k, "vec_id", "_raw")
+
+
+def write_pq_layout(df: DataFrame, path: str, m: int = 4, k_sub: int = 16,
+                    n_lists: int | None = None, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """The precompute-at-ingest PQ layout: train codebooks once, write
+    the CODES table (m small ints per vector — the raw embeddings are
+    not stored here), optionally partitioned by an IVF coarse list
+    (``n_lists``) so queries probe-prune partitions. Codebooks (+
+    centroids) persist in ``_ANN_META.json``; queries never retrain
+    or re-encode."""
+    books = pq_codebooks(df, m=m, k_sub=k_sub, seed=seed,
+                         id_col=id_col, vec_col=vec_col)
+    out = df.select(F.col(id_col).alias("vec_id"),
+                    pq_encode_expr(vec_col, books).alias("codes"))
+    meta = {"kind": "pq", "m": m, "k_sub": k_sub, "seed": seed,
+            "codebooks": [[[float(x) for x in c] for c in b]
+                          for b in books],
+            "id_col": id_col, "vec_col": vec_col}
+    if n_lists:
+        cents = ivf_centroids(df, n_lists, seed, id_col=id_col,
+                              vec_col=vec_col)
+        assign = (ivf_assign_expr(vec_col, cents) if len(cents) <= 32
+                  else ivf_assign_col(vec_col, cents))
+        out = df.select(F.col(id_col).alias("vec_id"),
+                        pq_encode_expr(vec_col, books).alias("codes"),
+                        assign.alias("list"))
+        meta["cents"] = [[float(x) for x in c] for c in cents]
+        out.write.mode("overwrite").partitionBy("list").parquet(path)
+    else:
+        out.write.mode("overwrite").parquet(path)
+    _write_ann_meta(path, meta)
+    return meta
+
+
+def pq_topk_persisted(spark, path: str, query_vec: Sequence[float],
+                      k: int = 10, n_probe: int = 4) -> DataFrame:
+    """ADC top-k over a ``write_pq_layout`` table: the stored
+    codebooks score the CODES scan directly (m lookups/row); with an
+    IVF-partitioned layout the probe lists are partition predicates —
+    only those directories are read, and still only the codes
+    columns."""
+    meta = _read_ann_meta(path)
+    books = [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]]
+    dfc = spark.read.parquet(path)
+    if "cents" in meta:
+        cents = np.asarray(meta["cents"], dtype=np.float64)
+        q = np.asarray(list(query_vec), dtype=np.float64)
+        d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+        probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+        dfc = dfc.filter(F.col("list").isin(probe))
+    return pq_topk_adc(dfc, query_vec, books, k=k)

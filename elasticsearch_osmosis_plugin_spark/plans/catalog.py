@@ -345,3 +345,14 @@ def close_pit(pit_id: str) -> bool:
         return False
     shutil.rmtree(pit_id)
     return True
+
+
+def clone_index(index_path: str, dst_path: str) -> dict[str, Any]:
+    """ES _clone analog: a same-settings copy of the index at a new
+    name — hardlinked like ES hardlinks segment files (zero bytes;
+    safe under the immutable-write discipline, see snapshot_index).
+    Unlike _split/_shrink the layout is untouched; unlike a snapshot
+    the clone is a first-class live index you may append to
+    immediately (its writes create new files, never touching shared
+    inodes)."""
+    return snapshot_index(index_path, dst_path, incremental=True)

@@ -503,3 +503,40 @@ def test_ann_ivfpq(spark, embeddings):
     assert rr[1]["vec_id"] == 1              # the engineered near-dup
     for r in rr:
         assert abs(r["cos"] - exact[r["vec_id"]]) < 1e-9
+
+
+def test_pq_persisted_layout(spark, embeddings, tmp_path):
+    """write_pq_layout + pq_topk_persisted == the in-memory encode +
+    ADC path; the IVF-partitioned variant prunes partitions in the
+    executed plan."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+        pq_topk_persisted,
+        write_pq_layout,
+    )
+
+    q = [r["embedding"] for r in
+         embeddings.filter("vec_id = 0").collect()][0]
+    books = pq_codebooks(embeddings, m=4, k_sub=8, seed=11)
+    want = [tuple(r) for r in
+            pq_topk_adc(pq_encode(embeddings, books), q, books,
+                        k=40).collect()]
+
+    flat = str(tmp_path / "pq_flat")
+    write_pq_layout(embeddings, flat, m=4, k_sub=8, seed=11)
+    got = [tuple(r) for r in
+           pq_topk_persisted(spark, flat, q, k=40).collect()]
+    assert got == want
+
+    part = str(tmp_path / "pq_ivf")
+    write_pq_layout(embeddings, part, m=4, k_sub=8, n_lists=4, seed=11)
+    full = pq_topk_persisted(spark, part, q, k=40, n_probe=4)
+    assert [tuple(r) for r in full.collect()] == want  # all lists probed
+    pruned = pq_topk_persisted(spark, part, q, k=40, n_probe=1)
+    assert {r["vec_id"] for r in pruned.collect()} \
+        <= {v for v, _ in want}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list" in plan.replace("#", "").replace(
+        " ", " ") or "list#" in plan.split("PartitionFilters")[1][:120]

@@ -447,3 +447,31 @@ def test_ingest_drop_and_date_processors(spark):
     assert rows[3]["t"] is None           # unparseable -> NULL, not error
     # unconditional drop empties the frame
     assert apply_pipeline(df, [{"drop": {}}]).count() == 0
+
+
+def test_clone_index(spark, corpus_df, tmp_path):
+    """A clone serves identically, then diverges independently when
+    appended to — the source never moves."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        append_index_group,
+    )
+
+    src = str(tmp_path / "cl_src")
+    build_index(spark, corpus_df.filter("doc_id < 60"), src, CFG,
+                id_col="doc_id", n_groups=1)
+    dst = str(tmp_path / "cl_dst")
+    cat.clone_index(src, dst)
+
+    def res(p):
+        return [(r["doc_id"], round(r["score"], 9))
+                for r in topk(spark, p, "public static", k=50).collect()]
+
+    base = res(src)
+    assert res(dst) == base and base
+    append_index_group(spark, corpus_df.filter("doc_id >= 60"), dst,
+                       id_col="doc_id")
+    assert res(src) == base                   # source untouched
+    assert len(res(dst)) >= len(base)
+    with pytest.raises(FileExistsError):
+        cat.clone_index(src, dst)
