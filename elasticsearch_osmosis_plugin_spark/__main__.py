@@ -175,6 +175,45 @@ def build_parser() -> argparse.ArgumentParser:
     ro.add_argument("--max-docs", type=int, default=None)
     ro.add_argument("--max-groups", type=int, default=None)
 
+    il = sub.add_parser("ilm", help="apply an ILM policy to an alias "
+                        "(rollover conditions + generation retention)")
+    il.add_argument("--alias", required=True)
+    il.add_argument("--max-docs", type=int, default=None)
+    il.add_argument("--max-groups", type=int, default=None)
+    il.add_argument("--keep-generations", type=int, default=None)
+
+    cl = sub.add_parser("clone", help="hardlinked same-settings live "
+                        "copy of an index (ES _clone)")
+    cl.add_argument("--index", required=True)
+    cl.add_argument("--to", required=True)
+
+    sh2 = sub.add_parser("shrink", help="ES _shrink: fewer term "
+                         "buckets, pure hardlink+rename")
+    sh2.add_argument("--index", required=True)
+    sh2.add_argument("--to", required=True)
+    sh2.add_argument("--n-buckets", type=int, required=True)
+    _add_common(sh2)
+
+    sp2 = sub.add_parser("split", help="ES _split: more term buckets, "
+                         "one pass over posting rows")
+    sp2.add_argument("--index", required=True)
+    sp2.add_argument("--to", required=True)
+    sp2.add_argument("--n-buckets", type=int, required=True)
+    _add_common(sp2)
+
+    pt = sub.add_parser("pit", help="open/close a point-in-time view")
+    pt.add_argument("action", choices=("open", "close"))
+    pt.add_argument("--index", help="index root (open)")
+    pt.add_argument("--id", help="PIT id/path (close)")
+
+    te = sub.add_parser("terms-enum", help="ordered prefix term "
+                        "enumeration with doc counts")
+    te.add_argument("--index", required=True)
+    te.add_argument("--prefix", default="")
+    te.add_argument("--size", type=int, default=10)
+    te.add_argument("--search-after", default=None)
+    _add_common(te)
+
     fs = sub.add_parser("fsck", help="distributed index integrity audit")
     fs.add_argument("--index", required=True)
     fs.add_argument("--source", default=None,
@@ -258,6 +297,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(cat_segments(args.paths[0]), default=str))
         else:
             print(json.dumps(cat_aliases(args.paths), default=str))
+        return 0
+
+    if args.cmd == "ilm":
+        from elasticsearch_osmosis_plugin_spark.plans.catalog import apply_ilm
+
+        policy: dict = {}
+        if args.max_docs is not None or args.max_groups is not None:
+            policy["rollover"] = {"max_docs": args.max_docs,
+                                  "max_groups": args.max_groups}
+        if args.keep_generations is not None:
+            policy["retention"] = {"max_generations": args.keep_generations}
+        print(json.dumps(apply_ilm(args.alias, policy), default=str))
+        return 0
+
+    if args.cmd == "clone":
+        from elasticsearch_osmosis_plugin_spark.plans.catalog import (
+            clone_index,
+        )
+
+        meta = clone_index(args.index, args.to)
+        print(json.dumps({"cloned": args.to, "n_docs": meta["n_docs"]}))
+        return 0
+
+    if args.cmd == "pit":
+        from elasticsearch_osmosis_plugin_spark.plans.catalog import (
+            close_pit,
+            open_pit,
+        )
+
+        if args.action == "open":
+            print(json.dumps({"pit_id": open_pit(args.index)}))
+        else:
+            print(json.dumps({"succeeded": close_pit(args.id)}))
         return 0
 
     if args.cmd == "rollover":
@@ -359,6 +431,26 @@ def main(argv: list[str] | None = None) -> int:
                        n_groups=args.n_groups)
         print(json.dumps({"dest": args.dest, "n_docs": meta["n_docs"]},
                          default=str))
+    elif args.cmd == "shrink":
+        from elasticsearch_osmosis_plugin_spark.plans.merge import shrink_index
+
+        meta = shrink_index(spark, args.index, args.to, args.n_buckets)
+        print(json.dumps({"shrunk": args.to,
+                          "n_buckets": meta["n_buckets"]}, default=str))
+    elif args.cmd == "split":
+        from elasticsearch_osmosis_plugin_spark.plans.merge import split_index
+
+        meta = split_index(spark, args.index, args.to, args.n_buckets)
+        print(json.dumps({"split": args.to,
+                          "n_buckets": meta["n_buckets"]}, default=str))
+    elif args.cmd == "terms-enum":
+        from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+            terms_enum,
+        )
+
+        _emit(terms_enum(spark, args.index, prefix=args.prefix,
+                         size=args.size,
+                         search_after=args.search_after), args)
     elif args.cmd == "fsck":
         from elasticsearch_osmosis_plugin_spark.plans.merge import verify_index
 

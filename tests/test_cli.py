@@ -217,3 +217,36 @@ def test_cli_cat_apis(spark, cli_index, capsys, tmp_path):
     # broken path -> red, not an exception
     (bad,) = _run(capsys, ["cat", "indices", str(tmp_path / "nope")])
     assert bad[0]["health"] == "red"
+
+
+def test_cli_lifecycle_commands(spark, cli_index, capsys, tmp_path):
+    """clone / shrink / split / pit / terms-enum / ilm through the CLI."""
+    from elasticsearch_osmosis_plugin_spark.plans.catalog import create_alias
+
+    (c,) = _run(capsys, ["clone", "--index", cli_index,
+                         "--to", str(tmp_path / "cl")])
+    assert c["n_docs"] > 0
+
+    (sh,) = _run(capsys, ["shrink", "--index", cli_index,
+                          "--to", str(tmp_path / "sh"), "--n-buckets", "2",
+                          "--shuffle-partitions", "4"])
+    assert sh["n_buckets"] == 2
+    (sp,) = _run(capsys, ["split", "--index", cli_index,
+                          "--to", str(tmp_path / "sp"), "--n-buckets", "8",
+                          "--shuffle-partitions", "4"])
+    assert sp["n_buckets"] == 8
+
+    (p,) = _run(capsys, ["pit", "open", "--index", cli_index])
+    assert "/.pit/" in p["pit_id"]
+    (cl,) = _run(capsys, ["pit", "close", "--id", p["pit_id"]])
+    assert cl["succeeded"] is True
+
+    rows = _run(capsys, ["terms-enum", "--index", cli_index,
+                         "--prefix", "p", "--size", "5",
+                         "--shuffle-partitions", "4"])
+    assert rows and all(r["term"].startswith("p") for r in rows)
+
+    alias = str(tmp_path / "ilm_alias")
+    create_alias(alias, cli_index)
+    (r,) = _run(capsys, ["ilm", "--alias", alias, "--max-docs", "1"])
+    assert r["rollover"]["rolled_over"] is True
