@@ -337,6 +337,18 @@ def search(spark: SparkSession, index_path: str, body: dict,
     standard/knn sub-retrievers by reciprocal rank
     (:func:`~elasticsearch_osmosis_plugin_spark.operators.scorefn.rrf_fuse`).
     """
+    if "pit" in body:
+        # ES searches WITH a PIT send no index in the URL — the PIT id
+        # names the frozen view. Here the id IS a path (catalog
+        # open_pit), so it simply replaces index_path for this search;
+        # index_path may be passed as None/"" in that case.
+        import os as _os
+
+        pid = body["pit"]["id"]
+        if not _os.path.exists(_os.path.join(pid, "meta.json")):
+            raise ValueError(f"unknown pit id: {pid}")
+        index_path = pid
+        body = {k2: v for k2, v in body.items() if k2 != "pit"}
     src = body.get("_source")
     frm = int(body.get("from", 0))
     if frm and "search_after" in body:

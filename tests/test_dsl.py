@@ -1594,3 +1594,29 @@ def test_single_metric_agg_routing(spark, idx):
             "query": {"match": {"content": "public"}},
             "aggs": {"m": {kind: {"field": "dl"}}}})["m"].collect()
         assert got[0]["value"] == w, kind
+
+
+def test_pit_in_search_body(spark, idx, tmp_path):
+    """ES PIT search: body {"pit": {"id": ...}} searches the frozen
+    view (index_path ignored), stable across live deletes. Runs on a
+    clone so the shared fixture is never mutated."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+
+    live = str(tmp_path / "pit_live")
+    cat.clone_index(idx, live)
+    idx = live
+    body = {"query": {"match": {"content": "public static"}}, "size": 5}
+    pit = cat.open_pit(idx)
+    try:
+        before = dsl.search(spark, None, dict(body, pit={"id": pit})).collect()
+        assert before == dsl.search(spark, idx, body).collect()
+        delete_docs(spark, idx, [before[0]["doc_id"]])
+        after_live = dsl.search(spark, idx, body).collect()
+        assert after_live[0]["doc_id"] != before[0]["doc_id"]
+        assert dsl.search(spark, None,
+                          dict(body, pit={"id": pit})).collect() == before
+        with pytest.raises(ValueError, match="unknown pit"):
+            dsl.search(spark, None, dict(body, pit={"id": "/tmp/nope"}))
+    finally:
+        cat.close_pit(pit)
