@@ -165,6 +165,11 @@ def update(spark: SparkSession, root: str, kind: str, id_: int,
             raise
         row = {"kind": kind, "id": int(id_), **upsert}
         schema = catalog.read_table(spark, root, DOCSTORE).drop("bkt").schema
+        bad = sorted(set(upsert) - {f.name for f in schema.fields})
+        if bad:
+            # same contract as the fields/script path: a typo'd upsert
+            # column must fail loudly, not vanish
+            raise ValueError(f"unknown fields: {bad}")
         save_all(spark, root,
                  spark.createDataFrame(
                      [tuple(row.get(f.name) for f in schema.fields)], schema),

@@ -462,7 +462,14 @@ def search(spark: SparkSession, index_path: str, body: dict,
             post_tag=(hl.get("post_tags") or ["</em>"])[0])
         hits = hits.join(frags.withColumnRenamed("fragments", "highlight"),
                          "doc_id", "left")
-        if "score" in hits.columns:   # joins don't preserve sort order
+        # joins don't preserve sort order: re-apply the body's own sort
+        # keys if it has a sort section (the sort fields ride along on
+        # the hit frame from _sorted_search); relevance-ranked bodies
+        # fall back to score/doc_id.
+        if "sort" in body:
+            keys, _ = _parse_sort(body["sort"])
+            hits = hits.orderBy(*keys)
+        elif "score" in hits.columns:
             hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
     return hits
 
@@ -535,7 +542,7 @@ def _retriever_search(spark: SparkSession, index_path: str, body: dict,
         raise ValueError(f"unsupported retriever: {kind}")
     k = int(body.get("size", 10)) + int(body.get("from", 0))
     window = int(rspec.get("rank_window_size", max(k, 10)))
-    rankings, weights = {}, {}
+    rankings, weights, normalizers = {}, {}, {}
     for i, sub in enumerate(rspec["retrievers"]):
         # linear wraps each entry: {"retriever": {...}, "weight": w,
         # "normalizer": ...}; rrf lists the retrievers bare
@@ -553,13 +560,18 @@ def _retriever_search(spark: SparkSession, index_path: str, body: dict,
             F.floor(F.col("score") * 10000.0 + F.lit(0.5))
              .cast("long").alias("score_x1e4"))
         weights[f"r{i}"] = float(sub.get("weight", 1.0))
+        # ES puts `normalizer` inside each wrapped entry; a top-level
+        # rspec normalizer (this engine's earlier form) is the
+        # fallback for entries that don't set one.
+        normalizers[f"r{i}"] = sub.get(
+            "normalizer", rspec.get("normalizer", "minmax"))
     if kind == "linear":
         from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
             linear_fuse,
         )
 
         return linear_fuse(rankings, weights, k=k,
-                           normalizer=rspec.get("normalizer", "minmax"),
+                           normalizer=normalizers,
                            window=window)
     return rrf_fuse(rankings, k=k,
                     rrf_k=int(rspec.get("rank_constant", 60)),
@@ -1118,6 +1130,30 @@ def _unranked_ids(spark: SparkSession, index_path: str,
     raise ValueError(f"sort is not supported with query type: {kind}")
 
 
+def _parse_sort(sort_spec: list) -> tuple[list, list[str]]:
+    """Compile an ES ``sort`` section into (orderBy keys, carry fields).
+
+    Shared by :func:`_sorted_search` (initial ordering + field carry)
+    and the highlight fetch phase (re-sort after the fragments join) so
+    both orderings are key-identical. ``doc_id`` ascending is always the
+    final tiebreak."""
+    keys, fields = [], []
+    for entry in sort_spec:
+        if isinstance(entry, str):
+            fld, order = entry, "asc"
+        else:
+            fld, o = _one_entry(entry, "sort entry")
+            order = (o.get("order", "asc") if isinstance(o, dict) else o)
+        if fld == "_doc":
+            fld = "doc_id"
+        col = F.col(fld)
+        keys.append(col.desc() if order == "desc" else col.asc())
+        if fld != "doc_id":
+            fields.append(fld)
+    keys.append(F.col("doc_id").asc())
+    return keys, fields
+
+
 def _sorted_search(spark: SparkSession, index_path: str, body: dict,
                    q: dict, post_col, k: int,
                    runtime: dict[str, Column] | None = None) -> DataFrame:
@@ -1138,20 +1174,7 @@ def _sorted_search(spark: SparkSession, index_path: str, body: dict,
         ds = ds.filter(post_col)
     hits = ds.join(ids, "doc_id", "left_semi")
 
-    keys, fields = [], []
-    for entry in body["sort"]:
-        if isinstance(entry, str):
-            fld, order = entry, "asc"
-        else:
-            fld, o = _one_entry(entry, "sort entry")
-            order = (o.get("order", "asc") if isinstance(o, dict) else o)
-        if fld == "_doc":
-            fld = "doc_id"
-        col = F.col(fld)
-        keys.append(col.desc() if order == "desc" else col.asc())
-        if fld != "doc_id":
-            fields.append(fld)
-    keys.append(F.col("doc_id").asc())
+    keys, fields = _parse_sort(body["sort"])
     return (hits.orderBy(*keys)
             .select("doc_id",
                     F.lit(None).cast("double").alias("score"), *fields)
@@ -1204,10 +1227,23 @@ def search_aggs(spark: SparkSession, index_path: str,
         elif akind == "stats":
             out[name] = intersect.stats_agg(
                 spark, index_path, qtext, aspec["field"])
-        elif akind in ("avg", "min", "max", "sum", "value_count"):
+        elif akind == "value_count":
+            # ES value_count counts extracted VALUES, not matching docs
+            # — a doc whose field is null contributes nothing. Same
+            # semi-join shape as stats_agg but with a null-skipping
+            # count over the field column.
+            from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+            hits = intersect.match_any_terms(spark, index_path, qtext)
+            ds = (catalog.read_table(spark, index_path, "docstats")
+                  .select("doc_id", aspec["field"]))
+            out[name] = (ds.join(hits, "doc_id", "left_semi")
+                         .agg(F.count(F.col(aspec["field"]))
+                              .alias("value")))
+        elif akind in ("avg", "min", "max", "sum"):
             # the single-metric aggs: one column off the stats pass
             col = {"avg": "avg_v", "min": "min_v", "max": "max_v",
-                   "sum": "sum_v", "value_count": "n"}[akind]
+                   "sum": "sum_v"}[akind]
             out[name] = (intersect.stats_agg(
                 spark, index_path, qtext, aspec["field"])
                 .select(F.col(col).alias("value")))

@@ -12,7 +12,10 @@ safe, no Python in the row path.
 
 Supported processors (each spec is ES's ``{type: {params}}`` shape,
 with ES's ``if`` conditional — a SQL predicate over the current row —
-honored on every one):
+honored on every one; two documented mappings: ``rename`` rejects
+``if`` (schema-level — use set(copy_from)+remove), and a conditional
+``remove`` nulls the field on matching rows instead of dropping the
+column):
 
 - ``set`` (value literal or ``copy_from``, ``override``)
 - ``rename``, ``remove``
@@ -73,9 +76,26 @@ def _apply_one(df: DataFrame, kind: str, p: dict) -> DataFrame:
             val = F.coalesce(F.col(field), val)
         return put(field, val)
     if kind == "rename":
+        if cond is not None:
+            # rename is a schema-level op — a per-row `if` cannot be
+            # honored (half the rows can't live under the old name).
+            raise ValueError("rename does not support a per-document "
+                             "`if` (schema-level operation); use "
+                             "set(copy_from)+remove for conditional "
+                             "moves")
         return df.withColumnRenamed(p["field"], p["target_field"])
     if kind == "remove":
         fields = p["field"] if isinstance(p["field"], list) else [p["field"]]
+        if cond is not None:
+            # per-row remove: the column must survive for the rows the
+            # condition misses, so a conditional remove maps to
+            # set-to-null where the condition holds (the documented
+            # DataFrame restatement of per-document field removal).
+            out = df
+            for f_ in fields:
+                out = out.withColumn(
+                    f_, F.when(cond, F.lit(None)).otherwise(F.col(f_)))
+            return out
         return df.drop(*fields)
     if kind == "convert":
         t = _CONVERT[p["type"]]

@@ -180,3 +180,9 @@ def test_update_script_and_upsert(spark, store):
     # absent + no upsert still raises
     with pytest.raises(dao.DaoError):
         dao.update(spark, root, "node", 901, fields={"body": "x"})
+    # a typo'd upsert column must fail loudly, not vanish (same
+    # contract as the fields/script path)
+    with pytest.raises(ValueError, match="unknown fields"):
+        dao.update(spark, root, "node", 902, upsert={"bodyy": "x"})
+    with pytest.raises(dao.DaoError):
+        dao.find(spark, root, "node", 902)  # nothing was inserted

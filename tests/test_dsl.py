@@ -1583,6 +1583,98 @@ def test_search_aggs_extended_routing(spark, idx):
         assert run(aggs)[name].collect() == direct.collect(), name
 
 
+def test_sort_order_preserved_with_highlight(spark, idx):
+    """A body with BOTH a sort section and highlight must return hits
+    in the requested sort order — the fragments join must not degrade
+    the ordering to doc_id (regression: the post-join re-sort used
+    score, which is null under field sort)."""
+    plain = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "sort": [{"dl": {"order": "desc"}}], "size": 5})
+    with_hl = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}},
+        "sort": [{"dl": {"order": "desc"}}], "size": 5,
+        "highlight": {"fields": {"content": {}}}})
+    want = [r["doc_id"] for r in plain.collect()]
+    rows = with_hl.collect()
+    assert [r["doc_id"] for r in rows] == want
+    assert any(r["highlight"] for r in rows)
+    # relevance-ranked body with highlight keeps score order
+    ranked = dsl.search(spark, idx, {
+        "query": {"match": {"content": "public"}}, "size": 5,
+        "highlight": {"fields": {"content": {}}}}).collect()
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_value_count_skips_nulls(spark, corpus_df, tmp_path):
+    """ES value_count counts extracted (non-null) VALUES, not matching
+    docs — a doc whose field is null contributes nothing (regression:
+    it mapped to stats n = count(1))."""
+    docs = corpus_df.withColumn(
+        "stars",
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id")).cast("long"))
+    path = str(tmp_path / "vcidx")
+    build_index(spark, docs, path, CFG, id_col="doc_id", n_groups=1)
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    hits = intersect.match_any_terms(spark, path, "public")
+    ds = catalog.read_table(spark, path, "docstats") \
+        .join(hits, "doc_id", "left_semi")
+    n_docs = ds.count()
+    n_vals = ds.filter(F.col("stars").isNotNull()).count()
+    assert 0 < n_vals < n_docs  # fixture sanity: nulls exist in hits
+    got = dsl.search_aggs(spark, path, {
+        "query": {"match": {"content": "public"}},
+        "aggs": {"vc": {"value_count": {"field": "stars"}}}})
+    assert got["vc"].collect()[0]["value"] == n_vals
+
+
+def test_linear_retriever_per_entry_normalizer(spark, idx, corpus_df):
+    """ES puts `normalizer` inside each wrapped sub-retriever entry;
+    per-entry values must reach linear_fuse (regression: only a
+    top-level normalizer was read, silently ignoring per-entry ones)."""
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.scorefn import (
+        linear_fuse,
+    )
+
+    emb = corpus_df.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[((F.col("doc_id") * (i + 1) + i) % 7 + 1).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    qv = [1.0, 2.0, 0.5, 3.0]
+    body = {"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {
+            "match": {"content": "public static"}}}},
+         "weight": 2.0, "normalizer": "l2_norm"},
+        {"retriever": {"knn": {"query_vector": qv, "k": 20}},
+         "weight": 1.0, "normalizer": "minmax"},
+    ], "rank_window_size": 20}}, "size": 10}
+    via = dsl.search(spark, idx, body, knn_source=emb)
+    x4 = lambda df, i, s: df.select(  # noqa: E731
+        F.col(i).alias("doc_id"),
+        F.floor(F.col(s) * 10000.0 + F.lit(0.5)).cast("long")
+         .alias("score_x1e4"))
+    rankings = {
+        "r0": x4(query.topk(spark, idx, "public static", k=20), "doc_id",
+                 "score"),
+        "r1": x4(cosine_topk(emb, qv, k=20), "vec_id", "cos")}
+    mixed = linear_fuse(rankings, {"r0": 2.0, "r1": 1.0}, k=10,
+                        normalizer={"r0": "l2_norm", "r1": "minmax"},
+                        window=20)
+    assert [tuple(r) for r in via.collect()] == \
+        [tuple(r) for r in mixed.collect()]
+    # and the mixed result genuinely differs from all-minmax (the old
+    # silently-ignored behavior), so the assertion above has teeth
+    allmm = linear_fuse(rankings, {"r0": 2.0, "r1": 1.0}, k=10,
+                        normalizer="minmax", window=20)
+    assert [tuple(r) for r in allmm.collect()] != \
+        [tuple(r) for r in mixed.collect()]
+
+
 def test_single_metric_agg_routing(spark, idx):
     from elasticsearch_osmosis_plugin_spark.operators import intersect
 

@@ -335,6 +335,37 @@ def test_ingest_pipeline_processors(spark):
                              "gsub": {}}])
 
 
+def test_ingest_pipeline_conditional_rename_remove(spark):
+    """Per-document `if` on schema-level processors: rename rejects it
+    (half the rows can't live under the old name); remove maps to
+    set-to-null on matching rows so non-matching rows keep their
+    value — a conditional remove must NOT strip the field from every
+    document."""
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "name string, v long")
+    with pytest.raises(ValueError, match="rename"):
+        apply_pipeline(df, [{"rename": {
+            "field": "name", "target_field": "n2", "if": "v > 1"}}])
+
+    out = apply_pipeline(df, [{"remove": {"field": "name",
+                                          "if": "v > 1"}}])
+    rows = {r["v"]: r["name"] for r in out.collect()}
+    assert rows == {1: "a", 2: None}
+    # multi-field conditional remove nulls each listed field per-row
+    out2 = apply_pipeline(
+        df.withColumn("x", F.lit("keep")),
+        [{"remove": {"field": ["name", "x"], "if": "v = 1"}}])
+    r1 = {r["v"]: (r["name"], r["x"]) for r in out2.collect()}
+    assert r1 == {1: (None, None), 2: ("b", "keep")}
+    # unconditional remove still drops the column
+    assert "name" not in apply_pipeline(
+        df, [{"remove": {"field": "name"}}]).columns
+
+
 def test_ilm_policy_and_incremental_snapshot(spark, corpus_df, tmp_path):
     """apply_ilm: hot-phase rollover + delete-phase retention; the
     current generation survives any retention setting. Incremental
