@@ -442,9 +442,10 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     span length >= k, no giant global sort, one shuffle:
 
     1. posexplode the k-shingle array -> (doc_id, pos, xxhash64(gram));
-    2. ONE window over the gram hash gives each occurrence the group
-       count and the global first key (doc_id*2^20 + pos) — count > 1
-       and key != first marks the occurrence as a cut candidate;
+    2. groupBy the gram hash -> (count, global first key
+       (doc_id*2^20 + pos)), kept only where count > 1, then equi-join
+       back onto the occurrences — key != first marks the occurrence
+       as a cut candidate;
     3. gaps-and-islands per doc (windows overlap iff pos gap <= k)
        merges flagged windows into maximal [span_start, span_end)
        token spans.
@@ -455,11 +456,16 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
 
     Scale: the heavy relation is n_tokens rows of (long, int, long);
     the gram string itself never shuffles (hashed before the
-    exchange). Hot grams (boilerplate) concentrate in one hash group
-    each — the window over the gram hash degrades to that group's
-    size, bounded by total corpus tokens, and only counts/min are
-    aggregated. Position key packs pos into 20 bits: docs longer than
-    2^20 tokens would need a wider shift.
+    exchange). Hot grams (boilerplate k-grams that appear in half the
+    corpus) are the skew risk — a window over the gram hash would pin
+    every occurrence of one gram in a single task (AQE cannot split a
+    window partition), so the group stats are computed with a
+    map-side-combined groupBy (each partition contributes ONE partial
+    row per hot gram) and joined back by gram hash, which AQE's
+    skew-join splitting CAN rebalance. The join build side holds only
+    grams with count > 1 — boilerplate-free corpora join against a
+    near-empty relation. Position key packs pos into 20 bits: docs
+    longer than 2^20 tokens would need a wider shift.
     """
     from pyspark.sql import Window as W
 
@@ -469,13 +475,15 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
     occ = (df.filter(F.size(toks) >= k)
            .select(F.col(id_col).alias("doc_id"),
-                   F.posexplode(grams).alias("pos", "g")))
-    key = F.col("doc_id") * (1 << 20) + F.col("pos")
-    wg = W.partitionBy("g")
-    flagged = (occ
-               .withColumn("n_occ", F.count(F.lit(1)).over(wg))
-               .withColumn("first_key", F.min(key).over(wg))
-               .filter((F.col("n_occ") > 1) & (key != F.col("first_key")))
+                   F.posexplode(grams).alias("pos", "g"))
+           .withColumn("key",
+                       F.col("doc_id") * (1 << 20) + F.col("pos")))
+    gstats = (occ.groupBy("g")
+              .agg(F.count(F.lit(1)).alias("n_occ"),
+                   F.min("key").alias("first_key"))
+              .filter(F.col("n_occ") > 1))
+    flagged = (occ.join(gstats, "g")
+               .filter(F.col("key") != F.col("first_key"))
                .select("doc_id", "pos"))
     wd = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.lag("pos").over(wd).isNull()

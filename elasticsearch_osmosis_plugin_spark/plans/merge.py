@@ -70,12 +70,18 @@ def drop_term_vectors(spark: SparkSession, index_path: str) -> None:
                               partition_by=["grp"])
 
 
-def _purge_kernel(dead, k1: float, b: float, avgdl_eff: float):
+def _purge_kernel(dead_bc, k1: float, b: float, avgdl_eff: float):
     """mapInPandas kernel: drop tombstoned docs from each posting block
     and recompute its stats/payloads. Per-ROW (per-block) work — no
     shuffle; blocks that lose every entry are dropped. Bounds are
     recomputed under ``avgdl_eff`` = max(old, new avgdl), valid for
-    readers of either meta snapshot (w is monotone in avgdl)."""
+    readers of either meta snapshot (w is monotone in avgdl).
+
+    ``dead_bc``: a Spark Broadcast of the SORTED int64 tombstone id
+    array — torrent-distributed once per executor, never serialized
+    into the task closure or the query plan, so the kernel scales to
+    millions of tombstones (membership is a binary search per block,
+    not a re-sort of the dead set per block as ``np.isin`` would do)."""
     import numpy as np
     import pandas as pd
 
@@ -86,15 +92,20 @@ def _purge_kernel(dead, k1: float, b: float, avgdl_eff: float):
         vb_encode_groups,
     )
 
-    dead_arr = np.asarray(sorted(dead), dtype=np.int64)
-
     def fn(batches):
+        dead_arr = dead_bc.value  # sorted int64, one copy per executor
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 ids = np.cumsum(vb_decode(r.doc_ids_vb),
                                 dtype=np.uint64).astype(np.int64)
-                keep = ~np.isin(ids, dead_arr)
+                if dead_arr.size:
+                    pos = np.searchsorted(dead_arr, ids)
+                    keep = ~((pos < dead_arr.size)
+                             & (dead_arr[np.minimum(pos, dead_arr.size - 1)]
+                                == ids))
+                else:
+                    keep = np.ones(ids.size, dtype=bool)
                 if not keep.any():
                     continue
                 tf = vb_decode(r.tfs_vb).astype(np.int64)
@@ -155,16 +166,32 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
         tombstones_df,
     )
 
+    import numpy as np
+
     meta = load_meta(index_path)
     t0 = time.time()
     tombs = tombstones_df(spark, index_path, meta)
     if tombs is None:
         return meta
-    dead = {r["doc_id"] for r in tombs.collect()}
+    # Distributed tombstone handling (no driver-side set, no literal
+    # isin list in any plan): the doc-store rewrite is a plain
+    # anti-join against the tombstones DataFrame (broadcast by AQE
+    # while small, shuffle-join when deletes have accumulated), and
+    # the per-block posting kernel gets the ids as ONE sorted numpy
+    # array shipped by torrent broadcast — O(deletes) lives on the
+    # executors, the driver only pins the array once for the
+    # broadcast. ES's own expunge-deletes is segment-local for the
+    # same reason.
+    dead_np = np.sort(
+        tombs.select(F.col("doc_id").cast("long"))
+        .toPandas()["doc_id"].to_numpy(np.int64))
+    n_dead = int(dead_np.size)
+    dead_bc = spark.sparkContext.broadcast(dead_np)
 
     ds = catalog.read_table(spark, index_path, "docstats")
     ds_man = catalog.read_manifest(index_path, "docstats")
-    live = ds.filter(~F.col("doc_id").isin(list(dead)))
+    live = ds.join(tombs.select(F.col("doc_id").cast("long")),
+                   "doc_id", "left_anti")
     ds_man.pop("schema", None)
     catalog.create_or_replace(live, index_path, "docstats",
                               manifest=ds_man, partition_by=["grp"])
@@ -175,7 +202,7 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
     avgdl_eff = max(float(meta["avgdl"]) * float(meta.get("wand_slack", 1.0)),
                     avgdl_new)
 
-    kern = _purge_kernel(dead, meta["k1"], meta["b"], avgdl_eff)
+    kern = _purge_kernel(dead_bc, meta["k1"], meta["b"], avgdl_eff)
     for g in index_groups(meta):
         name = f"postings/group={g}"
         posts = spark.read.schema(POSTING_SCHEMA).parquet(
@@ -199,9 +226,10 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
                  "wand_slack": max(1.0, avgdl_new / avgdl_eff),
                  "tombstones_n": 0})
     meta.setdefault("metrics", []).append(
-        {"stage": "purge", "n_purged": len(dead),
+        {"stage": "purge", "n_purged": n_dead,
          "wall_s": time.time() - t0})
     _write_meta(index_path, meta)
+    dead_bc.unpersist()
     return meta
 
 

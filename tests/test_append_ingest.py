@@ -235,6 +235,56 @@ def test_purge_deletes_matches_fresh_rebuild(spark, corpus_df, tmp_path):
     assert match_count(spark, idx, "public") == match_count(spark, fresh, "public")
 
 
+def test_purge_100k_tombstones_distributed(spark, corpus_df, tmp_path,
+                                           monkeypatch):
+    """Scale guard: purge with a 100k-id tombstone set must stay fully
+    distributed — the docstats rewrite is an anti-join (no literal
+    ``doc_id IN (...)`` list in the plan, which breaks Catalyst at
+    millions of ids) and the posting kernel receives the dead set as a
+    torrent broadcast, not a task-closure set. Rank identity vs a
+    fresh build over the survivors still holds."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+    from elasticsearch_osmosis_plugin_spark.plans import merge as merge_mod
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+    from elasticsearch_osmosis_plugin_spark.plans.merge import purge_deletes
+
+    idx = str(tmp_path / "purge_big")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=2)
+    # tombstone ids 4..100003: kills every doc but 0-3, plus ~100k ids
+    # that never existed (delete-by-query residue shape)
+    delete_docs(spark, idx,
+                spark.range(4, 100_004).select(F.col("id").alias("doc_id")))
+
+    plans = {}
+    orig = cat.create_or_replace
+
+    def spy(df, root, name, **kw):
+        if name == "docstats":
+            plans["docstats"] = (
+                df._jdf.queryExecution().optimizedPlan().toString())
+        return orig(df, root, name, **kw)
+
+    monkeypatch.setattr(merge_mod.catalog, "create_or_replace", spy)
+    meta = purge_deletes(spark, idx)
+    monkeypatch.undo()
+
+    assert meta["n_docs"] == 4 and meta["tombstones_n"] == 0
+    p = plans["docstats"]
+    assert "Join LeftAnti" in p          # DataFrame anti-join, not isin
+    assert len(p) < 20_000               # a 100k literal list is ~0.7 MB
+    assert meta["metrics"][-1]["n_purged"] == 100_000
+
+    fresh = str(tmp_path / "purge_big_fresh")
+    build_index(spark, corpus_df.filter("doc_id < 4"), fresh, CFG,
+                id_col="doc_id", n_groups=2)
+    for q in ("public static", "id0001"):
+        for strategy in ("scoreall", "maxscore", "blockmax"):
+            assert _rows((spark, idx), q, strategy) == \
+                _rows((spark, fresh), q, strategy), (q, strategy)
+
+
 def test_alias_swap_zero_downtime(spark, tmp_path):
     """ES alias reindex-swap: build v1, alias -> v1, query through the
     alias; build v2, atomically repoint; a new query sees v2, while a

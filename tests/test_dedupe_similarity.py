@@ -296,6 +296,39 @@ def test_duplicate_spans(spark):
     assert got == {(2, 2, 7, 1), (3, 0, 5, 1), (3, 8, 13, 1), (4, 2, 9, 3)}
 
 
+def test_duplicate_spans_hot_gram(spark):
+    """Boilerplate skew fixture: ONE 5-gram ('x0 x1 x2 x3 x4', a
+    license-header analog) occurs in 50% of 200 docs. Results must
+    match a per-occurrence python oracle exactly — keep-first on the
+    global (doc_id, pos) key, every other occurrence cut — and the
+    hot group must flow through the map-side-combined groupBy path
+    (no gram-hash window; see test_plans for the plan shape)."""
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        duplicate_spans,
+    )
+
+    hot = "x0 x1 x2 x3 x4"
+    rows = []
+    for i in range(200):
+        filler = " ".join(f"u{i}w{j}" for j in range(6))
+        if i % 2 == 0:
+            # hot gram at a doc-dependent position
+            pos = i % 3
+            toks = filler.split()
+            toks[pos:pos] = hot.split()
+            rows.append((i, " ".join(toks)))
+        else:
+            rows.append((i, filler))
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               k=5).collect()}
+    # oracle: first occurrence by (doc_id, pos) is doc 0 pos 0; every
+    # other even doc cuts exactly its hot window [pos, pos+5)
+    want = {(i, i % 3, i % 3 + 5) for i in range(2, 200, 2)}
+    assert got == want
+
+
 def test_cut_spans(spark):
     """Span application: covered tokens removed, text rebuilt,
     untouched docs pass through."""

@@ -122,13 +122,14 @@ def test_classic_similarity_plan(spark, index_path):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_duplicate_spans_two_exchanges(spark):
-    """Substring dedup plan shape: exactly TWO shuffles — one on the
-    gram hash (count/first-key window), one on doc_id (island merge);
-    the island groupBy reuses the doc_id partitioning, and the gram
-    STRING never crosses an exchange (hashed before it)."""
-    from pyspark.sql import functions as F
-
+def test_duplicate_spans_skew_safe_plan(spark):
+    """Substring dedup plan shape, hot-gram-skew safe: the gram-hash
+    group stats come from a map-side-combined groupBy (each partition
+    contributes ONE partial row per hot gram) equi-joined back — NOT a
+    window over the gram hash, which would pin every occurrence of a
+    boilerplate gram in one unsplittable task. The only windows left
+    are the per-doc island merge; the gram STRING never crosses an
+    exchange (hashed before it)."""
     from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
         duplicate_spans,
     )
@@ -140,9 +141,17 @@ def test_duplicate_spans_two_exchanges(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]   # AQE prints both plans
-    n_ex = final.count("Exchange hashpartitioning")
-    assert n_ex == 2, final
+    # every Window operator partitions by doc_id, none by the gram hash
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", final):
+        assert m.group(1) == "doc_id", final
+    # group stats are partial-aggregated before the g exchange
+    assert "partial_count" in final and "partial_min" in final
     assert "Exchange hashpartitioning(g#" in final
+    # the gram hash (xxhash64) is computed below the exchanges: no raw
+    # gram string column crosses a shuffle
+    assert "xxhash64" in final
 
 
 def test_round2b_operators_plan_shapes(spark, corpus_df, index_path,
