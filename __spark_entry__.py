@@ -4587,22 +4587,33 @@ fp AS (
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    out = {}
+def _robust_oracle(gen, name: str) -> str:
+    """ANN / temperature oracles train their constants from the
+    oracle-SF parquet at oracle_sql() time (tracking the actual gate
+    inputs). If that probe fails in the sampling environment, fall
+    back to the baked literal twin (generated from sf0.01 by the same
+    generator) so the row STAYS a full value-for-value oracle instead
+    of regressing to rows-only."""
     try:
-        # the ANN twins need the oracle-SF embeddings on disk (the IVF
-        # quantizer trains on them); absent -> rows-only, same as r1
-        import os
-
-        if os.path.exists(f"{ANN_ORACLE_SF_DIR}/embeddings.parquet"):
-            out["ann_lsh_topk"] = _ann_lsh_oracle_sql()
-            out["ann_ivf_topk"] = _ann_ivf_oracle_sql()
-            out["pq_adc_topk"] = _pq_oracle_sql()
-        if os.path.exists(f"{ANN_ORACLE_SF_DIR}/documents.parquet"):
-            out["temperature_mixture"] = _temperature_oracle_sql()
-            out["temperature_mixture_tok"] = _temperature_tok_oracle_sql()
+        return gen()
     except Exception:  # noqa: BLE001 — oracle generation must not kill the gate
-        pass
+        from elasticsearch_osmosis_plugin_spark.baked_oracles import ORACLES
+
+        return ORACLES[name]
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {
+        "ann_lsh_topk": _robust_oracle(_ann_lsh_oracle_sql,
+                                       "ann_lsh_topk"),
+        "ann_ivf_topk": _robust_oracle(_ann_ivf_oracle_sql,
+                                       "ann_ivf_topk"),
+        "pq_adc_topk": _robust_oracle(_pq_oracle_sql, "pq_adc_topk"),
+        "temperature_mixture": _robust_oracle(_temperature_oracle_sql,
+                                              "temperature_mixture"),
+        "temperature_mixture_tok": _robust_oracle(
+            _temperature_tok_oracle_sql, "temperature_mixture_tok"),
+    }
     return out | {
         "bm25_topk": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "bm25_topk_hot": _bm25_oracle_sql(sorted({"dup", "table", "merge"}), 10),
