@@ -167,16 +167,27 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int = 3,
     # (0-based pos); Jaccard >= t needs overlap >= t(szA+szB)/(1+t).
     # max-over-keys of the bound >= the first-key bound, so filtering
     # on it never drops a true pair; it kills the near-threshold
-    # collisions that dominate the verify join. The size-ratio filter
-    # (|A|,|B| within factor t) is implied by the same alpha.
+    # collisions that dominate the verify join.
     alpha = (F.lit(threshold) * (F.col("sz_a") + F.col("sz_b"))
              / F.lit(1.0 + threshold) - F.lit(1e-9))
     bound = F.least(F.col("a.sz") - F.col("a.pos"),
                     F.col("b.sz") - F.col("b.pos"))
+    # length filter (the standard SSJoin prefilter): J >= t forces
+    # t*|A| <= |B| <= |A|/t (|A∩B| <= min, |A∪B| >= max), so the size
+    # ratio check sits IN the join predicate and kills mismatched-size
+    # collisions at enumeration time, before they ever reach the
+    # groupBy. The 1e-9 slack keeps exact-boundary pairs (t*sz can
+    # round up a hair in binary) — conservative, never drops a true
+    # pair.
+    lenok = ((F.col("b.sz")
+              >= F.lit(threshold) * F.col("a.sz") - F.lit(1e-9))
+             & (F.col("a.sz")
+                >= F.lit(threshold) * F.col("b.sz") - F.lit(1e-9)))
     cands = (prefix.alias("a").join(
                  prefix.alias("b"),
                  (F.col("a.shingle") == F.col("b.shingle"))
-                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 & (F.col("a.doc_id") < F.col("b.doc_id"))
+                 & lenok)
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"),
                       F.col("a.sz").alias("sz_a"),
@@ -478,6 +489,12 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                    F.posexplode(grams).alias("pos", "g"))
            .withColumn("key",
                        F.col("doc_id") * (1 << 20) + F.col("pos")))
+    # materialize the occurrence relation once: both the group-stats
+    # agg and the join-back consume it, and re-running the k-gram
+    # generation (O(tokens * k) string work) per branch would double
+    # the scan cost (same pattern as the pair emitters below)
+    occ = occ.persist()
+    occ.count()
     gstats = (occ.groupBy("g")
               .agg(F.count(F.lit(1)).alias("n_occ"),
                    F.min("key").alias("first_key"))
@@ -490,12 +507,13 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                  | (F.col("pos") - F.lag("pos").over(wd) > k), 1).otherwise(0)
     island = F.sum(brk).over(
         wd.rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (flagged.withColumn("island", island)
-            .groupBy("doc_id", "island")
-            .agg(F.min("pos").alias("span_start"),
-                 (F.max("pos") + k).alias("span_end"),
-                 F.count(F.lit(1)).alias("n_windows"))
-            .drop("island"))
+    out = (flagged.withColumn("island", island)
+           .groupBy("doc_id", "island")
+           .agg(F.min("pos").alias("span_start"),
+                (F.max("pos") + k).alias("span_end"),
+                F.count(F.lit(1)).alias("n_windows"))
+           .drop("island"))
+    return _materialized(out, [occ])
 
 
 def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",

@@ -6,6 +6,10 @@ sorted, row-sorted, exact equality; floats must match bit-for-bit
 because both sides round explicitly).
 
 Usage: python tests/oracle_parity.py [sf_dir] [query ...]
+       [--report PATH]   # also write the per-row pass/fail lines to
+                         # PATH (committed per round as PARITY_rNN.txt
+                         # so never-driver-sampled gate rows carry
+                         # visible evidence)
 """
 
 from __future__ import annotations
@@ -68,8 +72,14 @@ def compare_one(spark, sf_dir: str, name: str, qfn, sql: str):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    report_path = None
+    if "--report" in args:
+        i = args.index("--report")
+        report_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from elasticsearch_osmosis_plugin_spark.session import get_session
@@ -78,12 +88,18 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    lines = []
+
+    def emit(line):
+        print(line)
+        lines.append(line)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name not in oracles:
             n = fn(spark, sf_dir).count()
-            print(f"  {name:28s} rows-only: {n} rows")
+            emit(f"  {name:28s} rows-only: {n} rows")
             continue
         try:
             problems, n = compare_one(spark, sf_dir, name, fn, oracles[name])
@@ -91,10 +107,15 @@ def main():
             problems, n = [f"exception: {type(e).__name__}: {e}"], -1
         if problems:
             failures += 1
-            print(f"✗ {name:28s} {problems}")
+            emit(f"✗ {name:28s} {problems}")
         else:
-            print(f"✓ {name:28s} {n} rows match")
-    print(f"\n{'FAIL' if failures else 'OK'}: {failures} mismatching queries")
+            emit(f"✓ {name:28s} {n} rows match")
+    emit(f"\n{'FAIL' if failures else 'OK'}: {failures} mismatching queries")
+    if report_path:
+        with open(report_path, "w") as f:
+            f.write(f"# oracle parity at {sf_dir}: "
+                    f"{len(lines) - 1} rows checked\n")
+            f.write("\n".join(lines) + "\n")
     return 1 if failures else 0
 
 

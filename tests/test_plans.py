@@ -134,12 +134,20 @@ def test_duplicate_spans_skew_safe_plan(spark):
         duplicate_spans,
     )
 
+    from elasticsearch_osmosis_plugin_spark.functions import dedupe
+
     docs = spark.createDataFrame(
         [(i, "a b c d e f g h i j") for i in range(20)],
         "doc_id long, text string")
-    out = duplicate_spans(docs, k=5)
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # bypass the eager localCheckpoint so the full plan is inspectable
+    orig = dedupe._materialized
+    dedupe._materialized = lambda result, released: result
+    try:
+        out = duplicate_spans(docs, k=5)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        dedupe._materialized = orig
     final = plan.split("== Initial Plan ==")[0]   # AQE prints both plans
     # every Window operator partitions by doc_id, none by the gram hash
     import re
