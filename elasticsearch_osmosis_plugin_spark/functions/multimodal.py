@@ -2,13 +2,13 @@
 columns with typed metadata.
 
 The Spark-side machinery — schema, partitioning, Arrow batch shape,
-mapInPandas UDF signatures — is real and tested. The actual
-image/audio decode step is STUBBED (the decode libraries are not in
-this container): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless PIL/soundfile import, and the tested
-pipeline uses ``byte_histogram_features`` — a deterministic,
-library-free featurizer with the same plumbing shape a real decoder
-would have.
+mapInPandas UDF signatures — is real and tested. Image decode is
+REAL for PNG (pure-stdlib: zlib inflate + numpy per-row unfilter,
+all five PNG filter types, gray/RGB/RGBA/palette at bit depth 8)
+and for the raw-RGB format below; other codecs (JPEG, audio)
+delegate to PIL when importable and raise ValueError otherwise —
+codec coverage is an input-format contract, not a stubbed
+capability.
 """
 
 from __future__ import annotations
@@ -44,16 +44,168 @@ def synth_media_df(spark: SparkSession, n: int = 64,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes):
-    """REAL decode is environment-gated: PIL is not in this container."""
+# ------------------------------------------------------------------ PNG
+# Pure-stdlib PNG codec: zlib inflate + numpy per-row unfilter. Scope:
+# bit depth 8, color types 0 (gray) / 2 (RGB) / 3 (palette) / 4
+# (gray+alpha) / 6 (RGBA), interlace 0 — the overwhelming majority of
+# real-world PNGs. The Sub filter inverts as a per-lane prefix sum
+# (vectorized); Average/Paeth have a serial in-row dependency and run
+# a per-byte loop over the row (row-bounded; the Arrow batch loop
+# around this is the distribution axis, not the row loop).
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 numpy array (h, w, channels); palette images
+    expand to RGB. Stdlib-only (zlib) + numpy."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG is not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1)
+        if f == 0:                       # None
+            cur = row.copy()
+        elif f == 1:                     # Sub: per-lane prefix sum
+            cur = (np.cumsum(row.reshape(w, ch).astype(np.int64),
+                             axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif f == 2:                     # Up
+            cur = row + prev             # uint8 wraps mod 256
+        elif f in (3, 4):                # Average / Paeth: serial in-row
+            cur = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 3:
+                    cur[i] = (int(row[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    cur[i] = (int(row[i]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w[, channels]) -> PNG bytes. ``filter_type`` picks
+    the per-row filter (0..4) — the test harness round-trips every
+    filter to pin the decoder's unfilter math against the spec's
+    forward definitions."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    arr = arr.astype(np.uint8)
+    stride = w * ch
+    rows = []
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        cur = arr[y].reshape(-1)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            enc = cur - ((left.astype(np.int64)
+                          + prev.astype(np.int64)) >> 1).astype(np.uint8)
+        elif filter_type == 4:
+            enc = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                enc[i] = (int(cur[i]) - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        rows.append(bytes([filter_type]) + enc.tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Binary image payload -> uint8 numpy array (h, w, channels).
+
+    PNG and the raw-RGB format decode natively (stdlib + numpy, no
+    external libs); any other codec delegates to PIL when importable
+    and raises ValueError otherwise — an input-format contract, not a
+    missing capability."""
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     try:
-        from PIL import Image  # noqa: F401
         import io
-        return Image.open(io.BytesIO(payload))
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL; use byte_histogram_features for "
-            "the library-free pipeline") from e
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except ImportError:
+        raise ValueError(
+            f"unsupported image codec (magic {bytes(payload[:4])!r}): "
+            "PNG decodes natively; other codecs need PIL") from None
 
 
 def byte_histogram_features(df: DataFrame,
@@ -144,11 +296,30 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
     return df.mapInPandas(rs, cols_schema)
 
 
-def mean_rgb_features(df: DataFrame,
-                      payload_col: str = "payload") -> DataFrame:
+def synth_png_images(spark: SparkSession, n: int = 16,
+                     seed: int = 42) -> DataFrame:
+    """Deterministic REAL-PNG image table (media_id, payload, meta):
+    payloads are spec-valid PNG bytes (cycling through the five row
+    filters) that the stdlib decoder reads back exactly."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+        w, h = 6 + i % 7, 6 + (i * 3) % 7
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, "image",
+                     bytearray(encode_png(arr, filter_type=i % 5)),
+                     {"width": str(w), "height": str(h),
+                      "codec": "png"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mean_rgb_features(df: DataFrame, payload_col: str = "payload",
+                      decoder=None) -> DataFrame:
     """Per-channel mean over decoded pixels -> array<double> feature
-    column (the decode-then-featurize shape of a CLIP-style stage,
-    with the raw-RGB decoder standing in for the codec)."""
+    column (the decode-then-featurize shape of a CLIP-style stage).
+    ``decoder``: payload bytes -> uint8 (h, w, 3) array; defaults to
+    the raw-RGB parser — pass :func:`decode_image` for PNG payloads."""
+    dec = decoder or _decode_raw_rgb
     cols_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
         + ", features array<double>"
@@ -156,7 +327,7 @@ def mean_rgb_features(df: DataFrame,
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_raw_rgb(bytes(p)).reshape(-1, 3).mean(axis=0).tolist()
+                dec(bytes(p)).reshape(-1, 3).mean(axis=0).tolist()
                 for p in pdf[payload_col]]
             yield pdf.assign(features=pd.Series(feats, index=pdf.index))
 

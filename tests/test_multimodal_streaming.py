@@ -34,11 +34,91 @@ def test_media_schema_and_features(spark):
            {r["media_id"]: tuple(r["features"]) for r in rows2}
 
 
-def test_decode_is_stubbed(spark):
-    from elasticsearch_osmosis_plugin_spark.functions.multimodal import decode_image
+def test_png_roundtrip_all_filters_and_color_types(spark):
+    """Stdlib PNG codec: encode with every row filter (None/Sub/Up/
+    Average/Paeth) and every supported color type, decode back
+    byte-exact. The encoder applies the spec's FORWARD filter math,
+    the decoder inverts it — a mirrored bug would have to cancel in
+    five different equations to pass."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG fake")
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(11, 9, ch), dtype=np.uint8)
+        for f in range(5):
+            got = decode_png(encode_png(arr, filter_type=f))
+            assert got.shape == arr.shape and (got == arr).all(), (ch, f)
+    # gradient images exercise non-trivial Sub/Average/Paeth deltas
+    grad = (np.arange(13 * 17 * 3, dtype=np.int64) % 256) \
+        .astype(np.uint8).reshape(13, 17, 3)
+    for f in range(5):
+        assert (decode_png(encode_png(grad, filter_type=f)) == grad).all()
+    # decode_image dispatches on the PNG signature
+    assert (decode_image(encode_png(grad)) == grad).all()
+    # malformed inputs fail loudly with ValueError (codec contract)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG fake")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")  # no PIL here
+
+
+def test_png_palette_decode(spark):
+    """Color type 3: palette indices expand through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    png = (PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", palette.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (2, 3, 3)
+    assert (got == palette[idx]).all()
+
+
+def test_png_spark_decode_featurize_pipeline(spark):
+    """Real PNG decode inside the mapInPandas featurize stage: the
+    binary -> array<double> plumbing runs on spec-valid PNG payloads
+    with no image library in the container."""
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        decode_image,
+        decode_png,
+        mean_rgb_features,
+        synth_png_images,
+    )
+
+    media = synth_png_images(spark, n=16)
+    rows = mean_rgb_features(media, decoder=decode_image).collect()
+    assert len(rows) == 16
+    by_id = {r["media_id"]: r["features"] for r in rows}
+    # spot-check against a driver-side decode of the same payloads
+    for r in media.collect():
+        want = decode_png(bytes(r["payload"])) \
+            .reshape(-1, 3).mean(axis=0)
+        assert np.allclose(by_id[r["media_id"]], want), r["media_id"]
 
 
 def test_frame_sample_offsets(spark):
