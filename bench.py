@@ -128,6 +128,23 @@ def main() -> int:
         extra["q_topk_p95_s"] = round(
             lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 3)
 
+        # the SERVING path (Searcher.topk_local: pyarrow bucket reads
+        # on the driver, no Spark job — rank-identical, see
+        # operators/serve.py); this is the number a latency-sensitive
+        # caller sees
+        searcher = Searcher(spark, idx)
+        searcher.topk_local("spark query join", k=10)  # warm the memo
+        lat_l = []
+        for _ in range(25):
+            t0 = time.time()
+            searcher.topk_local("spark query join", k=10)
+            lat_l.append(time.time() - t0)
+        searcher.close()
+        lat_l.sort()
+        extra["q_topk_local_p50_s"] = round(lat_l[len(lat_l) // 2], 4)
+        extra["q_topk_local_p95_s"] = round(
+            lat_l[min(len(lat_l) - 1, math.ceil(0.95 * len(lat_l)) - 1)], 4)
+
         from elasticsearch_osmosis_plugin_spark.operators.percolate import (
             percolate,
         )

@@ -2123,3 +2123,54 @@ def test_multi_match_most_and_cross_fields(spark, corpus_rows, corpus_df,
         field_indexes=paths)
     assert [r["doc_id"] for r in via.collect()] \
         == [r["doc_id"] for r in got]
+
+
+def test_local_serving_path_lifecycle(spark, corpus_df, tmp_path):
+    """Driver-local serving (Searcher.topk_local / operators.serve):
+    rank- AND score-identical to the distributed scoreall path through
+    the full index lifecycle — fresh build, appended group, logical
+    deletes, compaction, post-compaction append — with the dictionary
+    memo warm and cold."""
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+    from elasticsearch_osmosis_plugin_spark.operators.query import Searcher, topk
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        append_index_group,
+        delete_docs,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.merge import compact_index
+
+    idx = str(tmp_path / "serve_idx")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=2)
+    queries = QUERIES + ["nosuchterm id0001", "zzz_absent"]
+
+    def check(tag):
+        s = Searcher(spark, idx)
+        for q in queries:
+            local = [(d, round(sc, 9)) for d, sc in s.topk_local(q, k=10)]
+            dist = [(r["doc_id"], round(r["score"], 9)) for r in
+                    topk(spark, idx, q, k=10, strategy="scoreall").collect()]
+            assert local == dist, (tag, q)
+            # memo warm: second call identical
+            assert local == [(d, round(sc, 9))
+                             for d, sc in s.topk_local(q, k=10)], (tag, q)
+        s.close()
+
+    check("fresh")
+    append_index_group(spark, generate_corpus_df(spark, seed=9, n=40), idx)
+    check("appended")
+    delete_docs(spark, idx,
+                [r["doc_id"] for r in
+                 topk(spark, idx, "public", k=3).collect()])
+    check("tombstoned")
+    compact_index(spark, idx)
+    check("compacted")
+    append_index_group(spark, generate_corpus_df(spark, seed=5, n=30), idx)
+    check("compact_then_append")
+    # a Searcher opened pre-mutation serves its snapshot until refresh
+    s = Searcher(spark, idx)
+    before = s.topk_local("public static", k=5)
+    delete_docs(spark, idx, [before[0][0]])
+    s.refresh()
+    after = s.topk_local("public static", k=5)
+    assert before[0][0] not in [d for d, _ in after]
+    s.close()
