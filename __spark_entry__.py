@@ -286,10 +286,12 @@ ANALYZE_TEXT = "The Sparks  QueryJoin of tables  dup dup"
 def q_analyze_api(spark, sf_dir):
     """ES _analyze endpoint analog: the token stream (position, token,
     char offsets) two analysis chains emit for one input — `simple`
-    carries exact char offsets (repeated token, double spaces), the
-    `english` chain (stop removal + S-stemmer) rewrites token text so
-    its offsets are null. Same ``tokenize_expr`` the index build and
-    query side run."""
+    carries exact char offsets (repeated token, double spaces); the
+    `english` chain (stop removal + S-stemmer) rewrites token text but
+    keeps each pre-stem token's char span and emits nothing for
+    stopwords — the char map ES's token filters thread through. Same
+    ``tokenize_expr`` token stream the index build and query side
+    run."""
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import analyze
 
     a = (analyze(spark, ANALYZE_TEXT, "simple")
@@ -301,20 +303,26 @@ def q_analyze_api(spark, sf_dir):
 
 
 def _analyze_oracle_sql() -> str:
-    """DuckDB twin: recursive left-to-right cursor walk reproduces the
-    offset fold for `simple`; the `english` chain reuses the stop+stem
-    transform of TOK_EN_CTE over the literal (offsets NULL)."""
+    """DuckDB twin: ONE recursive left-to-right cursor walk computes
+    every \\S+ token's char span; `simple` emits it verbatim, the
+    `english` branch filters stopwords, stems the token TEXT and keeps
+    the pre-stem span (renumbering positions over the survivors) —
+    the same char-map-through-filters semantics as
+    tokenizer.token_spans_py."""
     txt = ANALYZE_TEXT.replace("'", "''")
-    stem = (
-        "CASE WHEN t LIKE '%ies' THEN "
-        "CASE WHEN regexp_matches(t, '^.+[^ea]ies$') "
-        "THEN substr(t, 1, len(t) - 3) || 'y' ELSE t END "
-        "WHEN t LIKE '%es' THEN "
-        "CASE WHEN regexp_matches(t, '^.+[^aeo]es$') "
-        "THEN substr(t, 1, len(t) - 1) ELSE t END "
-        "WHEN t LIKE '%s' THEN "
-        "CASE WHEN regexp_matches(t, '^.+[^su]s$') "
-        "THEN substr(t, 1, len(t) - 1) ELSE t END ELSE t END")
+
+    def _stem_sql(t: str) -> str:
+        return (
+            f"CASE WHEN {t} LIKE '%ies' THEN "
+            f"CASE WHEN regexp_matches({t}, '^.+[^ea]ies$') "
+            f"THEN substr({t}, 1, len({t}) - 3) || 'y' ELSE {t} END "
+            f"WHEN {t} LIKE '%es' THEN "
+            f"CASE WHEN regexp_matches({t}, '^.+[^aeo]es$') "
+            f"THEN substr({t}, 1, len({t}) - 1) ELSE {t} END "
+            f"WHEN {t} LIKE '%s' THEN "
+            f"CASE WHEN regexp_matches({t}, '^.+[^su]s$') "
+            f"THEN substr({t}, 1, len({t}) - 1) ELSE {t} END "
+            f"ELSE {t} END")
     return rf"""
 WITH RECURSIVE tk AS (
   SELECT lower('{txt}') AS s,
@@ -335,19 +343,16 @@ WITH RECURSIVE tk AS (
                     tk.toks[r.position + 2]) - 1
            + len(tk.toks[r.position + 2])
   FROM r, tk WHERE r.position + 2 <= len(tk.toks)
-), en AS (
-  SELECT list_transform(
-           list_filter(string_split_regex(lower('{txt}'), '\s+'),
-                       x -> x <> '' AND x NOT IN ({_STOP_EN_LUCENE})),
-           t -> {stem}) AS toks
 )
 SELECT 'simple' AS analyzer, position, token,
        start_offset::INT AS start_offset, end_offset::INT AS end_offset
 FROM r
 UNION ALL
-SELECT 'english', generate_subscripts(toks, 1) - 1, unnest(toks),
-       NULL::INT, NULL::INT
-FROM en
+SELECT 'english',
+       (row_number() OVER (ORDER BY position) - 1)::INT,
+       {_stem_sql('token')},
+       start_offset::INT, end_offset::INT
+FROM r WHERE token NOT IN ({_STOP_EN_LUCENE})
 """
 
 

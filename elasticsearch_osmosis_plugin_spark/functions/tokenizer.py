@@ -275,6 +275,65 @@ def _offsets_fold(toks, ref):
     return F.aggregate(toks, init, _step, lambda acc: acc["out"])
 
 
+def token_spans_py(text: str, analyzer: str, min_len: int = 1,
+                   max_len: int = 64) -> list[tuple[str, int, int]] | None:
+    """ES-offset twin for the REWRITING analyzer chains: (token,
+    start_offset, end_offset) per emitted token, with offsets into the
+    ORIGINAL input — the char-map ES threads through its token
+    filters.
+
+    ``code``: a run of [A-Za-z0-9]+ splits at the two camel
+    boundaries; each sub-segment's span is its own chars (the inserted
+    zero-width break consumes nothing). ``english``: the stemmer is a
+    token FILTER — the token text rewrites but keeps the pre-stem
+    token's span, and dropped stopwords emit nothing (exact ES
+    semantics). Token text is guaranteed identical to
+    ``tokenize_py``'s stream (tested).
+
+    Returns None when lowercasing changes the string length (a
+    non-ASCII case-fold like 'İ' -> 'i̇') — the char positions stop
+    being well-defined and the caller reports null offsets instead of
+    wrong ones."""
+    lowered = text.lower()
+    if len(lowered) != len(text):
+        return None
+    out: list[tuple[str, int, int]] = []
+    if analyzer == "code":
+        def _lo(ch: str) -> bool:       # ASCII classes, matching the
+            return "a" <= ch <= "z" or "0" <= ch <= "9"   # _CAMEL_*
+
+        def _up(ch: str) -> bool:       # regexes exactly (not str
+            return "A" <= ch <= "Z"     # .isupper(), which is Unicode)
+
+        def _camel_break(i: int) -> bool:
+            p, c = text[i - 1], text[i]
+            if _lo(p):
+                return _up(c)
+            return (_up(p) and _up(c) and i + 1 < len(text)
+                    and "a" <= text[i + 1] <= "z")
+
+        for m in _LOWER_ALNUM.finditer(lowered):
+            s, e = m.span()
+            brks = [s] + [i for i in range(s + 1, e)
+                          if _camel_break(i)] + [e]
+            for a, b in zip(brks, brks[1:]):
+                if min_len <= b - a <= max_len:
+                    out.append((lowered[a:b], a, b))
+        return out
+    if analyzer == "english":
+        stop = set(ENGLISH_STOPWORDS)
+        for m in re.finditer(r"\S+", lowered):
+            tok = m.group(0)
+            if tok in stop:
+                continue
+            st = s_stem(tok)
+            if min_len <= len(st) <= max_len:
+                out.append((st, m.start(), m.end()))
+        return out
+    raise ValueError(f"token_spans_py handles code/english, "
+                     f"not {analyzer}")
+
+
 def analyze(spark, text: str, analyzer: str = "code",
             min_len: int = 1, max_len: int = 64):
     """ES _analyze endpoint analog: run a string through the engine's
@@ -283,15 +342,18 @@ def analyze(spark, text: str, analyzer: str = "code",
     exactly what the index build and the query tokenizer produce (same
     ``tokenize_expr``).
 
-    Offsets are the ES char offsets of each token in the input for the
-    analyzers whose tokens are verbatim substrings of it (``simple`` —
+    Offsets are the ES char offsets of each token in the input. For
+    analyzers whose tokens are verbatim substrings (``simple`` —
     offsets over the lowercased text, same char positions since
-    lowercasing is 1:1 on ASCII — ``whitespace``, ``keyword``). The
-    ``code``/``english`` chains REWRITE token text (camelCase split,
-    stemming), so their offsets are null — like ES, the token stream is
-    still exact; unlike ES we don't thread a char-map through the
-    filters (the index stores positions, never offsets, so nothing
-    downstream consumes them).
+    lowercasing is 1:1 on ASCII — ``whitespace``, ``keyword``) they
+    fold inside the Catalyst expression. The REWRITING chains
+    (``code``: camelCase split; ``english``: stop + stem) thread the
+    char map the way ES's token filters do — camel sub-segments carry
+    their own spans, a stemmed token keeps its pre-stem span, dropped
+    stopwords emit nothing — via :func:`token_spans_py` (token stream
+    identical to the Catalyst chain, pinned by test). The one
+    undefined case — a length-changing non-ASCII case-fold — reports
+    null offsets rather than wrong ones.
 
     A token dropped by the ``min_len``/``max_len`` filter does not
     advance the offset cursor, so a later identical substring inside
@@ -303,9 +365,16 @@ def analyze(spark, text: str, analyzer: str = "code",
     ref = {"simple": F.lower(F.col("text")),
            "whitespace": F.col("text"),
            "keyword": F.col("text")}.get(analyzer)
-    if ref is None:  # token text != input substring: no char offsets
-        return df.select(
-            F.posexplode(toks).alias("position", "token"),
-            F.lit(None).cast("int").alias("start_offset"),
-            F.lit(None).cast("int").alias("end_offset"))
+    if ref is None:
+        spans = (token_spans_py(text, analyzer, min_len, max_len)
+                 if analyzer in ("code", "english") else None)
+        if spans is None:  # undefined char map: null offsets
+            return df.select(
+                F.posexplode(toks).alias("position", "token"),
+                F.lit(None).cast("int").alias("start_offset"),
+                F.lit(None).cast("int").alias("end_offset"))
+        return spark.createDataFrame(
+            [(i, t, s, e) for i, (t, s, e) in enumerate(spans)],
+            "position int, token string, start_offset int, "
+            "end_offset int")
     return df.select(F.inline(_offsets_fold(toks, ref)))

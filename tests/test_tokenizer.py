@@ -150,12 +150,16 @@ def test_tokenize_udf_matches_python(spark):
 def test_analyze_endpoint(spark):
     from elasticsearch_osmosis_plugin_spark.functions.tokenizer import analyze
 
-    got = analyze(spark, "getIndexBuffer flushes Buffers", "code").collect()
+    text = "getIndexBuffer flushes Buffers"
+    got = analyze(spark, text, "code").collect()
     assert [(r["position"], r["token"]) for r in got] == list(
-        enumerate(tokenize_py("getIndexBuffer flushes Buffers", "code")))
-    # token text is rewritten by the code chain -> no char offsets
-    assert all(r["start_offset"] is None and r["end_offset"] is None
-               for r in got)
+        enumerate(tokenize_py(text, "code")))
+    # the code chain rewrites token text, but offsets thread the char
+    # map through the camel split: every span slices its token back
+    # out of the (lowercased) input
+    for r in got:
+        assert text.lower()[r["start_offset"]:r["end_offset"]] \
+            == r["token"]
     en = [r["token"] for r in
           analyze(spark, "The bodies of tables", "english").collect()]
     assert en == ["body", "table"]
@@ -239,3 +243,61 @@ def test_whitespace_and_keyword_analyzers(spark):
             match_all_terms(spark, path, "Foo").collect()] == [0]
     assert [r["doc_id"] for r in
             match_all_terms(spark, path, "FOO").collect()] == [2]
+
+
+def test_token_spans_rewriting_chains(spark):
+    """ES-offset twin for code/english: token stream identical to
+    tokenize_py, every span points at the right chars of the ORIGINAL
+    input (camel sub-segments own their chars; a stemmed token keeps
+    its pre-stem span; stopwords emit nothing)."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        analyze,
+        s_stem,
+        token_spans_py,
+        tokenize_py,
+    )
+
+    battery = [
+        "getIndexBuffer snake_case XMLHttpRequest2 a",
+        "The quick brown foxes jumped over lazy bodies",
+        "HTML parse99Tree  double  spaces\tand tabs",
+        "x",
+        "",
+    ]
+    for text in battery:
+        for an in ("code", "english"):
+            spans = token_spans_py(text, an)
+            assert [t for t, _, _ in spans] == tokenize_py(text, an), \
+                (text, an)
+            low = text.lower()
+            for t, s, e in spans:
+                if an == "code":
+                    assert low[s:e] == t, (text, t, s, e)
+                else:
+                    assert s_stem(low[s:e]) == t, (text, t, s, e)
+                    # span boundaries sit on a whitespace-run token
+                    assert (s == 0 or low[s - 1].isspace()) and \
+                           (e == len(low) or low[e].isspace())
+
+    # camel boundary spans map exactly
+    got = token_spans_py("getIndexBuffer", "code")
+    assert got == [("get", 0, 3), ("index", 3, 8), ("buffer", 8, 14)]
+    # acronym rule: XMLHttp -> xml | http
+    assert token_spans_py("XMLHttpReq", "code") == \
+        [("xml", 0, 3), ("http", 3, 7), ("req", 7, 10)]
+    # english: stemmed token keeps pre-stem span; stopword gap closes
+    got = token_spans_py("the foxes ran", "english")
+    assert got == [("foxe", 4, 9), ("ran", 10, 13)]
+
+    # length-changing case-fold -> None (undefined char map)
+    assert token_spans_py("İstanbul code", "code") is None
+
+    # analyze() end-to-end now carries offsets for the code chain
+    rows = analyze(spark, "getIndexBuffer foo", "code").collect()
+    assert [(r["position"], r["token"], r["start_offset"],
+             r["end_offset"]) for r in rows] == \
+        [(0, "get", 0, 3), (1, "index", 3, 8), (2, "buffer", 8, 14),
+         (3, "foo", 15, 18)]
+    # min/max len filter applies to the emitted stream
+    spans = token_spans_py("getIndexBuffer", "code", min_len=4)
+    assert spans == [("index", 3, 8), ("buffer", 8, 14)]
