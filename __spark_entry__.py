@@ -189,6 +189,26 @@ def q_bm25_topk_idx_scoreall(spark, sf_dir):
     return _bm25_idx(spark, sf_dir, "spark query join", 10, "scoreall")
 
 
+def q_bm25_topk_idx_local(spark, sf_dir):
+    """The DRIVER-LOCAL serving path under the hard gate: pyarrow
+    bucket reads + numpy decode/score with NO Spark job
+    (operators/serve.py, Searcher.topk_local) — the same BM25 oracle
+    as the distributed scoreall row, so the gate pins the two
+    execution paths value-for-value against DuckDB independently."""
+    import math
+
+    from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
+
+    idx = _index_for(spark, sf_dir)
+    s = Searcher(spark, idx, cache_dictionary=False)
+    rows = s.topk_local("spark query join", k=30)
+    s.close()
+    ranked = sorted(
+        ((d, int(math.floor(sc * 10000.0 + 0.5))) for d, sc in rows),
+        key=lambda r: (-r[1], r[0]))[:10]
+    return spark.createDataFrame(ranked, "doc_id long, score_x1e4 long")
+
+
 def q_bm25_topk_idx_maxscore(spark, sf_dir):
     """SPIMI index + one-shot MaxScore pruning (hot + rare term mix)."""
     return _bm25_idx(spark, sf_dir, "dup table merge", 10, "maxscore")
@@ -4359,6 +4379,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_hot": q_bm25_topk_hot,
     "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
+    "bm25_topk_idx_local": q_bm25_topk_idx_local,
     "bm25_topk_idx_maxscore": q_bm25_topk_idx_maxscore,
     "bm25_topk_idx_blockmax": q_bm25_topk_idx_blockmax,
     "bm25_topk_idx_postfilter": q_bm25_topk_idx_postfilter,
@@ -4623,6 +4644,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(sorted({"spark", "query", "join"}), 10),
         "bm25_topk_hot": _bm25_oracle_sql(sorted({"dup", "table", "merge"}), 10),
         "bm25_topk_idx_scoreall": _bm25_oracle_sql(
+            sorted({"spark", "query", "join"}), 10),
+        "bm25_topk_idx_local": _bm25_oracle_sql(
             sorted({"spark", "query", "join"}), 10),
         "bm25_topk_idx_maxscore": _bm25_oracle_sql(
             sorted({"dup", "table", "merge"}), 10),
