@@ -196,11 +196,47 @@ def spin_baseline() -> dict:
     return out
 
 
+def solo_point(n_docs: int, cpus: int, deadline_s: float) -> int:
+    """One solo work-constancy point at a bigger corpus (the VERDICT
+    r2 #8 scale-up decade: the 100 TB claim should not extrapolate
+    from 400k docs alone). Runs the level ALONE, appends a section to
+    BENCH/BASELINE.md with cpu-s and ms/doc so the work-constancy
+    table extends across corpus sizes, not just parallelism levels."""
+    s = run_solo(cpus, n_docs, deadline_s)
+    ms_doc = s["cpu_s_min"] / n_docs * 1000.0
+    util = s["cpu_s_min"] / (s["build_s"] * cpus)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+## Scale-up point: {n_docs:,} docs at local[{cpus}] (solo)
+
+| n_docs | level | best wall s | docs/sec | min cpu-s/build | cpu ms/doc | utilization | query suite s |
+|---|---|---|---|---|---|---|---|
+| {n_docs:,} | local[{cpus}] | {s['build_s']:.1f} | {s['docs_per_sec']:.0f} | {s['cpu_s_min']:.0f} | {ms_doc:.2f} | {util:.2f} | {s['query_suite_s']:.2f} |
+
+cpu ms/doc at this corpus vs the work-constancy table's smaller
+corpus extends the constancy evidence a decade in DATA size: flat
+per-doc CPU across both corpus size and parallelism is the
+steal-immune restatement of the north rule's N->4N criterion.
+Per-stage walls: {json.dumps(s['stages'])}
+Raw: `{json.dumps({k: v for k, v in s.items() if k != 'cycle_detail'})}`
+cycles: `{json.dumps(s['cycle_detail'])}`
+""")
+    print(json.dumps({"n_docs": n_docs, "cpus": cpus,
+                      "build_s": s["build_s"], "cpu_s_min": s["cpu_s_min"],
+                      "cpu_ms_per_doc": round(ms_doc, 3),
+                      "utilization": round(util, 3)}))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if args else 200_000
     deadline_s = float(args[1]) if len(args) > 1 else 360.0
     skip32 = "--skip-32" in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith("--solo-point="):
+            return solo_point(n_docs, int(a.split("=")[1]), deadline_s)
 
     spin = spin_baseline()
     pair_2_8 = run_pair(2, 8, "0-1", "8-15", n_docs, deadline_s)
