@@ -256,6 +256,27 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("what", choices=("indices", "segments", "aliases"))
     ct.add_argument("paths", nargs="+",
                     help="index/alias paths (segments takes exactly one)")
+
+    ql = sub.add_parser("query-local", help="top-k BM25 via the driver-"
+                        "local serving path (operators/serve.py): pyarrow "
+                        "bucket reads, no Spark session, ms latency")
+    ql.add_argument("--index", required=True)
+    ql.add_argument("--query", required=True)
+    ql.add_argument("--k", type=int, default=10)
+
+    tp = sub.add_parser("template", help="composable index/component "
+                        "templates (PUT/GET/DELETE/LIST/_simulate_index) "
+                        "— no Spark job")
+    tp.add_argument("action", choices=("put-index", "put-component", "get",
+                                       "delete", "list", "simulate"))
+    tp.add_argument("--registry", required=True)
+    tp.add_argument("--name", help="template name (put/get/delete)")
+    tp.add_argument("--body", help="JSON body: put-index takes "
+                    "{index_patterns, template, composed_of, priority}; "
+                    "put-component takes the template block")
+    tp.add_argument("--index-name", help="index name for simulate")
+    tp.add_argument("--kind", default="index", choices=("index", "component"),
+                    help="get/delete/list target kind")
     return ap
 
 
@@ -279,6 +300,52 @@ def main(argv: list[str] | None = None) -> int:
                         full = os.path.join(dirpath, fn)
                         z.write(full, os.path.relpath(full, base))
         print(json.dumps({"written": args.out}))
+        return 0
+
+    if args.cmd == "query-local":
+        from elasticsearch_osmosis_plugin_spark.operators import serve
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            query_terms,
+        )
+        from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+        from elasticsearch_osmosis_plugin_spark.plans.catalog import (
+            resolve_alias,
+        )
+
+        path = resolve_alias(args.index)
+        meta = load_meta(path)
+        for d, s in serve.local_topk(path, query_terms(args.query, meta),
+                                     k=args.k, meta=meta):
+            print(json.dumps({"doc_id": d, "score": round(s, 9)}))
+        return 0
+
+    if args.cmd == "template":
+        from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+
+        if args.action == "put-index":
+            body = json.loads(args.body)
+            cat.put_index_template(
+                args.registry, args.name,
+                index_patterns=body["index_patterns"],
+                template=body.get("template"),
+                composed_of=body.get("composed_of"),
+                priority=int(body.get("priority", 0)))
+            print(json.dumps({"acknowledged": True, "name": args.name}))
+        elif args.action == "put-component":
+            cat.put_component_template(args.registry, args.name,
+                                       json.loads(args.body))
+            print(json.dumps({"acknowledged": True, "name": args.name}))
+        elif args.action == "get":
+            print(json.dumps(cat.get_template(args.registry, args.kind,
+                                              args.name)))
+        elif args.action == "delete":
+            print(json.dumps({"acknowledged": cat.delete_template(
+                args.registry, args.kind, args.name)}))
+        elif args.action == "list":
+            print(json.dumps(cat.list_templates(args.registry, args.kind)))
+        else:
+            print(json.dumps(cat.simulate_index(args.registry,
+                                                args.index_name)))
         return 0
 
     if args.cmd == "cat":

@@ -250,3 +250,38 @@ def test_cli_lifecycle_commands(spark, cli_index, capsys, tmp_path):
     create_alias(alias, cli_index)
     (r,) = _run(capsys, ["ilm", "--alias", alias, "--max-docs", "1"])
     assert r["rollover"]["rolled_over"] is True
+
+
+def test_cli_query_local_matches_query(spark, cli_index, capsys):
+    """query-local (serving path, no Spark session) == query."""
+    local = _run(capsys, ["query-local", "--index", cli_index,
+                          "--query", "spark query join", "--k", "5"])
+    dist = _run(capsys, ["query", "--index", cli_index,
+                         "--query", "spark query join", "--k", "5",
+                         "--strategy", "scoreall",
+                         "--shuffle-partitions", "4"])
+    assert [(r["doc_id"], round(r["score"], 9)) for r in local] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in dist]
+
+
+def test_cli_template_commands(capsys, tmp_path):
+    import json as _json
+
+    r = str(tmp_path / "reg")
+    _run(capsys, ["template", "put-component", "--registry", r,
+                  "--name", "base",
+                  "--body", _json.dumps({"settings": {"block_size": 32}})])
+    _run(capsys, ["template", "put-index", "--registry", r,
+                  "--name", "logs",
+                  "--body", _json.dumps({
+                      "index_patterns": ["logs-*"],
+                      "composed_of": ["base"], "priority": 5})])
+    sim = _run(capsys, ["template", "simulate", "--registry", r,
+                        "--index-name", "logs-0001"])[0]
+    assert sim["template"] == "logs" and \
+        sim["settings"] == {"block_size": 32}
+    assert _run(capsys, ["template", "list", "--registry", r])[0] == ["logs"]
+    assert _run(capsys, ["template", "delete", "--registry", r,
+                         "--name", "logs"])[0]["acknowledged"]
+    assert _run(capsys, ["template", "simulate", "--registry", r,
+                         "--index-name", "logs-0001"])[0] is None
