@@ -1652,6 +1652,21 @@ def q_span_or_near_idx(spark, sf_dir):
                         slop=4, in_order=True)
 
 
+def q_span_multi_near_idx(spark, sf_dir):
+    """Lucene span_multi (SpanMultiTermQueryWrapper) under span_near,
+    through the JSON DSL: prefix 's' expands against the dictionary
+    (scan/slow/small/sort/spark/stream) to a span_or slot, then 'join'
+    within slop=3 intervening positions, in order."""
+    from elasticsearch_osmosis_plugin_spark.operators.dsl import search
+
+    idx = _index_for(spark, sf_dir)
+    raw = search(spark, idx, {"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+        {"span_term": {"text": "join"}}],
+        "slop": 3, "in_order": True}}, "size": 2000})
+    return raw.select("doc_id").orderBy("doc_id")
+
+
 def q_phrase_prefix_idx(spark, sf_dir):
     """ES match_phrase_prefix: fixed terms contiguous + ANY dictionary
     expansion of the trailing prefix at the next position."""
@@ -3837,6 +3852,68 @@ def q_moving_percentiles_events(spark, sf_dir):
 
 
 
+def _us(col: str):
+    """NTZ-safe unix-micros projection (session tz is UTC under the
+    gate; the cast shifts both engines identically)."""
+    return F.unix_micros(F.col(col).cast("timestamp")).alias(f"{col}_us")
+
+
+def q_eql_sequence_events(spark, sf_dir):
+    """ES EQL `sequence by user_id [view] [click] [error] with
+    maxspan=6h` — every minimal chain (skip-to-next-row reading): each
+    view event chains to the earliest following click, then the
+    earliest error after that; match iff t3 - t1 <= 6h. Pure window +
+    co-partitioned join plan (operators/eql.py)."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import sequence
+
+    ev = _t(spark, sf_dir, "events")
+    s = sequence(ev, ["view", "click", "error"], maxspan_s=6 * 3600)
+    return s.select("user_id", _us("t1"), "id1", _us("t2"), "id2",
+                    _us("t3"), "id3")
+
+
+def q_eql_funnel_events(spark, sf_dir):
+    """Funnel analysis (EQL-adjacent): per user, the earliest
+    view->click->purchase chain rooted at the FIRST view, with partial
+    progress (steps_reached) and a 24h-maxspan conversion flag."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    f = funnel(ev, ["view", "click", "purchase"], maxspan_s=24 * 3600)
+    return f.select("user_id", _us("t1"), "id1", _us("t2"), "id2",
+                    _us("t3"), "id3", "steps_reached",
+                    F.col("converted").cast("long").alias("converted"))
+
+
+def q_percentiles_bucket_events(spark, sf_dir):
+    """ES percentiles_bucket pipeline agg: exact quantile_cont
+    percentiles (dyadic fractions -> bit-identical interpolation) of
+    the per-day event-count histogram."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram,
+        percentiles_bucket,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = percentiles_bucket(date_histogram(ev, "ts", "day"),
+                           percentiles=(0.25, 0.5, 0.75))
+    return b.select(x1e4(F.col("pct")).alias("pct_x1e4"),
+                    x1e4(F.col("value")).alias("value_x1e4"))
+
+
+def q_suggest_completion_fuzzy_idx(spark, sf_dir):
+    """ES completion-suggester fuzzy mode: typed prefix 'sow' within
+    edit distance 1 of the length-3 term prefixes (row/slow/sort...),
+    ranked distance asc, popularity desc."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        suggest_completion_fuzzy,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    return suggest_completion_fuzzy(spark, idx, "sow", fuzziness=1, size=5)
+
+
 PINNED_IDS = [42, 7, 999999999]  # one bogus id: dropped, not an error
 
 
@@ -4442,6 +4519,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synonym_topk_idx": q_synonym_topk_idx,
     "span_not_idx": q_span_not_idx,
     "span_or_near_idx": q_span_or_near_idx,
+    "span_multi_near_idx": q_span_multi_near_idx,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "rescore_idx": q_rescore_idx,
     "top_hits_idx": q_top_hits_idx,
@@ -4538,6 +4616,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_quality_flags": q_c4_quality_flags,
     "quality_classifier": q_quality_classifier,
     "quantized_cosine_topk": q_quantized_cosine_topk,
+    "eql_sequence_events": q_eql_sequence_events,
+    "eql_funnel_events": q_eql_funnel_events,
+    "percentiles_bucket_events": q_percentiles_bucket_events,
+    "suggest_completion_fuzzy_idx": q_suggest_completion_fuzzy_idx,
 }
 
 
@@ -4913,6 +4995,75 @@ SELECT bucket_ts, n_docs,
        floor(n_docs::DOUBLE / sum(n_docs) OVER () * 100.0
              * 10000.0 + 0.5)::BIGINT AS pct_x1e4
 FROM b ORDER BY bucket_ts""",
+        "percentiles_bucket_events": """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS n_docs
+           FROM events GROUP BY 1)
+SELECT 2500::BIGINT AS pct_x1e4,
+       floor(quantile_cont(n_docs::DOUBLE, 0.25) * 10000.0 + 0.5)::BIGINT
+         AS value_x1e4 FROM b
+UNION ALL
+SELECT 5000::BIGINT,
+       floor(quantile_cont(n_docs::DOUBLE, 0.50) * 10000.0 + 0.5)::BIGINT
+  FROM b
+UNION ALL
+SELECT 7500::BIGINT,
+       floor(quantile_cont(n_docs::DOUBLE, 0.75) * 10000.0 + 0.5)::BIGINT
+  FROM b
+ORDER BY pct_x1e4""",
+        "suggest_completion_fuzzy_idx": f"""
+WITH {TOK_EXPLODED_CTE},
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term)
+SELECT term, cf,
+       levenshtein(substr(term, 1, 3), 'sow')::BIGINT AS distance
+FROM cf WHERE levenshtein(substr(term, 1, 3), 'sow') <= 1
+ORDER BY distance, cf DESC, term LIMIT 5""",
+        "eql_sequence_events": """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'error')),
+n AS (SELECT *,
+        min(CASE WHEN event_type = 'click'
+                 THEN {'ts': ts, 'tie': event_id} END) OVER w AS nxt1,
+        min(CASE WHEN event_type = 'error'
+                 THEN {'ts': ts, 'tie': event_id} END) OVER w AS nxt2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+a AS (SELECT user_id, ts AS t1, event_id AS id1, nxt1 FROM n
+      WHERE event_type = 'view'),
+ab AS (SELECT a.user_id, a.t1, a.id1, b.ts AS t2, b.event_id AS id2, b.nxt2
+       FROM a JOIN n b ON a.user_id = b.user_id AND b.event_type = 'click'
+        AND a.nxt1 = {'ts': b.ts, 'tie': b.event_id}),
+abc AS (SELECT ab.user_id, t1, id1, t2, id2, c.ts AS t3, c.event_id AS id3
+        FROM ab JOIN n c ON ab.user_id = c.user_id AND c.event_type = 'error'
+         AND ab.nxt2 = {'ts': c.ts, 'tie': c.event_id})
+SELECT user_id, epoch_us(t1) AS t1_us, id1, epoch_us(t2) AS t2_us, id2,
+       epoch_us(t3) AS t3_us, id3
+FROM abc WHERE epoch_us(t3) - epoch_us(t1) <= 21600000000
+ORDER BY user_id, t1_us""",
+        "eql_funnel_events": """
+WITH e AS (SELECT user_id, ts, event_id, event_type,
+                  {'ts': ts, 'tie': event_id} AS s FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+c1 AS (SELECT user_id, min(s) AS s1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+c2 AS (SELECT e.user_id, min(e.s) AS s2 FROM e
+       JOIN c1 ON e.user_id = c1.user_id
+       WHERE e.event_type = 'click' AND e.s > c1.s1 GROUP BY e.user_id),
+c3 AS (SELECT e.user_id, min(e.s) AS s3 FROM e
+       JOIN c2 ON e.user_id = c2.user_id
+       WHERE e.event_type = 'purchase' AND e.s > c2.s2 GROUP BY e.user_id)
+SELECT c1.user_id,
+       epoch_us(s1.ts) AS t1_us, s1.tie AS id1,
+       epoch_us(s2.ts) AS t2_us, s2.tie AS id2,
+       epoch_us(s3.ts) AS t3_us, s3.tie AS id3,
+       ((s1 IS NOT NULL)::BIGINT + (s2 IS NOT NULL)::BIGINT
+        + (s3 IS NOT NULL)::BIGINT) AS steps_reached,
+       (s3 IS NOT NULL
+        AND epoch_us(s3.ts) - epoch_us(s1.ts) <= 86400000000)::BIGINT
+         AS converted
+FROM c1 LEFT JOIN c2 ON c1.user_id = c2.user_id
+        LEFT JOIN c3 ON c1.user_id = c3.user_id
+ORDER BY c1.user_id""",
         "moving_percentiles_events": """
 WITH b AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
                   count(*) AS n_docs FROM events GROUP BY 1)
@@ -5313,6 +5464,14 @@ SELECT doc_id FROM toks
 WHERE len(list_filter(generate_series(1, len(toks)), i ->
       (toks[i] = 'spark' OR toks[i] = 'merge') AND len(list_filter(
         generate_series(i + 1, least(i + 5, len(toks))),
+        j -> toks[j] = 'join')) > 0)) > 0
+ORDER BY doc_id""",
+        "span_multi_near_idx": f"""
+WITH {TOK_CTE}
+SELECT doc_id FROM toks
+WHERE len(list_filter(generate_series(1, len(toks)), i ->
+      starts_with(toks[i], 's') AND len(list_filter(
+        generate_series(i + 1, least(i + 4, len(toks))),
         j -> toks[j] = 'join')) > 0)) > 0
 ORDER BY doc_id""",
         "phrase_prefix_idx": f"""

@@ -77,6 +77,39 @@ def _match_args(spec) -> tuple[str, dict]:
     return spec, {}
 
 
+def _span_multi_terms(spark, index_path: str, spec: dict) -> list[str]:
+    """Lucene SpanMultiTermQueryWrapper (ES ``span_multi``): expand the
+    wrapped multi-term query — prefix / wildcard / regexp / fuzzy —
+    against the DICTIONARY (metadata-only, never postings) and rewrite
+    to a span_or of span_terms, Lucene's SpanRewriteMethod with ES's
+    deterministic term-order expansion cap."""
+    from elasticsearch_osmosis_plugin_spark.operators import intersect
+
+    mk, mspec = _one_entry(spec["match"], "span_multi match")
+    if mk not in ("prefix", "wildcard", "regexp", "fuzzy"):
+        raise ValueError(f"unsupported span_multi wrapped query: {mk}")
+    _fld, val = _one_entry(mspec, f"span_multi {mk}")
+    maxx, fuzz, transp = 50, 1, False
+    if isinstance(val, dict):
+        maxx = int(val.get("max_expansions", 50))
+        fuzz = int(val.get("fuzziness", 1))
+        transp = bool(val.get("transpositions", False))
+        val = val["value"]
+    val = str(val)
+    if mk == "prefix":
+        return intersect.expand_terms(spark, index_path, val,
+                                      mode="prefix", max_expansions=maxx)
+    if mk in ("wildcard", "regexp"):
+        pat = _wildcard_regex(val) if mk == "wildcard" else val
+        return intersect.expand_terms(spark, index_path, pat,
+                                      mode="regex", max_expansions=maxx)
+    if mk == "fuzzy":
+        return intersect.expand_fuzzy(spark, index_path, val,
+                                      max_edits=fuzz, max_expansions=maxx,
+                                      transpositions=transp)
+    raise ValueError(f"unsupported span_multi wrapped query: {mk}")
+
+
 def _span_clause_terms(c: dict) -> list[str]:
     """A span clause -> its alternative terms: ``span_term`` yields one,
     ``span_or`` of span_terms yields the union (one slot, many
@@ -1012,8 +1045,27 @@ def _search_query(spark: SparkSession, index_path: str,
             spark, index_path, texts, k=k,
             tie_breaker=float(spec.get("tie_breaker", 0.0)))
 
+    if kind == "span_multi":
+        # standalone SpanMultiTermQueryWrapper degenerates to the
+        # wrapped multi-term query's doc set (constant score)
+        terms = _span_multi_terms(spark, index_path, spec)
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        return _finish_ids(spark, index_path, intersect.match_any_terms(
+            spark, index_path, " ".join(terms)), post_col, k)
+
     if kind == "span_near":
-        slots = [_span_clause_terms(c) for c in spec["clauses"]]
+        slots = []
+        for c in spec["clauses"]:
+            ck, cspec = _one_entry(c, "span clause")
+            if ck == "span_multi":
+                alts = _span_multi_terms(spark, index_path, cspec)
+                if not alts:  # nothing in the dictionary: no match
+                    return spark.createDataFrame(
+                        [], "doc_id long, score double")
+                slots.append(alts)
+            else:
+                slots.append(_span_clause_terms(c))
         slop = int(spec.get("slop", 0))
         in_order = bool(spec.get("in_order", True))
         if all(len(s) == 1 for s in slots):

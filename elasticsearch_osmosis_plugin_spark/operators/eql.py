@@ -1,0 +1,232 @@
+"""Event-sequence queries (ES EQL analog) over an event table.
+
+Elasticsearch ships EQL (`/_eql/search`) for ordered event-sequence
+matching: ``sequence by user [view] [click] [error] with maxspan=6h``.
+The reference plugin streams entities into ES where such queries run
+engine-side; here the sequence engine is native Spark.
+
+Two operators:
+
+- :func:`sequence` — every minimal chain (``overlap="all"``, pure
+  DataFrame windows + co-partitioned self-joins; SQL-expressible so it
+  sits under the hard DuckDB gate) or greedy non-overlapping matches
+  (``overlap="skip"``, Arrow-batched per-key kernel; pytest-verified
+  against an independent brute-force oracle).
+- :func:`funnel` — classic funnel analysis: per key, the earliest
+  chain starting at the key's FIRST occurrence of step 0, with
+  per-step timestamps and a steps-reached count (partial progress kept,
+  unlike ``sequence`` which only emits completed chains).
+
+Scale notes (100 TB): the only shuffle is one hash partition by the
+sequence key (the window and every chain join reuse that partitioning —
+co-partitioned sort-merge joins, no second exchange). State per key is
+O(1) columns, not collected arrays, so hot keys stress the sort, not
+executor memory; the ``skip`` kernel streams each key group through
+Arrow batches and holds only per-type cursors.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _span_us(hi: str, lo: str):
+    """Microsecond span between two timestamp columns (NTZ-safe: the
+    cast to session-tz timestamp shifts both ends identically)."""
+    return (F.unix_micros(F.col(hi).cast("timestamp"))
+            - F.unix_micros(F.col(lo).cast("timestamp"))).cast("double")
+
+
+def _next_struct_cols(df: DataFrame, steps: Sequence[str], by: str,
+                      ts_col: str, tie_col: str, type_col: str):
+    """Enrich every event with, for each non-initial step i, the
+    lexicographically-earliest (ts, tie) of a step-i event strictly
+    AFTER this row in (ts, tie) order within the same key.
+
+    "After" is row order under ORDER BY (ts, tie) — a deterministic
+    total order even under timestamp ties — implemented as one window
+    pass (rowsBetween(1, unboundedFollowing)) computing all k-1
+    pointers together."""
+    w = (Window.partitionBy(by).orderBy(ts_col, tie_col)
+         .rowsBetween(1, Window.unboundedFollowing))
+    out = df
+    for i, step in enumerate(steps):
+        if i == 0:
+            continue
+        out = out.withColumn(
+            f"_nxt{i}",
+            F.min(F.when(F.col(type_col) == step,
+                         F.struct(F.col(ts_col).alias("ts"),
+                                  F.col(tie_col).alias("tie")))).over(w))
+    return out
+
+
+def sequence(events: DataFrame, steps: Sequence[str], *,
+             by: str = "user_id", ts_col: str = "ts",
+             tie_col: str = "event_id", type_col: str = "event_type",
+             maxspan_s: float | None = None,
+             overlap: str = "all") -> DataFrame:
+    """EQL ``sequence by <key> [step0] [step1] ... with maxspan`` over
+    an event DataFrame.
+
+    ``overlap="all"`` (default): emit every MINIMAL chain — for each
+    step-0 event, the earliest following step-1 event, then the
+    earliest step-2 event after that, and so on (each link minimal in
+    (ts, tie) order); the chain matches when ``t_last - t_0 <=
+    maxspan_s``. This is EQL's skip-to-next-row reading: chains may
+    share non-initial events.
+
+    ``overlap="skip"``: greedy non-overlapping (leftmost-earliest)
+    matching — repeatedly emit the earliest-starting chain whose
+    events all lie strictly after the previously emitted match's last
+    event; chains never share ANY event. Runs as an Arrow-batched
+    per-key kernel (inherently stateful — not SQL-expressible).
+
+    Returns one row per match: (key, t1..tk timestamps, id1..idk tie
+    values), ordered by (key, t1, id1).
+    """
+    k = len(steps)
+    if k < 2:
+        raise ValueError("sequence needs >=2 steps")
+    if overlap not in ("all", "skip"):
+        raise ValueError(f"unknown overlap mode {overlap!r}")
+    ev = (events.select(by, ts_col, tie_col, type_col)
+          .filter(F.col(type_col).isin(list(steps))))
+
+    if overlap == "skip":
+        return _sequence_skip(ev, steps, by=by, ts_col=ts_col,
+                              tie_col=tie_col, type_col=type_col,
+                              maxspan_s=maxspan_s)
+
+    enriched = _next_struct_cols(ev, steps, by, ts_col, tie_col, type_col)
+    base = (enriched.filter(F.col(type_col) == steps[0])
+            .select(F.col(by),
+                    F.col(ts_col).alias("t1"),
+                    F.col(tie_col).alias("id1"),
+                    F.col("_nxt1")))
+    for i in range(1, k):
+        right_cols = [F.col(by).alias("_rby"),
+                      F.struct(F.col(ts_col).alias("ts"),
+                               F.col(tie_col).alias("tie")).alias("_self"),
+                      F.col(ts_col).alias(f"t{i + 1}"),
+                      F.col(tie_col).alias(f"id{i + 1}")]
+        if i + 1 < k:
+            right_cols.append(F.col(f"_nxt{i + 1}"))
+        right = enriched.filter(F.col(type_col) == steps[i]).select(right_cols)
+        base = (base.join(right, (F.col(by) == F.col("_rby"))
+                          & (F.col(f"_nxt{i}") == F.col("_self")))
+                .drop("_rby", "_self", f"_nxt{i}"))
+    if maxspan_s is not None:
+        base = base.filter(_span_us(f"t{k}", "t1")
+                           <= float(maxspan_s) * 1e6)
+    cols = [by] + [c for i in range(1, k + 1)
+                   for c in (f"t{i}", f"id{i}")]
+    return base.select(*cols).orderBy(by, "t1", "id1")
+
+
+def _sequence_skip(ev: DataFrame, steps: Sequence[str], *, by: str,
+                   ts_col: str, tie_col: str, type_col: str,
+                   maxspan_s: float | None) -> DataFrame:
+    """Greedy non-overlapping matcher: per key, repeatedly find the
+    earliest-completing minimal chain whose events all follow the
+    previous match's last consumed event, emit it, and continue after
+    its last event. Deterministic under the (ts, tie) total order."""
+    import bisect
+
+    k = len(steps)
+    fields = ", ".join(
+        [f"`{by}` long"]
+        + [f"t{i} timestamp_ntz, id{i} long" for i in range(1, k + 1)])
+    out_schema = fields
+
+    cols = [by] + [c for i in range(1, k + 1) for c in (f"t{i}", f"id{i}")]
+
+    def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values([ts_col, tie_col])
+        key = pdf[by].iloc[0]
+        # per-type sorted (ts, tie) event lists
+        per: dict[str, list] = {s: [] for s in steps}
+        for t, tie, ty in zip(pdf[ts_col], pdf[tie_col], pdf[type_col]):
+            per[ty].append((t, tie))
+        rows = []
+        cursor = None  # last consumed (ts, tie)
+        starts, si = per[steps[0]], 0
+        while si < len(starts):
+            first = starts[si]
+            if cursor is not None and first <= cursor:
+                si += 1
+                continue
+            chain, prev, ok = [first], first, True
+            for step in steps[1:]:
+                lst = per[step]
+                j = bisect.bisect_right(lst, prev)
+                if j >= len(lst):
+                    ok = False
+                    break
+                prev = lst[j]
+                chain.append(prev)
+            if ok and (maxspan_s is None
+                       or (chain[-1][0] - chain[0][0]).total_seconds()
+                       <= maxspan_s):
+                row = [key]
+                for t, tie in chain:
+                    row += [t, tie]
+                rows.append(row)
+                cursor = chain[-1]
+            si += 1
+        return pd.DataFrame(rows, columns=cols)
+
+    out = (ev.repartition(F.col(by)).groupBy(by)
+           .applyInPandas(matcher, out_schema))
+    return out.orderBy(by, "t1", "id1")
+
+
+def funnel(events: DataFrame, steps: Sequence[str], *,
+           by: str = "user_id", ts_col: str = "ts",
+           tie_col: str = "event_id", type_col: str = "event_type",
+           maxspan_s: float | None = None) -> DataFrame:
+    """Funnel analysis: per key, the earliest chain rooted at the
+    key's FIRST step-0 event — t1 = min (ts, tie) of step 0, t_{i+1} =
+    earliest step-(i+1) event strictly after t_i — keeping partial
+    progress (nulls past the first missing step) plus ``steps_reached``
+    and ``converted`` (all steps present within ``maxspan_s``).
+
+    Plan: k passes of groupBy(key) conditional min + one co-partitioned
+    join back per pass; every pass shuffles on the same key so AQE
+    reuses the exchange. No per-key arrays are materialized — hot keys
+    cost sort time, not memory. One row per key that has a step-0
+    event, ordered by key."""
+    k = len(steps)
+    if k < 1:
+        raise ValueError("funnel needs >=1 step")
+    ev = (events.select(by, ts_col, tie_col, type_col)
+          .filter(F.col(type_col).isin(list(steps))))
+    evs = ev.withColumn("_s", F.struct(F.col(ts_col).alias("ts"),
+                                       F.col(tie_col).alias("tie")))
+    acc = (evs.filter(F.col(type_col) == steps[0])
+           .groupBy(by).agg(F.min("_s").alias("_c1")))
+    for i in range(1, k):
+        nxt = (evs.filter(F.col(type_col) == steps[i])
+               .join(acc.select(by, f"_c{i}"), by)
+               .filter(F.col(f"_c{i}").isNotNull()
+                       & (F.col("_s") > F.col(f"_c{i}")))
+               .groupBy(by).agg(F.min("_s").alias(f"_c{i + 1}")))
+        acc = acc.join(nxt, by, "left")
+    sel = [F.col(by)]
+    for i in range(1, k + 1):
+        sel += [F.col(f"_c{i}.ts").alias(f"t{i}"),
+                F.col(f"_c{i}.tie").alias(f"id{i}")]
+    out = acc.select(*sel)
+    reached = sum(
+        (F.col(f"t{i}").isNotNull().cast("int") for i in range(1, k + 1)),
+        F.lit(0))
+    out = out.withColumn("steps_reached", reached.cast("long"))
+    conv = F.col(f"t{k}").isNotNull()
+    if maxspan_s is not None:
+        conv = conv & (_span_us(f"t{k}", "t1") <= float(maxspan_s) * 1e6)
+    return out.withColumn("converted", conv).orderBy(by)

@@ -1334,6 +1334,69 @@ def suggest_prefix(spark: SparkSession, index_path: str, prefix: str,
             .orderBy(F.desc("cf"), "term").limit(size))
 
 
+def suggest_completion_fuzzy(spark: SparkSession, index_path: str,
+                             prefix: str, fuzziness: int = 1,
+                             size: int = 5, _dic=None) -> DataFrame:
+    """ES completion-suggester FUZZY mode: dictionary terms whose
+    length-|prefix| prefix is within Levenshtein distance ``fuzziness``
+    of the typed prefix (the fixed-prefix-length variant of Lucene's
+    fuzzy FST intersection), ranked distance ascending (exact-prefix
+    hits first, ES's preference), then popularity (collection
+    frequency) descending, term ascending.
+
+    Metadata-only plan like :func:`suggest_prefix`: the dictionary is
+    aggregated to (term, cf) and the distance is a codegen
+    ``levenshtein(substr(term, ...), prefix)`` — no postings touched,
+    cost bounded by vocabulary size."""
+    from elasticsearch_osmosis_plugin_spark.plans.build import dictionary_df
+
+    dic = dictionary_df(spark, index_path) if _dic is None else _dic
+    terms = dic.groupBy("term").agg(F.sum("cf").alias("cf"))
+    d = F.levenshtein(F.substring(F.col("term"), 1, len(prefix)),
+                      F.lit(prefix))
+    return (terms.withColumn("distance", d.cast("long"))
+            .filter(F.col("distance") <= int(fuzziness))
+            .orderBy("distance", F.desc("cf"), "term").limit(size))
+
+
+def percentiles_bucket(buckets: DataFrame, value_col: str = "n_docs",
+                       percentiles=(0.25, 0.5, 0.75),
+                       out_col: str = "value") -> DataFrame:
+    """ES percentiles_bucket pipeline agg: percentiles of a sibling
+    aggregation's per-bucket metric. ES computes THIS one exactly
+    (unlike the t-digest ``percentiles`` metric agg), so the twin is
+    exact too: quantile_cont interpolation (index p*(n-1)) over the
+    sorted bucket values.
+
+    The input is a bucket frame (one row per bucket — already
+    aggregated), so the collect_list is bounded by bucket count, not
+    data size; everything stays a Catalyst expression. Returns one row
+    per requested percentile: (pct, ``out_col``)."""
+    pcts = [float(p) for p in percentiles]
+    if any(not 0.0 <= p <= 1.0 for p in pcts):
+        raise ValueError("percentiles must be in [0, 1]")
+    arr = F.sort_array(
+        F.collect_list(F.col(value_col).cast("double"))).alias("_arr")
+    one = buckets.agg(arr)
+
+    def interp(p: float):
+        a = F.col("_arr")
+        n = F.size(a)
+        idx = F.lit(p) * (n - F.lit(1)).cast("double")
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        return (F.element_at(a, lo + 1) * (F.lit(1.0) - frac)
+                + F.element_at(a, F.least(lo + 2, n)) * frac)
+
+    rows = F.array(*[
+        F.struct(F.lit(p).alias("pct"), interp(p).alias(out_col))
+        for p in pcts])
+    return (one.select(F.explode(rows).alias("_r"))
+            .select("_r.pct", f"_r.{out_col}").orderBy("pct"))
+
+
+
+
 def suggest_phrase(spark: SparkSession, index_path: str, text: str,
                    *, max_edits: int = 1, per_slot: int = 5,
                    size: int = 5, discount: float = 0.4) -> DataFrame:
