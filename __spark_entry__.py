@@ -3872,6 +3872,19 @@ def q_eql_sequence_events(spark, sf_dir):
                     _us("t3"), "id3")
 
 
+def q_eql_sequence_until_events(spark, sf_dir):
+    """EQL `sequence by user_id [view] [click] [error] with maxspan=6h
+    until [signup]`: a signup strictly between a chain's first and
+    last consumed events kills it (EQL's in-flight expiry)."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import sequence
+
+    ev = _t(spark, sf_dir, "events")
+    s = sequence(ev, ["view", "click", "error"], maxspan_s=6 * 3600,
+                 until="signup")
+    return s.select("user_id", _us("t1"), "id1", _us("t2"), "id2",
+                    _us("t3"), "id3")
+
+
 def q_eql_funnel_events(spark, sf_dir):
     """Funnel analysis (EQL-adjacent): per user, the earliest
     view->click->purchase chain rooted at the FIRST view, with partial
@@ -4617,6 +4630,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "eql_sequence_events": q_eql_sequence_events,
+    "eql_sequence_until_events": q_eql_sequence_until_events,
     "eql_funnel_events": q_eql_funnel_events,
     "percentiles_bucket_events": q_percentiles_bucket_events,
     "suggest_completion_fuzzy_idx": q_suggest_completion_fuzzy_idx,
@@ -5039,6 +5053,35 @@ abc AS (SELECT ab.user_id, t1, id1, t2, id2, c.ts AS t3, c.event_id AS id3
 SELECT user_id, epoch_us(t1) AS t1_us, id1, epoch_us(t2) AS t2_us, id2,
        epoch_us(t3) AS t3_us, id3
 FROM abc WHERE epoch_us(t3) - epoch_us(t1) <= 21600000000
+ORDER BY user_id, t1_us""",
+        "eql_sequence_until_events": """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'error', 'signup')),
+n AS (SELECT *,
+        min(CASE WHEN event_type = 'click'
+                 THEN {'ts': ts, 'tie': event_id} END) OVER w AS nxt1,
+        min(CASE WHEN event_type = 'error'
+                 THEN {'ts': ts, 'tie': event_id} END) OVER w AS nxt2,
+        min(CASE WHEN event_type = 'signup'
+                 THEN {'ts': ts, 'tie': event_id} END) OVER w AS nxtu
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+a AS (SELECT user_id, ts AS t1, event_id AS id1, nxt1, nxtu FROM n
+      WHERE event_type = 'view'),
+ab AS (SELECT a.user_id, a.t1, a.id1, a.nxtu,
+              b.ts AS t2, b.event_id AS id2, b.nxt2
+       FROM a JOIN n b ON a.user_id = b.user_id AND b.event_type = 'click'
+        AND a.nxt1 = {'ts': b.ts, 'tie': b.event_id}),
+abc AS (SELECT ab.user_id, t1, id1, ab.nxtu AS nxtu, t2, id2,
+               c.ts AS t3, c.event_id AS id3
+        FROM ab JOIN n c ON ab.user_id = c.user_id AND c.event_type = 'error'
+         AND ab.nxt2 = {'ts': c.ts, 'tie': c.event_id})
+SELECT user_id, epoch_us(t1) AS t1_us, id1, epoch_us(t2) AS t2_us, id2,
+       epoch_us(t3) AS t3_us, id3
+FROM abc
+WHERE epoch_us(t3) - epoch_us(t1) <= 21600000000
+  AND (nxtu IS NULL OR nxtu > {'ts': t3, 'tie': id3})
 ORDER BY user_id, t1_us""",
         "eql_funnel_events": """
 WITH e AS (SELECT user_id, ts, event_id, event_type,

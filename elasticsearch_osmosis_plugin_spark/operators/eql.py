@@ -41,7 +41,8 @@ def _span_us(hi: str, lo: str):
 
 
 def _next_struct_cols(df: DataFrame, steps: Sequence[str], by: str,
-                      ts_col: str, tie_col: str, type_col: str):
+                      ts_col: str, tie_col: str, type_col: str,
+                      until: str | None = None):
     """Enrich every event with, for each non-initial step i, the
     lexicographically-earliest (ts, tie) of a step-i event strictly
     AFTER this row in (ts, tie) order within the same key.
@@ -61,6 +62,12 @@ def _next_struct_cols(df: DataFrame, steps: Sequence[str], by: str,
             F.min(F.when(F.col(type_col) == step,
                          F.struct(F.col(ts_col).alias("ts"),
                                   F.col(tie_col).alias("tie")))).over(w))
+    if until is not None:
+        out = out.withColumn(
+            "_nxtu",
+            F.min(F.when(F.col(type_col) == until,
+                         F.struct(F.col(ts_col).alias("ts"),
+                                  F.col(tie_col).alias("tie")))).over(w))
     return out
 
 
@@ -68,6 +75,7 @@ def sequence(events: DataFrame, steps: Sequence[str], *,
              by: str = "user_id", ts_col: str = "ts",
              tie_col: str = "event_id", type_col: str = "event_type",
              maxspan_s: float | None = None,
+             until: str | None = None,
              overlap: str = "all") -> DataFrame:
     """EQL ``sequence by <key> [step0] [step1] ... with maxspan`` over
     an event DataFrame.
@@ -85,6 +93,11 @@ def sequence(events: DataFrame, steps: Sequence[str], *,
     event; chains never share ANY event. Runs as an Arrow-batched
     per-key kernel (inherently stateful — not SQL-expressible).
 
+    ``until`` (EQL ``sequence ... until [x]``): an until-type event
+    KILLS any in-flight sequence — a chain survives only when no until
+    event lies strictly between its first and last consumed events in
+    (ts, tie) order.
+
     Returns one row per match: (key, t1..tk timestamps, id1..idk tie
     values), ordered by (key, t1, id1).
     """
@@ -93,20 +106,27 @@ def sequence(events: DataFrame, steps: Sequence[str], *,
         raise ValueError("sequence needs >=2 steps")
     if overlap not in ("all", "skip"):
         raise ValueError(f"unknown overlap mode {overlap!r}")
+    if until is not None and until in steps:
+        raise ValueError("until type must not be one of the steps")
+    types = list(steps) + ([until] if until is not None else [])
     ev = (events.select(by, ts_col, tie_col, type_col)
-          .filter(F.col(type_col).isin(list(steps))))
+          .filter(F.col(type_col).isin(types)))
 
     if overlap == "skip":
         return _sequence_skip(ev, steps, by=by, ts_col=ts_col,
                               tie_col=tie_col, type_col=type_col,
-                              maxspan_s=maxspan_s)
+                              maxspan_s=maxspan_s, until=until)
 
-    enriched = _next_struct_cols(ev, steps, by, ts_col, tie_col, type_col)
+    enriched = _next_struct_cols(ev, steps, by, ts_col, tie_col, type_col,
+                                 until=until)
+    base_cols = [F.col(by),
+                 F.col(ts_col).alias("t1"),
+                 F.col(tie_col).alias("id1"),
+                 F.col("_nxt1")]
+    if until is not None:
+        base_cols.append(F.col("_nxtu"))
     base = (enriched.filter(F.col(type_col) == steps[0])
-            .select(F.col(by),
-                    F.col(ts_col).alias("t1"),
-                    F.col(tie_col).alias("id1"),
-                    F.col("_nxt1")))
+            .select(base_cols))
     for i in range(1, k):
         right_cols = [F.col(by).alias("_rby"),
                       F.struct(F.col(ts_col).alias("ts"),
@@ -122,6 +142,11 @@ def sequence(events: DataFrame, steps: Sequence[str], *,
     if maxspan_s is not None:
         base = base.filter(_span_us(f"t{k}", "t1")
                            <= float(maxspan_s) * 1e6)
+    if until is not None:
+        last = F.struct(F.col(f"t{k}").alias("ts"),
+                        F.col(f"id{k}").alias("tie"))
+        base = base.filter(F.col("_nxtu").isNull()
+                           | (F.col("_nxtu") > last))
     cols = [by] + [c for i in range(1, k + 1)
                    for c in (f"t{i}", f"id{i}")]
     return base.select(*cols).orderBy(by, "t1", "id1")
@@ -129,7 +154,8 @@ def sequence(events: DataFrame, steps: Sequence[str], *,
 
 def _sequence_skip(ev: DataFrame, steps: Sequence[str], *, by: str,
                    ts_col: str, tie_col: str, type_col: str,
-                   maxspan_s: float | None) -> DataFrame:
+                   maxspan_s: float | None,
+                   until: str | None = None) -> DataFrame:
     """Greedy non-overlapping matcher: per key, repeatedly find the
     earliest-completing minimal chain whose events all follow the
     previous match's last consumed event, emit it, and continue after
@@ -151,8 +177,12 @@ def _sequence_skip(ev: DataFrame, steps: Sequence[str], *, by: str,
         key = pdf[by].iloc[0]
         # per-type sorted (ts, tie) event lists
         per: dict[str, list] = {s: [] for s in steps}
+        untils: list = []
         for t, tie, ty in zip(pdf[ts_col], pdf[tie_col], pdf[type_col]):
-            per[ty].append((t, tie))
+            if ty == until:
+                untils.append((t, tie))
+            else:
+                per[ty].append((t, tie))
         rows = []
         cursor = None  # last consumed (ts, tie)
         starts, si = per[steps[0]], 0
@@ -170,6 +200,12 @@ def _sequence_skip(ev: DataFrame, steps: Sequence[str], *, by: str,
                     break
                 prev = lst[j]
                 chain.append(prev)
+            if ok and untils:
+                # until kills in-flight sequences: any until event
+                # strictly between first and last consumed invalidates
+                j = bisect.bisect_right(untils, chain[0])
+                if j < len(untils) and untils[j] < chain[-1]:
+                    ok = False
             if ok and (maxspan_s is None
                        or (chain[-1][0] - chain[0][0]).total_seconds()
                        <= maxspan_s):

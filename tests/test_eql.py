@@ -153,6 +153,34 @@ def test_sequence_validates(events_df):
         sequence(events_df, STEPS, overlap="nope")
 
 
+def test_sequence_until_kills_inflight(spark):
+    """`until [cancel]` kills a chain with a cancel strictly between
+    its first and last consumed events; a cancel AFTER completion (or
+    before the chain starts) leaves it alone. Same rule in both
+    overlap modes."""
+    rows = [
+        # user 1: view click CANCEL error -> killed
+        (1, _ts(0), 1, "view"), (2, _ts(1), 1, "click"),
+        (3, _ts(2), 1, "cancel"), (4, _ts(3), 1, "error"),
+        # user 2: view click error cancel -> survives
+        (10, _ts(0), 2, "view"), (11, _ts(1), 2, "click"),
+        (12, _ts(2), 2, "error"), (13, _ts(3), 2, "cancel"),
+        # user 3: cancel view click error -> survives (cancel precedes)
+        (20, _ts(0), 3, "cancel"), (21, _ts(1), 3, "view"),
+        (22, _ts(2), 3, "click"), (23, _ts(3), 3, "error"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, t, uid, ty, 0.0, "{}") for eid, t, uid, ty in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string")
+    for mode in ("all", "skip"):
+        got = sequence(df, STEPS, maxspan_s=MAXSPAN, until="cancel",
+                       overlap=mode).collect()
+        assert sorted(r["user_id"] for r in got) == [2, 3], mode
+    with pytest.raises(ValueError):
+        sequence(df, STEPS, until="view")
+
+
 def test_funnel_partial_progress(events_df):
     rows = {r["user_id"]: r for r in
             funnel(events_df, STEPS, maxspan_s=MAXSPAN).collect()}
