@@ -208,6 +208,119 @@ def decode_image(payload: bytes) -> np.ndarray:
             "PNG decodes natively; other codecs need PIL") from None
 
 
+# ------------------------------------------------------------------ WAV
+# Pure-stdlib audio codec: RIFF/WAVE PCM via the `wave` module + numpy
+# frame parsing. Scope: integer PCM at 8/16/32-bit depth, any channel
+# count/sample rate — the interchange format every real pipeline can
+# emit. Float samples are normalized to [-1, 1] like torchaudio/
+# soundfile so the feature math downstream is codec-agnostic.
+
+_WAV_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV (RIFF PCM) payload -> (float32 array (n_frames, channels)
+    normalized to [-1, 1], sample_rate). Stdlib `wave` parses the
+    container; numpy reinterprets the frame buffer — no audio libs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width not in _WAV_DTYPES:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    x = np.frombuffer(raw, dtype=_WAV_DTYPES[width]).astype(np.float32)
+    if width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    return x.reshape(-1, ch), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Float [-1, 1] (n, ch) -> 16-bit PCM WAV bytes (test fixture +
+    round-trip twin of :func:`decode_wav`)."""
+    import io
+    import wave
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Binary audio payload -> (float32 (n, ch) in [-1, 1], rate).
+    WAV/PCM decodes natively; other codecs delegate to soundfile when
+    importable and raise ValueError otherwise — an input-format
+    contract, not a missing capability (mirror of decode_image)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    try:
+        import io
+
+        import soundfile as sf
+
+        x, rate = sf.read(io.BytesIO(payload), dtype="float32",
+                          always_2d=True)
+        return x, int(rate)
+    except ImportError:
+        raise ValueError(
+            f"unsupported audio codec (magic {bytes(payload[:4])!r}): "
+            "WAV/PCM decodes natively; other codecs need soundfile"
+        ) from None
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   n_windows: int = _FEATURE_DIM) -> DataFrame:
+    """Audio feature extraction over a binary column, Arrow-batched:
+    per clip — duration_s, rms, zero-crossing rate, and an
+    ``n_windows``-point log-energy contour (the fixed-dim shape a
+    whisper-style encoder consumes). Channels are mixed down first;
+    all math is vectorized numpy inside mapInPandas (the distribution
+    axis is the Arrow batch, never per-sample Python)."""
+    cols = df.columns
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur, rms, zcr, contour = [], [], [], []
+            for payload in pdf[payload_col]:
+                x, rate = decode_audio(bytes(payload))
+                mono = x.mean(axis=1)
+                n = len(mono)
+                dur.append(n / float(rate))
+                rms.append(float(np.sqrt(np.mean(mono ** 2))) if n else 0.0)
+                zcr.append(float(np.mean(np.signbit(mono[1:])
+                                         != np.signbit(mono[:-1])))
+                           if n > 1 else 0.0)
+                if n:
+                    pad = (-n) % n_windows
+                    w = np.pad(mono, (0, pad)).reshape(n_windows, -1)
+                    e = np.log1p((w ** 2).mean(axis=1))
+                else:
+                    e = np.zeros(n_windows)
+                contour.append(e.astype(float).tolist())
+            yield pdf.assign(
+                duration_s=pd.Series(dur, index=pdf.index),
+                rms=pd.Series(rms, index=pdf.index),
+                zcr=pd.Series(zcr, index=pdf.index),
+                log_energy=pd.Series(contour, index=pdf.index))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema) \
+        + (", duration_s double, rms double, zcr double, "
+           "log_energy array<double>")
+    return df.mapInPandas(fe, schema)
+
+
 def byte_histogram_features(df: DataFrame,
                             payload_col: str = "payload") -> DataFrame:
     """Deterministic stand-in featurizer: 16-bin normalized byte

@@ -465,3 +465,67 @@ def test_trending_terms_stream_matches_batch(spark, tmp_path):
     want = {k: v for k, v in want_all.items()
             if k[0].hour in (0, 1)}
     assert got == want and want  # non-trivial: spark/join windows present
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """Pure-stdlib WAV codec: encode->decode round-trip at several
+    channel counts, 8/16/32-bit decode, and the Spark audio featurize
+    pipeline (binary -> scalar + contour features) matching a
+    driver-side numpy recompute."""
+    import numpy as np
+
+    from elasticsearch_osmosis_plugin_spark.functions.multimodal import (
+        audio_features,
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2):
+        x = np.clip(rng.normal(0, 0.3, size=(480, ch)), -1, 1)
+        got, rate = decode_wav(encode_wav(x, 16000))
+        assert rate == 16000 and got.shape == (480, ch)
+        # 16-bit quantum + the 32767-encode / 32768-decode scale skew
+        assert np.allclose(got, x, atol=2.0 / 32768)
+
+    # 8-bit and 32-bit PCM paths
+    import io
+    import wave
+
+    for width, dtype, scale in ((1, np.uint8, 128.0), (4, np.int32, 2**31)):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            if width == 1:
+                w.writeframes(np.array([0, 128, 255], dtype=dtype).tobytes())
+            else:
+                w.writeframes(np.array([0, 2**30, -(2**30)],
+                                       dtype="<i4").tobytes())
+        got, rate = decode_wav(buf.getvalue())
+        assert rate == 8000 and got.shape[0] == 3
+
+    with pytest.raises(ValueError):
+        decode_audio(b"ID3\x04 not audio we can parse")
+
+    # Spark pipeline: 12 synthetic tones through mapInPandas
+    clips = []
+    for i in range(12):
+        t = np.arange(0, 1600) / 16000.0
+        tone = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+        clips.append((i, bytearray(encode_wav(tone, 16000))))
+    df = spark.createDataFrame(clips, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert len(rows) == 12
+    for i, payload in clips:
+        x, rate = decode_audio(bytes(payload))
+        mono = x.mean(axis=1)
+        r = rows[i]
+        assert r["duration_s"] == pytest.approx(len(mono) / rate)
+        assert r["rms"] == pytest.approx(float(np.sqrt((mono**2).mean())),
+                                         rel=1e-6)
+        assert len(r["log_energy"]) == 16
+    # higher-frequency tones cross zero more often
+    assert rows[11]["zcr"] > rows[0]["zcr"]
