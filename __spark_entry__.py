@@ -3885,6 +3885,17 @@ def q_eql_sequence_until_events(spark, sf_dir):
                     _us("t3"), "id3")
 
 
+def q_eql_sample_events(spark, sf_dir):
+    """EQL `sample by user_id [signup] [purchase]`: per user the
+    deterministic (earliest) event of each type, no ordering
+    constraint between steps; users missing either type drop."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import sample
+
+    ev = _t(spark, sf_dir, "events")
+    s = sample(ev, ["signup", "purchase"])
+    return s.select("user_id", _us("t1"), "id1", _us("t2"), "id2")
+
+
 def q_eql_funnel_events(spark, sf_dir):
     """Funnel analysis (EQL-adjacent): per user, the earliest
     view->click->purchase chain rooted at the FIRST view, with partial
@@ -4631,6 +4642,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "eql_sequence_events": q_eql_sequence_events,
     "eql_sequence_until_events": q_eql_sequence_until_events,
+    "eql_sample_events": q_eql_sample_events,
     "eql_funnel_events": q_eql_funnel_events,
     "percentiles_bucket_events": q_percentiles_bucket_events,
     "suggest_completion_fuzzy_idx": q_suggest_completion_fuzzy_idx,
@@ -5083,6 +5095,17 @@ FROM abc
 WHERE epoch_us(t3) - epoch_us(t1) <= 21600000000
   AND (nxtu IS NULL OR nxtu > {'ts': t3, 'tie': id3})
 ORDER BY user_id, t1_us""",
+        "eql_sample_events": """
+WITH e AS (SELECT user_id, {'ts': ts, 'tie': event_id} AS s, event_type
+           FROM events WHERE event_type IN ('signup', 'purchase')),
+g AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN s END) AS s1,
+             min(CASE WHEN event_type = 'purchase' THEN s END) AS s2
+      FROM e GROUP BY user_id)
+SELECT user_id, epoch_us(s1.ts) AS t1_us, s1.tie AS id1,
+       epoch_us(s2.ts) AS t2_us, s2.tie AS id2
+FROM g WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+ORDER BY user_id""",
         "eql_funnel_events": """
 WITH e AS (SELECT user_id, ts, event_id, event_type,
                   {'ts': ts, 'tie': event_id} AS s FROM events

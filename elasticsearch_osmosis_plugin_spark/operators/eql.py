@@ -222,6 +222,39 @@ def _sequence_skip(ev: DataFrame, steps: Sequence[str], *, by: str,
     return out.orderBy(by, "t1", "id1")
 
 
+def sample(events: DataFrame, steps: Sequence[str], *,
+           by: str = "user_id", ts_col: str = "ts",
+           tie_col: str = "event_id",
+           type_col: str = "event_type") -> DataFrame:
+    """EQL ``sample by <key> [s0] [s1] ...``: per join key, ONE matching
+    event per step, with NO time-ordering constraint between steps —
+    EQL's sample form for correlating unordered facts about a key. ES
+    returns an arbitrary sample; this engine picks the deterministic
+    one (the (ts, tie)-earliest event of each step type), so results
+    are reproducible and SQL-twin-able.
+
+    Plan: one conditional-min groupBy over the key — a single shuffle,
+    no joins, no per-key arrays. Keys missing any step are dropped
+    (inner semantics, like EQL). Output: (key, t1, id1, ..., tk, idk)
+    ordered by key."""
+    k = len(steps)
+    if k < 1:
+        raise ValueError("sample needs >=1 step")
+    ev = (events.select(by, ts_col, tie_col, type_col)
+          .filter(F.col(type_col).isin(list(steps))))
+    s = F.struct(F.col(ts_col).alias("ts"), F.col(tie_col).alias("tie"))
+    aggs = [F.min(F.when(F.col(type_col) == step, s)).alias(f"_c{i + 1}")
+            for i, step in enumerate(steps)]
+    out = ev.groupBy(by).agg(*aggs)
+    for i in range(1, k + 1):
+        out = out.filter(F.col(f"_c{i}").isNotNull())
+    sel = [F.col(by)]
+    for i in range(1, k + 1):
+        sel += [F.col(f"_c{i}.ts").alias(f"t{i}"),
+                F.col(f"_c{i}.tie").alias(f"id{i}")]
+    return out.select(*sel).orderBy(by)
+
+
 def funnel(events: DataFrame, steps: Sequence[str], *,
            by: str = "user_id", ts_col: str = "ts",
            tie_col: str = "event_id", type_col: str = "event_type",

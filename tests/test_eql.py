@@ -181,6 +181,24 @@ def test_sequence_until_kills_inflight(spark):
         sequence(df, STEPS, until="view")
 
 
+def test_sample_unordered(events_df):
+    """sample ignores order between steps: user 3 has error BEFORE any
+    click... (view at 0, error at 10, no click) — with steps
+    [error, view] user 3 qualifies even though error follows view; the
+    picked events are the per-type earliest."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import sample
+
+    rows = {r["user_id"]: r
+            for r in sample(events_df, ["error", "view"]).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[3]["id1"], rows[3]["id2"]) == (21, 20)
+    assert (rows[1]["id1"], rows[1]["id2"]) == (4, 1)
+    # missing a step drops the key
+    from elasticsearch_osmosis_plugin_spark.operators.eql import sample as s2
+    got = s2(events_df, ["click", "view"]).collect()
+    assert all(r["user_id"] != 3 for r in got)  # user 3 never clicks
+
+
 def test_funnel_partial_progress(events_df):
     rows = {r["user_id"]: r for r in
             funnel(events_df, STEPS, maxspan_s=MAXSPAN).collect()}
