@@ -91,6 +91,32 @@ def test_percentiles_bucket_validates(spark):
         intersect.percentiles_bucket(b, percentiles=(1.5,))
 
 
+def test_async_search_lifecycle(spark, idx, tmp_path):
+    """submit -> running/completed status -> get == synchronous search
+    -> delete; a failing body lands in status=failed with the error."""
+    from elasticsearch_osmosis_plugin_spark.operators import asyncsearch
+
+    store = str(tmp_path / "async_store")
+    body = {"query": {"match": {"content": "public static"}}, "size": 5}
+    sid = asyncsearch.submit(spark, idx, body, store)
+    got = asyncsearch.get(spark, store, sid, wait_s=120)
+    want = dsl.search(spark, idx, body)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert asyncsearch.status(store, sid)["status"] == "completed"
+    assert asyncsearch.status(store, sid)["n_hits"] == got.count()
+
+    bad = asyncsearch.submit(spark, idx, {"query": {"nope": {}}}, store)
+    with pytest.raises(RuntimeError, match="nope|unsupported|unknown"):
+        asyncsearch.get(spark, store, bad, wait_s=120)
+    assert asyncsearch.status(store, bad)["status"] == "failed"
+
+    assert asyncsearch.delete(store, sid)
+    assert not asyncsearch.delete(store, sid)
+    with pytest.raises(KeyError):
+        asyncsearch.status(store, sid)
+
+
 def test_suggest_completion_fuzzy(spark, idx):
     """Exact-prefix hits rank before distance-1 hits regardless of
     popularity; results reproduce a dictionary-side Python oracle."""
