@@ -222,6 +222,72 @@ def _sequence_skip(ev: DataFrame, steps: Sequence[str], *, by: str,
     return out.orderBy(by, "t1", "id1")
 
 
+_MAXSPAN_UNITS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def eql_search(events: DataFrame, query: str, *,
+               by_default: str = "user_id", ts_col: str = "ts",
+               tie_col: str = "event_id", type_col: str = "event_type",
+               overlap: str = "all") -> DataFrame:
+    """Text front end for the EQL subset this engine executes
+    (ES POST /_eql/search ``query`` strings):
+
+        sequence by <field> [with maxspan=<n><s|m|h|d>]
+            [<type>] [<type>] ... [until [<type>]]
+        sample by <field> [<type>] [<type>] ...
+
+    A step is ``[<type>]`` or the explicit ES form
+    ``[ any where event_type == "<type>" ]``. Anything outside the
+    subset raises ValueError (no silent approximation). The parse
+    produces exactly a :func:`sequence` / :func:`sample` call."""
+    import re
+
+    q = query.strip()
+    m = re.match(r"^(sequence|sample)\s+by\s+([A-Za-z_][\w.]*)"
+                 r"(?:\s+with\s+maxspan\s*=\s*(\d+)([smhd]))?\s*(.*)$",
+                 q, re.DOTALL)
+    if not m:
+        raise ValueError(f"unsupported EQL query: {query!r}")
+    kind, by, span_n, span_u, rest = m.groups()
+    maxspan_s = (float(span_n) * _MAXSPAN_UNITS[span_u]
+                 if span_n is not None else None)
+
+    until = None
+    um = re.search(r"\buntil\s+(\[[^\]]*\])\s*$", rest)
+    if um:
+        until = _parse_step(um.group(1), type_col)
+        rest = rest[:um.start()]
+    steps = [_parse_step(f"[{body}]", type_col)
+             for body in re.findall(r"\[([^\]]*)\]", rest)]
+    if re.sub(r"\[[^\]]*\]|\s", "", rest):
+        raise ValueError(f"unparsed EQL tail in: {rest!r}")
+    if not steps:
+        raise ValueError("EQL query needs at least one [step]")
+
+    if kind == "sample":
+        if maxspan_s is not None or until is not None:
+            raise ValueError("sample takes no maxspan/until")
+        return sample(events, steps, by=by, ts_col=ts_col,
+                      tie_col=tie_col, type_col=type_col)
+    return sequence(events, steps, by=by, ts_col=ts_col, tie_col=tie_col,
+                    type_col=type_col, maxspan_s=maxspan_s, until=until,
+                    overlap=overlap)
+
+
+def _parse_step(step: str, type_col: str) -> str:
+    """``[x]`` or ``[any where <type_col> == "x"]`` -> the event type."""
+    import re
+
+    body = step.strip()[1:-1].strip()
+    m = re.match(rf'^any\s+where\s+{re.escape(type_col)}\s*==\s*'
+                 r'"([^"]+)"$', body)
+    if m:
+        return m.group(1)
+    if re.match(r"^[\w.-]+$", body):
+        return body
+    raise ValueError(f"unsupported EQL step filter: {step!r}")
+
+
 def sample(events: DataFrame, steps: Sequence[str], *,
            by: str = "user_id", ts_col: str = "ts",
            tie_col: str = "event_id",

@@ -181,6 +181,37 @@ def test_sequence_until_kills_inflight(spark):
         sequence(df, STEPS, until="view")
 
 
+def test_eql_text_syntax(events_df):
+    """The EQL text front end parses the sequence/sample subset and
+    produces exactly the programmatic calls."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import (
+        eql_search,
+        sample,
+    )
+
+    q = ('sequence by user_id with maxspan=1h '
+         '[view] [any where event_type == "click"] [error]')
+    got = eql_search(events_df, q).collect()
+    want = sequence(events_df, STEPS, maxspan_s=3600).collect()
+    assert got == want and got
+
+    q2 = 'sequence by user_id with maxspan=1h [view] [click] until [error]'
+    got2 = eql_search(events_df, q2).collect()
+    want2 = sequence(events_df, ["view", "click"], maxspan_s=3600,
+                     until="error").collect()
+    assert got2 == want2
+
+    got3 = eql_search(events_df, "sample by user_id [error] [view]").collect()
+    assert got3 == sample(events_df, ["error", "view"]).collect()
+
+    for bad in ("match all", "sequence [view]",
+                "sequence by user_id [view] garbage [click]",
+                'sequence by user_id [any where props == "x"]',
+                "sample by user_id with maxspan=1h [view] [click]"):
+        with pytest.raises(ValueError):
+            eql_search(events_df, bad)
+
+
 def test_sample_unordered(events_df):
     """sample ignores order between steps: user 3 has error BEFORE any
     click... (view at 0, error at 10, no click) — with steps
