@@ -3938,6 +3938,56 @@ def q_suggest_completion_fuzzy_idx(spark, sf_dir):
     return suggest_completion_fuzzy(spark, idx, "sow", fuzziness=1, size=5)
 
 
+TRANSFORM_PIVOT_CFG = {
+    "group_by": {
+        "etype": {"terms": {"field": "event_type"}},
+        "day": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"}},
+    },
+    "aggregations": {
+        "avg_value": {"avg": {"field": "value"}},
+        "total": {"sum": {"field": "value"}},
+        "n": {"value_count": {"field": "value"}},
+        "users": {"cardinality": {"field": "user_id"}},
+    },
+}
+
+
+def q_transform_pivot_events(spark, sf_dir):
+    """ES transform (pivot): entity-centric rollup of events by
+    (event_type, day) with avg/sum/value_count/cardinality — the
+    destination-index frame, one map-side-combined groupBy."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.plans.transform import compile_pivot
+
+    ev = _t(spark, sf_dir, "events")
+    p = compile_pivot(ev, TRANSFORM_PIVOT_CFG)
+    return p.select(
+        "etype",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        x1e4(F.col("avg_value")).alias("avg_x1e4"),
+        x1e4(F.col("total")).alias("total_x1e4"),
+        "n", "users")
+
+
+def q_transform_latest_events(spark, sf_dir):
+    """ES transform (latest): most recent event per user_id under the
+    ts sort (event_id tie-break) — single max_by reduction, no window
+    sort."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.plans.transform import compile_latest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    latest = compile_latest(ev, {"unique_key": ["user_id"], "sort": "ts"},
+                            tie_col="event_id")
+    return latest.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "event_type",
+        x1e4(F.col("value")).alias("value_x1e4"))
+
+
 PINNED_IDS = [42, 7, 999999999]  # one bogus id: dropped, not an error
 
 
@@ -4646,6 +4696,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eql_funnel_events": q_eql_funnel_events,
     "percentiles_bucket_events": q_percentiles_bucket_events,
     "suggest_completion_fuzzy_idx": q_suggest_completion_fuzzy_idx,
+    "transform_pivot_events": q_transform_pivot_events,
+    "transform_latest_events": q_transform_latest_events,
 }
 
 
@@ -5130,6 +5182,22 @@ SELECT c1.user_id,
 FROM c1 LEFT JOIN c2 ON c1.user_id = c2.user_id
         LEFT JOIN c3 ON c1.user_id = c3.user_id
 ORDER BY c1.user_id""",
+        "transform_pivot_events": """
+SELECT event_type AS etype,
+       epoch_us(date_trunc('day', ts)) AS day_us,
+       floor(avg(value) * 10000.0 + 0.5)::BIGINT AS avg_x1e4,
+       floor(sum(value) * 10000.0 + 0.5)::BIGINT AS total_x1e4,
+       count(value) AS n,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "transform_latest_events": """
+WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+       floor(value * 10000.0 + 0.5)::BIGINT AS value_x1e4
+FROM r WHERE rn = 1 ORDER BY user_id""",
         "moving_percentiles_events": """
 WITH b AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
                   count(*) AS n_docs FROM events GROUP BY 1)
