@@ -4136,6 +4136,41 @@ def q_significant_text_idx(spark, sf_dir):
                     x1e4(F.col("jlh")).alias("jlh_x1e4"))
 
 
+# ES Graph explore (_graph/explore): 2-hop JLH vertex discovery + edges
+# from a one-term seed. sample_size above the corpus -> no sampling, so
+# the SQL twin is the exact same math over the token CTE.
+_GRAPH_BODY = {
+    "query": {"match": {"text": "spark"}},
+    "vertices": [{"field": "text", "size": 5, "min_doc_count": 3}],
+    "connections": {"vertices": [{"field": "text", "size": 5,
+                                  "min_doc_count": 3}]},
+    "controls": {"sample_size": 1000000, "use_significance": True},
+}
+
+
+def q_graph_explore_vertices(spark, sf_dir):
+    """ES Graph explore API: hop-0 vertices = top-5 JLH-significant
+    terms among seed-hit docs; hop-1 = top-5 among docs containing any
+    hop-0 term, excluding hop-0's vertices (ES explore semantics)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.graph import explore
+
+    idx = _index_for(spark, sf_dir)
+    verts, _ = explore(spark, idx, _GRAPH_BODY, field="text")
+    return verts.select("field", "term", "depth", "doc_count",
+                        x1e4(F.col("weight")).alias("weight_x1e4"))
+
+
+def q_graph_explore_edges(spark, sf_dir):
+    """ES Graph explore connections: (hop-0 vertex, hop-1 vertex)
+    co-occurrence doc counts within the hop-1 doc set."""
+    from elasticsearch_osmosis_plugin_spark.operators.graph import explore
+
+    idx = _index_for(spark, sf_dir)
+    _, edges = explore(spark, idx, _GRAPH_BODY, field="text")
+    return edges
+
+
 
 
 def q_terms_subaggs_idx(spark, sf_dir):
@@ -4698,6 +4733,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_completion_fuzzy_idx": q_suggest_completion_fuzzy_idx,
     "transform_pivot_events": q_transform_pivot_events,
     "transform_latest_events": q_transform_latest_events,
+    "graph_explore_vertices": q_graph_explore_vertices,
+    "graph_explore_edges": q_graph_explore_edges,
 }
 
 
@@ -5387,6 +5424,73 @@ WHERE df_fg >= 3
 ORDER BY ((df_fg / n_fg) - (df_bg / n_docs))
          * ((df_fg / n_fg) / (df_bg / n_docs)) DESC, term
 LIMIT 10""",
+        "graph_explore_vertices": f"""
+WITH {TOK_CTE},
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+bg AS (SELECT term, count(*)::DOUBLE AS df_bg FROM tokd GROUP BY term),
+seed AS (SELECT DISTINCT doc_id FROM tokd WHERE term = 'spark'),
+n0 AS (SELECT count(*)::DOUBLE AS n_fg FROM seed),
+fg0 AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
+        WHERE doc_id IN (SELECT doc_id FROM seed) GROUP BY term),
+v0 AS (SELECT term, df_fg,
+         ((df_fg / n_fg) - (df_bg / n_docs))
+         * ((df_fg / n_fg) / (df_bg / n_docs)) AS w
+       FROM fg0 JOIN bg USING (term) CROSS JOIN n0 CROSS JOIN nd
+       WHERE df_fg >= 3 ORDER BY w DESC, term LIMIT 5),
+hop1 AS (SELECT DISTINCT doc_id FROM tokd
+         WHERE term IN (SELECT term FROM v0)),
+n1 AS (SELECT count(*)::DOUBLE AS n_fg FROM hop1),
+fg1 AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
+        WHERE doc_id IN (SELECT doc_id FROM hop1) GROUP BY term),
+v1 AS (SELECT term, df_fg,
+         ((df_fg / n_fg) - (df_bg / n_docs))
+         * ((df_fg / n_fg) / (df_bg / n_docs)) AS w
+       FROM fg1 JOIN bg USING (term) CROSS JOIN n1 CROSS JOIN nd
+       WHERE df_fg >= 3 AND term NOT IN (SELECT term FROM v0)
+       ORDER BY w DESC, term LIMIT 5),
+u AS (SELECT 'text' AS field, term, 0 AS depth,
+             df_fg::BIGINT AS doc_count, w FROM v0
+      UNION ALL
+      SELECT 'text' AS field, term, 1 AS depth,
+             df_fg::BIGINT AS doc_count, w FROM v1)
+SELECT field, term, depth, doc_count,
+       floor(w * 10000.0 + 0.5)::BIGINT AS weight_x1e4
+FROM u ORDER BY depth, w DESC, term""",
+        "graph_explore_edges": f"""
+WITH {TOK_CTE},
+tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+bg AS (SELECT term, count(*)::DOUBLE AS df_bg FROM tokd GROUP BY term),
+seed AS (SELECT DISTINCT doc_id FROM tokd WHERE term = 'spark'),
+n0 AS (SELECT count(*)::DOUBLE AS n_fg FROM seed),
+fg0 AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
+        WHERE doc_id IN (SELECT doc_id FROM seed) GROUP BY term),
+v0 AS (SELECT term,
+         ((df_fg / n_fg) - (df_bg / n_docs))
+         * ((df_fg / n_fg) / (df_bg / n_docs)) AS w
+       FROM fg0 JOIN bg USING (term) CROSS JOIN n0 CROSS JOIN nd
+       WHERE df_fg >= 3 ORDER BY w DESC, term LIMIT 5),
+hop1 AS (SELECT DISTINCT doc_id FROM tokd
+         WHERE term IN (SELECT term FROM v0)),
+n1 AS (SELECT count(*)::DOUBLE AS n_fg FROM hop1),
+fg1 AS (SELECT term, count(*)::DOUBLE AS df_fg FROM tokd
+        WHERE doc_id IN (SELECT doc_id FROM hop1) GROUP BY term),
+v1 AS (SELECT term,
+         ((df_fg / n_fg) - (df_bg / n_docs))
+         * ((df_fg / n_fg) / (df_bg / n_docs)) AS w
+       FROM fg1 JOIN bg USING (term) CROSS JOIN n1 CROSS JOIN nd
+       WHERE df_fg >= 3 AND term NOT IN (SELECT term FROM v0)
+       ORDER BY w DESC, term LIMIT 5)
+SELECT s.term AS source, t.term AS target, count(*)::BIGINT AS doc_count
+FROM (SELECT doc_id, term FROM tokd
+      WHERE doc_id IN (SELECT doc_id FROM hop1)
+        AND term IN (SELECT term FROM v0)) s
+JOIN (SELECT doc_id, term FROM tokd
+      WHERE doc_id IN (SELECT doc_id FROM hop1)
+        AND term IN (SELECT term FROM v1)) t
+  ON s.doc_id = t.doc_id
+GROUP BY s.term, t.term ORDER BY source, target""",
         "significant_text_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT doc_id, toks FROM toks

@@ -277,6 +277,41 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--index-name", help="index name for simulate")
     tp.add_argument("--kind", default="index", choices=("index", "component"),
                     help="get/delete/list target kind")
+
+    ge = sub.add_parser("graph-explore", help="ES _graph/explore: hop-wise "
+                        "significant-term vertices + co-occurrence edges")
+    ge.add_argument("--index", required=True)
+    ge.add_argument("--body", required=True, help="ES explore JSON body")
+    ge.add_argument("--field", default="content",
+                    help="the index's text field name")
+    _add_common(ge)
+
+    dst = sub.add_parser("datastream", help="ES data streams: append-only "
+                         "@timestamp-gated generations")
+    dst.add_argument("action", choices=("create", "append", "rollover",
+                                        "search", "stats", "delete"))
+    dst.add_argument("--root", required=True)
+    dst.add_argument("--name", required=True)
+    dst.add_argument("--input", help="parquet path (append)")
+    dst.add_argument("--id-col", help="doc id column (append)")
+    dst.add_argument("--text-col", default="content")
+    dst.add_argument("--query", help="search text")
+    dst.add_argument("-k", type=int, default=10)
+    dst.add_argument("--max-docs", type=int)
+    dst.add_argument("--max-groups", type=int)
+    _add_common(dst)
+
+    wa = sub.add_parser("watch", help="ES watcher: stored search + "
+                        "condition + actions")
+    wa.add_argument("action", choices=("put", "get", "delete", "list",
+                                       "execute", "ack", "activate",
+                                       "deactivate"))
+    wa.add_argument("--registry", required=True)
+    wa.add_argument("--id", help="watch id")
+    wa.add_argument("--body", help="watch JSON body (put)")
+    wa.add_argument("--trigger-time", help="ISO execution time (execute)")
+    wa.add_argument("--actions", help="comma action ids (ack)")
+    _add_common(wa)
     return ap
 
 
@@ -407,7 +442,86 @@ def main(argv: list[str] | None = None) -> int:
                                   max_groups=args.max_groups), default=str))
         return 0
 
+    if args.cmd == "watch" and args.action != "execute":
+        from elasticsearch_osmosis_plugin_spark.operators import watcher
+
+        if args.action == "put":
+            print(json.dumps(watcher.put_watch(args.registry, args.id,
+                                               json.loads(args.body))))
+        elif args.action == "get":
+            print(json.dumps(watcher.get_watch(args.registry, args.id)))
+        elif args.action == "delete":
+            print(json.dumps({"found": watcher.delete_watch(args.registry,
+                                                            args.id)}))
+        elif args.action == "list":
+            print(json.dumps(watcher.list_watches(args.registry)))
+        elif args.action == "ack":
+            print(json.dumps(watcher.ack_watch(
+                args.registry, args.id,
+                _csv(args.actions))))
+        else:  # activate / deactivate
+            watcher.set_active(args.registry, args.id,
+                               args.action == "activate")
+            print(json.dumps({"acknowledged": True}))
+        return 0
+
+    if args.cmd == "datastream" and args.action in ("create", "rollover",
+                                                    "stats", "delete"):
+        from elasticsearch_osmosis_plugin_spark.plans import datastream
+
+        if args.action == "create":
+            print(json.dumps(datastream.create_data_stream(args.root,
+                                                           args.name)))
+        elif args.action == "rollover":
+            print(json.dumps(datastream.rollover_stream(
+                args.root, args.name, max_docs=args.max_docs,
+                max_groups=args.max_groups), default=str))
+        elif args.action == "stats":
+            print(json.dumps(datastream.data_stream_stats(args.root,
+                                                          args.name)))
+        else:
+            print(json.dumps({"acknowledged":
+                              datastream.delete_data_stream(args.root,
+                                                            args.name)}))
+        return 0
+
     spark = _get_spark(args)
+
+    if args.cmd == "graph-explore":
+        from elasticsearch_osmosis_plugin_spark.operators.graph import (
+            explore,
+        )
+
+        verts, edges = explore(spark, args.index, json.loads(args.body),
+                               field=args.field)
+        print(json.dumps({
+            "vertices": [r.asDict() for r in verts.collect()],
+            "connections": [r.asDict() for r in edges.collect()]}))
+        return 0
+
+    if args.cmd == "datastream":
+        from elasticsearch_osmosis_plugin_spark.plans import datastream
+
+        if args.action == "append":
+            man = datastream.append_stream(
+                spark, args.root, args.name,
+                spark.read.parquet(args.input), id_col=args.id_col,
+                text_col=args.text_col)
+            print(json.dumps({"appended": True,
+                              "n_docs": man.get("n_docs")}, default=str))
+        else:  # search
+            hits = datastream.search_stream(spark, args.root, args.name,
+                                            args.query, k=args.k)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "watch":  # execute
+        from elasticsearch_osmosis_plugin_spark.operators import watcher
+
+        print(json.dumps(watcher.execute_watch(
+            spark, args.registry, args.id, args.trigger_time)))
+        return 0
 
     if args.cmd == "build":
         from elasticsearch_osmosis_plugin_spark.plans.build import build_index

@@ -775,6 +775,71 @@ def _search_query(spark: SparkSession, index_path: str,
                              "supported")
         return deterministic_topk(ds, k)
 
+    if kind in ("sparse_vector", "text_expansion"):
+        # Learned sparse retrieval in the body (ES 8.15 `sparse_vector`
+        # / legacy `text_expansion`): score = sparse dot product of a
+        # {token: weight} query against a per-doc feature map carried
+        # in the doc store at build time (ES: rank_features mapping).
+        #   {"sparse_vector": {"field": f, "query_vector": {t: w}}}
+        #   {"text_expansion": {f: {"model_id": "identity",
+        #                           "model_text": "..."}}}
+        # No inference runtime ships here, so the only model is the
+        # documented "identity" expansion: the index analyzer's tokens
+        # of model_text weighted by their tf in the query text (ES
+        # would call a deployed ELSER/SPLADE model instead; any other
+        # model_id is rejected, never silently approximated).
+        from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+            tokenize_py,
+        )
+        from elasticsearch_osmosis_plugin_spark.operators.query import (
+            load_meta,
+        )
+        from elasticsearch_osmosis_plugin_spark.operators.sparsevec import (
+            sparse_topk,
+        )
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        def _identity_expansion(text: str) -> dict[str, float]:
+            meta = load_meta(index_path)
+            toks = tokenize_py(text, meta["analyzer"],
+                               min_len=meta.get("min_token_len", 1),
+                               max_len=meta.get("max_token_len", 64))
+            qw: dict[str, float] = {}
+            for t in toks:
+                qw[t] = qw.get(t, 0.0) + 1.0
+            return qw
+
+        if kind == "sparse_vector":
+            fldname = spec["field"]
+            if "query_vector" in spec:
+                qw = {str(t): float(w)
+                      for t, w in spec["query_vector"].items()}
+            else:
+                if spec.get("inference_id", "identity") != "identity":
+                    raise ValueError(
+                        "sparse_vector without query_vector needs the "
+                        "'identity' inference_id (no inference runtime)")
+                qw = _identity_expansion(str(spec["query"]))
+        else:
+            fldname, sub = _one_entry(spec, "text_expansion")
+            if sub.get("model_id", "identity") != "identity":
+                raise ValueError("text_expansion supports only the "
+                                 "'identity' model (no inference "
+                                 "runtime)")
+            qw = _identity_expansion(str(sub["model_text"]))
+        if not qw:
+            return spark.createDataFrame([], _CONST_SCORE)
+        if post_col is not None:
+            raise ValueError(f"post_filter with {kind} is not supported")
+        ds = catalog.read_table(spark, index_path, "docstats")
+        if fldname not in ds.columns:
+            raise ValueError(
+                f"{kind}: field {fldname!r} is not in the doc store — "
+                "carry the feature map at build time "
+                "(build_index(..., carry_cols=[...]))")
+        live = _live_ids(spark, index_path, ds)
+        return sparse_topk(live, qw, k=k, features_col=fldname)
+
     if kind == "query_string":
         # {"query_string": {"query": "...", "default_operator": "AND"}}
         # — Lucene classic syntax via operators.querystring

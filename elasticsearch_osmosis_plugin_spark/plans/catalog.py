@@ -251,11 +251,12 @@ def rollover(alias: str, max_docs: int | None = None,
     base = cur[:m.start()] if m else cur
     new = f"{base}-{gen:06d}"
     os.makedirs(new, exist_ok=False)
-    shell = {k: meta[k] for k in ("analyzer", "k1", "b", "n_buckets",
-                                  "block_size", "positions")
+    shell = {k: meta[k] for k in ("analyzer", "k1", "b", "n_segments",
+                                  "n_buckets", "block_size", "positions",
+                                  "min_token_len", "max_token_len")
              if k in meta}
-    shell |= {"n_docs": 0, "avgdl": 0.0, "groups": [], "metrics": [],
-              "rolled_from": cur}
+    shell |= {"n_docs": 0, "avgdl": 0.0, "n_groups": 0, "groups": [],
+              "metrics": [], "rolled_from": cur}
     tmp = os.path.join(new, "_meta.tmp")
     with open(tmp, "w") as f:
         json.dump(shell, f, indent=1, default=str)

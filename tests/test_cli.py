@@ -285,3 +285,67 @@ def test_cli_template_commands(capsys, tmp_path):
                          "--name", "logs"])[0]["acknowledged"]
     assert _run(capsys, ["template", "simulate", "--registry", r,
                          "--index-name", "logs-0001"])[0] is None
+
+
+def test_cli_graph_datastream_watch(spark, cli_index, capsys, tmp_path):
+    """Round-3c surfaces through the CLI: _graph/explore, data streams,
+    watcher — JSON in, JSON out, no library imports needed."""
+    # graph explore over the built index
+    body = {"query": {"match": {"text": "spark"}},
+            "vertices": [{"field": "text", "size": 3, "min_doc_count": 2}],
+            "connections": {"vertices": [{"field": "text", "size": 3,
+                                          "min_doc_count": 2}]},
+            "controls": {"sample_size": 100000}}
+    out, = _run(capsys, ["graph-explore", "--index", cli_index,
+                         "--body", json.dumps(body), "--field", "text"])
+    assert out["vertices"] and out["connections"]
+    assert {v["depth"] for v in out["vertices"]} == {0, 1}
+
+    # data stream: create -> append -> rollover -> search -> stats
+    root = str(tmp_path / "streams")
+    os.makedirs(root)
+    man, = _run(capsys, ["datastream", "create", "--root", root,
+                         "--name", "logs"])
+    assert man["generation"] == 1
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    src = src.append_column(
+        "@timestamp", pa.array([0] * src.num_rows, pa.timestamp("us")))
+    inp = str(tmp_path / "docs.parquet")
+    pq.write_table(src, inp)
+    _run(capsys, ["datastream", "append", "--root", root, "--name", "logs",
+                  "--input", inp, "--id-col", "doc_id",
+                  "--text-col", "text"])
+    ro, = _run(capsys, ["datastream", "rollover", "--root", root,
+                        "--name", "logs"])
+    assert ro["rolled_over"]
+    st, = _run(capsys, ["datastream", "stats", "--root", root,
+                        "--name", "logs"])
+    assert st["generation"] == 2 and st["total_docs"] == src.num_rows
+    hits = _run(capsys, ["datastream", "search", "--root", root,
+                         "--name", "logs", "--query", "spark query",
+                         "-k", "5"])
+    assert len(hits) == 5
+
+    # watcher: put -> execute -> ack -> execute(throttled)
+    reg = str(tmp_path / "reg")
+    wbody = {"trigger": {"schedule": {"interval": "5m"}},
+             "input": {"search": {"request": {
+                 "indices": [cli_index],
+                 "body": {"query": {"match": {"text": "spark"}},
+                          "size": 50}}}},
+             "condition": {"compare": {"ctx.payload.hits.total":
+                                       {"gte": 1}}},
+             "actions": {"l": {"logging":
+                               {"text": "{{ctx.payload.hits.total}}"}}}}
+    _run(capsys, ["watch", "put", "--registry", reg, "--id", "w1",
+                  "--body", json.dumps(wbody)])
+    r1, = _run(capsys, ["watch", "execute", "--registry", reg, "--id", "w1",
+                        "--trigger-time", "2026-01-01T00:00:00"])
+    assert r1["condition_met"] and r1["actions"]["l"]["status"] == "success"
+    _run(capsys, ["watch", "ack", "--registry", reg, "--id", "w1"])
+    r2, = _run(capsys, ["watch", "execute", "--registry", reg, "--id", "w1",
+                        "--trigger-time", "2026-01-01T00:05:00"])
+    assert r2["actions"]["l"]["status"] == "throttled"

@@ -1449,6 +1449,51 @@ def test_profile_search(spark, idx):
     assert "TakeOrderedAndProject" in p["plan"]
 
 
+def test_sparse_vector_and_text_expansion_body(spark, corpus_df,
+                                               tmp_path_factory):
+    """DSL sparse_vector == direct sparse_topk over the carried
+    feature map; text_expansion 'identity' model = analyzer tokens of
+    model_text weighted by query tf; non-identity models rejected."""
+    from elasticsearch_osmosis_plugin_spark.operators.sparsevec import (
+        sparse_topk,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog as cat
+
+    path = str(tmp_path_factory.mktemp("sparseidx") / "index")
+    feats = corpus_df.withColumn("features", F.create_map(
+        F.lit("public"), ((F.col("doc_id") % 7) + 1).cast("double") / 7.0,
+        F.lit("static"), ((F.col("doc_id") % 3) + 1).cast("double")))
+    build_index(spark, feats, path, CFG, id_col="doc_id", n_groups=1,
+                carry_cols=["lang", "features"])
+    ds = cat.read_table(spark, path, "docstats")
+
+    qw = {"public": 1.0, "static": 0.5}
+    got = dsl.search(spark, path, {"query": {"sparse_vector": {
+        "field": "features", "query_vector": qw}}, "size": 5})
+    want = sparse_topk(ds, qw, k=5)
+    assert _rows(got) == _rows(want)
+
+    # identity text_expansion: tf-weighted analyzer tokens of the text
+    body = {"query": {"text_expansion": {"features": {
+        "model_id": "identity",
+        "model_text": "public static public"}}}, "size": 5}
+    got2 = dsl.search(spark, path, body)
+    want2 = sparse_topk(ds, {"public": 2.0, "static": 1.0}, k=5)
+    assert _rows(got2) == _rows(want2)
+
+    # sparse_vector may also take raw text via the identity expansion
+    got3 = dsl.search(spark, path, {"query": {"sparse_vector": {
+        "field": "features", "query": "public static public"}}, "size": 5})
+    assert _rows(got3) == _rows(want2)
+
+    with pytest.raises(ValueError, match="identity"):
+        dsl.search(spark, path, {"query": {"text_expansion": {"features": {
+            "model_id": ".elser_model_2", "model_text": "x"}}}})
+    with pytest.raises(ValueError, match="doc store"):
+        dsl.search(spark, path, {"query": {"sparse_vector": {
+            "field": "nope", "query_vector": qw}}})
+
+
 def test_rank_feature_query_and_highlight_body(spark, idx):
     """DSL rank_feature standalone query == direct docstats compute;
     body highlight section attaches tagged fragments per hit in rank
