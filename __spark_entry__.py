@@ -4530,7 +4530,102 @@ def q_track_total_hits_idx(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(5))
 
 
+# ------------------------------------------------------------- ES|QL rows
+
+def _esql(spark, sf_dir, query, names=("events", "documents", "orders",
+                                       "customer", "lineitem"), extra=None):
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    tables = {n: _t(spark, sf_dir, n) for n in names}
+    if extra:
+        tables |= extra(tables)
+    return esql(spark, query, tables)
+
+
+def q_esql_stats_events(spark, sf_dir):
+    """ES|QL `STATS .. BY BUCKET(ts, 1 day)` — the language's flagship
+    aggregation form, compiled to one hash aggregate; bucket epoch-
+    normalized in-language via DATE_DIFF."""
+    return _esql(spark, sf_dir, """
+FROM events
+| WHERE value > 50 AND event_type != "signup"
+| STATS n = COUNT(*), sum_x100 = TO_LONG(FLOOR(SUM(value) * 100.0 + 0.5))
+    BY day = BUCKET(ts, 1 day), event_type
+| EVAL day_ts = DATE_DIFF("seconds", TO_DATETIME("1970-01-01 00:00:00"), day)
+| KEEP day_ts, event_type, n, sum_x100
+| SORT day_ts, event_type""")
+
+
+def q_esql_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 written in ES|QL — WHERE pushdown + STATS..BY compile
+    to the identical Catalyst plan as the DataFrame twin."""
+    return _esql(spark, sf_dir, """
+FROM lineitem
+| WHERE l_shipdate <= TO_DATETIME("1998-09-02 00:00:00")
+| STATS sum_qty_x100 = TO_LONG(FLOOR(SUM(l_quantity) * 100.0 + 0.5)),
+        sum_base_x100 = TO_LONG(FLOOR(SUM(l_extendedprice) * 100.0 + 0.5)),
+        n = COUNT(*),
+        avg_disc_x1e4 = TO_LONG(FLOOR(AVG(l_discount) * 10000.0 + 0.5))
+    BY l_returnflag, l_linestatus
+| SORT l_returnflag, l_linestatus""")
+
+
+def q_esql_grok_events(spark, sf_dir):
+    """ES|QL GROK typed extraction (%{INT:kv:int}) feeding STATS —
+    regex stays in whole-stage codegen (regexp_extract), no UDF."""
+    return _esql(spark, sf_dir, """
+FROM events
+| GROK props "\\"k\\": %{INT:kv:int}"
+| STATS kv_sum = SUM(kv), n_k = COUNT(kv) BY event_type
+| SORT event_type""")
+
+
+def q_esql_lookup_orders(spark, sf_dir):
+    """ES|QL LOOKUP JOIN (ES 8.18 lookup-mode index): broadcast left
+    join, collision columns taken from the lookup side."""
+    return _esql(spark, sf_dir, """
+FROM orders
+| LOOKUP JOIN cust ON o_custkey
+| STATS n_orders = COUNT(*),
+        spend_x100 = TO_LONG(FLOOR(SUM(o_totalprice) * 100.0 + 0.5))
+    BY c_mktsegment
+| SORT c_mktsegment""", extra=lambda t: {
+        "cust": t["customer"].withColumnRenamed("c_custkey", "o_custkey")})
+
+
+def q_esql_match_score(spark, sf_dir):
+    """ES|QL full-text: FROM .. METADATA _score | WHERE MATCH(..) routes
+    to the BM25 engine — rank-identical to the _search DSL path, so the
+    same oracle covers both APIs."""
+    return _esql(spark, sf_dir, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query")
+| EVAL score_x1e4 = TO_LONG(FLOOR(_score * 10000.0 + 0.5))
+| KEEP doc_id, score_x1e4
+| SORT score_x1e4 DESC, doc_id
+| LIMIT 10""")
+
+
+def q_esql_wordcount_docs(spark, sf_dir):
+    """ES|QL SPLIT + MV_EXPAND + STATS: the canonical multivalue
+    pipeline (explode_outer, one shuffle)."""
+    return _esql(spark, sf_dir, """
+FROM documents
+| EVAL tok = SPLIT(TO_LOWER(text), " ")
+| MV_EXPAND tok
+| WHERE tok != ""
+| STATS n = COUNT(*) BY tok
+| SORT n DESC, tok
+| LIMIT 25""")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "esql_stats_events": q_esql_stats_events,
+    "esql_tpch_q1": q_esql_tpch_q1,
+    "esql_grok_events": q_esql_grok_events,
+    "esql_lookup_orders": q_esql_lookup_orders,
+    "esql_match_score": q_esql_match_score,
+    "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
     "track_total_hits_idx": q_track_total_hits_idx,
@@ -6387,4 +6482,37 @@ sample AS (SELECT lang FROM div WHERE rn <= 2
            ORDER BY fp DESC, doc_id LIMIT 50)
 SELECT lang, count(*) AS n_docs FROM sample
 GROUP BY lang ORDER BY n_docs DESC, lang""",
+        "esql_stats_events": """
+SELECT epoch(date_trunc('day', ts))::BIGINT AS day_ts, event_type,
+       count(*) AS n, floor(sum(value) * 100.0 + 0.5)::BIGINT AS sum_x100
+FROM events WHERE value > 50 AND event_type <> 'signup'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "esql_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 100.0 + 0.5)::BIGINT AS sum_qty_x100,
+       floor(sum(l_extendedprice) * 100.0 + 0.5)::BIGINT AS sum_base_x100,
+       count(*) AS n,
+       floor(avg(l_discount) * 10000.0 + 0.5)::BIGINT AS avg_disc_x1e4
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "esql_grok_events": """
+WITH g AS (SELECT event_type,
+                  CASE WHEN regexp_matches(props, '"k": ([+-]?\\d+)')
+                       THEN regexp_extract(props, '"k": ([+-]?\\d+)', 1)
+                            ::BIGINT END AS kv
+           FROM events)
+SELECT event_type, sum(kv)::BIGINT AS kv_sum, count(kv) AS n_k
+FROM g GROUP BY event_type ORDER BY event_type""",
+        "esql_lookup_orders": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       floor(sum(o_totalprice) * 100.0 + 0.5)::BIGINT AS spend_x100
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1""",
+        "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
+        "esql_wordcount_docs": """
+WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS tok
+             FROM documents)
+SELECT tok, count(*) AS n FROM tok
+GROUP BY tok ORDER BY n DESC, tok LIMIT 25""",
     }

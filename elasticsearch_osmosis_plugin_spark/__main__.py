@@ -223,6 +223,18 @@ def build_parser() -> argparse.ArgumentParser:
     fs.add_argument("--text-col", default="content")
     _add_common(fs)
 
+    eq = sub.add_parser("esql", help="ES|QL piped query "
+                        "(FROM t | WHERE .. | STATS .. BY ..)")
+    eq.add_argument("--query", required=True,
+                    help="ES|QL text, or @file.esql")
+    eq.add_argument("--table", action="append", default=[],
+                    metavar="NAME=PARQUET_PATH",
+                    help="bind an index name to a parquet path "
+                         "(repeatable)")
+    eq.add_argument("--analyzer", default="simple")
+    eq.add_argument("--output", default=None)
+    _add_common(eq)
+
     se = sub.add_parser("search", help="ES JSON search body (query DSL)")
     se.add_argument("--index", required=True)
     se.add_argument("--body", required=True,
@@ -640,6 +652,20 @@ def main(argv: list[str] | None = None) -> int:
                            text_col=args.text_col)
         print(json.dumps(rep, default=str))
         return 0 if rep["ok"] else 1
+    elif args.cmd == "esql":
+        from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+        q = args.query
+        if q.startswith("@"):
+            with open(q[1:]) as f:
+                q = f.read()
+        tables = {}
+        for spec in args.table:
+            name, _, path = spec.partition("=")
+            if not path:
+                build_parser().error("--table needs NAME=PARQUET_PATH")
+            tables[name] = spark.read.parquet(path)
+        _emit(esql(spark, q, tables, analyzer=args.analyzer), args)
     elif args.cmd == "search":
         from elasticsearch_osmosis_plugin_spark.operators.dsl import search
 

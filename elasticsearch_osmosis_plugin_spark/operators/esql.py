@@ -1,0 +1,1302 @@
+"""ES|QL front end: Elasticsearch's piped query language compiled to
+Spark DataFrame plans.
+
+Elasticsearch 8.11+ ships ES|QL (``POST /_query`` with
+``FROM idx | WHERE .. | STATS .. BY .. | SORT .. | LIMIT ..``) as the
+successor query surface to the JSON DSL the reference's users speak
+(the reference delegates all querying to ES — ``ESNodeITest.java``
+round-trips through the same server API this language fronts). Here
+the language is compiled natively: a hand-rolled lexer + recursive-
+descent expression parser produce a tiny AST that maps 1:1 onto
+Catalyst columns, and each pipe command maps onto a DataFrame
+transformation — Catalyst then owns pushdown, pruning and join
+strategy exactly as if the user had written the DataFrame code.
+
+Supported surface (every form is tested equal to its direct
+DataFrame twin, and the flagship forms sit under the hard DuckDB
+gate):
+
+- source commands: ``FROM idx[, idx2 | wildcards] [METADATA _index,
+  _score]``, ``ROW a = 1, b = "x"``
+- processing: ``WHERE`` ``EVAL`` ``STATS .. BY ..`` ``SORT`` ``LIMIT``
+  ``KEEP`` ``DROP`` ``RENAME old AS new`` ``DISSECT`` ``GROK``
+  ``MV_EXPAND`` ``LOOKUP JOIN idx ON f`` ``ENRICH policy ON f
+  [WITH ..]``
+- expressions: arithmetic, comparisons, ``AND OR NOT``, ``IN``,
+  ``LIKE`` (``*``/``?`` wildcards, whole-string), ``RLIKE``
+  (whole-string regex), ``IS [NOT] NULL``, ``field : "query"`` match
+  operator, time-span literals (``1 hour``) in ``BUCKET``/
+  ``DATE_TRUNC``
+- functions: math (ABS..POW), string (CONCAT..SPLIT), date
+  (DATE_TRUNC / DATE_EXTRACT / DATE_DIFF / DATE_FORMAT / BUCKET),
+  conversion (TO_*), conditional (CASE / COALESCE / GREATEST /
+  LEAST), multivalue (MV_* over array columns), ``MATCH``
+- aggregates: COUNT(*/x), COUNT_DISTINCT (exact — ES approximates
+  with HLL above a threshold; exactness is required by the value-
+  for-value gate), SUM/AVG/MIN/MAX, MEDIAN, PERCENTILE (exact
+  interpolated, = DuckDB ``quantile_cont``), VALUES (sorted for
+  determinism), TOP, WEIGHTED_AVG, ST_CENTROID_AGG omitted; per-agg
+  ``WHERE`` filters supported.
+
+Full-text scoring: ``FROM docs METADATA _score | WHERE
+match(text, "q") [AND filters] | SORT _score DESC | LIMIT k``
+routes the match clauses to the engine's BM25 scorer
+(``operators.bm25.bm25_score_terms``) — scores are rank-identical to
+the ``_search`` DSL path, so one oracle covers both APIs. Without
+``METADATA _score``, ``match()`` / ``:`` compile to a pure-Catalyst
+boolean (any analyzed query term present in the analyzed field —
+ES's ``match`` OR semantics in filter context).
+
+Deliberate exclusions: ``NOW()`` and ``SAMPLE`` raise (wall-clock /
+RNG break the deterministic-plan contract; callers pass timestamps
+as literals), ``CHANGE_POINT``, cross-cluster ``FROM remote:idx``.
+
+Scale notes (100 TB): the compiler emits only declarative plans — no
+UDFs, no collects. ``LOOKUP JOIN`` / ``ENRICH`` broadcast the lookup
+side (ES materializes enrich indices on every node for the same
+reason). ``STATS`` is one hash aggregation with map-side partials;
+``SORT | LIMIT k`` becomes TakeOrderedAndProject, never a global
+sort. The scoring path inherits the BM25 engine's plan (broadcast
+term stats, single corpus scan).
+"""
+from __future__ import annotations
+
+import fnmatch
+import re
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..config import EngineConfig
+from ..functions.tokenizer import tokenize_expr, tokenize_py
+from .bm25 import bm25_score_terms
+
+
+class EsqlError(ValueError):
+    """Parse or compile failure, with position context."""
+
+
+# =================================================================== lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+  | (?P<str>\"\"\".*?\"\"\"|"(?:\\.|[^"\\])*")
+  | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
+  | (?P<ident>`[^`]*`|[A-Za-z_@][A-Za-z0-9_@]*)
+  | (?P<op>==|!=|<=|>=|::|[-+*/%<>=(),\[\]|:.?])
+""", re.VERBOSE | re.DOTALL)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+
+
+class Tok:
+    __slots__ = ("kind", "text", "pos", "end")
+
+    def __init__(self, kind: str, text: str, pos: int, end: int):
+        self.kind, self.text, self.pos, self.end = kind, text, pos, end
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Tok({self.kind},{self.text!r}@{self.pos})"
+
+
+def _lex(src: str) -> list[Tok]:
+    out, i, n = [], 0, len(src)
+    while i < n:
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise EsqlError(f"ES|QL: cannot tokenize at {i}: {src[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group(), m.start(), m.end()))
+    out.append(Tok("eof", "", n, n))
+    return out
+
+
+def _unquote(raw: str) -> str:
+    if raw.startswith('"""'):
+        return raw[3:-3]
+    body, out, i = raw[1:-1], [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+# ==================================================== expression AST/parser
+#
+# AST nodes are tuples: ("lit", v) ("col", name) ("call", f, [args])
+# ("bin", op, l, r) ("not", e) ("neg", e) ("in", e, [items], negated)
+# ("like", e, pat, is_regex, negated) ("isnull", e, negated)
+# ("span", n, unit) ("star",) ("match", field_ast, query_ast)
+# ("cast", e, type)
+
+_TIME_UNITS = {
+    "millisecond": 0.001, "milliseconds": 0.001, "ms": 0.001,
+    "second": 1, "seconds": 1, "sec": 1, "s": 1,
+    "minute": 60, "minutes": 60, "min": 60,
+    "hour": 3600, "hours": 3600, "h": 3600,
+    "day": 86400, "days": 86400, "d": 86400,
+    "week": 604800, "weeks": 604800, "w": 604800,
+    "month": "month", "months": "month", "mo": "month",
+    "quarter": "quarter", "quarters": "quarter", "q": "quarter",
+    "year": "year", "years": "year", "y": "year",
+}
+
+_CMP = {"==", "!=", "<", "<=", ">", ">="}
+
+
+class _P:
+    """Recursive-descent expression parser over the token list."""
+
+    def __init__(self, toks: list[Tok], src: str, i: int = 0):
+        self.t, self.src, self.i = toks, src, i
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok:
+        return self.t[min(self.i + k, len(self.t) - 1)]
+
+    def next(self) -> Tok:
+        tok = self.t[self.i]
+        self.i += 1
+        return tok
+
+    def kw(self, *words: str) -> bool:
+        """True + consume if the next token is one of the keywords."""
+        p = self.peek()
+        if p.kind == "ident" and p.text.upper() in words:
+            self.i += 1
+            return True
+        return False
+
+    def at_kw(self, *words: str) -> bool:
+        p = self.peek()
+        return p.kind == "ident" and p.text.upper() in words
+
+    def expect(self, text: str) -> Tok:
+        tok = self.next()
+        if tok.text != text:
+            raise EsqlError(
+                f"ES|QL: expected {text!r} at {tok.pos}, got {tok.text!r}")
+        return tok
+
+    def src_slice(self, start: int, end_tok_i: int) -> str:
+        end = self.t[end_tok_i - 1].end if end_tok_i > 0 else start
+        return self.src[start:end].strip()
+
+    # -- grammar (precedence climbing)
+    def expr(self):
+        return self.or_()
+
+    def or_(self):
+        left = self.and_()
+        while self.kw("OR"):
+            left = ("bin", "or", left, self.and_())
+        return left
+
+    def and_(self):
+        left = self.not_()
+        while self.kw("AND"):
+            left = ("bin", "and", left, self.not_())
+        return left
+
+    def not_(self):
+        if self.kw("NOT"):
+            return ("not", self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        left = self.add()
+        p = self.peek()
+        if p.kind == "op" and p.text in _CMP:
+            self.next()
+            return ("bin", p.text, left, self.add())
+        if p.kind == "op" and p.text == ":":
+            self.next()
+            q = self.add()
+            return ("match", left, q)
+        negated = False
+        if self.at_kw("NOT") and self.peek(1).kind == "ident" \
+                and self.peek(1).text.upper() in ("IN", "LIKE", "RLIKE"):
+            self.next()
+            negated = True
+        if self.kw("IN"):
+            self.expect("(")
+            items = [self.expr()]
+            while self.peek().text == ",":
+                self.next()
+                items.append(self.expr())
+            self.expect(")")
+            return ("in", left, items, negated)
+        if self.at_kw("LIKE", "RLIKE"):
+            is_regex = self.next().text.upper() == "RLIKE"
+            pat = self.next()
+            if pat.kind != "str":
+                raise EsqlError("ES|QL: LIKE/RLIKE needs a string literal")
+            return ("like", left, _unquote(pat.text), is_regex, negated)
+        if self.kw("IS"):
+            neg = self.kw("NOT")
+            if not self.kw("NULL"):
+                raise EsqlError("ES|QL: expected NULL after IS [NOT]")
+            return ("isnull", left, neg)
+        return left
+
+    def add(self):
+        left = self.mul()
+        while True:
+            p = self.peek()
+            if p.kind == "op" and p.text in ("+", "-"):
+                self.next()
+                left = ("bin", p.text, left, self.mul())
+            else:
+                return left
+
+    def mul(self):
+        left = self.unary()
+        while True:
+            p = self.peek()
+            if p.kind == "op" and p.text in ("*", "/", "%"):
+                self.next()
+                left = ("bin", p.text, left, self.unary())
+            else:
+                return left
+
+    def unary(self):
+        p = self.peek()
+        if p.kind == "op" and p.text == "-":
+            self.next()
+            return ("neg", self.unary())
+        if p.kind == "op" and p.text == "+":
+            self.next()
+            return self.unary()
+        return self.cast_()
+
+    def cast_(self):
+        e = self.primary()
+        while self.peek().text == "::":
+            self.next()
+            ty = self.next()
+            e = ("cast", e, ty.text.lower())
+        return e
+
+    def primary(self):
+        p = self.next()
+        if p.kind == "num":
+            v = float(p.text) if any(c in p.text for c in ".eE") \
+                else int(p.text)
+            # `1 hour`-style span literal
+            nxt = self.peek()
+            if isinstance(v, int) and nxt.kind == "ident" \
+                    and nxt.text.lower() in _TIME_UNITS:
+                self.next()
+                return ("span", v, nxt.text.lower())
+            return ("lit", v)
+        if p.kind == "str":
+            return ("lit", _unquote(p.text))
+        if p.kind == "op" and p.text == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        if p.kind == "op" and p.text == "?":
+            raise EsqlError("ES|QL: parameter markers (?) not supported "
+                            "— inline literals")
+        if p.kind == "ident":
+            up = p.text.upper()
+            if up == "TRUE":
+                return ("lit", True)
+            if up == "FALSE":
+                return ("lit", False)
+            if up == "NULL":
+                return ("lit", None)
+            if self.peek().text == "(":
+                self.next()
+                if up == "COUNT" and self.peek().text == "*":
+                    self.next()
+                    self.expect(")")
+                    return ("call", "count", [("star",)])
+                args = []
+                if self.peek().text != ")":
+                    args.append(self.expr())
+                    while self.peek().text == ",":
+                        self.next()
+                        args.append(self.expr())
+                self.expect(")")
+                if up == "MATCH":
+                    if len(args) != 2:
+                        raise EsqlError("ES|QL: MATCH(field, query)")
+                    return ("match", args[0], args[1])
+                return ("call", up.lower(), args)
+            name = p.text
+            if name.startswith("`"):
+                name = name[1:-1]
+            # dotted field: glue strictly-adjacent .ident suffixes
+            end = p.end
+            while (self.peek().text == "." and self.peek().pos == end
+                   and self.peek(1).kind == "ident"
+                   and self.peek(1).pos == self.peek().end):
+                self.next()
+                part = self.next()
+                t = part.text[1:-1] if part.text.startswith("`") \
+                    else part.text
+                name += "." + t
+                end = part.end
+            return ("col", name)
+        raise EsqlError(
+            f"ES|QL: unexpected token {p.text!r} at {p.pos}")
+
+
+# ============================================================== functions
+
+def _like_to_sql(pat: str) -> str:
+    """ES|QL LIKE wildcards (* ?) -> SQL LIKE pattern, whole-string."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _lit_of(ast, what: str):
+    if ast[0] == "lit":
+        return ast[1]
+    if ast[0] == "neg" and ast[1][0] == "lit":
+        return -ast[1][1]
+    raise EsqlError(f"ES|QL: {what} must be a literal")
+
+
+def _span_of(ast, what: str):
+    """-> (seconds, None) for fixed spans, (None, unit) for calendar."""
+    if ast[0] == "span":
+        u = _TIME_UNITS[ast[2]]
+        if isinstance(u, str):
+            if ast[1] != 1:
+                raise EsqlError(f"ES|QL: only 1 {u} calendar spans")
+            return None, u
+        return ast[1] * u, None
+    if ast[0] == "lit" and isinstance(ast[1], str):
+        # "1 hour" given as a string (DATE_TRUNC("1 day", ..) form)
+        m = re.fullmatch(r"(\d+)\s*([a-z]+)", ast[1].strip().lower())
+        if m and m.group(2) in _TIME_UNITS:
+            return _span_of(("span", int(m.group(1)), m.group(2)), what)
+    raise EsqlError(f"ES|QL: {what} needs a time span literal like 1 hour")
+
+
+def _bucket(args, raw):
+    """BUCKET(expr, span) — numeric width or time span / calendar unit."""
+    if len(args) != 2:
+        raise EsqlError("ES|QL: BUCKET(expr, span) — auto-bucket form "
+                        "(4 args) not supported; give an explicit span")
+    e = _compile(args[0])
+    if args[1][0] == "span" or (args[1][0] == "lit"
+                                and isinstance(args[1][1], str)):
+        secs, unit = _span_of(args[1], "BUCKET span")
+        if unit:
+            return F.date_trunc(unit, e)
+        us = int(secs * 1_000_000)
+        return F.timestamp_micros(
+            (F.floor(F.unix_micros(e.cast("timestamp")) / us) * us
+             ).cast("long"))
+    width = _lit_of(args[1], "BUCKET width")
+    return F.floor(e / F.lit(width)) * F.lit(width)
+
+
+_DATE_PARTS = {"year": "year", "month": "month", "day_of_month": "day",
+               "day": "day", "hour_of_day": "hour", "hour": "hour",
+               "minute_of_hour": "minute", "minute": "minute",
+               "second_of_minute": "second", "second": "second",
+               "day_of_week": "dayofweek", "day_of_year": "doy",
+               "week_of_year": "week", "quarter": "quarter"}
+
+_DIFF_US = {"microseconds": 1, "milliseconds": 1000, "seconds": 1_000_000,
+            "minutes": 60_000_000, "hours": 3_600_000_000,
+            "days": 86_400_000_000, "weeks": 604_800_000_000}
+
+
+def _date_diff(args, raw):
+    if len(args) != 3:
+        raise EsqlError("ES|QL: DATE_DIFF(unit, start, end)")
+    unit = str(_lit_of(args[0], "DATE_DIFF unit")).lower()
+    if unit not in _DIFF_US:
+        raise EsqlError(f"ES|QL: DATE_DIFF unit {unit!r} not supported")
+    a, b = _compile(args[1]), _compile(args[2])
+    us = (F.unix_micros(b.cast("timestamp"))
+          - F.unix_micros(a.cast("timestamp")))
+    return (us / F.lit(_DIFF_US[unit])).cast("long")
+
+
+_JAVA2SPARK_FMT = [("yyyy", "yyyy"), ("MM", "MM"), ("dd", "dd"),
+                   ("HH", "HH"), ("mm", "mm"), ("ss", "ss")]
+
+
+def _substring(args, raw):
+    if len(args) == 2:
+        s, start = _compile(args[0]), _lit_of(args[1], "SUBSTRING start")
+        if start < 0:  # from the end
+            return F.expr(f"substr({_sql(args[0])}, {start})")
+        return s.substr(F.lit(max(start, 1)), F.lit(2_147_483_647))
+    s = _compile(args[0])
+    start, ln = (_lit_of(args[1], "SUBSTRING start"),
+                 _lit_of(args[2], "SUBSTRING length"))
+    return s.substr(F.lit(start if start != 0 else 1), F.lit(ln))
+
+
+def _sql(ast) -> str:
+    """Tiny SQL rendering used only for substr-negative-start."""
+    if ast[0] == "col":
+        return f"`{ast[1]}`"
+    if ast[0] == "lit" and isinstance(ast[1], str):
+        return "'" + ast[1].replace("'", "''") + "'"
+    raise EsqlError("ES|QL: negative SUBSTRING start needs a plain column")
+
+
+def _arr_num(c: Column) -> Column:
+    return F.filter(c, lambda x: x.isNotNull())
+
+
+def _no_now(args, raw):
+    raise EsqlError("ES|QL: NOW() is rejected — the engine emits "
+                    "deterministic plans; pass the timestamp as a literal")
+
+
+# name -> fn(arg_asts, raw_text) -> Column
+_FUNCS: dict[str, Callable[[list, str], Column]] = {
+    # math
+    "abs": lambda a, r: F.abs(_compile(a[0])),
+    "ceil": lambda a, r: F.ceil(_compile(a[0])),
+    "floor": lambda a, r: F.floor(_compile(a[0])),
+    "sqrt": lambda a, r: F.sqrt(_compile(a[0])),
+    "exp": lambda a, r: F.exp(_compile(a[0])),
+    "log10": lambda a, r: F.log10(_compile(a[0])),
+    "log": lambda a, r: (F.log(_compile(a[0])) if len(a) == 1 else
+                         F.log(_compile(a[1])) / F.log(_compile(a[0]))),
+    "pow": lambda a, r: F.pow(_compile(a[0]), _compile(a[1])),
+    "round": lambda a, r: F.round(_compile(a[0]),
+                                  _lit_of(a[1], "ROUND digits")
+                                  if len(a) > 1 else 0),
+    "signum": lambda a, r: F.signum(_compile(a[0])),
+    "e": lambda a, r: F.lit(2.718281828459045),
+    "pi": lambda a, r: F.lit(3.141592653589793),
+    "tau": lambda a, r: F.lit(6.283185307179586),
+    # string
+    "concat": lambda a, r: F.concat(*[_compile(x) for x in a]),
+    "length": lambda a, r: F.length(_compile(a[0])),
+    "to_lower": lambda a, r: F.lower(_compile(a[0])),
+    "to_upper": lambda a, r: F.upper(_compile(a[0])),
+    "trim": lambda a, r: F.trim(_compile(a[0])),
+    "ltrim": lambda a, r: F.ltrim(_compile(a[0])),
+    "rtrim": lambda a, r: F.rtrim(_compile(a[0])),
+    "reverse": lambda a, r: F.reverse(_compile(a[0])),
+    "left": lambda a, r: _compile(a[0]).substr(
+        F.lit(1), F.lit(_lit_of(a[1], "LEFT n"))),
+    "right": lambda a, r: F.expr("substr({}, -{})".format(
+        _sql(a[0]), _lit_of(a[1], "RIGHT n"))),
+    "replace": lambda a, r: F.regexp_replace(
+        _compile(a[0]), _lit_of(a[1], "REPLACE regex"),
+        _lit_of(a[2], "REPLACE new")),
+    "split": lambda a, r: F.split(
+        _compile(a[0]), re.escape(_lit_of(a[1], "SPLIT delim"))),
+    "starts_with": lambda a, r: _compile(a[0]).startswith(_compile(a[1])),
+    "ends_with": lambda a, r: _compile(a[0]).endswith(_compile(a[1])),
+    "locate": lambda a, r: F.locate(
+        _lit_of(a[1], "LOCATE substr"), _compile(a[0]),
+        _lit_of(a[2], "LOCATE start") if len(a) > 2 else 1),
+    "repeat": lambda a, r: F.repeat(_compile(a[0]),
+                                    _lit_of(a[1], "REPEAT n")),
+    "substring": _substring,
+    "hash": lambda a, r: F.md5(_compile(a[0])),
+    # conditional / conversion
+    "coalesce": lambda a, r: F.coalesce(*[_compile(x) for x in a]),
+    "greatest": lambda a, r: F.greatest(*[_compile(x) for x in a]),
+    "least": lambda a, r: F.least(*[_compile(x) for x in a]),
+    "case": lambda a, r: _case(a),
+    "to_string": lambda a, r: _compile(a[0]).cast("string"),
+    "to_integer": lambda a, r: _compile(a[0]).cast("int"),
+    "to_int": lambda a, r: _compile(a[0]).cast("int"),
+    "to_long": lambda a, r: _compile(a[0]).cast("long"),
+    "to_double": lambda a, r: _compile(a[0]).cast("double"),
+    "to_boolean": lambda a, r: _compile(a[0]).cast("boolean"),
+    "to_datetime": lambda a, r: _compile(a[0]).cast("timestamp"),
+    # date
+    "now": _no_now,
+    "bucket": _bucket,
+    "date_trunc": lambda a, r: _date_trunc(a),
+    "date_extract": lambda a, r: _date_extract(a),
+    "date_diff": _date_diff,
+    "date_format": lambda a, r: F.date_format(
+        _compile(a[1]), _lit_of(a[0], "DATE_FORMAT pattern")),
+    "date_parse": lambda a, r: F.to_timestamp(
+        _compile(a[1]), _lit_of(a[0], "DATE_PARSE pattern")),
+    # multivalue (array columns)
+    "mv_count": lambda a, r: F.size(_compile(a[0])),
+    "mv_min": lambda a, r: F.array_min(_compile(a[0])),
+    "mv_max": lambda a, r: F.array_max(_compile(a[0])),
+    "mv_sum": lambda a, r: F.aggregate(
+        _arr_num(_compile(a[0])), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double")),
+    "mv_avg": lambda a, r: F.aggregate(
+        _arr_num(_compile(a[0])), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"))
+        / F.size(_arr_num(_compile(a[0]))),
+    "mv_first": lambda a, r: F.element_at(_compile(a[0]), 1),
+    "mv_last": lambda a, r: F.element_at(_compile(a[0]), -1),
+    "mv_dedupe": lambda a, r: F.array_distinct(_compile(a[0])),
+    "mv_sort": lambda a, r: F.sort_array(
+        _compile(a[0]),
+        asc=str(_lit_of(a[1], "MV_SORT order")).lower() != "desc"
+        if len(a) > 1 else True),
+    "mv_concat": lambda a, r: F.array_join(
+        _compile(a[0]), _lit_of(a[1], "MV_CONCAT delim")),
+    "mv_append": lambda a, r: F.concat(_compile(a[0]), _compile(a[1])),
+    "mv_contains": lambda a, r: F.array_contains(
+        _compile(a[0]), _lit_of(a[1], "MV_CONTAINS value")),
+    "mv_slice": lambda a, r: F.slice(
+        _compile(a[0]), _lit_of(a[1], "MV_SLICE start") + 1,
+        (_lit_of(a[2], "MV_SLICE end") - _lit_of(a[1], "x") + 1)
+        if len(a) > 2 else 1),
+}
+
+
+def _case(args):
+    if len(args) < 2:
+        raise EsqlError("ES|QL: CASE(cond, val, ..., [default])")
+    pairs, default = args, None
+    if len(args) % 2 == 1:
+        pairs, default = args[:-1], args[-1]
+    col = None
+    for i in range(0, len(pairs), 2):
+        c, v = _compile(pairs[i]), _compile(pairs[i + 1])
+        col = F.when(c, v) if col is None else col.when(c, v)
+    return col.otherwise(_compile(default)) if default is not None else col
+
+
+def _date_trunc(args):
+    if len(args) != 2:
+        raise EsqlError("ES|QL: DATE_TRUNC(span, date)")
+    secs, unit = _span_of(args[0], "DATE_TRUNC span")
+    e = _compile(args[1])
+    if unit:
+        return F.date_trunc(unit, e)
+    us = int(secs * 1_000_000)
+    return F.timestamp_micros(
+        (F.floor(F.unix_micros(e.cast("timestamp")) / us) * us).cast("long"))
+
+
+def _date_extract(args):
+    part = str(_lit_of(args[0], "DATE_EXTRACT part")).lower()
+    if part not in _DATE_PARTS:
+        raise EsqlError(f"ES|QL: DATE_EXTRACT part {part!r} not supported")
+    fns = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+           "hour": F.hour, "minute": F.minute, "second": F.second,
+           "dayofweek": F.dayofweek, "doy": F.dayofyear,
+           "week": F.weekofyear, "quarter": F.quarter}
+    return fns[_DATE_PARTS[part]](
+        _compile(args[1]).cast("timestamp")).cast("long")
+
+
+# compile-time analyzer used by boolean match(); set per esql() call
+_MATCH_ANALYZER = "simple"
+
+
+def _compile(ast) -> Column:
+    kind = ast[0]
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "col":
+        return F.col(ast[1])
+    if kind == "neg":
+        return -_compile(ast[1])
+    if kind == "not":
+        return ~_compile(ast[1])
+    if kind == "bin":
+        op, l, r = ast[1], _compile(ast[2]), _compile(ast[3])
+        if op == "and":
+            return l & r
+        if op == "or":
+            return l | r
+        if op == "==":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+    if kind == "in":
+        c = _compile(ast[1]).isin([_lit_of(x, "IN item") for x in ast[2]])
+        return ~c if ast[3] else c
+    if kind == "like":
+        _, e, pat, is_regex, neg = ast
+        c = (_compile(e).rlike(f"^(?:{pat})$") if is_regex
+             else _compile(e).like(_like_to_sql(pat)))
+        return ~c if neg else c
+    if kind == "isnull":
+        c = _compile(ast[1]).isNull()
+        return ~c if ast[2] else c
+    if kind == "cast":
+        ty = {"string": "string", "keyword": "string", "text": "string",
+              "int": "int", "integer": "int", "long": "long",
+              "double": "double", "float": "float", "boolean": "boolean",
+              "datetime": "timestamp", "date": "timestamp"}.get(ast[2])
+        if ty is None:
+            raise EsqlError(f"ES|QL: unknown cast type {ast[2]!r}")
+        return _compile(ast[1]).cast(ty)
+    if kind == "match":
+        # non-scoring context: ES match-in-filter — true if ANY analyzed
+        # query term occurs among the field's analyzed tokens (pure
+        # Catalyst: arrays_overlap over tokenize_expr)
+        field_ast, q_ast = ast[1], ast[2]
+        if field_ast[0] != "col":
+            raise EsqlError("ES|QL: match needs a field on the left")
+        query = _lit_of(q_ast, "match query")
+        terms = sorted(set(tokenize_py(str(query), _MATCH_ANALYZER)))
+        if not terms:
+            return F.lit(False)
+        return F.arrays_overlap(
+            tokenize_expr(F.col(field_ast[1]), _MATCH_ANALYZER),
+            F.array(*[F.lit(t) for t in terms]))
+    if kind == "call":
+        fn = _FUNCS.get(ast[1])
+        if fn is None:
+            raise EsqlError(f"ES|QL: unknown function {ast[1].upper()}")
+        return fn(ast[2], "")
+    if kind == "span":
+        raise EsqlError("ES|QL: time span literal only valid in "
+                        "BUCKET/DATE_TRUNC")
+    if kind == "star":
+        raise EsqlError("ES|QL: * only valid in COUNT(*)")
+    raise EsqlError(f"ES|QL: cannot compile {ast!r}")
+
+
+# ============================================================== aggregates
+
+def _agg_col(name: str, args: list, where: Column | None) -> Column:
+    """STATS aggregate -> Column. `where` is the per-agg filter."""
+    def arg(i=0) -> Column:
+        c = _compile(args[i])
+        return F.when(where, c) if where is not None else c
+
+    if name == "count":
+        if args and args[0][0] == "star":
+            return (F.count(F.when(where, F.lit(1))) if where is not None
+                    else F.count(F.lit(1)))
+        return F.count(arg())
+    if name == "count_distinct":
+        # exact (ES approximates via HLL above precision_threshold; the
+        # value-for-value gate needs exactness, documented divergence)
+        return F.countDistinct(arg())
+    if name in ("sum", "avg", "min", "max"):
+        return getattr(F, name)(arg())
+    if name == "median":
+        return F.expr(f"percentile({_agg_sql(args[0], where)}, 0.5)")
+    if name == "percentile":
+        p = _lit_of(args[1], "PERCENTILE p")
+        return F.expr(
+            f"percentile({_agg_sql(args[0], where)}, {p / 100.0!r})")
+    if name == "median_absolute_deviation":
+        raise EsqlError("ES|QL: MEDIAN_ABSOLUTE_DEVIATION not supported "
+                        "(two-pass; compute via two STATS pipes)")
+    if name == "values":
+        # ES returns an unordered multivalue; sorted here for plan
+        # determinism (documented divergence)
+        return F.sort_array(F.collect_set(arg()))
+    if name == "top":
+        n = _lit_of(args[1], "TOP n")
+        order = str(_lit_of(args[2], "TOP order")).lower() \
+            if len(args) > 2 else "desc"
+        return F.slice(F.sort_array(F.collect_list(arg()),
+                                    asc=order == "asc"), 1, n)
+    if name == "weighted_avg":
+        x, w = arg(0), _compile(args[1])
+        if where is not None:
+            w = F.when(where, w)
+        return F.sum(x * w) / F.sum(w)
+    raise EsqlError(f"ES|QL: unknown aggregate {name.upper()}")
+
+
+def _agg_sql(ast, where: Column | None) -> str:
+    """Render a filtered agg input for F.expr-only aggs (percentile)."""
+    if ast[0] != "col":
+        raise EsqlError("ES|QL: MEDIAN/PERCENTILE need a plain column "
+                        "(EVAL the expression first)")
+    if where is not None:
+        raise EsqlError("ES|QL: per-agg WHERE not supported on "
+                        "MEDIAN/PERCENTILE (pre-filter with WHERE)")
+    return f"`{ast[1]}`"
+
+
+_AGG_NAMES = {"count", "count_distinct", "sum", "avg", "min", "max",
+              "median", "percentile", "values", "top", "weighted_avg",
+              "median_absolute_deviation"}
+
+
+# ========================================================== DISSECT / GROK
+
+_GROK_PATTERNS = {
+    "WORD": r"\w+", "NOTSPACE": r"\S+", "SPACE": r"\s+",
+    "DATA": r".*?", "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "HOSTNAME": r"[a-zA-Z0-9.\-]+",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL":
+        r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|SEVERE|CRITICAL)",
+    "QUOTEDSTRING": r'"[^"]*"',
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.@]+))?(?::(\w+))?\}")
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """grok pattern -> (python regex with named groups, [(name, type)])."""
+    out, fields, last = [], [], 0
+    for m in _GROK_REF.finditer(pattern):
+        out.append(re.escape(pattern[last:m.start()]))
+        base, name, ftype = m.group(1), m.group(2), m.group(3)
+        if base not in _GROK_PATTERNS:
+            raise EsqlError(f"ES|QL GROK: unknown pattern %{{{base}}}")
+        if name:
+            fields.append((name, ftype or "string"))
+            out.append(f"({_GROK_PATTERNS[base]})")
+        else:
+            out.append(f"(?:{_GROK_PATTERNS[base]})")
+        last = m.end()
+    out.append(re.escape(pattern[last:]))
+    return "".join(out), fields
+
+
+_DISSECT_REF = re.compile(r"%\{([^}]*)\}")
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """dissect pattern -> (regex, field names). Supports %{name}, %{}
+    and %{?skipped}; -> modifiers are rejected explicitly."""
+    out, fields, last = [], [], 0
+    refs = list(_DISSECT_REF.finditer(pattern))
+    for i, m in enumerate(refs):
+        out.append(re.escape(pattern[last:m.start()]))
+        key = m.group(1)
+        if "->" in key or key.startswith(("+", "/")):
+            raise EsqlError(f"ES|QL DISSECT: modifier in %{{{key}}} "
+                            "not supported")
+        greedy = i == len(refs) - 1 and m.end() == len(pattern)
+        body = r".*" if greedy else r".*?"
+        if key and not key.startswith("?"):
+            fields.append(key)
+            out.append(f"({body})")
+        else:
+            out.append(f"(?:{body})")
+        last = m.end()
+    out.append(re.escape(pattern[last:]))
+    return "".join(out), fields
+
+
+# ============================================================== commands
+
+def _split_pipes(toks: list[Tok]) -> list[list[Tok]]:
+    segs, cur = [], []
+    for t in toks:
+        if t.kind == "op" and t.text == "|":
+            segs.append(cur)
+            cur = []
+        elif t.kind != "eof":
+            cur.append(t)
+    segs.append(cur)
+    return segs
+
+
+def _resolve(tables, name: str) -> DataFrame:
+    if callable(tables):
+        return tables(name)
+    if name in tables:
+        return tables[name]
+    raise EsqlError(f"ES|QL: unknown index {name!r}; known: "
+                    f"{sorted(tables)}")
+
+
+def _parse_pattern(p: _P) -> str:
+    """One name/pattern: adjacent ident / `*` / `.` / digit tokens glue
+    into a single name (``src*``, ``events.2024*``, ``user.name``)."""
+    tok = p.next()
+    if tok.kind not in ("ident", "num") and tok.text != "*":
+        raise EsqlError(f"ES|QL: expected a name at {tok.pos}, "
+                        f"got {tok.text!r}")
+    name = tok.text[1:-1] if tok.text.startswith("`") else tok.text
+    end = tok.end
+    while True:
+        nxt = p.peek()
+        if nxt.pos != end:
+            break
+        if nxt.kind in ("ident", "num") or nxt.text in ("*", "."):
+            p.next()
+            name += (nxt.text[1:-1] if nxt.text.startswith("`")
+                     else nxt.text)
+            end = nxt.end
+        else:
+            break
+    return name
+
+
+def _parse_names(p: _P) -> list[str]:
+    names = [_parse_pattern(p)]
+    while p.peek().text == ",":
+        p.next()
+        names.append(_parse_pattern(p))
+    return names
+
+
+class _State:
+    """Pipeline compile state."""
+
+    def __init__(self, df: DataFrame, score: bool, spark, analyzer: str,
+                 id_col: str, cfg: EngineConfig):
+        self.df = df
+        self.want_score = score      # METADATA _score requested
+        self.scored = False          # _score column attached yet
+        self.spark, self.analyzer = spark, analyzer
+        self.id_col, self.cfg = id_col, cfg
+
+
+def _named_exprs(p: _P, stop_kws: tuple[str, ...] = ()) -> list[tuple]:
+    """Parse `name = expr, ...` (name optional) until EOF / stop kw.
+    -> [(name_or_None, ast, raw_text)]."""
+    out = []
+    while True:
+        start_pos = p.peek().pos
+        name = None
+        if (p.peek().kind == "ident" and p.peek(1).text == "="
+                and p.peek(2).text != "="):
+            name = p.next().text
+            if name.startswith("`"):
+                name = name[1:-1]
+            p.next()
+            start_pos = p.peek().pos
+        ast = p.expr()
+        raw = p.src_slice(start_pos, p.i)
+        out.append((name, ast, raw))
+        if p.peek().text == ",":
+            p.next()
+            continue
+        break
+    return out
+
+
+def _split_conjuncts(ast) -> list:
+    if ast[0] == "bin" and ast[1] == "and":
+        return _split_conjuncts(ast[2]) + _split_conjuncts(ast[3])
+    return [ast]
+
+
+def _where(st: _State, p: _P) -> None:
+    ast = p.expr()
+    if st.want_score and not st.scored:
+        conj = _split_conjuncts(ast)
+        matches = [c for c in conj if c[0] == "match"]
+        rest = [c for c in conj if c[0] != "match"]
+        if matches:
+            df = st.df
+            score = None
+            for mnode in matches:
+                field = mnode[1]
+                if field[0] != "col":
+                    raise EsqlError("ES|QL: match needs a field")
+                terms = sorted(set(tokenize_py(
+                    str(_lit_of(mnode[2], "match query")), st.analyzer)))
+                if not terms:
+                    st.df = st.df.withColumn(
+                        "_score", F.lit(0.0)).filter(F.lit(False))
+                    st.scored = True
+                    return
+                sc = bm25_score_terms(
+                    st.df, terms, st.cfg, id_col=st.id_col,
+                    text_col=field[1], analyzer=st.analyzer)
+                sc = (sc.withColumnRenamed("score", "__s")
+                        .withColumnRenamed("doc_id", st.id_col))
+                df = df.join(sc, st.id_col)
+                df = df.withColumn(
+                    "_score",
+                    (F.col("_score") + F.col("__s")) if score else
+                    F.col("__s")).drop("__s")
+                score = True
+            st.df = df
+            st.scored = True
+            for c in rest:
+                st.df = st.df.filter(_compile(c))
+            return
+    st.df = st.df.filter(_compile(ast))
+
+
+def _extract_aggs(ast, sink: list) -> tuple:
+    """Replace aggregate calls in `ast` with ("col", "__aN") refs,
+    appending (fn, args) to `sink`. Returns the rewritten ast."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "call" and ast[1] in _AGG_NAMES:
+        sink.append((ast[1], ast[2]))
+        return ("col", f"__a{len(sink) - 1}")
+    if ast[0] == "call":
+        return ("call", ast[1],
+                [_extract_aggs(a, sink) for a in ast[2]])
+    if ast[0] in ("bin",):
+        return ("bin", ast[1], _extract_aggs(ast[2], sink),
+                _extract_aggs(ast[3], sink))
+    if ast[0] in ("not", "neg"):
+        return (ast[0], _extract_aggs(ast[1], sink))
+    if ast[0] == "cast":
+        return ("cast", _extract_aggs(ast[1], sink), ast[2])
+    if ast[0] == "in":
+        return ("in", _extract_aggs(ast[1], sink), ast[2], ast[3])
+    if ast[0] in ("like", "isnull"):
+        return (ast[0], _extract_aggs(ast[1], sink)) + ast[2:]
+    return ast
+
+
+def _stats(st: _State, p: _P) -> None:
+    items = []      # (out_name, rewritten_ast, where_ast)
+    sink: list[tuple] = []      # (fn, args) in __aN order
+    where_of: list[Column | None] = []
+    while True:
+        start = p.peek().pos
+        name = None
+        if (p.peek().kind == "ident" and p.peek(1).text == "="
+                and p.peek(2).text != "="):
+            name = p.next().text
+            if name.startswith("`"):
+                name = name[1:-1]
+            p.next()
+            start = p.peek().pos
+        ast = p.expr()
+        raw = p.src_slice(start, p.i)
+        where = None
+        if p.kw("WHERE"):
+            where = _compile(p.expr())
+            raw = p.src_slice(start, p.i)
+        n_before = len(sink)
+        rewritten = _extract_aggs(ast, sink)
+        if len(sink) == n_before:
+            raise EsqlError(
+                f"ES|QL STATS: {raw!r} contains no aggregate")
+        where_of += [where] * (len(sink) - n_before)
+        items.append((name or raw, rewritten))
+        if p.peek().text == ",":
+            p.next()
+            continue
+        break
+    groups = []     # (name, ast)
+    if p.kw("BY"):
+        for name, ast, raw in _named_exprs(p):
+            groups.append((name or raw, ast))
+    df = st.df
+    gcols = []
+    for name, ast in groups:
+        df = df.withColumn(name, _compile(ast))
+        gcols.append(name)
+    acols = [_agg_col(fn, args, wh).alias(f"__a{i}")
+             for i, ((fn, args), wh) in enumerate(zip(sink, where_of))]
+    agged = df.groupBy(*gcols).agg(*acols) if gcols else df.agg(*acols)
+    out = [F.col(g) for g in gcols]
+    out += [_compile(ast).alias(nm) for nm, ast in items]
+    st.df = agged.select(*out)
+
+
+def _sort(st: _State, p: _P) -> None:
+    keys = []
+    while True:
+        ast = p.expr()
+        col = _compile(ast)
+        desc = False
+        if p.kw("DESC"):
+            desc = True
+        elif p.kw("ASC"):
+            pass
+        nulls = None
+        if p.kw("NULLS"):
+            if p.kw("FIRST"):
+                nulls = "first"
+            elif p.kw("LAST"):
+                nulls = "last"
+            else:
+                raise EsqlError("ES|QL SORT: NULLS FIRST|LAST")
+        if desc:
+            col = (col.desc_nulls_first() if nulls == "first" else
+                   col.desc_nulls_last() if nulls == "last" else col.desc())
+        else:
+            col = (col.asc_nulls_first() if nulls == "first" else
+                   col.asc_nulls_last() if nulls == "last" else col.asc())
+        keys.append(col)
+        if p.peek().text == ",":
+            p.next()
+            continue
+        break
+    st.df = st.df.orderBy(*keys)
+
+
+def _keep_drop(st: _State, p: _P, keep: bool) -> None:
+    pats = _parse_names(p)
+    cols = st.df.columns
+    if keep:
+        chosen: list[str] = []
+        for pat in pats:
+            hits = ([pat] if pat in cols else
+                    [c for c in cols if fnmatch.fnmatchcase(c, pat)])
+            if not hits and "*" not in pat:
+                raise EsqlError(f"ES|QL KEEP: unknown column {pat!r}")
+            chosen += [h for h in hits if h not in chosen]
+        st.df = st.df.select(*chosen)
+    else:
+        doomed = []
+        for pat in pats:
+            hits = ([pat] if pat in cols else
+                    [c for c in cols if fnmatch.fnmatchcase(c, pat)])
+            if not hits and "*" not in pat:
+                raise EsqlError(f"ES|QL DROP: unknown column {pat!r}")
+            doomed += hits
+        st.df = st.df.drop(*doomed)
+
+
+def _rename(st: _State, p: _P) -> None:
+    while True:
+        a = _parse_pattern(p)
+        if p.kw("AS"):
+            old, new = a, _parse_pattern(p)
+        elif p.peek().text == "=":          # 9.x `new = old` form
+            p.next()
+            old, new = _parse_pattern(p), a
+        else:
+            raise EsqlError("ES|QL RENAME: use `old AS new`")
+        st.df = st.df.withColumnRenamed(old, new)
+        if p.peek().text == ",":
+            p.next()
+            continue
+        break
+
+
+def _dissect_grok(st: _State, p: _P, grok: bool) -> None:
+    field = _parse_pattern(p)
+    pat_tok = p.next()
+    if pat_tok.kind != "str":
+        raise EsqlError("ES|QL DISSECT/GROK: pattern must be a string")
+    pattern = _unquote(pat_tok.text)
+    if grok:
+        rx, fields = _grok_regex(pattern)
+        typed = fields
+    else:
+        rx, names = _dissect_regex(pattern)
+        typed = [(n, "string") for n in names]
+    df = st.df
+    src = F.col(field)
+    for i, (name, ftype) in enumerate(typed):
+        c = F.regexp_extract(src, rx, i + 1)
+        c = F.when(src.rlike(rx), c)        # no match -> null, like ES
+        if ftype in ("int", "long"):
+            c = c.cast("long")
+        elif ftype in ("float", "double"):
+            c = c.cast("double")
+        df = df.withColumn(name, c)
+    st.df = df
+
+
+def _mv_expand(st: _State, p: _P) -> None:
+    col = _parse_pattern(p)
+    others = [c for c in st.df.columns if c != col]
+    st.df = st.df.select(*others, F.explode_outer(F.col(col)).alias(col)) \
+        .select(*st.df.columns)
+
+
+def _lookup_join(st: _State, p: _P, tables) -> None:
+    p_kw = p.next().text.upper()
+    if p_kw != "JOIN":
+        raise EsqlError("ES|QL: LOOKUP JOIN <index> ON <field>")
+    name = _parse_pattern(p)
+    if not p.kw("ON"):
+        raise EsqlError("ES|QL: LOOKUP JOIN <index> ON <field>")
+    keys = _parse_names(p)
+    right = _resolve(tables, name)
+    # ES semantics: on name collision the lookup index's value wins
+    clash = [c for c in st.df.columns
+             if c in right.columns and c not in keys]
+    st.df = st.df.drop(*clash).join(F.broadcast(right), on=keys, how="left")
+
+
+def _enrich(st: _State, p: _P, tables) -> None:
+    policy = _parse_pattern(p)
+    match_field = None
+    with_cols: list[tuple[str, str]] = []
+    if p.kw("ON"):
+        match_field = _parse_pattern(p)
+    if p.kw("WITH"):
+        while True:
+            a = _parse_pattern(p)
+            if p.peek().text == "=":
+                p.next()
+                with_cols.append((a, _parse_pattern(p)))  # new = col
+            else:
+                with_cols.append((a, a))
+            if p.peek().text == ",":
+                p.next()
+                continue
+            break
+    right = _resolve(tables, policy)
+    key = match_field or right.columns[0]
+    if key not in right.columns:
+        # policy match field differs from input field name: join input
+        # field against the enrich table's FIRST column (its match col)
+        rkey = right.columns[0]
+        right = right.withColumnRenamed(rkey, key)
+    if with_cols:
+        right = right.select(
+            key, *[F.col(src).alias(dst) for dst, src in with_cols
+                   if src != key])
+    clash = [c for c in st.df.columns if c in right.columns and c != key]
+    st.df = st.df.drop(*clash).join(F.broadcast(right), on=key, how="left")
+
+
+def _row(spark: SparkSession, p: _P) -> DataFrame:
+    cols = []
+    for name, ast, raw in _named_exprs(p):
+        cols.append(_compile(ast).alias(name or raw))
+    return spark.range(1).select(*cols)
+
+
+# ================================================================== entry
+
+def esql(spark: SparkSession, query: str,
+         tables: dict[str, DataFrame] | Callable[[str], DataFrame]
+         | None = None, *,
+         analyzer: str = "simple", id_col: str = "doc_id",
+         cfg: EngineConfig | None = None) -> DataFrame:
+    """Compile and run an ES|QL query; returns the result DataFrame.
+
+    ``tables`` resolves ``FROM``/``LOOKUP JOIN``/``ENRICH`` names — a
+    dict (wildcards in FROM match its keys) or a callable. ``analyzer``
+    and ``id_col`` configure the full-text ``match()`` path.
+    """
+    global _MATCH_ANALYZER
+    toks = _lex(query)
+    segs = _split_pipes(toks)
+    if not segs or not segs[0]:
+        raise EsqlError("ES|QL: empty query")
+    tables = tables or {}
+    cfg = cfg or EngineConfig()
+    _MATCH_ANALYZER = analyzer
+
+    # --- source command
+    p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
+    head = p0.next().text.upper()
+    want_score = False
+    if head == "FROM":
+        names = _parse_names(p0)
+        meta: list[str] = []
+        if p0.kw("METADATA"):
+            meta = _parse_names(p0)
+        expanded: list[str] = []
+        for nm in names:
+            if "*" in nm and not callable(tables):
+                hits = sorted(k for k in tables
+                              if fnmatch.fnmatchcase(k, nm))
+                if not hits:
+                    raise EsqlError(f"ES|QL: no index matches {nm!r}")
+                expanded += hits
+            else:
+                expanded.append(nm)
+        parts = []
+        for nm in expanded:
+            d = _resolve(tables, nm)
+            if "_index" in meta:
+                d = d.withColumn("_index", F.lit(nm))
+            parts.append(d)
+        df = parts[0]
+        for d in parts[1:]:
+            df = df.unionByName(d, allowMissingColumns=True)
+        want_score = "_score" in meta
+        unknown = [m for m in meta if m not in ("_index", "_score")]
+        if unknown:
+            raise EsqlError(f"ES|QL: METADATA {unknown} not supported")
+    elif head == "ROW":
+        df = _row(spark, p0)
+    else:
+        raise EsqlError(f"ES|QL: query must start with FROM or ROW, "
+                        f"got {head}")
+    if p0.peek().kind != "eof":
+        raise EsqlError(
+            f"ES|QL: trailing input in source command: "
+            f"{p0.peek().text!r}")
+
+    st = _State(df, want_score, spark, analyzer, id_col, cfg)
+
+    # --- processing commands
+    for seg in segs[1:]:
+        if not seg:
+            raise EsqlError("ES|QL: empty pipe segment")
+        p = _P(seg + [Tok("eof", "", 0, 0)], query)
+        cmd = p.next().text.upper()
+        if cmd == "WHERE":
+            _where(st, p)
+        elif cmd == "EVAL":
+            for name, ast, raw in _named_exprs(p):
+                st.df = st.df.withColumn(name or raw, _compile(ast))
+        elif cmd == "STATS":
+            _stats(st, p)
+        elif cmd == "SORT":
+            _sort(st, p)
+        elif cmd == "LIMIT":
+            n = p.next()
+            if n.kind != "num":
+                raise EsqlError("ES|QL LIMIT: integer expected")
+            st.df = st.df.limit(int(n.text))
+        elif cmd == "KEEP":
+            _keep_drop(st, p, keep=True)
+        elif cmd == "DROP":
+            _keep_drop(st, p, keep=False)
+        elif cmd == "RENAME":
+            _rename(st, p)
+        elif cmd == "DISSECT":
+            _dissect_grok(st, p, grok=False)
+        elif cmd == "GROK":
+            _dissect_grok(st, p, grok=True)
+        elif cmd == "MV_EXPAND":
+            _mv_expand(st, p)
+        elif cmd == "LOOKUP":
+            _lookup_join(st, p, tables)
+        elif cmd == "ENRICH":
+            _enrich(st, p, tables)
+        elif cmd in ("SAMPLE", "CHANGE_POINT", "INLINESTATS", "FORK",
+                     "RERANK", "COMPLETION"):
+            raise EsqlError(f"ES|QL: {cmd} not supported")
+        else:
+            raise EsqlError(f"ES|QL: unknown command {cmd}")
+        if p.peek().kind != "eof":
+            raise EsqlError(f"ES|QL: trailing input after {cmd}: "
+                            f"{p.peek().text!r}")
+    return st.df

@@ -1,0 +1,336 @@
+"""ES|QL front end: every piped form equals its direct DataFrame twin.
+
+The compiler must be a pure re-spelling — each test builds the same
+plan with the DataFrame API and asserts row-for-row equality (sorted),
+so the language layer can never drift from the engine it fronts.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_osmosis_plugin_spark.operators.esql import EsqlError, esql
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = {n: spark.read.parquet(f"{SF}/{n}.parquet")
+         for n in ("events", "documents", "orders", "customer")}
+    return t
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ------------------------------------------------------------ expressions
+
+def test_where_eval_sort_limit(spark, tables):
+    got = esql(spark, """
+FROM events
+| WHERE value >= 50 AND NOT (event_type == "signup" OR event_type == "view")
+| EVAL v2 = ROUND(value * 2.0, 1), neg = -user_id
+| KEEP event_id, v2, neg
+| SORT v2 DESC, event_id ASC
+| LIMIT 7""", tables)
+    ev = tables["events"]
+    want = (ev.filter((F.col("value") >= 50)
+                      & ~F.col("event_type").isin("signup", "view"))
+            .select("event_id", F.round(F.col("value") * 2.0, 1).alias("v2"),
+                    (-F.col("user_id")).alias("neg"))
+            .orderBy(F.desc("v2"), F.asc("event_id")).limit(7))
+    assert got.collect() == want.collect()
+    assert got.columns == ["event_id", "v2", "neg"]
+
+
+def test_like_rlike_in_isnull(spark, tables):
+    got = esql(spark, """
+FROM documents
+| WHERE lang IN ("en", "fr") AND source LIKE "src1*"
+      AND text RLIKE ".*spark.*" AND text IS NOT NULL
+| STATS n = COUNT(*)""", tables)
+    d = tables["documents"]
+    want = (d.filter(F.col("lang").isin("en", "fr")
+                     & F.col("source").rlike("^src1.*$")
+                     & F.col("text").rlike("^(?:.*spark.*)$")
+                     & F.col("text").isNotNull())
+            .count())
+    assert got.collect()[0][0] == want
+
+
+def test_case_coalesce_string_funcs(spark, tables):
+    got = esql(spark, """
+FROM documents
+| EVAL band = CASE(n_chars > 400, "long", n_chars > 200, "mid", "short"),
+       up = TO_UPPER(SUBSTRING(source, 1, 3)),
+       sl = LENGTH(CONCAT(lang, "-", source))
+| STATS n = COUNT(*), mean_sl = AVG(sl) BY band, up
+| SORT band, up
+| LIMIT 5""", tables)
+    assert got.columns == ["band", "up", "n", "mean_sl"]
+    out = got.collect()
+    assert 1 <= len(out) <= 5 and all(r["up"] == "SRC" for r in out)
+    d = tables["documents"]
+    want_n = sum(r["n"] for r in out)
+    assert want_n == d.count()
+
+
+def test_unnamed_columns_use_source_text(spark, tables):
+    got = esql(spark, 'FROM events | STATS COUNT(*), AVG(value)', tables)
+    assert got.columns == ["COUNT(*)", "AVG(value)"]
+
+
+# ------------------------------------------------------------ STATS forms
+
+def test_stats_by_bucket_matches_dataframe(spark, tables):
+    got = esql(spark, """
+FROM events
+| STATS n = COUNT(*), s = SUM(value) BY day = BUCKET(ts, 1 day), event_type
+| SORT day, event_type""", tables)
+    ev = tables["events"]
+    want = (ev.withColumn("day", F.date_trunc("day", "ts"))
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .orderBy("day", "event_type"))
+    assert got.collect() == want.collect()
+
+
+def test_stats_agg_where_filter(spark, tables):
+    got = esql(spark, """
+FROM events
+| STATS views = COUNT(*) WHERE event_type == "view",
+        all = COUNT(*),
+        vsum = SUM(value) WHERE event_type == "view" """, tables)
+    ev = tables["events"]
+    r = got.collect()[0]
+    assert r["all"] == ev.count()
+    assert r["views"] == ev.filter(F.col("event_type") == "view").count()
+    want = ev.filter(F.col("event_type") == "view") \
+        .agg(F.sum("value")).collect()[0][0]
+    assert abs(r["vsum"] - want) < 1e-9
+
+
+def test_stats_expression_over_aggregates(spark, tables):
+    got = esql(spark, """
+FROM events
+| STATS frac = ROUND(SUM(value) / COUNT(*), 3)""", tables).collect()[0][0]
+    ev = tables["events"]
+    want = ev.agg(F.round(F.sum("value") / F.count(F.lit(1)), 3)) \
+        .collect()[0][0]
+    assert got == want
+
+
+def test_median_percentile_values_top(spark, tables):
+    got = esql(spark, """
+FROM events
+| STATS md = MEDIAN(value), p90 = PERCENTILE(value, 90),
+        kinds = VALUES(event_type), top2 = TOP(value, 2, "desc")""",
+               tables).collect()[0]
+    ev = tables["events"]
+    want = ev.agg(F.expr("percentile(value, 0.5)"),
+                  F.expr("percentile(value, 0.9)")).collect()[0]
+    assert got["md"] == want[0] and got["p90"] == want[1]
+    assert got["kinds"] == sorted(
+        r[0] for r in ev.select("event_type").distinct().collect())
+    top2 = [r[0] for r in
+            ev.orderBy(F.desc("value")).limit(2).select("value").collect()]
+    assert got["top2"] == top2
+
+
+# ------------------------------------------ KEEP/DROP/RENAME + MV_EXPAND
+
+def test_keep_wildcard_order_and_drop(spark, tables):
+    got = esql(spark, "FROM orders | KEEP o_order*, o_custkey | LIMIT 1",
+               tables)
+    assert got.columns == ["o_orderkey", "o_orderstatus", "o_orderdate",
+                           "o_orderpriority", "o_custkey"]
+    got = esql(spark, "FROM orders | DROP o_order* | LIMIT 1", tables)
+    assert got.columns == ["o_custkey", "o_totalprice"]
+    with pytest.raises(EsqlError, match="unknown column"):
+        esql(spark, "FROM orders | KEEP nope", tables)
+
+
+def test_rename_both_syntaxes(spark, tables):
+    a = esql(spark, "FROM orders | RENAME o_custkey AS ck | LIMIT 1", tables)
+    b = esql(spark, "FROM orders | RENAME ck = o_custkey | LIMIT 1", tables)
+    assert "ck" in a.columns and a.columns == b.columns
+
+
+def test_mv_expand_and_split(spark, tables):
+    got = esql(spark, """
+ROW id = 1, s = "a b a"
+| EVAL parts = SPLIT(s, " ")
+| MV_EXPAND parts
+| KEEP id, parts""", {})
+    assert rows(got) == [(1, "a"), (1, "a"), (1, "b")]
+
+
+def test_row_and_arithmetic(spark):
+    got = esql(spark, 'ROW x = 5, y = 2 | EVAL q = x / y, m = x % y, '
+                      'p = POW(x, 2)', {}).collect()[0]
+    assert (got["q"], got["m"], got["p"]) == (2.5, 1, 25.0)
+
+
+# ------------------------------------------------------- DISSECT / GROK
+
+def test_dissect_extracts_fields(spark, tables):
+    got = esql(spark, """
+ROW line = "2024-01-01 INFO api ok"
+| DISSECT line "%{date} %{level} %{svc} %{msg}"
+| KEEP date, level, svc, msg""", {})
+    assert got.collect()[0].asDict() == {
+        "date": "2024-01-01", "level": "INFO", "svc": "api", "msg": "ok"}
+
+
+def test_dissect_no_match_gives_nulls(spark):
+    got = esql(spark, 'ROW line = "nodelim" '
+                      '| DISSECT line "%{a}:%{b}" | KEEP a, b', {})
+    assert got.collect()[0].asDict() == {"a": None, "b": None}
+
+
+def test_grok_typed_extraction(spark, tables):
+    got = esql(spark, """
+FROM events
+| GROK props "\\"k\\": %{INT:kv:int}"
+| STATS s = SUM(kv), n = COUNT(kv)""", tables).collect()[0]
+    ev = tables["events"]
+    want = (ev.select(F.regexp_extract("props", r'"k": (\d+)', 1)
+                      .cast("long").alias("kv"))
+            .agg(F.sum("kv"), F.count("kv")).collect()[0])
+    assert (got["s"], got["n"]) == (want[0], want[1])
+
+
+def test_grok_unknown_pattern_rejected(spark):
+    with pytest.raises(EsqlError, match="unknown pattern"):
+        esql(spark, 'ROW a = "x" | GROK a "%{NOPE:f}"', {})
+
+
+# --------------------------------------------------- LOOKUP JOIN / ENRICH
+
+def test_lookup_join_broadcasts_and_lookup_wins(spark, tables):
+    orders = tables["orders"]
+    cust = (tables["customer"]
+            .select(F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_name").alias("cname"),
+                    F.lit("FROM_LOOKUP").alias("o_orderstatus")))
+    got = esql(spark, """
+FROM orders
+| LOOKUP JOIN cust ON o_custkey
+| STATS n = COUNT(*) BY o_orderstatus""",
+               {"orders": orders, "cust": cust})
+    r = got.collect()
+    # collision: lookup's o_orderstatus replaced the left's
+    assert [x["o_orderstatus"] for x in r] == ["FROM_LOOKUP"]
+    assert r[0]["n"] == orders.count()
+    plan = esql(spark, "FROM orders | LOOKUP JOIN cust ON o_custkey",
+                {"orders": orders, "cust": cust}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_enrich_with_selected_fields(spark, tables):
+    pol = (tables["customer"]
+           .select(F.col("c_custkey").alias("o_custkey"), "c_name",
+                   "c_acctbal"))
+    got = esql(spark, """
+FROM orders
+| ENRICH custpol ON o_custkey WITH who = c_name
+| WHERE who IS NOT NULL
+| KEEP o_orderkey, who
+| SORT o_orderkey
+| LIMIT 3""", {"orders": tables["orders"], "custpol": pol})
+    assert got.columns == ["o_orderkey", "who"]
+    assert got.count() == 3
+
+
+# -------------------------------------------------------- full-text path
+
+def test_match_score_rank_identical_to_bm25(spark, tables):
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import (
+        bm25_score_terms,
+    )
+    got = esql(spark, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query")
+| KEEP doc_id, _score
+| SORT _score DESC, doc_id
+| LIMIT 10""", tables, analyzer="simple")
+    sc = bm25_score_terms(tables["documents"], ["query", "spark"],
+                          EngineConfig(), id_col="doc_id", text_col="text",
+                          analyzer="simple")
+    want = (sc.orderBy(F.desc("score"), "doc_id").limit(10)
+            .select("doc_id", F.col("score").alias("_score")))
+    assert got.collect() == want.collect()
+
+
+def test_match_as_boolean_without_score(spark, tables):
+    got = esql(spark, """
+FROM documents
+| WHERE MATCH(text, "spark") AND lang == "en"
+| STATS n = COUNT(*)""", tables).collect()[0][0]
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+    d = tables["documents"]
+    want = d.filter(F.array_contains(tokenize_expr("text", "simple"),
+                                     "spark")
+                    & (F.col("lang") == "en")).count()
+    assert got == want
+
+
+def test_match_colon_operator(spark, tables):
+    a = esql(spark, 'FROM documents | WHERE text : "spark" '
+                    '| STATS n = COUNT(*)', tables)
+    b = esql(spark, 'FROM documents | WHERE MATCH(text, "spark") '
+                    '| STATS n = COUNT(*)', tables)
+    assert a.collect() == b.collect()
+
+
+def test_score_with_residual_filter(spark, tables):
+    got = esql(spark, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark") AND lang == "en"
+| SORT _score DESC, doc_id
+| LIMIT 5""", tables)
+    assert got.count() == 5
+    langs = {r["lang"] for r in got.collect()}
+    assert langs == {"en"}
+
+
+# ---------------------------------------------------------------- errors
+
+def test_now_and_sample_rejected(spark, tables):
+    with pytest.raises(EsqlError, match="NOW"):
+        esql(spark, "FROM events | EVAL t = NOW()", tables)
+    with pytest.raises(EsqlError, match="SAMPLE"):
+        esql(spark, "FROM events | SAMPLE 0.5", tables)
+
+
+def test_unknown_index_function_command(spark, tables):
+    with pytest.raises(EsqlError, match="unknown index"):
+        esql(spark, "FROM nope", tables)
+    with pytest.raises(EsqlError, match="unknown function"):
+        esql(spark, "FROM events | EVAL x = FROB(value)", tables)
+    with pytest.raises(EsqlError, match="unknown command"):
+        esql(spark, "FROM events | FROBNICATE x", tables)
+    with pytest.raises(EsqlError, match="trailing"):
+        esql(spark, "FROM events | LIMIT 5 7", tables)
+
+
+def test_from_wildcard_union_and_metadata_index(spark, tables):
+    got = esql(spark, """
+FROM doc* METADATA _index
+| STATS n = COUNT(*) BY _index""", tables)
+    r = got.collect()
+    assert [x["_index"] for x in r] == ["documents"]
+    assert r[0]["n"] == tables["documents"].count()
+
+
+def test_sort_nulls_first_last(spark):
+    t = {"t": None}
+    got = esql(spark, """
+ROW a = 1 | EVAL b = CASE(a == 2, "x") | KEEP b""", {})
+    assert got.collect()[0][0] is None  # CASE without default -> null
