@@ -4606,6 +4606,17 @@ FROM documents METADATA _score
 | LIMIT 10""")
 
 
+def q_esql_inlinestats_events(spark, sf_dir):
+    """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
+    row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
+    return _esql(spark, sf_dir, """
+FROM events
+| INLINESTATS avg_v = AVG(value) BY event_type
+| WHERE value > avg_v * 1.5
+| STATS n_hot = COUNT(*) BY event_type
+| SORT event_type""")
+
+
 def q_esql_wordcount_docs(spark, sf_dir):
     """ES|QL SPLIT + MV_EXPAND + STATS: the canonical multivalue
     pipeline (explode_outer, one shuffle)."""
@@ -4625,6 +4636,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_grok_events": q_esql_grok_events,
     "esql_lookup_orders": q_esql_lookup_orders,
     "esql_match_score": q_esql_match_score,
+    "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
@@ -6509,6 +6521,12 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
+        "esql_inlinestats_events": """
+WITH w AS (SELECT event_type, value,
+                  avg(value) OVER (PARTITION BY event_type) AS avg_v
+           FROM events)
+SELECT event_type, count(*) AS n_hot FROM w
+WHERE value > avg_v * 1.5 GROUP BY 1 ORDER BY 1""",
         "esql_wordcount_docs": """
 WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
                                        x -> x <> '')) AS tok

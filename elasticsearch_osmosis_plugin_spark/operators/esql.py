@@ -18,10 +18,11 @@ gate):
 
 - source commands: ``FROM idx[, idx2 | wildcards] [METADATA _index,
   _score]``, ``ROW a = 1, b = "x"``
-- processing: ``WHERE`` ``EVAL`` ``STATS .. BY ..`` ``SORT`` ``LIMIT``
-  ``KEEP`` ``DROP`` ``RENAME old AS new`` ``DISSECT`` ``GROK``
-  ``MV_EXPAND`` ``LOOKUP JOIN idx ON f`` ``ENRICH policy ON f
-  [WITH ..]``
+- processing: ``WHERE`` ``EVAL`` ``STATS .. BY ..`` ``INLINESTATS``
+  ``SORT`` ``LIMIT`` ``KEEP`` ``DROP`` ``RENAME old AS new``
+  ``DISSECT`` ``GROK`` ``MV_EXPAND`` ``LOOKUP JOIN idx ON f``
+  ``ENRICH policy ON f [WITH ..]`` ``CHANGE_POINT v ON key``
+  (see :mod:`.changepoint`)
 - expressions: arithmetic, comparisons, ``AND OR NOT``, ``IN``,
   ``LIKE`` (``*``/``?`` wildcards, whole-string), ``RLIKE``
   (whole-string regex), ``IS [NOT] NULL``, ``field : "query"`` match
@@ -49,7 +50,8 @@ ES's ``match`` OR semantics in filter context).
 
 Deliberate exclusions: ``NOW()`` and ``SAMPLE`` raise (wall-clock /
 RNG break the deterministic-plan contract; callers pass timestamps
-as literals), ``CHANGE_POINT``, cross-cluster ``FROM remote:idx``.
+as literals), ``FORK``/``RERANK``/``COMPLETION`` (inference
+endpoints), cross-cluster ``FROM remote:idx``.
 
 Scale notes (100 TB): the compiler emits only declarative plans — no
 UDFs, no collects. ``LOOKUP JOIN`` / ``ENRICH`` broadcast the lookup
@@ -886,6 +888,7 @@ class _State:
         self.scored = False          # _score column attached yet
         self.spark, self.analyzer = spark, analyzer
         self.id_col, self.cfg = id_col, cfg
+        self.last_group_cols: list[str] = []
 
 
 def _named_exprs(p: _P, stop_kws: tuple[str, ...] = ()) -> list[tuple]:
@@ -1027,7 +1030,40 @@ def _stats(st: _State, p: _P) -> None:
     agged = df.groupBy(*gcols).agg(*acols) if gcols else df.agg(*acols)
     out = [F.col(g) for g in gcols]
     out += [_compile(ast).alias(nm) for nm, ast in items]
+    st.last_group_cols = gcols
     st.df = agged.select(*out)
+
+
+def _inlinestats(st: _State, p: _P) -> None:
+    """INLINESTATS: like STATS but the aggregates are appended as new
+    columns to EVERY input row (ES|QL 8.14). Compiled as a groupBy on
+    the BY keys + a null-safe equi-join back — one shuffle for the
+    aggregate, one for the join (co-partitioned on the same keys, so
+    AQE plans the second exchange away); supports every aggregate the
+    STATS path does, unlike a window-function encoding (Spark cannot
+    run percentile/collect aggs as windows)."""
+    before = st.df
+    _stats(st, p)
+    agged = st.df
+    gcols = st.last_group_cols
+    # BY exprs that create NEW columns (day = BUCKET(..)) would need
+    # re-evaluation on the input side; require EVAL first — the
+    # common ES|QL form anyway.
+    missing = [c for c in gcols if c not in before.columns]
+    if missing:
+        raise EsqlError("ES|QL INLINESTATS: BY expressions must be "
+                        "EVALed into columns first: " + ", ".join(missing))
+    if not gcols:
+        st.df = before.crossJoin(F.broadcast(agged))
+        return
+    cond = None
+    right = agged
+    for g in gcols:
+        right = right.withColumnRenamed(g, f"__g_{g}")
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    st.df = before.join(right, cond, "left") \
+        .drop(*[f"__g_{g}" for g in gcols])
 
 
 def _sort(st: _State, p: _P) -> None:
@@ -1182,6 +1218,27 @@ def _enrich(st: _State, p: _P, tables) -> None:
     st.df = st.df.drop(*clash).join(F.broadcast(right), on=key, how="left")
 
 
+def _change_point_cmd(st: _State, p: _P) -> None:
+    """CHANGE_POINT value [ON key] [AS type_name, pvalue_name] —
+    ES|QL 8.14 tech-preview command; see operators.changepoint."""
+    from .changepoint import change_point
+
+    value = _parse_pattern(p)
+    key = "@timestamp"
+    if p.kw("ON"):
+        key = _parse_pattern(p)
+    type_col, pvalue_col = "type", "pvalue"
+    if p.kw("AS"):
+        type_col = _parse_pattern(p)
+        p.expect(",")
+        pvalue_col = _parse_pattern(p)
+    if key not in st.df.columns:
+        raise EsqlError(f"ES|QL CHANGE_POINT: no key column {key!r} "
+                        "(default @timestamp; give ON <key>)")
+    st.df = change_point(st.df, value, key,
+                         type_col=type_col, pvalue_col=pvalue_col)
+
+
 def _row(spark: SparkSession, p: _P) -> DataFrame:
     cols = []
     for name, ast, raw in _named_exprs(p):
@@ -1268,6 +1325,8 @@ def esql(spark: SparkSession, query: str,
                 st.df = st.df.withColumn(name or raw, _compile(ast))
         elif cmd == "STATS":
             _stats(st, p)
+        elif cmd == "INLINESTATS":
+            _inlinestats(st, p)
         elif cmd == "SORT":
             _sort(st, p)
         elif cmd == "LIMIT":
@@ -1291,8 +1350,9 @@ def esql(spark: SparkSession, query: str,
             _lookup_join(st, p, tables)
         elif cmd == "ENRICH":
             _enrich(st, p, tables)
-        elif cmd in ("SAMPLE", "CHANGE_POINT", "INLINESTATS", "FORK",
-                     "RERANK", "COMPLETION"):
+        elif cmd == "CHANGE_POINT":
+            _change_point_cmd(st, p)
+        elif cmd in ("SAMPLE", "FORK", "RERANK", "COMPLETION"):
             raise EsqlError(f"ES|QL: {cmd} not supported")
         else:
             raise EsqlError(f"ES|QL: unknown command {cmd}")

@@ -334,3 +334,101 @@ def test_sort_nulls_first_last(spark):
     got = esql(spark, """
 ROW a = 1 | EVAL b = CASE(a == 2, "x") | KEEP b""", {})
     assert got.collect()[0][0] is None  # CASE without default -> null
+
+
+# ----------------------------------------------- INLINESTATS / CHANGE_POINT
+
+def test_inlinestats_appends_group_aggregate(spark, tables):
+    got = esql(spark, """
+FROM events
+| INLINESTATS avg_v = AVG(value) BY event_type
+| EVAL above = value > avg_v
+| STATS n_above = COUNT(*) WHERE above, n = COUNT(*) BY event_type
+| SORT event_type""", tables)
+    ev = tables["events"]
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type")
+    want = (ev.withColumn("avg_v", F.avg("value").over(w))
+            .withColumn("above", F.col("value") > F.col("avg_v"))
+            .groupBy("event_type")
+            .agg(F.count(F.when(F.col("above"), 1)).alias("n_above"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))
+    assert got.collect() == want.collect()
+
+
+def test_inlinestats_no_by_broadcasts_global(spark, tables):
+    got = esql(spark, """
+FROM events
+| INLINESTATS gmax = MAX(value)
+| WHERE value == gmax
+| KEEP event_id, value""", tables)
+    ev = tables["events"]
+    want_max = ev.agg(F.max("value")).collect()[0][0]
+    out = got.collect()
+    assert len(out) >= 1 and all(r["value"] == want_max for r in out)
+
+
+def test_inlinestats_rejects_fresh_by_expr(spark, tables):
+    with pytest.raises(EsqlError, match="EVALed"):
+        esql(spark, "FROM events | INLINESTATS n = COUNT(*) "
+                    "BY d = BUCKET(ts, 1 day)", tables)
+
+
+def test_change_point_detects_step(spark):
+    rows = [(i, 10.0 if i < 30 else 25.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    got = esql(spark, "FROM s | CHANGE_POINT v ON t", {"s": df})
+    hit = [r for r in got.collect() if r["type"] is not None]
+    assert len(hit) == 1
+    assert hit[0]["type"] == "step_change"
+    assert abs(hit[0]["t"] - 30) <= 2
+    assert hit[0]["pvalue"] < 1e-6
+
+
+def test_change_point_detects_spike_and_dip(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.changepoint import (
+        detect_series,
+    )
+    base = [10.0 + (i % 3) * 0.1 for i in range(50)]
+    spike = list(base)
+    spike[25] = 100.0
+    kind, p, idx = detect_series(spike)
+    assert (kind, idx) == ("spike", 25) and p < 1e-10
+    dip = list(base)
+    dip[7] = -80.0
+    kind, p, idx = detect_series(dip)
+    assert (kind, idx) == ("dip", 7)
+    assert detect_series(base)[0] == "stationary"
+    assert detect_series(base[:10])[0] == "indeterminable"
+
+
+def test_change_point_trend_change(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.changepoint import (
+        detect_series,
+    )
+    series = [0.1 * i for i in range(40)] + [4.0 + 2.5 * i for i in range(40)]
+    kind, p, idx = detect_series(series)
+    assert kind in ("trend_change", "step_change")
+    assert 30 <= idx <= 50
+
+
+def test_change_point_grouped_operator(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.changepoint import (
+        change_point,
+    )
+    rows = ([("a", i, 5.0 if i < 20 else 50.0) for i in range(40)]
+            + [("b", i, 7.0 + (i % 2) * 0.01) for i in range(40)])
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = change_point(df, "v", "t", by=["k"]).collect()
+    a_hits = [r for r in out if r["k"] == "a" and r["type"] is not None]
+    b_hits = [r for r in out if r["k"] == "b" and r["type"] is not None]
+    assert len(a_hits) == 1 and a_hits[0]["type"] == "step_change"
+    assert b_hits == []
+
+
+def test_change_point_as_renames_output(spark):
+    rows = [(i, 1.0 if i < 30 else 9.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    got = esql(spark, "FROM s | CHANGE_POINT v ON t AS ct, cp", {"s": df})
+    assert "ct" in got.columns and "cp" in got.columns
