@@ -4530,6 +4530,35 @@ def q_track_total_hits_idx(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(5))
 
 
+# ------------------------------------------------------------ ES SQL rows
+
+def q_essql_topk(spark, sf_dir):
+    """ES SQL (`POST /_sql`) MATCH + SCORE(): the third query API over
+    the one BM25 scorer — rank-identical to DSL and ES|QL paths."""
+    from elasticsearch_osmosis_plugin_spark.operators.essql import EsSql
+
+    es = EsSql(spark, {"documents": _t(spark, sf_dir, "documents")})
+    return es.df("""
+SELECT doc_id,
+       CAST(FLOOR(SCORE() * 10000.0 + 0.5) AS BIGINT) AS score_x1e4
+FROM documents WHERE MATCH(text, 'dup table')
+ORDER BY CAST(FLOOR(SCORE() * 10000.0 + 0.5) AS BIGINT) DESC, doc_id
+LIMIT 10""")
+
+
+def q_essql_group_orders(spark, sf_dir):
+    """ES SQL pass-through aggregation (ANSI subset -> spark.sql
+    verbatim; double-quoted identifiers rewritten to backticks)."""
+    from elasticsearch_osmosis_plugin_spark.operators.essql import EsSql
+
+    es = EsSql(spark, {"orders": _t(spark, sf_dir, "orders")})
+    return es.df("""
+SELECT "o_orderpriority" AS priority, COUNT(*) AS n,
+       CAST(FLOOR(SUM("o_totalprice") * 100.0 + 0.5) AS BIGINT)
+         AS total_x100
+FROM "orders" GROUP BY "o_orderpriority" ORDER BY priority""")
+
+
 # ------------------------------------------------------------- ES|QL rows
 
 def _esql(spark, sf_dir, query, names=("events", "documents", "orders",
@@ -4631,6 +4660,8 @@ FROM documents
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "essql_topk": q_essql_topk,
+    "essql_group_orders": q_essql_group_orders,
     "esql_stats_events": q_esql_stats_events,
     "esql_tpch_q1": q_esql_tpch_q1,
     "esql_grok_events": q_esql_grok_events,
@@ -6494,6 +6525,11 @@ sample AS (SELECT lang FROM div WHERE rn <= 2
            ORDER BY fp DESC, doc_id LIMIT 50)
 SELECT lang, count(*) AS n_docs FROM sample
 GROUP BY lang ORDER BY n_docs DESC, lang""",
+        "essql_topk": _bm25_oracle_sql(["dup", "table"], 10),
+        "essql_group_orders": """
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+       floor(sum(o_totalprice) * 100.0 + 0.5)::BIGINT AS total_x100
+FROM orders GROUP BY o_orderpriority ORDER BY priority""",
         "esql_stats_events": """
 SELECT epoch(date_trunc('day', ts))::BIGINT AS day_ts, event_type,
        count(*) AS n, floor(sum(value) * 100.0 + 0.5)::BIGINT AS sum_x100

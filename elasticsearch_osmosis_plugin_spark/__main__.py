@@ -235,6 +235,15 @@ def build_parser() -> argparse.ArgumentParser:
     eq.add_argument("--output", default=None)
     _add_common(eq)
 
+    sq = sub.add_parser("sql", help="ES SQL (/_sql dialect: MATCH/"
+                        "SCORE/QUERY, SHOW/DESCRIBE, ANSI passthrough)")
+    sq.add_argument("--query", required=True, help="SQL text, or @file.sql")
+    sq.add_argument("--table", action="append", default=[],
+                    metavar="NAME=PARQUET_PATH")
+    sq.add_argument("--analyzer", default="simple")
+    sq.add_argument("--output", default=None)
+    _add_common(sq)
+
     se = sub.add_parser("search", help="ES JSON search body (query DSL)")
     se.add_argument("--index", required=True)
     se.add_argument("--body", required=True,
@@ -666,6 +675,20 @@ def main(argv: list[str] | None = None) -> int:
                 build_parser().error("--table needs NAME=PARQUET_PATH")
             tables[name] = spark.read.parquet(path)
         _emit(esql(spark, q, tables, analyzer=args.analyzer), args)
+    elif args.cmd == "sql":
+        from elasticsearch_osmosis_plugin_spark.operators.essql import EsSql
+
+        q = args.query
+        if q.startswith("@"):
+            with open(q[1:]) as f:
+                q = f.read()
+        tables = {}
+        for spec in args.table:
+            name, _, path = spec.partition("=")
+            if not path:
+                build_parser().error("--table needs NAME=PARQUET_PATH")
+            tables[name] = spark.read.parquet(path)
+        _emit(EsSql(spark, tables, analyzer=args.analyzer).df(q), args)
     elif args.cmd == "search":
         from elasticsearch_osmosis_plugin_spark.operators.dsl import search
 
