@@ -1021,15 +1021,31 @@ def _stats(st: _State, p: _P) -> None:
         for name, ast, raw in _named_exprs(p):
             groups.append((name or raw, ast))
     df = st.df
-    gcols = []
+    gcols, gexprs, posts = [], [], []
     for name, ast in groups:
-        df = df.withColumn(name, _compile(ast))
+        if (df.isStreaming and ast[0] == "call" and ast[1] == "bucket"
+                and len(ast[2]) == 2):
+            # streaming mode: BUCKET on the watermarked event-time
+            # column must compile to window() — Spark's state cleanup
+            # tracks the time-window grouping expression, not an
+            # arithmetic truncation of the column
+            secs, unit = _span_of(ast[2][1], "BUCKET span")
+            if unit:
+                raise EsqlError("ES|QL streaming BUCKET: calendar "
+                                f"units ({unit}) are not fixed-width; "
+                                "use day/hour/... spans")
+            gexprs.append(F.window(_compile(ast[2][0]),
+                                   f"{int(secs)} seconds").alias(name))
+            posts.append(F.col(name).getField("start").alias(name))
+        else:
+            df = df.withColumn(name, _compile(ast))
+            gexprs.append(F.col(name))
+            posts.append(F.col(name))
         gcols.append(name)
     acols = [_agg_col(fn, args, wh).alias(f"__a{i}")
              for i, ((fn, args), wh) in enumerate(zip(sink, where_of))]
-    agged = df.groupBy(*gcols).agg(*acols) if gcols else df.agg(*acols)
-    out = [F.col(g) for g in gcols]
-    out += [_compile(ast).alias(nm) for nm, ast in items]
+    agged = df.groupBy(*gexprs).agg(*acols) if gexprs else df.agg(*acols)
+    out = posts + [_compile(ast).alias(nm) for nm, ast in items]
     st.last_group_cols = gcols
     st.df = agged.select(*out)
 
