@@ -4646,6 +4646,23 @@ FROM events
 | SORT event_type""")
 
 
+def q_esql_knn(spark, sf_dir):
+    """ES|QL KNN() function (9.x): exact cosine top-k under METADATA
+    _score — one narrow scan + per-partition heaps, joined back."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    lit = ", ".join(repr(x) for x in qv)
+    return esql(spark, f"""
+FROM embeddings METADATA _score
+| WHERE KNN(embedding, [{lit}], 10)
+| EVAL cos_x1e4 = TO_LONG(FLOOR(_score * 10000.0 + 0.5))
+| KEEP vec_id, cos_x1e4
+| SORT cos_x1e4 DESC, vec_id""", {"embeddings": emb}, id_col="vec_id")
+
+
 def q_esql_wordcount_docs(spark, sf_dir):
     """ES|QL SPLIT + MV_EXPAND + STATS: the canonical multivalue
     pipeline (explode_outer, one shuffle)."""
@@ -4668,6 +4685,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_lookup_orders": q_esql_lookup_orders,
     "esql_match_score": q_esql_match_score,
     "esql_inlinestats_events": q_esql_inlinestats_events,
+    "esql_knn": q_esql_knn,
     "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
@@ -6557,6 +6575,15 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
+        "esql_knn": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS c
+      FROM embeddings CROSS JOIN q)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
+ORDER BY c DESC, vec_id LIMIT 10""",
         "esql_inlinestats_events": """
 WITH w AS (SELECT event_type, value,
                   avg(value) OVER (PARTITION BY event_type) AS avg_v

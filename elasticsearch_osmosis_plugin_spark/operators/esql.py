@@ -305,6 +305,15 @@ class _P:
             e = self.expr()
             self.expect(")")
             return e
+        if p.kind == "op" and p.text == "[":
+            items = []
+            if self.peek().text != "]":
+                items.append(self.expr())
+                while self.peek().text == ",":
+                    self.next()
+                    items.append(self.expr())
+            self.expect("]")
+            return ("list", items)
         if p.kind == "op" and p.text == "?":
             raise EsqlError("ES|QL: parameter markers (?) not supported "
                             "— inline literals")
@@ -682,7 +691,12 @@ def _compile(ast) -> Column:
         return F.arrays_overlap(
             tokenize_expr(F.col(field_ast[1]), _MATCH_ANALYZER),
             F.array(*[F.lit(t) for t in terms]))
+    if kind == "list":
+        return F.array(*[_compile(x) for x in ast[1]])
     if kind == "call":
+        if ast[1] == "knn":
+            raise EsqlError("ES|QL: KNN() is only valid as a WHERE "
+                            "conjunct with METADATA _score")
         fn = _FUNCS.get(ast[1])
         if fn is None:
             raise EsqlError(f"ES|QL: unknown function {ast[1].upper()}")
@@ -926,7 +940,18 @@ def _where(st: _State, p: _P) -> None:
     if st.want_score and not st.scored:
         conj = _split_conjuncts(ast)
         matches = [c for c in conj if c[0] == "match"]
-        rest = [c for c in conj if c[0] != "match"]
+        knns = [c for c in conj
+                if c[0] == "call" and c[1] == "knn"]
+        rest = [c for c in conj if c not in matches and c not in knns]
+        if knns and matches:
+            raise EsqlError("ES|QL: hybrid KNN+MATCH ranking is the "
+                            "DSL retriever surface (rrf/linear) — one "
+                            "kind per ES|QL WHERE")
+        if len(knns) > 1:
+            raise EsqlError("ES|QL: one KNN() per WHERE")
+        if knns:
+            _knn_where(st, knns[0], rest)
+            return
         if matches:
             df = st.df
             score = None
@@ -983,6 +1008,29 @@ def _extract_aggs(ast, sink: list) -> tuple:
     if ast[0] in ("like", "isnull"):
         return (ast[0], _extract_aggs(ast[1], sink)) + ast[2:]
     return ast
+
+
+def _knn_where(st: _State, node, rest: list) -> None:
+    """KNN(vec_field, [q...], k) under METADATA _score: exact cosine
+    top-k (brute-force baseline — one narrow scan, per-partition
+    heaps) inner-joined back; ``_score`` = cosine. Residual conjuncts
+    apply AFTER the k-cut (ES|QL knn-function semantics: k bounds the
+    candidates; pre-filtered kNN is the DSL ``knn.filter`` surface)."""
+    from ..functions.similarity import cosine_scores
+
+    args = node[2]
+    if len(args) != 3 or args[0][0] != "col" or args[1][0] != "list":
+        raise EsqlError("ES|QL: KNN(vec_field, [q0, q1, ...], k)")
+    qv = [float(_lit_of(x, "KNN vector item")) for x in args[1][1]]
+    k = int(_lit_of(args[2], "KNN k"))
+    sc = cosine_scores(st.df, qv, id_col=st.id_col, vec_col=args[0][1])
+    top = (sc.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+           .withColumnRenamed("vec_id", st.id_col)
+           .withColumnRenamed("cos", "_score"))
+    st.df = st.df.join(top, st.id_col)
+    st.scored = True
+    for c in rest:
+        st.df = st.df.filter(_compile(c))
 
 
 def _stats(st: _State, p: _P) -> None:

@@ -432,3 +432,49 @@ def test_change_point_as_renames_output(spark):
     df = spark.createDataFrame(rows, "t long, v double")
     got = esql(spark, "FROM s | CHANGE_POINT v ON t AS ct, cp", {"s": df})
     assert "ct" in got.columns and "cp" in got.columns
+
+
+# ------------------------------------------------------------------- KNN
+
+def test_knn_rank_identical_to_cosine_topk(spark):
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        cosine_topk,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    lit = ", ".join(repr(x) for x in qv)
+    got = esql(spark, f"""
+FROM emb METADATA _score
+| WHERE KNN(embedding, [{lit}], 10)
+| SORT _score DESC, vec_id
+| KEEP vec_id, _score""", {"emb": emb}, id_col="vec_id")
+    want = (cosine_topk(emb, qv, k=10)
+            .select("vec_id", F.col("cos").alias("_score"))
+            .orderBy(F.desc("_score"), "vec_id"))
+    assert got.collect() == want.collect()
+
+
+def test_knn_with_residual_postfilter(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    lit = ", ".join(repr(x) for x in qv)
+    got = esql(spark, f"""
+FROM emb METADATA _score
+| WHERE KNN(embedding, [{lit}], 20) AND vec_id % 2 == 0
+| KEEP vec_id""", {"emb": emb}, id_col="vec_id")
+    out = [r["vec_id"] for r in got.collect()]
+    assert 0 < len(out) <= 20 and all(v % 2 == 0 for v in out)
+
+
+def test_knn_errors(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(EsqlError, match="METADATA _score"):
+        esql(spark, "FROM emb | WHERE KNN(embedding, [1.0], 5)",
+             {"emb": emb}, id_col="vec_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(EsqlError, match="hybrid"):
+        esql(spark, 'FROM d METADATA _score | WHERE '
+                    'KNN(embedding, [1.0], 5) AND MATCH(text, "x")',
+             {"d": docs})
