@@ -4530,6 +4530,31 @@ def q_track_total_hits_idx(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(5))
 
 
+# -------------------------------------------------------------- TSDS rows
+
+def q_tsds_downsample_events(spark, sf_dir):
+    """ES TSDS `_downsample`: gauge rollup to 12h epoch-aligned
+    buckets — each (dimensions, bucket) row carries
+    min/max/sum/value_count pre-aggregates."""
+    import tempfile
+
+    from elasticsearch_osmosis_plugin_spark.plans import tsds
+
+    root = tempfile.mkdtemp()
+    tsds.create_tsds(root, "m", dimensions=["event_type"],
+                     metrics={"value": "gauge"}, ts_col="ts")
+    tsds.append_tsds(spark, root, "m", _t(spark, sf_dir, "events"))
+    tsds.downsample(spark, root, "m", "12h")
+    got = spark.read.parquet(f"{root}/m/downsample-12h")
+    x = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (got.select(
+        F.unix_timestamp("__bucket").alias("bucket_ts"), "event_type",
+        x("value_min").alias("vmin_x100"), x("value_max").alias("vmax_x100"),
+        x("value_sum").alias("vsum_x100"),
+        F.col("value_value_count").alias("n"))
+        .orderBy("bucket_ts", "event_type"))
+
+
 # ------------------------------------------------------------ ES SQL rows
 
 def q_essql_topk(spark, sf_dir):
@@ -4677,6 +4702,7 @@ FROM documents
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tsds_downsample_events": q_tsds_downsample_events,
     "essql_topk": q_essql_topk,
     "essql_group_orders": q_essql_group_orders,
     "esql_stats_events": q_esql_stats_events,
@@ -6543,6 +6569,13 @@ sample AS (SELECT lang FROM div WHERE rn <= 2
            ORDER BY fp DESC, doc_id LIMIT 50)
 SELECT lang, count(*) AS n_docs FROM sample
 GROUP BY lang ORDER BY n_docs DESC, lang""",
+        "tsds_downsample_events": """
+SELECT (floor(epoch(ts) / 43200) * 43200)::BIGINT AS bucket_ts, event_type,
+       floor(min(value) * 100 + 0.5)::BIGINT AS vmin_x100,
+       floor(max(value) * 100 + 0.5)::BIGINT AS vmax_x100,
+       floor(sum(value) * 100 + 0.5)::BIGINT AS vsum_x100,
+       count(value) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "essql_topk": _bm25_oracle_sql(["dup", "table"], 10),
         "essql_group_orders": """
 SELECT o_orderpriority AS priority, COUNT(*) AS n,

@@ -1,0 +1,108 @@
+"""TSDS + _downsample: rollup exactness, resolution refolding,
+ingest gates, divisibility rules."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_osmosis_plugin_spark.plans import tsds
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    root = str(tmp_path / "tsds")
+    tsds.create_tsds(root, "metrics", dimensions=["event_type"],
+                     metrics={"value": "gauge", "user_id": "counter"},
+                     ts_col="ts")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n = tsds.append_tsds(spark, root, "metrics", ev)
+    assert n == ev.count()
+    return root, ev
+
+
+def test_downsample_gauge_matches_groupby(spark, store):
+    root, ev = store
+    tsds.downsample(spark, root, "metrics", "1h")
+    got = spark.read.parquet(f"{root}/metrics/downsample-1h")
+    want = (ev.withColumn("b", F.date_trunc("hour", "ts"))
+            .groupBy("b", "event_type")
+            .agg(F.min("value").alias("value_min"),
+                 F.max("value").alias("value_max"),
+                 F.sum("value").alias("value_sum"),
+                 F.count("value").alias("value_value_count")))
+    g = {(r["__bucket"], r["event_type"]):
+         (r["value_min"], r["value_max"], round(r["value_sum"], 6),
+          r["value_value_count"]) for r in got.collect()}
+    w = {(r["b"], r["event_type"]):
+         (r["value_min"], r["value_max"], round(r["value_sum"], 6),
+          r["value_value_count"]) for r in want.collect()}
+    assert g == w
+
+
+def test_ts_agg_same_answer_at_every_resolution(spark, store):
+    root, ev = store
+    tsds.downsample(spark, root, "metrics", "1h")
+    tsds.downsample(spark, root, "metrics", "6h", source_interval="1h")
+
+    def norm(df):
+        return {(r["bucket"], r["event_type"]): round(r["avg"], 9)
+                for r in df.collect()}
+
+    raw = norm(tsds.ts_agg(spark, root, "metrics", "1d", metric="value",
+                           agg="avg", resolution=None))
+    via_1h = norm(tsds.ts_agg(spark, root, "metrics", "1d",
+                              metric="value", agg="avg", resolution="1h"))
+    auto = norm(tsds.ts_agg(spark, root, "metrics", "1d", metric="value",
+                            agg="avg"))
+    assert raw == via_1h == auto
+    # auto picks the coarsest divisor (6h), not 1h
+    man = tsds._read_man(root, "metrics")
+    assert tsds._pick_resolution(man, 86400) == "6h"
+
+
+def test_counter_last_value_refolds(spark, store):
+    root, ev = store
+    tsds.downsample(spark, root, "metrics", "1h")
+    raw = tsds.ts_agg(spark, root, "metrics", "1d", metric="user_id",
+                      agg="last_value", resolution=None)
+    ds = tsds.ts_agg(spark, root, "metrics", "1d", metric="user_id",
+                     agg="last_value", resolution="1h")
+    k = lambda r: (r["bucket"], r["event_type"])  # noqa: E731
+    assert {k(r): r["last_value"] for r in raw.collect()} \
+        == {k(r): r["last_value"] for r in ds.collect()}
+
+
+def test_gates_and_rules(spark, store):
+    root, ev = store
+    bad = ev.withColumn("event_type",
+                        F.when(F.col("event_id") == 3, None)
+                        .otherwise(F.col("event_type")))
+    with pytest.raises(ValueError, match="batch rejected"):
+        tsds.append_tsds(spark, root, "metrics", bad)
+    tsds.downsample(spark, root, "metrics", "1h")
+    with pytest.raises(ValueError, match="exists"):
+        tsds.downsample(spark, root, "metrics", "1h")
+    with pytest.raises(ValueError, match="multiple"):
+        tsds.downsample(spark, root, "metrics", "90m",
+                        source_interval="1h")
+    with pytest.raises(ValueError, match="does not divide"):
+        tsds.ts_agg(spark, root, "metrics", "90m", metric="value",
+                    agg="sum", resolution="1h")
+    with pytest.raises(ValueError, match="supports"):
+        tsds.ts_agg(spark, root, "metrics", "1d", metric="user_id",
+                    agg="sum")
+    assert tsds.tsds_stats(root, "metrics")["downsamples"] == ["1h"]
+
+
+def test_downsample_prunes_partitions(spark, store):
+    """Day-partitioned layout: a time-ranged read of the rollup shows
+    partition filters in the executed plan."""
+    root, ev = store
+    tsds.downsample(spark, root, "metrics", "1h")
+    df = (spark.read.parquet(f"{root}/metrics/downsample-1h")
+          .filter(F.col("__day") == "2024-01-02"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__day" in plan
+    assert df.count() > 0
