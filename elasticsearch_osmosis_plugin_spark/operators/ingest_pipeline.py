@@ -26,6 +26,8 @@ column):
   separators -> one regexp_extract per key)
 - ``script`` (a SQL expression over the row, ES's painless analog —
   the same surface runtime_mappings / update_by_query use)
+- ``enrich`` (broadcast lookup against a prepared enrich index;
+  matched row -> ``target_field`` struct, NULL on no match)
 
 ``on_failure`` is not emulated: a processor whose input column is
 NULL propagates NULL (Spark semantics), and a malformed ``convert``
@@ -59,7 +61,9 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     return rx + "$", keys
 
 
-def _apply_one(df: DataFrame, kind: str, p: dict) -> DataFrame:
+def _apply_one(df: DataFrame, kind: str, p: dict,
+               enrich_tables: dict[str, DataFrame] | None = None
+               ) -> DataFrame:
     cond = F.expr(p["if"]) if "if" in p else None
 
     def put(field: str, col: Column) -> DataFrame:
@@ -149,20 +153,51 @@ def _apply_one(df: DataFrame, kind: str, p: dict) -> DataFrame:
             t = F.try_to_timestamp(col, F.lit(fmt))
             parsed = t if parsed is None else F.coalesce(parsed, t)
         return put(p.get("target_field", "@timestamp"), parsed)
+    if kind == "enrich":
+        # ES enrich processor: broadcast lookup against a prepared
+        # enrich index (its FIRST column is the policy's match_field —
+        # same convention as operators.esql ENRICH); the matched row's
+        # remaining columns land in target_field as a struct, NULL on
+        # no match. max_matches=1 enforced by a deterministic min()
+        # collapse of duplicate keys. The one non-projection processor
+        # — a lookup, exactly like ES's.
+        if not enrich_tables or p["policy_name"] not in enrich_tables:
+            raise ValueError(
+                f"enrich: unknown policy {p.get('policy_name')!r} — "
+                "pass enrich_tables={name: DataFrame}")
+        tbl = enrich_tables[p["policy_name"]]
+        key, rest = tbl.columns[0], tbl.columns[1:]
+        if not rest:
+            raise ValueError("enrich: policy table needs enrich columns "
+                             "beyond its match column")
+        target = p["target_field"]
+        right = (tbl.select(F.col(key).alias("__ek"),
+                            F.struct(*rest).alias(target))
+                 .groupBy("__ek").agg(F.min(target).alias(target)))
+        out = df.join(F.broadcast(right),
+                      F.col(p["field"]) == F.col("__ek"), "left") \
+                .drop("__ek")
+        if cond is not None:
+            out = out.withColumn(target,
+                                 F.when(cond, F.col(target)))
+        return out
     raise ValueError(f"unsupported ingest processor: {kind}")
 
 
-def apply_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+def apply_pipeline(df: DataFrame, processors: list[dict],
+                   enrich_tables: dict[str, DataFrame] | None = None
+                   ) -> DataFrame:
     """Run an ES ingest-pipeline processor list over ``df``. Processors
     apply in order; Catalyst collapses the chain of projections into
-    one codegen'd map over the scan."""
+    one codegen'd map over the scan (``enrich`` adds a broadcast
+    lookup join, the one exception — as in ES)."""
     out = df
     for spec in processors:
         if len(spec) != 1:
             raise ValueError(f"processor spec must be one {{type: params}} "
                              f"entry: {spec}")
         (kind, p), = spec.items()
-        out = _apply_one(out, kind, p)
+        out = _apply_one(out, kind, p, enrich_tables)
     return out
 
 

@@ -561,3 +561,42 @@ def test_index_and_component_templates(spark, corpus_df, tmp_path):
     assert cat.list_templates(r, "index") == ["catchall", "logs"]
     assert cat.delete_template(r, "index", "catchall")
     assert cat.simulate_index(r, "other") is None
+
+
+def test_ingest_enrich_processor(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "id long, user string")
+    policy = spark.createDataFrame(
+        [("alice", "eng", 3), ("bob", "sales", 1),
+         ("alice", "eng", 3)],                 # dup key: max_matches=1
+        "user string, dept string, level long")
+    out = apply_pipeline(docs, [
+        {"enrich": {"policy_name": "users", "field": "user",
+                    "target_field": "u"}},
+        {"script": {"target_field": "dept",
+                    "source": "u.dept"}},
+    ], enrich_tables={"users": policy})
+    rows = {r["id"]: (r["dept"], r["u"]["level"] if r["u"] else None)
+            for r in out.collect()}
+    assert rows == {1: ("eng", 3), 2: ("sales", 1), 3: (None, None)}
+    assert out.count() == 3                    # no row multiplication
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # conditional enrich: only rows passing `if` get the struct
+    cond = apply_pipeline(docs, [
+        {"enrich": {"policy_name": "users", "field": "user",
+                    "target_field": "u", "if": "id = 1"}},
+    ], enrich_tables={"users": policy})
+    got = {r["id"]: r["u"] is not None for r in cond.collect()}
+    assert got == {1: True, 2: False, 3: False}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown policy"):
+        apply_pipeline(docs, [{"enrich": {
+            "policy_name": "nope", "field": "user",
+            "target_field": "u"}}])
