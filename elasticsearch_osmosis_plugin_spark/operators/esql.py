@@ -841,9 +841,15 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
 # ============================================================== commands
 
 def _split_pipes(toks: list[Tok]) -> list[list[Tok]]:
-    segs, cur = [], []
+    """Split on top-level `|` only — pipes inside parens belong to a
+    FORK branch's sub-pipeline."""
+    segs, cur, depth = [], [], 0
     for t in toks:
-        if t.kind == "op" and t.text == "|":
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if t.kind == "op" and t.text == "|" and depth == 0:
             segs.append(cur)
             cur = []
         elif t.kind != "eof":
@@ -1375,9 +1381,13 @@ def esql(spark: SparkSession, query: str,
             f"{p0.peek().text!r}")
 
     st = _State(df, want_score, spark, analyzer, id_col, cfg)
+    _run_pipeline(st, segs[1:], query, tables)
+    return st.df
 
-    # --- processing commands
-    for seg in segs[1:]:
+
+def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
+                  tables) -> None:
+    for seg in segs:
         if not seg:
             raise EsqlError("ES|QL: empty pipe segment")
         p = _P(seg + [Tok("eof", "", 0, 0)], query)
@@ -1416,11 +1426,53 @@ def esql(spark: SparkSession, query: str,
             _enrich(st, p, tables)
         elif cmd == "CHANGE_POINT":
             _change_point_cmd(st, p)
-        elif cmd in ("SAMPLE", "FORK", "RERANK", "COMPLETION"):
+        elif cmd == "FORK":
+            _fork(st, p, query, tables)
+        elif cmd in ("SAMPLE", "RERANK", "COMPLETION"):
             raise EsqlError(f"ES|QL: {cmd} not supported")
         else:
             raise EsqlError(f"ES|QL: unknown command {cmd}")
         if p.peek().kind != "eof":
             raise EsqlError(f"ES|QL: trailing input after {cmd}: "
                             f"{p.peek().text!r}")
-    return st.df
+
+
+def _fork(st: _State, p: _P, query: str, tables) -> None:
+    """FORK (pipe) (pipe) ... — ES|QL 9.1: run each parenthesized
+    sub-pipeline on the CURRENT frame and union the results, with a
+    ``_fork`` discriminator column (fork1, fork2, ... in branch
+    order). Columns union by name, missing ones NULL-filled — ES's
+    output-merging rule. The input plan is shared: Spark dedups the
+    common subtree when reused, and each branch stays declarative."""
+    branches = []
+    while p.peek().text == "(":
+        p.next()
+        depth, toks = 1, []
+        while depth > 0:
+            t = p.next()
+            if t.kind == "eof":
+                raise EsqlError("ES|QL FORK: unbalanced parens")
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            toks.append(t)
+        branches.append(toks)
+    if len(branches) < 2:
+        raise EsqlError("ES|QL FORK: at least two (branch) pipelines")
+    if p.peek().kind != "eof":
+        raise EsqlError("ES|QL FORK: trailing input after branches")
+    outs = []
+    for i, toks in enumerate(branches):
+        sub = _State(st.df, st.want_score, st.spark, st.analyzer,
+                     st.id_col, st.cfg)
+        sub.scored = st.scored
+        _run_pipeline(sub, _split_pipes(toks + [Tok("eof", "", 0, 0)]),
+                      query, tables)
+        outs.append(sub.df.withColumn("_fork", F.lit(f"fork{i + 1}")))
+    df = outs[0]
+    for d in outs[1:]:
+        df = df.unionByName(d, allowMissingColumns=True)
+    st.df = df

@@ -478,3 +478,36 @@ def test_knn_errors(spark):
         esql(spark, 'FROM d METADATA _score | WHERE '
                     'KNN(embedding, [1.0], 5) AND MATCH(text, "x")',
              {"d": docs})
+
+
+# ------------------------------------------------------------------ FORK
+
+def test_fork_unions_branches_with_discriminator(spark, tables):
+    got = esql(spark, """
+FROM events
+| FORK (WHERE event_type == "view" | STATS n = COUNT(*))
+       (WHERE event_type == "error" | STATS n = COUNT(*))
+| KEEP _fork, n
+| SORT _fork""", tables)
+    ev = tables["events"]
+    out = got.collect()
+    assert [r["_fork"] for r in out] == ["fork1", "fork2"]
+    assert out[0]["n"] == ev.filter(F.col("event_type") == "view").count()
+    assert out[1]["n"] == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_fork_missing_columns_null_filled(spark, tables):
+    got = esql(spark, """
+FROM events
+| FORK (STATS a = COUNT(*)) (STATS b = SUM(value))
+| SORT _fork""", tables)
+    rows_ = got.collect()
+    assert got.columns == ["a", "_fork", "b"]
+    assert rows_[0]["b"] is None and rows_[1]["a"] is None
+
+
+def test_fork_errors(spark, tables):
+    with pytest.raises(EsqlError, match="at least two"):
+        esql(spark, "FROM events | FORK (LIMIT 1)", tables)
+    with pytest.raises(EsqlError, match="unbalanced"):
+        esql(spark, "FROM events | FORK (LIMIT 1 (LIMIT 2)", tables)
