@@ -48,10 +48,12 @@ the ``_search`` DSL path, so one oracle covers both APIs. Without
 boolean (any analyzed query term present in the analyzed field —
 ES's ``match`` OR semantics in filter context).
 
-Deliberate exclusions: ``NOW()`` and ``SAMPLE`` raise (wall-clock /
-RNG break the deterministic-plan contract; callers pass timestamps
-as literals), ``FORK``/``RERANK``/``COMPLETION`` (inference
-endpoints), cross-cluster ``FROM remote:idx``.
+Deliberate exclusions: ``NOW()`` raises (wall-clock breaks the
+deterministic-plan contract; callers pass timestamps as literals);
+``SAMPLE p`` is supported but DETERMINISTIC (md5-of-row Bernoulli,
+same per-row marginal as ES's RNG draw — documented divergence);
+``RERANK``/``COMPLETION`` (inference endpoints) and cross-cluster
+``FROM remote:idx`` are out of scope.
 
 Scale notes (100 TB): the compiler emits only declarative plans — no
 UDFs, no collects. ``LOOKUP JOIN`` / ``ENRICH`` broadcast the lookup
@@ -1428,7 +1430,20 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
             _change_point_cmd(st, p)
         elif cmd == "FORK":
             _fork(st, p, query, tables)
-        elif cmd in ("SAMPLE", "RERANK", "COMPLETION"):
+        elif cmd == "SAMPLE":
+            # ES|QL SAMPLE p is RNG-based; this engine's contract is
+            # deterministic plans, so the Bernoulli draw is
+            # md5(row-content) < p — same per-row marginal, stable
+            # across runs/retries (the temperature_mixture rule).
+            n = p.expr()
+            prob = float(_lit_of(n, "SAMPLE probability"))
+            if not 0 < prob < 1:
+                raise EsqlError("ES|QL SAMPLE: probability in (0, 1)")
+            h = F.conv(F.substring(F.md5(F.to_json(
+                F.struct(*[F.col(c) for c in st.df.columns]))), 1, 15),
+                16, 10).cast("double") / F.lit(float(16 ** 15))
+            st.df = st.df.filter(h < F.lit(prob))
+        elif cmd in ("RERANK", "COMPLETION"):
             raise EsqlError(f"ES|QL: {cmd} not supported")
         else:
             raise EsqlError(f"ES|QL: unknown command {cmd}")

@@ -302,11 +302,18 @@ FROM documents METADATA _score
 
 # ---------------------------------------------------------------- errors
 
-def test_now_and_sample_rejected(spark, tables):
+def test_now_rejected_sample_deterministic(spark, tables):
     with pytest.raises(EsqlError, match="NOW"):
         esql(spark, "FROM events | EVAL t = NOW()", tables)
-    with pytest.raises(EsqlError, match="SAMPLE"):
-        esql(spark, "FROM events | SAMPLE 0.5", tables)
+    a = esql(spark, "FROM events | SAMPLE 0.3 | STATS n = COUNT(*)",
+             tables).collect()[0]["n"]
+    b = esql(spark, "FROM events | SAMPLE 0.3 | STATS n = COUNT(*)",
+             tables).collect()[0]["n"]
+    total = tables["events"].count()
+    assert a == b                      # deterministic across runs
+    assert 0.15 * total < a < 0.45 * total
+    with pytest.raises(EsqlError, match="probability"):
+        esql(spark, "FROM events | SAMPLE 1.5", tables)
 
 
 def test_unknown_index_function_command(spark, tables):
