@@ -14,10 +14,13 @@ index itself:
 - doc-store DAO ops mirroring the reference's EntityDao
   (``operators.dao``; reference: EntityDao.java)
 - the ES API surface: JSON query-DSL compiler (``operators.dsl``),
+  ES|QL (``operators.esql``; streaming twin ``streaming.esql``),
+  ES SQL (``operators.essql``), EQL (``operators.eql``),
   classic TF-IDF similarity, percolator (``operators.percolate``),
   aggregations/facets (``operators.intersect``, ``operators.scorefn``),
   aliases/snapshot/restore/fsck (``plans.catalog``, ``plans.merge``),
-  and a spark-submit CLI (``__main__``)
+  TSDS + _downsample (``plans.tsds``), change-point detection
+  (``operators.changepoint``), and a spark-submit CLI (``__main__``)
 - training-data pipeline ops: dedup, similarity search, text analysis,
   sampling/mixture/packing, multimodal plumbing (``functions.*``)
 
