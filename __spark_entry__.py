@@ -4660,6 +4660,23 @@ FROM documents METADATA _score
 | LIMIT 10""")
 
 
+def q_esql_match_score_idx(spark, sf_dir):
+    """ES|QL over the PERSISTED index (esql_index fast path): the
+    canonical search pipeline compiles to MaxScore-pruned topk —
+    reads only the query terms' posting bytes."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    idx = _index_for(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query join")
+| SORT _score DESC, doc_id
+| LIMIT 30""", idx)
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
 def q_esql_inlinestats_events(spark, sf_dir):
     """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
     row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
@@ -4710,6 +4727,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_grok_events": q_esql_grok_events,
     "esql_lookup_orders": q_esql_lookup_orders,
     "esql_match_score": q_esql_match_score,
+    "esql_match_score_idx": q_esql_match_score_idx,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_wordcount_docs": q_esql_wordcount_docs,
@@ -6608,6 +6626,8 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
+        "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
+                                                 10),
         "esql_knn": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id,

@@ -1491,3 +1491,99 @@ def _fork(st: _State, p: _P, query: str, tables) -> None:
     for d in outs[1:]:
         df = df.unionByName(d, allowMissingColumns=True)
     st.df = df
+
+
+# ===================================================== persisted-index path
+
+def esql_index(spark: SparkSession, query: str, index_path: str, *,
+               strategy: str = "auto") -> DataFrame:
+    """ES|QL over a PERSISTED inverted index — the flagship fast path.
+
+    Recognizes the canonical search pipeline::
+
+        FROM <name> METADATA _score
+        | WHERE MATCH(<field>, "terms") [AND <carry-col filters>]
+        [| KEEP cols]
+        | SORT _score DESC [, doc_id]
+        | LIMIT k
+
+    and compiles it to :func:`..operators.query.topk` — MaxScore /
+    block-max pruned, so the scan reads only the query terms' posting
+    bytes instead of the corpus (the table compiler's MATCH path is a
+    full-scan M1 plan). Residual WHERE conjuncts become the exact
+    ``post_filter`` (pruning bounds stay filtered-correct); KEEP of
+    carry columns hydrates from docstats with a broadcast of the
+    k-bounded hit frame. Any other pipeline shape raises — use
+    :func:`esql` over tables for the general language.
+    """
+    toks = _lex(query)
+    segs = _split_pipes(toks)
+    p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
+    if p0.next().text.upper() != "FROM":
+        raise EsqlError("esql_index: pipeline must start with FROM")
+    _parse_names(p0)
+    meta_cols = _parse_names(p0) if p0.kw("METADATA") else []
+    if "_score" not in meta_cols:
+        raise EsqlError("esql_index: METADATA _score required")
+
+    match_text = None
+    post = None
+    keep: list[str] | None = None
+    k = None
+    for seg in segs[1:]:
+        p = _P(seg + [Tok("eof", "", 0, 0)], query)
+        cmd = p.next().text.upper()
+        if cmd == "WHERE" and match_text is None:
+            conj = _split_conjuncts(p.expr())
+            matches = [c for c in conj if c[0] == "match"]
+            if len(matches) != 1:
+                raise EsqlError("esql_index: exactly one MATCH in WHERE")
+            match_text = str(_lit_of(matches[0][2], "match query"))
+            for c in conj:
+                if c is matches[0]:
+                    continue
+                col = _compile(c)
+                post = col if post is None else (post & col)
+        elif cmd == "KEEP":
+            keep = _parse_names(p)
+        elif cmd == "SORT":
+            names = []
+            while True:
+                names.append(_parse_pattern(p))
+                if not (p.kw("DESC") or p.kw("ASC")):
+                    pass
+                if p.peek().text == ",":
+                    p.next()
+                    continue
+                break
+            if names[0] != "_score":
+                raise EsqlError("esql_index: SORT must lead with "
+                                "_score DESC (index ranking order)")
+        elif cmd == "LIMIT":
+            k = int(p.next().text)
+        else:
+            raise EsqlError(f"esql_index: {cmd} not in the canonical "
+                            "index-search shape — use esql() on tables")
+    if match_text is None or k is None:
+        raise EsqlError("esql_index: need WHERE MATCH(..) and LIMIT k")
+
+    from .query import topk
+
+    hits = topk(spark, index_path, match_text, k=k, strategy=strategy,
+                post_filter=post)
+    hits = (hits.withColumnRenamed("score", "_score")
+            .orderBy(F.desc("_score"), F.asc("doc_id")))
+    if keep:
+        extra = [c for c in keep if c not in ("doc_id", "_score")]
+        if extra:
+            from ..plans import catalog
+
+            stats = catalog.read_table(spark, index_path, "docstats") \
+                .select("doc_id", *extra)
+            hits = hits.join(stats, "doc_id")     # k-bounded hit frame
+        order = ([F.desc("_score")] if "_score" in keep else []) \
+            + ([F.asc("doc_id")] if "doc_id" in keep else [])
+        hits = hits.select(*keep)
+        if order:
+            hits = hits.orderBy(*order)
+    return hits

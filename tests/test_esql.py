@@ -518,3 +518,52 @@ def test_fork_errors(spark, tables):
         esql(spark, "FROM events | FORK (LIMIT 1)", tables)
     with pytest.raises(EsqlError, match="unbalanced"):
         esql(spark, "FROM events | FORK (LIMIT 1 (LIMIT 2)", tables)
+
+
+# ---------------------------------------------------- persisted-index path
+
+def test_esql_index_rank_identical_to_topk(spark, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                             block_size=64),
+                id_col="doc_id", text_col="text", carry_cols=["lang"])
+    got = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join")
+| SORT _score DESC, doc_id
+| LIMIT 10""", idx)
+    want = topk(spark, idx, "spark query join", k=10) \
+        .withColumnRenamed("score", "_score") \
+        .orderBy(F.desc("_score"), "doc_id")
+    assert got.collect() == want.collect()
+    # residual conjunct -> exact post_filter + KEEP hydration
+    got_pf = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join") AND lang == "en"
+| KEEP doc_id, _score, lang
+| SORT _score DESC, doc_id
+| LIMIT 5""", idx)
+    want_pf = topk(spark, idx, "spark query join", k=5,
+                   post_filter=F.col("lang") == "en")
+    assert [r["doc_id"] for r in got_pf.collect()] \
+        == [r["doc_id"] for r in want_pf.collect()]
+    assert all(r["lang"] == "en" for r in got_pf.collect())
+    assert got_pf.columns == ["doc_id", "_score", "lang"]
+
+
+def test_esql_index_rejects_other_shapes(spark, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    with pytest.raises(EsqlError, match="METADATA _score"):
+        esql_index(spark, "FROM d | LIMIT 5", "/nope")
+    with pytest.raises(EsqlError, match="canonical"):
+        esql_index(spark, "FROM d METADATA _score | STATS n = COUNT(*)",
+                   "/nope")
+    with pytest.raises(EsqlError, match="need WHERE MATCH"):
+        esql_index(spark, "FROM d METADATA _score | LIMIT 5", "/nope")
