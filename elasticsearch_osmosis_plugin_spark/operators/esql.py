@@ -22,7 +22,13 @@ gate):
   ``SORT`` ``LIMIT`` ``KEEP`` ``DROP`` ``RENAME old AS new``
   ``DISSECT`` ``GROK`` ``MV_EXPAND`` ``LOOKUP JOIN idx ON f``
   ``ENRICH policy ON f [WITH ..]`` ``CHANGE_POINT v ON key``
-  (see :mod:`.changepoint`)
+  (see :mod:`.changepoint`) ``FORK (pipe) (pipe)`` ``SAMPLE p``
+  (deterministic md5-Bernoulli)
+
+Two full-text plans: :func:`esql` over tables compiles ``MATCH`` to
+the M1 full-scan scorer; :func:`esql_index` compiles the canonical
+search pipeline onto the PERSISTED index's MaxScore/block-max path
+(reads only the query terms' posting bytes) — rank-identical.
 - expressions: arithmetic, comparisons, ``AND OR NOT``, ``IN``,
   ``LIKE`` (``*``/``?`` wildcards, whole-string), ``RLIKE``
   (whole-string regex), ``IS [NOT] NULL``, ``field : "query"`` match
