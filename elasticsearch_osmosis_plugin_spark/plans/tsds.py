@@ -276,3 +276,37 @@ def tsds_stats(root: str, name: str) -> dict[str, Any]:
     return {"name": man["name"], "dimensions": man["dimensions"],
             "metrics": man["metrics"],
             "downsamples": sorted(man["downsamples"])}
+
+
+def ts_rate(spark: SparkSession, root: str, name: str,
+            fixed_interval: str, *, metric: str) -> DataFrame:
+    """ES `rate` aggregation over a counter metric: per (series,
+    bucket), the sum of positive deltas divided by the bucket width in
+    seconds — with ES's counter-RESET rule (a value drop means the
+    counter restarted, so the post-reset value itself is the delta,
+    not a negative step).
+
+    Runs on the raw store only: deltas need consecutive observations,
+    which downsampled rows no longer carry (ES computes rate from
+    `_tsid`-ordered raw docs for the same reason). One window pass
+    partitioned by the series key — the shuffle moves each series to
+    one task ordered by time, exactly the TSDB storage order.
+    """
+    from pyspark.sql import Window
+
+    man = _read_man(root, name)
+    if man["metrics"].get(metric) != "counter":
+        raise ValueError(f"tsds: rate needs a counter metric, "
+                         f"{metric!r} is {man['metrics'].get(metric)}")
+    secs = interval_seconds(fixed_interval)
+    ts, dims = man["ts_col"], man["dimensions"]
+    src = _read_raw(spark, root, name)
+    w = Window.partitionBy(*dims).orderBy(F.col(ts).cast("timestamp"))
+    prev = F.lag(metric).over(w)
+    delta = F.when(prev.isNull(), F.lit(None)) \
+        .when(F.col(metric) >= prev, F.col(metric) - prev) \
+        .otherwise(F.col(metric))           # reset: restart from 0
+    return (src.withColumn("__delta", delta)
+            .withColumn("__b", _bucket_col(ts, secs))
+            .groupBy(F.col("__b").alias("bucket"), *dims)
+            .agg((F.sum("__delta") / F.lit(float(secs))).alias("rate")))

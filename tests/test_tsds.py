@@ -106,3 +106,30 @@ def test_downsample_prunes_partitions(spark, store):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "__day" in plan
     assert df.count() > 0
+
+
+def test_ts_rate_counter_with_resets(spark, tmp_path):
+    root = str(tmp_path / "tsds_rate")
+    tsds.create_tsds(root, "m", dimensions=["host"],
+                     metrics={"reqs": "counter"}, ts_col="ts")
+    rows = [  # host a: monotone; host b: resets at t=120
+        ("a", "2024-01-01 00:00:10", 100.0),
+        ("a", "2024-01-01 00:00:50", 160.0),
+        ("a", "2024-01-01 00:01:30", 220.0),
+        ("b", "2024-01-01 00:00:20", 50.0),
+        ("b", "2024-01-01 00:01:10", 80.0),
+        ("b", "2024-01-01 00:02:00", 10.0),   # reset -> delta = 10
+    ]
+    df = spark.createDataFrame(rows, "host string, ts string, reqs double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    tsds.append_tsds(spark, root, "m", df)
+    out = {(r["host"], r["bucket"].minute): r["rate"]
+           for r in tsds.ts_rate(spark, root, "m", "1m",
+                                 metric="reqs").collect()}
+    # host a: minute 0 delta 60 (first obs no delta), minute 1 delta 60
+    assert out[("a", 0)] == 1.0 and out[("a", 1)] == 1.0
+    # host b: minute 1 delta 30; minute 2 reset -> delta 10
+    assert out[("b", 1)] == 0.5
+    assert abs(out[("b", 2)] - 10.0 / 60.0) < 1e-12
+    with pytest.raises(ValueError, match="counter"):
+        tsds.ts_rate(spark, root, "m", "1m", metric="nope")
