@@ -4530,6 +4530,25 @@ def q_track_total_hits_idx(spark, sf_dir):
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(5))
 
 
+# --------------------------------------------------------------- BPE rows
+
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE tokenizer training (distributed word count -> driver
+    merges over the bounded type dictionary) + per-doc token counts
+    under the learned vocabulary. Merge learning is iterative and not
+    SQL-expressible — rows-only driver check; the value-level
+    verification is tests/test_bpe.py (from-scratch recount oracle,
+    Sennrich example, round-trip identity, partitioning invariance)."""
+    from elasticsearch_osmosis_plugin_spark.functions.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, vocab_merges=60, max_word_types=5000)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
 # -------------------------------------------------------------- TSDS rows
 
 def q_tsds_downsample_events(spark, sf_dir):
@@ -4719,6 +4738,7 @@ FROM documents
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_token_counts": q_bpe_token_counts,
     "tsds_downsample_events": q_tsds_downsample_events,
     "essql_topk": q_essql_topk,
     "essql_group_orders": q_essql_group_orders,
