@@ -349,3 +349,24 @@ def test_cli_graph_datastream_watch(spark, cli_index, capsys, tmp_path):
     r2, = _run(capsys, ["watch", "execute", "--registry", reg, "--id", "w1",
                         "--trigger-time", "2026-01-01T00:05:00"])
     assert r2["actions"]["l"]["status"] == "throttled"
+
+
+def test_cli_esql_and_sql(spark, capsys):
+    rows = _run(capsys, [
+        "esql", "--query",
+        'FROM ev | STATS n = COUNT(*) BY event_type | SORT event_type',
+        "--table", f"ev={SF}/events.parquet",
+        "--shuffle-partitions", "4"])
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert {r["event_type"]: r["n"] for r in rows} == want
+
+    rows = _run(capsys, [
+        "sql", "--query",
+        "SELECT doc_id, SCORE() AS s FROM d WHERE MATCH(text, 'spark') "
+        "ORDER BY SCORE() DESC, doc_id LIMIT 3",
+        "--table", f"d={SF}/documents.parquet",
+        "--shuffle-partitions", "4"])
+    assert len(rows) == 3 and rows[0]["s"] >= rows[-1]["s"]
