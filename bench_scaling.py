@@ -279,12 +279,8 @@ def main() -> int:
         work_rows += (f"| local[{n}] | {s['build_s']:.2f} | {s['cpu_s_min']:.0f} | "
                       f"{s['cpu_s_min'] / cpu2:.2f}x | {u:.2f} |\n")
 
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured engine numbers
-
-Workload: identical SPIMI index build (code-aware analyzer, synthetic
-{n_docs}-doc source-code corpus, generated distributed, persisted) +
-5-query BM25 suite through a Searcher.
+    gen = (f"""<!-- raw-scaling-begin (machine-written; curated sections
+     above/below survive reruns) -->
 
 ## Why two protocols
 
@@ -340,7 +336,21 @@ Per-stage walls (best cycle): 2={json.dumps(result['pairs'][0]['low']['stages'])
 16={json.dumps(result['pairs'][1]['high']['stages'])}
 
 Raw: `{json.dumps(result)}`
+
+<!-- raw-scaling-end -->
 """)
+    path = "BENCH/BASELINE.md"
+    cur = open(path).read() if os.path.exists(path) else ""
+    b, e = cur.find("<!-- raw-scaling-begin"), cur.find("<!-- raw-scaling-end -->")
+    if b != -1 and e != -1:
+        # replace ONLY the machine section; curated analysis survives
+        cur = cur[:b] + gen + cur[e + len("<!-- raw-scaling-end -->\n"):]
+    elif cur:
+        cur = cur.rstrip() + "\n\n" + gen
+    else:
+        cur = "# BENCH/BASELINE — measured engine numbers\n\n" + gen
+    with open(path, "w") as f:
+        f.write(cur)
     return 0
 
 

@@ -28,6 +28,19 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
 
 
+def time_bucket(col, secs: int) -> Column:
+    """Epoch-aligned fixed-interval timestamp bucket — the ONE shared
+    bucketing expression (ES|QL BUCKET/DATE_TRUNC, TSDS downsample)
+    so boundary rules (negative pre-1970 micros floor, NTZ cast) stay
+    identical everywhere."""
+    if isinstance(col, str):
+        col = F.col(col)
+    us = int(secs) * 1_000_000
+    return F.timestamp_micros(
+        (F.floor(F.unix_micros(col.cast("timestamp")) / us) * us)
+        .cast("long"))
+
+
 def x1e4(col: Column) -> Column:
     """Cross-engine-stable 4-decimal fixed-point: floor(x*1e4 + 0.5) as
     long — pure IEEE ops, bit-identical in any engine, unlike round()."""

@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 _DENOM = 1_000_000
 
 
+def md5_uniform(col: Column) -> Column:
+    """Deterministic uniform [0, 1) from a column's md5 (60-bit fold)
+    — the ONE shared Bernoulli draw (ES|QL SAMPLE, per-row sampling)
+    so the determinism contract lives in one place."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 2, 15), 16, 10)
+    return h.cast("double") / F.lit(float(16 ** 15))
+
+
 def sample_key(id_col: str = "doc_id", seed: int = 0) -> Column:
     """60-bit md5 fold of "<id>:<seed>" -> [0, 1e6) bucket."""
     h = F.conv(F.substring(

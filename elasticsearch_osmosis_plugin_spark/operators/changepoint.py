@@ -127,8 +127,10 @@ def change_point(df: DataFrame, value_col: str, key_col: str,
     Rows come back with ``type_col``/``pvalue_col`` set ONLY at the
     detected row (ES|QL CHANGE_POINT row-annotation shape); order and
     all input columns preserved. ``by=[]``/None treats the whole frame
-    as one series (the ES|QL command); a non-empty ``by`` fans out one
-    bounded kernel per group (the change_point-agg shape).
+    as one series (the ES|QL command) and, like ES, evaluates AND
+    returns only the first ``MAX_POINTS`` rows in key order; a
+    non-empty ``by`` fans out one kernel per group (the
+    change_point-agg shape — group size is the caller's contract).
     """
     by = by or []
     schema_cols = df.schema.fields
@@ -153,7 +155,15 @@ def change_point(df: DataFrame, value_col: str, key_col: str,
         return pdf
 
     if by:
+        # group size is the caller's contract (ES evaluates <= 1000
+        # points per series; the kernel truncates detection the same
+        # way but returns every row of its group)
         return df.groupBy(*by).applyInPandas(kernel, out_schema)
-    one = df.withColumn("__g", F.lit(1))
+    # global (ES|QL command) form: bound the frame BEFORE the shuffle —
+    # TakeOrdered(MAX_POINTS) by the key column, matching ES's
+    # first-1000-values rule — so the single kernel task holds at most
+    # MAX_POINTS rows instead of materializing the whole input
+    head = df.orderBy(key_col).limit(MAX_POINTS)
+    one = head.withColumn("__g", F.lit(1))
     return (one.groupBy("__g").applyInPandas(
         lambda pdf: kernel(pdf.drop(columns="__g")), out_schema))

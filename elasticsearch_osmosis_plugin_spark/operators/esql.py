@@ -37,7 +37,8 @@ search pipeline onto the PERSISTED index's MaxScore/block-max path
 - functions: math (ABS..POW), string (CONCAT..SPLIT), date
   (DATE_TRUNC / DATE_EXTRACT / DATE_DIFF / DATE_FORMAT / BUCKET),
   conversion (TO_*), conditional (CASE / COALESCE / GREATEST /
-  LEAST), multivalue (MV_* over array columns), ``MATCH``
+  LEAST), multivalue (MV_* over array columns), IP v4
+  (TO_IP / CIDR_MATCH / IP_PREFIX — codegen bit math), ``MATCH``
 - aggregates: COUNT(*/x), COUNT_DISTINCT (exact — ES approximates
   with HLL above a threshold; exactness is required by the value-
   for-value gate), SUM/AVG/MIN/MAX, MEDIAN, PERCENTILE (exact
@@ -423,10 +424,9 @@ def _bucket(args, raw):
         secs, unit = _span_of(args[1], "BUCKET span")
         if unit:
             return F.date_trunc(unit, e)
-        us = int(secs * 1_000_000)
-        return F.timestamp_micros(
-            (F.floor(F.unix_micros(e.cast("timestamp")) / us) * us
-             ).cast("long"))
+        from ..functions.analysis import time_bucket
+
+        return time_bucket(e, int(secs))
     width = _lit_of(args[1], "BUCKET width")
     return F.floor(e / F.lit(width)) * F.lit(width)
 
@@ -482,6 +482,67 @@ def _sql(ast) -> str:
 
 def _arr_num(c: Column) -> Column:
     return F.filter(c, lambda x: x.isNotNull())
+
+
+_IPV4_RE = (r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}"
+            r"(25[0-5]|2[0-4]\d|1?\d?\d)$")
+
+
+def _ip_long(ast):
+    """Dotted-quad string -> uint32 as long, NULL when not valid IPv4
+    (the engine's IP surface is v4-only, documented)."""
+    c = _compile(ast)
+    p = F.split(c, r"\.")
+    v = (p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+         + p[2].cast("long") * 256 + p[3].cast("long"))
+    return F.when(c.rlike(_IPV4_RE), v)
+
+
+def _cidr_match(args, raw):
+    """CIDR_MATCH(ip, 'net/bits', ...) — true if the ip falls in ANY
+    block (ES semantics). Blocks are literals, so each test folds to
+    one shift+compare in codegen."""
+    if len(args) < 2:
+        raise EsqlError("ES|QL: CIDR_MATCH(ip, 'block', ...)")
+    ip = _ip_long(args[0])
+    cond = None
+    for spec in args[1:]:
+        block = str(_lit_of(spec, "CIDR block"))
+        net, _, bits_s = block.partition("/")
+        try:
+            bits = int(bits_s) if bits_s else 32
+            parts = [int(x) for x in net.split(".")]
+        except ValueError:
+            raise EsqlError(f"ES|QL: bad CIDR block {block!r}") from None
+        if (len(parts) != 4 or not 0 <= bits <= 32
+                or any(not 0 <= x <= 255 for x in parts)):
+            raise EsqlError(f"ES|QL: bad CIDR block {block!r}")
+        net_l = (parts[0] << 24 | parts[1] << 16
+                 | parts[2] << 8 | parts[3])
+        shift = 32 - bits
+        c = (F.shiftright(ip, shift) if shift else ip) \
+            == F.lit(net_l >> shift)
+        cond = c if cond is None else (cond | c)
+    return F.coalesce(cond, F.lit(False))
+
+
+def _ip_prefix(args, raw):
+    """IP_PREFIX(ip, keep_bits): mask to the prefix and re-render
+    dotted-quad (ES appends /len only for v6; v4 returns the masked
+    address)."""
+    bits = int(_lit_of(args[1], "IP_PREFIX bits"))
+    if not 0 <= bits <= 32:
+        raise EsqlError("ES|QL: IP_PREFIX bits in [0, 32]")
+    v = _ip_long(args[0])
+    shift = 32 - bits
+    masked = (F.shiftleft(F.shiftright(v, shift), shift) if shift else v)
+    # concat_ws skips NULLs (yielding ""), so gate on validity
+    return F.when(v.isNotNull(), F.concat_ws(
+        ".",
+        (F.shiftright(masked, 24) % 256).cast("string"),
+        (F.shiftright(masked, 16) % 256).cast("string"),
+        (F.shiftright(masked, 8) % 256).cast("string"),
+        (masked % 256).cast("string")))
 
 
 def _no_now(args, raw):
@@ -547,6 +608,11 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "to_double": lambda a, r: _compile(a[0]).cast("double"),
     "to_boolean": lambda a, r: _compile(a[0]).cast("boolean"),
     "to_datetime": lambda a, r: _compile(a[0]).cast("timestamp"),
+    # ip (v4; see _ip_long)
+    "to_ip": lambda a, r: F.when(
+        _compile(a[0]).rlike(_IPV4_RE), _compile(a[0])),
+    "cidr_match": _cidr_match,
+    "ip_prefix": _ip_prefix,
     # date
     "now": _no_now,
     "bucket": _bucket,
@@ -607,9 +673,9 @@ def _date_trunc(args):
     e = _compile(args[1])
     if unit:
         return F.date_trunc(unit, e)
-    us = int(secs * 1_000_000)
-    return F.timestamp_micros(
-        (F.floor(F.unix_micros(e.cast("timestamp")) / us) * us).cast("long"))
+    from ..functions.analysis import time_bucket
+
+    return time_bucket(e, int(secs))
 
 
 def _date_extract(args):
@@ -624,8 +690,16 @@ def _date_extract(args):
         _compile(args[1]).cast("timestamp")).cast("long")
 
 
-# compile-time analyzer used by boolean match(); set per esql() call
-_MATCH_ANALYZER = "simple"
+# compile-time analyzer used by boolean match() — thread-local so
+# concurrent esql() calls with different analyzers on one driver
+# (the normal multi-threaded job-submission pattern) cannot race
+import threading
+
+_TLS = threading.local()
+
+
+def _match_analyzer() -> str:
+    return getattr(_TLS, "analyzer", "simple")
 
 
 def _compile(ast) -> Column:
@@ -693,11 +767,11 @@ def _compile(ast) -> Column:
         if field_ast[0] != "col":
             raise EsqlError("ES|QL: match needs a field on the left")
         query = _lit_of(q_ast, "match query")
-        terms = sorted(set(tokenize_py(str(query), _MATCH_ANALYZER)))
+        terms = sorted(set(tokenize_py(str(query), _match_analyzer())))
         if not terms:
             return F.lit(False)
         return F.arrays_overlap(
-            tokenize_expr(F.col(field_ast[1]), _MATCH_ANALYZER),
+            tokenize_expr(F.col(field_ast[1]), _match_analyzer()),
             F.array(*[F.lit(t) for t in terms]))
     if kind == "list":
         return F.array(*[_compile(x) for x in ast[1]])
@@ -780,71 +854,6 @@ _AGG_NAMES = {"count", "count_distinct", "sum", "avg", "min", "max",
 
 
 # ========================================================== DISSECT / GROK
-
-_GROK_PATTERNS = {
-    "WORD": r"\w+", "NOTSPACE": r"\S+", "SPACE": r"\s+",
-    "DATA": r".*?", "GREEDYDATA": r".*",
-    "INT": r"[+-]?\d+",
-    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "BASE10NUM": r"[+-]?\d+(?:\.\d+)?",
-    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
-    "USERNAME": r"[a-zA-Z0-9._-]+",
-    "USER": r"[a-zA-Z0-9._-]+",
-    "HOSTNAME": r"[a-zA-Z0-9.\-]+",
-    "TIMESTAMP_ISO8601":
-        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
-    "LOGLEVEL":
-        r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|SEVERE|CRITICAL)",
-    "QUOTEDSTRING": r'"[^"]*"',
-    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
-}
-
-_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.@]+))?(?::(\w+))?\}")
-
-
-def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str]]]:
-    """grok pattern -> (python regex with named groups, [(name, type)])."""
-    out, fields, last = [], [], 0
-    for m in _GROK_REF.finditer(pattern):
-        out.append(re.escape(pattern[last:m.start()]))
-        base, name, ftype = m.group(1), m.group(2), m.group(3)
-        if base not in _GROK_PATTERNS:
-            raise EsqlError(f"ES|QL GROK: unknown pattern %{{{base}}}")
-        if name:
-            fields.append((name, ftype or "string"))
-            out.append(f"({_GROK_PATTERNS[base]})")
-        else:
-            out.append(f"(?:{_GROK_PATTERNS[base]})")
-        last = m.end()
-    out.append(re.escape(pattern[last:]))
-    return "".join(out), fields
-
-
-_DISSECT_REF = re.compile(r"%\{([^}]*)\}")
-
-
-def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
-    """dissect pattern -> (regex, field names). Supports %{name}, %{}
-    and %{?skipped}; -> modifiers are rejected explicitly."""
-    out, fields, last = [], [], 0
-    refs = list(_DISSECT_REF.finditer(pattern))
-    for i, m in enumerate(refs):
-        out.append(re.escape(pattern[last:m.start()]))
-        key = m.group(1)
-        if "->" in key or key.startswith(("+", "/")):
-            raise EsqlError(f"ES|QL DISSECT: modifier in %{{{key}}} "
-                            "not supported")
-        greedy = i == len(refs) - 1 and m.end() == len(pattern)
-        body = r".*" if greedy else r".*?"
-        if key and not key.startswith("?"):
-            fields.append(key)
-            out.append(f"({body})")
-        else:
-            out.append(f"(?:{body})")
-        last = m.end()
-    out.append(re.escape(pattern[last:]))
-    return "".join(out), fields
-
 
 # ============================================================== commands
 
@@ -1222,12 +1231,17 @@ def _dissect_grok(st: _State, p: _P, grok: bool) -> None:
     if pat_tok.kind != "str":
         raise EsqlError("ES|QL DISSECT/GROK: pattern must be a string")
     pattern = _unquote(pat_tok.text)
-    if grok:
-        rx, fields = _grok_regex(pattern)
-        typed = fields
-    else:
-        rx, names = _dissect_regex(pattern)
-        typed = [(n, "string") for n in names]
+    from ..functions.textpat import dissect_regex, grok_regex
+
+    try:
+        if grok:
+            rx, typed = grok_regex(pattern)
+        else:
+            rx, names = dissect_regex(pattern)
+            typed = [(n, "string") for n in names]
+    except ValueError as e:
+        raise EsqlError(f"ES|QL {'GROK' if grok else 'DISSECT'}: "
+                        f"{e}") from None
     df = st.df
     src = F.col(field)
     for i, (name, ftype) in enumerate(typed):
@@ -1337,14 +1351,13 @@ def esql(spark: SparkSession, query: str,
     dict (wildcards in FROM match its keys) or a callable. ``analyzer``
     and ``id_col`` configure the full-text ``match()`` path.
     """
-    global _MATCH_ANALYZER
     toks = _lex(query)
     segs = _split_pipes(toks)
     if not segs or not segs[0]:
         raise EsqlError("ES|QL: empty query")
     tables = tables or {}
     cfg = cfg or EngineConfig()
-    _MATCH_ANALYZER = analyzer
+    _TLS.analyzer = analyzer
 
     # --- source command
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
@@ -1445,10 +1458,11 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
             prob = float(_lit_of(n, "SAMPLE probability"))
             if not 0 < prob < 1:
                 raise EsqlError("ES|QL SAMPLE: probability in (0, 1)")
-            h = F.conv(F.substring(F.md5(F.to_json(
-                F.struct(*[F.col(c) for c in st.df.columns]))), 1, 15),
-                16, 10).cast("double") / F.lit(float(16 ** 15))
-            st.df = st.df.filter(h < F.lit(prob))
+            from ..functions.sampling import md5_uniform
+
+            u = md5_uniform(F.to_json(
+                F.struct(*[F.col(c) for c in st.df.columns])))
+            st.df = st.df.filter(u < F.lit(prob))
         elif cmd in ("RERANK", "COMPLETION"):
             raise EsqlError(f"ES|QL: {cmd} not supported")
         else:
@@ -1553,18 +1567,24 @@ def esql_index(spark: SparkSession, query: str, index_path: str, *,
         elif cmd == "KEEP":
             keep = _parse_names(p)
         elif cmd == "SORT":
-            names = []
+            keys = []
             while True:
-                names.append(_parse_pattern(p))
-                if not (p.kw("DESC") or p.kw("ASC")):
-                    pass
+                name = _parse_pattern(p)
+                desc = p.kw("DESC") or (not p.kw("ASC") and False)
+                keys.append((name, desc))
                 if p.peek().text == ",":
                     p.next()
                     continue
                 break
-            if names[0] != "_score":
+            if keys[0] != ("_score", True):
                 raise EsqlError("esql_index: SORT must lead with "
-                                "_score DESC (index ranking order)")
+                                "_score DESC (index ranking order); "
+                                f"got {keys[0][0]} "
+                                f"{'DESC' if keys[0][1] else 'ASC'}")
+            for name, desc in keys[1:]:
+                if name != "doc_id" or desc:
+                    raise EsqlError("esql_index: only doc_id [ASC] may "
+                                    "follow _score DESC")
         elif cmd == "LIMIT":
             k = int(p.next().text)
         else:

@@ -94,9 +94,11 @@ def _dquote_to_backtick(sql: str) -> str:
         for chunk, is_str in _split_strings(sql))
 
 
+# field may be bare or backticked — double-quoted identifiers are
+# rewritten to backticks BEFORE this scan runs
 _MATCH_RE = re.compile(
-    r"\b(MATCH|QUERY)\s*\(\s*(?:([A-Za-z_][\w.]*)\s*,\s*)?'((?:[^']|'')*)'"
-    r"\s*\)", re.IGNORECASE)
+    r"\b(MATCH|QUERY)\s*\(\s*(?:`?([A-Za-z_][\w.]*)`?\s*,\s*)?"
+    r"'((?:[^']|'')*)'\s*\)", re.IGNORECASE)
 _SCORE_RE = re.compile(r"\bSCORE\s*\(\s*\)", re.IGNORECASE)
 
 

@@ -46,19 +46,11 @@ _CONVERT = {"integer": "int", "long": "long", "double": "double",
             "float": "float", "string": "string", "boolean": "boolean"}
 
 
-def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
-    """ES dissect pattern -> (anchored regex, ordered keys). Literal
-    separators between ``%{key}`` refs must match exactly; each key
-    captures lazily up to the next literal (the dissect rule)."""
-    keys = re.findall(r"%\{([^}]+)\}", pattern)
-    parts = re.split(r"%\{[^}]+\}", pattern)
-    rx = "^"
-    for i, lit in enumerate(parts):
-        rx += re.escape(lit)
-        if i < len(keys):
-            nxt = parts[i + 1] if i + 1 < len(parts) else ""
-            rx += "(.*?)" if nxt else "(.*)"
-    return rx + "$", keys
+# dissect-pattern compilation is shared with the ES|QL DISSECT command
+# (functions.textpat) so the two surfaces cannot drift
+from elasticsearch_osmosis_plugin_spark.functions.textpat import (  # noqa: E402
+    dissect_regex as _dissect_regex,
+)
 
 
 def _apply_one(df: DataFrame, kind: str, p: dict,

@@ -110,7 +110,12 @@ def append_tsds(spark: SparkSession, root: str, name: str,
     gate = F.col(ts).isNull()
     for d in dims:
         gate = gate | F.col(d).isNull()
-    n_bad = df.filter(gate).count()
+    # one aggregation job answers both the gate and the return count;
+    # non-deterministic sources should be persisted by the caller (the
+    # gate pass and the write are separate jobs, like any
+    # validate-then-write pipeline)
+    n_total, n_bad = df.agg(
+        F.count(F.lit(1)), F.count(F.when(gate, F.lit(1)))).collect()[0]
     if n_bad:
         raise ValueError(
             f"tsds: {n_bad} rows with NULL {ts!r}/dimension — batch "
@@ -120,14 +125,13 @@ def append_tsds(spark: SparkSession, root: str, name: str,
                                            "yyyy-MM-dd"))
     raw = os.path.join(_dir(root, name), "raw")
     out.write.mode("append").partitionBy("__day").parquet(raw)
-    return df.count()
+    return int(n_total)
 
 
 def _bucket_col(ts_col: str, secs: int):
-    us = secs * 1_000_000
-    return F.timestamp_micros(
-        (F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / us) * us
-         ).cast("long"))
+    from ..functions.analysis import time_bucket
+
+    return time_bucket(ts_col, secs)
 
 
 def _read_raw(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -179,14 +183,19 @@ def downsample(spark: SparkSession, root: str, name: str,
                          F.sum(col).alias(f"{col}_sum"),
                          F.count(col).alias(f"{col}_value_count")]
         else:                            # counter: last observed value
+            # the order key must be the SOURCE time column — grouping
+            # happens on a fresh "__nb" column below precisely so the
+            # source "__bucket" stays visible here when re-downsampling
+            # (else max-by-time degenerates to max-by-value)
             src_col = f"{col}_last_value" if pre else col
             order = F.struct(
                 F.col("__bucket" if pre else ts).alias("t"),
                 F.col(src_col).alias("v"))
             aggs.append(F.max(order).getField("v")
                         .alias(f"{col}_last_value"))
-    rolled = (src.withColumn("__bucket", bucket)
-              .groupBy("__bucket", *dims).agg(*aggs)
+    rolled = (src.withColumn("__nb", bucket)
+              .groupBy("__nb", *dims).agg(*aggs)
+              .withColumnRenamed("__nb", "__bucket")
               .withColumn("__day", F.date_format("__bucket", "yyyy-MM-dd")))
     rel = f"downsample-{fixed_interval}"
     dst = os.path.join(_dir(root, name), rel)

@@ -567,3 +567,29 @@ def test_esql_index_rejects_other_shapes(spark, tmp_path):
                    "/nope")
     with pytest.raises(EsqlError, match="need WHERE MATCH"):
         esql_index(spark, "FROM d METADATA _score | LIMIT 5", "/nope")
+
+
+# ------------------------------------------------------------- IP functions
+
+def test_ip_functions(spark):
+    got = esql(spark, """
+ROW ips = ["10.1.2.3", "10.255.0.1", "192.168.1.77", "8.8.8.8",
+           "999.1.1.1", "nope"]
+| MV_EXPAND ips
+| EVAL ok = TO_IP(ips) IS NOT NULL,
+       in10 = CIDR_MATCH(ips, "10.0.0.0/8"),
+       inany = CIDR_MATCH(ips, "10.0.0.0/8", "192.168.0.0/16"),
+       p24 = IP_PREFIX(ips, 24)
+| KEEP ips, ok, in10, inany, p24""", {})
+    r = {x["ips"]: x for x in got.collect()}
+    assert r["10.1.2.3"]["ok"] and r["999.1.1.1"]["ok"] is False
+    assert r["nope"]["ok"] is False
+    assert r["10.1.2.3"]["in10"] and r["10.255.0.1"]["in10"]
+    assert not r["192.168.1.77"]["in10"] and r["192.168.1.77"]["inany"]
+    assert not r["8.8.8.8"]["inany"]
+    assert r["10.1.2.3"]["p24"] == "10.1.2.0"
+    assert r["192.168.1.77"]["p24"] == "192.168.1.0"
+    assert r["999.1.1.1"]["p24"] is None
+    with pytest.raises(EsqlError, match="bad CIDR"):
+        esql(spark, 'ROW a = "1.2.3.4" | EVAL x = CIDR_MATCH(a, "bogus")',
+             {})

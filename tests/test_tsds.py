@@ -133,3 +133,27 @@ def test_ts_rate_counter_with_resets(spark, tmp_path):
     assert abs(out[("b", 2)] - 10.0 / 60.0) < 1e-12
     with pytest.raises(ValueError, match="counter"):
         tsds.ts_rate(spark, root, "m", "1m", metric="nope")
+
+
+def test_chained_counter_downsample_keeps_time_order(spark, tmp_path):
+    """Re-downsampling a counter must carry the LAST sub-bucket's
+    last_value, not the max value (regression: the coarse bucket
+    column used to shadow the source sub-bucket in the order key)."""
+    root = str(tmp_path / "tsds_chain")
+    tsds.create_tsds(root, "m", dimensions=["host"],
+                     metrics={"reqs": "counter"}, ts_col="ts")
+    rows = [("a", "2024-01-01 10:00:00", 100.0),
+            ("a", "2024-01-01 10:31:00", 5.0)]   # reset: later < earlier
+    df = spark.createDataFrame(rows, "host string, ts string, reqs double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    tsds.append_tsds(spark, root, "m", df)
+    tsds.downsample(spark, root, "m", "30m")
+    tsds.downsample(spark, root, "m", "1h", source_interval="30m")
+    chained = spark.read.parquet(f"{root}/m/downsample-1h").collect()
+    assert len(chained) == 1 and chained[0]["reqs_last_value"] == 5.0
+    # and ts_agg over the chained rollup equals raw
+    raw = tsds.ts_agg(spark, root, "m", "1h", metric="reqs",
+                      agg="last_value", resolution=None).collect()
+    via = tsds.ts_agg(spark, root, "m", "1h", metric="reqs",
+                      agg="last_value", resolution="1h").collect()
+    assert raw[0]["last_value"] == via[0]["last_value"] == 5.0
