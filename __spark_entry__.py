@@ -4724,6 +4724,19 @@ FROM embeddings METADATA _score
 | SORT cos_x1e4 DESC, vec_id""", {"embeddings": emb}, id_col="vec_id")
 
 
+def q_esql_fork_events(spark, sf_dir):
+    """ES|QL FORK (9.1): two branch sub-pipelines over one frame,
+    unioned with the _fork discriminator."""
+    return _esql(spark, sf_dir, """
+FROM events
+| FORK (WHERE event_type == "view"
+        | STATS n = COUNT(*), s = TO_LONG(FLOOR(SUM(value) * 100.0 + 0.5)))
+       (WHERE event_type == "error"
+        | STATS n = COUNT(*), s = TO_LONG(FLOOR(SUM(value) * 100.0 + 0.5)))
+| KEEP _fork, n, s
+| SORT _fork""")
+
+
 def q_esql_wordcount_docs(spark, sf_dir):
     """ES|QL SPLIT + MV_EXPAND + STATS: the canonical multivalue
     pipeline (explode_outer, one shuffle)."""
@@ -4750,6 +4763,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_match_score_idx": q_esql_match_score_idx,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
+    "esql_fork_events": q_esql_fork_events,
     "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
@@ -6663,6 +6677,15 @@ WITH w AS (SELECT event_type, value,
            FROM events)
 SELECT event_type, count(*) AS n_hot FROM w
 WHERE value > avg_v * 1.5 GROUP BY 1 ORDER BY 1""",
+        "esql_fork_events": """
+SELECT * FROM (
+  SELECT 'fork1' AS _fork, count(*) AS n,
+         floor(sum(value) * 100.0 + 0.5)::BIGINT AS s
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT 'fork2', count(*), floor(sum(value) * 100.0 + 0.5)::BIGINT
+  FROM events WHERE event_type = 'error')
+ORDER BY _fork""",
         "esql_wordcount_docs": """
 WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
                                        x -> x <> '')) AS tok
