@@ -4724,6 +4724,20 @@ FROM embeddings METADATA _score
 | SORT cos_x1e4 DESC, vec_id""", {"embeddings": emb}, id_col="vec_id")
 
 
+def q_cumulative_cardinality_events(spark, sf_dir):
+    """ES cumulative_cardinality pipeline agg (exact): distinct users
+    seen so far per day — first-seen attribution + bucket-frame
+    running sum, never a per-prefix distinct recount."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        cumulative_cardinality,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = cumulative_cardinality(ev, F.date_trunc("day", "ts"), "user_id")
+    return out.select(F.unix_timestamp("bucket").alias("bucket_ts"),
+                      "new_entities", "cumulative_cardinality")
+
+
 def q_esql_fork_events(spark, sf_dir):
     """ES|QL FORK (9.1): two branch sub-pipelines over one frame,
     unioned with the _fork discriminator."""
@@ -4764,6 +4778,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
+    "cumulative_cardinality_events": q_cumulative_cardinality_events,
     "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
@@ -6677,6 +6692,16 @@ WITH w AS (SELECT event_type, value,
            FROM events)
 SELECT event_type, count(*) AS n_hot FROM w
 WHERE value > avg_v * 1.5 GROUP BY 1 ORDER BY 1""",
+        "cumulative_cardinality_events": """
+WITH fb AS (SELECT user_id, min(date_trunc('day', ts)) AS bk
+            FROM events GROUP BY user_id),
+nb AS (SELECT bk, count(*) AS new_entities FROM fb GROUP BY bk),
+grid AS (SELECT DISTINCT date_trunc('day', ts) AS bk FROM events)
+SELECT epoch(grid.bk)::BIGINT AS bucket_ts,
+       coalesce(nb.new_entities, 0) AS new_entities,
+       sum(coalesce(nb.new_entities, 0)) OVER (ORDER BY grid.bk)::BIGINT
+         AS cumulative_cardinality
+FROM grid LEFT JOIN nb USING (bk) ORDER BY 1""",
         "esql_fork_events": """
 SELECT * FROM (
   SELECT 'fork1' AS _fork, count(*) AS n,

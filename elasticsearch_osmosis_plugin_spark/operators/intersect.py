@@ -2789,3 +2789,37 @@ def search_shards(spark: SparkSession, index_path: str,
             for t in terms]
     return spark.createDataFrame(
         rows, "term string, bucket int, in_dictionary boolean")
+
+
+def cumulative_cardinality(df: DataFrame, bucket_col,
+                           entity_col: str,
+                           bucket_out: str = "bucket") -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg, EXACT (ES computes
+    it over HLL sketches; the value-for-value gate needs exactness —
+    documented divergence): per ordered bucket, the count of distinct
+    entities seen in any bucket up to and including it.
+
+    Plan: first-seen attribution (groupBy entity -> min bucket, ONE
+    shuffle over the data) + a left join onto the distinct bucket
+    grid + one running sum over the bucket frame. The window runs
+    over the AGGREGATED bucket rows (thousands), not the corpus —
+    the same single-task-window contract as every other pipeline agg
+    here. Never recounts distincts per prefix, which is the O(n^2)
+    trap.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(bucket_col, str):
+        bucket_col = F.col(bucket_col)
+    src = df.withColumn("__bk", bucket_col)
+    first = src.groupBy(entity_col).agg(F.min("__bk").alias("__bk"))
+    per = first.groupBy("__bk").agg(F.count(F.lit(1)).alias("new_entities"))
+    grid = src.select("__bk").distinct()
+    w = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, 0)
+    return (grid.join(per, "__bk", "left")
+            .fillna(0, ["new_entities"])
+            .withColumn("cumulative_cardinality",
+                        F.sum("new_entities").over(w))
+            .select(F.col("__bk").alias(bucket_out), "new_entities",
+                    "cumulative_cardinality")
+            .orderBy(bucket_out))
