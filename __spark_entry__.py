@@ -4724,6 +4724,28 @@ FROM embeddings METADATA _score
 | SORT cos_x1e4 DESC, vec_id""", {"embeddings": emb}, id_col="vec_id")
 
 
+def q_change_point_events(spark, sf_dir):
+    """ES|QL CHANGE_POINT over the daily event-count series (rows-only:
+    the detector is an iterative kernel, not SQL; its value-level
+    verification is the synthetic battery in tests/test_esql.py).
+    Deterministic: same series -> same (type, pvalue, row)."""
+    from elasticsearch_osmosis_plugin_spark.operators.changepoint import (
+        change_point,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    out = change_point(daily, "n", "day")
+    p = F.when(F.isnull("pvalue") | F.isnan("pvalue"), F.lit(-1.0)) \
+        .otherwise(F.col("pvalue"))
+    return (out.select(F.unix_timestamp("day").alias("day_ts"), "n",
+                       "type",
+                       F.floor(p * 10000 + 0.5).cast("long")
+                       .alias("pvalue_x1e4"))
+            .orderBy("day_ts"))
+
+
 def q_cumulative_cardinality_events(spark, sf_dir):
     """ES cumulative_cardinality pipeline agg (exact): distinct users
     seen so far per day — first-seen attribution + bucket-frame
@@ -4779,6 +4801,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
     "cumulative_cardinality_events": q_cumulative_cardinality_events,
+    "change_point_events": q_change_point_events,
     "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
