@@ -593,3 +593,27 @@ ROW ips = ["10.1.2.3", "10.255.0.1", "192.168.1.77", "8.8.8.8",
     with pytest.raises(EsqlError, match="bad CIDR"):
         esql(spark, 'ROW a = "1.2.3.4" | EVAL x = CIDR_MATCH(a, "bogus")',
              {})
+
+
+# ------------------------------------------------------------ plan shapes
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_esql_where_pushes_filters_to_scan(spark, tables):
+    out = esql(spark, """
+FROM events
+| WHERE event_type == "view" AND value > 100.0
+| KEEP event_id, value""", tables)
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+    # column pruning: text-free schema read
+    assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_esql_sort_limit_is_take_ordered(spark, tables):
+    out = esql(spark, "FROM events | SORT value DESC, event_id "
+                      "| LIMIT 5", tables)
+    assert "TakeOrderedAndProject" in _plan(out)
