@@ -566,6 +566,20 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
                                   _lit_of(a[1], "ROUND digits")
                                   if len(a) > 1 else 0),
     "signum": lambda a, r: F.signum(_compile(a[0])),
+    "sin": lambda a, r: F.sin(_compile(a[0])),
+    "cos": lambda a, r: F.cos(_compile(a[0])),
+    "tan": lambda a, r: F.tan(_compile(a[0])),
+    "asin": lambda a, r: F.asin(_compile(a[0])),
+    "acos": lambda a, r: F.acos(_compile(a[0])),
+    "atan": lambda a, r: F.atan(_compile(a[0])),
+    "atan2": lambda a, r: F.atan2(_compile(a[0]), _compile(a[1])),
+    "sinh": lambda a, r: F.sinh(_compile(a[0])),
+    "cosh": lambda a, r: F.cosh(_compile(a[0])),
+    "tanh": lambda a, r: F.tanh(_compile(a[0])),
+    "cbrt": lambda a, r: F.cbrt(_compile(a[0])),
+    "hypot": lambda a, r: F.hypot(_compile(a[0]), _compile(a[1])),
+    "to_degrees": lambda a, r: F.degrees(_compile(a[0])),
+    "to_radians": lambda a, r: F.radians(_compile(a[0])),
     "e": lambda a, r: F.lit(2.718281828459045),
     "pi": lambda a, r: F.lit(3.141592653589793),
     "tau": lambda a, r: F.lit(6.283185307179586),
@@ -596,6 +610,13 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
                                     _lit_of(a[1], "REPEAT n")),
     "substring": _substring,
     "hash": lambda a, r: F.md5(_compile(a[0])),
+    "space": lambda a, r: F.repeat(F.lit(" "), _lit_of(a[0], "SPACE n")),
+    "bit_length": lambda a, r: F.bit_length(_compile(a[0])),
+    "byte_length": lambda a, r: F.octet_length(_compile(a[0])),
+    "to_base64": lambda a, r: F.base64(
+        _compile(a[0]).cast("binary")),
+    "from_base64": lambda a, r: F.unbase64(
+        _compile(a[0])).cast("string"),
     # conditional / conversion
     "coalesce": lambda a, r: F.coalesce(*[_compile(x) for x in a]),
     "greatest": lambda a, r: F.greatest(*[_compile(x) for x in a]),
@@ -646,11 +667,29 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "mv_append": lambda a, r: F.concat(_compile(a[0]), _compile(a[1])),
     "mv_contains": lambda a, r: F.array_contains(
         _compile(a[0]), _lit_of(a[1], "MV_CONTAINS value")),
+    "mv_median": lambda a, r: _mv_median(a),
+    "mv_zip": lambda a, r: F.zip_with(
+        _compile(a[0]), _compile(a[1]),
+        lambda x, y: F.concat_ws(
+            _lit_of(a[2], "MV_ZIP delim") if len(a) > 2 else ",",
+            x, y)),
     "mv_slice": lambda a, r: F.slice(
         _compile(a[0]), _lit_of(a[1], "MV_SLICE start") + 1,
         (_lit_of(a[2], "MV_SLICE end") - _lit_of(a[1], "x") + 1)
         if len(a) > 2 else 1),
 }
+
+
+def _mv_median(args):
+    """Exact in-row median of an array column: sort + middle pick
+    (even length: mean of the two middles, ES's rule)."""
+    arr = F.array_sort(_arr_num(_compile(args[0])))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int")).cast("double")
+    hi = F.element_at(arr, (n / 2).cast("int") + 1).cast("double")
+    return (F.when(n == 0, F.lit(None).cast("double"))
+            .when(n % 2 == 1, hi)
+            .otherwise((lo + hi) / 2.0))
 
 
 def _case(args):

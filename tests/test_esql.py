@@ -617,3 +617,20 @@ def test_esql_sort_limit_is_take_ordered(spark, tables):
     out = esql(spark, "FROM events | SORT value DESC, event_id "
                       "| LIMIT 5", tables)
     assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_extended_function_library(spark):
+    got = esql(spark, """
+ROW x = 0.5, s = "hi", a = [3.0, 1.0, 2.0], b = [1.0, 2.0, 3.0, 4.0]
+| EVAL sn = ROUND(SIN(x), 4), deg = TO_DEGREES(PI()),
+       b64 = TO_BASE64(s), rt = FROM_BASE64(TO_BASE64(s)),
+       bl = BIT_LENGTH(s), sp = CONCAT("a", SPACE(2), "b"),
+       m1 = MV_MEDIAN(a), m2 = MV_MEDIAN(b),
+       z = MV_ZIP(["a", "b"], ["1", "2"], "-")""", {}).collect()[0]
+    import math
+    assert got["sn"] == round(math.sin(0.5), 4)
+    assert abs(got["deg"] - 180.0) < 1e-9
+    assert got["rt"] == "hi" and got["bl"] == 16
+    assert got["sp"] == "a  b"
+    assert got["m1"] == 2.0 and got["m2"] == 2.5
+    assert got["z"] == ["a-1", "b-2"]
