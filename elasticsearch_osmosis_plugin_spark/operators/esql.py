@@ -610,7 +610,7 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
                                     _lit_of(a[1], "REPEAT n")),
     "substring": _substring,
     "hash": lambda a, r: F.md5(_compile(a[0])),
-    "space": lambda a, r: F.repeat(F.lit(" "), _lit_of(a[0], "SPACE n")),
+    "space": lambda a, r: _space(a),
     "bit_length": lambda a, r: F.bit_length(_compile(a[0])),
     "byte_length": lambda a, r: F.octet_length(_compile(a[0])),
     "to_base64": lambda a, r: F.base64(
@@ -680,9 +680,19 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
 }
 
 
+def _space(args):
+    n = _lit_of(args[0], "SPACE n")
+    if not isinstance(n, int) or n < 0:
+        raise EsqlError("ES|QL: SPACE needs a non-negative integer "
+                        "(ES rejects negatives too)")
+    return F.repeat(F.lit(" "), n)
+
+
 def _mv_median(args):
     """Exact in-row median of an array column: sort + middle pick
-    (even length: mean of the two middles, ES's rule)."""
+    (even length: mean of the two middles). DIVERGENCE, documented:
+    the result is always double with the exact average — ES keeps the
+    field's integer type and rounds the even-count average down."""
     arr = F.array_sort(_arr_num(_compile(args[0])))
     n = F.size(arr)
     lo = F.element_at(arr, (n / 2).cast("int")).cast("double")

@@ -2811,7 +2811,11 @@ def cumulative_cardinality(df: DataFrame, bucket_col,
 
     if isinstance(bucket_col, str):
         bucket_col = F.col(bucket_col)
-    src = df.withColumn("__bk", bucket_col)
+    # NULL bucket keys fall into no bucket (ES date_histogram drops
+    # docs missing the field) — also keeps the window's NULLS-FIRST
+    # ordering from ever disagreeing with a NULLS-LAST SQL twin
+    src = df.withColumn("__bk", bucket_col) \
+        .filter(F.col("__bk").isNotNull())
     first = src.groupBy(entity_col).agg(F.min("__bk").alias("__bk"))
     per = first.groupBy("__bk").agg(F.count(F.lit(1)).alias("new_entities"))
     grid = src.select("__bk").distinct()

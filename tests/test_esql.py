@@ -597,8 +597,7 @@ ROW ips = ["10.1.2.3", "10.255.0.1", "192.168.1.77", "8.8.8.8",
 
 # ------------------------------------------------------------ plan shapes
 
-def _plan(df):
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.test_plans import _plan  # noqa: E402 — shared plan renderer
 
 
 def test_esql_where_pushes_filters_to_scan(spark, tables):
