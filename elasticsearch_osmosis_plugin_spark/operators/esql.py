@@ -1564,7 +1564,8 @@ def _fork(st: _State, p: _P, query: str, tables) -> None:
 
 # ===================================================== persisted-index path
 
-def esql_index(spark: SparkSession, query: str, index_path: str, *,
+def esql_index(spark: SparkSession, query: str,
+               index_path: str | list[str], *,
                strategy: str = "auto") -> DataFrame:
     """ES|QL over a PERSISTED inverted index — the flagship fast path.
 
@@ -1641,6 +1642,26 @@ def esql_index(spark: SparkSession, query: str, index_path: str, *,
                             "index-search shape — use esql() on tables")
     if match_text is None or k is None:
         raise EsqlError("esql_index: need WHERE MATCH(..) and LIMIT k")
+
+    if isinstance(index_path, (list, tuple)):
+        # multi-index: dfs-exact cross-index stats (rank-identical to
+        # a union rebuild); doc_ids must be globally unique across the
+        # indexes (the engine's data-stream convention). post-filters
+        # need per-index docstats — not offered on this path.
+        if post is not None:
+            raise EsqlError("esql_index: residual WHERE filters are "
+                            "single-index only (per-index docstats)")
+        if keep and any(c not in ("doc_id", "_score") for c in keep):
+            raise EsqlError("esql_index: KEEP of carry columns is "
+                            "single-index only")
+        from .query import topk_multi
+
+        hits = topk_multi(spark, list(index_path), match_text, k=k)
+        hits = (hits.withColumnRenamed("score", "_score")
+                .orderBy(F.desc("_score"), F.asc("doc_id")))
+        if keep:
+            hits = hits.select(*keep)
+        return hits
 
     from .query import topk
 

@@ -633,3 +633,33 @@ ROW x = 0.5, s = "hi", a = [3.0, 1.0, 2.0], b = [1.0, 2.0, 3.0, 4.0]
     assert got["sp"] == "a  b"
     assert got["m1"] == 2.0 and got["m2"] == 2.5
     assert got["z"] == ["a-1", "b-2"]
+
+
+def test_esql_index_multi_matches_topk_multi(spark, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk_multi
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cfg = EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                       block_size=64)
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(spark, docs.filter("doc_id % 2 = 0"), a, cfg,
+                id_col="doc_id", text_col="text")
+    build_index(spark, docs.filter("doc_id % 2 = 1"), b, cfg,
+                id_col="doc_id", text_col="text")
+    got = esql_index(spark, """
+FROM ia, ib METADATA _score
+| WHERE MATCH(text, "spark query")
+| SORT _score DESC, doc_id
+| LIMIT 10""", [a, b])
+    want = (topk_multi(spark, [a, b], "spark query", k=10)
+            .withColumnRenamed("score", "_score")
+            .orderBy(F.desc("_score"), "doc_id"))
+    assert got.collect() == want.collect()
+    from elasticsearch_osmosis_plugin_spark.operators.esql import EsqlError
+    with pytest.raises(EsqlError, match="single-index"):
+        esql_index(spark, 'FROM x METADATA _score | WHERE '
+                          'MATCH(text, "q") AND lang == "en" | '
+                          'SORT _score DESC | LIMIT 5', [a, b])
