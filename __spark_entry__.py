@@ -4696,6 +4696,44 @@ FROM documents METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+_SPLIT_IDX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def q_esql_multi_idx(spark, sf_dir):
+    """ES|QL over TWO persisted half-indexes (even/odd doc_ids) via
+    dfs-exact topk_multi: cross-index collection stats make the
+    ranking value-identical to ONE index over the union corpus — so
+    the single-corpus BM25 oracle is the exact twin."""
+    import os
+    import tempfile
+
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    if sf_dir not in _SPLIT_IDX_CACHE:
+        base = os.path.join(tempfile.gettempdir(),
+                            "eosp_entry_splitidx_"
+                            + sf_dir.strip("/").replace("/", "_"))
+        a, b = os.path.join(base, "even"), os.path.join(base, "odd")
+        docs = _t(spark, sf_dir, "documents")
+        cfg = EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                           block_size=64, resume=False)
+        for path, pred in ((a, "doc_id % 2 = 0"), (b, "doc_id % 2 = 1")):
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                build_index(spark, docs.filter(pred), path, cfg,
+                            id_col="doc_id", text_col="text", n_groups=1)
+        _SPLIT_IDX_CACHE[sf_dir] = (a, b)
+    a, b = _SPLIT_IDX_CACHE[sf_dir]
+    raw = esql_index(spark, """
+FROM even, odd METADATA _score
+| WHERE MATCH(text, "spark query join")
+| SORT _score DESC, doc_id
+| LIMIT 30""", [a, b])
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
 def q_esql_inlinestats_events(spark, sf_dir):
     """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
     row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
@@ -4797,6 +4835,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_lookup_orders": q_esql_lookup_orders,
     "esql_match_score": q_esql_match_score,
     "esql_match_score_idx": q_esql_match_score_idx,
+    "esql_multi_idx": q_esql_multi_idx,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -6700,6 +6739,7 @@ GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
+        "esql_multi_idx": _bm25_oracle_sql(["join", "query", "spark"], 10),
         "esql_knn": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id,
