@@ -1660,7 +1660,7 @@ def esql_index(spark: SparkSession, query: str,
         hits = (hits.withColumnRenamed("score", "_score")
                 .orderBy(F.desc("_score"), F.asc("doc_id")))
         if keep:
-            hits = hits.select(*keep)
+            hits = hits.select(*keep)   # projection preserves the sort
         return hits
 
     from .query import topk
@@ -1677,9 +1677,9 @@ def esql_index(spark: SparkSession, query: str,
             stats = catalog.read_table(spark, index_path, "docstats") \
                 .select("doc_id", *extra)
             hits = hits.join(stats, "doc_id")     # k-bounded hit frame
-        order = ([F.desc("_score")] if "_score" in keep else []) \
-            + ([F.asc("doc_id")] if "doc_id" in keep else [])
-        hits = hits.select(*keep)
-        if order:
-            hits = hits.orderBy(*order)
+        # the requested SORT (_score DESC, doc_id) governs row order
+        # even when KEEP drops those columns (ES|QL: KEEP is a
+        # projection, never a re-sort) — order BEFORE projecting
+        hits = hits.orderBy(F.desc("_score"), F.asc("doc_id")) \
+            .select(*keep)
     return hits

@@ -663,3 +663,29 @@ FROM ia, ib METADATA _score
         esql_index(spark, 'FROM x METADATA _score | WHERE '
                           'MATCH(text, "q") AND lang == "en" | '
                           'SORT _score DESC | LIMIT 5', [a, b])
+
+
+def test_esql_index_keep_preserves_score_order(spark, tmp_path):
+    """Regression: KEEP doc_id (dropping _score) must NOT re-sort by
+    doc_id — KEEP is a projection, the requested SORT governs."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "iko")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                             block_size=64),
+                id_col="doc_id", text_col="text")
+    got = [r["doc_id"] for r in esql_index(spark, """
+FROM d METADATA _score
+| WHERE MATCH(text, "spark query join")
+| SORT _score DESC, doc_id
+| KEEP doc_id
+| LIMIT 10""", idx).collect()]
+    want = [r["doc_id"] for r in
+            topk(spark, idx, "spark query join", k=10).collect()]
+    assert got == want
+    assert got != sorted(got)          # i.e. genuinely score-ordered
