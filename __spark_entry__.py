@@ -4704,11 +4704,26 @@ def q_esql_multi_idx(spark, sf_dir):
     dfs-exact topk_multi: cross-index collection stats make the
     ranking value-identical to ONE index over the union corpus — so
     the single-corpus BM25 oracle is the exact twin."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    a, b = _split_idx(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM even, odd METADATA _score
+| WHERE MATCH(text, "spark query join")
+| SORT _score DESC, doc_id
+| LIMIT 30""", [a, b])
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def _split_idx(spark, sf_dir):
+    """The two persisted half-indexes (even/odd doc_ids) used by the
+    multi-index gate rows — built once per sf_dir (see
+    q_esql_multi_idx for why the union-corpus oracle is exact)."""
     import os
     import tempfile
 
-    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
-    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
     from elasticsearch_osmosis_plugin_spark.plans.build import build_index
 
     if sf_dir not in _SPLIT_IDX_CACHE:
@@ -4724,13 +4739,46 @@ def q_esql_multi_idx(spark, sf_dir):
                 build_index(spark, docs.filter(pred), path, cfg,
                             id_col="doc_id", text_col="text", n_groups=1)
         _SPLIT_IDX_CACHE[sf_dir] = (a, b)
-    a, b = _SPLIT_IDX_CACHE[sf_dir]
+    return _SPLIT_IDX_CACHE[sf_dir]
+
+
+def q_esql_multi_idx_filtered(spark, sf_dir):
+    """Multi-index esql_index WITH a residual WHERE conjunct — the
+    modal real-world ES|QL shape (FROM logs-* | WHERE match(..) AND
+    host == "x"). The filter compiles to topk_multi's post_filter over
+    the UNION of the per-index docstats: B6 semantics (scores stay
+    union-corpus global, k after filter), so the single-corpus BM25
+    oracle with the same post-filter is the exact twin."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    a, b = _split_idx(spark, sf_dir)
     raw = esql_index(spark, """
 FROM even, odd METADATA _score
-| WHERE MATCH(text, "spark query join")
+| WHERE MATCH(text, "spark query join") AND lang == "en"
 | SORT _score DESC, doc_id
 | LIMIT 30""", [a, b])
     return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_esql_multi_idx_keep(spark, sf_dir):
+    """Multi-index esql_index with KEEP of a carry column (lang) on top
+    of a residual filter: carry columns hydrate from the per-index
+    docstats union on the k-bounded hit frame — both round-3
+    single-index-only restrictions lifted in one pipeline."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    a, b = _split_idx(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM even, odd METADATA _score
+| WHERE MATCH(text, "spark query join") AND n_chars > 100
+| KEEP doc_id, lang, _score
+| SORT _score DESC, doc_id
+| LIMIT 30""", [a, b])
+    return (raw.select("doc_id", "lang",
+                       x1e4(F.col("_score")).alias("score_x1e4"))
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
@@ -4836,6 +4884,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_match_score": q_esql_match_score,
     "esql_match_score_idx": q_esql_match_score_idx,
     "esql_multi_idx": q_esql_multi_idx,
+    "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
+    "esql_multi_idx_keep": q_esql_multi_idx_keep,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -6740,6 +6790,14 @@ GROUP BY 1 ORDER BY 1""",
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
         "esql_multi_idx": _bm25_oracle_sql(["join", "query", "spark"], 10),
+        "esql_multi_idx_filtered": _bm25_oracle_sql(
+            ["join", "query", "spark"], 10, post_filter_sql="d.lang = 'en'"),
+        "esql_multi_idx_keep": f"""
+SELECT h.doc_id, d.lang, h.score_x1e4
+FROM ( {_bm25_oracle_sql(["join", "query", "spark"], 10,
+                          post_filter_sql="d.n_chars > 100")} ) h
+JOIN documents d USING (doc_id)
+ORDER BY h.score_x1e4 DESC, h.doc_id""",
         "esql_knn": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id,

@@ -1620,7 +1620,9 @@ def esql_index(spark: SparkSession, query: str,
             keys = []
             while True:
                 name = _parse_pattern(p)
-                desc = p.kw("DESC") or (not p.kw("ASC") and False)
+                desc = p.kw("DESC")
+                if not desc:
+                    p.kw("ASC")   # consume an explicit ASC; default asc
                 keys.append((name, desc))
                 if p.peek().text == ",":
                     p.next()
@@ -1646,21 +1648,26 @@ def esql_index(spark: SparkSession, query: str,
     if isinstance(index_path, (list, tuple)):
         # multi-index: dfs-exact cross-index stats (rank-identical to
         # a union rebuild); doc_ids must be globally unique across the
-        # indexes (the engine's data-stream convention). post-filters
-        # need per-index docstats — not offered on this path.
-        if post is not None:
-            raise EsqlError("esql_index: residual WHERE filters are "
-                            "single-index only (per-index docstats)")
-        if keep and any(c not in ("doc_id", "_score") for c in keep):
-            raise EsqlError("esql_index: KEEP of carry columns is "
-                            "single-index only")
-        from .query import topk_multi
+        # indexes (the engine's data-stream convention). Residual WHERE
+        # conjuncts become topk_multi's post_filter (evaluated over the
+        # union of the per-index docstats — B6 semantics, pruning-bound
+        # correct under the filter); KEEP carry columns hydrate from
+        # the same docstats union on the k-bounded hit frame.
+        from .query import multi_docstats, topk_multi
 
-        hits = topk_multi(spark, list(index_path), match_text, k=k)
+        paths = list(index_path)
+        hits = topk_multi(spark, paths, match_text, k=k, post_filter=post)
         hits = (hits.withColumnRenamed("score", "_score")
                 .orderBy(F.desc("_score"), F.asc("doc_id")))
         if keep:
-            hits = hits.select(*keep)   # projection preserves the sort
+            extra = [c for c in keep if c not in ("doc_id", "_score")]
+            if extra:
+                stats = multi_docstats(spark, paths, ["doc_id"] + extra)
+                hits = hits.join(stats, "doc_id")   # k-bounded hit frame
+            # order BEFORE projecting: KEEP is a projection, never a
+            # re-sort, even when it drops the sort columns
+            hits = hits.orderBy(F.desc("_score"), F.asc("doc_id")) \
+                .select(*keep)
         return hits
 
     from .query import topk

@@ -830,9 +830,28 @@ def scan_iter(spark: SparkSession, index_path: str, query: str | None = None,
         cursor = rows[-1]["doc_id"]
 
 
+def multi_docstats(spark: SparkSession, index_paths: Sequence[str],
+                   cols: Sequence[str]) -> DataFrame:
+    """Union of the per-index docstats projections — the multi-index
+    doc store. Valid because doc_ids are globally unique across the
+    indexes (sha-derived from the natural key / the data-stream
+    convention), so the union IS the doc store of the union corpus.
+    Column-pruned before the union so each parquet scan reads only
+    ``cols``."""
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    frames = [catalog.read_table(spark, p, "docstats").select(*cols)
+              for p in index_paths]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def topk_multi(spark: SparkSession, index_paths: Sequence[str],
                query: str, k: int = 10,
-               indices_boost: Sequence[float] | None = None) -> DataFrame:
+               indices_boost: Sequence[float] | None = None,
+               post_filter=None) -> DataFrame:
     """ES multi-index search (``GET /idx1,idx2/_search``) with
     ``dfs_query_then_fetch`` semantics: collection statistics (df,
     N, avgdl) are combined across ALL indexes before scoring, so the
@@ -846,6 +865,15 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
     indices_boost body section, one float per index_path) — a boost
     scales that index's partial scores linearly, folded into its
     per-term idf map so every downstream bound stays valid.
+
+    ``post_filter``: optional Column predicate over doc-store columns,
+    same B6 semantics as :func:`topk` — restricts which docs are
+    RETURNED without touching scores (idf/avgdl/N stay union-corpus
+    global, k-limit after the filter). The predicate is evaluated on
+    the UNION of the per-index docstats (:func:`multi_docstats`), so
+    it pushes into every index's doc-store parquet scan, and the
+    surviving ids semi-join each index's decoded stream BEFORE the
+    aggregation — per-doc scores unchanged, only survivorship.
 
     Plan: one tiny dictionary lookup per index (driver-side sum of
     df/cf — the distributed-frequency phase), then each index's pruned
@@ -878,6 +906,16 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
     idf_g = {t: idf(n_g, d) for t, d in df_g.items()}
     if indices_boost is not None and len(indices_boost) != len(index_paths):
         raise ValueError("indices_boost needs one weight per index")
+    allowed = None
+    if post_filter is not None:
+        from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+        frames = [catalog.read_table(spark, p, "docstats")
+                  .filter(post_filter).select("doc_id")
+                  for p in index_paths]
+        allowed = frames[0]
+        for f in frames[1:]:
+            allowed = allowed.unionByName(f)
     parts = []
     for i, (p, m, dic) in enumerate(zip(index_paths, metas, dics)):
         live = sorted(set(dic["term"]))
@@ -889,6 +927,7 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
             w = float(indices_boost[i])
             idf_i = {t: v * w for t, v in idf_g.items()}
         parts.append(_scored(spark, p, live, m_scaled, idf_i,
+                             allowed=allowed,
                              denied=tombstones_df(spark, p, m)))
     out = parts[0]
     for more in parts[1:]:

@@ -658,11 +658,38 @@ FROM ia, ib METADATA _score
             .withColumnRenamed("score", "_score")
             .orderBy(F.desc("_score"), "doc_id"))
     assert got.collect() == want.collect()
-    from elasticsearch_osmosis_plugin_spark.operators.esql import EsqlError
-    with pytest.raises(EsqlError, match="single-index"):
-        esql_index(spark, 'FROM x METADATA _score | WHERE '
-                          'MATCH(text, "q") AND lang == "en" | '
-                          'SORT _score DESC | LIMIT 5', [a, b])
+
+    # residual WHERE conjunct -> topk_multi post_filter (B6: scores
+    # stay union-corpus global, k after filter). Twin: single-index
+    # rebuild over the union corpus with the same post_filter.
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+
+    u = str(tmp_path / "iu")
+    build_index(spark, docs, u, cfg, id_col="doc_id", text_col="text")
+    got_f = esql_index(spark, """
+FROM ia, ib METADATA _score
+| WHERE MATCH(text, "spark query") AND lang == "en"
+| SORT _score DESC, doc_id
+| LIMIT 10""", [a, b])
+    want_f = (topk(spark, u, "spark query", k=10,
+                   post_filter=F.col("lang") == "en")
+              .withColumnRenamed("score", "_score")
+              .orderBy(F.desc("_score"), "doc_id"))
+    gf, wf = got_f.collect(), want_f.collect()
+    assert [r["doc_id"] for r in gf] == [r["doc_id"] for r in wf]
+    for g, w in zip(gf, wf):
+        assert abs(g["_score"] - w["_score"]) < 1e-9
+
+    # KEEP of a carry column hydrates from the docstats union on the
+    # k-bounded hit frame, order still governed by the SORT
+    got_k = esql_index(spark, """
+FROM ia, ib METADATA _score
+| WHERE MATCH(text, "spark query") AND lang == "en"
+| KEEP doc_id, lang
+| SORT _score DESC, doc_id
+| LIMIT 10""", [a, b]).collect()
+    assert got_k and all(r["lang"] == "en" for r in got_k)
+    assert [r["doc_id"] for r in got_k] == [r["doc_id"] for r in gf]
 
 
 def test_esql_index_keep_preserves_score_order(spark, tmp_path):
