@@ -2408,6 +2408,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _rerank_x1e4(raw, 10)
 
 
+def q_ann_smoke(spark, sf_dir):
+    """Cheap always-on ANN composite (LSH top-k over the seeded
+    hyperplanes, 4 planes / hamming-1 multiprobe): one narrow scan +
+    codegen sign-bits, no training on data — registered so random
+    driver sampling exercises the ANN family every round (the full
+    LSH/IVF/PQ rows share the same kernels)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    raw = similarity.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=20,
+                                  n_planes=4, multiprobe_hamming=1)
+    return _rerank_x1e4(raw, 5)
+
+
 def _rerank_x1e4(raw: DataFrame, k: int) -> DataFrame:
     """Raw-ranked (vec_id, cos) with headroom -> the oracle's rounded
     fixed-point ordering (rounding can reorder raw near-ties)."""
@@ -5033,6 +5045,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_filtered": q_knn_filtered,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "ann_smoke": q_ann_smoke,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "pq_adc_topk": q_pq_adc_topk,
@@ -5188,6 +5201,9 @@ def _robust_oracle(gen, name: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "ann_smoke": _robust_oracle(
+            lambda: _ann_lsh_oracle_sql(n_planes=4, multiprobe_hamming=1,
+                                        k=5), "ann_smoke"),
         "ann_lsh_topk": _robust_oracle(_ann_lsh_oracle_sql,
                                        "ann_lsh_topk"),
         "ann_ivf_topk": _robust_oracle(_ann_ivf_oracle_sql,
