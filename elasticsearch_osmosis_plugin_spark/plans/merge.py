@@ -70,6 +70,49 @@ def drop_term_vectors(spark: SparkSession, index_path: str) -> None:
                               partition_by=["grp"])
 
 
+def _rewrite_block(r, ids, keep, k1: float, b: float, avgdl_eff: float,
+                   np, vb_decode, vb_encode_groups, delta_encode_groups,
+                   delta_decode_groups):
+    """Re-encode one posting block keeping only ``keep``-masked docs,
+    recomputing stats/bounds under ``avgdl_eff``. Returns the new row
+    dict, or None when every entry died. Shared by the exact-broadcast
+    and bloom/attached purge kernels — one encoder, two membership
+    strategies."""
+    if not keep.any():
+        return None
+    tf = vb_decode(r.tfs_vb).astype(np.int64)
+    dl = vb_decode(r.dls_vb).astype(np.int64)
+    pos_all = vb_decode(r.pos_vb)
+    starts = np.zeros(tf.size, dtype=np.int64)
+    np.cumsum(tf[:-1], out=starts[1:])
+    ids_k, tf_k, dl_k = ids[keep], tf[keep], dl[keep]
+    z = np.zeros(1, dtype=np.int64)
+    if pos_all.size:
+        pos = delta_decode_groups(pos_all, starts)
+        kept_pos = np.concatenate(
+            [pos[s:s + n] for s, n in
+             zip(starts[keep], tf[keep])]) if keep.any() else pos[:0]
+        pstarts = np.zeros(tf_k.size, dtype=np.int64)
+        np.cumsum(tf_k[:-1], out=pstarts[1:])
+        pos_vb = b"".join(vb_encode_groups(
+            delta_encode_groups(kept_pos.astype(np.uint64), pstarts), z))
+    else:
+        pos_vb = b""
+    w = tf_k / (tf_k + k1 * (1.0 - b + b * dl_k / avgdl_eff))
+    return {
+        "bucket": r.bucket, "term": r.term, "seg": r.seg,
+        "block": r.block, "n": int(tf_k.size),
+        "sum_tf": int(tf_k.sum()),
+        "block_max_wand": float(w.max()),
+        "min_doc": int(ids_k[0]), "max_doc": int(ids_k[-1]),
+        "doc_ids_vb": b"".join(vb_encode_groups(
+            delta_encode_groups(ids_k.astype(np.uint64), z), z)),
+        "tfs_vb": b"".join(vb_encode_groups(tf_k.astype(np.uint64), z)),
+        "dls_vb": b"".join(vb_encode_groups(dl_k.astype(np.uint64), z)),
+        "pos_vb": pos_vb,
+    }
+
+
 def _purge_kernel(dead_bc, k1: float, b: float, avgdl_eff: float):
     """mapInPandas kernel: drop tombstoned docs from each posting block
     and recompute its stats/payloads. Per-ROW (per-block) work — no
@@ -106,48 +149,174 @@ def _purge_kernel(dead_bc, k1: float, b: float, avgdl_eff: float):
                                 == ids))
                 else:
                     keep = np.ones(ids.size, dtype=bool)
-                if not keep.any():
-                    continue
-                tf = vb_decode(r.tfs_vb).astype(np.int64)
-                dl = vb_decode(r.dls_vb).astype(np.int64)
-                pos_all = vb_decode(r.pos_vb)
-                starts = np.zeros(tf.size, dtype=np.int64)
-                np.cumsum(tf[:-1], out=starts[1:])
-                ids_k, tf_k, dl_k = ids[keep], tf[keep], dl[keep]
-                z = np.zeros(1, dtype=np.int64)
-                if pos_all.size:
-                    pos = delta_decode_groups(pos_all, starts)
-                    kept_pos = np.concatenate(
-                        [pos[s:s + n] for s, n in
-                         zip(starts[keep], tf[keep])]) if keep.any() else pos[:0]
-                    pstarts = np.zeros(tf_k.size, dtype=np.int64)
-                    np.cumsum(tf_k[:-1], out=pstarts[1:])
-                    pos_vb = b"".join(vb_encode_groups(
-                        delta_encode_groups(kept_pos.astype(np.uint64),
-                                            pstarts), z))
-                else:
-                    pos_vb = b""
-                w = tf_k / (tf_k + k1 * (1.0 - b + b * dl_k / avgdl_eff))
-                rows.append({
-                    "bucket": r.bucket, "term": r.term, "seg": r.seg,
-                    "block": r.block, "n": int(tf_k.size),
-                    "sum_tf": int(tf_k.sum()),
-                    "block_max_wand": float(w.max()),
-                    "min_doc": int(ids_k[0]), "max_doc": int(ids_k[-1]),
-                    "doc_ids_vb": b"".join(vb_encode_groups(
-                        delta_encode_groups(ids_k.astype(np.uint64), z), z)),
-                    "tfs_vb": b"".join(vb_encode_groups(
-                        tf_k.astype(np.uint64), z)),
-                    "dls_vb": b"".join(vb_encode_groups(
-                        dl_k.astype(np.uint64), z)),
-                    "pos_vb": pos_vb,
-                })
+                row = _rewrite_block(r, ids, keep, k1, b, avgdl_eff,
+                                     np, vb_decode, vb_encode_groups,
+                                     delta_encode_groups, delta_decode_groups)
+                if row is not None:
+                    rows.append(row)
             if rows:
                 yield pd.DataFrame(rows)
     return fn
 
 
-def purge_deletes(spark: SparkSession, index_path: str) -> dict:
+# --------------------------------------------------- bloom-path purge
+# Above `max_exact_broadcast` tombstones the exact sorted-array
+# broadcast would pin O(deletes) * 8 B on the driver (8 GB at 1e9).
+# The bloom path caps the driver structure at the (bounded) filter
+# size: a fixed-size packed bitset built DISTRIBUTEDLY (per-word
+# bit_or groupBy — the collect is <= n_bits/64 longs, never
+# O(deletes)), broadcast once, probed per block in numpy; bloom-
+# positive candidates are then verified EXACTLY by a semi-join against
+# the tombstone relation and shipped back per block as an attached
+# array — no false deletion is possible, the bloom only bounds how
+# many candidates reach the join.
+
+_MASK64 = (1 << 64) - 1
+
+
+def _mix64(x, seed: int):
+    """Vectorized splitmix64 — the same deterministic integer hash on
+    the build (tombstone) and probe (posting) sides; pure uint64
+    numpy, no Python per row."""
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(
+        ((seed + 1) * 0x9E3779B97F4A7C15) & _MASK64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_bits_for(n_dead: int, cap_bits: int = 1 << 30) -> int:
+    """~16 bits/key (fpp ~ 0.24% at k=4), power of two, clamped to
+    [2^20, cap]. At the cap the filter degrades gracefully: fpp rises,
+    more candidates reach the exact-verify join, correctness holds."""
+    want = max(1 << 20, 16 * max(1, n_dead))
+    bits = 1 << (want - 1).bit_length()
+    return min(bits, cap_bits)
+
+
+def _bloom_words_build(tombs, n_bits: int, k: int = 4):
+    """Distributed Bloom build over tombstone doc_ids -> packed int64
+    word array. Each partition emits (word_index, mask) pairs
+    (mapInPandas, numpy-vectorized), a map-side-combined groupBy
+    bit_or's them, and the driver collects AT MOST n_bits/64 longs —
+    the pin is the filter size, independent of the delete count."""
+    import numpy as np
+    import pandas as pd
+
+    nb = np.uint64(n_bits)
+
+    def emit(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            if not ids.size:
+                continue
+            idx = np.concatenate([_mix64(ids, i) % nb for i in range(k)])
+            yield pd.DataFrame({
+                "w": (idx >> np.uint64(6)).astype(np.int64),
+                "m": (np.uint64(1) << (idx & np.uint64(63)))
+                     .view(np.int64)})
+
+    words_rows = (tombs.select(F.col("doc_id").cast("long"))
+                  .mapInPandas(emit, "w long, m long")
+                  .groupBy("w").agg(F.bit_or("m").alias("m")).collect())
+    words = np.zeros(n_bits >> 6, dtype=np.int64)
+    if words_rows:
+        words[np.fromiter((r["w"] for r in words_rows), np.int64)] = \
+            np.fromiter((r["m"] for r in words_rows), np.int64)
+    return words
+
+
+def _bloom_probe(words_u64, ids_u64, n_bits: int, k: int = 4):
+    """might-contain mask for a uint64 id array (all k bits set)."""
+    import numpy as np
+
+    nb = np.uint64(n_bits)
+    cand = np.ones(ids_u64.size, dtype=bool)
+    for i in range(k):
+        h = _mix64(ids_u64, i) % nb
+        cand &= ((words_u64[h >> np.uint64(6)] >> (h & np.uint64(63)))
+                 & np.uint64(1)).astype(bool)
+        if not cand.any():
+            break
+    return cand
+
+
+CAND_SCHEMA = "bucket int, term string, seg long, block int, cand long"
+
+
+def _cand_kernel(bloom_bc, n_bits: int, k: int = 4):
+    """mapInPandas: decode each block's doc ids, keep the bloom-
+    positive ones as (block key, candidate id) rows. Reads only the
+    doc_ids_vb payload (no tf/dl/pos decode)."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_osmosis_plugin_spark.functions.varbyte import vb_decode
+
+    def fn(batches):
+        words = bloom_bc.value.view(np.uint64)
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ids = np.cumsum(vb_decode(r.doc_ids_vb), dtype=np.uint64)
+                cand = _bloom_probe(words, ids, n_bits, k)
+                if cand.any():
+                    outs.append(pd.DataFrame({
+                        "bucket": r.bucket, "term": r.term, "seg": r.seg,
+                        "block": r.block,
+                        "cand": ids[cand].astype(np.int64)}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def _purge_kernel_attached(k1: float, b: float, avgdl_eff: float):
+    """mapInPandas kernel for the bloom path: each posting row arrives
+    with an attached ``dead_ids`` array (the exactly-verified dead ids
+    present in THAT block; null when the block has none). Same encoder
+    and bound semantics as the exact kernel — every block's bounds are
+    recomputed under avgdl_eff so both kernels leave identical
+    invariants for readers."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_osmosis_plugin_spark.functions.varbyte import (
+        delta_decode_groups,
+        delta_encode_groups,
+        vb_decode,
+        vb_encode_groups,
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ids = np.cumsum(vb_decode(r.doc_ids_vb),
+                                dtype=np.uint64).astype(np.int64)
+                dead = r.dead_ids
+                if dead is None or (hasattr(dead, "__len__")
+                                    and len(dead) == 0):
+                    keep = np.ones(ids.size, dtype=bool)
+                else:
+                    dead_arr = np.asarray(dead, dtype=np.int64)  # sorted
+                    pos = np.searchsorted(dead_arr, ids)
+                    keep = ~((pos < dead_arr.size)
+                             & (dead_arr[np.minimum(pos, dead_arr.size - 1)]
+                                == ids))
+                row = _rewrite_block(r, ids, keep, k1, b, avgdl_eff,
+                                     np, vb_decode, vb_encode_groups,
+                                     delta_encode_groups, delta_decode_groups)
+                if row is not None:
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+    return fn
+
+
+def purge_deletes(spark: SparkSession, index_path: str,
+                  max_exact_broadcast: int = 10_000_000) -> dict:
     """Physically remove tombstoned docs (the Lucene expunge-deletes /
     forced-merge analog): rewrite the doc store without them, rewrite
     every posting block without their entries (per-block kernel, no
@@ -156,7 +325,16 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
     docs — queries score exactly as a fresh build over the live corpus.
     Groups commit one by one; meta swaps last, and bounds are computed
     under max(old, new) avgdl so a reader in the commit window never
-    over-prunes."""
+    over-prunes.
+
+    Tombstone shipment is threshold-switched on ``max_exact_broadcast``:
+    up to that many dead ids, ONE sorted numpy array broadcast (exact,
+    zero extra passes); above it, a capped-size Bloom broadcast +
+    per-block exact verification via a semi-join against the tombstone
+    relation — the driver pin is the filter size (<= 128 MiB at the
+    2^30-bit cap), independent of the delete count, and no false
+    deletion is possible (the bloom only nominates candidates; the
+    semi-join confirms them exactly)."""
     from elasticsearch_osmosis_plugin_spark.plans.build import (
         POSTING_SCHEMA,
         _write_dictionary,
@@ -176,17 +354,23 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
     # Distributed tombstone handling (no driver-side set, no literal
     # isin list in any plan): the doc-store rewrite is a plain
     # anti-join against the tombstones DataFrame (broadcast by AQE
-    # while small, shuffle-join when deletes have accumulated), and
-    # the per-block posting kernel gets the ids as ONE sorted numpy
-    # array shipped by torrent broadcast — O(deletes) lives on the
-    # executors, the driver only pins the array once for the
-    # broadcast. ES's own expunge-deletes is segment-local for the
-    # same reason.
-    dead_np = np.sort(
-        tombs.select(F.col("doc_id").cast("long"))
-        .toPandas()["doc_id"].to_numpy(np.int64))
-    n_dead = int(dead_np.size)
-    dead_bc = spark.sparkContext.broadcast(dead_np)
+    # while small, shuffle-join when deletes have accumulated). For
+    # the per-block posting kernel the shipment is threshold-switched:
+    # exact sorted-array broadcast below ``max_exact_broadcast``,
+    # capped-size Bloom + per-block exact verify above it (see the
+    # module comment at the bloom section).
+    n_dead = int(tombs.count())
+    use_bloom = n_dead > max_exact_broadcast
+    dead_bc = bloom_bc = None
+    if use_bloom:
+        n_bits = _bloom_bits_for(n_dead)
+        bloom_bc = spark.sparkContext.broadcast(
+            _bloom_words_build(tombs, n_bits))
+    else:
+        dead_np = np.sort(
+            tombs.select(F.col("doc_id").cast("long"))
+            .toPandas()["doc_id"].to_numpy(np.int64))
+        dead_bc = spark.sparkContext.broadcast(dead_np)
 
     ds = catalog.read_table(spark, index_path, "docstats")
     ds_man = catalog.read_manifest(index_path, "docstats")
@@ -202,12 +386,42 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
     avgdl_eff = max(float(meta["avgdl"]) * float(meta.get("wand_slack", 1.0)),
                     avgdl_new)
 
-    kern = _purge_kernel(dead_bc, meta["k1"], meta["b"], avgdl_eff)
+    kern = (None if use_bloom else
+            _purge_kernel(dead_bc, meta["k1"], meta["b"], avgdl_eff))
+    tomb_ids = tombs.select(
+        F.col("doc_id").cast("long").alias("cand")).distinct()
     for g in index_groups(meta):
         name = f"postings/group={g}"
         posts = spark.read.schema(POSTING_SCHEMA).parquet(
             catalog.table_path(index_path, name))
-        purged = (posts.mapInPandas(kern, POSTING_SCHEMA)
+        if use_bloom:
+            # pass 1: bloom-nominate candidates per block — the scan
+            # reads only the block key + doc_ids_vb (column pruning
+            # keeps tf/dl/pos payloads on disk); pass 2 verifies them
+            # EXACTLY via a semi-join against the tombstone relation,
+            # re-groups the survivors per block (sorted, so the kernel
+            # binary-searches), and joins them back onto the posting
+            # rows. Blocks with no verified dead id join to NULL and
+            # are re-encoded unchanged.
+            cands = (posts
+                     .select("bucket", "term", "seg", "block",
+                             "doc_ids_vb")
+                     .mapInPandas(_cand_kernel(bloom_bc, n_bits),
+                                  CAND_SCHEMA))
+            dead_per_block = (
+                cands.join(tomb_ids, "cand", "left_semi")
+                .groupBy("bucket", "term", "seg", "block")
+                .agg(F.sort_array(F.collect_list("cand"))
+                     .alias("dead_ids")))
+            enriched = posts.join(dead_per_block,
+                                  ["bucket", "term", "seg", "block"],
+                                  "left")
+            rewritten = enriched.mapInPandas(
+                _purge_kernel_attached(meta["k1"], meta["b"], avgdl_eff),
+                POSTING_SCHEMA)
+        else:
+            rewritten = posts.mapInPandas(kern, POSTING_SCHEMA)
+        purged = (rewritten
                   .repartition(meta["n_buckets"], "bucket")
                   .sortWithinPartitions("term", "seg", "block"))
         gman = catalog.read_manifest(index_path, name)
@@ -227,9 +441,12 @@ def purge_deletes(spark: SparkSession, index_path: str) -> dict:
                  "tombstones_n": 0})
     meta.setdefault("metrics", []).append(
         {"stage": "purge", "n_purged": n_dead,
+         "strategy": "bloom" if use_bloom else "exact",
          "wall_s": time.time() - t0})
     _write_meta(index_path, meta)
-    dead_bc.unpersist()
+    for bc in (dead_bc, bloom_bc):
+        if bc is not None:
+            bc.unpersist()
     return meta
 
 

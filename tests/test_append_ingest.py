@@ -285,6 +285,96 @@ def test_purge_100k_tombstones_distributed(spark, corpus_df, tmp_path,
                 _rows((spark, fresh), q, strategy), (q, strategy)
 
 
+def _spy_bloom_build(monkeypatch, captured):
+    from elasticsearch_osmosis_plugin_spark.plans import merge as merge_mod
+
+    orig = merge_mod._bloom_words_build
+
+    def spy(tombs, n_bits, k=4):
+        words = orig(tombs, n_bits, k)
+        captured["n_bits"] = n_bits
+        captured["nbytes"] = words.nbytes
+        return words
+
+    monkeypatch.setattr(merge_mod, "_bloom_words_build", spy)
+
+
+def test_purge_bloom_path_matches_exact(spark, corpus_df, tmp_path,
+                                        monkeypatch):
+    """Bloom-path purge (forced via max_exact_broadcast=0) is
+    value-identical to the exact path: rank identity vs a fresh build
+    over the survivors across all pruning strategies AND phrase
+    queries (so the positional payload rewrite is exercised too)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import match_phrase
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+    from elasticsearch_osmosis_plugin_spark.plans.merge import purge_deletes
+
+    captured = {}
+    _spy_bloom_build(monkeypatch, captured)
+    dead = [3, 5, 8, 13, 21, 34]
+    idx = str(tmp_path / "purge_bloom_idx")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=2)
+    delete_docs(spark, idx, dead)
+    meta = purge_deletes(spark, idx, max_exact_broadcast=0)
+    assert meta["tombstones_n"] == 0
+    assert meta["n_docs"] == corpus_df.count() - len(dead)
+    assert meta["metrics"][-1]["strategy"] == "bloom"
+    assert captured["nbytes"] == captured["n_bits"] >> 3
+
+    fresh = str(tmp_path / "purge_bloom_fresh")
+    build_index(spark, corpus_df.filter(~corpus_df.doc_id.isin(dead)),
+                fresh, CFG, id_col="doc_id", n_groups=2)
+    for q in QUERIES:
+        for strategy in ("scoreall", "maxscore", "blockmax"):
+            assert _rows((spark, idx), q, strategy) == \
+                _rows((spark, fresh), q, strategy), (q, strategy)
+    for phrase in ("public static", "get index buffer"):
+        got = [r["doc_id"] for r in match_phrase(spark, idx, phrase).collect()]
+        want = [r["doc_id"] for r in
+                match_phrase(spark, fresh, phrase).collect()]
+        assert got == want, phrase
+
+
+def test_purge_bloom_driver_pin_bounded(spark, corpus_df, tmp_path,
+                                        monkeypatch):
+    """Scale guard for the threshold switch: at an inflated tombstone
+    count (100k ids, threshold 1k) purge takes the bloom path and the
+    ONLY driver-pinned structure is the packed filter — strictly
+    smaller than the 8 B/id exact array would be, and capped at
+    2^30 bits regardless of the delete count. Results still match a
+    fresh rebuild over the survivors."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_osmosis_plugin_spark.plans.build import delete_docs
+    from elasticsearch_osmosis_plugin_spark.plans.merge import (
+        _bloom_bits_for,
+        purge_deletes,
+    )
+
+    captured = {}
+    _spy_bloom_build(monkeypatch, captured)
+    idx = str(tmp_path / "purge_bloom_big")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=2)
+    delete_docs(spark, idx,
+                spark.range(4, 100_004).select(F.col("id").alias("doc_id")))
+    meta = purge_deletes(spark, idx, max_exact_broadcast=1000)
+    assert meta["n_docs"] == 4 and meta["tombstones_n"] == 0
+    assert meta["metrics"][-1]["strategy"] == "bloom"
+    assert meta["metrics"][-1]["n_purged"] == 100_000
+    # the pin is the filter, sized by _bloom_bits_for, NOT 8 B/id
+    assert captured["n_bits"] == _bloom_bits_for(100_000)
+    assert captured["nbytes"] < 8 * 100_000
+    assert _bloom_bits_for(10 ** 12) == 1 << 30  # hard cap holds
+
+    fresh = str(tmp_path / "purge_bloom_big_fresh")
+    build_index(spark, corpus_df.filter("doc_id < 4"), fresh, CFG,
+                id_col="doc_id", n_groups=2)
+    for q in ("public static", "id0001"):
+        for strategy in ("scoreall", "maxscore", "blockmax"):
+            assert _rows((spark, idx), q, strategy) == \
+                _rows((spark, fresh), q, strategy), (q, strategy)
+
+
 def test_alias_swap_zero_downtime(spark, tmp_path):
     """ES alias reindex-swap: build v1, alias -> v1, query through the
     alias; build v2, atomically repoint; a new query sees v2, while a
