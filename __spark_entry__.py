@@ -2713,6 +2713,91 @@ WHERE ({' + '.join(terms)}) % 2 = 1
 ORDER BY doc_id"""
 
 
+_POLY_WKT = ("POLYGON ((" + ", ".join(f"{lon} {lat}" for lat, lon in _POLY)
+             + "))")
+
+
+def q_esql_st_intersects(spark, sf_dir):
+    """ES|QL ST_* spatial relations (new r4): the four relations of
+    every synthetic geo_point against the concave L query polygon, as
+    boolean EVAL columns — the operators.geo ray-cast kernels wired
+    into the language (the point field contains no area, so CONTAINS
+    with the point side as container is constant false)."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    pts = (_synth_points(_t(spark, sf_dir, "documents"))
+           .withColumn("location", F.struct("lon", "lat")))
+    return esql(spark, f'''
+FROM pts
+| EVAL inter = ST_INTERSECTS(location, TO_GEOSHAPE("{_POLY_WKT}")),
+       co = ST_CONTAINS(TO_GEOSHAPE("{_POLY_WKT}"), location),
+       wi = ST_WITHIN(location, TO_GEOSHAPE("{_POLY_WKT}")),
+       dis = ST_DISJOINT(location, TO_GEOSHAPE("{_POLY_WKT}"))
+| KEEP doc_id, inter, co, wi, dis
+| SORT doc_id''', {"pts": pts})
+
+
+def _esql_st_intersects_sql() -> str:
+    """DuckDB twin: the same per-edge crossing arithmetic as
+    _geo_polygon_oracle_sql, emitted once and fanned into the four
+    relation columns."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        lat1, lon1 = _POLY[i]
+        lat2, lon2 = _POLY[(i + 1) % n]
+        if lat1 == lat2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({lat1} > lat) <> ({lat2} > lat)) AND "
+            f"(lon < ({lon2 - lon1}) * (lat - ({lat1})) / ({lat2 - lat1}) "
+            f"+ ({lon1})) THEN 1 ELSE 0 END)")
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents),
+r AS (SELECT doc_id, ({' + '.join(terms)}) % 2 = 1 AS inside FROM pts)
+SELECT doc_id, inside AS inter, inside AS co, inside AS wi,
+       NOT inside AS dis
+FROM r ORDER BY doc_id"""
+
+
+def q_esql_st_distance(spark, sf_dir):
+    """ES|QL ST_DISTANCE/ST_X/ST_Y (new r4): haversine-meter filter
+    against a Paris query point through the language front end; the
+    2000 km radius sits far from any synthetic point's distance so
+    libm ulp differences cannot flip membership (same buffer rule as
+    geo_distance_filter)."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    pts = (_synth_points(_t(spark, sf_dir, "documents"))
+           .withColumn("location", F.struct("lon", "lat")))
+    return esql(spark, '''
+FROM pts
+| WHERE ST_DISTANCE(location, TO_GEOPOINT("POINT (2.3522 48.8566)"))
+        < 2000000.0
+| EVAL x = ST_X(location), y = ST_Y(location)
+| KEEP doc_id, x, y
+| SORT doc_id''', {"pts": pts})
+
+
+ESQL_ST_DISTANCE_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT doc_id, lon AS x, lat AS y FROM pts
+WHERE 2.0 * 6371008.7714 * asin(sqrt(
+        pow(sin(radians(48.8566 - lat) / 2), 2)
+        + cos(radians(lat)) * cos(radians(48.8566))
+          * pow(sin(radians(2.3522 - lon) / 2), 2))) < 2000000.0
+ORDER BY doc_id
+"""
+
+
 def q_geo_distance_filter(spark, sf_dir):
     """B8 under the hard gate: haversine geo-distance filter over a
     deterministic synthetic points table (the reference's
@@ -4901,6 +4986,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
+    "esql_st_intersects": q_esql_st_intersects,
+    "esql_st_distance": q_esql_st_distance,
     "cumulative_cardinality_events": q_cumulative_cardinality_events,
     "change_point_events": q_change_point_events,
     "esql_wordcount_docs": q_esql_wordcount_docs,
@@ -5407,6 +5494,8 @@ WHERE list_contains(toks, 'spark')::INT + list_contains(toks, 'window')::INT
     + list_contains(toks, 'dup')::INT + list_contains(toks, 'join')::INT >= 2
 ORDER BY doc_id""",
         "geo_polygon_filter": _geo_polygon_oracle_sql(),
+        "esql_st_intersects": _esql_st_intersects_sql(),
+        "esql_st_distance": ESQL_ST_DISTANCE_SQL,
         "extended_stats_idx": f"""
 WITH {TOK_CTE},
 hits AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM toks

@@ -440,7 +440,8 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 7,
 
 
 def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    materialize: str = "disk") -> DataFrame:
     """Exact duplicate-SPAN detection (substring dedup, Lee et al.
     "Deduplicating Training Data Makes Language Models Better"): find
     every k-token window that occurs more than once corpus-wide, keep
@@ -477,8 +478,22 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     grams with count > 1 — boilerplate-free corpora join against a
     near-empty relation. Position key packs pos into 20 bits: docs
     longer than 2^20 tokens would need a wider shift.
+
+    ``materialize`` controls how the O(corpus tokens) occurrence
+    relation is shared between the group-stats agg and the join-back:
+    ``"disk"`` (default) persists it DISK_ONLY — at 100 TB the
+    relation is ~24 B/token and memory-persist would evict or OOM
+    executors, while local-disk spill is sequential write/read;
+    ``"memory"`` persists MEMORY_AND_DISK (fastest at bench scale);
+    ``"recompute"`` skips the persist entirely and re-derives the
+    grams per branch (one extra tokenize+hash scan, zero storage).
     """
     from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    if materialize not in ("disk", "memory", "recompute"):
+        raise ValueError(f"materialize must be disk|memory|recompute, "
+                         f"got {materialize!r}")
 
     toks = tokens_col(text_col)
     grams = F.transform(
@@ -493,8 +508,12 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     # agg and the join-back consume it, and re-running the k-gram
     # generation (O(tokens * k) string work) per branch would double
     # the scan cost (same pattern as the pair emitters below)
-    occ = occ.persist()
-    occ.count()
+    persisted = []
+    if materialize != "recompute":
+        occ = occ.persist(StorageLevel.DISK_ONLY if materialize == "disk"
+                          else StorageLevel.MEMORY_AND_DISK)
+        occ.count()
+        persisted.append(occ)
     gstats = (occ.groupBy("g")
               .agg(F.count(F.lit(1)).alias("n_occ"),
                    F.min("key").alias("first_key"))
@@ -513,7 +532,7 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
                 (F.max("pos") + k).alias("span_end"),
                 F.count(F.lit(1)).alias("n_windows"))
            .drop("island"))
-    return _materialized(out, [occ])
+    return _materialized(out, persisted)
 
 
 def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",

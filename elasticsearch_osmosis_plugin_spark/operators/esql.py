@@ -550,6 +550,160 @@ def _no_now(args, raw):
                     "deterministic plans; pass the timestamp as a literal")
 
 
+# ------------------------------------------------------ ST_* spatial
+# ES|QL spatial functions over the geo kernels in operators.geo.
+# Geometry model (documented scope): a geo_point VALUE is a struct
+# with `lon`/`lat` double fields — that's how a geo_point field is
+# stored in parquet, and what TO_GEOPOINT produces; a geo_shape QUERY
+# geometry is a compile-time WKT literal (POINT / POLYGON single ring /
+# ENVELOPE), unrolled into pure column expressions exactly like the
+# DSL geo operators — no UDF, no join, whole-stage codegen. Field-side
+# shapes (coordinate-array columns) stay on the DSL surface
+# (operators.geo.shape_bbox_relation); ES|QL's own ST_* support is
+# point-field-centric too. Boundary semantics: polygons use the strict
+# even-odd ray cast (Lucene's crossing count, see point_in_polygon);
+# envelopes are closed (touching counts).
+
+_WKT_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+_WKT_POINT_COL_RE = (r"^\s*POINT\s*\(\s*(" + _WKT_NUM + r")\s+("
+                     + _WKT_NUM + r")\s*\)\s*$")
+
+
+def _parse_wkt(s: str):
+    """Driver-side WKT literal parser -> ('point', lon, lat) |
+    ('envelope', min_lon, max_lon, max_lat, min_lat) |
+    ('polygon', [(lat, lon), ...]) (outer ring; holes rejected)."""
+    t = s.strip()
+    m = re.match(r"(?is)^POINT\s*\(\s*(%s)\s+(%s)\s*\)$"
+                 % (_WKT_NUM, _WKT_NUM), t)
+    if m:
+        return ("point", float(m.group(1)), float(m.group(2)))
+    m = re.match(r"(?is)^ENVELOPE\s*\(\s*(%s)\s*,\s*(%s)\s*,\s*(%s)"
+                 r"\s*,\s*(%s)\s*\)$" % ((_WKT_NUM,) * 4), t)
+    if m:
+        # ES WKT BBOX order: minLon, maxLon, maxLat, minLat
+        return ("envelope", *(float(m.group(i)) for i in range(1, 5)))
+    m = re.match(r"(?is)^POLYGON\s*\(\s*\(([^()]*)\)\s*\)$", t)
+    if m:
+        ring = []
+        for pair in m.group(1).split(","):
+            parts = pair.split()
+            if len(parts) != 2:
+                raise EsqlError(f"ES|QL: bad WKT ring vertex {pair!r}")
+            lon, lat = float(parts[0]), float(parts[1])
+            ring.append((lat, lon))
+        if len(ring) >= 2 and ring[0] == ring[-1]:
+            ring = ring[:-1]  # point_in_polygon closes implicitly
+        if len(ring) < 3:
+            raise EsqlError("ES|QL: polygon needs >= 3 distinct vertices")
+        return ("polygon", ring)
+    raise EsqlError(
+        f"ES|QL: unsupported WKT {s!r} — POINT, single-ring POLYGON "
+        f"and ENVELOPE(minLon, maxLon, maxLat, minLat) literals only")
+
+
+def _to_geopoint(args, raw):
+    """TO_GEOPOINT(expr): WKT 'POINT (lon lat)' string -> geo_point
+    struct; non-point / malformed input -> NULL (ES conversion-error
+    semantics). Pure regexp + cast — codegen, works on columns."""
+    e = _compile(args[0]).cast("string")
+    lon = F.regexp_extract(e, _WKT_POINT_COL_RE, 1)
+    lat = F.regexp_extract(e, _WKT_POINT_COL_RE, 2)
+    return F.when((lon != "") & (lat != ""),
+                  F.struct(lon.cast("double").alias("lon"),
+                           lat.cast("double").alias("lat")))
+
+
+def _st_inside(point: Column, shape) -> Column:
+    """point-in-shape predicate for a compiled geo_point expr vs a
+    parsed WKT literal."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        point_in_polygon,
+    )
+
+    lon, lat = point["lon"], point["lat"]
+    if shape[0] == "point":
+        return (lon == F.lit(shape[1])) & (lat == F.lit(shape[2]))
+    if shape[0] == "envelope":
+        min_lon, max_lon, max_lat, min_lat = shape[1:]
+        return (lon.between(min_lon, max_lon)
+                & lat.between(min_lat, max_lat))
+    return point_in_polygon(shape[1], lat, lon)
+
+
+def _st_split_args(args, fname: str):
+    """(point_expr_ast_index, shape) for a 2-arg ST_ relation: exactly
+    one side must be a WKT string literal (or TO_GEOSHAPE/TO_GEOPOINT
+    of one); the other compiles to a geo_point struct expression."""
+    if len(args) != 2:
+        raise EsqlError(f"ES|QL: {fname}(geom, geom) takes 2 args")
+
+    def lit_str(ast):
+        # unwrap TO_GEOSHAPE("...") / TO_GEOPOINT("...") of a literal
+        if (ast[0] == "call" and ast[1] in ("to_geoshape", "to_geopoint")
+                and len(ast[2]) == 1):
+            ast = ast[2][0]
+        return ast[1] if ast[0] == "lit" and isinstance(ast[1], str) \
+            else None
+
+    for i in (1, 0):
+        s = lit_str(args[i])
+        if s is not None:
+            return 1 - i, _parse_wkt(s)
+    raise EsqlError(
+        f"ES|QL: {fname} needs one WKT literal side (the query "
+        f"geometry) — two field-side geometries would be a spatial "
+        f"join, out of this front end's scope")
+
+
+def _st_relation(args, fname: str, relation: str) -> Column:
+    pi, shape = _st_split_args(args, fname)
+    inside = _st_inside(_compile(args[pi]), shape)
+    if relation == "intersects":
+        return inside
+    if relation == "disjoint":
+        return ~inside
+    # CONTAINS/WITHIN are order-sensitive: A CONTAINS B == B WITHIN A.
+    # With the field side a POINT, it can only contain/equal another
+    # point; a polygon/envelope literal contains the point iff the
+    # point is inside.
+    lit_first = pi == 1
+    point_is_container = (relation == "contains") == (not lit_first)
+    if point_is_container:
+        # point ⊇ shape (contains) / shape ⊆ point (within): true only
+        # for an equal point literal
+        if shape[0] == "point":
+            return inside
+        return F.lit(False)
+    return inside
+
+
+def _st_distance(args, raw):
+    """ST_DISTANCE(geo_point, geo_point) -> meters (haversine, mean
+    earth radius — same sphere ES's SloppyMath uses)."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        haversine_km,
+    )
+
+    if len(args) != 2:
+        raise EsqlError("ES|QL: ST_DISTANCE(point, point) takes 2 args")
+
+    def pt(ast):
+        s = (ast[1] if ast[0] == "lit" and isinstance(ast[1], str)
+             else None)
+        if s is not None:
+            shape = _parse_wkt(s)
+            if shape[0] != "point":
+                raise EsqlError("ES|QL: ST_DISTANCE needs POINT geometry")
+            return F.lit(shape[1]), F.lit(shape[2])
+        c = _compile(ast)
+        return c["lon"], c["lat"]
+
+    alon, alat = pt(args[0])
+    blon, blat = pt(args[1])
+    return haversine_km(alat, alon, blat, blon) * 1000.0
+
+
 # name -> fn(arg_asts, raw_text) -> Column
 _FUNCS: dict[str, Callable[[list, str], Column]] = {
     # math
@@ -634,6 +788,20 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
         _compile(a[0]).rlike(_IPV4_RE), _compile(a[0])),
     "cidr_match": _cidr_match,
     "ip_prefix": _ip_prefix,
+    # spatial (ST_* section above; geo_point = struct<lon, lat>)
+    "to_geopoint": _to_geopoint,
+    "to_geoshape": _to_geopoint,  # POINT via the same parse; POLYGON/
+    # ENVELOPE literals are consumed un-compiled by the ST_ relations
+    "st_x": lambda a, r: _compile(a[0])["lon"].cast("double"),
+    "st_y": lambda a, r: _compile(a[0])["lat"].cast("double"),
+    "st_distance": _st_distance,
+    "st_intersects": lambda a, r: _st_relation(a, "ST_INTERSECTS",
+                                               "intersects"),
+    "st_disjoint": lambda a, r: _st_relation(a, "ST_DISJOINT",
+                                             "disjoint"),
+    "st_contains": lambda a, r: _st_relation(a, "ST_CONTAINS",
+                                             "contains"),
+    "st_within": lambda a, r: _st_relation(a, "ST_WITHIN", "within"),
     # date
     "now": _no_now,
     "bucket": _bucket,

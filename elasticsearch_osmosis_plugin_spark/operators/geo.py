@@ -422,10 +422,14 @@ def point_in_polygon(polygon: list[tuple[float, float]],
     counts) — no UDF, no join, fully distributable; horizontal edges
     never cross the eastward ray and are skipped at compile time.
     Boundary points follow the strict even-odd rule (edges traced
-    half-open in latitude), same as Lucene's crossing count."""
+    half-open in latitude), same as Lucene's crossing count.
+
+    ``lat_col``/``lon_col`` accept a column name or a Column
+    expression (the ES|QL ST_* front end passes struct fields)."""
     if len(polygon) < 3:
         raise ValueError("polygon needs >= 3 vertices")
-    y, x = F.col(lat_col), F.col(lon_col)
+    y = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    x = F.col(lon_col) if isinstance(lon_col, str) else lon_col
     crossings = F.lit(0)
     n = len(polygon)
     for i in range(n):

@@ -329,6 +329,52 @@ def test_duplicate_spans_hot_gram(spark):
     assert got == want
 
 
+def test_duplicate_spans_materialize_modes(spark):
+    """The occ-relation storage knob changes cost, never results:
+    disk (default, DISK_ONLY persist), memory, and recompute all
+    produce the identical span set; disk really persists at
+    DISK_ONLY (no memory residency for the O(corpus tokens)
+    relation); an unknown mode raises."""
+    import pytest
+    from pyspark.storagelevel import StorageLevel
+
+    from elasticsearch_osmosis_plugin_spark.functions import dedupe
+    from elasticsearch_osmosis_plugin_spark.functions.dedupe import (
+        duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e x y z q r"),
+        (2, "u v a b c d e f g h"),
+        (3, "a b c d e m m m a b c d e n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(2, 2, 7), (3, 0, 5), (3, 8, 13)}
+
+    levels = []
+    orig = dedupe._materialized
+
+    def spy(result, released):
+        levels.extend(d.storageLevel for d in released)
+        return orig(result, released)
+
+    dedupe._materialized = spy
+    try:
+        for mode in ("disk", "memory", "recompute"):
+            got = {(r["doc_id"], r["span_start"], r["span_end"])
+                   for r in duplicate_spans(df, k=5,
+                                            materialize=mode).collect()}
+            assert got == want, mode
+    finally:
+        dedupe._materialized = orig
+    assert levels[0] == StorageLevel.DISK_ONLY          # disk
+    assert levels[1] == StorageLevel.MEMORY_AND_DISK    # memory
+    assert len(levels) == 2                             # recompute: none
+
+    with pytest.raises(ValueError, match="materialize"):
+        duplicate_spans(df, materialize="gpu")
+
+
 def test_cut_spans(spark):
     """Span application: covered tokens removed, text rebuilt,
     untouched docs pass through."""

@@ -595,6 +595,82 @@ ROW ips = ["10.1.2.3", "10.255.0.1", "192.168.1.77", "8.8.8.8",
              {})
 
 
+def _geo_pts(spark):
+    return (spark.createDataFrame(
+        [(1, 2.3522, 48.8566), (2, 10.0, 50.0),
+         (3, -70.0, -10.0), (4, 0.0, 0.0), (5, 150.0, -35.0)],
+        "doc_id long, lon double, lat double")
+        .withColumn("location", F.struct("lon", "lat")))
+
+
+def test_st_functions(spark):
+    """ST_* spatial family over geo_point struct columns: distance in
+    meters (haversine, mean radius), accessors, and the four relations
+    vs POLYGON / ENVELOPE / POINT WKT literals — the geo kernels from
+    operators.geo wired into the language (ref: the server-side
+    geo query surface the plugin's users reach, ESWayITest.java)."""
+    got = {r["doc_id"]: r for r in esql(spark, """
+FROM pts
+| EVAL d = ST_DISTANCE(location, TO_GEOPOINT("POINT (2.3522 48.8566)")),
+       x = ST_X(location), y = ST_Y(location),
+       inter = ST_INTERSECTS(location,
+                             TO_GEOSHAPE("POLYGON ((0 40, 20 40, 20 60, 0 60))")),
+       cont = ST_CONTAINS(TO_GEOSHAPE("ENVELOPE (-80, -60, 0, -20)"),
+                          location),
+       wi = ST_WITHIN(location, TO_GEOSHAPE("ENVELOPE (-80, -60, 0, -20)")),
+       dis = ST_DISJOINT(location,
+                         TO_GEOSHAPE("POLYGON ((0 40, 20 40, 20 60, 0 60))")),
+       eq = ST_INTERSECTS(location, TO_GEOPOINT("POINT (0 0)"))
+| KEEP doc_id, d, x, y, inter, cont, wi, dis, eq
+| SORT doc_id""", {"pts": _geo_pts(spark)}).collect()}
+    assert got[1]["d"] == 0.0
+    # Paris->(10E, 50N) great-circle: ~567 km
+    assert abs(got[2]["d"] - 567_246.119) < 1.0
+    assert got[1]["x"] == 2.3522 and got[1]["y"] == 48.8566
+    assert [got[i]["inter"] for i in range(1, 6)] == \
+        [True, True, False, False, False]
+    assert [got[i]["dis"] for i in range(1, 6)] == \
+        [False, False, True, True, True]
+    assert [got[i]["cont"] for i in range(1, 6)] == \
+        [False, False, True, False, False]
+    assert got[3]["wi"] and not got[1]["wi"]
+    assert [got[i]["eq"] for i in range(1, 6)] == \
+        [False, False, False, True, False]
+
+
+def test_st_functions_edge_cases(spark):
+    """TO_GEOPOINT null-on-malformed; point-side CONTAINS/WITHIN;
+    closed-ring WKT == open-ring WKT; unsupported WKT raises; a
+    two-field-side relation raises (spatial join out of scope)."""
+    pts = _geo_pts(spark)
+    got = {r["doc_id"]: r for r in esql(spark, """
+FROM pts
+| EVAL bad = TO_GEOPOINT("LINESTRING (0 0, 1 1)"),
+       pc = ST_CONTAINS(location, TO_GEOPOINT("POINT (0 0)")),
+       pw = ST_WITHIN(TO_GEOPOINT("POINT (0 0)"), location),
+       pcpoly = ST_CONTAINS(location,
+                            TO_GEOSHAPE("POLYGON ((0 40, 20 40, 20 60, 0 60))")),
+       closed = ST_INTERSECTS(location,
+                TO_GEOSHAPE("POLYGON ((0 40, 20 40, 20 60, 0 60, 0 40))"))
+| KEEP doc_id, bad, pc, pw, pcpoly, closed""",
+                                       {"pts": pts}).collect()}
+    assert all(got[i]["bad"] is None for i in range(1, 6))
+    # a point contains (only) the equal point; never a polygon
+    assert got[4]["pc"] and not got[1]["pc"]
+    assert got[4]["pw"] and not got[2]["pw"]
+    assert all(got[i]["pcpoly"] is False for i in range(1, 6))
+    assert got[1]["closed"] and got[2]["closed"] and not got[3]["closed"]
+    with pytest.raises(EsqlError, match="unsupported WKT"):
+        esql(spark, 'FROM pts | EVAL z = ST_INTERSECTS(location, '
+                    'TO_GEOSHAPE("MULTIPOINT (0 0)"))', {"pts": pts})
+    with pytest.raises(EsqlError, match="WKT literal"):
+        esql(spark, 'FROM pts | EVAL z = ST_INTERSECTS(location, '
+                    'location)', {"pts": pts})
+    with pytest.raises(EsqlError, match="POINT"):
+        esql(spark, 'FROM pts | EVAL z = ST_DISTANCE(location, '
+                    '"POLYGON ((0 0, 1 0, 1 1))")', {"pts": pts})
+
+
 # ------------------------------------------------------------ plan shapes
 
 from tests.test_plans import _plan  # noqa: E402 — shared plan renderer
