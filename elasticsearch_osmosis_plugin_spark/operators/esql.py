@@ -57,8 +57,10 @@ ES's ``match`` OR semantics in filter context).
 
 Deliberate exclusions: ``NOW()`` raises (wall-clock breaks the
 deterministic-plan contract; callers pass timestamps as literals);
-``SAMPLE p`` is supported but DETERMINISTIC (md5-of-row Bernoulli,
-same per-row marginal as ES's RNG draw — documented divergence);
+``SAMPLE p`` is supported but DETERMINISTIC (md5 Bernoulli keyed on
+the id column when present, else row content — documented
+divergences: not ES's RNG, and content-keyed draws give
+byte-identical duplicate rows one shared coin flip);
 ``RERANK``/``COMPLETION`` (inference endpoints) and cross-cluster
 ``FROM remote:idx`` are out of scope.
 
@@ -1102,8 +1104,12 @@ def _resolve(tables, name: str) -> DataFrame:
 
 
 def _parse_pattern(p: _P) -> str:
-    """One name/pattern: adjacent ident / `*` / `.` / digit tokens glue
-    into a single name (``src*``, ``events.2024*``, ``user.name``)."""
+    """One name/pattern: adjacent ident / `*` / `.` / `-` / digit
+    tokens glue into a single name (``src*``, ``events.2024*``,
+    ``user.name``, ``logs-app-default`` — hyphenated index and
+    data-stream names are the common ES convention). Gluing only
+    happens in name position (FROM/KEEP/DROP/...), so `a-b` in an
+    expression still lexes as subtraction."""
     tok = p.next()
     if tok.kind not in ("ident", "num") and tok.text != "*":
         raise EsqlError(f"ES|QL: expected a name at {tok.pos}, "
@@ -1114,7 +1120,7 @@ def _parse_pattern(p: _P) -> str:
         nxt = p.peek()
         if nxt.pos != end:
             break
-        if nxt.kind in ("ident", "num") or nxt.text in ("*", "."):
+        if nxt.kind in ("ident", "num") or nxt.text in ("*", ".", "-"):
             p.next()
             name += (nxt.text[1:-1] if nxt.text.startswith("`")
                      else nxt.text)
@@ -1175,14 +1181,38 @@ def _split_conjuncts(ast) -> list:
     return [ast]
 
 
+def _has_match_node(ast) -> bool:
+    """True if a match() node appears anywhere in the (pure-tuple)
+    expression AST — used to reject scoring shapes the top-level-AND
+    scorer cannot honor (match under OR/NOT)."""
+    if isinstance(ast, tuple):
+        return ast[:1] == ("match",) or any(_has_match_node(x)
+                                            for x in ast)
+    if isinstance(ast, list):
+        return any(_has_match_node(x) for x in ast)
+    return False
+
+
 def _where(st: _State, p: _P) -> None:
     ast = p.expr()
     if st.want_score and not st.scored:
         conj = _split_conjuncts(ast)
-        matches = [c for c in conj if c[0] == "match"]
+        # dedupe identical match conjuncts: `match(f,"x") AND
+        # match(f,"x")` is one scoring clause, not a doubled BM25
+        # contribution (AND of identical predicates is idempotent)
+        matches: list = []
+        for c in conj:
+            if c[0] == "match" and c not in matches:
+                matches.append(c)
         knns = [c for c in conj
                 if c[0] == "call" and c[1] == "knn"]
-        rest = [c for c in conj if c not in matches and c not in knns]
+        rest = [c for c in conj if c[0] != "match" and c not in knns]
+        if any(_has_match_node(c) for c in rest):
+            raise EsqlError(
+                "ES|QL: match() under OR/NOT in a scoring WHERE is "
+                "not supported — with METADATA _score this engine "
+                "scores top-level AND'ed match conjuncts only; "
+                "restructure the query or drop METADATA _score")
         if knns and matches:
             raise EsqlError("ES|QL: hybrid KNN+MATCH ranking is the "
                             "DSL retriever surface (rrf/linear) — one "
@@ -1669,17 +1699,31 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
         elif cmd == "SAMPLE":
             # ES|QL SAMPLE p is RNG-based; this engine's contract is
             # deterministic plans, so the Bernoulli draw is
-            # md5(row-content) < p — same per-row marginal, stable
-            # across runs/retries (the temperature_mixture rule).
+            # md5(key) < p — same per-row marginal, stable across
+            # runs/retries (the temperature_mixture rule). The key is
+            # the id column when the frame carries one (one
+            # independent draw per row even for byte-identical
+            # duplicates); otherwise the row content — DOCUMENTED
+            # CAVEAT: content-keyed draws make duplicate rows share
+            # one coin flip (kept/dropped as a block), biasing counts
+            # on data with duplicates. A random-key fallback
+            # (monotonically_increasing_id) would fix that at the
+            # cost of partition-layout-dependent results, which
+            # breaks the determinism contract — callers needing
+            # duplicate-safe sampling should KEEP/EVAL a unique id
+            # first.
             n = p.expr()
             prob = float(_lit_of(n, "SAMPLE probability"))
             if not 0 < prob < 1:
                 raise EsqlError("ES|QL SAMPLE: probability in (0, 1)")
             from ..functions.sampling import md5_uniform
 
-            u = md5_uniform(F.to_json(
-                F.struct(*[F.col(c) for c in st.df.columns])))
-            st.df = st.df.filter(u < F.lit(prob))
+            if st.id_col in st.df.columns:
+                key = F.col(st.id_col).cast("string")
+            else:
+                key = F.to_json(
+                    F.struct(*[F.col(c) for c in st.df.columns]))
+            st.df = st.df.filter(md5_uniform(key) < F.lit(prob))
         elif cmd in ("RERANK", "COMPLETION"):
             raise EsqlError(f"ES|QL: {cmd} not supported")
         else:

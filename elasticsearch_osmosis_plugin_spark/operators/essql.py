@@ -162,9 +162,11 @@ def _lucene_match_col(tree, tokens_col, analyzer: str):
 
 def _lucene_terms(q: str, analyzer: str) -> set[str]:
     """Positive scoring terms of a Lucene query string (QUERY('..')
-    SQL predicate): term/phrase/prefix leaves analyzed; NOT/minus
-    clauses and wildcard/fuzzy/exists leaves rejected — the SQL
-    QUERY() contract here covers the scoring subset only."""
+    SQL predicate): term/phrase leaves analyzed (BM25-scored); prefix
+    leaves excluded here — Lucene rewrites them constant-score and
+    each matched positive prefix leaf adds 1.0 via
+    :func:`_prefix_bonus_col`; wildcard/fuzzy/exists leaves rejected
+    — the SQL QUERY() contract here covers the scoring subset only."""
     from .querystring import Group, Leaf, parse_query_string
 
     out: set[str] = set()
@@ -173,7 +175,7 @@ def _lucene_terms(q: str, analyzer: str) -> set[str]:
         if isinstance(node, Leaf):
             if node.kind in ("term", "phrase"):
                 out.update(tokenize_py(node.text, analyzer))
-            elif node.kind != "prefix":     # prefix matches, scores 1.0
+            elif node.kind != "prefix":
                 raise EsSqlError(
                     f"ES SQL QUERY(): {node.kind} leaves not supported "
                     "— use the DSL/ES|QL surface for them")
@@ -185,6 +187,39 @@ def _lucene_terms(q: str, analyzer: str) -> set[str]:
 
     walk(parse_query_string(q))
     return out
+
+
+def _prefix_bonus_col(tree, tokens_col):
+    """Constant-score contribution of the positive prefix leaves:
+    Lucene rewrites each multi-term (prefix) clause to constant score
+    1.0, and BooleanQuery SUMS matching clauses — so a doc's bonus is
+    the COUNT of positive prefix leaves it matches (same per-leaf
+    predicate as _lucene_match_col). None when the query has no
+    positive prefix leaf."""
+    from pyspark.sql import functions as F
+
+    from .querystring import Leaf
+
+    cols = []
+
+    def walk(node, negated: bool) -> None:
+        if isinstance(node, Leaf):
+            if node.kind == "prefix" and not negated:
+                pref = node.text.lower()
+                cols.append(
+                    F.exists(tokens_col, lambda t: t.startswith(pref))
+                    .cast("double"))
+            return
+        for occur, child in node.children:
+            walk(child, negated or occur == "MUST_NOT")
+
+    walk(tree, False)
+    if not cols:
+        return None
+    bonus = cols[0]
+    for c in cols[1:]:
+        bonus = bonus + c
+    return bonus
 
 
 # ------------------------------------------------------------------ engine
@@ -245,8 +280,8 @@ class EsSql:
                     .withColumnRenamed("score", "__score"))
             out = df.join(sc, self.id_col, "left")
         else:
-            # multi-term-only query (pure prefix): constant-score
-            # rewrite, exactly Lucene's — score 1.0 for every match
+            # no analyzable term leaves (pure-prefix query): the
+            # constant-score bonus below is the whole score
             from pyspark.sql import functions as F
 
             out = df.withColumn("__score", F.lit(None).cast("double"))
@@ -255,12 +290,21 @@ class EsSql:
 
             from ..functions.tokenizer import tokenize_expr
 
+            toks = tokenize_expr(field, self.analyzer)
             out = out.withColumn("__match", F.coalesce(
-                _lucene_match_col(tree, tokenize_expr(field, self.analyzer),
-                                  self.analyzer), F.lit(False)))
-            if not terms:
+                _lucene_match_col(tree, toks, self.analyzer),
+                F.lit(False)))
+            bonus = _prefix_bonus_col(tree, toks)
+            if bonus is not None:
+                # Lucene clause-sum: BM25 over the term leaves + 1.0
+                # per matched positive prefix leaf. __score stays NULL
+                # (no scoring clause matched) exactly when neither
+                # side contributes, preserving the match invariant.
+                hit = F.col("__score").isNotNull() | (bonus > 0)
                 out = out.withColumn(
-                    "__score", F.when(F.col("__match"), F.lit(1.0)))
+                    "__score",
+                    F.when(hit, F.coalesce(F.col("__score"), F.lit(0.0))
+                           + bonus))
         return out
 
     def df(self, sql: str) -> DataFrame:

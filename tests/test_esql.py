@@ -595,6 +595,64 @@ ROW ips = ["10.1.2.3", "10.255.0.1", "192.168.1.77", "8.8.8.8",
              {})
 
 
+def test_scoring_where_or_match_raises(spark):
+    """match() under OR/NOT in a scoring WHERE raises a clear error
+    (the scorer honors top-level AND'ed conjuncts only), and a
+    duplicated identical match conjunct scores ONCE, not twice."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha gamma"), (3, "delta")],
+        "doc_id long, text string")
+    t = {"docs": docs}
+    with pytest.raises(EsqlError, match="under OR/NOT"):
+        esql(spark, 'FROM docs METADATA _score '
+                    '| WHERE match(text, "alpha") OR match(text, "beta") '
+                    '| SORT _score DESC', t)
+    with pytest.raises(EsqlError, match="under OR/NOT"):
+        esql(spark, 'FROM docs METADATA _score '
+                    '| WHERE match(text, "alpha") AND NOT match(text, "beta") '
+                    '| SORT _score DESC', t)
+    once = esql(spark, 'FROM docs METADATA _score '
+                       '| WHERE match(text, "alpha") '
+                       '| KEEP doc_id, _score | SORT doc_id', t).collect()
+    twice = esql(spark, 'FROM docs METADATA _score '
+                        '| WHERE match(text, "alpha") AND match(text, "alpha") '
+                        '| KEEP doc_id, _score | SORT doc_id', t).collect()
+    assert [tuple(r) for r in twice] == [tuple(r) for r in once]
+
+
+def test_hyphenated_index_and_from_names(spark):
+    """FROM logs-2024 / logs-app-default parse without backquotes —
+    the common ES index/data-stream naming convention; '-' still
+    subtracts in expressions."""
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, v long")
+    t = {"logs-2024": df, "logs-app-default": df}
+    assert esql(spark, "FROM logs-2024 | STATS n = COUNT(*)",
+                t).collect()[0]["n"] == 2
+    assert esql(spark, "FROM logs-app-default | WHERE v - 1 == 6 "
+                       "| STATS n = COUNT(*)", t).collect()[0]["n"] == 1
+    # wildcard over hyphenated names
+    assert esql(spark, "FROM logs-* | STATS n = COUNT(*)",
+                t).collect()[0]["n"] == 4
+
+
+def test_sample_id_keyed_independent_draws(spark):
+    """SAMPLE keys its deterministic Bernoulli draw on the id column
+    when present: byte-identical duplicate payload rows with distinct
+    ids draw independently (content-keyed hashing would keep/drop
+    them as a block)."""
+    # 200 rows, all with IDENTICAL payload except doc_id
+    df = spark.range(200).selectExpr("id AS doc_id", "'same' AS text")
+    n = esql(spark, "FROM d | SAMPLE 0.5 | STATS n = COUNT(*)",
+             {"d": df}).collect()[0]["n"]
+    # id-keyed: binomial(200, .5) — [60, 140] is a >8-sigma window;
+    # content-keyed would give exactly 0 or 200
+    assert 60 < n < 140
+    # deterministic: the same query re-runs to the same count
+    n2 = esql(spark, "FROM d | SAMPLE 0.5 | STATS n = COUNT(*)",
+              {"d": df}).collect()[0]["n"]
+    assert n2 == n
+
+
 def _geo_pts(spark):
     return (spark.createDataFrame(
         [(1, 2.3522, 48.8566), (2, 10.0, 50.0),

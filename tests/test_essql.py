@@ -99,6 +99,47 @@ def test_query_prefix_leaf(es, spark):
     assert got == want
 
 
+def test_query_mixed_term_prefix_scoring(spark):
+    """Lucene clause-sum scoring for mixed term+prefix queries: a doc
+    matching ONLY the prefix leaf scores exactly 1.0 (constant-score
+    rewrite, not 0), a doc matching both scores BM25(term) + 1.0, and
+    two matched prefix clauses each add 1.0. A negated prefix never
+    contributes."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.bm25 import (
+        bm25_score_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha stuff here"),          # term only
+         (2, "sparkly things glow"),       # prefix only
+         (3, "alpha sparkly mix"),         # both
+         (4, "unrelated filler row")],     # neither
+        "doc_id long, text string")
+    es2 = EsSql(spark, {"d": docs})
+    got = {r["doc_id"]: r["s"] for r in es2.df(
+        "SELECT doc_id, SCORE() AS s FROM d "
+        "WHERE QUERY('alpha OR spark*') ORDER BY doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    bm25 = {r["doc_id"]: r["score"] for r in bm25_score_terms(
+        docs, ["alpha"], EngineConfig(), id_col="doc_id",
+        text_col="text", analyzer="simple").collect()}
+    assert got[2] == 1.0
+    assert abs(got[1] - bm25[1]) < 1e-12
+    assert abs(got[3] - (bm25[3] + 1.0)) < 1e-12
+
+    # two prefix clauses sum; negated prefix contributes nothing
+    got2 = {r["doc_id"]: r["s"] for r in es2.df(
+        "SELECT doc_id, SCORE() AS s FROM d "
+        "WHERE QUERY('spark* OR glo* OR unrel*') ORDER BY doc_id"
+    ).collect()}
+    assert got2[2] == 2.0 and got2[3] == 1.0 and got2[4] == 1.0
+    got3 = {r["doc_id"]: r["s"] for r in es2.df(
+        "SELECT doc_id, SCORE() AS s FROM d "
+        "WHERE QUERY('alpha -spark*') ORDER BY doc_id").collect()}
+    assert set(got3) == {1} and abs(got3[1] - bm25[1]) < 1e-12
+
+
 def test_constraints_raise(es):
     with pytest.raises(EsSqlError, match="at most one"):
         es.df("SELECT doc_id FROM documents WHERE MATCH(text, 'a') "
