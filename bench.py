@@ -145,6 +145,29 @@ def main() -> int:
         extra["q_topk_local_p95_s"] = round(
             lat_l[min(len(lat_l) - 1, math.ceil(0.95 * len(lat_l)) - 1)], 4)
 
+        # concurrent serving: 8 in-flight local queries per batch via
+        # the batched path (topk_local_many: one pruned read per
+        # touched bucket + the decoded-postings LRU). Every query in a
+        # batch completes when the batch does, so PER-QUERY latency
+        # under 8-deep concurrency == the batch wall — the "done" bar
+        # is within 2x of the solo number above.
+        searcher = Searcher(spark, idx)
+        qs_c = {f"c{i}": q for i, q in enumerate(
+            ["spark query join", "dup batch the window", "dup",
+             "window merge", "query spark", "the batch", "join dup",
+             "spark window"])}
+        searcher.topk_local_many(qs_c, k=10)  # warm
+        lat_c: list[float] = []
+        for _ in range(25):
+            t0 = time.time()
+            searcher.topk_local_many(qs_c, k=10)
+            lat_c.append(time.time() - t0)
+        searcher.close()
+        lat_c.sort()
+        extra["q_topk_local_c8_p50_s"] = round(lat_c[len(lat_c) // 2], 4)
+        extra["q_topk_local_c8_p95_s"] = round(
+            lat_c[min(len(lat_c) - 1, math.ceil(0.95 * len(lat_c)) - 1)], 4)
+
         from elasticsearch_osmosis_plugin_spark.operators.percolate import (
             percolate,
         )

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
+from collections import OrderedDict
 
 import numpy as np
 
@@ -37,6 +39,71 @@ from elasticsearch_osmosis_plugin_spark.plans.build import (
     index_groups,
     load_meta,
 )
+
+
+class _LRU:
+    """Tiny thread-safe LRU (the serving path is multi-threaded:
+    concurrent ``Searcher.topk_local_many`` workers share this)."""
+
+    def __init__(self, maxsize: int = 64):
+        self.maxsize = maxsize
+        self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            v = self._d.get(key)
+            if v is None:
+                self.misses += 1
+            else:
+                self.hits += 1
+                self._d.move_to_end(key)
+            return v
+
+    def put(self, key, value) -> None:
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            while len(self._d) > self.maxsize:
+                self._d.popitem(last=False)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+
+
+# Shared dictionary-bucket frame cache: term stats for a WHOLE bucket
+# load once (columnar, term-sorted for binary search) and every later
+# query touching that bucket resolves its terms driver-locally in
+# O(log n) — across queries, Searchers, and serving threads. Keys
+# include each file's (mtime, size) signature, so an index mutation
+# (append/purge/compact rewrites the bucket files) naturally misses
+# and the stale frame ages out of the LRU; no explicit invalidation
+# hook needed. Memory bound: maxsize frames × one bucket's term stats
+# (~40 B/term) — for very large dictionaries shrink n_buckets' share
+# by raising n_buckets at build time, or pass cache=None to fall back
+# to the filtered row-group-pruned read.
+dictionary_cache = _LRU(maxsize=64)
+
+
+def _files_sig(files: list[str]) -> tuple:
+    return tuple((f, os.stat(f).st_mtime_ns, os.path.getsize(f))
+                 for f in files)
+
+
+def _load_dic_bucket(files: list[str]):
+    """One dictionary bucket -> (sorted term array, df, cf, max_wand
+    numpy columns) for binary-search term lookups."""
+    import pyarrow.dataset as pds
+
+    tbl = (pds.dataset(files, format="parquet")
+           .to_table(columns=["term", "df", "cf", "max_wand"]))
+    terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    order = np.argsort(terms)
+    return (terms[order], tbl["df"].to_numpy()[order],
+            tbl["cf"].to_numpy()[order],
+            tbl["max_wand"].to_numpy()[order])
 
 
 def _posting_dirs(index_path: str, meta: dict) -> list[str]:
@@ -84,9 +151,12 @@ def _read_filtered(files: list[str], columns: list[str],
 
 
 def local_dictionary_rows(index_path: str, meta: dict,
-                          terms: list[str]) -> dict[str, dict]:
-    """term -> {df, cf, max_wand} via a driver-local pruned read of
-    the dictionary buckets (metadata-tiny)."""
+                          terms: list[str],
+                          cache: _LRU | None = dictionary_cache
+                          ) -> dict[str, dict]:
+    """term -> {df, cf, max_wand} via the shared LRU of dictionary
+    bucket frames (default), falling back to a driver-local pruned
+    filtered read when ``cache=None``."""
     dic_dir = os.path.join(index_path, "dictionary")
     by_bucket: dict[int, list[str]] = {}
     for t in terms:
@@ -95,6 +165,22 @@ def local_dictionary_rows(index_path: str, meta: dict,
     for b, ts in sorted(by_bucket.items()):
         files = sorted(glob.glob(
             os.path.join(dic_dir, f"bucket={b}", "*.parquet")))
+        if not files:
+            continue
+        if cache is not None:
+            key = (dic_dir, b, _files_sig(files))
+            frame = cache.get(key)
+            if frame is None:
+                frame = _load_dic_bucket(files)
+                cache.put(key, frame)
+            tv, dfv, cfv, mwv = frame
+            pos = np.searchsorted(tv, ts)
+            for t, i in zip(ts, pos):
+                if i < tv.size and tv[i] == t:
+                    out[t] = {"term": t, "df": int(dfv[i]),
+                              "cf": int(cfv[i]),
+                              "max_wand": float(mwv[i])}
+            continue
         tbl = _read_filtered(files, ["term", "df", "cf", "max_wand"], ts)
         if tbl is None:
             continue
@@ -117,6 +203,146 @@ def _tombstone_ids(index_path: str, meta: dict) -> np.ndarray | None:
     return np.sort(arr.astype(np.int64))
 
 
+class _ByteLRU:
+    """Byte-budgeted thread-safe LRU for decoded posting arrays — the
+    analog of Lucene's filesystem cache / ES's shard request cache:
+    the index layout on disk stays the source of truth, this only
+    skips re-reading and re-decoding hot terms. Eviction by total
+    payload bytes, so the driver pin is bounded regardless of term
+    count or posting sizes."""
+
+    def __init__(self, max_bytes: int = 256 << 20):
+        self.max_bytes = max_bytes
+        self._d: OrderedDict = OrderedDict()   # key -> (value, nbytes)
+        self._lock = threading.Lock()
+        self.bytes = 0
+        self.hits = self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            v = self._d.get(key)
+            if v is None:
+                self.misses += 1
+                return None
+            self.hits += 1
+            self._d.move_to_end(key)
+            return v[0]
+
+    def put(self, key, value, nbytes: int) -> None:
+        if nbytes > self.max_bytes:
+            return                      # never cache a whale
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self.bytes -= old[1]
+            self._d[key] = (value, nbytes)
+            self.bytes += nbytes
+            while self.bytes > self.max_bytes and self._d:
+                _, (_, nb) = self._d.popitem(last=False)
+                self.bytes -= nb
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+            self.bytes = 0
+
+
+postings_cache = _ByteLRU(max_bytes=256 << 20)
+
+
+def _gather_term_postings(index_path: str, meta: dict,
+                          terms: list[str],
+                          cache: _ByteLRU | None = postings_cache
+                          ) -> dict[str, tuple]:
+    """term -> (doc_ids int64, tf float64, dl float64), concatenated
+    across every posting row (block/segment/group) of the term. One
+    pruned parquet read per bucket covers ALL requested terms; decoded
+    arrays go through the byte-budgeted LRU keyed on the bucket's file
+    signature (an index rewrite changes the signature, so stale
+    entries age out untouched). Scores are NOT cached — BM25 weights
+    depend on meta (n_docs/avgdl), which each caller applies from its
+    own snapshot."""
+    dirs = _posting_dirs(index_path, meta)
+    by_bucket: dict[int, list[str]] = {}
+    for t in terms:
+        by_bucket.setdefault(bucket_of(t, meta["n_buckets"]), []).append(t)
+    out: dict[str, tuple] = {}
+    for bkt, ts in sorted(by_bucket.items()):
+        files = _bucket_files(dirs, bkt)
+        if not files:
+            continue
+        missing = ts
+        sig = None
+        if cache is not None:
+            sig = _files_sig(files)
+            missing = []
+            for t in ts:
+                v = cache.get((sig, t))
+                if v is not None:
+                    out[t] = v
+                else:
+                    missing.append(t)
+        if not missing:
+            continue
+        tbl = _read_filtered(
+            files, ["term", "doc_ids_vb", "tfs_vb", "dls_vb"], missing)
+        if tbl is None or tbl.num_rows == 0:
+            continue
+        parts: dict[str, list] = {}
+        for term, ids_vb, tfs_vb, dls_vb in zip(
+                tbl["term"].to_pylist(), tbl["doc_ids_vb"].to_pylist(),
+                tbl["tfs_vb"].to_pylist(), tbl["dls_vb"].to_pylist()):
+            d = np.cumsum(vb_decode(ids_vb),
+                          dtype=np.uint64).astype(np.int64)
+            parts.setdefault(term, []).append(
+                (d, vb_decode(tfs_vb).astype(np.float64),
+                 vb_decode(dls_vb).astype(np.float64)))
+        for term, lst in parts.items():
+            v = tuple(np.concatenate([x[i] for x in lst])
+                      for i in range(3))
+            out[term] = v
+            if cache is not None:
+                cache.put((sig, term), v, sum(a.nbytes for a in v))
+    return out
+
+
+def _score_from_postings(live: list[str], posts: dict[str, tuple],
+                         dic_rows: dict[str, dict], meta: dict,
+                         dead: np.ndarray | None, k: int
+                         ) -> list[tuple[int, float]]:
+    """BM25 accumulate + tombstone mask + deterministic top-k over
+    pre-gathered per-term postings — identical arithmetic to
+    query._decode_score."""
+    from elasticsearch_osmosis_plugin_spark.operators.query import idf
+
+    k1, b, avgdl = meta["k1"], meta["b"], float(meta["avgdl"])
+    n_docs = int(meta["n_docs"])
+    ids_parts, w_parts = [], []
+    for term in dict.fromkeys(live):    # dedupe: one clause per term
+        got = posts.get(term)
+        if got is None:
+            continue
+        d, tf, dl = got
+        w = idf(n_docs, int(dic_rows[term]["df"])) * tf * (k1 + 1.0) \
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        ids_parts.append(d)
+        w_parts.append(w)
+    if not ids_parts:
+        return []
+    all_ids = np.concatenate(ids_parts)
+    all_w = np.concatenate(w_parts)
+    uids, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(scores, inv, all_w)
+    if dead is not None and dead.size:
+        pos = np.searchsorted(dead, uids)
+        hit = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)]
+                                   == uids)
+        uids, scores = uids[~hit], scores[~hit]
+    order = np.lexsort((uids, -scores))[:k]
+    return [(int(uids[i]), float(scores[i])) for i in order]
+
+
 def local_topk(index_path: str, query_terms: list[str], k: int = 10,
                meta: dict | None = None,
                dic_rows: dict[str, dict] | None = None
@@ -131,48 +357,33 @@ def local_topk(index_path: str, query_terms: list[str], k: int = 10,
     live = [t for t in query_terms if t in dic_rows]
     if not live:
         return []
-    from elasticsearch_osmosis_plugin_spark.operators.query import idf
-
-    k1, b, avgdl = meta["k1"], meta["b"], float(meta["avgdl"])
-    n_docs = int(meta["n_docs"])
-    dirs = _posting_dirs(index_path, meta)
-    by_bucket: dict[int, list[str]] = {}
-    for t in live:
-        by_bucket.setdefault(bucket_of(t, meta["n_buckets"]), []).append(t)
-    ids_parts, w_parts = [], []
-    for bkt, ts in sorted(by_bucket.items()):
-        tbl = _read_filtered(
-            _bucket_files(dirs, bkt),
-            ["term", "doc_ids_vb", "tfs_vb", "dls_vb"], ts)
-        if tbl is None or tbl.num_rows == 0:
-            continue
-        terms_col = tbl["term"].to_pylist()
-        ids_col = tbl["doc_ids_vb"].to_pylist()
-        tfs_col = tbl["tfs_vb"].to_pylist()
-        dls_col = tbl["dls_vb"].to_pylist()
-        for term, ids_vb, tfs_vb, dls_vb in zip(
-                terms_col, ids_col, tfs_col, dls_col):
-            d = np.cumsum(vb_decode(ids_vb),
-                          dtype=np.uint64).astype(np.int64)
-            tf = vb_decode(tfs_vb).astype(np.float64)
-            dl = vb_decode(dls_vb).astype(np.float64)
-            # identical arithmetic to query._decode_score
-            w = idf(n_docs, int(dic_rows[term]["df"])) * tf * (k1 + 1.0) \
-                / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            ids_parts.append(d)
-            w_parts.append(w)
-    if not ids_parts:
-        return []
-    all_ids = np.concatenate(ids_parts)
-    all_w = np.concatenate(w_parts)
-    uids, inv = np.unique(all_ids, return_inverse=True)
-    scores = np.zeros(uids.size, dtype=np.float64)
-    np.add.at(scores, inv, all_w)
+    posts = _gather_term_postings(index_path, meta, live)
     dead = _tombstone_ids(index_path, meta)
-    if dead is not None and dead.size:
-        pos = np.searchsorted(dead, uids)
-        hit = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)]
-                                   == uids)
-        uids, scores = uids[~hit], scores[~hit]
-    order = np.lexsort((uids, -scores))[:k]
-    return [(int(uids[i]), float(scores[i])) for i in order]
+    return _score_from_postings(live, posts, dic_rows, meta, dead, k)
+
+
+def local_topk_many(index_path: str,
+                    term_lists: dict[str, list[str]], k: int = 10,
+                    meta: dict | None = None,
+                    dic_rows: dict[str, dict] | None = None
+                    ) -> dict[str, list[tuple[int, float]]]:
+    """Batched concurrent serving: N queries answered from ONE pruned
+    read per touched bucket (dictionary and postings) — the local
+    analog of the Spark path's ``topk_many``. Per-query results are
+    exactly ``local_topk``'s; per-query latency under an 8-deep
+    concurrent load stays within ~the solo number because the reads
+    amortize instead of contending (a thread pool here would just
+    serialize the GIL-bound python between the arrow reads)."""
+    meta = meta if meta is not None else load_meta(index_path)
+    all_terms = sorted({t for ts in term_lists.values() for t in ts})
+    if dic_rows is None:
+        dic_rows = local_dictionary_rows(index_path, meta, all_terms)
+    live_union = [t for t in all_terms if t in dic_rows]
+    posts = _gather_term_postings(index_path, meta, live_union)
+    dead = _tombstone_ids(index_path, meta)
+    out = {}
+    for name, terms in term_lists.items():
+        live = [t for t in terms if t in dic_rows]
+        out[name] = _score_from_postings(live, posts, dic_rows, meta,
+                                         dead, k) if live else []
+    return out

@@ -2174,3 +2174,64 @@ def test_local_serving_path_lifecycle(spark, corpus_df, tmp_path):
     after = s.topk_local("public static", k=5)
     assert before[0][0] not in [d for d, _ in after]
     s.close()
+
+
+def test_local_serving_concurrent_and_bucket_lru(spark, corpus_df,
+                                                 tmp_path):
+    """Concurrent serving (Searcher.topk_local_many) returns per-query
+    results identical to solo topk_local; the shared dictionary bucket
+    LRU serves repeat bucket reads from memory (hit counter moves, no
+    re-load), keys on file signatures so an index rewrite naturally
+    misses, and cache=None still answers identically (fallback
+    filtered read)."""
+    from elasticsearch_osmosis_plugin_spark.operators import serve
+    from elasticsearch_osmosis_plugin_spark.operators.query import Searcher
+    from elasticsearch_osmosis_plugin_spark.plans.build import (
+        append_index_group,
+        load_meta,
+    )
+
+    idx = str(tmp_path / "serve_many_idx")
+    build_index(spark, corpus_df, idx, CFG, id_col="doc_id", n_groups=1)
+    serve.dictionary_cache.clear()
+    qs = {f"q{i}": q for i, q in enumerate(
+        QUERIES + ["public static", "id0042", "getIndexBuffer public"])}
+
+    s = Searcher(spark, idx)
+    got = s.topk_local_many(qs, k=10)
+    assert set(got) == set(qs)
+    for name, q in qs.items():
+        assert got[name] == s.topk_local(q, k=10), name
+
+    # LRU: a fresh searcher re-resolving the same terms is pure hits
+    h0, m0 = serve.dictionary_cache.hits, serve.dictionary_cache.misses
+    ph0, pm0 = serve.postings_cache.hits, serve.postings_cache.misses
+    s2 = Searcher(spark, idx)
+    again = s2.topk_local_many(qs, k=10)
+    assert again == got
+    assert serve.dictionary_cache.misses == m0      # no new bucket load
+    assert serve.dictionary_cache.hits > h0
+    # decoded postings served from the byte-budgeted LRU too
+    assert serve.postings_cache.misses == pm0
+    assert serve.postings_cache.hits > ph0
+    assert 0 < serve.postings_cache.bytes <= serve.postings_cache.max_bytes
+
+    # cache=None fallback path answers identically
+    meta = load_meta(idx)
+    terms = ["public", "static", "id0042"]
+    with_cache = serve.local_dictionary_rows(idx, meta, terms)
+    no_cache = serve.local_dictionary_rows(idx, meta, terms, cache=None)
+    assert with_cache == no_cache
+
+    # rewrite invalidates by key: append rewrites the dictionary, the
+    # next read misses (new signature) and sees the new stats
+    from elasticsearch_osmosis_plugin_spark.corpus import generate_corpus_df
+
+    append_index_group(spark, generate_corpus_df(spark, seed=9, n=40), idx)
+    meta2 = load_meta(idx)
+    m_before = serve.dictionary_cache.misses
+    fresh = serve.local_dictionary_rows(idx, meta2, ["public"])
+    assert serve.dictionary_cache.misses > m_before
+    assert fresh["public"]["df"] > with_cache["public"]["df"]
+    s.close()
+    s2.close()
