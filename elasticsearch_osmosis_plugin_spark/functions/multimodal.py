@@ -4,11 +4,12 @@ columns with typed metadata.
 The Spark-side machinery — schema, partitioning, Arrow batch shape,
 mapInPandas UDF signatures — is real and tested. Image decode is
 REAL for PNG (pure-stdlib: zlib inflate + numpy per-row unfilter,
-all five PNG filter types, gray/RGB/RGBA/palette at bit depth 8)
-and for the raw-RGB format below; other codecs (JPEG, audio)
-delegate to PIL when importable and raise ValueError otherwise —
-codec coverage is an input-format contract, not a stubbed
-capability.
+all five PNG filter types, gray/RGB/RGBA/palette at bit depth 8),
+baseline JPEG (functions.jpeg: Huffman + exact IDCT, subsampling,
+restart intervals) and the raw-RGB format below; the remaining
+codecs (progressive JPEG, WebP, compressed audio) delegate to PIL/
+soundfile when importable and raise ValueError otherwise — codec
+coverage is an input-format contract, not a stubbed capability.
 """
 
 from __future__ import annotations
@@ -190,12 +191,23 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Binary image payload -> uint8 numpy array (h, w, channels).
 
-    PNG and the raw-RGB format decode natively (stdlib + numpy, no
-    external libs); any other codec delegates to PIL when importable
-    and raises ValueError otherwise — an input-format contract, not a
-    missing capability."""
+    PNG, baseline JPEG (SOF0/Huffman, incl. 4:2:0/4:2:2 subsampling
+    and restart intervals — functions.jpeg) and the raw-RGB format
+    decode natively (stdlib + numpy, no external libs); any other
+    codec (progressive JPEG, WebP, ...) delegates to PIL when
+    importable and raises ValueError otherwise — an input-format
+    contract, not a missing capability."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from elasticsearch_osmosis_plugin_spark.functions.jpeg import (
+            decode_jpeg,
+        )
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            pass                # non-baseline: try PIL below
     try:
         import io
 
@@ -205,7 +217,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     except ImportError:
         raise ValueError(
             f"unsupported image codec (magic {bytes(payload[:4])!r}): "
-            "PNG decodes natively; other codecs need PIL") from None
+            "PNG and baseline JPEG decode natively; other codecs "
+            "need PIL") from None
 
 
 # ------------------------------------------------------------------ WAV
