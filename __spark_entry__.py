@@ -4879,6 +4879,24 @@ FROM even, odd METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_esql_ccs_union(spark, sf_dir):
+    """ES|QL cross-cluster search: `FROM events, archive:ev*` mixes a
+    local index with a cluster-qualified wildcard. Remote indexes
+    resolve from the same tables mapping under their `cluster:name`
+    key (how ES registers remote clusters in cluster settings);
+    METADATA _index stamps remote hits with the qualified name, as ES
+    does. The remote table is a deterministic derivation of events so
+    the DuckDB twin is a plain UNION ALL."""
+    return _esql(spark, sf_dir, """
+FROM events, archive:ev* METADATA _index
+| STATS n = COUNT(*),
+        vsum_x100 = TO_LONG(FLOOR(SUM(value) * 100.0 + 0.5))
+    BY _index, event_type
+| SORT _index, event_type""", extra=lambda t: {
+        "archive:events": t["events"].filter(F.col("value") > 90)
+        .withColumn("value", F.col("value") + 1000.0)})
+
+
 def q_esql_inlinestats_events(spark, sf_dir):
     """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
     row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
@@ -4983,6 +5001,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_multi_idx": q_esql_multi_idx,
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
+    "esql_ccs_union": q_esql_ccs_union,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -6912,6 +6931,16 @@ s AS (SELECT vec_id,
       FROM embeddings CROSS JOIN q)
 SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM s
 ORDER BY c DESC, vec_id LIMIT 10""",
+        "esql_ccs_union": """
+WITH u AS (
+  SELECT 'events' AS _idx, event_type, value FROM events
+  UNION ALL
+  SELECT 'archive:events' AS _idx, event_type, value + 1000.0 AS value
+  FROM events WHERE value > 90
+)
+SELECT _idx AS _index, event_type, count(*) AS n,
+       floor(sum(value) * 100.0 + 0.5)::BIGINT AS vsum_x100
+FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
         "esql_inlinestats_events": """
 WITH w AS (SELECT event_type, value,
                   avg(value) OVER (PARTITION BY event_type) AS avg_v

@@ -61,8 +61,19 @@ deterministic-plan contract; callers pass timestamps as literals);
 the id column when present, else row content — documented
 divergences: not ES's RNG, and content-keyed draws give
 byte-identical duplicate rows one shared coin flip);
-``RERANK``/``COMPLETION`` (inference endpoints) and cross-cluster
-``FROM remote:idx`` are out of scope.
+``RERANK``/``COMPLETION`` (inference endpoints) are out of scope.
+
+Cross-cluster search: ``FROM cluster:index`` resolves qualified
+names against the same ``tables`` mapping (register remote indexes
+under their ``cluster:name`` key, exactly how ES registers remote
+clusters in cluster settings). Wildcards follow ES CCS rules — an
+unqualified pattern matches only local names; the cluster part of a
+qualified pattern may itself be a wildcard (``*:events``). With
+``METADATA _index`` remote hits carry the qualified name, as in ES.
+One documented divergence: ``match()`` scoring over a multi-cluster
+FROM uses dfs-exact GLOBAL term statistics (this engine's multi-index
+contract), where ES CCS scores each cluster with local statistics —
+this engine's ranking is the one a single merged index would give.
 
 Scale notes (100 TB): the compiler emits only declarative plans — no
 UDFs, no collects. ``LOOKUP JOIN`` / ``ENRICH`` broadcast the lookup
@@ -1104,12 +1115,14 @@ def _resolve(tables, name: str) -> DataFrame:
 
 
 def _parse_pattern(p: _P) -> str:
-    """One name/pattern: adjacent ident / `*` / `.` / `-` / digit
-    tokens glue into a single name (``src*``, ``events.2024*``,
+    """One name/pattern: adjacent ident / `*` / `.` / `-` / `:` /
+    digit tokens glue into a single name (``src*``, ``events.2024*``,
     ``user.name``, ``logs-app-default`` — hyphenated index and
-    data-stream names are the common ES convention). Gluing only
+    data-stream names are the common ES convention — and
+    ``cluster:index`` cross-cluster qualifiers). Gluing only
     happens in name position (FROM/KEEP/DROP/...), so `a-b` in an
-    expression still lexes as subtraction."""
+    expression still lexes as subtraction and `field:"q"` as the
+    match operator."""
     tok = p.next()
     if tok.kind not in ("ident", "num") and tok.text != "*":
         raise EsqlError(f"ES|QL: expected a name at {tok.pos}, "
@@ -1120,7 +1133,8 @@ def _parse_pattern(p: _P) -> str:
         nxt = p.peek()
         if nxt.pos != end:
             break
-        if nxt.kind in ("ident", "num") or nxt.text in ("*", ".", "-"):
+        if nxt.kind in ("ident", "num") or nxt.text in ("*", ".", "-",
+                                                        ":"):
             p.next()
             name += (nxt.text[1:-1] if nxt.text.startswith("`")
                      else nxt.text)
@@ -1618,8 +1632,15 @@ def esql(spark: SparkSession, query: str,
         expanded: list[str] = []
         for nm in names:
             if "*" in nm and not callable(tables):
+                # cross-cluster (ES semantics): an UNqualified pattern
+                # matches only local names — `FROM *` never pulls in
+                # `archive:events`; remote indexes are reached by a
+                # qualified pattern (`archive:ev*`, `*:events`) whose
+                # cluster part may itself be a wildcard.
+                local_only = ":" not in nm
                 hits = sorted(k for k in tables
-                              if fnmatch.fnmatchcase(k, nm))
+                              if fnmatch.fnmatchcase(k, nm)
+                              and not (local_only and ":" in k))
                 if not hits:
                     raise EsqlError(f"ES|QL: no index matches {nm!r}")
                 expanded += hits

@@ -635,6 +635,48 @@ def test_hyphenated_index_and_from_names(spark):
                 t).collect()[0]["n"] == 4
 
 
+def test_cross_cluster_from(spark):
+    """FROM cluster:index — qualified names resolve from the same
+    tables mapping; METADATA _index stamps remote hits with the
+    qualified name; wildcard rules follow ES CCS (an unqualified
+    pattern never matches a remote key; the cluster part of a
+    qualified pattern may itself be a wildcard)."""
+    loc = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    rem = spark.createDataFrame([(3, 30)], "id long, v long")
+    t = {"events": loc, "archive:events": rem}
+
+    # explicit qualified name unions with the local index
+    got = esql(spark, "FROM events, archive:events | STATS n = COUNT(*),"
+                      " s = SUM(v)", t).collect()[0]
+    assert (got["n"], got["s"]) == (3, 60)
+
+    # METADATA _index carries the qualified name on remote hits
+    rows = esql(spark, """
+FROM events, archive:events METADATA _index
+| STATS n = COUNT(*) BY _index | SORT _index""", t).collect()
+    assert [(r["_index"], r["n"]) for r in rows] == \
+        [("archive:events", 1), ("events", 2)]
+
+    # cluster-qualified wildcards: both parts may be patterns
+    assert esql(spark, "FROM archive:ev* | STATS n = COUNT(*)",
+                t).collect()[0]["n"] == 1
+    assert esql(spark, "FROM *:events | STATS n = COUNT(*)",
+                t).collect()[0]["n"] == 1
+    # unqualified wildcards match ONLY local names (ES CCS rule)
+    assert esql(spark, "FROM * | STATS n = COUNT(*)",
+                t).collect()[0]["n"] == 2
+    assert esql(spark, "FROM ev* | STATS n = COUNT(*)",
+                t).collect()[0]["n"] == 2
+    with pytest.raises(EsqlError, match="unknown index"):
+        esql(spark, "FROM nope:events", t)
+    # ':' still lexes as the match operator in expressions
+    d = spark.createDataFrame([("a b",), ("c",)], "text string")
+    n = esql(spark, 'FROM d METADATA _score | WHERE text:"b" '
+                    '| STATS n = COUNT(*)', {"d": d},
+             id_col="text").collect()[0]["n"]
+    assert n == 1
+
+
 def test_sample_id_keyed_independent_draws(spark):
     """SAMPLE keys its deterministic Bernoulli draw on the id column
     when present: byte-identical duplicate payload rows with distinct
