@@ -4897,6 +4897,25 @@ FROM events, archive:ev* METADATA _index
         .withColumn("value", F.col("value") + 1000.0)})
 
 
+def q_esql_now_window(spark, sf_dir):
+    """ES|QL NOW() with the injected per-request clock + timestamp/
+    span arithmetic (`NOW() - 7 day`, `ts + 12 hour`): the modal
+    observability filter shape. The clock is pinned so the plan (and
+    the DuckDB twin) is deterministic — exactly ES's once-per-request
+    now, made explicit."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    return esql(spark, """
+FROM events
+| WHERE ts > NOW() - 7 day AND ts <= NOW()
+| EVAL shifted_day = DATE_TRUNC(1 day, ts + 12 hour)
+| STATS n = COUNT(*) BY day_ts = DATE_DIFF("seconds",
+      TO_DATETIME("1970-01-01 00:00:00"), shifted_day), event_type
+| SORT day_ts, event_type""",
+                {"events": _t(spark, sf_dir, "events")},
+                now="2024-01-20 00:00:00")
+
+
 def q_esql_inlinestats_events(spark, sf_dir):
     """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
     row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
@@ -5002,6 +5021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
     "esql_ccs_union": q_esql_ccs_union,
+    "esql_now_window": q_esql_now_window,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -6941,6 +6961,13 @@ WITH u AS (
 SELECT _idx AS _index, event_type, count(*) AS n,
        floor(sum(value) * 100.0 + 0.5)::BIGINT AS vsum_x100
 FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+        "esql_now_window": """
+SELECT epoch(date_trunc('day', ts + INTERVAL 12 HOUR))::BIGINT AS day_ts,
+       event_type, count(*) AS n
+FROM events
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "esql_inlinestats_events": """
 WITH w AS (SELECT event_type, value,
                   avg(value) OVER (PARTITION BY event_type) AS avg_v

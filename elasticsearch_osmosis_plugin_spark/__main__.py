@@ -232,6 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bind an index name to a parquet path "
                          "(repeatable)")
     eq.add_argument("--analyzer", default="simple")
+    eq.add_argument("--now", default=None, metavar="TIMESTAMP",
+                    help="inject the NOW() clock (ISO timestamp) — "
+                         "every NOW() in the query sees this instant; "
+                         "NOW() errors without it (deterministic plans)")
     eq.add_argument("--output", default=None)
     _add_common(eq)
 
@@ -674,7 +678,8 @@ def main(argv: list[str] | None = None) -> int:
             if not path:
                 build_parser().error("--table needs NAME=PARQUET_PATH")
             tables[name] = spark.read.parquet(path)
-        _emit(esql(spark, q, tables, analyzer=args.analyzer), args)
+        _emit(esql(spark, q, tables, analyzer=args.analyzer,
+                   now=args.now), args)
     elif args.cmd == "sql":
         from elasticsearch_osmosis_plugin_spark.operators.essql import EsSql
 

@@ -55,8 +55,11 @@ the ``_search`` DSL path, so one oracle covers both APIs. Without
 boolean (any analyzed query term present in the analyzed field —
 ES's ``match`` OR semantics in filter context).
 
-Deliberate exclusions: ``NOW()`` raises (wall-clock breaks the
-deterministic-plan contract; callers pass timestamps as literals);
+Deliberate exclusions: ``NOW()`` requires an injected clock
+(``esql(..., now=...)`` — every NOW() in the query compiles to that
+one instant, matching ES's once-per-request now; reading the wall
+clock inside compilation would break the deterministic-plan
+contract, so without an injected clock NOW() raises);
 ``SAMPLE p`` is supported but DETERMINISTIC (md5 Bernoulli keyed on
 the id column when present, else row content — documented
 divergences: not ES's RNG, and content-keyed draws give
@@ -558,9 +561,25 @@ def _ip_prefix(args, raw):
         (masked % 256).cast("string")))
 
 
-def _no_now(args, raw):
-    raise EsqlError("ES|QL: NOW() is rejected — the engine emits "
-                    "deterministic plans; pass the timestamp as a literal")
+def _now_fn(args, raw):
+    """NOW() with an INJECTED clock: ``esql(..., now=...)`` pins the
+    query timestamp, and NOW() compiles to that literal — the plan
+    stays deterministic (same query + same now -> same plan), which is
+    also how ES itself evaluates now for a whole request once, so
+    every NOW() in one query sees one instant. Without an injected
+    clock NOW() raises: a wall-clock read inside compilation would
+    break the engine's deterministic-plan contract (oracle twins,
+    resume, plan caching)."""
+    if args:
+        raise EsqlError("ES|QL: NOW() takes no arguments")
+    now = getattr(_TLS, "now", None)
+    if now is None:
+        raise EsqlError(
+            "ES|QL: NOW() needs an injected clock — call "
+            "esql(..., now=<datetime or ISO string>) (deterministic "
+            "plans; the engine never reads the wall clock), or pass "
+            "the timestamp as a literal")
+    return F.lit(now).cast("timestamp")
 
 
 # ------------------------------------------------------ ST_* spatial
@@ -816,7 +835,7 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
                                              "contains"),
     "st_within": lambda a, r: _st_relation(a, "ST_WITHIN", "within"),
     # date
-    "now": _no_now,
+    "now": _now_fn,
     "bucket": _bucket,
     "date_trunc": lambda a, r: _date_trunc(a),
     "date_extract": lambda a, r: _date_extract(a),
@@ -943,6 +962,24 @@ def _compile(ast) -> Column:
     if kind == "not":
         return ~_compile(ast[1])
     if kind == "bin":
+        # timestamp ± span arithmetic (`NOW() - 1 hour`, `ts + 3 day`):
+        # fixed spans add exact seconds; calendar spans (1 month/year)
+        # ES date-math via a literal INTERVAL (stays in codegen).
+        if ast[1] in ("+", "-") and ("span" in (ast[2][0], ast[3][0])):
+            if ast[2][0] == "span":
+                if ast[1] == "-":
+                    raise EsqlError("ES|QL: span - timestamp is not a "
+                                    "date expression")
+                base, sp = ast[3], ast[2]
+            else:
+                base, sp = ast[2], ast[3]
+            secs, unit = _span_of(sp, "date arithmetic")
+            b = _compile(base).cast("timestamp")
+            if unit is not None:
+                iv = F.expr(f"INTERVAL 1 {unit.upper()}")
+                return b + iv if ast[1] == "+" else b - iv
+            delta = secs if ast[1] == "+" else -secs
+            return F.timestamp_add("SECOND", F.lit(delta), b)
         op, l, r = ast[1], _compile(ast[2]), _compile(ast[3])
         if op == "and":
             return l & r
@@ -1605,12 +1642,16 @@ def esql(spark: SparkSession, query: str,
          tables: dict[str, DataFrame] | Callable[[str], DataFrame]
          | None = None, *,
          analyzer: str = "simple", id_col: str = "doc_id",
-         cfg: EngineConfig | None = None) -> DataFrame:
+         cfg: EngineConfig | None = None,
+         now: "str | datetime.datetime | None" = None) -> DataFrame:
     """Compile and run an ES|QL query; returns the result DataFrame.
 
     ``tables`` resolves ``FROM``/``LOOKUP JOIN``/``ENRICH`` names — a
     dict (wildcards in FROM match its keys) or a callable. ``analyzer``
-    and ``id_col`` configure the full-text ``match()`` path.
+    and ``id_col`` configure the full-text ``match()`` path. ``now``
+    injects the query clock: every ``NOW()`` in the query compiles to
+    this one instant (ES evaluates now once per request the same way);
+    without it NOW() raises to keep plans deterministic.
     """
     toks = _lex(query)
     segs = _split_pipes(toks)
@@ -1619,6 +1660,7 @@ def esql(spark: SparkSession, query: str,
     tables = tables or {}
     cfg = cfg or EngineConfig()
     _TLS.analyzer = analyzer
+    _TLS.now = now
 
     # --- source command
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
@@ -1821,6 +1863,7 @@ def esql_index(spark: SparkSession, query: str,
     """
     toks = _lex(query)
     segs = _split_pipes(toks)
+    _TLS.now = None   # residual conjuncts share _compile; no stale clock
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
     if p0.next().text.upper() != "FROM":
         raise EsqlError("esql_index: pipeline must start with FROM")

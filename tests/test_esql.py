@@ -302,6 +302,51 @@ FROM documents METADATA _score
 
 # ---------------------------------------------------------------- errors
 
+def test_now_injected_clock(spark, tables):
+    """NOW() compiles to the injected per-request instant; every
+    NOW() in one query sees the same clock (ES evaluates now once per
+    request); without an injected clock it raises (deterministic
+    plans — the engine never reads the wall clock)."""
+    import datetime as dt
+
+    got = esql(spark, """
+FROM events
+| WHERE ts > NOW() - 3 day AND ts <= NOW()
+| STATS n = COUNT(*)""", tables, now="1998-06-05 00:00:00").collect()[0]
+    lo = dt.datetime(1998, 6, 2)
+    hi = dt.datetime(1998, 6, 5)
+    want = tables["events"].filter(
+        (F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))).count()
+    assert got["n"] == want
+    # datetime object form + EVAL projection of the instant itself
+    r = esql(spark, "ROW x = 1 | EVAL t = NOW()", {},
+             now=dt.datetime(2024, 1, 2, 3, 4, 5)).collect()[0]
+    assert r["t"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    with pytest.raises(EsqlError, match="takes no arguments"):
+        esql(spark, "ROW x = 1 | EVAL t = NOW(3)", {}, now="2024-01-01")
+
+
+def test_timestamp_span_arithmetic(spark):
+    """ts ± span compiles to exact-seconds timestamp math for fixed
+    spans and INTERVAL for calendar spans; span-minus-timestamp and
+    spans outside date expressions still raise."""
+    import datetime as dt
+
+    d = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 10, 30),)], "ts timestamp")
+    r = esql(spark, """
+FROM d
+| EVAL plus_h = ts + 2 hour, minus_d = ts - 3 day, plus_mo = ts + 1 month
+""", {"d": d}).collect()[0]
+    assert r["plus_h"] == dt.datetime(2024, 3, 1, 12, 30)
+    assert r["minus_d"] == dt.datetime(2024, 2, 27, 10, 30)
+    assert r["plus_mo"] == dt.datetime(2024, 4, 1, 10, 30)
+    with pytest.raises(EsqlError, match="span - timestamp"):
+        esql(spark, "FROM d | EVAL x = 1 hour - ts", {"d": d})
+    with pytest.raises(EsqlError, match="span literal"):
+        esql(spark, "FROM d | EVAL x = ABS(1 hour)", {"d": d})
+
+
 def test_now_rejected_sample_deterministic(spark, tables):
     with pytest.raises(EsqlError, match="NOW"):
         esql(spark, "FROM events | EVAL t = NOW()", tables)
