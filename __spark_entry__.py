@@ -4916,6 +4916,27 @@ FROM events
                 now="2024-01-20 00:00:00")
 
 
+def q_esql_rerank_docs(spark, sf_dir):
+    """ES|QL RERANK (9.1 tech preview) with the builtin lexical-rerank
+    endpoint: rescore a LIMIT-bounded window by query-term coverage —
+    compiles to pure Catalyst (array_intersect over tokenize_expr, no
+    UDF), so it is value-for-value oracle-checkable. Registered
+    model endpoints take the Arrow-batched pandas-UDF path
+    (pytest-verified; a model score is not SQL-expressible)."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    return esql(spark, """
+FROM documents
+| WHERE lang == "en"
+| SORT n_chars DESC, doc_id
+| LIMIT 50
+| RERANK "distributed spark query engine" ON text
+| EVAL r_x1e4 = TO_LONG(FLOOR(_score * 10000.0 + 0.5))
+| KEEP doc_id, r_x1e4
+| SORT r_x1e4 DESC, doc_id
+| LIMIT 10""", {"documents": _t(spark, sf_dir, "documents")})
+
+
 def q_esql_inlinestats_events(spark, sf_dir):
     """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
     row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
@@ -5022,6 +5043,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
     "esql_ccs_union": q_esql_ccs_union,
     "esql_now_window": q_esql_now_window,
+    "esql_rerank_docs": q_esql_rerank_docs,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -6968,6 +6990,16 @@ FROM events
 WHERE ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
   AND ts <= TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY 1, 2 ORDER BY 1, 2""",
+        "esql_rerank_docs": f"""
+WITH {TOK_CTE},
+win AS (SELECT doc_id, toks FROM toks WHERE lang = 'en'
+        ORDER BY n_chars DESC, doc_id LIMIT 50),
+rr AS (SELECT doc_id,
+              len(list_intersect(list_distinct(toks),
+                  ['distributed', 'engine', 'query', 'spark'])) / 4.0 AS r
+       FROM win)
+SELECT doc_id, floor(r * 10000.0 + 0.5)::BIGINT AS r_x1e4
+FROM rr ORDER BY r_x1e4 DESC, doc_id LIMIT 10""",
         "esql_inlinestats_events": """
 WITH w AS (SELECT event_type, value,
                   avg(value) OVER (PARTITION BY event_type) AS avg_v

@@ -64,7 +64,13 @@ contract, so without an injected clock NOW() raises);
 the id column when present, else row content — documented
 divergences: not ES's RNG, and content-keyed draws give
 byte-identical duplicate rows one shared coin flip);
-``RERANK``/``COMPLETION`` (inference endpoints) are out of scope.
+``RERANK``/``COMPLETION`` resolve their inference endpoint against
+the module-global registry (``operators.inference.put_inference`` —
+the ES ``PUT _inference`` analog); the builtin ``lexical-rerank``
+endpoint compiles to pure Catalyst, registered endpoints run as one
+Arrow-batched pandas UDF over the (LIMIT-bounded) window. COMPLETION
+has no builtin — the sandbox ships no LLM runtime, so its contract
+is the registry + batch plumbing (the multimodal-decode policy).
 
 Cross-cluster search: ``FROM cluster:index`` resolves qualified
 names against the same ``tables`` mapping (register remote indexes
@@ -92,6 +98,7 @@ import fnmatch
 import re
 from typing import Any, Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig
@@ -110,7 +117,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<str>\"\"\".*?\"\"\"|"(?:\\.|[^"\\])*")
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<ident>`[^`]*`|[A-Za-z_@][A-Za-z0-9_@]*)
-  | (?P<op>==|!=|<=|>=|::|[-+*/%<>=(),\[\]|:.?])
+  | (?P<op>==|!=|<=|>=|::|[-+*/%<>=(),\[\]|:.?{}])
 """, re.VERBOSE | re.DOTALL)
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
@@ -1716,6 +1723,134 @@ def esql(spark: SparkSession, query: str,
     return st.df
 
 
+def _parse_with_endpoint(p: _P, default: str | None) -> str:
+    """``WITH "id"`` / ``WITH id`` / ``WITH { "inference_id": "id" }``
+    (the 9.1 map form) -> inference_id; `default` when WITH absent."""
+    if not p.kw("WITH"):
+        if default is None:
+            raise EsqlError("ES|QL: WITH <inference_id> required")
+        return default
+    if p.peek().text == "{":
+        p.next()
+        key = p.next()
+        if key.kind != "str" or _unquote(key.text) != "inference_id":
+            raise EsqlError('ES|QL: WITH map supports only '
+                            '{ "inference_id" : "..." }')
+        p.expect(":")
+        val = p.next()
+        if val.kind != "str":
+            raise EsqlError("ES|QL: inference_id must be a string")
+        p.expect("}")
+        return _unquote(val.text)
+    tok = p.next()
+    if tok.kind == "str":
+        return _unquote(tok.text)
+    if tok.kind == "ident":
+        return tok.text
+    raise EsqlError(f"ES|QL: WITH expects an inference id, got "
+                    f"{tok.text!r}")
+
+
+def _rerank(st: _State, p: _P) -> None:
+    """``RERANK [target =] "query" ON field[, ...] [WITH endpoint]``
+    (ES 9.1 tech preview): recompute relevance for the CURRENT frame
+    with an inference endpoint and write it to ``target`` (default
+    ``_score``; when ``_score``, rows re-sort by the new score like
+    ES's reranker — add an explicit SORT after for tie determinism).
+
+    Scale: RERANK scores whatever frame reaches it, so put it after
+    SORT/LIMIT — the ES-shaped pipeline reranks a k-bounded window
+    and this engine's plan then runs the endpoint over k rows, not
+    the corpus (same reason ES caps the rerank window). The builtin
+    ``lexical-rerank`` endpoint compiles to a pure Catalyst
+    expression (no UDF); registered endpoints run as ONE
+    Arrow-batched pandas UDF over the window.
+    """
+    from .inference import LEXICAL_RERANK, _Builtin, get_inference
+
+    target = "_score"
+    if (p.peek().kind == "ident" and p.peek(1).text == "="
+            and p.peek(2).text != "="):
+        target = p.next().text
+        if target.startswith("`"):
+            target = target[1:-1]
+        p.next()
+    q_tok = p.next()
+    if q_tok.kind != "str":
+        raise EsqlError("ES|QL RERANK: query text must be a string "
+                        "literal")
+    query = _unquote(q_tok.text)
+    if not p.kw("ON"):
+        raise EsqlError("ES|QL RERANK: ON <field>[, ...] required")
+    fields = _parse_names(p)
+    endpoint = _parse_with_endpoint(p, default=LEXICAL_RERANK)
+    try:
+        fn = get_inference(endpoint, "rerank")
+    except KeyError as e:
+        raise EsqlError(f"ES|QL RERANK: {e.args[0]}") from None
+
+    cols = [F.col(f).cast("string") for f in fields]
+    text = cols[0] if len(cols) == 1 else F.concat_ws("\n", *cols)
+    if isinstance(fn, _Builtin):
+        # builtin lexical coverage: |distinct tokens ∩ query terms| /
+        # |query terms| under the simple analyzer — whole-stage
+        # codegen, value-for-value oracle-expressible.
+        from ..functions.tokenizer import tokenize_expr, tokenize_py
+
+        terms = sorted(set(tokenize_py(query, "simple")))
+        if not terms:
+            raise EsqlError("ES|QL RERANK: empty query")
+        score = (F.size(F.array_intersect(
+            F.array_distinct(tokenize_expr(text, "simple")),
+            F.array(*[F.lit(t) for t in terms])))
+            / F.lit(float(len(terms)))).cast("double")
+    else:
+        @F.pandas_udf("double")
+        def _rr(s: pd.Series) -> pd.Series:
+            out = fn(query, s)
+            return pd.Series([float(x) for x in out], index=s.index)
+
+        score = _rr(text)
+    st.df = st.df.withColumn(target, score)
+    if target == "_score":
+        st.scored = True
+        st.df = st.df.orderBy(F.desc("_score"))
+
+
+def _completion(st: _State, p: _P) -> None:
+    """``COMPLETION [target =] prompt_expr WITH endpoint`` (ES 9.1
+    tech preview): run a completion inference endpoint over the
+    prompt column; default target ``completion``. The endpoint MUST
+    be registered (`put_inference`) — the sandbox ships no LLM
+    runtime, so unlike RERANK there is no builtin; the engine's
+    contract is the Arrow-batched plumbing (exactly the multimodal
+    decode policy). Put it after LIMIT: the prompt batch that reaches
+    the endpoint should be the k-bounded window, not the corpus."""
+    from .inference import get_inference
+
+    target = "completion"
+    if (p.peek().kind == "ident" and p.peek(1).text == "="
+            and p.peek(2).text != "="):
+        target = p.next().text
+        if target.startswith("`"):
+            target = target[1:-1]
+        p.next()
+    ast = p.expr()
+    endpoint = _parse_with_endpoint(p, default=None)
+    try:
+        fn = get_inference(endpoint, "completion")
+    except KeyError as e:
+        raise EsqlError(f"ES|QL COMPLETION: {e.args[0]}") from None
+
+    @F.pandas_udf("string")
+    def _cc(s: pd.Series) -> pd.Series:
+        out = fn(s)
+        return pd.Series([None if x is None else str(x) for x in out],
+                         index=s.index)
+
+    st.df = st.df.withColumn(target, _cc(_compile(ast).cast("string")))
+
+
 def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
                   tables) -> None:
     for seg in segs:
@@ -1787,8 +1922,10 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
                 key = F.to_json(
                     F.struct(*[F.col(c) for c in st.df.columns]))
             st.df = st.df.filter(md5_uniform(key) < F.lit(prob))
-        elif cmd in ("RERANK", "COMPLETION"):
-            raise EsqlError(f"ES|QL: {cmd} not supported")
+        elif cmd == "RERANK":
+            _rerank(st, p)
+        elif cmd == "COMPLETION":
+            _completion(st, p)
         else:
             raise EsqlError(f"ES|QL: unknown command {cmd}")
         if p.peek().kind != "eof":

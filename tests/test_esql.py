@@ -347,6 +347,74 @@ FROM d
         esql(spark, "FROM d | EVAL x = ABS(1 hour)", {"d": d})
 
 
+def test_rerank_builtin_lexical(spark):
+    """RERANK with the builtin lexical-rerank endpoint: coverage =
+    |distinct field tokens ∩ query terms| / |query terms| under the
+    simple analyzer; pure Catalyst (no Python stage in the plan);
+    target _score re-sorts like ES's reranker."""
+    d = spark.createDataFrame([
+        (1, "spark query engine"),
+        (2, "distributed systems"),
+        (3, "query planning in distributed query engines"),
+    ], "doc_id long, text string")
+    out = esql(spark, """
+FROM d
+| RERANK "distributed query engine" ON text
+| EVAL r = TO_LONG(FLOOR(_score * 100.0 + 0.5))
+| KEEP doc_id, r | SORT r DESC, doc_id""", {"d": d})
+    assert [(x["doc_id"], x["r"]) for x in out.collect()] == \
+        [(1, 67), (3, 67), (2, 33)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # builtin stays in codegen
+
+
+def test_rerank_completion_registered_endpoints(spark):
+    """Registered endpoints run as ONE Arrow-batched pandas UDF:
+    rerank fn(query, texts)->floats, completion fn(prompts)->strs;
+    custom target names; WITH map + bare-ident forms; task-type and
+    unknown-endpoint errors; ON multi-field concatenation."""
+    from elasticsearch_osmosis_plugin_spark.operators.inference import (
+        delete_inference, list_inference, put_inference,
+    )
+
+    d = spark.createDataFrame([(1, "ab", "x"), (2, "abcd", "yz")],
+                              "doc_id long, text string, extra string")
+    def rr(query, texts):
+        # fold the query length in so the output proves the query
+        # string reached the endpoint (the closure is pickled to the
+        # UDF worker, so side-effect capture can't)
+        return (texts.str.len() + len(query)).astype(float)
+
+    put_inference("len-rerank", "rerank", rr)
+    put_inference("upper", "completion", lambda s: s.str.upper())
+    try:
+        assert list_inference()["len-rerank"] == "rerank"
+        got = esql(spark, """
+FROM d
+| RERANK s2 = "q" ON text, extra WITH { "inference_id" : "len-rerank" }
+| KEEP doc_id, s2 | SORT doc_id""", {"d": d}).collect()
+        # ON multi-field concat "ab\nx" (4), "abcd\nyz" (7), +1 for
+        # len("q") — proves both the field concat and the query text
+        # reached the endpoint
+        assert [(r["doc_id"], r["s2"]) for r in got] == [(1, 5.0),
+                                                         (2, 8.0)]
+        got = esql(spark, """
+FROM d
+| COMPLETION ans = CONCAT("p: ", text) WITH upper
+| KEEP doc_id, ans | SORT doc_id""", {"d": d}).collect()
+        assert [r["ans"] for r in got] == ["P: AB", "P: ABCD"]
+        with pytest.raises(EsqlError, match="unknown inference"):
+            esql(spark, 'FROM d | COMPLETION text WITH nope', {"d": d})
+        with pytest.raises(EsqlError, match="task_type"):
+            esql(spark, 'FROM d | RERANK "q" ON text WITH upper',
+                 {"d": d})
+        with pytest.raises(EsqlError, match="WITH <inference_id>"):
+            esql(spark, 'FROM d | COMPLETION text', {"d": d})
+    finally:
+        delete_inference("len-rerank")
+        delete_inference("upper")
+
+
 def test_now_rejected_sample_deterministic(spark, tables):
     with pytest.raises(EsqlError, match="NOW"):
         esql(spark, "FROM events | EVAL t = NOW()", tables)
