@@ -16,8 +16,8 @@ Supported surface (every form is tested equal to its direct
 DataFrame twin, and the flagship forms sit under the hard DuckDB
 gate):
 
-- source commands: ``FROM idx[, idx2 | wildcards] [METADATA _index,
-  _score]``, ``ROW a = 1, b = "x"``
+- source commands: ``FROM idx[, idx2 | wildcards | cluster:idx]
+  [METADATA _index, _id, _score]``, ``ROW a = 1, b = "x"``
 - processing: ``WHERE`` ``EVAL`` ``STATS .. BY ..`` ``INLINESTATS``
   ``SORT`` ``LIMIT`` ``KEEP`` ``DROP`` ``RENAME old AS new``
   ``DISSECT`` ``GROK`` ``MV_EXPAND`` ``LOOKUP JOIN idx ON f``
@@ -1700,12 +1700,21 @@ def esql(spark: SparkSession, query: str,
             d = _resolve(tables, nm)
             if "_index" in meta:
                 d = d.withColumn("_index", F.lit(nm))
+            if "_id" in meta:
+                # ES doc _id (always a string); the engine's id column
+                # plays that role
+                if id_col not in d.columns:
+                    raise EsqlError(
+                        f"ES|QL: METADATA _id needs the id column "
+                        f"{id_col!r} on index {nm!r}")
+                d = d.withColumn("_id", F.col(id_col).cast("string"))
             parts.append(d)
         df = parts[0]
         for d in parts[1:]:
             df = df.unionByName(d, allowMissingColumns=True)
         want_score = "_score" in meta
-        unknown = [m for m in meta if m not in ("_index", "_score")]
+        unknown = [m for m in meta
+                   if m not in ("_index", "_score", "_id")]
         if unknown:
             raise EsqlError(f"ES|QL: METADATA {unknown} not supported")
     elif head == "ROW":

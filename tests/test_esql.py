@@ -449,6 +449,21 @@ FROM doc* METADATA _index
     assert r[0]["n"] == tables["documents"].count()
 
 
+def test_metadata_id(spark):
+    """METADATA _id exposes the engine's id column as ES's string doc
+    _id; unknown metadata names still raise."""
+    d = spark.createDataFrame([(7, "a"), (8, "b")],
+                              "doc_id long, text string")
+    rows = esql(spark, "FROM d METADATA _id | KEEP _id, text | SORT _id",
+                {"d": d}).collect()
+    assert [(r["_id"], r["text"]) for r in rows] == [("7", "a"),
+                                                     ("8", "b")]
+    with pytest.raises(EsqlError, match="_id needs the id column"):
+        esql(spark, "FROM d METADATA _id", {"d": d}, id_col="nope")
+    with pytest.raises(EsqlError, match="not supported"):
+        esql(spark, "FROM d METADATA _version", {"d": d})
+
+
 def test_sort_nulls_first_last(spark):
     t = {"t": None}
     got = esql(spark, """
