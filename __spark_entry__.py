@@ -4937,6 +4937,122 @@ FROM documents
 | LIMIT 10""", {"documents": _t(spark, sf_dir, "documents")})
 
 
+def q_esql_match_phrase(spark, sf_dir):
+    """ES|QL MATCH_PHRASE (round 4): consecutive analyzed tokens in
+    filter context — pure Catalyst (space-joined token-stream
+    substring), the table-path twin of the positional-postings
+    intersect.match_phrase."""
+    return _esql(spark, sf_dir, """
+FROM documents
+| WHERE MATCH_PHRASE(text, "table hash")
+| KEEP doc_id, lang
+| SORT doc_id""")
+
+
+def q_esql_qstr(spark, sf_dir):
+    """ES|QL QSTR (round 4): classic Lucene query_string grammar —
+    MUST/SHOULD groups, prefix expansion and a phrase exclusion —
+    compiled to one pure-Catalyst boolean over the analyzed tokens."""
+    return _esql(spark, sf_dir, """
+FROM documents
+| WHERE QSTR("(batch OR stream) AND filt* -\\"table hash\\"", "text")
+| KEEP doc_id, lang
+| SORT doc_id""")
+
+
+def q_esql_categorize(spark, sf_dir):
+    """ES|QL CATEGORIZE grouping function (round 4): STATS .. BY
+    CATEGORIZE(msg) buckets by the same deterministic token skeleton
+    as the categorize_text agg — one shared codegen kernel, one
+    map-side-combined groupBy."""
+    return _esql(spark, sf_dir, """
+FROM events
+| EVAL message = CONCAT(event_type, " ", props)
+| STATS doc_count = COUNT(*) BY category = CATEGORIZE(message)
+| SORT doc_count DESC, category
+| LIMIT 10""")
+
+
+def q_esql_st_centroid(spark, sf_dir):
+    """ES|QL ST_CENTROID_AGG (round 4): per-group mean lon/lat of the
+    synthetic geo_points as a geo_point struct, read back via
+    ST_X/ST_Y — one hash aggregation."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    pts = (_synth_points(_t(spark, sf_dir, "documents"))
+           .withColumn("location", F.struct("lon", "lat")))
+    return esql(spark, """
+FROM pts
+| EVAL g = doc_id % 7
+| STATS c = ST_CENTROID_AGG(location), n = COUNT(*) BY g
+| EVAL cx_x1e4 = TO_LONG(FLOOR(ST_X(c) * 10000.0 + 0.5)),
+       cy_x1e4 = TO_LONG(FLOOR(ST_Y(c) * 10000.0 + 0.5))
+| KEEP g, n, cx_x1e4, cy_x1e4
+| SORT g""", {"pts": pts})
+
+
+def q_esql_rrf(spark, sf_dir):
+    """ES|QL RRF (9.2 tech preview, round 4): reciprocal-rank fusion
+    of two FORK search branches — per-branch row_number window (the
+    branches are LIMIT-bounded, ES's own coordinator-side shape) +
+    one hash aggregation on _id, rank_constant 60."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    return esql(spark, """
+FROM documents METADATA _id, _score
+| FORK (WHERE match(text, "spark query") | SORT _score DESC, _id | LIMIT 10)
+       (WHERE match(text, "join") | SORT _score DESC, _id | LIMIT 10)
+| RRF
+| EVAL rrf_x1e6 = TO_LONG(FLOOR(_score * 1000000.0 + 0.5))
+| KEEP _id, rrf_x1e6
+| SORT rrf_x1e6 DESC, _id
+| LIMIT 10""", {"documents": _t(spark, sf_dir, "documents")})
+
+
+def q_esql_show_info(spark, sf_dir):
+    """ES|QL SHOW INFO: the deterministic build-identity row."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    return esql(spark, "SHOW INFO", {})
+
+
+def _rrf_branch_sql(tag: str, terms: list[str], k: int) -> str:
+    """Per-branch BM25 CTE trio (tf/df/scored on RAW doubles — the
+    branch rank inside RRF ties-breaks on the unrounded score exactly
+    like the Spark window) + the row_number ranking CTE."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+tf{tag} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+            WHERE term IN ({tl}) GROUP BY doc_id, term),
+df{tag} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{tag} GROUP BY term),
+sc{tag} AS (
+  SELECT t.doc_id,
+         sum( ln(1.0 + (stats.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({BM25_K1} + 1.0)
+              / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf{tag} t JOIN dl USING (doc_id) JOIN df{tag} d USING (term)
+  CROSS JOIN stats GROUP BY t.doc_id),
+b{tag} AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY s DESC,
+                                     CAST(doc_id AS VARCHAR)) AS r
+           FROM sc{tag}
+           ORDER BY s DESC, CAST(doc_id AS VARCHAR) LIMIT {k})"""
+
+
+ESQL_RRF_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+{_rrf_branch_sql('1', ['query', 'spark'], 10)},
+{_rrf_branch_sql('2', ['join'], 10)},
+u AS (SELECT doc_id, r FROM b1 UNION ALL SELECT doc_id, r FROM b2),
+f AS (SELECT doc_id, sum(1.0 / (60.0 + r)) AS s FROM u GROUP BY doc_id)
+SELECT CAST(doc_id AS VARCHAR) AS _id,
+       floor(s * 1000000.0 + 0.5)::BIGINT AS rrf_x1e6
+FROM f ORDER BY rrf_x1e6 DESC, _id LIMIT 10"""
+
+
 def q_esql_inlinestats_events(spark, sf_dir):
     """ES|QL INLINESTATS (8.14): per-group aggregate appended to every
     row — groupBy + null-safe join-back (window-agg twin in DuckDB)."""
@@ -5044,6 +5160,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_ccs_union": q_esql_ccs_union,
     "esql_now_window": q_esql_now_window,
     "esql_rerank_docs": q_esql_rerank_docs,
+    "esql_match_phrase": q_esql_match_phrase,
+    "esql_qstr": q_esql_qstr,
+    "esql_categorize": q_esql_categorize,
+    "esql_st_centroid": q_esql_st_centroid,
+    "esql_rrf": q_esql_rrf,
+    "esql_show_info": q_esql_show_info,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -7000,6 +7122,35 @@ rr AS (SELECT doc_id,
        FROM win)
 SELECT doc_id, floor(r * 10000.0 + 0.5)::BIGINT AS r_x1e4
 FROM rr ORDER BY r_x1e4 DESC, doc_id LIMIT 10""",
+        "esql_match_phrase": f"""
+WITH {TOK_CTE}
+SELECT doc_id, lang FROM toks
+WHERE position(' table hash ' IN
+               ' ' || array_to_string(toks, ' ') || ' ') > 0
+ORDER BY doc_id""",
+        "esql_qstr": f"""
+WITH {TOK_CTE}
+SELECT doc_id, lang FROM toks
+WHERE (list_contains(toks, 'batch') OR list_contains(toks, 'stream'))
+  AND len(list_filter(toks, t -> t LIKE 'filt%')) > 0
+  AND NOT position(' table hash ' IN
+                   ' ' || array_to_string(toks, ' ') || ' ') > 0
+ORDER BY doc_id""",
+        "esql_categorize": CATEGORIZE_TEXT_SQL,
+        "esql_st_centroid": """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT doc_id % 7 AS g, count(*) AS n,
+       floor(avg(lon) * 10000.0 + 0.5)::BIGINT AS cx_x1e4,
+       floor(avg(lat) * 10000.0 + 0.5)::BIGINT AS cy_x1e4
+FROM pts GROUP BY 1 ORDER BY 1""",
+        "esql_rrf": ESQL_RRF_SQL,
+        "esql_show_info": """
+SELECT '0.1.0' AS version, '2026-08-20' AS "date",
+       'spark-native' AS hash""",
         "esql_inlinestats_events": """
 WITH w AS (SELECT event_type, value,
                   avg(value) OVER (PARTITION BY event_type) AS avg_v

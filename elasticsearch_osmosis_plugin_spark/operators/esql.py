@@ -17,12 +17,14 @@ DataFrame twin, and the flagship forms sit under the hard DuckDB
 gate):
 
 - source commands: ``FROM idx[, idx2 | wildcards | cluster:idx]
-  [METADATA _index, _id, _score]``, ``ROW a = 1, b = "x"``
+  [METADATA _index, _id, _score]``, ``ROW a = 1, b = "x"``,
+  ``SHOW INFO``
 - processing: ``WHERE`` ``EVAL`` ``STATS .. BY ..`` ``INLINESTATS``
   ``SORT`` ``LIMIT`` ``KEEP`` ``DROP`` ``RENAME old AS new``
   ``DISSECT`` ``GROK`` ``MV_EXPAND`` ``LOOKUP JOIN idx ON f``
   ``ENRICH policy ON f [WITH ..]`` ``CHANGE_POINT v ON key``
-  (see :mod:`.changepoint`) ``FORK (pipe) (pipe)`` ``SAMPLE p``
+  (see :mod:`.changepoint`) ``FORK (pipe) (pipe)`` ``RRF``
+  (reciprocal-rank fusion of the FORK branches) ``SAMPLE p``
   (deterministic md5-Bernoulli)
 
 Two full-text plans: :func:`esql` over tables compiles ``MATCH`` to
@@ -38,13 +40,18 @@ search pipeline onto the PERSISTED index's MaxScore/block-max path
   (DATE_TRUNC / DATE_EXTRACT / DATE_DIFF / DATE_FORMAT / BUCKET),
   conversion (TO_*), conditional (CASE / COALESCE / GREATEST /
   LEAST), multivalue (MV_* over array columns), IP v4
-  (TO_IP / CIDR_MATCH / IP_PREFIX — codegen bit math), ``MATCH``
+  (TO_IP / CIDR_MATCH / IP_PREFIX — codegen bit math), full-text
+  ``MATCH`` / ``MATCH_PHRASE`` (consecutive analyzed tokens, pure
+  Catalyst) / ``QSTR`` (classic query_string grammar compiled to a
+  boolean — term/prefix/wildcard/fuzzy/phrase leaves, +/-/
+  AND/OR/NOT occurs), ``CATEGORIZE`` (log-skeleton grouping key,
+  = the categorize_text agg's kernel)
 - aggregates: COUNT(*/x), COUNT_DISTINCT (exact — ES approximates
   with HLL above a threshold; exactness is required by the value-
   for-value gate), SUM/AVG/MIN/MAX, MEDIAN, PERCENTILE (exact
   interpolated, = DuckDB ``quantile_cont``), VALUES (sorted for
-  determinism), TOP, WEIGHTED_AVG, ST_CENTROID_AGG omitted; per-agg
-  ``WHERE`` filters supported.
+  determinism), TOP, WEIGHTED_AVG, ST_CENTROID_AGG (mean lon/lat
+  geo_point); per-agg ``WHERE`` filters supported.
 
 Full-text scoring: ``FROM docs METADATA _score | WHERE
 match(text, "q") [AND filters] | SORT _score DESC | LIMIT k``
@@ -374,6 +381,10 @@ class _P:
                     if len(args) != 2:
                         raise EsqlError("ES|QL: MATCH(field, query)")
                     return ("match", args[0], args[1])
+                if up == "MATCH_PHRASE":
+                    if len(args) != 2:
+                        raise EsqlError("ES|QL: MATCH_PHRASE(field, query)")
+                    return ("phrase_match", args[0], args[1])
                 return ("call", up.lower(), args)
             name = p.text
             if name.startswith("`"):
@@ -743,6 +754,128 @@ def _st_distance(args, raw):
     return haversine_km(alat, alon, blat, blon) * 1000.0
 
 
+def _qstr(args, raw):
+    """QSTR("lucene query"[, "default_field"]) — ES|QL's query_string
+    function in FILTER context, compiled to one pure-Catalyst boolean
+    over the analyzed token stream (no UDFs, no index needed). The
+    query parses with the classic-QueryParser grammar shared with the
+    index path (``operators.querystring.parse_query_string``), so the
+    leaf/occur semantics match ``query_string_topk`` exactly: term
+    leaves match if ANY analyzed token occurs (the index path's
+    ``isin`` expansion), phrases are consecutive-token matches,
+    prefix/wildcard/fuzzy expand per token (``EXISTS`` higher-order
+    functions — fuzzy via ``levenshtein``), MUST all hold, SHOULDs
+    beside MUSTs only add score (boolean no-op here), a group of only
+    SHOULDs needs one, MUST_NOTs exclude, pure-negative raises (the
+    Lucene rule the index path enforces too). Unqualified leaves need
+    the second default_field argument (ES resolves them against
+    index.query.default_field — this engine's table path has no index
+    settings to read, so the field is explicit)."""
+    from .querystring import (MUST, MUST_NOT, SHOULD, Leaf,
+                              parse_query_string)
+
+    if not 1 <= len(args) <= 2:
+        raise EsqlError("ES|QL: QSTR(query[, default_field])")
+    q = str(_lit_of(args[0], "QSTR query"))
+    default_field = (str(_lit_of(args[1], "QSTR default_field"))
+                     if len(args) == 2 else None)
+    try:
+        tree = parse_query_string(q)
+    except ValueError as e:
+        raise EsqlError(f"ES|QL QSTR: {e}") from None
+    an = _match_analyzer()
+
+    def toks_of(field: str | None) -> Column:
+        f = field or default_field
+        if f is None:
+            raise EsqlError(
+                "ES|QL QSTR: unqualified clause needs a default field "
+                "— QSTR(query, default_field) or qualify as field:term")
+        return tokenize_expr(F.col(f), an)
+
+    def leaf(lf: Leaf) -> Column | None:
+        if lf.kind == "exists":
+            return F.col(lf.text).isNotNull()
+        toks = toks_of(lf.field)
+        if lf.kind == "term":
+            terms = list(dict.fromkeys(tokenize_py(lf.text, an)))
+            if not terms:
+                return None      # analyzed-away clause vanishes
+            return F.arrays_overlap(
+                toks, F.array(*[F.lit(t) for t in terms]))
+        if lf.kind == "phrase":
+            if lf.slop:
+                raise EsqlError(
+                    "ES|QL QSTR: phrase slop (~N) needs positional "
+                    "postings — use the persisted-index query_string "
+                    "path")
+            terms = tokenize_py(lf.text, an)
+            if not terms:
+                return None
+            joined = F.concat(F.lit(" "), F.array_join(toks, " "),
+                              F.lit(" "))
+            return joined.contains(" " + " ".join(terms) + " ")
+        if lf.kind == "prefix":
+            pre = lf.text.lower()
+            return F.exists(toks, lambda t: t.startswith(pre))
+        if lf.kind == "wildcard":
+            pat = re.escape(lf.text.lower()) \
+                .replace(r"\*", ".*").replace(r"\?", ".")
+            return F.exists(toks, lambda t: t.rlike("^" + pat + "$"))
+        if lf.kind == "fuzzy":
+            w = lf.text.lower()
+            edits = min(lf.fuzz, 2)
+            return F.exists(
+                toks, lambda t: F.levenshtein(t, F.lit(w)) <= edits)
+        raise EsqlError(f"ES|QL QSTR: unsupported leaf {lf.kind!r}")
+
+    def node(n) -> Column | None:
+        if isinstance(n, Leaf):
+            return leaf(n)
+        musts = [c for c in (node(x) for occ, x in n.children
+                             if occ == MUST) if c is not None]
+        shoulds = [c for c in (node(x) for occ, x in n.children
+                               if occ == SHOULD) if c is not None]
+        nots = [c for c in (node(x) for occ, x in n.children
+                            if occ == MUST_NOT) if c is not None]
+        cond = None
+        for m in musts:
+            cond = m if cond is None else cond & m
+        if cond is None and shoulds:
+            cond = shoulds[0]
+            for s in shoulds[1:]:
+                cond = cond | s
+        if cond is None:
+            if nots:
+                raise EsqlError("ES|QL QSTR: purely negative query "
+                                "matches nothing")
+            return None
+        for x in nots:
+            cond = cond & ~x
+        return cond
+
+    out = node(tree)
+    # every clause analyzed away (all stopwords): Lucene's
+    # MatchNoDocsQuery
+    return F.lit(False) if out is None else out
+
+
+def _categorize(args, raw):
+    """CATEGORIZE(field) — ES|QL's log-categorization grouping
+    function (STATS .. BY CATEGORIZE(message)). Emits the same
+    deterministic token-skeleton key as the categorize_text
+    aggregation (one shared kernel — see
+    ``operators.intersect.categorize_key`` for the documented
+    deviation from ES's arrival-order-dependent merge heuristic), so
+    ``STATS COUNT(*) BY CATEGORIZE(x)`` buckets exactly like the agg
+    and reduces with one map-side-combined groupBy."""
+    from .intersect import categorize_key
+
+    if len(args) != 1:
+        raise EsqlError("ES|QL: CATEGORIZE(field) takes one argument")
+    return categorize_key(_compile(args[0]))
+
+
 # name -> fn(arg_asts, raw_text) -> Column
 _FUNCS: dict[str, Callable[[list, str], Column]] = {
     # math
@@ -834,6 +967,8 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "st_x": lambda a, r: _compile(a[0])["lon"].cast("double"),
     "st_y": lambda a, r: _compile(a[0])["lat"].cast("double"),
     "st_distance": _st_distance,
+    "qstr": _qstr,
+    "categorize": _categorize,
     "st_intersects": lambda a, r: _st_relation(a, "ST_INTERSECTS",
                                                "intersects"),
     "st_disjoint": lambda a, r: _st_relation(a, "ST_DISJOINT",
@@ -1047,6 +1182,28 @@ def _compile(ast) -> Column:
         return F.arrays_overlap(
             tokenize_expr(F.col(field_ast[1]), _match_analyzer()),
             F.array(*[F.lit(t) for t in terms]))
+    if kind == "phrase_match":
+        # MATCH_PHRASE(field, "q"): true iff the analyzed query tokens
+        # occur CONSECUTIVELY in the field's analyzed token stream.
+        # Tokens cannot contain spaces, so consecutive-subsequence ==
+        # substring match on the space-joined token stream with
+        # boundary spaces — pure Catalyst, whole-stage codegen (the
+        # table-path twin of the positional-postings
+        # intersect.match_phrase; slop=0 only, ES's default).
+        field_ast, q_ast = ast[1], ast[2]
+        if field_ast[0] != "col":
+            raise EsqlError("ES|QL: match_phrase needs a field on "
+                            "the left")
+        query = _lit_of(q_ast, "match_phrase query")
+        terms = tokenize_py(str(query), _match_analyzer())  # keep order
+        if not terms:
+            return F.lit(False)
+        joined = F.concat(
+            F.lit(" "),
+            F.array_join(tokenize_expr(F.col(field_ast[1]),
+                                       _match_analyzer()), " "),
+            F.lit(" "))
+        return joined.contains(" " + " ".join(terms) + " ")
     if kind == "list":
         return F.array(*[_compile(x) for x in ast[1]])
     if kind == "call":
@@ -1103,6 +1260,12 @@ def _agg_col(name: str, args: list, where: Column | None) -> Column:
             if len(args) > 2 else "desc"
         return F.slice(F.sort_array(F.collect_list(arg()),
                                     asc=order == "asc"), 1, n)
+    if name == "st_centroid_agg":
+        # ES geo centroid: arithmetic mean of lon/lat over the group
+        # (ES accumulates in the same degree space) -> geo_point struct
+        c = arg()
+        return F.struct(F.avg(c["lon"]).alias("lon"),
+                        F.avg(c["lat"]).alias("lat"))
     if name == "weighted_avg":
         x, w = arg(0), _compile(args[1])
         if where is not None:
@@ -1124,7 +1287,7 @@ def _agg_sql(ast, where: Column | None) -> str:
 
 _AGG_NAMES = {"count", "count_distinct", "sum", "avg", "min", "max",
               "median", "percentile", "values", "top", "weighted_avg",
-              "median_absolute_deviation"}
+              "median_absolute_deviation", "st_centroid_agg"}
 
 
 # ========================================================== DISSECT / GROK
@@ -1251,9 +1414,32 @@ def _has_match_node(ast) -> bool:
     return False
 
 
+def _has_unscorable_ft(ast) -> bool:
+    """MATCH_PHRASE()/QSTR() anywhere in the expression — the scoring
+    WHERE can't honor their Lucene score contributions (phrase-freq /
+    per-clause boosts), so reject instead of silently ranking wrong."""
+    if isinstance(ast, tuple):
+        if ast[:1] == ("phrase_match",):
+            return True
+        if ast[0] == "call" and ast[1] == "qstr":
+            return True
+        return any(_has_unscorable_ft(x) for x in ast)
+    if isinstance(ast, list):
+        return any(_has_unscorable_ft(x) for x in ast)
+    return False
+
+
 def _where(st: _State, p: _P) -> None:
     ast = p.expr()
     if st.want_score and not st.scored:
+        if _has_unscorable_ft(ast):
+            raise EsqlError(
+                "ES|QL: MATCH_PHRASE()/QSTR() in a scoring WHERE is "
+                "not supported — this engine scores match()/KNN() "
+                "conjuncts only (a phrase/query_string contribution "
+                "would need Lucene phrase-freq/boost semantics). Put "
+                "the clause in a WHERE after the scoring one, or drop "
+                "METADATA _score")
         conj = _split_conjuncts(ast)
         # dedupe identical match conjuncts: `match(f,"x") AND
         # match(f,"x")` is one scoring clause, not a doubled BM25
@@ -1719,9 +1905,19 @@ def esql(spark: SparkSession, query: str,
             raise EsqlError(f"ES|QL: METADATA {unknown} not supported")
     elif head == "ROW":
         df = _row(spark, p0)
+    elif head == "SHOW":
+        if not p0.kw("INFO"):
+            raise EsqlError("ES|QL: SHOW INFO is the only SHOW form")
+        from .. import __version__
+
+        # deterministic build identity (ES returns the node's
+        # version/build date/hash; this engine's are package literals)
+        df = spark.createDataFrame(
+            [(__version__, "2026-08-20", "spark-native")],
+            "version string, date string, hash string")
     else:
-        raise EsqlError(f"ES|QL: query must start with FROM or ROW, "
-                        f"got {head}")
+        raise EsqlError(f"ES|QL: query must start with FROM, ROW or "
+                        f"SHOW, got {head}")
     if p0.peek().kind != "eof":
         raise EsqlError(
             f"ES|QL: trailing input in source command: "
@@ -1903,6 +2099,8 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
             _change_point_cmd(st, p)
         elif cmd == "FORK":
             _fork(st, p, query, tables)
+        elif cmd == "RRF":
+            _rrf(st, p)
         elif cmd == "SAMPLE":
             # ES|QL SAMPLE p is RNG-based; this engine's contract is
             # deterministic plans, so the Bernoulli draw is
@@ -1940,6 +2138,49 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
         if p.peek().kind != "eof":
             raise EsqlError(f"ES|QL: trailing input after {cmd}: "
                             f"{p.peek().text!r}")
+
+
+def _rrf(st: _State, p: _P) -> None:
+    """RRF — ES|QL 9.2 tech preview: fuse the FORK branches by
+    reciprocal rank. Each branch's rows are ranked by ``_score``
+    descending (``_id`` ascending tie-break for determinism); a
+    document's fused score is Σ over branches of
+    ``1 / (60 + rank)`` (ES's fixed rank_constant), rows dedupe on
+    ``_id`` (+ ``_index`` when present), and non-key columns carry
+    from the first branch the doc appears in (branch order, then
+    rank — deterministic). ``_fork`` is consumed.
+
+    Plan shape: one ``row_number`` window partitioned by ``_fork``
+    + one hash aggregation on the doc key. The window partitions by
+    branch, which is only as parallel as the branch count — exactly
+    ES's execution too: RRF runs on the coordinating node over the
+    per-branch top-k, so branches are LIMIT-bounded by construction
+    (put a LIMIT in each FORK arm; fusing unbounded branches is the
+    same mistake in ES)."""
+    from pyspark.sql.window import Window
+
+    if p.peek().kind != "eof":
+        raise EsqlError("ES|QL RRF: takes no arguments")
+    df = st.df
+    for need in ("_fork", "_id", "_score"):
+        if need not in df.columns:
+            raise EsqlError(
+                f"ES|QL RRF: requires the {need} column — use "
+                "FROM .. METADATA _id, _score | FORK (..) (..) | RRF")
+    keys = ["_id"] + (["_index"] if "_index" in df.columns else [])
+    w = (Window.partitionBy("_fork")
+         .orderBy(F.desc_nulls_last("_score"), F.asc("_id")))
+    ranked = df.withColumn("__rrf_rank", F.row_number().over(w))
+    pick = F.struct(F.col("_fork"), F.col("__rrf_rank"))
+    carry = [c for c in df.columns
+             if c not in keys and c not in ("_score", "_fork")]
+    aggs = [F.sum(F.lit(1.0)
+                  / (F.lit(60.0) + F.col("__rrf_rank"))).alias("_score")]
+    aggs += [F.min_by(F.col(c), pick).alias(c) for c in carry]
+    fused = ranked.groupBy(*keys).agg(*aggs)
+    out_order = [c for c in df.columns if c != "_fork"]
+    st.df = fused.select(*out_order)
+    st.scored = True
 
 
 def _fork(st: _State, p: _P, query: str, tables) -> None:

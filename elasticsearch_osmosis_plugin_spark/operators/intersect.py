@@ -15,7 +15,7 @@ from typing import Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from elasticsearch_osmosis_plugin_spark.operators.query import (
     DECODED_SCHEMA,
@@ -2543,6 +2543,21 @@ def scripted_metric_agg(spark: SparkSession, index_path: str, query: str,
             .agg(F.expr(reduce_script).cast("double").alias("value")))
 
 
+def categorize_key(col: Column, max_matched_tokens: int = 5) -> Column:
+    """Per-row category skeleton shared by the categorize_text agg and
+    ES|QL's ``CATEGORIZE()`` grouping function: lowercase, split on
+    non-alphanumerics, DROP digit-bearing tokens (the variable parts),
+    keep the first ``max_matched_tokens`` survivors space-joined.
+    Pure Catalyst — whole-stage codegen, order-independent."""
+    return F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower(col), "[^a-z0-9]+"),
+                lambda t: (t != "") & ~t.rlike("[0-9]")),
+            1, max_matched_tokens),
+        " ")
+
+
 def categorize_text(df: DataFrame, text_col: str, size: int = 10,
                     max_matched_tokens: int = 5) -> DataFrame:
     """ES categorize_text aggregation: bucket semi-structured log-like
@@ -2561,13 +2576,7 @@ def categorize_text(df: DataFrame, text_col: str, size: int = 10,
     partitioning, and reduces with one map-side-combined groupBy (the
     key is computed in whole-stage codegen; nothing but the tiny
     bucket frame shuffles)."""
-    key = F.array_join(
-        F.slice(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                lambda t: (t != "") & ~t.rlike("[0-9]")),
-            1, max_matched_tokens),
-        " ")
+    key = categorize_key(F.col(text_col), max_matched_tokens)
     return (df.groupBy(key.alias("category"))
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc("category"))

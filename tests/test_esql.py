@@ -1020,3 +1020,170 @@ FROM d METADATA _score
             topk(spark, idx, "spark query join", k=10).collect()]
     assert got == want
     assert got != sorted(got)          # i.e. genuinely score-ordered
+
+
+# ------------------------------------------------- round-4b: ft + fusion
+
+def test_match_phrase_filter(spark):
+    """MATCH_PHRASE: consecutive analyzed tokens only — 'spark query'
+    must not match 'query spark' or a gapped 'spark .. query'."""
+    d = spark.createDataFrame(
+        [(1, "big spark query engine"), (2, "query spark join"),
+         (3, "spark fast query"), (4, None)],
+        "doc_id long, text string")
+    got = [r["doc_id"] for r in esql(
+        spark, 'FROM d | WHERE MATCH_PHRASE(text, "Spark QUERY") '
+               '| KEEP doc_id | SORT doc_id', {"d": d}).collect()]
+    assert got == [1]
+    # empty-analysis query matches nothing
+    assert esql(spark, 'FROM d | WHERE MATCH_PHRASE(text, "!!")',
+                {"d": d}).count() == 0
+    with pytest.raises(EsqlError, match="MATCH_PHRASE.field, query."):
+        esql(spark, 'FROM d | WHERE MATCH_PHRASE(text)', {"d": d})
+
+
+def test_match_phrase_equals_index_path(spark, tables, tmp_path):
+    """Table-path MATCH_PHRASE == positional-postings match_phrase on
+    the same corpus (the two phrase kernels agree doc-for-doc)."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = tables["documents"]
+    idx = str(tmp_path / "iph")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4,
+                             n_buckets=4, block_size=64),
+                id_col="doc_id", text_col="text")
+    # pick the corpus's most frequent bigram so the assertion is
+    # non-vacuous on any seed
+    two = (docs.select(F.col("doc_id"),
+                       F.split(F.lower("text"), "\\s+").alias("t"))
+           .select(F.explode(F.expr(
+               "transform(sequence(1, size(t) - 1), "
+               "i -> concat(t[i - 1], ' ', t[i]))")).alias("bg"))
+           .groupBy("bg").count().orderBy(F.desc("count")).first()["bg"])
+    got = sorted(r["doc_id"] for r in esql(
+        spark, f'FROM d | WHERE MATCH_PHRASE(text, "{two}") '
+               '| KEEP doc_id', {"d": docs}).collect())
+    want = sorted(r["doc_id"] for r in
+                  match_phrase(spark, idx, two).collect())
+    assert got and got == want
+
+
+def test_qstr_occur_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "spark query join engine"), (2, "query spark join"),
+         (3, "the spark engine"), (4, "flink query runner"),
+         (5, "sparkle quartz")],
+        "doc_id long, text string")
+
+    def ids(q):
+        return [r["doc_id"] for r in esql(
+            spark, f'FROM d | WHERE QSTR("{q}", "text") '
+                   '| KEEP doc_id | SORT doc_id', {"d": d}).collect()]
+
+    assert ids("spark OR flink") == [1, 2, 3, 4]          # SHOULD group
+    assert ids("spark AND join") == [1, 2]                # MUST
+    assert ids("+spark -join") == [3]                     # +/- pins
+    assert ids("quer*") == [1, 2, 4]                      # prefix
+    assert ids("q?artz") == [5]                           # wildcard
+    assert ids("sparkl~1") == [1, 2, 3, 5]                # fuzzy (1 edit)
+    assert ids('\\"spark query\\"'.replace("\\\\", "\\")) == [1]  # phrase
+    assert ids("(flink OR sparkle) AND (runner OR quartz)") == [4, 5]
+    assert ids("text:spark AND engine") == [1, 3]         # field-qualified
+    with pytest.raises(EsqlError, match="purely negative"):
+        ids("-spark")
+    with pytest.raises(EsqlError, match="default field"):
+        esql(spark, 'FROM d | WHERE QSTR("spark")', {"d": d}).collect()
+    with pytest.raises(EsqlError, match="slop"):
+        ids('\\"spark query\\"~2'.replace("\\\\", "\\"))
+
+
+def test_qstr_scoring_where_rejected(spark):
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for q in ('QSTR("spark", "text")', 'MATCH_PHRASE(text, "a b")'):
+        with pytest.raises(EsqlError, match="scoring WHERE"):
+            esql(spark,
+                 f"FROM d METADATA _score | WHERE {q} AND "
+                 'match(text, "x") | SORT _score DESC | LIMIT 1',
+                 {"d": d}, id_col="doc_id").collect()
+
+
+def test_categorize_matches_agg(spark):
+    """STATS COUNT(*) BY CATEGORIZE(x) buckets exactly like the
+    categorize_text aggregation (one shared skeleton kernel)."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        categorize_text,
+    )
+    logs = spark.createDataFrame(
+        [(i, f"error {{k: {i * 37}}} happened") for i in range(6)]
+        + [(9, "ok user 12 login"), (10, "ok user 13 login")],
+        "id long, msg string")
+    got = {(r["cat"], r["n"]) for r in esql(
+        spark, "FROM l | STATS n = COUNT(*) BY cat = CATEGORIZE(msg)",
+        {"l": logs}).collect()}
+    want = {(r["category"], r["doc_count"])
+            for r in categorize_text(logs, "msg").collect()}
+    assert got == want == {("error k happened", 6), ("ok user login", 2)}
+
+
+def test_st_centroid_agg(spark):
+    pts = spark.createDataFrame(
+        [(1, "g1", 10.0, 20.0), (2, "g1", 30.0, 40.0),
+         (3, "g2", -5.0, 5.0)],
+        "id long, g string, lon double, lat double")
+    got = esql(spark, """
+FROM p
+| EVAL pt = TO_GEOPOINT(CONCAT("POINT (", lon::string, " ", lat::string, ")"))
+| STATS c = ST_CENTROID_AGG(pt) BY g
+| EVAL cx = ST_X(c), cy = ST_Y(c)
+| KEEP g, cx, cy
+| SORT g""", {"p": pts}).collect()
+    assert [(r["g"], r["cx"], r["cy"]) for r in got] == \
+        [("g1", 20.0, 30.0), ("g2", -5.0, 5.0)]
+
+
+def test_rrf_fusion(spark, tables):
+    """RRF == hand-computed reciprocal-rank fusion of the two branch
+    rankings (rank_constant 60, _id tie-break, carry from the first
+    branch, dedupe on _id)."""
+    docs = tables["documents"]
+    q = """
+FROM d METADATA _id, _score
+| FORK (WHERE match(text, "spark query") | SORT _score DESC, _id | LIMIT 10)
+       (WHERE match(text, "join") | SORT _score DESC, _id | LIMIT 10)
+| RRF
+| SORT _score DESC, _id
+| KEEP _id, _score"""
+    got = [(r["_id"], r["_score"]) for r in
+           esql(spark, q, {"d": docs}, id_col="doc_id").collect()]
+
+    def branch(qs):
+        out = esql(spark, f"""
+FROM d METADATA _id, _score
+| WHERE match(text, "{qs}")
+| SORT _score DESC, _id
+| LIMIT 10
+| KEEP _id""", {"d": docs}, id_col="doc_id").collect()
+        return [r["_id"] for r in out]
+
+    fused: dict[str, float] = {}
+    for b in (branch("spark query"), branch("join")):
+        for rank, _id in enumerate(b, start=1):
+            fused[_id] = fused.get(_id, 0.0) + 1.0 / (60 + rank)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(i, pytest.approx(s)) for i, s in want] == got
+    with pytest.raises(EsqlError, match="requires the _id"):
+        esql(spark, 'FROM d METADATA _score | FORK (LIMIT 1) (LIMIT 2) '
+             '| RRF', {"d": docs}, id_col="doc_id").collect()
+
+
+def test_show_info(spark):
+    from elasticsearch_osmosis_plugin_spark import __version__
+    r = esql(spark, "SHOW INFO", {}).collect()
+    assert len(r) == 1 and r[0]["version"] == __version__
+    with pytest.raises(EsqlError, match="SHOW INFO"):
+        esql(spark, "SHOW FUNCTIONS", {})
