@@ -5016,6 +5016,68 @@ def q_esql_show_info(spark, sf_dir):
     return esql(spark, "SHOW INFO", {})
 
 
+def q_esql_std_dev(spark, sf_dir):
+    """ES|QL STD_DEV aggregate (round 4): population standard
+    deviation per group — Spark's stddev_pop (partial-aggregated
+    moments; map-side combine, one shuffle) vs DuckDB stddev_pop."""
+    return _esql(spark, sf_dir, """
+FROM events
+| STATS sd = STD_DEV(value) BY event_type
+| EVAL sd_x1e4 = TO_LONG(FLOOR(sd * 10000.0 + 0.5))
+| KEEP event_type, sd_x1e4
+| SORT event_type""")
+
+
+def q_esql_st_extent(spark, sf_dir):
+    """ES|QL ST_EXTENT_AGG (round 4): per-group bounding box of the
+    synthetic geo_points — min/max hash aggregation, bounds read back
+    via struct field access."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    pts = (_synth_points(_t(spark, sf_dir, "documents"))
+           .withColumn("location", F.struct("lon", "lat")))
+    return esql(spark, """
+FROM pts
+| EVAL g = doc_id % 5
+| STATS e = ST_EXTENT_AGG(location), n = COUNT(*) BY g
+| EVAL xmin_x1e4 = TO_LONG(FLOOR(e.xmin * 10000.0 + 0.5)),
+       xmax_x1e4 = TO_LONG(FLOOR(e.xmax * 10000.0 + 0.5)),
+       ymin_x1e4 = TO_LONG(FLOOR(e.ymin * 10000.0 + 0.5)),
+       ymax_x1e4 = TO_LONG(FLOOR(e.ymax * 10000.0 + 0.5))
+| KEEP g, n, xmin_x1e4, xmax_x1e4, ymin_x1e4, ymax_x1e4
+| SORT g""", {"pts": pts})
+
+
+def q_esql_kql(spark, sf_dir):
+    """ES|QL KQL() full-text function (8.16+, round 4): KQL grammar —
+    field:value token match, OR value alternatives with a wildcard, a
+    NOT'd phrase, and a numeric range — compiled to one pure-Catalyst
+    boolean (no index, no UDFs)."""
+    return _esql(spark, sf_dir, """
+FROM documents
+| WHERE KQL("lang:fr and n_chars >= 300 and (text:batch or text:stream*) and not text:\\"table hash\\"")
+| KEEP doc_id, lang
+| SORT doc_id""")
+
+
+def q_esql_fuse_linear(spark, sf_dir):
+    """ES|QL FUSE LINEAR (9.2 tech preview, round 4): linear fusion of
+    two FORK branches with per-branch min-max normalization — the
+    generalized form of RRF (same window + hash-agg plan, score
+    contribution swapped)."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    return esql(spark, """
+FROM documents METADATA _id, _score
+| FORK (WHERE match(text, "spark query") | SORT _score DESC, _id | LIMIT 10)
+       (WHERE match(text, "join") | SORT _score DESC, _id | LIMIT 10)
+| FUSE LINEAR WITH normalizer = "minmax"
+| EVAL lin_x1e4 = TO_LONG(FLOOR(_score * 10000.0 + 0.5))
+| KEEP _id, lin_x1e4
+| SORT lin_x1e4 DESC, _id
+| LIMIT 10""", {"documents": _t(spark, sf_dir, "documents")})
+
+
 def _rrf_branch_sql(tag: str, terms: list[str], k: int) -> str:
     """Per-branch BM25 CTE trio (tf/df/scored on RAW doubles — the
     branch rank inside RRF ties-breaks on the unrounded score exactly
@@ -5033,7 +5095,7 @@ sc{tag} AS (
                                      + {BM25_B} * dl.dl / stats.avgdl)) ) AS s
   FROM tf{tag} t JOIN dl USING (doc_id) JOIN df{tag} d USING (term)
   CROSS JOIN stats GROUP BY t.doc_id),
-b{tag} AS (SELECT doc_id,
+b{tag} AS (SELECT doc_id, s,
                   row_number() OVER (ORDER BY s DESC,
                                      CAST(doc_id AS VARCHAR)) AS r
            FROM sc{tag}
@@ -5051,6 +5113,29 @@ f AS (SELECT doc_id, sum(1.0 / (60.0 + r)) AS s FROM u GROUP BY doc_id)
 SELECT CAST(doc_id AS VARCHAR) AS _id,
        floor(s * 1000000.0 + 0.5)::BIGINT AS rrf_x1e6
 FROM f ORDER BY rrf_x1e6 DESC, _id LIMIT 10"""
+
+
+ESQL_FUSE_LINEAR_SQL = f"""
+WITH {TOK_EXPLODED_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+{_rrf_branch_sql('1', ['query', 'spark'], 10)},
+{_rrf_branch_sql('2', ['join'], 10)},
+n1 AS (SELECT doc_id,
+              CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+                   ELSE (s - min(s) OVER ())
+                        / (max(s) OVER () - min(s) OVER ()) END AS c
+       FROM b1),
+n2 AS (SELECT doc_id,
+              CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+                   ELSE (s - min(s) OVER ())
+                        / (max(s) OVER () - min(s) OVER ()) END AS c
+       FROM b2),
+u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2),
+f AS (SELECT doc_id, sum(c) AS s FROM u GROUP BY doc_id)
+SELECT CAST(doc_id AS VARCHAR) AS _id,
+       floor(s * 10000.0 + 0.5)::BIGINT AS lin_x1e4
+FROM f ORDER BY lin_x1e4 DESC, _id LIMIT 10"""
 
 
 def q_esql_inlinestats_events(spark, sf_dir):
@@ -5166,6 +5251,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_st_centroid": q_esql_st_centroid,
     "esql_rrf": q_esql_rrf,
     "esql_show_info": q_esql_show_info,
+    "esql_std_dev": q_esql_std_dev,
+    "esql_st_extent": q_esql_st_extent,
+    "esql_kql": q_esql_kql,
+    "esql_fuse_linear": q_esql_fuse_linear,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -7148,6 +7237,32 @@ SELECT doc_id % 7 AS g, count(*) AS n,
        floor(avg(lat) * 10000.0 + 0.5)::BIGINT AS cy_x1e4
 FROM pts GROUP BY 1 ORDER BY 1""",
         "esql_rrf": ESQL_RRF_SQL,
+        "esql_std_dev": """
+SELECT event_type,
+       floor(stddev_pop(value) * 10000.0 + 0.5)::BIGINT AS sd_x1e4
+FROM events GROUP BY 1 ORDER BY 1""",
+        "esql_st_extent": """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents)
+SELECT doc_id % 5 AS g, count(*) AS n,
+       floor(min(lon) * 10000.0 + 0.5)::BIGINT AS xmin_x1e4,
+       floor(max(lon) * 10000.0 + 0.5)::BIGINT AS xmax_x1e4,
+       floor(min(lat) * 10000.0 + 0.5)::BIGINT AS ymin_x1e4,
+       floor(max(lat) * 10000.0 + 0.5)::BIGINT AS ymax_x1e4
+FROM pts GROUP BY 1 ORDER BY 1""",
+        "esql_kql": f"""
+WITH {TOK_CTE}
+SELECT doc_id, lang FROM toks
+WHERE lang = 'fr' AND n_chars >= 300
+  AND (list_contains(toks, 'batch')
+       OR len(list_filter(toks, t -> t LIKE 'stream%')) > 0)
+  AND NOT position(' table hash ' IN
+                   ' ' || array_to_string(toks, ' ') || ' ') > 0
+ORDER BY doc_id""",
+        "esql_fuse_linear": ESQL_FUSE_LINEAR_SQL,
         "esql_show_info": """
 SELECT '0.1.0' AS version, '2026-08-20' AS "date",
        'spark-native' AS hash""",

@@ -860,6 +860,158 @@ def _qstr(args, raw):
     return F.lit(False) if out is None else out
 
 
+_KQL_TOK = re.compile(r'"(?:[^"\\]|\\.)*"|[():]|[<>]=?|[^\s():<>"]+')
+
+
+def _kql(args, raw):
+    """KQL(query[, default_field]) — ES|QL's kql() full-text function
+    (8.16+) compiled to one pure-Catalyst boolean. The supported KQL
+    grammar: ``and``/``or``/``not`` (case-insensitive words, KQL's
+    operator spelling), parentheses, ``field:value`` (value matches if
+    ANY analyzed token of the value occurs among the field's analyzed
+    tokens — ES's match-on-text semantics; the table path has no
+    mapping so every string field is text), ``field:"a phrase"``
+    (consecutive analyzed tokens), ``field:(a or b)`` value groups,
+    trailing/leading ``*`` wildcards in values (token-level rlike),
+    ``field:*`` existence, and ``field >= lit`` range comparisons
+    (numeric when the literal parses as a number). Unqualified bare
+    terms need the second ``default_field`` argument — same engine
+    extension QSTR uses (ES resolves them against the index's
+    default_field setting, which a table has none of)."""
+    if not 1 <= len(args) <= 2:
+        raise EsqlError("ES|QL: KQL(query[, default_field])")
+    q = str(_lit_of(args[0], "KQL query"))
+    default_field = (str(_lit_of(args[1], "KQL default_field"))
+                     if len(args) == 2 else None)
+    toks = _KQL_TOK.findall(q)
+    pos = [0]
+    an = _match_analyzer()
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def next_():
+        t = peek()
+        if t is None:
+            raise EsqlError("ES|QL KQL: unexpected end of query")
+        pos[0] += 1
+        return t
+
+    def is_word(t, w):
+        return t is not None and t.lower() == w
+
+    def value_match(field: str, val: str) -> Column:
+        ftoks = tokenize_expr(F.col(field), an)
+        if val.startswith('"'):
+            phrase = re.sub(r'\\(.)', r'\1', val[1:-1])
+            terms = tokenize_py(phrase, an)
+            if not terms:
+                return F.lit(False)
+            joined = F.concat(F.lit(" "), F.array_join(ftoks, " "),
+                              F.lit(" "))
+            return joined.contains(" " + " ".join(terms) + " ")
+        if val == "*":
+            return F.col(field).isNotNull()
+        if "*" in val:
+            pat = re.escape(val.lower()).replace(r"\*", ".*")
+            return F.exists(ftoks, lambda t: t.rlike("^" + pat + "$"))
+        terms = sorted(set(tokenize_py(val, an)))
+        if not terms:
+            return F.lit(False)
+        return F.arrays_overlap(
+            ftoks, F.array(*[F.lit(t) for t in terms]))
+
+    def value_group(field: str) -> Column:
+        # field:(a or b [or c ...]) / field:(a and b)
+        if peek() == "(":
+            next_()
+            cond = value_group(field)
+            while True:
+                t = peek()
+                if t == ")":
+                    next_()
+                    return cond
+                if is_word(t, "or"):
+                    next_()
+                    cond = cond | value_group(field)
+                elif is_word(t, "and"):
+                    next_()
+                    cond = cond & value_group(field)
+                else:
+                    raise EsqlError(
+                        "ES|QL KQL: expected OR/AND/) in value group, "
+                        f"got {t!r}")
+        t = next_()
+        if t in (")", ":", "<", ">", "<=", ">="):
+            raise EsqlError(f"ES|QL KQL: expected a value, got {t!r}")
+        return value_match(field, t)
+
+    def range_lit(s: str):
+        if s.startswith('"'):
+            return re.sub(r'\\(.)', r'\1', s[1:-1])
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+    def primary() -> Column:
+        t = peek()
+        if t == "(":
+            next_()
+            c = or_expr()
+            if next_() != ")":
+                raise EsqlError("ES|QL KQL: unbalanced parens")
+            return c
+        if is_word(t, "not"):
+            next_()
+            return ~primary()
+        t = next_()
+        if t in (")", ":"):
+            raise EsqlError(f"ES|QL KQL: unexpected {t!r}")
+        nxt = peek()
+        if nxt == ":":
+            next_()
+            return value_group(t)
+        if nxt in ("<", ">", "<=", ">="):
+            op = next_()
+            lit = range_lit(next_())
+            col = F.col(t)
+            return {"<": col < lit, "<=": col <= lit,
+                    ">": col > lit, ">=": col >= lit}[op]
+        if default_field is None:
+            raise EsqlError(
+                "ES|QL KQL: unqualified term needs a default field — "
+                "KQL(query, default_field) or qualify as field:term")
+        return value_match(default_field, t)
+
+    def and_expr() -> Column:
+        c = primary()
+        while is_word(peek(), "and"):
+            next_()
+            c = c & primary()
+        return c
+
+    def or_expr() -> Column:
+        c = and_expr()
+        while is_word(peek(), "or"):
+            next_()
+            c = c | and_expr()
+        return c
+
+    if not toks:
+        # KQL empty query matches all (Kibana's blank bar)
+        return F.lit(True)
+    out = or_expr()
+    if pos[0] != len(toks):
+        raise EsqlError(
+            f"ES|QL KQL: trailing input at {toks[pos[0]]!r}")
+    return out
+
+
 def _categorize(args, raw):
     """CATEGORIZE(field) — ES|QL's log-categorization grouping
     function (STATS .. BY CATEGORIZE(message)). Emits the same
@@ -968,6 +1120,7 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "st_y": lambda a, r: _compile(a[0])["lat"].cast("double"),
     "st_distance": _st_distance,
     "qstr": _qstr,
+    "kql": _kql,
     "categorize": _categorize,
     "st_intersects": lambda a, r: _st_relation(a, "ST_INTERSECTS",
                                                "intersects"),
@@ -1266,6 +1419,23 @@ def _agg_col(name: str, args: list, where: Column | None) -> Column:
         c = arg()
         return F.struct(F.avg(c["lon"]).alias("lon"),
                         F.avg(c["lat"]).alias("lat"))
+    if name == "st_extent_agg":
+        # ES spatial extent: the group's bounding box. ES returns a
+        # BBOX geo_shape; here a flat struct of the four bounds (read
+        # back via field access — same information, columnar-friendly).
+        # No dateline splitting (ES only wraps for geo_point CRS edge
+        # cases); pure min/max hash aggregation.
+        c = arg()
+        return F.struct(F.min(c["lon"]).alias("xmin"),
+                        F.max(c["lon"]).alias("xmax"),
+                        F.min(c["lat"]).alias("ymin"),
+                        F.max(c["lat"]).alias("ymax"))
+    if name == "std_dev":
+        # ES|QL STD_DEV: population standard deviation (Welford
+        # accumulation in ES; algebraically the same moments Spark's
+        # stddev_pop computes with partial aggregation — map-side
+        # combine, one shuffle of (n, mean, M2)-equivalent state)
+        return F.stddev_pop(arg())
     if name == "weighted_avg":
         x, w = arg(0), _compile(args[1])
         if where is not None:
@@ -1287,7 +1457,8 @@ def _agg_sql(ast, where: Column | None) -> str:
 
 _AGG_NAMES = {"count", "count_distinct", "sum", "avg", "min", "max",
               "median", "percentile", "values", "top", "weighted_avg",
-              "median_absolute_deviation", "st_centroid_agg"}
+              "median_absolute_deviation", "st_centroid_agg",
+              "st_extent_agg", "std_dev"}
 
 
 # ========================================================== DISSECT / GROK
@@ -2099,6 +2270,8 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
             _change_point_cmd(st, p)
         elif cmd == "FORK":
             _fork(st, p, query, tables)
+        elif cmd == "FUSE":
+            _fuse(st, p)
         elif cmd == "RRF":
             _rrf(st, p)
         elif cmd == "SAMPLE":
@@ -2141,41 +2314,121 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
 
 
 def _rrf(st: _State, p: _P) -> None:
-    """RRF — ES|QL 9.2 tech preview: fuse the FORK branches by
-    reciprocal rank. Each branch's rows are ranked by ``_score``
-    descending (``_id`` ascending tie-break for determinism); a
-    document's fused score is Σ over branches of
-    ``1 / (60 + rank)`` (ES's fixed rank_constant), rows dedupe on
-    ``_id`` (+ ``_index`` when present), and non-key columns carry
-    from the first branch the doc appears in (branch order, then
-    rank — deterministic). ``_fork`` is consumed.
-
-    Plan shape: one ``row_number`` window partitioned by ``_fork``
-    + one hash aggregation on the doc key. The window partitions by
-    branch, which is only as parallel as the branch count — exactly
-    ES's execution too: RRF runs on the coordinating node over the
-    per-branch top-k, so branches are LIMIT-bounded by construction
-    (put a LIMIT in each FORK arm; fusing unbounded branches is the
-    same mistake in ES)."""
-    from pyspark.sql.window import Window
-
+    """RRF — ES|QL 9.2 tech preview: ``FUSE`` with the rrf method and
+    ES's fixed rank_constant 60 (the pre-FUSE spelling; kept as an
+    alias)."""
     if p.peek().kind != "eof":
         raise EsqlError("ES|QL RRF: takes no arguments")
+    _fuse_exec(st, "rrf", rank_constant=60.0, normalizer="none",
+               cmd="RRF")
+
+
+def _fuse(st: _State, p: _P) -> None:
+    """FUSE [RRF | LINEAR] [WITH opt = value, ...] — ES|QL 9.2 tech
+    preview: merge the FORK branches into one ranking.
+
+    Methods: ``rrf`` (default) scores each doc Σ over branches of
+    ``1 / (rank_constant + rank)``; ``linear`` sums the branch scores
+    directly, optionally min-max normalized per branch. Options:
+    ``rank_constant = N`` (rrf; default 60) and
+    ``normalizer = minmax | none`` (linear; default none — ES's
+    L2_NORM is not offered, documented).
+
+    Row semantics are shared with RRF: branches rank by ``_score``
+    descending (``_id`` ascending tie-break), rows dedupe on ``_id``
+    (+ ``_index``), non-key columns carry from the first branch a doc
+    appears in, ``_fork`` is consumed."""
+    method = "rrf"
+    if p.kw("RRF"):
+        method = "rrf"
+    elif p.kw("LINEAR"):
+        method = "linear"
+    opts = {"rank_constant": 60.0, "normalizer": "none"}
+    if p.kw("WITH"):
+        while True:
+            name = p.next()
+            if name.kind != "ident":
+                raise EsqlError("ES|QL FUSE: expected option name "
+                                f"after WITH, got {name.text!r}")
+            p.expect("=")
+            key = name.text.lower()
+            val = p.next()
+            if key == "rank_constant":
+                if method != "rrf":
+                    raise EsqlError("ES|QL FUSE: rank_constant is an "
+                                    "rrf option")
+                try:
+                    opts["rank_constant"] = float(val.text)
+                except ValueError:
+                    raise EsqlError("ES|QL FUSE: rank_constant needs "
+                                    "a number") from None
+            elif key == "normalizer":
+                if method != "linear":
+                    raise EsqlError("ES|QL FUSE: normalizer is a "
+                                    "linear option")
+                v = (val.text[1:-1] if val.kind == "str"
+                     else val.text).lower()
+                if v not in ("minmax", "none"):
+                    raise EsqlError("ES|QL FUSE: normalizer must be "
+                                    "minmax or none")
+                opts["normalizer"] = v
+            else:
+                raise EsqlError(
+                    f"ES|QL FUSE: unknown option {name.text!r} "
+                    "(rank_constant, normalizer)")
+            if p.peek().text != ",":
+                break
+            p.next()
+    if p.peek().kind != "eof":
+        raise EsqlError(
+            f"ES|QL FUSE: trailing input at {p.peek().text!r}")
+    _fuse_exec(st, method, rank_constant=opts["rank_constant"],
+               normalizer=opts["normalizer"], cmd="FUSE")
+
+
+def _fuse_exec(st: _State, method: str, *, rank_constant: float,
+               normalizer: str, cmd: str) -> None:
+    """Shared FUSE/RRF execution.
+
+    Plan shape: one ``row_number`` window partitioned by ``_fork``
+    (plus, for minmax, a min/max window over the same partitioning —
+    one shuffle, two window functions) + one hash aggregation on the
+    doc key. The window partitions by branch, which is only as
+    parallel as the branch count — exactly ES's execution too: fusion
+    runs on the coordinating node over the per-branch top-k, so
+    branches are LIMIT-bounded by construction (put a LIMIT in each
+    FORK arm; fusing unbounded branches is the same mistake in ES)."""
+    from pyspark.sql.window import Window
+
     df = st.df
     for need in ("_fork", "_id", "_score"):
         if need not in df.columns:
             raise EsqlError(
-                f"ES|QL RRF: requires the {need} column — use "
-                "FROM .. METADATA _id, _score | FORK (..) (..) | RRF")
+                f"ES|QL {cmd}: requires the {need} column — use "
+                f"FROM .. METADATA _id, _score | FORK (..) (..) | {cmd}")
     keys = ["_id"] + (["_index"] if "_index" in df.columns else [])
     w = (Window.partitionBy("_fork")
          .orderBy(F.desc_nulls_last("_score"), F.asc("_id")))
     ranked = df.withColumn("__rrf_rank", F.row_number().over(w))
+    if method == "rrf":
+        contrib = F.lit(1.0) / (F.lit(rank_constant)
+                                + F.col("__rrf_rank"))
+    else:
+        contrib = F.col("_score").cast("double")
+        if normalizer == "minmax":
+            wb = Window.partitionBy("_fork")
+            lo, hi = F.min(contrib).over(wb), F.max(contrib).over(wb)
+            # degenerate all-equal branch: every doc is the best hit,
+            # normalize to 1.0 (0/0 otherwise)
+            contrib = F.when(hi == lo, F.lit(1.0)) \
+                .otherwise((contrib - lo) / (hi - lo))
+    # window expressions (rank / minmax bounds) must be materialized
+    # before the aggregate — Catalyst rejects a window inside an agg
+    ranked = ranked.withColumn("__fuse_c", contrib)
     pick = F.struct(F.col("_fork"), F.col("__rrf_rank"))
     carry = [c for c in df.columns
              if c not in keys and c not in ("_score", "_fork")]
-    aggs = [F.sum(F.lit(1.0)
-                  / (F.lit(60.0) + F.col("__rrf_rank"))).alias("_score")]
+    aggs = [F.sum("__fuse_c").alias("_score")]
     aggs += [F.min_by(F.col(c), pick).alias(c) for c in carry]
     fused = ranked.groupBy(*keys).agg(*aggs)
     out_order = [c for c in df.columns if c != "_fork"]

@@ -1187,3 +1187,112 @@ def test_show_info(spark):
     assert len(r) == 1 and r[0]["version"] == __version__
     with pytest.raises(EsqlError, match="SHOW INFO"):
         esql(spark, "SHOW FUNCTIONS", {})
+
+
+def test_std_dev_agg(spark, tables):
+    got = esql(spark, """
+FROM events
+| STATS sd = STD_DEV(value) BY event_type
+| SORT event_type""", tables).collect()
+    want = (tables["events"].groupBy("event_type")
+            .agg(F.stddev_pop("value").alias("sd"))
+            .orderBy("event_type").collect())
+    assert [(r["event_type"], pytest.approx(r["sd"])) for r in want] == \
+        [(r["event_type"], r["sd"]) for r in got]
+
+
+def test_st_extent_agg(spark):
+    pts = spark.createDataFrame(
+        [(1, "g1", 10.0, 20.0), (2, "g1", 30.0, -40.0),
+         (3, "g2", -5.0, 5.0)],
+        "id long, g string, lon double, lat double")
+    got = esql(spark, """
+FROM p
+| EVAL pt = TO_GEOPOINT(CONCAT("POINT (", lon::string, " ", lat::string, ")"))
+| STATS e = ST_EXTENT_AGG(pt) BY g
+| EVAL xmin = e.xmin, xmax = e.xmax, ymin = e.ymin, ymax = e.ymax
+| KEEP g, xmin, xmax, ymin, ymax
+| SORT g""", {"p": pts}).collect()
+    assert [tuple(r) for r in got] == [
+        ("g1", 10.0, 30.0, -40.0, 20.0), ("g2", -5.0, -5.0, 5.0, 5.0)]
+
+
+def test_kql_semantics(spark, tables):
+    docs = tables["documents"]
+    # field:value == analyzed token match (same rows as match())
+    a = rows(esql(spark, 'FROM d | WHERE KQL("text:batch") | KEEP doc_id',
+                  {"d": docs}))
+    b = rows(esql(spark, 'FROM d | WHERE match(text, "batch") '
+                  '| KEEP doc_id', {"d": docs}))
+    assert a == b and a
+    # default-field free text + range + not-phrase
+    got = rows(esql(spark, '''
+FROM d
+| WHERE KQL("(batch or join) and n_chars >= 300 and not \\"table hash\\"",
+            "text")
+| KEEP doc_id''', {"d": docs}))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    joined = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    want = rows(docs.filter(
+        (F.array_contains(toks, "batch") | F.array_contains(toks, "join"))
+        & (F.col("n_chars") >= 300)
+        & ~joined.contains(" table hash ")).select("doc_id"))
+    assert got == want and got
+    # field:* existence, wildcard value, value group
+    assert rows(esql(spark, 'FROM d | WHERE KQL("lang:*") | KEEP doc_id',
+                     {"d": docs})) == rows(docs.select("doc_id"))
+    g = rows(esql(spark, 'FROM d | WHERE KQL("lang:(fr or es)") '
+                  '| KEEP doc_id', {"d": docs}))
+    assert g == rows(docs.filter(F.col("lang").isin("fr", "es"))
+                     .select("doc_id"))
+    # empty query matches all (Kibana blank bar)
+    assert rows(esql(spark, 'FROM d | WHERE KQL("") | KEEP doc_id',
+                     {"d": docs})) == rows(docs.select("doc_id"))
+
+
+def test_kql_errors(spark, tables):
+    docs = tables["documents"]
+    with pytest.raises(EsqlError, match="default field"):
+        esql(spark, 'FROM d | WHERE KQL("batch")', {"d": docs})
+    with pytest.raises(EsqlError, match="unbalanced|unexpected|trailing"):
+        esql(spark, 'FROM d | WHERE KQL("(lang:fr")', {"d": docs})
+    with pytest.raises(EsqlError, match="trailing"):
+        esql(spark, 'FROM d | WHERE KQL("lang:fr lang:es")', {"d": docs})
+
+
+def test_fuse_methods(spark, tables):
+    docs = tables["documents"]
+    q = """
+FROM d METADATA _id, _score
+| FORK (WHERE match(text, "spark query") | SORT _score DESC, _id | LIMIT 8)
+       (WHERE match(text, "join") | SORT _score DESC, _id | LIMIT 8)
+| {fuse}
+| SORT _score DESC, _id
+| KEEP _id, _score"""
+
+    def run(fuse):
+        return [(r["_id"], r["_score"]) for r in
+                esql(spark, q.format(fuse=fuse), {"d": docs},
+                     id_col="doc_id").collect()]
+
+    # bare FUSE == RRF == FUSE RRF WITH rank_constant = 60
+    assert run("FUSE") == run("RRF") \
+        == run("FUSE RRF WITH rank_constant = 60")
+    # a different rank constant changes scores but keeps doc set
+    r10 = run("FUSE RRF WITH rank_constant = 10")
+    assert {i for i, _ in r10} == {i for i, _ in run("FUSE")}
+    assert r10 != run("FUSE")
+    # linear minmax: per-branch best hit normalizes to 1.0; a doc on
+    # top of both branches scores exactly 2.0
+    lin = run('FUSE LINEAR WITH normalizer = "minmax"')
+    assert max(s for _, s in lin) <= 2.0 + 1e-12
+    assert any(abs(s - 1.0) < 1e-9 or s > 1.0 for _, s in lin)
+    # option validation
+    with pytest.raises(EsqlError, match="rrf option"):
+        run('FUSE LINEAR WITH rank_constant = 10')
+    with pytest.raises(EsqlError, match="linear option"):
+        run('FUSE RRF WITH normalizer = "minmax"')
+    with pytest.raises(EsqlError, match="unknown option"):
+        run("FUSE RRF WITH depth = 3")
+    with pytest.raises(EsqlError, match="minmax or none"):
+        run('FUSE LINEAR WITH normalizer = "l2"')
