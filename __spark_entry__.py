@@ -5060,6 +5060,31 @@ FROM documents
 | SORT doc_id""")
 
 
+def q_esql_mad(spark, sf_dir):
+    """ES|QL MEDIAN_ABSOLUTE_DEVIATION (round 4): two-pass exact MAD —
+    per-group median, null-safe join-back, median of deviations (ES
+    approximates with TDigest; exact here, documented divergence)."""
+    return _esql(spark, sf_dir, """
+FROM events
+| STATS mad = MEDIAN_ABSOLUTE_DEVIATION(value) BY event_type
+| EVAL mad_x1e4 = TO_LONG(FLOOR(mad * 10000.0 + 0.5))
+| KEEP event_type, mad_x1e4
+| SORT event_type""")
+
+
+def q_esql_hash(spark, sf_dir):
+    """ES|QL HASH/MD5/SHA256 (8.17, round 4): JVM MessageDigest
+    digests over UTF-8 bytes — byte-identical to DuckDB's md5/sha256
+    of the same strings."""
+    return _esql(spark, sf_dir, """
+FROM documents
+| WHERE doc_id < 20
+| EVAL h = HASH("md5", CONCAT(lang, source)), m = MD5(lang),
+       s = SHA256(lang)
+| KEEP doc_id, h, m, s
+| SORT doc_id""")
+
+
 def q_esql_fuse_linear(spark, sf_dir):
     """ES|QL FUSE LINEAR (9.2 tech preview, round 4): linear fusion of
     two FORK branches with per-branch min-max normalization — the
@@ -5255,6 +5280,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_st_extent": q_esql_st_extent,
     "esql_kql": q_esql_kql,
     "esql_fuse_linear": q_esql_fuse_linear,
+    "esql_mad": q_esql_mad,
+    "esql_hash": q_esql_hash,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
     "esql_fork_events": q_esql_fork_events,
@@ -7263,6 +7290,18 @@ WHERE lang = 'fr' AND n_chars >= 300
                    ' ' || array_to_string(toks, ' ') || ' ') > 0
 ORDER BY doc_id""",
         "esql_fuse_linear": ESQL_FUSE_LINEAR_SQL,
+        "esql_mad": """
+WITH m AS (SELECT event_type, median(value) AS med
+           FROM events GROUP BY 1)
+SELECT e.event_type,
+       floor(median(abs(e.value - m.med)) * 10000.0 + 0.5)::BIGINT
+         AS mad_x1e4
+FROM events e JOIN m USING (event_type)
+GROUP BY 1 ORDER BY 1""",
+        "esql_hash": """
+SELECT doc_id, md5(lang || source) AS h, md5(lang) AS m,
+       sha256(lang) AS s
+FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
         "esql_show_info": """
 SELECT '0.1.0' AS version, '2026-08-20' AS "date",
        'spark-native' AS hash""",

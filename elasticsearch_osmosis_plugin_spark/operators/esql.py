@@ -1087,7 +1087,10 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "repeat": lambda a, r: F.repeat(_compile(a[0]),
                                     _lit_of(a[1], "REPEAT n")),
     "substring": _substring,
-    "hash": lambda a, r: F.md5(_compile(a[0])),
+    "hash": lambda a, r: _hash_fn(a, r),
+    "md5": lambda a, r: F.md5(_compile(a[0]).cast("binary")),
+    "sha1": lambda a, r: F.sha1(_compile(a[0]).cast("binary")),
+    "sha256": lambda a, r: F.sha2(_compile(a[0]).cast("binary"), 256),
     "space": lambda a, r: _space(a),
     "bit_length": lambda a, r: F.bit_length(_compile(a[0])),
     "byte_length": lambda a, r: F.octet_length(_compile(a[0])),
@@ -1173,6 +1176,25 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
         (_lit_of(a[2], "MV_SLICE end") - _lit_of(a[1], "x") + 1)
         if len(a) > 2 else 1),
 }
+
+
+def _hash_fn(args, raw):
+    """HASH(algorithm, input) — ES|QL 8.17: algorithm-first argument
+    order (MD5/SHA-1/SHA-256/SHA-512 of the JVM's MessageDigest; the
+    same JVM primitives back Spark's hash functions, so digests agree
+    byte-for-byte)."""
+    if len(args) != 2:
+        raise EsqlError("ES|QL: HASH(algorithm, input)")
+    alg = str(_lit_of(args[0], "HASH algorithm")).lower().replace("-", "")
+    x = _compile(args[1]).cast("binary")
+    if alg == "md5":
+        return F.md5(x)
+    if alg == "sha1":
+        return F.sha1(x)
+    if alg in ("sha256", "sha512"):
+        return F.sha2(x, int(alg[3:]))
+    raise EsqlError(f"ES|QL: HASH: unknown algorithm {alg!r} "
+                    "(md5, sha1, sha256, sha512)")
 
 
 def _space(args):
@@ -1401,8 +1423,11 @@ def _agg_col(name: str, args: list, where: Column | None) -> Column:
         return F.expr(
             f"percentile({_agg_sql(args[0], where)}, {p / 100.0!r})")
     if name == "median_absolute_deviation":
-        raise EsqlError("ES|QL: MEDIAN_ABSOLUTE_DEVIATION not supported "
-                        "(two-pass; compute via two STATS pipes)")
+        # rewritten to a plain median over pre-joined deviations by
+        # _stats (the agg is inherently two-pass); reaching here means
+        # MAD appeared outside STATS
+        raise EsqlError("ES|QL: MEDIAN_ABSOLUTE_DEVIATION is only "
+                        "valid in STATS")
     if name == "values":
         # ES returns an unordered multivalue; sorted here for plan
         # determinism (documented divergence)
@@ -1718,6 +1743,59 @@ def _knn_where(st: _State, node, rest: list) -> None:
         st.df = st.df.filter(_compile(c))
 
 
+def _mad_rewrite(df: DataFrame, sink: list, where_of: list,
+                 gcols: list[str]) -> DataFrame:
+    """MEDIAN_ABSOLUTE_DEVIATION: median(|x - median(x)|) per group —
+    inherently two-pass, so rewrite before the main groupBy: one extra
+    groupBy computes each MAD input's group median, a null-safe
+    equi-join on the BY keys brings it back (co-partitioned on the
+    same keys — AQE removes the second exchange; a global MAD is a
+    1-row cross join), and the sink entry becomes a plain MEDIAN over
+    the pre-computed absolute deviation. Exact where ES approximates
+    with TDigest — the same documented divergence as
+    MEDIAN/PERCENTILE. Per-agg WHERE folds into the deviation input
+    as NULLs (percentile ignores NULLs on both engines)."""
+    mad_idx = [i for i, (fn, _) in enumerate(sink)
+               if fn == "median_absolute_deviation"]
+    if not mad_idx:
+        return df
+    if df.isStreaming:
+        raise EsqlError("ES|QL: MEDIAN_ABSOLUTE_DEVIATION is not "
+                        "available on streams (two-pass aggregate)")
+    for i in mad_idx:
+        _, args = sink[i]
+        if len(args) != 1:
+            raise EsqlError(
+                "ES|QL: MEDIAN_ABSOLUTE_DEVIATION(field) takes one "
+                "argument")
+        x = _compile(args[0]).cast("double")
+        if where_of[i] is not None:
+            x = F.when(where_of[i], x)
+            where_of[i] = None
+        df = df.withColumn(f"__madx{i}", x)
+    med_aggs = [F.expr(f"percentile(__madx{i}, 0.5)").alias(f"__madm{i}")
+                for i in mad_idx]
+    if gcols:
+        med = df.groupBy(*gcols).agg(*med_aggs)
+        med = med.select(
+            *[F.col(n).alias(f"__madk{j}") for j, n in enumerate(gcols)],
+            *[f"__madm{i}" for i in mad_idx])
+        cond = None
+        for j, n in enumerate(gcols):
+            c = df[n].eqNullSafe(med[f"__madk{j}"])
+            cond = c if cond is None else cond & c
+        df = df.join(med, cond, "left") \
+            .drop(*[f"__madk{j}" for j in range(len(gcols))])
+    else:
+        df = df.crossJoin(df.agg(*med_aggs))
+    for i in mad_idx:
+        df = df.withColumn(
+            f"__madd{i}",
+            F.abs(F.col(f"__madx{i}") - F.col(f"__madm{i}")))
+        sink[i] = ("median", [("col", f"__madd{i}")])
+    return df
+
+
 def _stats(st: _State, p: _P) -> None:
     items = []      # (out_name, rewritten_ast, where_ast)
     sink: list[tuple] = []      # (fn, args) in __aN order
@@ -1775,6 +1853,7 @@ def _stats(st: _State, p: _P) -> None:
             gexprs.append(F.col(name))
             posts.append(F.col(name))
         gcols.append(name)
+    df = _mad_rewrite(df, sink, where_of, gcols)
     acols = [_agg_col(fn, args, wh).alias(f"__a{i}")
              for i, ((fn, args), wh) in enumerate(zip(sink, where_of))]
     agged = df.groupBy(*gexprs).agg(*acols) if gexprs else df.agg(*acols)

@@ -1296,3 +1296,46 @@ FROM d METADATA _id, _score
         run("FUSE RRF WITH depth = 3")
     with pytest.raises(EsqlError, match="minmax or none"):
         run('FUSE LINEAR WITH normalizer = "l2"')
+
+
+def test_mad_two_pass(spark, tables):
+    ev = tables["events"]
+    got = {r["event_type"]: r["mad"] for r in esql(spark, """
+FROM events
+| STATS mad = MEDIAN_ABSOLUTE_DEVIATION(value) BY event_type""",
+        tables).collect()}
+    import numpy as np
+    pdf = ev.select("event_type", "value").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        m = np.percentile(g.value, 50)
+        want = np.percentile(np.abs(g.value - m), 50)
+        assert abs(got[et] - want) < 1e-9, et
+    # global (no BY) + per-agg WHERE path
+    r = esql(spark, """
+FROM events
+| STATS mad = MEDIAN_ABSOLUTE_DEVIATION(value) WHERE value > 50""",
+             tables).collect()[0]
+    hi = pdf[pdf.value > 50].value
+    m = np.percentile(hi, 50)
+    assert abs(r["mad"] - np.percentile(np.abs(hi - m), 50)) < 1e-9
+    # MAD outside STATS is rejected
+    with pytest.raises(EsqlError,
+                       match="unknown function|only valid in STATS"):
+        esql(spark, "FROM events | EVAL x = "
+             "MEDIAN_ABSOLUTE_DEVIATION(value)", tables)
+
+
+def test_hash_functions(spark, tables):
+    import hashlib
+    got = esql(spark, """
+FROM documents
+| WHERE doc_id == 3
+| EVAL h = HASH("SHA-256", lang), m = MD5(lang), s1 = SHA1(lang)
+| KEEP lang, h, m, s1""", tables).collect()[0]
+    b = got["lang"].encode()
+    assert got["h"] == hashlib.sha256(b).hexdigest()
+    assert got["m"] == hashlib.md5(b).hexdigest()
+    assert got["s1"] == hashlib.sha1(b).hexdigest()
+    with pytest.raises(EsqlError, match="unknown algorithm"):
+        esql(spark, 'FROM documents | EVAL h = HASH("crc32", lang)',
+             tables)
