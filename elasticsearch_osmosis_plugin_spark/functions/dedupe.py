@@ -59,14 +59,21 @@ def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct token-level n-gram shingles per doc: (doc_id, shingle)."""
-    toks = tokens_col(text_col)
+    # materialize the token array behind a projection boundary FIRST:
+    # referencing the tokenize expression inside the transform() lambda
+    # makes Catalyst re-evaluate the regex split once PER GRAM (O(T^2)
+    # regex work per doc — measured 6x slower at sf0.1); bound to a
+    # column it runs once per row
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     k = F.size(toks) - (n - 1)
     # guard: F.sequence(1, k) DESCENDS for k < 1 — emit no shingles instead
     grams = F.when(k >= 1, F.array_distinct(F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n))))) \
         .otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")))
+    return base.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -261,7 +268,12 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3,
     cost (the hash pass dominated the dedupe suite wall). Docs with no
     shingle (fewer than n tokens) hash the whole token string.
     Engine-portable: md5 + substring + conv exist in DuckDB too."""
-    toks = tokens_col(text_col)
+    # project the token array to a column first — inlined, the regex
+    # tokenize would re-run once per gram inside the transform lambda
+    # (O(T^2) per doc; see shingles())
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     k = F.size(toks) - (n - 1)
     grams = F.when(k >= 1, F.array_distinct(F.transform(
         F.sequence(F.lit(1), k),
@@ -269,7 +281,7 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3,
         .otherwise(F.array(F.concat_ws(" ", toks)))
     h60 = F.transform(grams, lambda g: F.conv(
         F.substring(F.md5(g), 2, 15), 16, 10).cast("long"))
-    hashed = df.select(F.col(id_col).alias("doc_id"), h60.alias("_h"))
+    hashed = base.select("doc_id", h60.alias("_h"))
     cols = [F.array_min(F.transform(
                 F.col("_h"), lambda h: h.bitwiseXOR(F.lit(minhash_salt(i)))))
             .alias(f"sig{i}") for i in range(n_hashes)]
@@ -495,13 +507,16 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
         raise ValueError(f"materialize must be disk|memory|recompute, "
                          f"got {materialize!r}")
 
-    toks = tokens_col(text_col)
+    # token array behind a projection boundary — inlined it re-runs
+    # the regex split once per k-gram (O(T^2) per doc; see shingles())
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
-    occ = (df.filter(F.size(toks) >= k)
-           .select(F.col(id_col).alias("doc_id"),
-                   F.posexplode(grams).alias("pos", "g"))
+    occ = (base.filter(F.size(toks) >= k)
+           .select("doc_id", F.posexplode(grams).alias("pos", "g"))
            .withColumn("key",
                        F.col("doc_id") * (1 << 20) + F.col("pos")))
     # materialize the occurrence relation once: both the group-stats
@@ -552,14 +567,18 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
           .agg(F.collect_list(F.struct(
               F.col("span_start").cast("int").alias("s"),
               F.col("span_end").cast("int").alias("e"))).alias("_spans")))
-    toks = tokens_col(text_col)
-    joined = df.join(sp, F.col(id_col) == F.col("_sid"), "left")
+    # tokenize once per row behind a projection (the expression is
+    # referenced four times below; bound to a column it is shared)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    joined = base.join(sp, F.col("doc_id") == F.col("_sid"), "left")
     covered = lambda i: F.exists(  # noqa: E731
         F.col("_spans"), lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]))
     kept = F.when(F.col("_spans").isNull(), toks).otherwise(
         F.filter(toks, lambda t, i: ~covered(i)))
     return (joined.select(
-        F.col(id_col).alias("doc_id"),
+        "doc_id",
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_cut")))
 
