@@ -74,7 +74,12 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Length / stopword-ratio / mean-token-length quality features +
     a composite [0,1] score (higher = more natural-language-like)."""
-    toks = tokens_col(text_col)
+    # tokenize once per row behind a projection — the token array is
+    # referenced by every output column below, and inlined Catalyst
+    # would re-run the regex split per reference
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
     n_chars_tok = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -87,8 +92,8 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     # Spark's round (shortest-repr BigDecimal HALF_UP) and other
     # engines' round (true-binary) disagree on decimal .5 boundaries;
     # floor-scaling is identical IEEE arithmetic everywhere.
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         x1e4(stop_ratio).alias("stop_ratio_x1e4"),
         x1e4(mean_tok_len).alias("mean_tok_len_x1e4"),
@@ -118,18 +123,29 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     per-doc gram multisets never materialize driver-side and hot docs
     parallelize across partitions. Docs shorter than n tokens score 0.
     """
-    toks = tokens_col(text_col)
-    lines = F.split(F.col(text_col), "\n")
+    # three projection stages so nothing expensive evaluates twice:
+    # tokenize + line-split bind first (inlined, the inner filter's
+    # `lines` reference would RE-SPLIT the text once per line), then
+    # the O(L^2) duplicate-line array binds (it feeds two stats), then
+    # the stats read plain columns
+    pre = df.select(F.col(id_col).alias("doc_id"),
+                    tokens_col(text_col).alias("toks"),
+                    F.split(F.col(text_col), "\n").alias("__lines"))
+    lines = F.col("__lines")
+    toks = F.col("toks")
+    pre = pre.select(
+        "doc_id", "toks", "__lines",
+        F.filter(lines, lambda ln: F.size(
+            F.filter(lines, lambda x: x == ln)) > 1).alias("__dup_lines"))
+    dup_lines = F.col("__dup_lines")
     line_chars = F.aggregate(lines, F.lit(0),
                              lambda acc, ln: acc + F.length(ln))
-    dup_lines = F.filter(
-        lines, lambda ln: F.size(F.filter(lines, lambda x: x == ln)) > 1)
     dup_line_chars = F.aggregate(dup_lines, F.lit(0),
                                  lambda acc, ln: acc + F.length(ln))
     n_lines = F.size(lines)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("toks"),
+    base = pre.select(
+        "doc_id",
+        "toks",
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
          .alias("tok_chars"),
         # all copies of a repeated line count as duplicates (Gopher
@@ -174,10 +190,14 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     """n-gram-free language-ID heuristic: argmax of per-language
     stopword hits, deterministic tie-break by language code; 'und'
     when nothing matches."""
-    toks = tokens_col(text_col)
+    # one tokenize per row (each language's hit counter references the
+    # token array; see quality_score)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     hit_cols = {lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
                 for lang, words in STOPWORDS.items()}
-    out = df.select(F.col(id_col).alias("doc_id"), *[
+    out = base.select("doc_id", *[
         v.alias(f"hits_{k}") for k, v in hit_cols.items()])
     best = F.greatest(*[F.col(f"hits_{k}") for k in STOPWORDS])
     pred = F.lit("und")
@@ -238,15 +258,17 @@ def shingle_fingerprint(df: DataFrame, n: int = 5, id_col: str = "doc_id",
     """Rolling (token-level) n-gram fingerprint: min md5 over the
     doc's n-gram shingles — a 1-hash MinHash usable as a cheap
     near-dup blocking key."""
-    toks = tokens_col(text_col)
+    # token array behind a projection — inlined, the regex split would
+    # re-run once per shingle inside the transform lambda (O(T^2))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     k = F.size(toks) - (n - 1)
     grams = F.when(k >= 1, F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))) \
         .otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_min(grams).alias("shingle_fp"))
+    return base.select("doc_id", F.array_min(grams).alias("shingle_fp"))
 
 
 def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
@@ -272,7 +294,11 @@ def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must be in [0, max_tokens)")
     stride = max_tokens - overlap
-    toks = tokens_col(text_col)
+    # tokenize once per row — slice(toks) inside the transform lambda
+    # would otherwise re-run the regex split once per chunk
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
                         F.lit(stride))
@@ -280,8 +306,8 @@ def chunk_documents(df: DataFrame, max_tokens: int, *, overlap: int = 0,
         starts, lambda s, i: F.struct(
             i.cast("long").alias("chunk_id"),
             F.slice(toks, s, max_tokens).alias("_toks")))
-    out = (df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(F.when(n > 0, chunks)).alias("c"))
+    out = (base.select("doc_id",
+                       F.explode(F.when(n > 0, chunks)).alias("c"))
             .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
                     F.size("c._toks").cast("long").alias("n_tokens"),
                     F.concat_ws(" ", F.col("c._toks")).alias("chunk_text")))
