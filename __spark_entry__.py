@@ -4793,6 +4793,25 @@ FROM documents METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_esql_phrase_idx(spark, sf_dir):
+    """ES|QL MATCH_PHRASE conjunct on the persisted-index fast path
+    (round 4): the phrase compiles to a contiguous-slice check over
+    the docstats term-vector column inside topk's exact post_filter —
+    top-k OF the phrase-filtered ranking, scores corpus-global (B6),
+    still only the MATCH terms' posting bytes scanned."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    idx = _index_for(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query join") AND MATCH_PHRASE(text, "the table")
+| SORT _score DESC, doc_id
+| LIMIT 10""", idx)
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
+
+
 _SPLIT_IDX_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -5264,6 +5283,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_lookup_orders": q_esql_lookup_orders,
     "esql_match_score": q_esql_match_score,
     "esql_match_score_idx": q_esql_match_score_idx,
+    "esql_phrase_idx": q_esql_phrase_idx,
     "esql_multi_idx": q_esql_multi_idx,
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
@@ -7193,6 +7213,12 @@ GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
+        "esql_phrase_idx": _bm25_oracle_sql(
+            ["join", "query", "spark"], 10,
+            post_filter_sql=(
+                "position(' the table ' IN ' ' || array_to_string("
+                "list_filter(string_split_regex(lower(d.text), '\\s+'), "
+                "x -> x <> ''), ' ') || ' ') > 0")),
         "esql_multi_idx": _bm25_oracle_sql(["join", "query", "spark"], 10),
         "esql_multi_idx_filtered": _bm25_oracle_sql(
             ["join", "query", "spark"], 10, post_filter_sql="d.lang = 'en'"),

@@ -2558,6 +2558,45 @@ def _fork(st: _State, p: _P, query: str, tables) -> None:
 
 # ===================================================== persisted-index path
 
+def _index_phrase_col(index_path, ast) -> Column:
+    """Compile a MATCH_PHRASE conjunct for the persisted-index path:
+    analyzed phrase terms (each index's own analyzer; multi-index
+    requires one shared analyzer, the same constraint dfs-exact stats
+    already impose) checked as a contiguous slice of the docstats
+    ``tokens`` term-vector column. Indexes built with term vectors
+    dropped (``merge.drop_term_vectors``) cannot evaluate it — raise
+    toward the positional ``intersect.match_phrase`` operator."""
+    from .intersect import load_meta, phrase_match_expr
+    from ..plans import catalog
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    paths = (list(index_path) if isinstance(index_path, (list, tuple))
+             else [index_path])
+    metas = [load_meta(p) for p in paths]
+    analyzers = {m["analyzer"] for m in metas}
+    if len(analyzers) != 1:
+        raise EsqlError(
+            "esql_index: MATCH_PHRASE across indexes needs one shared "
+            f"analyzer, got {sorted(analyzers)}")
+    if not all(catalog.read_manifest(p, "docstats").get("term_vectors",
+                                                        False)
+               for p in paths):
+        raise EsqlError(
+            "esql_index: MATCH_PHRASE needs the docstats term-vector "
+            "column (dropped by merge.drop_term_vectors) — use "
+            "intersect.match_phrase on the positional postings")
+    m = metas[0]
+    terms = tokenize_py(str(_lit_of(ast[2], "match_phrase query")),
+                        m["analyzer"],
+                        min_len=m.get("min_token_len", 1),
+                        max_len=m.get("max_token_len", 64))
+    if not terms:
+        return F.lit(False)
+    return phrase_match_expr(F.col("tokens"), terms)
+
+
 def esql_index(spark: SparkSession, query: str,
                index_path: str | list[str], *,
                strategy: str = "auto") -> DataFrame:
@@ -2607,7 +2646,20 @@ def esql_index(spark: SparkSession, query: str,
             for c in conj:
                 if c is matches[0]:
                     continue
-                col = _compile(c)
+                if c[0] == "phrase_match":
+                    # MATCH_PHRASE conjunct on the index path: the
+                    # docstats term-vector array carries the analyzed
+                    # token stream, so the phrase check compiles to the
+                    # same contiguous-slice Column the positionless
+                    # fallback uses — evaluated as part of the exact
+                    # post_filter (pruning bounds stay correct), no
+                    # second posting scan. Filter context only, like
+                    # every non-MATCH conjunct here (the scoring MATCH
+                    # stays the single score source — the table path's
+                    # rule too).
+                    col = _index_phrase_col(index_path, c)
+                else:
+                    col = _compile(c)
                 post = col if post is None else (post & col)
         elif cmd == "KEEP":
             keep = _parse_names(p)

@@ -1339,3 +1339,54 @@ FROM documents
     with pytest.raises(EsqlError, match="unknown algorithm"):
         esql(spark, 'FROM documents | EVAL h = HASH("crc32", lang)',
              tables)
+
+
+def test_esql_index_match_phrase_conjunct(spark, tmp_path):
+    """MATCH_PHRASE residual conjunct on the persisted-index fast
+    path == the table path's rows (phrase filter over term vectors;
+    MATCH stays the single score source) and == the positional
+    intersect.match_phrase candidate set."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import (
+        esql, esql_index)
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        match_phrase)
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                             block_size=64),
+                id_col="doc_id", text_col="text", carry_cols=["lang"])
+    q = """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join") AND MATCH_PHRASE(text, "the table")
+| SORT _score DESC, doc_id
+| LIMIT 10"""
+    got = esql_index(spark, q, idx)
+    rows_idx = [(r["doc_id"], round(r["_score"], 9))
+                for r in got.collect()]
+    # table-path twin (full-scan M1 plan; the table path wants the
+    # phrase in its own filter WHERE after the scoring one — the index
+    # path's single-WHERE AND form compiles to the same plan)
+    want = esql(spark, """
+FROM d METADATA _score
+| WHERE MATCH(text, "spark query join")
+| WHERE MATCH_PHRASE(text, "the table")
+| SORT _score DESC, doc_id
+| LIMIT 10
+| KEEP doc_id, _score""", {"d": docs}, id_col="doc_id")
+    rows_tab = [(r["doc_id"], round(r["_score"], 9))
+                for r in want.collect()]
+    assert rows_idx == rows_tab and rows_idx
+    # every hit really contains the phrase (positional oracle)
+    cand = {r["doc_id"] for r in
+            match_phrase(spark, idx, "the table").collect()}
+    assert all(d in cand for d, _ in rows_idx)
+    # dropped term vectors -> clear error
+    from elasticsearch_osmosis_plugin_spark.plans.merge import (
+        drop_term_vectors)
+    drop_term_vectors(spark, idx)
+    with pytest.raises(EsqlError, match="term-vector"):
+        esql_index(spark, q, idx).collect()
