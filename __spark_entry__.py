@@ -4812,6 +4812,34 @@ FROM documents METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
 
 
+def q_esql_qstr_idx(spark, sf_dir):
+    """ES|QL QSTR conjunct on the persisted-index fast path (round 4):
+    the query_string tree evaluates over the docstats term-vector
+    column inside topk's exact post_filter."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    idx = _index_for(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query join")
+    AND QSTR("(batch OR stream) AND filt* -\\"table hash\\"", "text")
+| SORT _score DESC, doc_id
+| LIMIT 10""", idx)
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
+
+
+_DTOK = ("list_filter(string_split_regex(lower(d.text), '\\s+'), "
+         "x -> x <> '')")
+
+_QSTR_PF_SQL = (
+    f"(list_contains({_DTOK}, 'batch') OR list_contains({_DTOK}, 'stream'))"
+    f" AND len(list_filter({_DTOK}, t -> t LIKE 'filt%')) > 0"
+    f" AND NOT position(' table hash ' IN"
+    f" ' ' || array_to_string({_DTOK}, ' ') || ' ') > 0")
+
+
 _SPLIT_IDX_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -5284,6 +5312,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_match_score": q_esql_match_score,
     "esql_match_score_idx": q_esql_match_score_idx,
     "esql_phrase_idx": q_esql_phrase_idx,
+    "esql_qstr_idx": q_esql_qstr_idx,
     "esql_multi_idx": q_esql_multi_idx,
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
@@ -7213,6 +7242,8 @@ GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
+        "esql_qstr_idx": _bm25_oracle_sql(
+            ["join", "query", "spark"], 10, post_filter_sql=_QSTR_PF_SQL),
         "esql_phrase_idx": _bm25_oracle_sql(
             ["join", "query", "spark"], 10,
             post_filter_sql=(

@@ -779,10 +779,6 @@ def _qstr(args, raw):
     q = str(_lit_of(args[0], "QSTR query"))
     default_field = (str(_lit_of(args[1], "QSTR default_field"))
                      if len(args) == 2 else None)
-    try:
-        tree = parse_query_string(q)
-    except ValueError as e:
-        raise EsqlError(f"ES|QL QSTR: {e}") from None
     an = _match_analyzer()
 
     def toks_of(field: str | None) -> Column:
@@ -792,6 +788,21 @@ def _qstr(args, raw):
                 "ES|QL QSTR: unqualified clause needs a default field "
                 "— QSTR(query, default_field) or qualify as field:term")
         return tokenize_expr(F.col(f), an)
+
+    return _qstr_column(q, an, toks_of)
+
+
+def _qstr_column(q: str, an: str, toks_of) -> Column:
+    """Core QSTR tree -> Column compiler, parameterized by the
+    token-stream resolver so the persisted-index path can point leaves
+    at the docstats term-vector column instead of re-tokenizing."""
+    from .querystring import (MUST, MUST_NOT, SHOULD, Leaf,
+                              parse_query_string)
+
+    try:
+        tree = parse_query_string(q)
+    except ValueError as e:
+        raise EsqlError(f"ES|QL QSTR: {e}") from None
 
     def leaf(lf: Leaf) -> Column | None:
         if lf.kind == "exists":
@@ -2558,19 +2569,13 @@ def _fork(st: _State, p: _P, query: str, tables) -> None:
 
 # ===================================================== persisted-index path
 
-def _index_phrase_col(index_path, ast) -> Column:
-    """Compile a MATCH_PHRASE conjunct for the persisted-index path:
-    analyzed phrase terms (each index's own analyzer; multi-index
-    requires one shared analyzer, the same constraint dfs-exact stats
-    already impose) checked as a contiguous slice of the docstats
-    ``tokens`` term-vector column. Indexes built with term vectors
-    dropped (``merge.drop_term_vectors``) cannot evaluate it — raise
-    toward the positional ``intersect.match_phrase`` operator."""
-    from .intersect import load_meta, phrase_match_expr
+def _index_tv_meta(index_path, what: str) -> dict:
+    """Shared validation for conjuncts that evaluate over the docstats
+    term-vector column on the persisted-index path: one analyzer
+    across the indexes (the constraint dfs-exact stats already
+    impose) and term vectors present."""
+    from .intersect import load_meta
     from ..plans import catalog
-    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
-        tokenize_py,
-    )
 
     paths = (list(index_path) if isinstance(index_path, (list, tuple))
              else [index_path])
@@ -2578,16 +2583,28 @@ def _index_phrase_col(index_path, ast) -> Column:
     analyzers = {m["analyzer"] for m in metas}
     if len(analyzers) != 1:
         raise EsqlError(
-            "esql_index: MATCH_PHRASE across indexes needs one shared "
+            f"esql_index: {what} across indexes needs one shared "
             f"analyzer, got {sorted(analyzers)}")
     if not all(catalog.read_manifest(p, "docstats").get("term_vectors",
                                                         False)
                for p in paths):
         raise EsqlError(
-            "esql_index: MATCH_PHRASE needs the docstats term-vector "
-            "column (dropped by merge.drop_term_vectors) — use "
-            "intersect.match_phrase on the positional postings")
-    m = metas[0]
+            f"esql_index: {what} needs the docstats term-vector "
+            "column (dropped by merge.drop_term_vectors) — use the "
+            "positional intersect operators instead")
+    return metas[0]
+
+
+def _index_phrase_col(index_path, ast) -> Column:
+    """Compile a MATCH_PHRASE conjunct for the persisted-index path:
+    analyzed phrase terms checked as a contiguous slice of the
+    docstats ``tokens`` term-vector column."""
+    from .intersect import phrase_match_expr
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    m = _index_tv_meta(index_path, "MATCH_PHRASE")
     terms = tokenize_py(str(_lit_of(ast[2], "match_phrase query")),
                         m["analyzer"],
                         min_len=m.get("min_token_len", 1),
@@ -2595,6 +2612,36 @@ def _index_phrase_col(index_path, ast) -> Column:
     if not terms:
         return F.lit(False)
     return phrase_match_expr(F.col("tokens"), terms)
+
+
+def _index_qstr_col(index_path, ast) -> Column:
+    """Compile a QSTR conjunct for the persisted-index path: the
+    classic query_string tree evaluates leaf-for-leaf over the
+    docstats term-vector column (``_qstr_column`` with the token
+    resolver pointed at ``tokens``); leaves qualified with anything
+    but the indexed text field raise — the index analyzes ONE text
+    field, carry columns are not token streams."""
+    args = ast[2]
+    if not 1 <= len(args) <= 2:
+        raise EsqlError("ES|QL: QSTR(query[, default_field])")
+    q = str(_lit_of(args[0], "QSTR query"))
+    m = _index_tv_meta(index_path, "QSTR")
+    text_col = m.get("text_col", "text")
+    explicit = (str(_lit_of(args[1], "QSTR default_field"))
+                if len(args) == 2 else None)
+    if explicit is not None and explicit != text_col:
+        raise EsqlError(
+            f"esql_index: QSTR field {explicit!r} is not the indexed "
+            f"text field {text_col!r}")
+
+    def toks_of(field: str | None) -> Column:
+        if field is not None and field != text_col:
+            raise EsqlError(
+                f"esql_index: QSTR leaf field {field!r} is not the "
+                f"indexed text field {text_col!r}")
+        return F.col("tokens")
+
+    return _qstr_column(q, m["analyzer"], toks_of)
 
 
 def esql_index(spark: SparkSession, query: str,
@@ -2658,6 +2705,11 @@ def esql_index(spark: SparkSession, query: str,
                     # stays the single score source — the table path's
                     # rule too).
                     col = _index_phrase_col(index_path, c)
+                elif c[0] == "call" and c[1] == "qstr":
+                    # QSTR conjunct: the query_string tree evaluates
+                    # over the same term-vector column (filter
+                    # context, same rationale)
+                    col = _index_qstr_col(index_path, c)
                 else:
                     col = _compile(c)
                 post = col if post is None else (post & col)

@@ -1390,3 +1390,43 @@ FROM d METADATA _score
     drop_term_vectors(spark, idx)
     with pytest.raises(EsqlError, match="term-vector"):
         esql_index(spark, q, idx).collect()
+
+
+def test_esql_index_qstr_conjunct(spark, tmp_path):
+    """QSTR residual conjunct on the persisted-index fast path == the
+    table path's rows (query_string tree over the term-vector column,
+    filter context)."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import (
+        esql, esql_index)
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                             block_size=64),
+                id_col="doc_id", text_col="text", carry_cols=["lang"])
+    got = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join")
+    AND QSTR("(batch OR stream) -\\"table hash\\"", "text")
+| SORT _score DESC, doc_id
+| LIMIT 10""", idx)
+    want = esql(spark, """
+FROM d METADATA _score
+| WHERE MATCH(text, "spark query join")
+| WHERE QSTR("(batch OR stream) -\\"table hash\\"", "text")
+| SORT _score DESC, doc_id
+| LIMIT 10
+| KEEP doc_id, _score""", {"d": docs}, id_col="doc_id")
+    gi = [(r["doc_id"], round(r["_score"], 9)) for r in got.collect()]
+    ti = [(r["doc_id"], round(r["_score"], 9)) for r in want.collect()]
+    assert gi == ti and gi
+    # a leaf on a non-indexed field raises clearly
+    with pytest.raises(EsqlError, match="indexed text field"):
+        esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark") AND QSTR("lang:fr", "text")
+| SORT _score DESC, doc_id
+| LIMIT 5""", idx).collect()
