@@ -4812,6 +4812,24 @@ FROM documents METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
 
 
+def q_esql_match_or_not(spark, sf_dir):
+    """ES|QL match() under OR/NOT in a scoring WHERE (round 4): every
+    distinct matching clause adds its BM25 score (Lucene boolean
+    semantics), the NOT'd clause excludes rows without touching
+    corpus-global stats."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+
+    raw = _esql(spark, sf_dir, """
+FROM documents METADATA _score
+| WHERE (match(text, "spark") OR match(text, "join"))
+    AND NOT match(text, "batch")
+| SORT _score DESC, doc_id
+| LIMIT 10
+| KEEP doc_id, _score""")
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
+
+
 def q_esql_qstr_idx(spark, sf_dir):
     """ES|QL QSTR conjunct on the persisted-index fast path (round 4):
     the query_string tree evaluates over the docstats term-vector
@@ -5313,6 +5331,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_match_score_idx": q_esql_match_score_idx,
     "esql_phrase_idx": q_esql_phrase_idx,
     "esql_qstr_idx": q_esql_qstr_idx,
+    "esql_match_or_not": q_esql_match_or_not,
     "esql_multi_idx": q_esql_multi_idx,
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
@@ -7242,6 +7261,9 @@ GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
+        "esql_match_or_not": _bm25_oracle_sql(
+            ["join", "spark"], 10,
+            post_filter_sql=f"NOT list_contains({_DTOK}, 'batch')"),
         "esql_qstr_idx": _bm25_oracle_sql(
             ["join", "query", "spark"], 10, post_filter_sql=_QSTR_PF_SQL),
         "esql_phrase_idx": _bm25_oracle_sql(

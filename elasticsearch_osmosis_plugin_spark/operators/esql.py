@@ -1609,16 +1609,20 @@ def _split_conjuncts(ast) -> list:
     return [ast]
 
 
-def _has_match_node(ast) -> bool:
-    """True if a match() node appears anywhere in the (pure-tuple)
-    expression AST — used to reject scoring shapes the top-level-AND
-    scorer cannot honor (match under OR/NOT)."""
+def _collect_match_nodes(ast, out: list) -> None:
+    """All match() nodes anywhere in the expression tree, deduplicated
+    (an identical clause contributes its BM25 score ONCE — Lucene
+    rewrites duplicate clauses away the same way)."""
     if isinstance(ast, tuple):
-        return ast[:1] == ("match",) or any(_has_match_node(x)
-                                            for x in ast)
-    if isinstance(ast, list):
-        return any(_has_match_node(x) for x in ast)
-    return False
+        if ast[:1] == ("match",):
+            if ast not in out:
+                out.append(ast)
+            return
+        for x in ast:
+            _collect_match_nodes(x, out)
+    elif isinstance(ast, list):
+        for x in ast:
+            _collect_match_nodes(x, out)
 
 
 def _has_unscorable_ft(ast) -> bool:
@@ -1648,22 +1652,20 @@ def _where(st: _State, p: _P) -> None:
                 "the clause in a WHERE after the scoring one, or drop "
                 "METADATA _score")
         conj = _split_conjuncts(ast)
-        # dedupe identical match conjuncts: `match(f,"x") AND
-        # match(f,"x")` is one scoring clause, not a doubled BM25
-        # contribution (AND of identical predicates is idempotent)
+        # match() may sit ANYWHERE in the boolean tree (8.18+ ES|QL
+        # scores OR'd/NOT'd full-text clauses too). Lucene semantics:
+        # every DISTINCT match clause that matches a surviving doc
+        # contributes its BM25 score; clauses the doc does not match
+        # contribute 0 (a NOT-match leaf therefore contributes 0 to
+        # every survivor by construction). So: score = Σ over distinct
+        # leaves of coalesce(leaf BM25, 0) via left joins, and the
+        # WHOLE tree compiles once as the row filter (match leaves in
+        # filter context are arrays_overlap booleans).
         matches: list = []
-        for c in conj:
-            if c[0] == "match" and c not in matches:
-                matches.append(c)
+        _collect_match_nodes(ast, matches)
         knns = [c for c in conj
                 if c[0] == "call" and c[1] == "knn"]
         rest = [c for c in conj if c[0] != "match" and c not in knns]
-        if any(_has_match_node(c) for c in rest):
-            raise EsqlError(
-                "ES|QL: match() under OR/NOT in a scoring WHERE is "
-                "not supported — with METADATA _score this engine "
-                "scores top-level AND'ed match conjuncts only; "
-                "restructure the query or drop METADATA _score")
         if knns and matches:
             raise EsqlError("ES|QL: hybrid KNN+MATCH ranking is the "
                             "DSL retriever surface (rrf/linear) — one "
@@ -1675,33 +1677,32 @@ def _where(st: _State, p: _P) -> None:
             return
         if matches:
             df = st.df
-            score = None
-            for mnode in matches:
+            parts = []
+            drops = []
+            for i, mnode in enumerate(matches):
                 field = mnode[1]
                 if field[0] != "col":
                     raise EsqlError("ES|QL: match needs a field")
                 terms = sorted(set(tokenize_py(
                     str(_lit_of(mnode[2], "match query")), st.analyzer)))
                 if not terms:
-                    st.df = st.df.withColumn(
-                        "_score", F.lit(0.0)).filter(F.lit(False))
-                    st.scored = True
-                    return
+                    # analyzed-away clause: MatchNoDocs — 0 score
+                    # contribution; its filter compile is lit(False)
+                    continue
                 sc = bm25_score_terms(
                     st.df, terms, st.cfg, id_col=st.id_col,
                     text_col=field[1], analyzer=st.analyzer)
-                sc = (sc.withColumnRenamed("score", "__s")
+                sc = (sc.withColumnRenamed("score", f"__s{i}")
                         .withColumnRenamed("doc_id", st.id_col))
-                df = df.join(sc, st.id_col)
-                df = df.withColumn(
-                    "_score",
-                    (F.col("_score") + F.col("__s")) if score else
-                    F.col("__s")).drop("__s")
-                score = True
-            st.df = df
+                df = df.join(sc, st.id_col, "left")
+                parts.append(F.coalesce(F.col(f"__s{i}"), F.lit(0.0)))
+                drops.append(f"__s{i}")
+            score = parts[0] if parts else F.lit(0.0)
+            for x in parts[1:]:
+                score = score + x
+            df = df.withColumn("_score", score).drop(*drops)
+            st.df = df.filter(_compile(ast))
             st.scored = True
-            for c in rest:
-                st.df = st.df.filter(_compile(c))
             return
     st.df = st.df.filter(_compile(ast))
 

@@ -723,22 +723,38 @@ ROW ips = ["10.1.2.3", "10.255.0.1", "192.168.1.77", "8.8.8.8",
              {})
 
 
-def test_scoring_where_or_match_raises(spark):
-    """match() under OR/NOT in a scoring WHERE raises a clear error
-    (the scorer honors top-level AND'ed conjuncts only), and a
-    duplicated identical match conjunct scores ONCE, not twice."""
+def test_scoring_where_or_not_match(spark):
+    """match() under OR/NOT in a scoring WHERE scores like Lucene:
+    every distinct matching clause contributes its BM25 score, a
+    NOT'd clause contributes 0 to every survivor, and a duplicated
+    identical match conjunct scores ONCE, not twice."""
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "alpha alpha gamma"), (3, "delta")],
         "doc_id long, text string")
     t = {"docs": docs}
-    with pytest.raises(EsqlError, match="under OR/NOT"):
-        esql(spark, 'FROM docs METADATA _score '
-                    '| WHERE match(text, "alpha") OR match(text, "beta") '
-                    '| SORT _score DESC', t)
-    with pytest.raises(EsqlError, match="under OR/NOT"):
-        esql(spark, 'FROM docs METADATA _score '
-                    '| WHERE match(text, "alpha") AND NOT match(text, "beta") '
-                    '| SORT _score DESC', t)
+    # per-clause solo scores
+    s_alpha = {r["doc_id"]: r["_score"] for r in esql(
+        spark, 'FROM docs METADATA _score | WHERE match(text, "alpha") '
+               '| KEEP doc_id, _score', t).collect()}
+    s_beta = {r["doc_id"]: r["_score"] for r in esql(
+        spark, 'FROM docs METADATA _score | WHERE match(text, "beta") '
+               '| KEEP doc_id, _score', t).collect()}
+    # OR: union of matchers, score = sum of matching clause scores
+    got = {r["doc_id"]: r["_score"] for r in esql(
+        spark, 'FROM docs METADATA _score '
+               '| WHERE match(text, "alpha") OR match(text, "beta") '
+               '| KEEP doc_id, _score', t).collect()}
+    assert set(got) == {1, 2}
+    for d in got:
+        assert got[d] == pytest.approx(
+            s_alpha.get(d, 0.0) + s_beta.get(d, 0.0))
+    # AND NOT: doc 1 has beta -> excluded; doc 2 scores alpha alone
+    got2 = {r["doc_id"]: r["_score"] for r in esql(
+        spark, 'FROM docs METADATA _score '
+               '| WHERE match(text, "alpha") AND NOT match(text, "beta") '
+               '| KEEP doc_id, _score', t).collect()}
+    assert set(got2) == {2}
+    assert got2[2] == pytest.approx(s_alpha[2])
     once = esql(spark, 'FROM docs METADATA _score '
                        '| WHERE match(text, "alpha") '
                        '| KEEP doc_id, _score | SORT doc_id', t).collect()
