@@ -182,17 +182,25 @@ def downsample(spark: SparkSession, root: str, name: str,
                          F.max(col).alias(f"{col}_max"),
                          F.sum(col).alias(f"{col}_sum"),
                          F.count(col).alias(f"{col}_value_count")]
-        else:                            # counter: last observed value
+        else:                            # counter: last + first observed
             # the order key must be the SOURCE time column — grouping
             # happens on a fresh "__nb" column below precisely so the
             # source "__bucket" stays visible here when re-downsampling
-            # (else max-by-time degenerates to max-by-value)
-            src_col = f"{col}_last_value" if pre else col
-            order = F.struct(
-                F.col("__bucket" if pre else ts).alias("t"),
-                F.col(src_col).alias("v"))
-            aggs.append(F.max(order).getField("v")
-                        .alias(f"{col}_last_value"))
+            # (else max-by-time degenerates to max-by-value).
+            # first_value is an engine EXTENSION over ES's
+            # last_value-only counter rollup: with both ends stored,
+            # ts_rate on the rollup reconstructs the exact reset-free
+            # rate (internal last-first + boundary first-prev_last
+            # deltas) instead of losing each span's internal rise.
+            last_src = f"{col}_last_value" if pre else col
+            first_src = f"{col}_first_value" if pre else col
+            t = F.col("__bucket" if pre else ts)
+            aggs.append(F.max(F.struct(t.alias("t"),
+                                       F.col(last_src).alias("v")))
+                        .getField("v").alias(f"{col}_last_value"))
+            aggs.append(F.min(F.struct(t.alias("t"),
+                                       F.col(first_src).alias("v")))
+                        .getField("v").alias(f"{col}_first_value"))
     rolled = (src.withColumn("__nb", bucket)
               .groupBy("__nb", *dims).agg(*aggs)
               .withColumnRenamed("__nb", "__bucket")
@@ -288,18 +296,30 @@ def tsds_stats(root: str, name: str) -> dict[str, Any]:
 
 
 def ts_rate(spark: SparkSession, root: str, name: str,
-            fixed_interval: str, *, metric: str) -> DataFrame:
+            fixed_interval: str, *, metric: str,
+            resolution: str | None = "auto") -> DataFrame:
     """ES `rate` aggregation over a counter metric: per (series,
     bucket), the sum of positive deltas divided by the bucket width in
     seconds — with ES's counter-RESET rule (a value drop means the
     counter restarted, so the post-reset value itself is the delta,
     not a negative step).
 
-    Runs on the raw store only: deltas need consecutive observations,
-    which downsampled rows no longer carry (ES computes rate from
-    `_tsid`-ordered raw docs for the same reason). One window pass
-    partitioned by the series key — the shuffle moves each series to
-    one task ordered by time, exactly the TSDB storage order.
+    ``resolution`` picks the store: ``None``/``"raw"`` forces raw
+    observations; ``"auto"`` (default) uses the coarsest stored
+    downsample whose interval divides the request — the 100 TB path:
+    counter rollups here keep BOTH ends of each span (``first_value``
+    an engine extension over ES's last_value-only rollup), so a span
+    contributes its internal rise (last − first) plus the boundary
+    delta from the previous span's last — telescoping back to raw's
+    positive-delta sum EXACTLY unless a reset hides inside a span
+    whose last still exceeds its first (then the rollup undercounts,
+    never overcounts — the standard downsampled-counter caveat; pass
+    ``resolution="raw"`` when that matters). An explicit interval
+    (e.g. ``"1h"``) selects that stored downsample.
+
+    One window pass partitioned by the series key — the shuffle moves
+    each series to one task ordered by time, exactly the TSDB storage
+    order (rollup mode scans the downsample's bytes instead of raw).
     """
     from pyspark.sql import Window
 
@@ -309,13 +329,56 @@ def ts_rate(spark: SparkSession, root: str, name: str,
                          f"{metric!r} is {man['metrics'].get(metric)}")
     secs = interval_seconds(fixed_interval)
     ts, dims = man["ts_col"], man["dimensions"]
-    src = _read_raw(spark, root, name)
-    w = Window.partitionBy(*dims).orderBy(F.col(ts).cast("timestamp"))
-    prev = F.lag(metric).over(w)
-    delta = F.when(prev.isNull(), F.lit(None)) \
-        .when(F.col(metric) >= prev, F.col(metric) - prev) \
-        .otherwise(F.col(metric))           # reset: restart from 0
-    return (src.withColumn("__delta", delta)
-            .withColumn("__b", _bucket_col(ts, secs))
+
+    pick = None
+    if resolution == "auto":
+        pick = _pick_resolution(man, secs)
+    elif resolution not in (None, "raw"):
+        if resolution not in man["downsamples"]:
+            raise ValueError(f"tsds: no downsample {resolution}")
+        if secs % interval_seconds(resolution):
+            raise ValueError(
+                f"tsds: {fixed_interval} is not a multiple of "
+                f"{resolution}")
+        pick = resolution
+
+    if pick is None:
+        src = _read_raw(spark, root, name)
+        w = Window.partitionBy(*dims).orderBy(F.col(ts).cast("timestamp"))
+        prev = F.lag(metric).over(w)
+        delta = F.when(prev.isNull(), F.lit(None)) \
+            .when(F.col(metric) >= prev, F.col(metric) - prev) \
+            .otherwise(F.col(metric))       # reset: restart from 0
+        return (src.withColumn("__delta", delta)
+                .withColumn("__b", _bucket_col(ts, secs))
+                .groupBy(F.col("__b").alias("bucket"), *dims)
+                .agg((F.sum("__delta") / F.lit(float(secs)))
+                     .alias("rate")))
+
+    # rollup mode: each span carries (first_value, last_value), so the
+    # span's contribution is its INTERNAL rise (last − first, reset
+    # rule if the span ends lower) plus the BOUNDARY delta from the
+    # previous span's last_value to this span's first_value (same
+    # reset rule; the series' first span has no boundary) — the two
+    # telescoped sums reproduce raw's positive-delta sum exactly when
+    # resets don't hide inside a span.
+    src = spark.read.parquet(os.path.join(
+        _dir(root, name), man["downsamples"][pick]))
+    last_c, first_c = f"{metric}_last_value", f"{metric}_first_value"
+    if first_c not in src.columns:
+        raise ValueError(
+            f"tsds: downsample {pick} predates counter first_value "
+            "capture — re-run downsample() or use resolution='raw'")
+    w = Window.partitionBy(*dims) \
+        .orderBy(F.col("__bucket").cast("timestamp"))
+    prev_last = F.lag(last_c).over(w)
+    boundary = F.when(prev_last.isNull(), F.lit(0.0)) \
+        .when(F.col(first_c) >= prev_last, F.col(first_c) - prev_last) \
+        .otherwise(F.col(first_c))
+    internal = F.when(F.col(last_c) >= F.col(first_c),
+                      F.col(last_c) - F.col(first_c)) \
+        .otherwise(F.col(last_c))
+    return (src.withColumn("__delta", boundary + internal)
+            .withColumn("__b", _bucket_col("__bucket", secs))
             .groupBy(F.col("__b").alias("bucket"), *dims)
             .agg((F.sum("__delta") / F.lit(float(secs))).alias("rate")))

@@ -157,3 +157,70 @@ def test_chained_counter_downsample_keeps_time_order(spark, tmp_path):
     via = tsds.ts_agg(spark, root, "m", "1h", metric="reqs",
                       agg="last_value", resolution="1h").collect()
     assert raw[0]["last_value"] == via[0]["last_value"] == 5.0
+
+
+def test_ts_rate_on_rollup(spark, tmp_path):
+    """rate on a counter ROLLUP == rate on raw whenever resets land on
+    span boundaries (positive deltas telescope to last_value diffs);
+    an intra-span reset undercounts — the documented downsampled-
+    counter caveat — and resolution='raw' restores exactness."""
+    root = str(tmp_path / "tsds_rr")
+    tsds.create_tsds(root, "m", dimensions=["host"],
+                     metrics={"reqs": "counter"}, ts_col="ts")
+    rows = [  # two series, several raw obs per minute, no resets
+        ("a", "2024-01-01 00:00:10", 100.0),
+        ("a", "2024-01-01 00:00:40", 130.0),
+        ("a", "2024-01-01 00:01:20", 190.0),
+        ("a", "2024-01-01 00:01:50", 220.0),
+        ("a", "2024-01-01 00:02:30", 400.0),
+        ("b", "2024-01-01 00:00:20", 10.0),
+        ("b", "2024-01-01 00:01:10", 40.0),
+        ("b", "2024-01-01 00:02:40", 45.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts string, reqs double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    tsds.append_tsds(spark, root, "m", df)
+    tsds.downsample(spark, root, "m", "1m")
+
+    def snap(res):
+        return {(r["host"], r["bucket"].minute): r["rate"] for r in
+                tsds.ts_rate(spark, root, "m", "2m", metric="reqs",
+                             resolution=res).collect()}
+
+    raw = snap("raw")
+    rolled = snap("1m")          # explicit rollup
+    auto = snap("auto")          # auto must pick the 1m rollup
+    assert raw == rolled == auto and raw
+    with pytest.raises(ValueError, match="no downsample"):
+        tsds.ts_rate(spark, root, "m", "2m", metric="reqs",
+                     resolution="30s")
+    with pytest.raises(ValueError, match="not a multiple"):
+        tsds.ts_rate(spark, root, "m", "90s", metric="reqs",
+                     resolution="1m")
+
+    # a span-end-lower reset stays exact (boundary + internal reset
+    # rules cover it); only a reset HIDDEN inside a span whose last
+    # exceeds its first undercounts -> never overcounts
+    root2 = str(tmp_path / "tsds_rr2")
+    tsds.create_tsds(root2, "m", dimensions=["host"],
+                     metrics={"reqs": "counter"}, ts_col="ts")
+    rows2 = [("c", "2024-01-01 00:00:10", 100.0),
+             ("c", "2024-01-01 00:01:10", 200.0),
+             ("c", "2024-01-01 00:01:30", 5.0),    # reset mid-minute
+             ("c", "2024-01-01 00:01:50", 300.0)]  # ...then climbs past
+    df2 = spark.createDataFrame(rows2,
+                                "host string, ts string, reqs double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    tsds.append_tsds(spark, root2, "m", df2)
+    tsds.downsample(spark, root2, "m", "1m")
+    raw2 = {r["bucket"].minute: r["rate"] for r in
+            tsds.ts_rate(spark, root2, "m", "1m", metric="reqs",
+                         resolution="raw").collect()}
+    rolled2 = {r["bucket"].minute: r["rate"] for r in
+               tsds.ts_rate(spark, root2, "m", "1m", metric="reqs",
+                            resolution="1m").collect()}
+    # raw minute 1: +100 (rise) +5 (reset) +295 = 400 -> 400/60
+    assert abs(raw2[1] - 400.0 / 60.0) < 1e-12
+    # rollup minute 1: boundary 100 + internal (300-200) = 200 -> under
+    assert abs(rolled2[1] - 200.0 / 60.0) < 1e-12
+    assert rolled2[1] < raw2[1]
