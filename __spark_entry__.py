@@ -4848,8 +4848,31 @@ FROM documents METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
 
 
+def q_esql_kql_idx(spark, sf_dir):
+    """ES|QL KQL conjunct on the persisted-index fast path (round 4):
+    text-field leaves read the docstats term-vector column, carry
+    columns (lang, n_chars range) evaluate in place inside topk's
+    exact post_filter."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    idx = _index_for(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query join")
+    AND KQL("lang:(fr or es) and n_chars >= 200 and (batch or stream)")
+| SORT _score DESC, doc_id
+| LIMIT 10""", idx)
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
+
+
 _DTOK = ("list_filter(string_split_regex(lower(d.text), '\\s+'), "
          "x -> x <> '')")
+
+_KQL_PF_SQL = (
+    "d.lang IN ('fr', 'es') AND d.n_chars >= 200 AND "
+    f"(list_contains({_DTOK}, 'batch') OR list_contains({_DTOK}, 'stream'))")
 
 _QSTR_PF_SQL = (
     f"(list_contains({_DTOK}, 'batch') OR list_contains({_DTOK}, 'stream'))"
@@ -5332,6 +5355,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_phrase_idx": q_esql_phrase_idx,
     "esql_qstr_idx": q_esql_qstr_idx,
     "esql_match_or_not": q_esql_match_or_not,
+    "esql_kql_idx": q_esql_kql_idx,
     "esql_multi_idx": q_esql_multi_idx,
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
@@ -7261,6 +7285,8 @@ GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
+        "esql_kql_idx": _bm25_oracle_sql(
+            ["join", "query", "spark"], 10, post_filter_sql=_KQL_PF_SQL),
         "esql_match_or_not": _bm25_oracle_sql(
             ["join", "spark"], 10,
             post_filter_sql=f"NOT list_contains({_DTOK}, 'batch')"),

@@ -894,9 +894,20 @@ def _kql(args, raw):
     q = str(_lit_of(args[0], "KQL query"))
     default_field = (str(_lit_of(args[1], "KQL default_field"))
                      if len(args) == 2 else None)
+    an = _match_analyzer()
+    return _kql_column(q, default_field, an,
+                       lambda f: tokenize_expr(F.col(f), an))
+
+
+def _kql_column(q: str, default_field: str | None, an: str,
+                ftoks_of, col_of=F.col) -> Column:
+    """Core KQL tree -> Column compiler, parameterized by the
+    token-stream resolver (``ftoks_of(field) -> Column``) and the
+    plain-column resolver (``col_of``, for ``field:*`` existence) so
+    the persisted-index path can point the text field's leaves at the
+    docstats term-vector column."""
     toks = _KQL_TOK.findall(q)
     pos = [0]
-    an = _match_analyzer()
 
     def peek():
         return toks[pos[0]] if pos[0] < len(toks) else None
@@ -912,7 +923,7 @@ def _kql(args, raw):
         return t is not None and t.lower() == w
 
     def value_match(field: str, val: str) -> Column:
-        ftoks = tokenize_expr(F.col(field), an)
+        ftoks = ftoks_of(field)
         if val.startswith('"'):
             phrase = re.sub(r'\\(.)', r'\1', val[1:-1])
             terms = tokenize_py(phrase, an)
@@ -922,7 +933,7 @@ def _kql(args, raw):
                               F.lit(" "))
             return joined.contains(" " + " ".join(terms) + " ")
         if val == "*":
-            return F.col(field).isNotNull()
+            return col_of(field).isNotNull()
         if "*" in val:
             pat = re.escape(val.lower()).replace(r"\*", ".*")
             return F.exists(ftoks, lambda t: t.rlike("^" + pat + "$"))
@@ -2645,6 +2656,33 @@ def _index_qstr_col(index_path, ast) -> Column:
     return _qstr_column(q, m["analyzer"], toks_of)
 
 
+def _index_kql_col(index_path, ast) -> Column:
+    """Compile a KQL conjunct for the persisted-index path: leaves on
+    the indexed text field read the docstats term-vector column;
+    leaves on any other field tokenize the carry column in place
+    (KQL's match-on-text semantics over whatever the doc store
+    carries); ranges and existence hit carry columns directly."""
+    args = ast[2]
+    if not 1 <= len(args) <= 2:
+        raise EsqlError("ES|QL: KQL(query[, default_field])")
+    q = str(_lit_of(args[0], "KQL query"))
+    m = _index_tv_meta(index_path, "KQL")
+    text_col = m.get("text_col", "text")
+    an = m["analyzer"]
+    default_field = (str(_lit_of(args[1], "KQL default_field"))
+                     if len(args) == 2 else text_col)
+
+    def ftoks_of(field: str) -> Column:
+        if field == text_col:
+            return F.col("tokens")
+        return tokenize_expr(F.col(field), an)
+
+    def col_of(field: str) -> Column:
+        return F.col("tokens" if field == text_col else field)
+
+    return _kql_column(q, default_field, an, ftoks_of, col_of)
+
+
 def esql_index(spark: SparkSession, query: str,
                index_path: str | list[str], *,
                strategy: str = "auto") -> DataFrame:
@@ -2711,6 +2749,10 @@ def esql_index(spark: SparkSession, query: str,
                     # over the same term-vector column (filter
                     # context, same rationale)
                     col = _index_qstr_col(index_path, c)
+                elif c[0] == "call" and c[1] == "kql":
+                    # KQL conjunct: text-field leaves read the term
+                    # vectors, other leaves hit carry columns
+                    col = _index_kql_col(index_path, c)
                 else:
                     col = _compile(c)
                 post = col if post is None else (post & col)

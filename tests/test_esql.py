@@ -1446,3 +1446,39 @@ FROM docs METADATA _score
 | WHERE MATCH(text, "spark") AND QSTR("lang:fr", "text")
 | SORT _score DESC, doc_id
 | LIMIT 5""", idx).collect()
+
+
+def test_esql_index_kql_conjunct(spark, tmp_path):
+    """KQL residual conjunct on the persisted-index fast path == the
+    table path's rows: text-field leaves read the term-vector column,
+    carry-column leaves (lang, n_chars range) evaluate in place, and
+    unqualified terms default to the indexed text field."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import (
+        esql, esql_index)
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                             block_size=64),
+                id_col="doc_id", text_col="text",
+                carry_cols=["lang", "n_chars"])
+    kq = ('lang:(fr or es) and n_chars >= 200 and '
+          '(batch or text:stream*) and not text:\\"table hash\\"')
+    got = esql_index(spark, f"""
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join") AND KQL("{kq}")
+| SORT _score DESC, doc_id
+| LIMIT 10""", idx)
+    want = esql(spark, f"""
+FROM d METADATA _score
+| WHERE MATCH(text, "spark query join")
+| WHERE KQL("{kq}", "text")
+| SORT _score DESC, doc_id
+| LIMIT 10
+| KEEP doc_id, _score""", {"d": docs}, id_col="doc_id")
+    gi = [(r["doc_id"], round(r["_score"], 9)) for r in got.collect()]
+    ti = [(r["doc_id"], round(r["_score"], 9)) for r in want.collect()]
+    assert gi == ti and gi
