@@ -231,6 +231,14 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="NAME=PARQUET_PATH",
                     help="bind an index name to a parquet path "
                          "(repeatable)")
+    eq.add_argument("--index", action="append", default=[],
+                    metavar="INDEX_PATH",
+                    help="run on persisted index(es) via the "
+                         "esql_index fast path instead of --table "
+                         "scans (repeatable for multi-index dfs-exact "
+                         "search; canonical FROM .. METADATA _score | "
+                         "WHERE MATCH(..) [AND filters] | SORT _score "
+                         "DESC | LIMIT k shape)")
     eq.add_argument("--analyzer", default="simple")
     eq.add_argument("--now", default=None, metavar="TIMESTAMP",
                     help="inject the NOW() clock (ISO timestamp) — "
@@ -672,6 +680,18 @@ def main(argv: list[str] | None = None) -> int:
         if q.startswith("@"):
             with open(q[1:]) as f:
                 q = f.read()
+        if args.index:
+            if args.table:
+                build_parser().error("esql takes --index OR --table")
+            from elasticsearch_osmosis_plugin_spark.operators.esql import (
+                esql_index,
+            )
+
+            paths = args.index
+            _emit(esql_index(spark, q,
+                             paths if len(paths) > 1 else paths[0]),
+                  args)
+            return 0
         tables = {}
         for spec in args.table:
             name, _, path = spec.partition("=")

@@ -370,3 +370,19 @@ def test_cli_esql_and_sql(spark, capsys):
         "--table", f"d={SF}/documents.parquet",
         "--shuffle-partitions", "4"])
     assert len(rows) == 3 and rows[0]["s"] >= rows[-1]["s"]
+
+
+def test_cli_esql_index_fast_path(spark, cli_index, capsys):
+    """esql --index routes through the esql_index fast path and
+    matches the library call; --index + --table is rejected."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    q = ('FROM docs METADATA _score | WHERE MATCH(text, "spark query join") '
+         '| SORT _score DESC, doc_id | LIMIT 5')
+    rows = _run(capsys, ["esql", "--query", q, "--index", cli_index,
+                         "--shuffle-partitions", "4"])
+    want = [r["doc_id"] for r in esql_index(spark, q, cli_index).collect()]
+    assert [r["doc_id"] for r in rows] == want and len(rows) == 5
+    with pytest.raises(SystemExit):
+        main(["esql", "--query", q, "--index", cli_index,
+              "--table", f"d={SF}/documents.parquet"])
