@@ -2715,6 +2715,11 @@ def esql_index(spark: SparkSession, query: str,
     meta_cols = _parse_names(p0) if p0.kw("METADATA") else []
     if "_score" not in meta_cols:
         raise EsqlError("esql_index: METADATA _score required")
+    unknown_meta = [m for m in meta_cols if m not in ("_score", "_id")]
+    if unknown_meta:
+        raise EsqlError(f"esql_index: METADATA {unknown_meta} not "
+                        "supported (use _score, _id)")
+    want_id = "_id" in meta_cols
 
     match_text = None
     post = None
@@ -2801,8 +2806,12 @@ def esql_index(spark: SparkSession, query: str,
         hits = topk_multi(spark, paths, match_text, k=k, post_filter=post)
         hits = (hits.withColumnRenamed("score", "_score")
                 .orderBy(F.desc("_score"), F.asc("doc_id")))
+        if want_id:
+            # ES doc _id (always a string) — the engine's id column
+            hits = hits.withColumn("_id", F.col("doc_id").cast("string"))
         if keep:
-            extra = [c for c in keep if c not in ("doc_id", "_score")]
+            extra = [c for c in keep
+                     if c not in ("doc_id", "_score", "_id")]
             if extra:
                 stats = multi_docstats(spark, paths, ["doc_id"] + extra)
                 hits = hits.join(stats, "doc_id")   # k-bounded hit frame
@@ -2818,8 +2827,12 @@ def esql_index(spark: SparkSession, query: str,
                 post_filter=post)
     hits = (hits.withColumnRenamed("score", "_score")
             .orderBy(F.desc("_score"), F.asc("doc_id")))
+    if want_id:
+        # ES doc _id (always a string) — the engine's id column
+        hits = hits.withColumn("_id", F.col("doc_id").cast("string"))
     if keep:
-        extra = [c for c in keep if c not in ("doc_id", "_score")]
+        extra = [c for c in keep
+                 if c not in ("doc_id", "_score", "_id")]
         if extra:
             from ..plans import catalog
 

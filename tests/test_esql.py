@@ -1482,3 +1482,32 @@ FROM d METADATA _score
     gi = [(r["doc_id"], round(r["_score"], 9)) for r in got.collect()]
     ti = [(r["doc_id"], round(r["_score"], 9)) for r in want.collect()]
     assert gi == ti and gi
+
+
+def test_esql_index_metadata_id(spark, tmp_path):
+    """METADATA _id on the persisted-index fast path: the engine id
+    column exposed as ES's string doc _id, KEEP-able."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=4, n_buckets=4,
+                             block_size=64),
+                id_col="doc_id", text_col="text", carry_cols=["lang"])
+    got = esql_index(spark, """
+FROM docs METADATA _score, _id
+| WHERE MATCH(text, "spark query join")
+| KEEP _id, _score, lang
+| SORT _score DESC, doc_id
+| LIMIT 5""", idx).collect()
+    assert [r["_id"] for r in got] \
+        and all(isinstance(r["_id"], str) for r in got)
+    assert got[0].asDict().keys() == {"_id", "_score", "lang"}
+    with pytest.raises(EsqlError, match="METADATA"):
+        esql_index(spark, """
+FROM docs METADATA _score, _index
+| WHERE MATCH(text, "spark")
+| SORT _score DESC | LIMIT 5""", idx)
