@@ -32,5 +32,6 @@ per-row Python anywhere.
 from elasticsearch_osmosis_plugin_spark.config import EngineConfig
 
 __version__ = "0.1.0"
+__build_date__ = "2026-08-20"   # SHOW INFO build identity
 
-__all__ = ["EngineConfig", "__version__"]
+__all__ = ["EngineConfig", "__version__", "__build_date__"]

@@ -792,10 +792,14 @@ def _qstr(args, raw):
     return _qstr_column(q, an, toks_of)
 
 
-def _qstr_column(q: str, an: str, toks_of) -> Column:
+def _qstr_column(q: str, an: str, toks_of, *, min_len: int = 1,
+                 max_len: int = 64) -> Column:
     """Core QSTR tree -> Column compiler, parameterized by the
     token-stream resolver so the persisted-index path can point leaves
-    at the docstats term-vector column instead of re-tokenizing."""
+    at the docstats term-vector column instead of re-tokenizing.
+    ``min_len``/``max_len`` must match how the doc-side tokens were
+    produced (the index path threads its meta bounds) so query terms
+    the analyzer would drop are dropped here too."""
     from .querystring import (MUST, MUST_NOT, SHOULD, Leaf,
                               parse_query_string)
 
@@ -809,7 +813,8 @@ def _qstr_column(q: str, an: str, toks_of) -> Column:
             return F.col(lf.text).isNotNull()
         toks = toks_of(lf.field)
         if lf.kind == "term":
-            terms = list(dict.fromkeys(tokenize_py(lf.text, an)))
+            terms = list(dict.fromkeys(tokenize_py(
+                lf.text, an, min_len=min_len, max_len=max_len)))
             if not terms:
                 return None      # analyzed-away clause vanishes
             return F.arrays_overlap(
@@ -820,7 +825,8 @@ def _qstr_column(q: str, an: str, toks_of) -> Column:
                     "ES|QL QSTR: phrase slop (~N) needs positional "
                     "postings — use the persisted-index query_string "
                     "path")
-            terms = tokenize_py(lf.text, an)
+            terms = tokenize_py(lf.text, an, min_len=min_len,
+                                max_len=max_len)
             if not terms:
                 return None
             joined = F.concat(F.lit(" "), F.array_join(toks, " "),
@@ -900,7 +906,8 @@ def _kql(args, raw):
 
 
 def _kql_column(q: str, default_field: str | None, an: str,
-                ftoks_of, col_of=F.col) -> Column:
+                ftoks_of, col_of=F.col, *, min_len: int = 1,
+                max_len: int = 64) -> Column:
     """Core KQL tree -> Column compiler, parameterized by the
     token-stream resolver (``ftoks_of(field) -> Column``) and the
     plain-column resolver (``col_of``, for ``field:*`` existence) so
@@ -926,7 +933,8 @@ def _kql_column(q: str, default_field: str | None, an: str,
         ftoks = ftoks_of(field)
         if val.startswith('"'):
             phrase = re.sub(r'\\(.)', r'\1', val[1:-1])
-            terms = tokenize_py(phrase, an)
+            terms = tokenize_py(phrase, an, min_len=min_len,
+                                max_len=max_len)
             if not terms:
                 return F.lit(False)
             joined = F.concat(F.lit(" "), F.array_join(ftoks, " "),
@@ -937,14 +945,19 @@ def _kql_column(q: str, default_field: str | None, an: str,
         if "*" in val:
             pat = re.escape(val.lower()).replace(r"\*", ".*")
             return F.exists(ftoks, lambda t: t.rlike("^" + pat + "$"))
-        terms = sorted(set(tokenize_py(val, an)))
+        terms = sorted(set(tokenize_py(val, an, min_len=min_len,
+                                       max_len=max_len)))
         if not terms:
             return F.lit(False)
         return F.arrays_overlap(
             ftoks, F.array(*[F.lit(t) for t in terms]))
 
     def value_group(field: str) -> Column:
-        # field:(a or b [or c ...]) / field:(a and b)
+        # field:(a or b [or c ...]) / field:(a and b) / not inside
+        # groups (Kibana: field:(a and not b))
+        if is_word(peek(), "not"):
+            next_()
+            return ~value_group(field)
         if peek() == "(":
             next_()
             cond = value_group(field)
@@ -964,7 +977,8 @@ def _kql_column(q: str, default_field: str | None, an: str,
                         "ES|QL KQL: expected OR/AND/) in value group, "
                         f"got {t!r}")
         t = next_()
-        if t in (")", ":", "<", ">", "<=", ">="):
+        if t in (")", ":", "<", ">", "<=", ">=") \
+                or t.lower() in ("and", "or"):
             raise EsqlError(f"ES|QL KQL: expected a value, got {t!r}")
         return value_match(field, t)
 
@@ -1213,10 +1227,10 @@ def _hash_fn(args, raw):
         return F.md5(x)
     if alg == "sha1":
         return F.sha1(x)
-    if alg in ("sha256", "sha512"):
+    if alg in ("sha224", "sha256", "sha384", "sha512"):
         return F.sha2(x, int(alg[3:]))
     raise EsqlError(f"ES|QL: HASH: unknown algorithm {alg!r} "
-                    "(md5, sha1, sha256, sha512)")
+                    "(md5, sha1, sha224, sha256, sha384, sha512)")
 
 
 def _space(args):
@@ -1620,20 +1634,26 @@ def _split_conjuncts(ast) -> list:
     return [ast]
 
 
-def _collect_match_nodes(ast, out: list) -> None:
-    """All match() nodes anywhere in the expression tree, deduplicated
-    (an identical clause contributes its BM25 score ONCE — Lucene
-    rewrites duplicate clauses away the same way)."""
+def _collect_match_nodes(ast, out: list, *, neg: bool = False) -> None:
+    """All match() nodes in POSITIVE context anywhere in the
+    expression tree, deduplicated (an identical clause contributes its
+    BM25 score ONCE — Lucene rewrites duplicate clauses away the same
+    way). Clauses under a NOT — directly or transitively — are
+    Lucene must_not context: they filter but NEVER score, so they are
+    not collected (and need no scoring join at all)."""
     if isinstance(ast, tuple):
         if ast[:1] == ("match",):
-            if ast not in out:
+            if not neg and ast not in out:
                 out.append(ast)
             return
+        if ast[:1] == ("not",):
+            _collect_match_nodes(ast[1], out, neg=True)
+            return
         for x in ast:
-            _collect_match_nodes(x, out)
+            _collect_match_nodes(x, out, neg=neg)
     elif isinstance(ast, list):
         for x in ast:
-            _collect_match_nodes(x, out)
+            _collect_match_nodes(x, out, neg=neg)
 
 
 def _has_unscorable_ft(ast) -> bool:
@@ -1643,7 +1663,7 @@ def _has_unscorable_ft(ast) -> bool:
     if isinstance(ast, tuple):
         if ast[:1] == ("phrase_match",):
             return True
-        if ast[0] == "call" and ast[1] == "qstr":
+        if ast[0] == "call" and ast[1] in ("qstr", "kql"):
             return True
         return any(_has_unscorable_ft(x) for x in ast)
     if isinstance(ast, list):
@@ -1656,12 +1676,12 @@ def _where(st: _State, p: _P) -> None:
     if st.want_score and not st.scored:
         if _has_unscorable_ft(ast):
             raise EsqlError(
-                "ES|QL: MATCH_PHRASE()/QSTR() in a scoring WHERE is "
-                "not supported — this engine scores match()/KNN() "
-                "conjuncts only (a phrase/query_string contribution "
-                "would need Lucene phrase-freq/boost semantics). Put "
-                "the clause in a WHERE after the scoring one, or drop "
-                "METADATA _score")
+                "ES|QL: MATCH_PHRASE()/QSTR()/KQL() in a scoring "
+                "WHERE is not supported — this engine scores "
+                "match()/KNN() conjuncts only (a phrase/query_string "
+                "contribution would need Lucene phrase-freq/boost "
+                "semantics). Put the clause in a WHERE after the "
+                "scoring one, or drop METADATA _score")
         conj = _split_conjuncts(ast)
         # match() may sit ANYWHERE in the boolean tree (8.18+ ES|QL
         # scores OR'd/NOT'd full-text clauses too). Lucene semantics:
@@ -2181,12 +2201,12 @@ def esql(spark: SparkSession, query: str,
     elif head == "SHOW":
         if not p0.kw("INFO"):
             raise EsqlError("ES|QL: SHOW INFO is the only SHOW form")
-        from .. import __version__
+        from .. import __build_date__, __version__
 
         # deterministic build identity (ES returns the node's
         # version/build date/hash; this engine's are package literals)
         df = spark.createDataFrame(
-            [(__version__, "2026-08-20", "spark-native")],
+            [(__version__, __build_date__, "spark-native")],
             "version string, date string, hash string")
     else:
         raise EsqlError(f"ES|QL: query must start with FROM, ROW or "
@@ -2527,7 +2547,13 @@ def _fuse_exec(st: _State, method: str, *, rank_constant: float,
     # window expressions (rank / minmax bounds) must be materialized
     # before the aggregate — Catalyst rejects a window inside an agg
     ranked = ranked.withColumn("__fuse_c", contrib)
-    pick = F.struct(F.col("_fork"), F.col("__rrf_rank"))
+    # "first branch" is branch ORDER, not label string order —
+    # lexicographic _fork would put fork10 before fork2 at >=10
+    # branches, carrying non-key columns from the wrong branch
+    fork_no = F.coalesce(
+        F.regexp_extract(F.col("_fork"), r"(\d+)$", 1).cast("int"),
+        F.lit(1 << 30))
+    pick = F.struct(fork_no, F.col("_fork"), F.col("__rrf_rank"))
     carry = [c for c in df.columns
              if c not in keys and c not in ("_score", "_fork")]
     aggs = [F.sum("__fuse_c").alias("_score")]
@@ -2580,6 +2606,18 @@ def _fork(st: _State, p: _P, query: str, tables) -> None:
 
 
 # ===================================================== persisted-index path
+
+def _has_index_match(ast) -> bool:
+    """match()/phrase_match anywhere in the expression (nested
+    positions the index path cannot special-case)."""
+    if isinstance(ast, tuple):
+        if ast[:1] in (("match",), ("phrase_match",)):
+            return True
+        return any(_has_index_match(x) for x in ast)
+    if isinstance(ast, list):
+        return any(_has_index_match(x) for x in ast)
+    return False
+
 
 def _index_tv_meta(index_path, what: str) -> dict:
     """Shared validation for conjuncts that evaluate over the docstats
@@ -2653,7 +2691,9 @@ def _index_qstr_col(index_path, ast) -> Column:
                 f"indexed text field {text_col!r}")
         return F.col("tokens")
 
-    return _qstr_column(q, m["analyzer"], toks_of)
+    return _qstr_column(q, m["analyzer"], toks_of,
+                        min_len=m.get("min_token_len", 1),
+                        max_len=m.get("max_token_len", 64))
 
 
 def _index_kql_col(index_path, ast) -> Column:
@@ -2680,7 +2720,9 @@ def _index_kql_col(index_path, ast) -> Column:
     def col_of(field: str) -> Column:
         return F.col("tokens" if field == text_col else field)
 
-    return _kql_column(q, default_field, an, ftoks_of, col_of)
+    return _kql_column(q, default_field, an, ftoks_of, col_of,
+                       min_len=m.get("min_token_len", 1),
+                       max_len=m.get("max_token_len", 64))
 
 
 def esql_index(spark: SparkSession, query: str,
@@ -2759,6 +2801,18 @@ def esql_index(spark: SparkSession, query: str,
                     # vectors, other leaves hit carry columns
                     col = _index_kql_col(index_path, c)
                 else:
+                    if _has_unscorable_ft(c) or _has_index_match(c):
+                        # a full-text node NESTED inside a boolean
+                        # conjunct would fall through to the table
+                        # compiler — wrong analyzer (thread-local, not
+                        # the index meta) over a text column docstats
+                        # may not carry. Refuse instead of silently
+                        # mis-filtering.
+                        raise EsqlError(
+                            "esql_index: MATCH/MATCH_PHRASE/QSTR/KQL "
+                            "only as top-level AND conjuncts on the "
+                            "index path — restructure the WHERE or "
+                            "use esql() on tables")
                     col = _compile(c)
                 post = col if post is None else (post & col)
         elif cmd == "KEEP":

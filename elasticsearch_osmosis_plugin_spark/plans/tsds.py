@@ -194,6 +194,11 @@ def downsample(spark: SparkSession, root: str, name: str,
             # deltas) instead of losing each span's internal rise.
             last_src = f"{col}_last_value" if pre else col
             first_src = f"{col}_first_value" if pre else col
+            if pre and first_src not in src.columns:
+                raise ValueError(
+                    f"tsds: source downsample {source_interval} "
+                    "predates counter first_value capture — re-run "
+                    "it before re-downsampling")
             t = F.col("__bucket" if pre else ts)
             aggs.append(F.max(F.struct(t.alias("t"),
                                        F.col(last_src).alias("v")))
@@ -330,9 +335,18 @@ def ts_rate(spark: SparkSession, root: str, name: str,
     secs = interval_seconds(fixed_interval)
     ts, dims = man["ts_col"], man["dimensions"]
 
-    pick = None
+    last_c, first_c = f"{metric}_last_value", f"{metric}_first_value"
+    pick, src = None, None
     if resolution == "auto":
         pick = _pick_resolution(man, secs)
+        if pick is not None:
+            src = spark.read.parquet(os.path.join(
+                _dir(root, name), man["downsamples"][pick]))
+            if first_c not in src.columns:
+                # rollup predates first_value capture: auto must keep
+                # previously-working calls working — degrade to raw
+                # (exact) instead of erroring
+                pick, src = None, None
     elif resolution not in (None, "raw"):
         if resolution not in man["downsamples"]:
             raise ValueError(f"tsds: no downsample {resolution}")
@@ -341,6 +355,12 @@ def ts_rate(spark: SparkSession, root: str, name: str,
                 f"tsds: {fixed_interval} is not a multiple of "
                 f"{resolution}")
         pick = resolution
+        src = spark.read.parquet(os.path.join(
+            _dir(root, name), man["downsamples"][pick]))
+        if first_c not in src.columns:
+            raise ValueError(
+                f"tsds: downsample {pick} predates counter first_value "
+                "capture — re-run downsample() or use resolution='raw'")
 
     if pick is None:
         src = _read_raw(spark, root, name)
@@ -362,13 +382,6 @@ def ts_rate(spark: SparkSession, root: str, name: str,
     # reset rule; the series' first span has no boundary) — the two
     # telescoped sums reproduce raw's positive-delta sum exactly when
     # resets don't hide inside a span.
-    src = spark.read.parquet(os.path.join(
-        _dir(root, name), man["downsamples"][pick]))
-    last_c, first_c = f"{metric}_last_value", f"{metric}_first_value"
-    if first_c not in src.columns:
-        raise ValueError(
-            f"tsds: downsample {pick} predates counter first_value "
-            "capture — re-run downsample() or use resolution='raw'")
     w = Window.partitionBy(*dims) \
         .orderBy(F.col("__bucket").cast("timestamp"))
     prev_last = F.lag(last_c).over(w)

@@ -1511,3 +1511,104 @@ FROM docs METADATA _score, _id
 FROM docs METADATA _score, _index
 | WHERE MATCH(text, "spark")
 | SORT _score DESC | LIMIT 5""", idx)
+
+
+def test_scoring_match_under_compound_not_does_not_score(spark):
+    """Lucene must_not context never contributes score, even when the
+    NOT wraps a compound expression: NOT (match(b) AND cond) filters
+    but the b-clause's BM25 never enters _score."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 50), (2, "alpha beta", 200), (3, "alpha", 10)],
+        "doc_id long, text string, n long")
+    t = {"docs": docs}
+    s_alpha = {r["doc_id"]: r["_score"] for r in esql(
+        spark, 'FROM docs METADATA _score | WHERE match(text, "alpha") '
+               '| KEEP doc_id, _score', t).collect()}
+    # doc 2 has beta AND n > 100 -> excluded; docs 1, 3 survive and
+    # score ONLY match(alpha) — no beta contribution for doc 1
+    got = {r["doc_id"]: r["_score"] for r in esql(
+        spark, 'FROM docs METADATA _score '
+               '| WHERE match(text, "alpha") '
+               'AND NOT (match(text, "beta") AND n > 100) '
+               '| KEEP doc_id, _score', t).collect()}
+    assert set(got) == {1, 3}
+    for d in got:
+        assert got[d] == pytest.approx(s_alpha[d])
+
+
+def test_scoring_where_kql_rejected(spark, tables):
+    with pytest.raises(EsqlError, match="KQL"):
+        esql(spark, 'FROM d METADATA _score '
+                    '| WHERE match(text, "a") AND KQL("b", "text") '
+                    '| SORT _score DESC', {"d": tables["documents"]})
+
+
+def test_kql_not_in_value_group(spark, tables):
+    docs = tables["documents"]
+    got = rows(esql(spark, 'FROM d | WHERE KQL("lang:(fr or not es)") '
+                    '| KEEP doc_id', {"d": docs}))
+    want = rows(docs.filter((F.col("lang") == "fr")
+                            | (F.col("lang") != "es")).select("doc_id"))
+    assert got == want
+    both = rows(esql(spark, 'FROM d | WHERE KQL("lang:(not es and not fr)") '
+                     '| KEEP doc_id', {"d": docs}))
+    assert both == rows(docs.filter(~F.col("lang").isin("es", "fr"))
+                        .select("doc_id"))
+    with pytest.raises(EsqlError, match="expected a value"):
+        esql(spark, 'FROM d | WHERE KQL("lang:(fr or and)")', {"d": docs})
+
+
+def test_esql_index_min_token_len_and_nested_ft(spark, tmp_path):
+    """Index-path QSTR/KQL analyze query terms with the INDEX's token
+    bounds (a term shorter than min_token_len is analyzed away like
+    the build did, not kept as an impossible MUST); FT functions
+    nested under OR in residual conjuncts raise instead of silently
+    compiling against the wrong columns."""
+    from elasticsearch_osmosis_plugin_spark.config import EngineConfig
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx,
+                EngineConfig(analyzer="simple", n_segments=2, n_buckets=2,
+                             block_size=64, min_token_len=3),
+                id_col="doc_id", text_col="text", carry_cols=["lang"])
+    base = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join") AND QSTR("batch", "text")
+| SORT _score DESC, doc_id | LIMIT 10""", idx).collect()
+    # 'ab' is below min_token_len=3: the index never stored 2-char
+    # tokens, and the analyzer drops it from the query too -> same hits
+    with_short = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark query join") AND QSTR("ab batch", "text")
+| SORT _score DESC, doc_id | LIMIT 10""", idx).collect()
+    assert [r["doc_id"] for r in with_short] \
+        == [r["doc_id"] for r in base] and base
+    with pytest.raises(EsqlError, match="top-level AND"):
+        esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark") AND (MATCH_PHRASE(text, "a b") OR lang == "fr")
+| SORT _score DESC, doc_id | LIMIT 5""", idx)
+
+
+def test_fuse_carry_first_branch_with_ten_forks(spark):
+    """The 'first branch a doc appears in' carry rule holds past nine
+    branches (fork10 must NOT sort before fork2)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(1, 12)] + [(100, "shared")],
+        "doc_id long, text string")
+    branches = []
+    for i in range(1, 11):
+        # branch i selects doc i; branches 2 and 10 ALSO pick doc 100
+        cond = f"doc_id == {i} OR doc_id == 100" if i in (2, 10) \
+            else f"doc_id == {i}"
+        branches.append(f'(WHERE {cond} | EVAL tag = "b{i}" '
+                        f'| SORT _id | LIMIT 3)')
+    q = ("FROM d METADATA _id, _score | EVAL _score = 1.0 | "
+         "FORK " + " ".join(branches) + " | RRF | KEEP _id, tag")
+    out = {r["_id"]: r["tag"] for r in
+           esql(spark, q, {"d": docs}, id_col="doc_id").collect()}
+    assert out["100"] == "b2"   # first branch in BRANCH ORDER, not
+    #                             lexicographic fork-label order

@@ -224,3 +224,42 @@ def test_ts_rate_on_rollup(spark, tmp_path):
     # rollup minute 1: boundary 100 + internal (300-200) = 200 -> under
     assert abs(rolled2[1] - 200.0 / 60.0) < 1e-12
     assert rolled2[1] < raw2[1]
+
+
+def test_ts_rate_auto_degrades_on_legacy_rollup(spark, tmp_path):
+    """A counter rollup written before first_value capture: auto mode
+    silently degrades to raw (previously-working calls keep working),
+    explicit rollup selection raises the friendly error, and
+    re-downsampling the legacy rollup raises too."""
+    import glob
+    import os
+
+    root = str(tmp_path / "tsds_legacy")
+    tsds.create_tsds(root, "m", dimensions=["host"],
+                     metrics={"reqs": "counter"}, ts_col="ts")
+    rows = [("a", "2024-01-01 00:00:10", 100.0),
+            ("a", "2024-01-01 00:00:40", 130.0),
+            ("a", "2024-01-01 00:01:20", 190.0)]
+    df = spark.createDataFrame(rows, "host string, ts string, reqs double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    tsds.append_tsds(spark, root, "m", df)
+    tsds.downsample(spark, root, "m", "1m")
+    # strip first_value to simulate a pre-upgrade rollup
+    ds_dir = glob.glob(os.path.join(root, "m", "downsample-1m"))[0]
+    legacy = spark.read.parquet(ds_dir).drop("reqs_first_value")
+    legacy.write.mode("overwrite").parquet(ds_dir + ".new")
+    import shutil
+    shutil.rmtree(ds_dir)
+    os.rename(ds_dir + ".new", ds_dir)
+
+    raw = {r["bucket"].minute: r["rate"] for r in
+           tsds.ts_rate(spark, root, "m", "1m", metric="reqs",
+                        resolution="raw").collect()}
+    auto = {r["bucket"].minute: r["rate"] for r in
+            tsds.ts_rate(spark, root, "m", "1m", metric="reqs").collect()}
+    assert auto == raw and raw
+    with pytest.raises(ValueError, match="first_value"):
+        tsds.ts_rate(spark, root, "m", "1m", metric="reqs",
+                     resolution="1m")
+    with pytest.raises(ValueError, match="first_value"):
+        tsds.downsample(spark, root, "m", "2m", source_interval="1m")
