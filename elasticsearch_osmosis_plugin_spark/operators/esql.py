@@ -1202,6 +1202,8 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "mv_contains": lambda a, r: F.array_contains(
         _compile(a[0]), _lit_of(a[1], "MV_CONTAINS value")),
     "mv_median": lambda a, r: _mv_median(a),
+    "mv_percentile": lambda a, r: _mv_percentile(a),
+    "mv_pseries_weighted_sum": lambda a, r: _mv_pseries(a),
     "mv_zip": lambda a, r: F.zip_with(
         _compile(a[0]), _compile(a[1]),
         lambda x, y: F.concat_ws(
@@ -1239,6 +1241,42 @@ def _space(args):
         raise EsqlError("ES|QL: SPACE needs a non-negative integer "
                         "(ES rejects negatives too)")
     return F.repeat(F.lit(" "), n)
+
+
+def _mv_percentile(args):
+    """MV_PERCENTILE(values, p): exact in-row percentile with linear
+    interpolation over the sorted array (the same estimator PERCENTILE
+    uses on exact data). Result is always double (same documented
+    type divergence as MV_MEDIAN — ES keeps the field's integer
+    type); NULL for empty/NULL input, p clamped to [0, 100] like ES."""
+    if len(args) != 2:
+        raise EsqlError("ES|QL: MV_PERCENTILE(values, p)")
+    p = float(_lit_of(args[1], "MV_PERCENTILE p"))
+    p = min(max(p, 0.0), 100.0)
+    arr = F.array_sort(_arr_num(_compile(args[0])))
+    n = F.size(arr)
+    pos = (n - 1).cast("double") * F.lit(p / 100.0)
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    v_lo = F.element_at(arr, lo + 1).cast("double")
+    v_hi = F.element_at(arr, F.least(lo + F.lit(2), n)).cast("double")
+    return F.when(n > 0, v_lo + (v_hi - v_lo) * frac)
+
+
+def _mv_pseries(args):
+    """MV_PSERIES_WEIGHTED_SUM(values, p): Σ values[i] / i^p over the
+    array's own order (1-based — ES expects the field pre-sorted
+    descending and scores top-heavy rank lists). One codegen
+    aggregate, no shuffle."""
+    if len(args) != 2:
+        raise EsqlError("ES|QL: MV_PSERIES_WEIGHTED_SUM(values, p)")
+    p = float(_lit_of(args[1], "MV_PSERIES_WEIGHTED_SUM p"))
+    arr = _arr_num(_compile(args[0]))
+    weighted = F.transform(
+        arr, lambda x, i: x.cast("double")
+        / F.pow((i + F.lit(1)).cast("double"), F.lit(p)))
+    return F.when(F.size(arr) > 0, F.aggregate(
+        weighted, F.lit(0.0), lambda acc, x: acc + x))
 
 
 def _mv_median(args):

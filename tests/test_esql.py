@@ -1612,3 +1612,23 @@ def test_fuse_carry_first_branch_with_ten_forks(spark):
            esql(spark, q, {"d": docs}, id_col="doc_id").collect()}
     assert out["100"] == "b2"   # first branch in BRANCH ORDER, not
     #                             lexicographic fork-label order
+
+
+def test_mv_percentile_and_pseries(spark):
+    import numpy as np
+    got = esql(spark, """
+ROW v = [4, 1, 3, 2]
+| EVAL p50 = MV_PERCENTILE(v, 50), p0 = MV_PERCENTILE(v, 0),
+       p100 = MV_PERCENTILE(v, 100), p75 = MV_PERCENTILE(v, 75)
+| KEEP p50, p0, p100, p75""", {}).collect()[0]
+    arr = [4, 1, 3, 2]
+    for name, q in (("p50", 50), ("p0", 0), ("p100", 100), ("p75", 75)):
+        assert got[name] == pytest.approx(
+            float(np.percentile(arr, q)), abs=1e-12), name
+    ps = esql(spark, """
+ROW v = [10.0, 4.0, 1.0]
+| EVAL s = MV_PSERIES_WEIGHTED_SUM(v, 2.0)
+| KEEP s""", {}).collect()[0]["s"]
+    assert ps == pytest.approx(10.0 / 1 + 4.0 / 4 + 1.0 / 9)
+    with pytest.raises(EsqlError, match="MV_PERCENTILE"):
+        esql(spark, "ROW v = [1] | EVAL x = MV_PERCENTILE(v)", {})
