@@ -4703,13 +4703,14 @@ FROM "orders" GROUP BY "o_orderpriority" ORDER BY priority""")
 # ------------------------------------------------------------- ES|QL rows
 
 def _esql(spark, sf_dir, query, names=("events", "documents", "orders",
-                                       "customer", "lineitem"), extra=None):
+                                       "customer", "lineitem"), extra=None,
+          params=None):
     from elasticsearch_osmosis_plugin_spark.operators.esql import esql
 
     tables = {n: _t(spark, sf_dir, n) for n in names}
     if extra:
         tables |= extra(tables)
-    return esql(spark, query, tables)
+    return esql(spark, query, tables, params=params)
 
 
 def q_esql_stats_events(spark, sf_dir):
@@ -5160,6 +5161,36 @@ FROM events
 | SORT event_type""")
 
 
+def q_esql_params(spark, sf_dir):
+    """ES|QL named + identifier parameter markers (round 4): ``?name``
+    binds a literal, ``??name`` binds a field name — substituted at
+    parse time exactly like the ES _query API's ``params`` array, so
+    the compiled plan embeds plain literals (no plan-cache surface)."""
+    return _esql(spark, sf_dir, """
+FROM events
+| WHERE value > ?lo AND event_type != ?skip
+| STATS n = COUNT(*), m = MEDIAN(??fld) BY event_type
+| EVAL m_x1e4 = TO_LONG(FLOOR(m * 10000.0 + 0.5))
+| KEEP event_type, n, m_x1e4
+| SORT event_type""", params={"lo": 40.0, "skip": "signup",
+                              "fld": "value"})
+
+
+def q_esql_percentile_where(spark, sf_dir):
+    """ES|QL per-agg WHERE on MEDIAN/PERCENTILE over an expression
+    (round 4): the filter folds into NULLs that percentile skips on
+    both engines; positional ``?`` markers bind the thresholds."""
+    return _esql(spark, sf_dir, """
+FROM events
+| STATS p90 = PERCENTILE(value * 2.0, 90) WHERE value > ?,
+        med = MEDIAN(value) WHERE event_type == ?
+    BY day_of_week = DATE_EXTRACT("day_of_week", ts)
+| EVAL p90_x1e4 = TO_LONG(FLOOR(p90 * 10000.0 + 0.5)),
+       med_x1e4 = TO_LONG(FLOOR(med * 10000.0 + 0.5))
+| KEEP day_of_week, p90_x1e4, med_x1e4
+| SORT day_of_week""", params=[25.0, "click"])
+
+
 def q_esql_hash(spark, sf_dir):
     """ES|QL HASH/MD5/SHA256 (8.17, round 4): JVM MessageDigest
     digests over UTF-8 bytes — byte-identical to DuckDB's md5/sha256
@@ -5373,6 +5404,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_kql": q_esql_kql,
     "esql_fuse_linear": q_esql_fuse_linear,
     "esql_mad": q_esql_mad,
+    "esql_params": q_esql_params,
+    "esql_percentile_where": q_esql_percentile_where,
     "esql_hash": q_esql_hash,
     "esql_inlinestats_events": q_esql_inlinestats_events,
     "esql_knn": q_esql_knn,
@@ -7407,6 +7440,19 @@ GROUP BY 1 ORDER BY 1""",
 SELECT doc_id, md5(lang || source) AS h, md5(lang) AS m,
        sha256(lang) AS s
 FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+        "esql_params": """
+SELECT event_type, count(*) AS n,
+       floor(median(value) * 10000.0 + 0.5)::BIGINT AS m_x1e4
+FROM events WHERE value > 40.0 AND event_type != 'signup'
+GROUP BY 1 ORDER BY 1""",
+        "esql_percentile_where": """
+SELECT dayofweek(ts) + 1 AS day_of_week,
+       floor(quantile_cont(value * 2.0, 0.9)
+             FILTER (WHERE value > 25.0) * 10000.0 + 0.5)::BIGINT
+         AS p90_x1e4,
+       floor(median(value) FILTER (WHERE event_type = 'click')
+             * 10000.0 + 0.5)::BIGINT AS med_x1e4
+FROM events GROUP BY 1 ORDER BY 1""",
         "esql_show_info": """
 SELECT '0.1.0' AS version, '2026-08-20' AS "date",
        'spark-native' AS hash""",

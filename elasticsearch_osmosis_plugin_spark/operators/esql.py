@@ -231,6 +231,61 @@ class _P:
         end = self.t[end_tok_i - 1].end if end_tok_i > 0 else start
         return self.src[start:end].strip()
 
+    def _param(self, qmark: Tok):
+        """Parameter marker: ``?`` positional, ``?name``/``?3`` named/
+        1-based indexed, ``??name`` identifier param (-> column ref) —
+        ES|QL's three marker kinds. Values come from the ``params=``
+        argument of :func:`esql` (list for positional/indexed, dict for
+        named); markers bind at parse time so the compiled plan embeds
+        plain literals (exactly ES's server-side substitution)."""
+        params = getattr(_TLS, "params", None)
+        if params is None:
+            raise EsqlError("ES|QL: query uses parameter markers (?) "
+                            "but no params= were supplied")
+        nxt = self.peek()
+        as_ident = False
+        marker_end = qmark.end
+        if nxt.kind == "op" and nxt.text == "?" and nxt.pos == qmark.end:
+            self.next()                      # ``??name``
+            as_ident = True
+            marker_end = nxt.end
+            nxt = self.peek()
+        if nxt.kind in ("ident", "num") and nxt.pos == marker_end:
+            self.next()
+            if nxt.kind == "num":            # 1-based positional index
+                if not isinstance(params, (list, tuple)):
+                    raise EsqlError("ES|QL: indexed parameter ?"
+                                    f"{nxt.text} needs a params list")
+                idx = int(nxt.text) - 1
+                if not 0 <= idx < len(params):
+                    raise EsqlError(f"ES|QL: parameter ?{nxt.text} out "
+                                    f"of range (got {len(params)})")
+                v = params[idx]
+            else:
+                name = nxt.text.strip("`")
+                if not isinstance(params, dict) or name not in params:
+                    raise EsqlError(f"ES|QL: named parameter ?{name} "
+                                    "not in params dict")
+                v = params[name]
+        else:                                # bare ``?`` positional
+            if as_ident:
+                raise EsqlError("ES|QL: ?? must be followed by a name")
+            if not isinstance(params, (list, tuple)):
+                raise EsqlError("ES|QL: positional ? needs a params "
+                                "list")
+            i = getattr(_TLS, "param_i", 0)
+            if i >= len(params):
+                raise EsqlError(f"ES|QL: more ? markers than params "
+                                f"({len(params)} given)")
+            _TLS.param_i = i + 1
+            v = params[i]
+        if as_ident:
+            if not isinstance(v, str):
+                raise EsqlError("ES|QL: ?? identifier param must bind "
+                                "a string field name")
+            return ("col", v)
+        return ("lit", v)
+
     # -- grammar (precedence climbing)
     def expr(self):
         return self.or_()
@@ -354,8 +409,7 @@ class _P:
             self.expect("]")
             return ("list", items)
         if p.kind == "op" and p.text == "?":
-            raise EsqlError("ES|QL: parameter markers (?) not supported "
-                            "— inline literals")
+            return self._param(p)
         if p.kind == "ident":
             up = p.text.upper()
             if up == "TRUE":
@@ -1491,11 +1545,13 @@ def _agg_col(name: str, args: list, where: Column | None) -> Column:
     if name in ("sum", "avg", "min", "max"):
         return getattr(F, name)(arg())
     if name == "median":
-        return F.expr(f"percentile({_agg_sql(args[0], where)}, 0.5)")
+        # exact interpolated percentile (ES approximates via TDigest —
+        # the documented divergence); `arg()` already folds a per-agg
+        # WHERE into NULLs, which percentile skips on both engines
+        return F.percentile(arg().cast("double"), F.lit(0.5))
     if name == "percentile":
         p = _lit_of(args[1], "PERCENTILE p")
-        return F.expr(
-            f"percentile({_agg_sql(args[0], where)}, {p / 100.0!r})")
+        return F.percentile(arg().cast("double"), F.lit(float(p) / 100.0))
     if name == "median_absolute_deviation":
         # rewritten to a plain median over pre-joined deviations by
         # _stats (the agg is inherently two-pass); reaching here means
@@ -1541,17 +1597,6 @@ def _agg_col(name: str, args: list, where: Column | None) -> Column:
             w = F.when(where, w)
         return F.sum(x * w) / F.sum(w)
     raise EsqlError(f"ES|QL: unknown aggregate {name.upper()}")
-
-
-def _agg_sql(ast, where: Column | None) -> str:
-    """Render a filtered agg input for F.expr-only aggs (percentile)."""
-    if ast[0] != "col":
-        raise EsqlError("ES|QL: MEDIAN/PERCENTILE need a plain column "
-                        "(EVAL the expression first)")
-    if where is not None:
-        raise EsqlError("ES|QL: per-agg WHERE not supported on "
-                        "MEDIAN/PERCENTILE (pre-filter with WHERE)")
-    return f"`{ast[1]}`"
 
 
 _AGG_NAMES = {"count", "count_distinct", "sum", "avg", "min", "max",
@@ -2167,7 +2212,8 @@ def esql(spark: SparkSession, query: str,
          | None = None, *,
          analyzer: str = "simple", id_col: str = "doc_id",
          cfg: EngineConfig | None = None,
-         now: "str | datetime.datetime | None" = None) -> DataFrame:
+         now: "str | datetime.datetime | None" = None,
+         params: "list | tuple | dict | None" = None) -> DataFrame:
     """Compile and run an ES|QL query; returns the result DataFrame.
 
     ``tables`` resolves ``FROM``/``LOOKUP JOIN``/``ENRICH`` names — a
@@ -2175,7 +2221,10 @@ def esql(spark: SparkSession, query: str,
     and ``id_col`` configure the full-text ``match()`` path. ``now``
     injects the query clock: every ``NOW()`` in the query compiles to
     this one instant (ES evaluates now once per request the same way);
-    without it NOW() raises to keep plans deterministic.
+    without it NOW() raises to keep plans deterministic. ``params``
+    binds parameter markers (``?`` positional / ``?name`` named /
+    ``??name`` identifier) exactly like the ES _query API's ``params``
+    array — a list for positional, a dict for named.
     """
     toks = _lex(query)
     segs = _split_pipes(toks)
@@ -2185,6 +2234,8 @@ def esql(spark: SparkSession, query: str,
     cfg = cfg or EngineConfig()
     _TLS.analyzer = analyzer
     _TLS.now = now
+    _TLS.params = params
+    _TLS.param_i = 0
 
     # --- source command
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
@@ -2765,7 +2816,8 @@ def _index_kql_col(index_path, ast) -> Column:
 
 def esql_index(spark: SparkSession, query: str,
                index_path: str | list[str], *,
-               strategy: str = "auto") -> DataFrame:
+               strategy: str = "auto",
+               params: "list | tuple | dict | None" = None) -> DataFrame:
     """ES|QL over a PERSISTED inverted index — the flagship fast path.
 
     Recognizes the canonical search pipeline::
@@ -2788,6 +2840,8 @@ def esql_index(spark: SparkSession, query: str,
     toks = _lex(query)
     segs = _split_pipes(toks)
     _TLS.now = None   # residual conjuncts share _compile; no stale clock
+    _TLS.params = params
+    _TLS.param_i = 0
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
     if p0.next().text.upper() != "FROM":
         raise EsqlError("esql_index: pipeline must start with FROM")

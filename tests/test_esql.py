@@ -1632,3 +1632,51 @@ ROW v = [10.0, 4.0, 1.0]
     assert ps == pytest.approx(10.0 / 1 + 4.0 / 4 + 1.0 / 9)
     with pytest.raises(EsqlError, match="MV_PERCENTILE"):
         esql(spark, "ROW v = [1] | EVAL x = MV_PERCENTILE(v)", {})
+
+
+def test_params_positional_named_identifier(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10)],
+        "id long, g string, v double")
+    # positional ?, including an indexed ?2
+    got = esql(spark, "FROM t | WHERE v >= ? AND v < ?2 "
+                      "| STATS n = COUNT(*)",
+               {"t": df}, params=[3.0, 8.0]).collect()[0]["n"]
+    assert got == 5  # v in {3..7}
+    # named ?name + identifier ??fld
+    rows = esql(spark, "FROM t | WHERE g == ?grp "
+                       "| STATS m = MEDIAN(??fld) BY g",
+                {"t": df}, params={"grp": "b", "fld": "v"}).collect()
+    assert len(rows) == 1 and rows[0]["m"] == 5.0  # median(1,3,5,7,9)
+
+
+def test_params_error_paths(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(EsqlError, match="no params"):
+        esql(spark, "FROM t | WHERE v > ?", {"t": df})
+    with pytest.raises(EsqlError, match="more .* markers"):
+        esql(spark, "FROM t | WHERE v > ? AND v < ?", {"t": df},
+             params=[1.0])
+    with pytest.raises(EsqlError, match="named parameter"):
+        esql(spark, "FROM t | WHERE v > ?x", {"t": df}, params={})
+    with pytest.raises(EsqlError, match="out of range"):
+        esql(spark, "FROM t | WHERE v > ?9", {"t": df}, params=[1.0])
+    with pytest.raises(EsqlError, match="identifier param"):
+        esql(spark, "FROM t | WHERE ??f > 1", {"t": df},
+             params={"f": 42})
+
+
+def test_percentile_expression_and_per_agg_where(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i < 6 else "y", float(i)) for i in range(10)],
+        "id long, g string, v double")
+    rows = {r["g"]: r for r in esql(spark, """
+FROM t
+| STATS p = PERCENTILE(v * 2.0, 50) WHERE v >= 2,
+        m = MEDIAN(v) WHERE g == "x"
+    BY g | SORT g""", {"t": df}).collect()}
+    # g=x: v in {2..5} doubled {4,6,8,10} -> p50 = 7.0
+    assert rows["x"]["p"] == 7.0
+    # per-agg WHERE g=="x" inside group y filters everything -> NULL
+    assert rows["y"]["m"] is None
+    assert rows["x"]["m"] == 2.5  # median(0..5)
