@@ -5191,6 +5191,76 @@ FROM events
 | SORT day_of_week""", params=[25.0, "click"])
 
 
+def q_esql_st_grid(spark, sf_dir):
+    """ES|QL spatial grid functions (round 4): ST_GEOHASH /
+    ST_GEOTILE pack cells into Lucene/ES long layouts, the
+    _TO_STRING twins decode them — all pure codegen (shared
+    geo.geohash_interleave / geotile_xy kernels; dynamic unsigned
+    shifts via call_function). Counts per (geohash3, tile4) pair."""
+    def extra(tables):
+        return {"pts": _synth_points(tables["documents"])}
+
+    return _esql(spark, sf_dir, """
+FROM pts
+| EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ",
+                              TO_STRING(lat), ")"))
+| EVAL gh = ST_GEOHASH_TO_STRING(ST_GEOHASH(p, 3)),
+       tile = ST_GEOTILE_TO_STRING(ST_GEOTILE(p, 4))
+| STATS n_docs = COUNT(*) BY gh, tile
+| SORT gh, tile""", extra=extra)
+
+
+def _st_grid_oracle_sql() -> str:
+    """DuckDB twin of q_esql_st_grid: geohash-3 interleave bits +
+    zoom-4 slippy tile, joined per doc."""
+    precision, zoom = 3, 4
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    terms = []
+    for j in range(bits):
+        src, src_bits, kk = ("x", lon_bits, j // 2) if j % 2 == 0 \
+            else ("y", lat_bits, (j - 1) // 2)
+        terms.append(f"((({src} >> {src_bits - 1 - kk}) & 1) "
+                     f"<< {bits - 1 - j})")
+    h = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"((h >> {5 * (precision - 1 - i)}) & 31)::INT + 1, 1)"
+        for i in range(precision))
+    n = float(1 << zoom)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM documents),
+cells AS (
+  SELECT doc_id,
+         least(greatest(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)!r}), 0),
+               {(1 << lon_bits) - 1})::BIGINT AS x,
+         least(greatest(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}), 0),
+               {(1 << lat_bits) - 1})::BIGINT AS y
+  FROM pts),
+gh AS (SELECT doc_id, ({h})::BIGINT AS h FROM cells),
+clamped AS (
+  SELECT doc_id, greatest(-85.05112878, least(85.05112878, lat)) AS lat,
+         lon FROM pts),
+tiles AS (
+  SELECT doc_id,
+         least(greatest(floor((lon + 180.0) / 360.0 * {n!r}), 0),
+               {(1 << zoom) - 1})::BIGINT AS x,
+         least(greatest(
+           floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                  / pi()) / 2.0 * {n!r}), 0), {(1 << zoom) - 1})::BIGINT
+           AS y
+  FROM clamped)
+SELECT {chars} AS gh, '{zoom}/' || t.x || '/' || t.y AS tile,
+       count(*) AS n_docs
+FROM gh JOIN tiles t USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_esql_hash(spark, sf_dir):
     """ES|QL HASH/MD5/SHA256 (8.17, round 4): JVM MessageDigest
     digests over UTF-8 bytes — byte-identical to DuckDB's md5/sha256
@@ -5405,6 +5475,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_fuse_linear": q_esql_fuse_linear,
     "esql_mad": q_esql_mad,
     "esql_params": q_esql_params,
+    "esql_st_grid": q_esql_st_grid,
     "esql_percentile_where": q_esql_percentile_where,
     "esql_hash": q_esql_hash,
     "esql_inlinestats_events": q_esql_inlinestats_events,
@@ -7440,6 +7511,7 @@ GROUP BY 1 ORDER BY 1""",
 SELECT doc_id, md5(lang || source) AS h, md5(lang) AS m,
        sha256(lang) AS s
 FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+        "esql_st_grid": _st_grid_oracle_sql(),
         "esql_params": """
 SELECT event_type, count(*) AS n,
        floor(median(value) * 10000.0 + 0.5)::BIGINT AS m_x1e4

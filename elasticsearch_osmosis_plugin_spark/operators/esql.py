@@ -808,6 +808,158 @@ def _st_distance(args, raw):
     return haversine_km(alat, alon, blat, blon) * 1000.0
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _st_grid_args(args, fname: str) -> tuple[Column, int]:
+    """(compiled point, int literal level) for ST_GEOHASH/ST_GEOTILE —
+    the level must be a constant (ES allows expressions; the grid
+    kernels here unroll the bit math at compile time, which is what
+    makes them whole-stage-codegen instead of a UDF)."""
+    if len(args) != 2:
+        raise EsqlError(f"ES|QL: {fname}(point, level) takes 2 args")
+    lvl = _lit_of(args[1], f"{fname} level")
+    return _compile(args[0]), int(lvl)
+
+
+def _st_geohash(args, raw):
+    """ST_GEOHASH(point, precision) -> long, Lucene ``longEncode``
+    layout: the 5*precision interleaved cell bits shifted left 4 with
+    the precision in the low nibble (Java long wraparound at
+    precision 12 included). Pure codegen via the shared
+    ``geo.geohash_interleave`` kernel."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        geohash_interleave,
+    )
+
+    pt, prec = _st_grid_args(args, "ST_GEOHASH")
+    if not 1 <= prec <= 12:
+        raise EsqlError("ES|QL: ST_GEOHASH precision must be in [1,12]")
+    h = geohash_interleave(pt["lat"], pt["lon"], prec)
+    return F.shiftleft(h, 4) + F.lit(prec)
+
+
+def _st_geohash_to_string(args, raw):
+    """ST_GEOHASH_TO_STRING(long) -> base32 geohash. The precision
+    rides in the low nibble, so the char count is data-dependent —
+    unrolled to 12 guarded terms with dynamic unsigned shifts."""
+    h = _compile(args[0]).cast("long")
+    prec = h.bitwiseAND(F.lit(15)).cast("int")
+    v = F.call_function("shiftrightunsigned", h, F.lit(4))
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH_B32])
+    chars = []
+    for i in range(12):
+        amt = (prec - 1 - F.lit(i)) * 5
+        val = F.call_function("shiftrightunsigned", v, amt) \
+            .bitwiseAND(F.lit(31))
+        chars.append(F.when(F.lit(i) < prec,
+                            F.element_at(alphabet, val.cast("int") + 1))
+                     .otherwise(F.lit("")))
+    return F.concat(*chars)
+
+
+def _st_geohash_to_long(args, raw):
+    """ST_GEOHASH_TO_LONG(string) -> packed long: fold the base32
+    chars (acc*32 + digit) then append the length nibble — the exact
+    inverse of :func:`_st_geohash_to_string`, as one ``aggregate``
+    lambda (codegen, no UDF)."""
+    s = F.lower(_compile(args[0]).cast("string"))
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH_B32])
+    chars = F.filter(F.split(s, ""), lambda c: c != F.lit(""))
+    h = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: acc * 32
+        + (F.call_function("array_position", alphabet, c) - 1)
+        .cast("long"))
+    return F.shiftleft(h, 4) + F.length(s).cast("long")
+
+
+def _st_geotile(args, raw):
+    """ST_GEOTILE(point, zoom) -> long, ES ``GeoTileUtils.longEncode``
+    layout: zoom<<58 | x<<29 | y (zoom <= 29, so x/y fit 29 bits)."""
+    from elasticsearch_osmosis_plugin_spark.operators.geo import (
+        geotile_xy,
+    )
+
+    pt, zoom = _st_grid_args(args, "ST_GEOTILE")
+    x, y = geotile_xy(pt["lat"], pt["lon"], zoom)
+    return F.lit(zoom << 58).cast("long") + F.shiftleft(x, 29) + y
+
+
+def _st_geotile_to_string(args, raw):
+    h = _compile(args[0]).cast("long")
+    m29 = F.lit((1 << 29) - 1)
+    return F.concat_ws(
+        "/",
+        F.shiftrightunsigned(h, 58).cast("string"),
+        F.shiftrightunsigned(h, 29).bitwiseAND(m29).cast("string"),
+        h.bitwiseAND(m29).cast("string"))
+
+
+def _st_geotile_to_long(args, raw):
+    p = F.split(_compile(args[0]).cast("string"), "/")
+    z = F.element_at(p, 1).cast("long")
+    x = F.element_at(p, 2).cast("long")
+    y = F.element_at(p, 3).cast("long")
+    return F.shiftleft(z, 58) + F.shiftleft(x, 29) + y
+
+
+def _wkt_lit_bounds(ast):
+    """(min_lon, min_lat, max_lon, max_lat) floats if the AST is a WKT
+    string literal (or TO_GEOSHAPE/TO_GEOPOINT of one), else None."""
+    if (ast[0] == "call" and ast[1] in ("to_geoshape", "to_geopoint")
+            and len(ast[2]) == 1):
+        ast = ast[2][0]
+    if ast[0] != "lit" or not isinstance(ast[1], str):
+        return None
+    shape = _parse_wkt(ast[1])
+    if shape[0] == "point":
+        lon, lat = shape[1], shape[2]
+        return lon, lat, lon, lat
+    if shape[0] == "envelope":
+        min_lon, max_lon, max_lat, min_lat = shape[1:]
+        return min_lon, min_lat, max_lon, max_lat
+    ring = shape[1]  # [(lat, lon), ...]
+    lats = [p[0] for p in ring]
+    lons = [p[1] for p in ring]
+    return min(lons), min(lats), max(lons), max(lats)
+
+
+def _st_envelope(args, raw):
+    """ST_ENVELOPE(geometry) -> bounding box as a flat struct
+    (min_lon, min_lat, max_lon, max_lat) — same representation
+    ST_EXTENT_AGG uses, read back via ST_XMIN/XMAX/YMIN/YMAX. WKT
+    literals fold to constants; a point field's envelope is the
+    degenerate box at the point."""
+    if len(args) != 1:
+        raise EsqlError("ES|QL: ST_ENVELOPE(geometry) takes 1 arg")
+    b = _wkt_lit_bounds(args[0])
+    if b is not None:
+        return F.struct(F.lit(b[0]).alias("min_lon"),
+                        F.lit(b[1]).alias("min_lat"),
+                        F.lit(b[2]).alias("max_lon"),
+                        F.lit(b[3]).alias("max_lat"))
+    pt = _compile(args[0])
+    lon, lat = pt["lon"].cast("double"), pt["lat"].cast("double")
+    return F.struct(lon.alias("min_lon"), lat.alias("min_lat"),
+                    lon.alias("max_lon"), lat.alias("max_lat"))
+
+
+def _st_bound(args, fname: str, env_field: str, axis: str):
+    """ST_XMIN/XMAX/YMIN/YMAX over an envelope (from ST_ENVELOPE /
+    a WKT literal) or a bare point (its own min == max)."""
+    if len(args) != 1:
+        raise EsqlError(f"ES|QL: {fname}(geometry) takes 1 arg")
+    ast = args[0]
+    if ast[0] == "call" and ast[1] == "st_envelope":
+        return _compile(ast)[env_field].cast("double")
+    b = _wkt_lit_bounds(ast)
+    if b is not None:
+        return F.lit(b[{"min_lon": 0, "min_lat": 1,
+                        "max_lon": 2, "max_lat": 3}[env_field]])
+    return _compile(ast)[axis].cast("double")
+
+
 def _qstr(args, raw):
     """QSTR("lucene query"[, "default_field"]) — ES|QL's query_string
     function in FILTER context, compiled to one pure-Catalyst boolean
@@ -1212,6 +1364,17 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "st_x": lambda a, r: _compile(a[0])["lon"].cast("double"),
     "st_y": lambda a, r: _compile(a[0])["lat"].cast("double"),
     "st_distance": _st_distance,
+    "st_geohash": _st_geohash,
+    "st_geohash_to_string": _st_geohash_to_string,
+    "st_geohash_to_long": _st_geohash_to_long,
+    "st_geotile": _st_geotile,
+    "st_geotile_to_string": _st_geotile_to_string,
+    "st_geotile_to_long": _st_geotile_to_long,
+    "st_envelope": _st_envelope,
+    "st_xmin": lambda a, r: _st_bound(a, "ST_XMIN", "min_lon", "lon"),
+    "st_xmax": lambda a, r: _st_bound(a, "ST_XMAX", "max_lon", "lon"),
+    "st_ymin": lambda a, r: _st_bound(a, "ST_YMIN", "min_lat", "lat"),
+    "st_ymax": lambda a, r: _st_bound(a, "ST_YMAX", "max_lat", "lat"),
     "qstr": _qstr,
     "kql": _kql,
     "categorize": _categorize,

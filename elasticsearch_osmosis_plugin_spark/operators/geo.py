@@ -247,6 +247,15 @@ def geotile_cell(lat, lon, zoom: int) -> Column:
     ``zoom``) as a pure column expression — the exact formula ES uses
     (OSM slippy-map tiles). Latitudes are clamped to the web-mercator
     domain (±85.0511...) like ES does."""
+    x, y = geotile_xy(lat, lon, zoom)
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
+                       y.cast("string"))
+
+
+def geotile_xy(lat, lon, zoom: int) -> tuple[Column, Column]:
+    """Web-mercator tile indices (x, y) at ``zoom`` as long columns —
+    the shared kernel behind :func:`geotile_cell` (string "z/x/y" key)
+    and ES|QL's ``ST_GEOTILE`` (packed long key)."""
     if not 0 <= zoom <= 29:
         raise ValueError("zoom must be in [0, 29]")
     n = float(1 << zoom)
@@ -263,8 +272,7 @@ def geotile_cell(lat, lon, zoom: int) -> Column:
         F.when(x < 0, F.lit(0)).otherwise(x))
     y = F.when(y >= n, F.lit(int(n) - 1)).otherwise(
         F.when(y < 0, F.lit(0)).otherwise(y))
-    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
-                       y.cast("string"))
+    return x, y
 
 
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -281,6 +289,20 @@ def geohash_cell(lat, lon, precision: int) -> Column:
     form — x = floor((lon+180)/360 * 2^lon_bits) — and the interleave
     is unrolled into a fixed sum of shift/mask terms, so the whole
     hash is one whole-stage-codegen arithmetic expression (no UDF)."""
+    h = geohash_interleave(lat, lon, precision)
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    return F.concat(*[
+        F.element_at(alphabet,
+                     (F.shiftright(h, 5 * (precision - 1 - i))
+                      .bitwiseAND(F.lit(31)) + 1).cast("int"))
+        for i in range(precision)])
+
+
+def geohash_interleave(lat, lon, precision: int) -> Column:
+    """The geohash's interleaved cell integer (5*precision bits, lon
+    bits even-from-MSB) as a long column — the shared kernel behind
+    :func:`geohash_cell` (base32 string) and ES|QL's ``ST_GEOHASH``
+    (Lucene ``longEncode`` packed long)."""
     if not 1 <= precision <= 12:
         raise ValueError("precision must be in [1, 12]")
     bits = 5 * precision
@@ -298,12 +320,7 @@ def geohash_cell(lat, lon, precision: int) -> Column:
         h = h + F.shiftleft(
             F.shiftright(src, src_bits - 1 - k).bitwiseAND(F.lit(1)),
             bits - 1 - j)
-    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
-    return F.concat(*[
-        F.element_at(alphabet,
-                     (F.shiftright(h, 5 * (precision - 1 - i))
-                      .bitwiseAND(F.lit(31)) + 1).cast("int"))
-        for i in range(precision)])
+    return h
 
 
 def geohash_grid(df: DataFrame, precision: int, lat_col: str = "lat",

@@ -1680,3 +1680,52 @@ FROM t
     # per-agg WHERE g=="x" inside group y filters everything -> NULL
     assert rows["y"]["m"] is None
     assert rows["x"]["m"] == 2.5  # median(0..5)
+
+
+def test_st_grid_functions_roundtrip_and_wrap(spark):
+    # precision 12 drives the packed long through Java sign-bit
+    # wraparound (60 cell bits << 4); the unsigned-shift decode must
+    # still round-trip
+    df = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, -33.8688, 151.2093),
+         (3, 89.99, 179.99), (4, -89.99, -179.99)],
+        "id long, lat double, lon double")
+    rows = esql(spark, """
+FROM t
+| EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ",
+                              TO_STRING(lat), ")"))
+| EVAL g12 = ST_GEOHASH(p, 12),
+       s12 = ST_GEOHASH_TO_STRING(ST_GEOHASH(p, 12)),
+       b12 = ST_GEOHASH_TO_LONG(ST_GEOHASH_TO_STRING(ST_GEOHASH(p, 12))),
+       t29 = ST_GEOTILE(p, 29),
+       ts29 = ST_GEOTILE_TO_STRING(ST_GEOTILE(p, 29)),
+       tb29 = ST_GEOTILE_TO_LONG(ST_GEOTILE_TO_STRING(ST_GEOTILE(p, 29)))
+| KEEP id, g12, s12, b12, t29, ts29, tb29 | SORT id""",
+                {"t": df}).collect()
+    for r in rows:
+        assert len(r["s12"]) == 12
+        assert r["b12"] == r["g12"]
+        assert r["tb29"] == r["t29"]
+        assert r["ts29"].startswith("29/")
+    # paris geohash-12 prefix is the well-known u09tvw…
+    assert rows[0]["s12"].startswith("u09t")
+    # negative packed long at precision 12 for at least one point
+    assert any(r["g12"] < 0 for r in rows)
+
+
+def test_st_envelope_bounds(spark):
+    df = spark.createDataFrame([(1, 40.7, -74.0)],
+                               "id long, lat double, lon double")
+    r = esql(spark, """
+FROM t
+| EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ",
+                              TO_STRING(lat), ")"))
+| EVAL xmin = ST_XMIN(p), xmax = ST_XMAX(ST_ENVELOPE(p)),
+       ymin = ST_YMIN(ST_ENVELOPE(p)),
+       px = ST_XMIN(TO_GEOSHAPE("POLYGON ((2 48, 3 48, 3 49, 2 48))")),
+       ex = ST_XMAX(TO_GEOSHAPE("ENVELOPE (1.0, 5.0, 10.0, -2.0)")),
+       ey = ST_YMIN(TO_GEOSHAPE("ENVELOPE (1.0, 5.0, 10.0, -2.0)"))
+| KEEP xmin, xmax, ymin, px, ex, ey""", {"t": df}).collect()[0]
+    assert r["xmin"] == -74.0 and r["xmax"] == -74.0
+    assert r["ymin"] == 40.7
+    assert r["px"] == 2.0 and r["ex"] == 5.0 and r["ey"] == -2.0
