@@ -3422,6 +3422,133 @@ FROM b WINDOW w AS (ORDER BY bucket_ts) ORDER BY bucket_ts
 """
 
 
+def q_moving_fn_events(spark, sf_dir):
+    """ES moving_fn builtins (round 4): stdDev / linearWeightedAvg /
+    ewma over the day-bucket histogram with ES's shift alignment —
+    each an F.aggregate fold over the window's collected array, all
+    codegen, all on the bucket frame."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        date_histogram,
+        moving_fn,
+    )
+
+    b = date_histogram(_t(spark, sf_dir, "events"), "ts", "day")
+    sd = moving_fn(b, "stdDev", 4, shift=1) \
+        .withColumnRenamed("moving_fn", "sd")
+    lw = moving_fn(sd, "linearWeightedAvg", 3, shift=0) \
+        .withColumnRenamed("moving_fn", "lw")
+    ew = moving_fn(lw, "ewma", 5, shift=1, alpha=0.3) \
+        .withColumnRenamed("moving_fn", "ew")
+    return ew.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_ts"), "n_docs",
+        x1e4(F.col("sd")).alias("sd_x1e4"),
+        x1e4(F.col("lw")).alias("lw_x1e4"),
+        x1e4(F.col("ew")).alias("ew_x1e4"))
+
+
+MOVING_FN_SQL = """
+WITH b AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket_ts,
+         count(*)::DOUBLE AS v
+  FROM events GROUP BY 1),
+w AS (
+  SELECT bucket_ts, v,
+         stddev_pop(v) OVER (ORDER BY bucket_ts
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS sd,
+         list(v) OVER (ORDER BY bucket_ts
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lwin,
+         list(v) OVER (ORDER BY bucket_ts
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ewin
+  FROM b)
+SELECT bucket_ts, v::BIGINT AS n_docs,
+       floor(sd * 10000.0 + 0.5)::BIGINT AS sd_x1e4,
+       CASE WHEN len(lwin) > 0 THEN
+         floor(list_sum(list_transform(lwin, (x, i) -> x * i))
+               / (len(lwin) * (len(lwin) + 1) / 2.0)
+               * 10000.0 + 0.5)::BIGINT END AS lw_x1e4,
+       floor(list_reduce(ewin, (a, x) -> 0.3 * x + 0.7 * a)
+             * 10000.0 + 0.5)::BIGINT AS ew_x1e4
+FROM w ORDER BY bucket_ts
+"""
+
+
+def _synth_ip(ev):
+    """Deterministic IPv4 per event (same arithmetic as the oracle)."""
+    u = F.col("user_id")
+    return ev.select(F.concat_ws(
+        ".", F.lit("10"), ((u * 7) % 256).cast("string"),
+        ((u * 13) % 256).cast("string"),
+        (u % 256).cast("string")).alias("ip"))
+
+
+_SYNTH_IP_SQL = """
+  SELECT '10.' || (user_id * 7) % 256 || '.' || (user_id * 13) % 256
+         || '.' || user_id % 256 AS ip
+  FROM events"""
+
+
+def q_ip_range_events(spark, sf_dir):
+    """ES ip_range aggregation (round 4): from/to half-open dotted-
+    quad buckets + a CIDR mask bucket over synthetic IPv4s — overlap
+    allowed (ES semantics), one literal-array explode, no join."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        ip_range_agg,
+    )
+
+    ips = _synth_ip(_t(spark, sf_dir, "events"))
+    return ip_range_agg(ips, "ip", [
+        (None, "10.50.0.0"), ("10.50.0.0", "10.200.0.0"),
+        ("10.200.0.0", None), "10.64.0.0/10"])
+
+
+IP_RANGE_SQL = f"""
+WITH ips AS ({_SYNTH_IP_SQL}),
+v AS (
+  SELECT (split_part(ip, '.', 1)::BIGINT * 16777216
+          + split_part(ip, '.', 2)::BIGINT * 65536
+          + split_part(ip, '.', 3)::BIGINT * 256
+          + split_part(ip, '.', 4)::BIGINT) AS n
+  FROM ips),
+lab AS (
+  SELECT unnest(list_filter([
+    CASE WHEN n < 167772160 + 50 * 65536 THEN '*-10.50.0.0' END,
+    CASE WHEN n >= 167772160 + 50 * 65536
+          AND n < 167772160 + 200 * 65536 THEN '10.50.0.0-10.200.0.0' END,
+    CASE WHEN n >= 167772160 + 200 * 65536 THEN '10.200.0.0-*' END,
+    CASE WHEN (n // 4194304) = (167772160 + 64 * 65536) // 4194304
+         THEN '10.64.0.0/10' END], x -> x IS NOT NULL)) AS bucket
+  FROM v)
+SELECT bucket, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY 1"""
+
+
+def q_ip_prefix_events(spark, sf_dir):
+    """ES ip_prefix aggregation (round 4): bucket by the masked
+    /12 network of the synthetic IPv4s, keys re-rendered dotted-quad
+    — one map-side-combined groupBy over the masked uint32."""
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        ip_prefix_agg,
+    )
+
+    ips = _synth_ip(_t(spark, sf_dir, "events"))
+    return ip_prefix_agg(ips, "ip", 12)
+
+
+IP_PREFIX_SQL = f"""
+WITH ips AS ({_SYNTH_IP_SQL}),
+m AS (
+  SELECT ((split_part(ip, '.', 1)::BIGINT * 16777216
+           + split_part(ip, '.', 2)::BIGINT * 65536
+           + split_part(ip, '.', 3)::BIGINT * 256
+           + split_part(ip, '.', 4)::BIGINT) // 1048576) * 1048576 AS n
+  FROM ips)
+SELECT (n // 16777216) % 256 || '.' || (n // 65536) % 256 || '.'
+       || (n // 256) % 256 || '.' || n % 256 AS prefix,
+       count(*) AS n_docs
+FROM m GROUP BY 1 ORDER BY 1"""
+
+
 def q_pipeline2_events(spark, sf_dir):
     """ES bucket_script / bucket_selector / bucket_sort / serial_diff
     pipeline aggs over the day-bucket event histogram: per-bucket
@@ -5652,6 +5779,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "date_histogram_events": q_date_histogram_events,
     "pipeline_aggs_events": q_pipeline_aggs_events,
+    "moving_fn_events": q_moving_fn_events,
+    "ip_range_events": q_ip_range_events,
+    "ip_prefix_events": q_ip_prefix_events,
     "pipeline2_events": q_pipeline2_events,
     "auto_date_histogram_events": q_auto_date_histogram_events,
     "percentile_ranks_idx": q_percentile_ranks_idx,
@@ -7157,6 +7287,9 @@ SELECT c_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey ORDER BY total_cents DESC, c_custkey LIMIT 10""",
         "pipeline_aggs_events": PIPELINE_AGGS_SQL,
+        "moving_fn_events": MOVING_FN_SQL,
+        "ip_range_events": IP_RANGE_SQL,
+        "ip_prefix_events": IP_PREFIX_SQL,
         "pipeline2_events": PIPELINE2_SQL,
         "auto_date_histogram_events": AUTO_DH_SQL,
         "percentile_ranks_idx": PERCENTILE_RANKS_SQL,

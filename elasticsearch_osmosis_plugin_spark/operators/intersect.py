@@ -1598,6 +1598,145 @@ def bucket_selector(buckets: DataFrame, predicate_sql: str) -> DataFrame:
     return buckets.where(F.expr(predicate_sql))
 
 
+def moving_fn(buckets: DataFrame, fn: str, window: int,
+              value_col: str = "n_docs", key_col: str = "bucket",
+              shift: int = 0, alpha: float = 0.3) -> DataFrame:
+    """ES moving_fn pipeline agg with the builtin ``MovingFunctions``
+    (max, min, sum, unweightedAvg, stdDev, linearWeightedAvg, ewma) —
+    adds a ``moving_fn`` column over the key-ordered bucket frame.
+
+    Window alignment is ES's: with ``shift=0`` the window is the
+    ``window`` buckets BEFORE the current one (exclusive); ``shift=1``
+    slides it to include the current bucket; larger shifts look ahead.
+    Each function is a fold over the window's collected array
+    (``F.aggregate``), so the whole pipeline stays codegen — and like
+    every pipeline agg here it runs on the bucket frame (thousands of
+    rows), not the corpus, making the single-partition window
+    deliberate and cheap. ``ewma`` seeds with the first value then
+    folds ``alpha*v + (1-alpha)*acc`` (Lucene ``MovingFunctions.ewma``);
+    ``holt`` (double-exponential) is not implemented — its seed
+    convention is implementation-private, a documented exclusion."""
+    from pyspark.sql import Window as W
+
+    names = {"max", "min", "sum", "unweightedavg", "stddev",
+             "linearweightedavg", "ewma"}
+    key = fn.lower()
+    if key not in names:
+        raise ValueError(f"moving_fn: unknown builtin {fn!r} "
+                         f"(supported: {sorted(names)})")
+    w = (W.orderBy(key_col)
+         .rowsBetween(-int(window) + int(shift), int(shift) - 1))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(arr)
+    if key == "max":
+        out = F.array_max(arr)
+    elif key == "min":
+        out = F.array_min(arr)
+    elif key == "sum":
+        out = F.coalesce(
+            F.aggregate(arr, F.lit(0.0), lambda a, v: a + v), F.lit(0.0))
+    elif key == "unweightedavg":
+        out = F.when(n > 0, F.aggregate(
+            arr, F.lit(0.0), lambda a, v: a + v) / n)
+    elif key == "stddev":
+        # population std about the window mean (MovingFunctions.stdDev)
+        mean = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v) / n
+        var = F.aggregate(arr, F.lit(0.0),
+                          lambda a, v: a + (v - mean) * (v - mean)) / n
+        out = F.when(n > 0, F.sqrt(var))
+    elif key == "linearweightedavg":
+        # weights 1..n increasing toward the most recent value
+        idx = F.sequence(F.lit(1), n)
+        num = F.aggregate(F.zip_with(arr, idx, lambda v, i: v * i),
+                          F.lit(0.0), lambda a, v: a + v)
+        out = F.when(n > 0, num / (n.cast("double") * (n + 1) / 2.0))
+    else:  # ewma
+        out = F.aggregate(
+            arr, F.lit(None).cast("double"),
+            lambda a, v: F.when(a.isNull(), v)
+            .otherwise(v * F.lit(float(alpha))
+                       + a * F.lit(1.0 - float(alpha))))
+    return (buckets.withColumn("moving_fn", out).orderBy(key_col))
+
+
+def _ipv4_long(c: Column) -> Column:
+    """Dotted-quad string -> uint32 long, NULL when not valid IPv4
+    (the engine's IP surface is v4-only, documented — same contract
+    as ES|QL's TO_IP/CIDR_MATCH in operators/esql.py)."""
+    p = F.split(c, r"\.")
+    v = (p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+         + p[2].cast("long") * 256 + p[3].cast("long"))
+    return F.when(
+        c.rlike(r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}"
+                r"(25[0-5]|2[0-4]\d|1?\d?\d)$"), v)
+
+
+def _ipv4_str(v: Column) -> Column:
+    return F.concat_ws(
+        ".",
+        F.shiftright(v, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(v, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(v, 8).bitwiseAND(F.lit(255)).cast("string"),
+        v.bitwiseAND(F.lit(255)).cast("string"))
+
+
+def ip_range_agg(df: DataFrame, ip_col: str, ranges) -> DataFrame:
+    """ES ip_range aggregation over an IPv4 string column ->
+    (bucket, n_docs). ``ranges`` entries are either ``(from, to)``
+    dotted-quad pairs (half-open [from, to), None = unbounded — ES's
+    from/to form) or a ``"net/bits"`` CIDR mask string (ES's mask
+    form, bucket keyed by the mask). A doc lands in EVERY matching
+    range (ranges may overlap), so like range_agg this is one literal
+    array filtered per row + explode — no join; the numeric compare
+    happens on the parsed uint32, invalid IPs fall out as NULL."""
+    v = _ipv4_long(F.col(ip_col))
+    entries = []
+    for r in ranges:
+        if isinstance(r, str):               # CIDR mask form
+            net, _, bits_s = r.partition("/")
+            bits = int(bits_s) if bits_s else 32
+            parts = [int(x) for x in net.split(".")]
+            if (len(parts) != 4 or not 0 <= bits <= 32
+                    or any(not 0 <= x <= 255 for x in parts)):
+                raise ValueError(f"ip_range_agg: bad CIDR mask {r!r}")
+            net_l = (parts[0] << 24 | parts[1] << 16
+                     | parts[2] << 8 | parts[3])
+            shift = 32 - bits
+            cond = ((F.shiftright(v, shift) if shift else v)
+                    == F.lit(net_l >> shift))
+            entries.append(F.when(cond, F.lit(r)))
+            continue
+        lo, hi = r
+        label = (lo or "*") + "-" + (hi or "*")
+        cond = v.isNotNull()
+        if lo is not None:
+            cond = cond & (v >= _ipv4_long(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (v < _ipv4_long(F.lit(hi)))
+        entries.append(F.when(cond, F.lit(label)))
+    buckets = F.array_compact(F.array(*entries))
+    return (df.select(F.explode(buckets).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def ip_prefix_agg(df: DataFrame, ip_col: str,
+                  prefix_length: int) -> DataFrame:
+    """ES ip_prefix aggregation (IPv4): bucket by the masked
+    ``prefix_length``-bit network -> (prefix, n_docs) keyed by the
+    masked dotted-quad (ES's v4 key form), key order. One map-side-
+    combined groupBy over the masked uint32."""
+    if not 0 <= int(prefix_length) <= 32:
+        raise ValueError("ip_prefix_agg: prefix_length in [0, 32]")
+    shift = 32 - int(prefix_length)
+    v = _ipv4_long(F.col(ip_col))
+    masked = (F.shiftleft(F.shiftright(v, shift), shift) if shift else v)
+    return (df.where(v.isNotNull())
+            .select(_ipv4_str(masked).alias("prefix"))
+            .groupBy("prefix").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("prefix"))
+
+
 def bucket_sort(buckets: DataFrame, sort_cols, *, from_: int = 0,
                 size: int | None = None) -> DataFrame:
     """ES bucket_sort pipeline agg: re-order the parent's buckets by

@@ -489,3 +489,64 @@ def test_matrix_stats_skew_kurt(spark, agg_index, hit_rows):
     assert abs(m["var_a"] - m2) < 1e-6 * m2
     assert abs(m["skew_a"] - m3 / m2 ** 1.5) < 1e-6
     assert abs(m["kurt_a"] - m4 / m2 ** 2) < 1e-6
+
+
+def test_moving_fn_builtins(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        moving_fn,
+    )
+
+    b = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([2, 4, 6, 8, 10])],
+        "bucket int, n_docs double")
+
+    def col(fn, window, shift=0, alpha=0.3):
+        rows = moving_fn(b, fn, window, shift=shift,
+                         alpha=alpha).collect()
+        return [r["moving_fn"] for r in rows]
+
+    # shift=0 excludes the current bucket (ES default alignment)
+    assert col("max", 2) == [None, 2.0, 4.0, 6.0, 8.0]
+    assert col("sum", 2, shift=1) == [2.0, 6.0, 10.0, 14.0, 18.0]
+    assert col("min", 3, shift=1)[-1] == 6.0
+    ua = col("unweightedAvg", 2, shift=1)
+    assert ua[0] == 2.0 and ua[1] == 3.0
+    # stdDev population about the window mean
+    sd = col("stdDev", 4, shift=1)
+    assert sd[0] == 0.0
+    assert sd[3] == pytest.approx(math.sqrt(5.0))   # {2,4,6,8}
+    # linearWeightedAvg: weights rise toward the most recent value
+    lw = col("linearWeightedAvg", 3, shift=1)
+    assert lw[2] == pytest.approx((2 * 1 + 4 * 2 + 6 * 3) / 6.0)
+    assert lw[0] == 2.0
+    # ewma seeds with the first windowed value then folds
+    ew = col("ewma", 3, shift=1, alpha=0.5)
+    assert ew[0] == 2.0 and ew[1] == 3.0 and \
+        ew[2] == pytest.approx(0.5 * 6 + 0.5 * 3.0)
+    with pytest.raises(ValueError, match="holt"):
+        moving_fn(b, "holt", 3)
+
+
+def test_ip_range_and_prefix_aggs(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.intersect import (
+        ip_prefix_agg,
+        ip_range_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("192.168.1.5",), ("192.168.200.1",), ("10.0.0.1",),
+         ("not-an-ip",), ("300.1.1.1",), ("192.168.1.255",)],
+        "ip string")
+    got = {r["bucket"]: r["n_docs"] for r in ip_range_agg(
+        df, "ip", [(None, "192.168.0.0"), ("192.168.0.0", None),
+                   "192.168.1.0/24"]).collect()}
+    # invalid IPs land in no bucket; overlap allowed
+    assert got == {"*-192.168.0.0": 1, "192.168.0.0-*": 3,
+                   "192.168.1.0/24": 2}
+    pf = {r["prefix"]: r["n_docs"]
+          for r in ip_prefix_agg(df, "ip", 24).collect()}
+    assert pf == {"192.168.1.0": 2, "192.168.200.0": 1, "10.0.0.0": 1}
+    # /32 identity and /0 catch-all
+    assert ip_prefix_agg(df, "ip", 0).collect()[0]["prefix"] == "0.0.0.0"
+    p32 = {r["prefix"] for r in ip_prefix_agg(df, "ip", 32).collect()}
+    assert "192.168.1.5" in p32
