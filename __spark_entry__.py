@@ -5388,6 +5388,85 @@ FROM gh JOIN tiles t USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def _ts_events_src(tables):
+    """events as a TS source: series id = (user_id, event_type)."""
+    return {"ev_ts": {"df": tables["events"], "ts_col": "ts",
+                      "dimensions": ["user_id", "event_type"],
+                      "metrics": {"value": "gauge"}}}
+
+
+def q_esql_ts_overtime(spark, sf_dir):
+    """ES|QL TS command (9.x time-series mode, round 4): two-stage
+    aggregation — *_OVER_TIME collapses each (full-dimension series,
+    bucket) first, the outer aggregate combines series within the BY
+    group. AVG(LAST_OVER_TIME(...)) is the shape a flat GROUP BY
+    cannot express."""
+    return _esql(spark, sf_dir, """
+TS ev_ts
+| STATS a = AVG(LAST_OVER_TIME(value)), m = MAX(MAX_OVER_TIME(value)),
+        n = SUM(COUNT_OVER_TIME(value))
+    BY b = BUCKET(ts, 1 day), event_type
+| EVAL day_ts = DATE_DIFF("seconds", TO_DATETIME("1970-01-01 00:00:00"), b),
+       a_x1e4 = TO_LONG(FLOOR(a * 10000.0 + 0.5)),
+       m_x1e4 = TO_LONG(FLOOR(m * 10000.0 + 0.5))
+| KEEP day_ts, event_type, a_x1e4, m_x1e4, n
+| SORT day_ts, event_type""", extra=_ts_events_src)
+
+
+ESQL_TS_OVERTIME_SQL = """
+WITH pts AS (
+  SELECT user_id, event_type, ts, value,
+         date_trunc('day', ts) AS day,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                            date_trunc('day', ts)
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM events),
+series AS (
+  SELECT user_id, event_type, day,
+         max(CASE WHEN rn = 1 THEN value END) AS last_v,
+         max(value) AS max_v, count(value) AS n_v
+  FROM pts GROUP BY 1, 2, 3)
+SELECT epoch(day)::BIGINT AS day_ts, event_type,
+       floor(avg(last_v) * 10000.0 + 0.5)::BIGINT AS a_x1e4,
+       floor(max(max_v) * 10000.0 + 0.5)::BIGINT AS m_x1e4,
+       sum(n_v)::BIGINT AS n
+FROM series GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_esql_ts_rate(spark, sf_dir):
+    """ES|QL TS RATE over a counter (round 4): per-series positive-
+    delta window with ES's counter-reset rule (a drop restarts the
+    counter, contributing the post-reset value), bucketed per day and
+    summed across series. `value` plays the counter, so resets are
+    everywhere — the rule is load-bearing, not decorative."""
+    def extra(tables):
+        return {"ev_ts": {"df": tables["events"], "ts_col": "ts",
+                          "dimensions": ["user_id"],
+                          "metrics": {"value": "counter"}}}
+
+    return _esql(spark, sf_dir, """
+TS ev_ts
+| STATS r = SUM(RATE(value)) BY b = BUCKET(ts, 1 day)
+| EVAL day_ts = DATE_DIFF("seconds", TO_DATETIME("1970-01-01 00:00:00"), b),
+       r_x1e6 = TO_LONG(FLOOR(r * 1000000.0 + 0.5))
+| KEEP day_ts, r_x1e6
+| SORT day_ts""", extra=extra)
+
+
+ESQL_TS_RATE_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CASE WHEN lag(value) OVER w IS NULL THEN NULL
+              WHEN value >= lag(value) OVER w
+                THEN value - lag(value) OVER w
+              ELSE value END AS delta
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT epoch(day)::BIGINT AS day_ts,
+       floor(sum(delta) / 86400.0 * 1000000.0 + 0.5)::BIGINT
+         AS r_x1e6
+FROM d GROUP BY 1 ORDER BY 1"""
+
+
 def q_esql_hash(spark, sf_dir):
     """ES|QL HASH/MD5/SHA256 (8.17, round 4): JVM MessageDigest
     digests over UTF-8 bytes — byte-identical to DuckDB's md5/sha256
@@ -5603,6 +5682,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_mad": q_esql_mad,
     "esql_params": q_esql_params,
     "esql_st_grid": q_esql_st_grid,
+    "esql_ts_overtime": q_esql_ts_overtime,
+    "esql_ts_rate": q_esql_ts_rate,
     "esql_percentile_where": q_esql_percentile_where,
     "esql_hash": q_esql_hash,
     "esql_inlinestats_events": q_esql_inlinestats_events,
@@ -7645,6 +7726,8 @@ SELECT doc_id, md5(lang || source) AS h, md5(lang) AS m,
        sha256(lang) AS s
 FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
         "esql_st_grid": _st_grid_oracle_sql(),
+        "esql_ts_overtime": ESQL_TS_OVERTIME_SQL,
+        "esql_ts_rate": ESQL_TS_RATE_SQL,
         "esql_params": """
 SELECT event_type, count(*) AS n,
        floor(median(value) * 10000.0 + 0.5)::BIGINT AS m_x1e4

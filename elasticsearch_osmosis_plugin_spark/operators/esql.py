@@ -1790,6 +1790,237 @@ def _split_pipes(toks: list[Tok]) -> list[list[Tok]]:
     return segs
 
 
+# ================================================== TS command (ES 9.x)
+#
+# `TS metrics | STATS outer(inner_over_time(m)) BY b = BUCKET(ts, span)
+# [, dims...]` — ES's time-series source command. Aggregation is
+# two-stage by construction: the INNER time-series function collapses
+# each (series = ALL dimensions, bucket) first, the OUTER aggregate
+# then combines series within the BY group. Compiled to two hash
+# aggregates (the first keyed by the full dimension set — partial
+# aggregation map-side both times); `rate()` adds ONE window pass per
+# series ordered by time BEFORE bucketing, the exact ts_rate plan
+# (plans/tsds.py), so counter resets and bucket-boundary deltas follow
+# ES's counter semantics.
+
+_TS_INNER = {"rate", "avg_over_time", "min_over_time", "max_over_time",
+             "sum_over_time", "count_over_time",
+             "count_distinct_over_time", "first_over_time",
+             "last_over_time"}
+
+
+def _extract_ts_aggs(ast, sink: list) -> tuple:
+    """Rewrite a TS STATS expression: every outer aggregate must wrap
+    one time-series function; each (outer, outer_extra_args,
+    inner, inner_args) appends to `sink`, replaced by ("col","__aN")."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "call" and ast[1] in _AGG_NAMES:
+        args = ast[2]
+        if (not args or not isinstance(args[0], tuple)
+                or args[0][0] != "call" or args[0][1] not in _TS_INNER):
+            raise EsqlError(
+                "ES|QL TS STATS: every aggregate must wrap a "
+                "time-series function — e.g. SUM(RATE(m)), "
+                "AVG(LAST_OVER_TIME(m))")
+        inner = args[0]
+        sink.append((ast[1], list(args[1:]), inner[1], list(inner[2])))
+        return ("col", f"__a{len(sink) - 1}")
+    if ast[0] == "call":
+        if ast[1] in _TS_INNER:
+            raise EsqlError(
+                f"ES|QL TS: {ast[1].upper()}() is only valid inside "
+                "an outer STATS aggregate")
+        return ("call", ast[1],
+                [_extract_ts_aggs(a, sink) for a in ast[2]])
+    if ast[0] in ("bin",):
+        return ("bin", ast[1], _extract_ts_aggs(ast[2], sink),
+                _extract_ts_aggs(ast[3], sink))
+    if ast[0] in ("not", "neg"):
+        return (ast[0], _extract_ts_aggs(ast[1], sink))
+    if ast[0] == "cast":
+        return ("cast", _extract_ts_aggs(ast[1], sink), ast[2])
+    return ast
+
+
+def _ts_handle(tables, name: str):
+    """Resolve a TS source -> (loader, ts_col, dimensions, metrics).
+    Accepts a plans.tsds.TsdsRef (persisted TSDS — manifest metadata)
+    or a dict {"df", "ts_col", "dimensions"[, "metrics"]} for a
+    table-backed series set."""
+    h = tables(name) if callable(tables) else tables.get(name)
+    if h is None:
+        raise EsqlError(f"ES|QL TS: unknown index {name!r}; known: "
+                        f"{sorted(tables) if not callable(tables) else '?'}")
+    if isinstance(h, dict):
+        try:
+            return (lambda spark: h["df"]), h["ts_col"], \
+                list(h["dimensions"]), dict(h.get("metrics") or {})
+        except KeyError as e:
+            raise EsqlError(
+                "ES|QL TS: dict source needs keys df/ts_col/dimensions"
+            ) from None
+    if hasattr(h, "load") and hasattr(h, "dimensions"):
+        return h.load, h.ts_col, list(h.dimensions), dict(h.metrics)
+    raise EsqlError(
+        "ES|QL TS: source must be a TsdsRef or a "
+        "{'df','ts_col','dimensions'} dict — a bare DataFrame has no "
+        "dimension metadata to form the series id (_tsid)")
+
+
+def _ts_command(spark, p0: _P, tables, segs, query: str,
+                analyzer: str, id_col: str, cfg) -> DataFrame:
+    from pyspark.sql import Window
+
+    names = _parse_names(p0)
+    if len(names) != 1:
+        raise EsqlError("ES|QL TS: one time-series index only")
+    if p0.peek().kind != "eof":
+        raise EsqlError(f"ES|QL TS: trailing input "
+                        f"{p0.peek().text!r} after index name")
+    load, ts_col, dims, metrics = _ts_handle(tables, names[0])
+    df = load(spark)
+
+    # optional WHERE segments filter RAW observations (they run before
+    # the rate window, so a time-range filter bounds the delta series
+    # exactly like ES's query window)
+    rest = list(segs[1:])
+    while rest:
+        p = _P(rest[0] + [Tok("eof", "", 0, 0)], query)
+        if not p.kw("WHERE"):
+            break
+        df = df.filter(_compile(p.expr()))
+        if p.peek().kind != "eof":
+            raise EsqlError("ES|QL TS: trailing input in WHERE")
+        rest.pop(0)
+    if not rest:
+        raise EsqlError("ES|QL TS: a STATS segment is required")
+    p = _P(rest[0] + [Tok("eof", "", 0, 0)], query)
+    if not p.kw("STATS"):
+        raise EsqlError("ES|QL TS: the first command after TS "
+                        "[| WHERE] must be STATS")
+    rest = rest[1:]
+
+    # ---- parse STATS items + BY
+    items, sink = [], []
+    while True:
+        start = p.peek().pos
+        name = None
+        if (p.peek().kind == "ident" and p.peek(1).text == "="
+                and p.peek(2).text != "="):
+            name = p.next().text
+            if name.startswith("`"):
+                name = name[1:-1]
+            p.next()
+            start = p.peek().pos
+        ast = p.expr()
+        raw = p.src_slice(start, p.i)
+        if p.at_kw("WHERE"):
+            raise EsqlError("ES|QL TS STATS: per-aggregate WHERE is "
+                            "not supported in TS mode (filter with a "
+                            "pipeline WHERE before STATS)")
+        n_before = len(sink)
+        rewritten = _extract_ts_aggs(ast, sink)
+        if len(sink) == n_before:
+            raise EsqlError(f"ES|QL TS STATS: {raw!r} contains no "
+                            "aggregate")
+        items.append((name or raw, rewritten))
+        if p.peek().text == ",":
+            p.next()
+            continue
+        break
+    if not p.kw("BY"):
+        raise EsqlError("ES|QL TS STATS: BY with a BUCKET(ts, span) "
+                        "key is required")
+    bucket_name, bucket_secs, bucket_ast = None, None, None
+    group_dims: list[str] = []
+    for name, ast, raw in _named_exprs(p):
+        if (isinstance(ast, tuple) and ast[0] == "call"
+                and ast[1] == "bucket"):
+            if bucket_name is not None:
+                raise EsqlError("ES|QL TS STATS: one BUCKET key only")
+            if len(ast[2]) != 2:
+                raise EsqlError("ES|QL TS: BUCKET(ts, span)")
+            secs, unit = _span_of(ast[2][1], "BUCKET span")
+            if unit:
+                raise EsqlError("ES|QL TS BUCKET: calendar units "
+                                f"({unit}) are not fixed-width; use "
+                                "second/minute/hour/day spans")
+            bucket_name, bucket_secs = name or raw, float(secs)
+            bucket_ast = ast
+        elif isinstance(ast, tuple) and ast[0] == "col":
+            if ast[1] not in dims:
+                raise EsqlError(
+                    f"ES|QL TS STATS: BY key {ast[1]!r} is not a "
+                    f"dimension of {names[0]!r} ({dims}) — grouping "
+                    "by a non-dimension would split series")
+            group_dims.append(ast[1])
+        else:
+            raise EsqlError(f"ES|QL TS STATS: BY key {raw!r} must be "
+                            "a dimension or BUCKET(ts, span)")
+    if bucket_name is None:
+        raise EsqlError("ES|QL TS STATS: BY needs a BUCKET(ts, span) "
+                        "key")
+    if p.peek().kind != "eof":
+        raise EsqlError(f"ES|QL TS STATS: trailing input "
+                        f"{p.peek().text!r}")
+
+    # ---- stage 1: per-(series, bucket) inner aggregates
+    df = df.withColumn("__tsb", _compile(bucket_ast))
+    w = Window.partitionBy(*dims).orderBy(F.col(ts_col).cast("timestamp"))
+    inner_aggs = []
+    for i, (outer, extra, inner_fn, inner_args) in enumerate(sink):
+        if len(inner_args) != 1:
+            raise EsqlError(f"ES|QL TS: {inner_fn.upper()}(metric) "
+                            "takes one argument")
+        c = _compile(inner_args[0])
+        if inner_fn == "rate":
+            if (metrics and inner_args[0][0] == "col"
+                    and metrics.get(inner_args[0][1]) not in
+                    (None, "counter")):
+                raise EsqlError(
+                    f"ES|QL TS: RATE needs a counter metric; "
+                    f"{inner_args[0][1]!r} is "
+                    f"{metrics.get(inner_args[0][1])!r}")
+            prev = F.lag(c).over(w)
+            delta = F.when(prev.isNull(), F.lit(None)) \
+                .when(c >= prev, c - prev) \
+                .otherwise(c)        # reset: counter restarted from 0
+            df = df.withColumn(f"__d{i}", delta)
+            inner_aggs.append(
+                (F.sum(f"__d{i}") / F.lit(bucket_secs))
+                .alias(f"__t{i}"))
+        elif inner_fn == "last_over_time":
+            inner_aggs.append(F.max(F.struct(
+                F.col(ts_col).alias("t"), c.alias("v")))
+                .getField("v").alias(f"__t{i}"))
+        elif inner_fn == "first_over_time":
+            inner_aggs.append(F.min(F.struct(
+                F.col(ts_col).alias("t"), c.alias("v")))
+                .getField("v").alias(f"__t{i}"))
+        elif inner_fn == "count_over_time":
+            inner_aggs.append(F.count(c).alias(f"__t{i}"))
+        elif inner_fn == "count_distinct_over_time":
+            inner_aggs.append(F.countDistinct(c).alias(f"__t{i}"))
+        else:   # avg/min/max/sum_over_time
+            fn = getattr(F, inner_fn[:-len("_over_time")])
+            inner_aggs.append(fn(c).alias(f"__t{i}"))
+    series = df.groupBy("__tsb", *dims).agg(*inner_aggs)
+
+    # ---- stage 2: outer aggregates across series per BY group
+    acols = [_agg_col(outer, [("col", f"__t{i}")] + extra, None)
+             .alias(f"__a{i}")
+             for i, (outer, extra, _f, _a) in enumerate(sink)]
+    agged = series.groupBy("__tsb", *group_dims).agg(*acols)
+    out = [F.col("__tsb").alias(bucket_name)] \
+        + [F.col(d) for d in group_dims] \
+        + [_compile(ast).alias(nm) for nm, ast in items]
+    st = _State(agged.select(*out), False, spark, analyzer, id_col, cfg)
+    st.last_group_cols = [bucket_name] + group_dims
+    _run_pipeline(st, rest, query, tables)
+    return st.df
+
+
 def _resolve(tables, name: str) -> DataFrame:
     if callable(tables):
         return tables(name)
@@ -2448,6 +2679,9 @@ def esql(spark: SparkSession, query: str,
                    if m not in ("_index", "_score", "_id")]
         if unknown:
             raise EsqlError(f"ES|QL: METADATA {unknown} not supported")
+    elif head == "TS":
+        return _ts_command(spark, p0, tables, segs, query,
+                           analyzer, id_col, cfg)
     elif head == "ROW":
         df = _row(spark, p0)
     elif head == "SHOW":
@@ -2461,7 +2695,7 @@ def esql(spark: SparkSession, query: str,
             [(__version__, __build_date__, "spark-native")],
             "version string, date string, hash string")
     else:
-        raise EsqlError(f"ES|QL: query must start with FROM, ROW or "
+        raise EsqlError(f"ES|QL: query must start with FROM, TS, ROW or "
                         f"SHOW, got {head}")
     if p0.peek().kind != "eof":
         raise EsqlError(

@@ -293,6 +293,25 @@ def ts_agg(spark: SparkSession, root: str, name: str,
             .select(F.col("__b").alias("bucket"), *dims, agg))
 
 
+class TsdsRef:
+    """Resolver value for ES|QL's ``TS`` command: points at a
+    persisted TSDS and carries the manifest's series metadata (the
+    TS command needs the FULL dimension set to form ``_tsid`` — the
+    BY keys alone would under-group and corrupt per-series rate
+    windows). Pass as a ``tables`` entry: ``esql(spark, "TS m | ...",
+    {"m": TsdsRef(root, "m")})``."""
+
+    def __init__(self, root: str, name: str):
+        man = _read_man(root, name)
+        self.root, self.name = root, name
+        self.ts_col: str = man["ts_col"]
+        self.dimensions: list[str] = list(man["dimensions"])
+        self.metrics: dict[str, str] = dict(man["metrics"])
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return _read_raw(spark, self.root, self.name)
+
+
 def tsds_stats(root: str, name: str) -> dict[str, Any]:
     man = _read_man(root, name)
     return {"name": man["name"], "dimensions": man["dimensions"],

@@ -263,3 +263,72 @@ def test_ts_rate_auto_degrades_on_legacy_rollup(spark, tmp_path):
                      resolution="1m")
     with pytest.raises(ValueError, match="first_value"):
         tsds.downsample(spark, root, "m", "2m", source_interval="1m")
+
+
+def test_esql_ts_command_over_tsds_ref(spark, tmp_path):
+    """TS over a persisted TSDS (TsdsRef): SUM(RATE(..)) per bucket
+    equals ts_rate's per-series rates summed; AVG over series uses
+    the FULL dimension set even when BY omits it."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import (
+        EsqlError,
+        esql,
+    )
+
+    root = str(tmp_path / "tsds_esql")
+    tsds.create_tsds(root, "m", dimensions=["host"],
+                     metrics={"reqs": "counter", "mem": "gauge"},
+                     ts_col="ts")
+    rows = [
+        ("a", "2024-01-01 00:00:10", 100.0, 1.0),
+        ("a", "2024-01-01 00:00:50", 160.0, 2.0),
+        ("a", "2024-01-01 00:01:30", 220.0, 3.0),
+        ("b", "2024-01-01 00:00:20", 50.0, 10.0),
+        ("b", "2024-01-01 00:01:10", 80.0, 20.0),
+        ("b", "2024-01-01 00:02:00", 10.0, 30.0),   # counter reset
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, ts string, reqs double, mem double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    tsds.append_tsds(spark, root, "m", df)
+    src = {"m": tsds.TsdsRef(root, "m")}
+
+    out = {r["b"].minute: r for r in esql(spark, """
+TS m | STATS r = SUM(RATE(reqs)), a = AVG(LAST_OVER_TIME(mem))
+      BY b = BUCKET(ts, 1 minute) | SORT b""", src).collect()}
+    # ts_rate twin: per-series rates summed across hosts
+    want = {}
+    for r in tsds.ts_rate(spark, root, "m", "1m",
+                          metric="reqs").collect():
+        if r["rate"] is not None:   # a series' first-ever point has no
+            #                         delta -> NULL rate (both paths)
+            want[r["bucket"].minute] = want.get(r["bucket"].minute, 0.0) \
+                + r["rate"]
+    assert set(out) == set(want)
+    for k in want:
+        assert abs(out[k]["r"] - want[k]) < 1e-12
+    # avg of per-series LAST in minute 0: a->160 mem 2.0, b->50 mem 10.0
+    assert out[0]["a"] == pytest.approx(6.0)
+    assert out[1]["a"] == pytest.approx((3.0 + 20.0) / 2)
+
+    # BY host grouping keeps series separate; WHERE pre-filters raw
+    byh = {(r["b"].minute, r["host"]): r["r"] for r in esql(spark, """
+TS m | WHERE host == "a" | STATS r = SUM(RATE(reqs))
+      BY b = BUCKET(ts, 1 minute), host""", src).collect()}
+    assert byh[(0, "a")] == 1.0 and (1, "b") not in byh
+
+    # guard rails
+    with pytest.raises(EsqlError, match="counter"):
+        esql(spark, "TS m | STATS x = SUM(RATE(mem)) "
+                    "BY b = BUCKET(ts, 1 minute)", src)
+    with pytest.raises(EsqlError, match="wrap"):
+        esql(spark, "TS m | STATS x = SUM(reqs) "
+                    "BY b = BUCKET(ts, 1 minute)", src)
+    with pytest.raises(EsqlError, match="dimension"):
+        esql(spark, "TS m | STATS x = SUM(RATE(reqs)) "
+                    "BY b = BUCKET(ts, 1 minute), mem", src)
+    with pytest.raises(EsqlError, match="DataFrame has no dimension"):
+        esql(spark, "TS m | STATS x = SUM(RATE(reqs)) "
+                    "BY b = BUCKET(ts, 1 minute)", {"m": df})
+    with pytest.raises(EsqlError, match="calendar"):
+        esql(spark, "TS m | STATS x = SUM(RATE(reqs)) "
+                    "BY b = BUCKET(ts, 1 month)", src)
