@@ -5467,6 +5467,28 @@ SELECT epoch(day)::BIGINT AS day_ts,
 FROM d GROUP BY 1 ORDER BY 1"""
 
 
+def q_esql_round_to(spark, sf_dir):
+    """ES|QL ROUND_TO (9.1 fixed-point histogram) + SCALB/COPY_SIGN
+    (round 4): the point chain folds to constants, one codegen pass."""
+    return _esql(spark, sf_dir, """
+FROM events
+| EVAL b = ROUND_TO(value, 0, 10, 25, 50, 75),
+       s = TO_LONG(FLOOR(SCALB(value, 2) * 100.0 + 0.5)),
+       c = COPY_SIGN(3.0, 0.0 - value)
+| STATS n = COUNT(*), ssum = SUM(s), csum = TO_LONG(SUM(c)) BY b
+| SORT b""")
+
+
+ESQL_ROUND_TO_SQL = """
+SELECT CASE WHEN value >= 75 THEN 75.0 WHEN value >= 50 THEN 50.0
+            WHEN value >= 25 THEN 25.0 WHEN value >= 10 THEN 10.0
+            ELSE 0.0 END AS b,
+       count(*) AS n,
+       sum(floor(value * 4.0 * 100.0 + 0.5)::BIGINT) AS ssum,
+       sum(CASE WHEN -value >= 0 THEN 3.0 ELSE -3.0 END)::BIGINT AS csum
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
 def q_esql_hash(spark, sf_dir):
     """ES|QL HASH/MD5/SHA256 (8.17, round 4): JVM MessageDigest
     digests over UTF-8 bytes — byte-identical to DuckDB's md5/sha256
@@ -5684,6 +5706,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_st_grid": q_esql_st_grid,
     "esql_ts_overtime": q_esql_ts_overtime,
     "esql_ts_rate": q_esql_ts_rate,
+    "esql_round_to": q_esql_round_to,
     "esql_percentile_where": q_esql_percentile_where,
     "esql_hash": q_esql_hash,
     "esql_inlinestats_events": q_esql_inlinestats_events,
@@ -7728,6 +7751,7 @@ FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
         "esql_st_grid": _st_grid_oracle_sql(),
         "esql_ts_overtime": ESQL_TS_OVERTIME_SQL,
         "esql_ts_rate": ESQL_TS_RATE_SQL,
+        "esql_round_to": ESQL_ROUND_TO_SQL,
         "esql_params": """
 SELECT event_type, count(*) AS n,
        floor(median(value) * 10000.0 + 0.5)::BIGINT AS m_x1e4

@@ -1298,6 +1298,18 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     "tanh": lambda a, r: F.tanh(_compile(a[0])),
     "cbrt": lambda a, r: F.cbrt(_compile(a[0])),
     "hypot": lambda a, r: F.hypot(_compile(a[0]), _compile(a[1])),
+    # SCALB(d, n) = d * 2^n (Java Math.scalb; exact for integer n —
+    # pow(2, n) is a power of two, so the multiply only adjusts the
+    # exponent field)
+    "scalb": lambda a, r: _compile(a[0]).cast("double")
+    * F.pow(F.lit(2.0), _compile(a[1]).cast("double")),
+    # COPY_SIGN(magnitude, sign): Java Math.copySign, except -0.0
+    # counts as positive here (sign-bit introspection needs no
+    # real-data distinction)
+    "copy_sign": lambda a, r: F.when(
+        _compile(a[1]).cast("double") >= 0,
+        F.abs(_compile(a[0]))).otherwise(-F.abs(_compile(a[0]))),
+    "round_to": lambda a, r: _round_to(a),
     "to_degrees": lambda a, r: F.degrees(_compile(a[0])),
     "to_radians": lambda a, r: F.radians(_compile(a[0])),
     "e": lambda a, r: F.lit(2.718281828459045),
@@ -1533,6 +1545,22 @@ def _date_trunc(args):
     from ..functions.analysis import time_bucket
 
     return time_bucket(e, int(secs))
+
+
+def _round_to(args):
+    """ROUND_TO(value, p1, p2, ...) (ES 9.1): the greatest point <=
+    value; values below every point take the SMALLEST point (ES's
+    down-rounding bucket rule). Points must be numeric literals, so
+    the chain folds to constants — the fixed-histogram fast path the
+    function exists for."""
+    if len(args) < 2:
+        raise EsqlError("ES|QL: ROUND_TO(value, p1[, p2, ...])")
+    v = _compile(args[0])
+    pts = sorted(float(_lit_of(p, "ROUND_TO point")) for p in args[1:])
+    out = F.lit(pts[0])
+    for p in pts[1:]:
+        out = F.when(v >= F.lit(p), F.lit(p)).otherwise(out)
+    return F.when(v.isNotNull(), out)
 
 
 def _date_extract(args):

@@ -1729,3 +1729,18 @@ FROM t
     assert r["xmin"] == -74.0 and r["xmax"] == -74.0
     assert r["ymin"] == 40.7
     assert r["px"] == 2.0 and r["ex"] == 5.0 and r["ey"] == -2.0
+
+
+def test_scalb_copysign_round_to(spark):
+    r = esql(spark, """
+ROW v = 12.7, n = -3
+| EVAL s = SCALB(v, 4), s2 = SCALB(v, n),
+       c1 = COPY_SIGN(5.0, -2.0), c2 = COPY_SIGN(-5.0, 3.0),
+       r1 = ROUND_TO(v, 0, 10, 20), r2 = ROUND_TO(-4.0, 0, 10),
+       r3 = ROUND_TO(25.0, 0, 10, 20)
+| KEEP s, s2, c1, c2, r1, r2, r3""", {}).collect()[0]
+    assert r["s"] == 12.7 * 16 and r["s2"] == 12.7 / 8
+    assert r["c1"] == -5.0 and r["c2"] == 5.0
+    assert r["r1"] == 10.0 and r["r2"] == 0.0 and r["r3"] == 20.0
+    with pytest.raises(EsqlError, match="ROUND_TO"):
+        esql(spark, "ROW v = 1 | EVAL x = ROUND_TO(v)", {})
