@@ -622,6 +622,50 @@ FROM events
 """
 
 
+def q_ingest_pipeline2_events(spark, sf_dir):
+    """ES ingest pipeline round-4 processors: json -> map, grok over
+    a derived log line, byte-size parse, append/sort/join list ops,
+    md5 fingerprint — still ONE folded Catalyst projection."""
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_pipeline(ev, [
+        {"json": {"field": "props", "target_field": "pm"}},
+        {"script": {"target_field": "k2",
+                    "source": "CAST(pm['k'] AS BIGINT)"}},
+        {"script": {"target_field": "log",
+                    "source": "concat(event_type, ' ', "
+                              "CAST(user_id AS STRING), ' ', "
+                              "CAST(value AS STRING), 'kb')"}},
+        {"grok": {"field": "log", "patterns":
+                  ["%{WORD:verb} %{NUMBER:uid:long} "
+                   "%{GREEDYDATA:sz}"]}},
+        {"bytes": {"field": "sz", "target_field": "szb"}},
+        {"split": {"field": "event_type", "target_field": "arr",
+                   "separator": "i"}},
+        {"append": {"field": "arr", "value": ["z"]}},
+        {"sort": {"field": "arr", "order": "desc"}},
+        {"join": {"field": "arr", "separator": "-",
+                  "target_field": "joined"}},
+        {"fingerprint": {"fields": ["event_id"], "target_field": "fp",
+                         "method": "md5"}},
+    ])
+    return out.select("event_id", "verb", "uid", "szb", "joined",
+                      "fp", "k2").orderBy("event_id")
+
+
+INGEST_PIPELINE2_SQL = """
+SELECT event_id, event_type AS verb, user_id AS uid,
+       trunc(value * 1024)::BIGINT AS szb,
+       array_to_string(list_sort(list_append(
+         string_split(event_type, 'i'), 'z'), 'DESC'), '-') AS joined,
+       md5('event_id=' || event_id) AS fp,
+       json_extract_string(props, '$.k')::BIGINT AS k2
+FROM events ORDER BY event_id"""
+
+
 def q_dsl_search(spark, sf_dir):
     """ES JSON search body routed through the DSL compiler — must be
     value-identical to the plain BM25 oracle (the compiler adds
@@ -5748,6 +5792,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matrix_stats_idx": q_matrix_stats_idx,
     "bm25_topk_shrunk": q_bm25_topk_shrunk,
     "ingest_pipeline_events": q_ingest_pipeline_events,
+    "ingest_pipeline2_events": q_ingest_pipeline2_events,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_hot": q_bm25_topk_hot,
     "bm25_topk_idx_scoreall": q_bm25_topk_idx_scoreall,
@@ -6058,6 +6103,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_shrunk": _bm25_oracle_sql(
             sorted({"spark", "query", "join"}), 10),
         "ingest_pipeline_events": INGEST_PIPELINE_SQL,
+        "ingest_pipeline2_events": INGEST_PIPELINE2_SQL,
         "terms_set_idx": TERMS_SET_SQL,
         "distance_feature_idx": DIST_FEAT_SQL,
         "rank_feature_idx": RANK_FEATURE_SQL,

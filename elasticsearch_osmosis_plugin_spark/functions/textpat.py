@@ -37,6 +37,13 @@ GROK_PATTERNS = {
         r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|SEVERE|CRITICAL)",
     "QUOTEDSTRING": r'"[^"]*"',
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "POSINT": r"[1-9]\d*",
+    "NONNEGINT": r"\d+",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "IPORHOST": r"(?:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+                r"|[a-zA-Z0-9.\-]+)",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.\-]+",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.@]+))?(?::(\w+))?\}")

@@ -28,6 +28,22 @@ column):
   the same surface runtime_mappings / update_by_query use)
 - ``enrich`` (broadcast lookup against a prepared enrich index;
   matched row -> ``target_field`` struct, NULL on no match)
+- ``append`` / ``join`` / ``sort`` (array field ops; append creates
+  the field when missing, ``allow_duplicates: false`` -> array_union)
+- ``json`` (flat object -> ``map<string,string>``; ``add_to_root``
+  rejected — schema-less row widening), ``kv`` (``str_to_map`` with
+  optional key ``prefix``), ``csv`` (quote-aware via ``from_csv``,
+  all-string targets)
+- ``grok`` (ES grok %{SYNTAX:name:type} with first-matching-pattern-
+  wins across the pattern list; regex table shared with ES|QL GROK)
+- ``bytes`` ("1.5kb" -> 1536), ``html_strip`` (tags + the five XML
+  entities), ``urldecode``, ``uri_parts`` (scheme/domain/path/query/
+  fragment/user_info struct via parse_url)
+- ``fingerprint`` (md5/sha1/sha256 hex over sorted "name=value"
+  pairs — deterministic engine convention; ES's exact byte layout is
+  implementation-private)
+- ``fail`` (aborts the JOB when any row trips the ``if`` — the batch
+  analog of ES's fail-the-document)
 
 ``on_failure`` is not emulated: a processor whose input column is
 NULL propagates NULL (Spark semantics), and a malformed ``convert``
@@ -145,6 +161,155 @@ def _apply_one(df: DataFrame, kind: str, p: dict,
             t = F.try_to_timestamp(col, F.lit(fmt))
             parsed = t if parsed is None else F.coalesce(parsed, t)
         return put(p.get("target_field", "@timestamp"), parsed)
+    if kind == "append":
+        field = p["field"]
+        vals = p["value"] if isinstance(p["value"], list) else [p["value"]]
+        add = F.array(*[F.lit(v) for v in vals])
+        if field in df.columns:
+            joined = (F.array_union(F.col(field), add)
+                      if not p.get("allow_duplicates", True)
+                      else F.concat(F.col(field), add))
+            col = F.when(F.col(field).isNull(), add).otherwise(joined)
+        else:
+            col = add
+        return put(field, col)
+    if kind == "join":
+        return put(p.get("target_field", p["field"]),
+                   F.array_join(F.col(p["field"]), p["separator"]))
+    if kind == "sort":
+        return put(p.get("target_field", p["field"]),
+                   F.sort_array(F.col(p["field"]),
+                                asc=p.get("order", "asc") != "desc"))
+    if kind == "json":
+        # flat JSON object -> map<string,string> (ES parses arbitrary
+        # nesting; a DataFrame column needs ONE type, so the flat-map
+        # form is the supported shape — documented; add_to_root would
+        # need a schema and is rejected)
+        if p.get("add_to_root"):
+            raise ValueError("json: add_to_root is not supported "
+                             "(schema-less row widening) — read into "
+                             "target_field and reference map keys")
+        return put(p.get("target_field", p["field"]),
+                   F.from_json(F.col(p["field"]), "map<string,string>"))
+    if kind == "kv":
+        col = F.str_to_map(F.col(p["field"]),
+                           F.lit(p.get("field_split", " ")),
+                           F.lit(p.get("value_split", "=")))
+        if p.get("prefix"):
+            col = F.map_from_arrays(
+                F.transform(F.map_keys(col),
+                            lambda k: F.concat(F.lit(p["prefix"]), k)),
+                F.map_values(col))
+        return put(p.get("target_field", p["field"]), col)
+    if kind == "csv":
+        # proper quote-aware CSV via from_csv (ES uses a real CSV
+        # parser too); all target fields land as strings, convert
+        # downstream like ES does
+        targets = p["target_fields"]
+        schema = ", ".join(f"`{t}` string" for t in targets)
+        opts = {"sep": p.get("separator", ","),
+                "quote": p.get("quote", '"')}
+        parsed = F.from_csv(F.col(p["field"]), schema, opts)
+        out = df
+        for t in targets:
+            c = parsed.getField(t)
+            if cond is not None:
+                c = F.when(cond, c)
+            out = out.withColumn(t, c)
+        return out
+    if kind == "grok":
+        # first matching pattern wins (ES tries the list in order);
+        # regex + group plumbing shared with ES|QL's GROK command
+        from elasticsearch_osmosis_plugin_spark.functions.textpat import (
+            grok_regex,
+        )
+
+        pats = p["patterns"] if isinstance(p["patterns"], list) \
+            else [p["patterns"]]
+        src = F.col(p["field"])
+        out = df
+        seen: dict[str, Column] = {}
+        prior = F.lit(False)    # an earlier pattern already matched
+        for pat in pats:
+            rx, typed = grok_regex(pat)
+            eligible = src.rlike(rx) & ~prior
+            prior = prior | src.rlike(rx)
+            for i, (name, ftype) in enumerate(typed):
+                c = F.when(eligible, F.regexp_extract(src, rx, i + 1))
+                if ftype in ("int", "long"):
+                    c = c.cast("long")
+                elif ftype in ("float", "double"):
+                    c = c.cast("double")
+                seen[name] = (c if name not in seen
+                              else F.coalesce(seen[name], c))
+        for name, c in seen.items():
+            if cond is not None:
+                c = F.when(cond, c)
+            out = out.withColumn(name, c)
+        return out
+    if kind == "bytes":
+        # "1kb" -> 1024 (ES byte-size units, case-insensitive,
+        # optional fraction); unparseable -> NULL
+        src = F.trim(F.lower(F.col(p["field"])))
+        num = F.regexp_extract(src, r"^([0-9]*\.?[0-9]+)\s*"
+                                    r"(b|kb|mb|gb|tb|pb)?$", 1)
+        unit = F.regexp_extract(src, r"^([0-9]*\.?[0-9]+)\s*"
+                                     r"(b|kb|mb|gb|tb|pb)?$", 2)
+        mult = (F.when(unit == "kb", 1024).when(unit == "mb", 1024**2)
+                .when(unit == "gb", 1024**3).when(unit == "tb", 1024**4)
+                .when(unit == "pb", 1024**5).otherwise(1))
+        return put(p.get("target_field", p["field"]),
+                   F.when(num != "", (num.cast("double")
+                                      * mult).cast("long")))
+    if kind == "html_strip":
+        # tag removal + the five XML entities (Lucene's char filter
+        # also decodes numeric entities — documented simplification)
+        c = F.regexp_replace(F.col(p["field"]), r"<[^>]*>", "")
+        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", '"'), ("&apos;", "'"),
+                        ("&nbsp;", " ")):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return put(p.get("target_field", p["field"]), c)
+    if kind == "urldecode":
+        return put(p.get("target_field", p["field"]),
+                   F.url_decode(F.col(p["field"])))
+    if kind == "uri_parts":
+        src = F.col(p["field"])
+        parts = F.struct(
+            F.parse_url(src, F.lit("PROTOCOL")).alias("scheme"),
+            F.parse_url(src, F.lit("HOST")).alias("domain"),
+            F.parse_url(src, F.lit("PATH")).alias("path"),
+            F.parse_url(src, F.lit("QUERY")).alias("query"),
+            F.parse_url(src, F.lit("REF")).alias("fragment"),
+            F.parse_url(src, F.lit("USERINFO")).alias("user_info"))
+        return put(p.get("target_field", "url"), parts)
+    if kind == "fingerprint":
+        # hash over "name=value" pairs joined with "|" (deterministic
+        # engine convention — ES's exact byte layout is
+        # implementation-private), hex digest like the engine's other
+        # digest surfaces; method md5/sha1/sha256
+        fields = sorted(p["fields"])
+        method = p.get("method", "sha1").lower().replace("-", "")
+        fns = {"md5": F.md5, "sha1": F.sha1,
+               "sha256": lambda c: F.sha2(c, 256)}
+        if method not in fns:
+            raise ValueError(f"fingerprint: method {method!r} "
+                             "(md5/sha1/sha256)")
+        payload = F.concat_ws("|", *[
+            F.concat_ws("=", F.lit(f_), F.col(f_).cast("string"))
+            for f_ in fields])
+        return put(p.get("target_field", "fingerprint"),
+                   fns[method](payload))
+    if kind == "fail":
+        # ES fail processor aborts the document's pipeline; the batch
+        # analog aborts the JOB when any row trips the condition —
+        # evaluated inside a filter so the check cannot be pruned
+        msg = p.get("message", "fail processor triggered")
+        if cond is None:
+            raise ValueError(f"fail: {msg}")
+        return df.filter(F.when(F.coalesce(cond, F.lit(False)),
+                                F.raise_error(F.lit(f"fail: {msg}")))
+                         .otherwise(F.lit(True)))
     if kind == "enrich":
         # ES enrich processor: broadcast lookup against a prepared
         # enrich index (its FIRST column is the policy's match_field —

@@ -600,3 +600,68 @@ def test_ingest_enrich_processor(spark):
         apply_pipeline(docs, [{"enrich": {
             "policy_name": "nope", "field": "user",
             "target_field": "u"}}])
+
+
+def test_ingest_round4_processors(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a=1 b=2", '{"x":"1","y":"z"}', '5,hello,"wo,rld"',
+          "1.5kb", "<b>Hi &amp; %26</b>",
+          "https://u@h.example.com:8080/p/q?k=v#f")],
+        "id int, kv string, js string, c string, by string, "
+        "h string, url string")
+    r = apply_pipeline(df, [
+        {"kv": {"field": "kv", "target_field": "m",
+                "prefix": "p_"}},
+        {"json": {"field": "js", "target_field": "jm"}},
+        {"csv": {"field": "c", "target_fields": ["n", "w1", "w2"]}},
+        {"bytes": {"field": "by"}},
+        {"html_strip": {"field": "h"}},
+        {"urldecode": {"field": "h", "target_field": "dec"}},
+        {"uri_parts": {"field": "url"}},
+    ]).collect()[0]
+    assert dict(r["m"]) == {"p_a": "1", "p_b": "2"}
+    assert dict(r["jm"]) == {"x": "1", "y": "z"}
+    assert (r["n"], r["w1"], r["w2"]) == ("5", "hello", "wo,rld")
+    assert r["by"] == 1536
+    assert r["h"] == "Hi & %26"          # entities decoded, tags gone
+    assert r["dec"] == "Hi & &"          # then percent-decoded
+    u = r["url"]
+    assert (u["scheme"], u["domain"], u["path"], u["query"],
+            u["fragment"], u["user_info"]) == \
+        ("https", "h.example.com", "/p/q", "k=v", "f", "u")
+
+
+def test_ingest_grok_append_fail(spark):
+    from elasticsearch_osmosis_plugin_spark.operators.ingest_pipeline import (
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "GET /a 200", ["x"]), (2, "oops 500", ["x"])],
+        "id int, log string, arr array<string>")
+    rows = {r["id"]: r for r in apply_pipeline(df, [
+        # first matching pattern wins: row 1 matches BOTH patterns and
+        # must take verb/status from the first; row 2 only the second
+        {"grok": {"field": "log", "patterns": [
+            "%{WORD:verb} %{URIPATH:path} %{NUMBER:status:int}",
+            "%{WORD:verb} %{NUMBER:status:int}"]}},
+        {"append": {"field": "arr", "value": ["x", "y"],
+                    "allow_duplicates": False}},
+        {"append": {"field": "fresh", "value": "solo"}},
+    ]).collect()}
+    assert rows[1]["path"] == "/a" and rows[1]["status"] == 200
+    assert rows[2]["path"] is None and rows[2]["status"] == 500
+    assert rows[1]["arr"] == ["x", "y"]     # dedup kept order
+    assert rows[1]["fresh"] == ["solo"]     # created when missing
+    # fail: trips on matching rows, passes through otherwise
+    ok = apply_pipeline(df, [{"fail": {"if": "id = 99",
+                                       "message": "boom"}}])
+    assert ok.count() == 2
+    bad = apply_pipeline(df, [{"fail": {"if": "id = 2",
+                                        "message": "boom"}}])
+    with pytest.raises(Exception, match="boom"):
+        bad.collect()
