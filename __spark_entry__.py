@@ -3945,6 +3945,49 @@ def q_quantized_cosine_topk(spark, sf_dir):
             .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")).limit(10))
 
 
+def q_ann_sq_rescored(spark, sf_dir):
+    """ES rescore_vector (9.x quantized-index default, round 4):
+    int8-SQ candidate search at k*oversample, exact float re-score of
+    only those candidates (broadcast join-back), true top-k returned —
+    grid error confined to the cut, never the scores."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        ann_topk_sq_rescored,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    raw = ann_topk_sq_rescored(emb, _query_vec(spark, sf_dir), k=10,
+                               oversample=3.0)
+    return (raw.select("vec_id", x1e4(F.col("cos")).alias("cos_x1e4"))
+            .orderBy(F.desc("cos_x1e4"), F.asc("vec_id")))
+
+
+ANN_SQ_RESCORED_SQL = """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+qv AS (SELECT vec_id,
+         list_transform(v, x -> round(
+           x / (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END))
+           ::BIGINT) AS q
+       FROM sc),
+qq AS (SELECT q AS quq FROM qv WHERE vec_id = 0),
+s AS (SELECT vec_id,
+        list_dot_product(q, quq)::DOUBLE
+        / (sqrt(list_dot_product(q, q)::DOUBLE)
+           * sqrt(list_dot_product(quq, quq)::DOUBLE)) AS c
+      FROM qv CROSS JOIN qq WHERE list_dot_product(q, q) > 0),
+cand AS (SELECT vec_id FROM s ORDER BY c DESC, vec_id LIMIT 30),
+qf AS (SELECT v AS fq FROM b WHERE vec_id = 0),
+ex AS (SELECT b.vec_id,
+         list_dot_product(v, fq)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(fq, fq)))
+           AS c
+       FROM b JOIN cand USING (vec_id) CROSS JOIN qf)
+SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM ex
+ORDER BY c DESC, vec_id LIMIT 10"""
+
+
 def _scored_fp_cte(terms: list[str]) -> str:
     """Shared DuckDB CTE chain: BM25 scoreall of ``terms`` ->
     scored(doc_id, s) — the sampler/diversified twins rank on the
@@ -5960,6 +6003,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_quality_flags": q_c4_quality_flags,
     "quality_classifier": q_quality_classifier,
     "quantized_cosine_topk": q_quantized_cosine_topk,
+    "ann_sq_rescored": q_ann_sq_rescored,
     "eql_sequence_events": q_eql_sequence_events,
     "eql_sequence_until_events": q_eql_sequence_until_events,
     "eql_sample_events": q_eql_sample_events,
@@ -7542,6 +7586,7 @@ SELECT doc_id, has_lorem, has_brace, has_policy, n_words,
   (NOT has_lorem AND NOT has_brace AND NOT has_policy AND n_words >= 5)
     AS keep
 FROM base ORDER BY doc_id""",
+        "ann_sq_rescored": ANN_SQ_RESCORED_SQL,
         "quantized_cosine_topk": """
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sc AS (SELECT vec_id, v,

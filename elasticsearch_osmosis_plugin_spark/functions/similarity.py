@@ -497,6 +497,35 @@ def cosine_topk_quantized(dfq: DataFrame, query_vec: Sequence[float],
     return deterministic_topk(scores, k, score_col="cos", id_col="vec_id")
 
 
+def ann_topk_sq_rescored(df: DataFrame, query_vec: Sequence[float],
+                         k: int = 10, oversample: float = 3.0,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """ES ``rescore_vector`` (the 9.x default for quantized
+    dense_vector indices): search the int8-quantized corpus for
+    ``k * oversample`` candidates, then re-score EXACTLY those
+    candidates against the float vectors and return the true top-k —
+    quantization grid error is confined to the candidate cut, never
+    the returned scores.
+
+    Plan shape at 100 TB: the wide scan reads only the 4x-smaller
+    qvec column (stage 1's TakeOrderedAndProject); stage 2 joins the
+    k'-bounded candidate ids back by BROADCAST, so the float vectors
+    are fetched for k' rows, not the corpus. Fully deterministic
+    (HALF_UP grid both engines + deterministic tie-break), so the
+    whole two-stage plan is oracle-checkable value-for-value."""
+    dfq = quantize_embeddings(df, id_col, vec_col)
+    kq = max(int(k * oversample), k)
+    cand = cosine_topk_quantized(dfq, query_vec, kq)
+    cand_ids = cand.select(F.col("vec_id").alias("__cand_id"))
+    hits = df.join(F.broadcast(cand_ids),
+                   F.col(id_col) == F.col("__cand_id"), "inner") \
+        .drop("__cand_id")
+    exact = cosine_scores(hits, query_vec, id_col, vec_col)
+    return deterministic_topk(exact, k, score_col="cos",
+                              id_col="vec_id")
+
+
 def hard_negatives(df: DataFrame, queries: DataFrame,
                    positives: DataFrame | None = None, k: int = 5,
                    id_col: str = "vec_id",

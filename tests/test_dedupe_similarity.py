@@ -619,3 +619,30 @@ def test_pq_persisted_layout(spark, embeddings, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [list" in plan.replace("#", "").replace(
         " ", " ") or "list#" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_ann_sq_rescored_scores_are_exact(spark):
+    """rescore_vector semantics: returned scores must equal the FLOAT
+    cosine (quantization bounds only the candidate cut), and with a
+    generous oversample the top-k must equal brute force exactly."""
+    import random
+
+    from elasticsearch_osmosis_plugin_spark.functions.similarity import (
+        ann_topk_sq_rescored,
+        cosine_topk,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[3][1]
+    exact = cosine_topk(df, q, k=5).collect()
+    got = ann_topk_sq_rescored(df, q, k=5, oversample=8.0).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    for g, e in zip(got, exact):
+        assert abs(g["cos"] - e["cos"]) < 1e-12   # float scores, not grid
+    # broadcast join-back plan: candidate side must broadcast
+    plan = ann_topk_sq_rescored(df, q, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
