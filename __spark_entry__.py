@@ -3988,6 +3988,38 @@ SELECT vec_id, floor(c * 10000.0 + 0.5)::BIGINT AS cos_x1e4 FROM ex
 ORDER BY c DESC, vec_id LIMIT 10"""
 
 
+def q_tsr_retriever(spark, sf_dir):
+    """retriever.text_similarity_reranker (round 4): BM25 child window
+    of 30 reranked by the builtin lexical endpoint (coverage over the
+    stored token streams — pure Catalyst, broadcast window join)."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.dsl import search
+
+    idx = _index_for(spark, sf_dir)
+    raw = search(spark, idx, {"retriever": {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {
+            "match": {"text": "spark window merge"}}}},
+        "rank_window_size": 30,
+        "inference_text": "spark window merge query",
+    }}, "size": 10})
+    return (raw.select("doc_id", x1e4(F.col("score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
+
+
+def _tsr_oracle_sql() -> str:
+    terms = ["merge", "query", "spark", "window"]
+    cov = " + ".join(
+        f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END"
+        for t in terms)
+    return f"""
+WITH {_scored_fp_cte(['merge', 'spark', 'window'])},
+cand AS (SELECT doc_id FROM scored ORDER BY s DESC, doc_id LIMIT 30),
+cov AS (SELECT t.doc_id, ({cov}) / {len(terms)}.0 AS sc
+        FROM toks t JOIN cand USING (doc_id))
+SELECT doc_id, floor(sc * 10000.0 + 0.5)::BIGINT AS score_x1e4
+FROM cov ORDER BY sc DESC, doc_id LIMIT 10"""
+
+
 def _scored_fp_cte(terms: list[str]) -> str:
     """Shared DuckDB CTE chain: BM25 scoreall of ``terms`` ->
     scored(doc_id, s) — the sampler/diversified twins rank on the
@@ -6004,6 +6036,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "ann_sq_rescored": q_ann_sq_rescored,
+    "tsr_retriever": q_tsr_retriever,
     "eql_sequence_events": q_eql_sequence_events,
     "eql_sequence_until_events": q_eql_sequence_until_events,
     "eql_sample_events": q_eql_sample_events,
@@ -7587,6 +7620,7 @@ SELECT doc_id, has_lorem, has_brace, has_policy, n_words,
     AS keep
 FROM base ORDER BY doc_id""",
         "ann_sq_rescored": ANN_SQ_RESCORED_SQL,
+        "tsr_retriever": _tsr_oracle_sql(),
         "quantized_cosine_topk": """
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sc AS (SELECT vec_id, v,

@@ -562,6 +562,83 @@ def _knn_search(spark: SparkSession, index_path: str, body: dict,
     return deterministic_topk(merged, k)
 
 
+def _text_sim_rerank(spark: SparkSession, index_path: str, rspec: dict,
+                     knn_source, k: int) -> DataFrame:
+    """``retriever.text_similarity_reranker`` (ES 8.15+): run the
+    child retriever at ``rank_window_size``, re-score ONLY that
+    window with an inference endpoint, return the top-k under the new
+    score -> (doc_id, score).
+
+    The builtin ``lexical-rerank`` endpoint scores coverage —
+    |distinct doc tokens ∩ query terms| / |query terms| — against the
+    index's STORED token stream (docstats ``tokens``), so it is pure
+    Catalyst: a broadcast semi-join of the k'-bounded window onto
+    docstats plus one array intersect; query terms analyze with the
+    index's own analyzer from meta (the stored stream's tokenization).
+    Registered endpoints run as ONE Arrow-batched pandas UDF over the
+    window's ``field`` carry column — the window bound (not the
+    corpus) caps inference cost, exactly why ES caps the rerank
+    window."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.inference import (
+        LEXICAL_RERANK,
+        _Builtin,
+        get_inference,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+    from elasticsearch_osmosis_plugin_spark.plans.build import load_meta
+
+    window = int(rspec.get("rank_window_size", max(k, 10)))
+    child_spec = rspec["retriever"]
+    ckind, cbody = _one_entry(child_spec, "retriever")
+    if ckind == "standard":
+        sub = _search_query(spark, index_path, dict(cbody, size=window))
+    elif ckind == "knn":
+        sub = _knn_cosine(spark, cbody, knn_source, window)
+    else:
+        sub = _retriever_search(spark, index_path,
+                                {"retriever": child_spec,
+                                 "size": window}, knn_source)
+    endpoint = rspec.get("inference_id", LEXICAL_RERANK)
+    try:
+        fn = get_inference(endpoint, "rerank")
+    except KeyError as e:
+        raise ValueError(f"text_similarity_reranker: {e.args[0]}") \
+            from None
+    itext = rspec["inference_text"]
+    ds = catalog.read_table(spark, index_path, "docstats")
+    hits = ds.join(F.broadcast(sub.select("doc_id")), "doc_id")
+    if isinstance(fn, _Builtin):
+        analyzer = load_meta(index_path).get("analyzer", "simple")
+        terms = sorted(set(tokenize_py(itext, analyzer)))
+        if not terms:
+            raise ValueError("text_similarity_reranker: empty "
+                             "inference_text")
+        score = (F.size(F.array_intersect(
+            F.array_distinct(F.col("tokens")),
+            F.array(*[F.lit(t) for t in terms])))
+            / F.lit(float(len(terms)))).cast("double")
+    else:
+        import pandas as pd  # noqa: F811
+
+        field = rspec.get("field", "text")
+        if field not in ds.columns:
+            raise ValueError(
+                f"text_similarity_reranker: field {field!r} is not a "
+                "docstats carry column of this index")
+
+        @F.pandas_udf("double")
+        def _rr(s: pd.Series) -> pd.Series:
+            out = fn(itext, s)
+            return out if isinstance(out, pd.Series) else pd.Series(out)
+
+        score = _rr(F.col(field).cast("string"))
+    return (hits.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def _retriever_search(spark: SparkSession, index_path: str, body: dict,
                       knn_source) -> DataFrame:
     """`retriever.rrf` (modern ES): run each standard/knn
@@ -571,9 +648,16 @@ def _retriever_search(spark: SparkSession, index_path: str, body: dict,
 
     spec = body["retriever"]
     kind, rspec = _one_entry(spec, "retriever")
+    k = int(body.get("size", 10)) + int(body.get("from", 0))
+    if kind == "standard":
+        # ES allows a bare standard/knn retriever at the top level
+        return _search_query(spark, index_path, dict(rspec, size=k))
+    if kind == "knn":
+        return _knn_cosine(spark, rspec, knn_source, k)
+    if kind == "text_similarity_reranker":
+        return _text_sim_rerank(spark, index_path, rspec, knn_source, k)
     if kind not in ("rrf", "linear"):
         raise ValueError(f"unsupported retriever: {kind}")
-    k = int(body.get("size", 10)) + int(body.get("from", 0))
     window = int(rspec.get("rank_window_size", max(k, 10)))
     rankings, weights, normalizers = {}, {}, {}
     for i, sub in enumerate(rspec["retrievers"]):

@@ -1757,3 +1757,38 @@ def test_pit_in_search_body(spark, idx, tmp_path):
             dsl.search(spark, None, dict(body, pit={"id": "/tmp/nope"}))
     finally:
         cat.close_pit(pit)
+
+
+def test_text_similarity_reranker_retriever(spark, idx):
+    """retriever.text_similarity_reranker: child window reranked by
+    the builtin lexical endpoint == hand-computed coverage over the
+    stored token streams; scores outrank the child's BM25 order."""
+    from elasticsearch_osmosis_plugin_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+    from elasticsearch_osmosis_plugin_spark.plans import catalog
+
+    body = {"retriever": {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {
+            "match": {"content": "public static"}}}},
+        "rank_window_size": 20,
+        "inference_text": "public static void",
+    }}, "size": 5}
+    got = dsl.search(spark, idx, body)
+    # twin: child window ids -> coverage over docstats tokens
+    child = query.topk(spark, idx, "public static", k=20)
+    ids = [r["doc_id"] for r in child.collect()]
+    terms = sorted(set(tokenize_py("public static void", "simple")))
+    toks = {r["doc_id"]: set(r["tokens"]) for r in
+            catalog.read_table(spark, idx, "docstats")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "tokens").collect()}
+    want = sorted(((len(toks[i] & set(terms)) / len(terms), i)
+                   for i in ids), key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(i, s) for s, i in want]
+    # bare standard retriever at the top level is also legal
+    bare = dsl.search(spark, idx, {"retriever": {"standard": {
+        "query": {"match": {"content": "public static"}}}}, "size": 5})
+    assert _rows(bare) == _rows(query.topk(spark, idx, "public static",
+                                           k=5))
