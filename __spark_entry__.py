@@ -5023,6 +5023,19 @@ FROM documents METADATA _score
 | LIMIT 10""")
 
 
+def q_esql_match_options(spark, sf_dir):
+    """ES|QL MATCH named options (9.1, round 4): operator "and"
+    requires every analyzed term (filter only), boost scales the
+    clause's BM25 contribution — same scorer, tightened row set."""
+    return _esql(spark, sf_dir, """
+FROM documents METADATA _score
+| WHERE MATCH(text, "spark query", {"operator": "and", "boost": 2.0})
+| EVAL score_x1e4 = TO_LONG(FLOOR(_score * 10000.0 + 0.5))
+| KEEP doc_id, score_x1e4
+| SORT score_x1e4 DESC, doc_id
+| LIMIT 10""")
+
+
 def q_esql_match_score_idx(spark, sf_dir):
     """ES|QL over the PERSISTED index (esql_index fast path): the
     canonical search pipeline compiles to MaxScore-pruned topk —
@@ -5799,6 +5812,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_grok_events": q_esql_grok_events,
     "esql_lookup_orders": q_esql_lookup_orders,
     "esql_match_score": q_esql_match_score,
+    "esql_match_options": q_esql_match_options,
     "esql_match_score_idx": q_esql_match_score_idx,
     "esql_phrase_idx": q_esql_phrase_idx,
     "esql_qstr_idx": q_esql_qstr_idx,
@@ -7749,6 +7763,11 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1""",
         "esql_match_score": _bm25_oracle_sql(["query", "spark"], 10),
+        "esql_match_options": _bm25_oracle_sql(
+            ["query", "spark"], 10,
+            post_filter_sql="(SELECT count(DISTINCT tf2.term) FROM tf "
+                            "tf2 WHERE tf2.doc_id = d.doc_id) >= 2",
+            boosts={"query": 2.0, "spark": 2.0}),
         "esql_match_score_idx": _bm25_oracle_sql(["join", "query", "spark"],
                                                  10),
         "esql_kql_idx": _bm25_oracle_sql(

@@ -410,6 +410,29 @@ class _P:
             return ("list", items)
         if p.kind == "op" and p.text == "?":
             return self._param(p)
+        if p.kind == "op" and p.text == "{":
+            # named-options map literal (9.1): {"key": lit, ...} —
+            # valid only where a function accepts options (MATCH);
+            # elsewhere _compile rejects the node with a clear error
+            opts = {}
+            if self.peek().text != "}":
+                while True:
+                    kt = self.next()
+                    if kt.kind != "str":
+                        raise EsqlError("ES|QL: option map keys must "
+                                        "be string literals")
+                    self.expect(":")
+                    vast = self.expr()
+                    if vast[0] != "lit":
+                        raise EsqlError("ES|QL: option map values "
+                                        "must be literals")
+                    opts[_unquote(kt.text)] = vast[1]
+                    if self.peek().text == ",":
+                        self.next()
+                        continue
+                    break
+            self.expect("}")
+            return ("map", opts)
         if p.kind == "ident":
             up = p.text.upper()
             if up == "TRUE":
@@ -432,8 +455,21 @@ class _P:
                         args.append(self.expr())
                 self.expect(")")
                 if up == "MATCH":
+                    if len(args) == 3 and args[2][0] == "map":
+                        opts = args[2][1]
+                        bad = set(opts) - {"operator",
+                                           "minimum_should_match",
+                                           "boost"}
+                        if bad:
+                            raise EsqlError(
+                                f"ES|QL: MATCH options {sorted(bad)} "
+                                "not supported (operator / "
+                                "minimum_should_match / boost)")
+                        return ("match", args[0], args[1],
+                                tuple(sorted(opts.items())))
                     if len(args) != 2:
-                        raise EsqlError("ES|QL: MATCH(field, query)")
+                        raise EsqlError("ES|QL: MATCH(field, query"
+                                        "[, {options}])")
                     return ("match", args[0], args[1])
                 if up == "MATCH_PHRASE":
                     if len(args) != 2:
@@ -1665,7 +1701,10 @@ def _compile(ast) -> Column:
     if kind == "match":
         # non-scoring context: ES match-in-filter — true if ANY analyzed
         # query term occurs among the field's analyzed tokens (pure
-        # Catalyst: arrays_overlap over tokenize_expr)
+        # Catalyst: arrays_overlap over tokenize_expr). The 9.1
+        # options map tightens the requirement: operator "and" /
+        # minimum_should_match N -> at least N distinct query terms
+        # present (array_intersect size), still one codegen pass.
         field_ast, q_ast = ast[1], ast[2]
         if field_ast[0] != "col":
             raise EsqlError("ES|QL: match needs a field on the left")
@@ -1673,9 +1712,16 @@ def _compile(ast) -> Column:
         terms = sorted(set(tokenize_py(str(query), _match_analyzer())))
         if not terms:
             return F.lit(False)
-        return F.arrays_overlap(
-            tokenize_expr(F.col(field_ast[1]), _match_analyzer()),
-            F.array(*[F.lit(t) for t in terms]))
+        opts = _match_opts(ast)
+        msm = int(opts.get("minimum_should_match", 1))
+        if str(opts.get("operator", "or")).lower() == "and":
+            msm = max(msm, len(terms))
+        tarr = F.array(*[F.lit(t) for t in terms])
+        toks = tokenize_expr(F.col(field_ast[1]), _match_analyzer())
+        if msm > 1:
+            return F.size(F.array_intersect(F.array_distinct(toks),
+                                            tarr)) >= msm
+        return F.arrays_overlap(toks, tarr)
     if kind == "phrase_match":
         # MATCH_PHRASE(field, "q"): true iff the analyzed query tokens
         # occur CONSECUTIVELY in the field's analyzed token stream.
@@ -2139,6 +2185,11 @@ def _split_conjuncts(ast) -> list:
     return [ast]
 
 
+def _match_opts(node) -> dict:
+    """Options dict of a ("match", field, query[, opts]) node."""
+    return dict(node[3]) if len(node) > 3 else {}
+
+
 def _collect_match_nodes(ast, out: list, *, neg: bool = False) -> None:
     """All match() nodes in POSITIVE context anywhere in the
     expression tree, deduplicated (an identical clause contributes its
@@ -2231,7 +2282,15 @@ def _where(st: _State, p: _P) -> None:
                 sc = (sc.withColumnRenamed("score", f"__s{i}")
                         .withColumnRenamed("doc_id", st.id_col))
                 df = df.join(sc, st.id_col, "left")
-                parts.append(F.coalesce(F.col(f"__s{i}"), F.lit(0.0)))
+                part = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+                boost = float(_match_opts(mnode).get("boost", 1.0))
+                if boost != 1.0:
+                    # per-clause boost multiplies the clause's BM25
+                    # contribution (Lucene boost semantics); operator/
+                    # minimum_should_match tighten only the FILTER,
+                    # which _compile(ast) below already honors
+                    part = part * F.lit(boost)
+                parts.append(part)
                 drops.append(f"__s{i}")
             score = parts[0] if parts else F.lit(0.0)
             for x in parts[1:]:
@@ -3281,6 +3340,7 @@ def esql_index(spark: SparkSession, query: str,
     want_id = "_id" in meta_cols
 
     match_text = None
+    match_opts: dict = {}
     post = None
     keep: list[str] | None = None
     k = None
@@ -3293,6 +3353,7 @@ def esql_index(spark: SparkSession, query: str,
             if len(matches) != 1:
                 raise EsqlError("esql_index: exactly one MATCH in WHERE")
             match_text = str(_lit_of(matches[0][2], "match query"))
+            match_opts = _match_opts(matches[0])
             for c in conj:
                 if c is matches[0]:
                     continue
@@ -3374,6 +3435,10 @@ def esql_index(spark: SparkSession, query: str,
         from .query import multi_docstats, topk_multi
 
         paths = list(index_path)
+        if match_opts:
+            raise EsqlError("esql_index: MATCH options are single-"
+                            "index only (topk_multi has no "
+                            "minimum_should_match plumbing yet)")
         hits = topk_multi(spark, paths, match_text, k=k, post_filter=post)
         hits = (hits.withColumnRenamed("score", "_score")
                 .orderBy(F.desc("_score"), F.asc("doc_id")))
@@ -3394,10 +3459,28 @@ def esql_index(spark: SparkSession, query: str,
 
     from .query import topk
 
+    msm = int(match_opts.get("minimum_should_match", 0))
+    if str(match_opts.get("operator", "or")).lower() == "and":
+        # operator "and" == require every distinct analyzed term —
+        # analyzed with the INDEX's analyzer and token bounds, so the
+        # requirement counts exactly the terms the index stored
+        from ..plans.build import load_meta
+
+        meta = load_meta(index_path)
+        n_terms = len(set(tokenize_py(
+            match_text, meta.get("analyzer", "simple"),
+            min_len=meta.get("min_token_len", 1),
+            max_len=meta.get("max_token_len", 64))))
+        msm = max(msm, n_terms)
     hits = topk(spark, index_path, match_text, k=k, strategy=strategy,
-                post_filter=post)
+                post_filter=post, minimum_should_match=msm)
     hits = (hits.withColumnRenamed("score", "_score")
             .orderBy(F.desc("_score"), F.asc("doc_id")))
+    boost = float(match_opts.get("boost", 1.0))
+    if boost != 1.0:
+        # one scoring clause: the boost scales _score linearly
+        # (rank-preserving, but ES reports the scaled value — so do we)
+        hits = hits.withColumn("_score", F.col("_score") * F.lit(boost))
     if want_id:
         # ES doc _id (always a string) — the engine's id column
         hits = hits.withColumn("_id", F.col("doc_id").cast("string"))

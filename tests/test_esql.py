@@ -1744,3 +1744,68 @@ ROW v = 12.7, n = -3
     assert r["r1"] == 10.0 and r["r2"] == 0.0 and r["r3"] == 20.0
     with pytest.raises(EsqlError, match="ROUND_TO"):
         esql(spark, "ROW v = 1 | EVAL x = ROUND_TO(v)", {})
+
+
+def test_match_options_filter_and_boost(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta x"), (3, "beta y z")],
+        "doc_id long, text string")
+    # operator "and": every analyzed term required
+    got = esql(spark, 'FROM t | WHERE MATCH(text, "alpha beta", '
+                      '{"operator": "and"}) | KEEP doc_id',
+               {"t": df}).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    # minimum_should_match 2 of 3
+    got = esql(spark, 'FROM t | WHERE MATCH(text, "alpha beta gamma", '
+                      '{"minimum_should_match": 2}) | KEEP doc_id '
+                      '| SORT doc_id', {"t": df}).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    # boost scales the clause's score contribution
+    plain = esql(spark, 'FROM t METADATA _score | WHERE '
+                        'MATCH(text, "alpha") | KEEP doc_id, _score '
+                        '| SORT doc_id', {"t": df}).collect()
+    boosted = esql(spark, 'FROM t METADATA _score | WHERE '
+                          'MATCH(text, "alpha", {"boost": 2.5}) '
+                          '| KEEP doc_id, _score | SORT doc_id',
+                   {"t": df}).collect()
+    assert [r["doc_id"] for r in plain] == [r["doc_id"] for r in boosted]
+    for a, b in zip(plain, boosted):
+        assert b["_score"] == pytest.approx(a["_score"] * 2.5)
+    with pytest.raises(EsqlError, match="not supported"):
+        esql(spark, 'FROM t | WHERE MATCH(text, "a", '
+                    '{"fuzziness": "AUTO"})', {"t": df})
+
+
+def test_match_options_index_path(spark, tmp_path):
+    from elasticsearch_osmosis_plugin_spark.operators.esql import (
+        esql_index,
+    )
+    from elasticsearch_osmosis_plugin_spark.operators.query import topk
+    from elasticsearch_osmosis_plugin_spark.plans.build import build_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark window merge"), (2, "spark only here"),
+         (3, "window pane"), (4, "spark window spark")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "optidx")
+    build_index(spark, docs, idx, id_col="doc_id", text_col="text",
+                n_groups=1)
+    got = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark window", {"operator": "and"})
+| SORT _score DESC, doc_id | LIMIT 10""", idx)
+    want = topk(spark, idx, "spark window", k=10, minimum_should_match=2)
+    assert [r["doc_id"] for r in got.collect()] == \
+        [r["doc_id"] for r in want.collect()]
+    b = esql_index(spark, """
+FROM docs METADATA _score
+| WHERE MATCH(text, "spark window", {"boost": 3.0})
+| SORT _score DESC, doc_id | LIMIT 10""", idx).collect()
+    p = topk(spark, idx, "spark window", k=10).collect()
+    for x, y in zip(b, p):
+        assert x["_score"] == pytest.approx(y["score"] * 3.0)
+    with pytest.raises(EsqlError, match="single-index"):
+        esql_index(spark, """
+FROM a, b METADATA _score
+| WHERE MATCH(text, "spark", {"operator": "and"})
+| SORT _score DESC | LIMIT 5""", [idx, idx])
