@@ -239,6 +239,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "search; canonical FROM .. METADATA _score | "
                          "WHERE MATCH(..) [AND filters] | SORT _score "
                          "DESC | LIMIT k shape)")
+    eq.add_argument("--params", default=None, metavar="JSON",
+                    help="bind parameter markers: a JSON array for "
+                         "positional ?/indexed ?n, a JSON object for "
+                         "named ?name / identifier ??name")
     eq.add_argument("--analyzer", default="simple")
     eq.add_argument("--now", default=None, metavar="TIMESTAMP",
                     help="inject the NOW() clock (ISO timestamp) — "
@@ -680,6 +684,7 @@ def main(argv: list[str] | None = None) -> int:
         if q.startswith("@"):
             with open(q[1:]) as f:
                 q = f.read()
+        params = json.loads(args.params) if args.params else None
         if args.index:
             if args.table:
                 build_parser().error("esql takes --index OR --table")
@@ -689,7 +694,8 @@ def main(argv: list[str] | None = None) -> int:
 
             paths = args.index
             _emit(esql_index(spark, q,
-                             paths if len(paths) > 1 else paths[0]),
+                             paths if len(paths) > 1 else paths[0],
+                             params=params),
                   args)
             return 0
         tables = {}
@@ -699,7 +705,7 @@ def main(argv: list[str] | None = None) -> int:
                 build_parser().error("--table needs NAME=PARQUET_PATH")
             tables[name] = spark.read.parquet(path)
         _emit(esql(spark, q, tables, analyzer=args.analyzer,
-                   now=args.now), args)
+                   now=args.now, params=params), args)
     elif args.cmd == "sql":
         from elasticsearch_osmosis_plugin_spark.operators.essql import EsSql
 
