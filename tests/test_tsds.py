@@ -332,3 +332,23 @@ TS m | WHERE host == "a" | STATS r = SUM(RATE(reqs))
     with pytest.raises(EsqlError, match="calendar"):
         esql(spark, "TS m | STATS x = SUM(RATE(reqs)) "
                     "BY b = BUCKET(ts, 1 month)", src)
+
+
+def test_esql_ts_plan_two_exchanges(spark):
+    """TS plan shape: the series-key exchange is shared by the rate
+    window AND the inner (series, bucket) aggregate; only the outer
+    BY aggregate adds a second shuffle. A third exchange would mean
+    the inner groupBy lost the window's partitioning."""
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql
+
+    ev = spark.range(100).selectExpr(
+        "cast(id % 5 as string) AS host",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+        "cast(id as double) AS c")
+    src = {"m": {"df": ev, "ts_col": "ts", "dimensions": ["host"],
+                 "metrics": {"c": "counter"}}}
+    out = esql(spark, "TS m | STATS r = SUM(RATE(c)) "
+                      "BY b = BUCKET(ts, 1 hour)", src)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2, plan
