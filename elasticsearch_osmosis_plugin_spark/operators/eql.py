@@ -257,9 +257,17 @@ def eql_search(events: DataFrame, query: str, *,
     if um:
         until = _parse_step(um.group(1), type_col)
         rest = rest[:um.start()]
-    steps = [_parse_step(f"[{body}]", type_col)
-             for body in re.findall(r"\[([^\]]*)\]", rest)]
-    if re.sub(r"\[[^\]]*\]|\s", "", rest):
+    # ``[x] with runs=N`` (ES 8.4 repetition sugar): the step must
+    # match N consecutive times — expanded inline, so the sequence
+    # kernel needs no new state shape
+    steps = []
+    for body, runs in re.findall(
+            r"\[([^\]]*)\](?:\s+with\s+runs\s*=\s*(\d+))?", rest):
+        n = int(runs) if runs else 1
+        if not 1 <= n <= 100:
+            raise ValueError(f"EQL runs must be in [1, 100]: {runs}")
+        steps += [_parse_step(f"[{body}]", type_col)] * n
+    if re.sub(r"\[[^\]]*\](\s+with\s+runs\s*=\s*\d+)?|\s", "", rest):
         raise ValueError(f"unparsed EQL tail in: {rest!r}")
     if not steps:
         raise ValueError("EQL query needs at least one [step]")

@@ -253,3 +253,30 @@ def test_funnel_maxspan_flags_not_filters(events_df):
             funnel(events_df, STEPS, maxspan_s=1).collect()}
     assert rows[1]["steps_reached"] == 3
     assert not rows[1]["converted"]
+
+
+def test_eql_with_runs_repetition(spark):
+    """`[x] with runs=N` (ES 8.4): the step must match N consecutive
+    times — sugar expanded into the plain step list."""
+    from elasticsearch_osmosis_plugin_spark.operators.eql import (
+        eql_search,
+        sequence,
+    )
+
+    rows = [(1, i, t, f"2024-01-01 00:0{i}:00") for i, t in
+            enumerate(["view", "view", "view", "click"])] + \
+           [(2, i + 10, t, f"2024-01-01 00:0{i}:00") for i, t in
+            enumerate(["view", "click"])]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "to_timestamp(ts) AS ts")
+    got = eql_search(ev, 'sequence by user_id [view] with runs=3 [click]')
+    want = sequence(ev, ["view", "view", "view", "click"], by="user_id")
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted(tuple(r) for r in want.collect())
+    # only user 1 has three views before a click
+    assert {r["user_id"] for r in got.collect()} == {1}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="runs"):
+        eql_search(ev, 'sequence by user_id [view] with runs=0 [click]')
