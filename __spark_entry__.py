@@ -5227,6 +5227,46 @@ FROM even, odd METADATA _score
             .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
 
 
+def q_esql_multi_idx_options(spark, sf_dir):
+    """Multi-index esql_index with MATCH named options (round 5):
+    operator "and" maps to topk_multi's minimum_should_match (term
+    count analyzed with the shared analyzer), boost scales the one
+    scoring clause — the last single-index-only restriction on the
+    fast path lifted. dfs-exact stats keep the union-corpus oracle
+    exact, so the single-corpus msm+boost oracle is the twin."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    a, b = _split_idx(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM even, odd METADATA _score
+| WHERE MATCH(text, "spark query", {"operator": "and", "boost": 2.0})
+| SORT _score DESC, doc_id
+| LIMIT 30""", [a, b])
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(10))
+
+
+def q_esql_multi_idx_kql(spark, sf_dir):
+    """Multi-index esql_index with a KQL residual conjunct (round 5):
+    the KQL tree evaluates over the per-index docstats term-vector
+    column inside topk_multi's post_filter — same B6 semantics as the
+    single-index path (esql_kql_idx), so the same union-corpus oracle
+    applies."""
+    from elasticsearch_osmosis_plugin_spark.functions.analysis import x1e4
+    from elasticsearch_osmosis_plugin_spark.operators.esql import esql_index
+
+    a, b = _split_idx(spark, sf_dir)
+    raw = esql_index(spark, """
+FROM even, odd METADATA _score
+| WHERE MATCH(text, "spark query join")
+    AND KQL("lang:(fr or es) and n_chars >= 200 and (batch or stream)")
+| SORT _score DESC, doc_id
+| LIMIT 10""", [a, b])
+    return (raw.select("doc_id", x1e4(F.col("_score")).alias("score_x1e4"))
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id")))
+
+
 def q_esql_ccs_union(spark, sf_dir):
     """ES|QL cross-cluster search: `FROM events, archive:ev*` mixes a
     local index with a cluster-qualified wildcard. Remote indexes
@@ -5566,11 +5606,16 @@ FROM series GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def q_esql_ts_rate(spark, sf_dir):
-    """ES|QL TS RATE over a counter (round 4): per-series positive-
-    delta window with ES's counter-reset rule (a drop restarts the
-    counter, contributing the post-reset value), bucketed per day and
-    summed across series. `value` plays the counter, so resets are
-    everywhere — the rule is load-bearing, not decorative."""
+    """ES|QL TS RATE over a counter (round 4; round-5 semantics fix):
+    WITHIN-bucket only — per (series, bucket) the counter increase
+    from first to last observation with ES's reset rule (a drop
+    restarts the counter, contributing the post-reset value), divided
+    by the OBSERVED timestamp span, then summed across series.
+    `value` plays the counter, so resets are everywhere — the rule is
+    load-bearing, not decorative. The oracle below is an INDEPENDENT
+    formulation (arg_min/arg_max + reset-drop sum, vs the engine's
+    sequential lag-delta sum) so the gate checks parity, not just
+    determinism."""
     def extra(tables):
         return {"ev_ts": {"df": tables["events"], "ts_col": "ts",
                           "dimensions": ["user_id"],
@@ -5586,17 +5631,22 @@ TS ev_ts
 
 
 ESQL_TS_RATE_SQL = """
-WITH d AS (
-  SELECT date_trunc('day', ts) AS day,
-         CASE WHEN lag(value) OVER w IS NULL THEN NULL
-              WHEN value >= lag(value) OVER w
-                THEN value - lag(value) OVER w
-              ELSE value END AS delta
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+WITH s AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts, value,
+         lag(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                          ORDER BY ts) AS prev
+  FROM events),
+per_series AS (
+  SELECT user_id, day,
+         arg_max(value, ts) - arg_min(value, ts)
+           + coalesce(sum(CASE WHEN value < prev THEN prev END), 0)
+           AS increase,
+         epoch(max(ts)) - epoch(min(ts)) AS span
+  FROM s GROUP BY 1, 2)
 SELECT epoch(day)::BIGINT AS day_ts,
-       floor(sum(delta) / 86400.0 * 1000000.0 + 0.5)::BIGINT
+       floor(sum(increase / nullif(span, 0)) * 1000000.0 + 0.5)::BIGINT
          AS r_x1e6
-FROM d GROUP BY 1 ORDER BY 1"""
+FROM per_series GROUP BY 1 ORDER BY 1"""
 
 
 def q_esql_round_to(spark, sf_dir):
@@ -5612,9 +5662,9 @@ FROM events
 
 
 ESQL_ROUND_TO_SQL = """
-SELECT CASE WHEN value >= 75 THEN 75.0 WHEN value >= 50 THEN 50.0
-            WHEN value >= 25 THEN 25.0 WHEN value >= 10 THEN 10.0
-            ELSE 0.0 END AS b,
+SELECT (CASE WHEN value >= 75 THEN 75.0 WHEN value >= 50 THEN 50.0
+             WHEN value >= 25 THEN 25.0 WHEN value >= 10 THEN 10.0
+             ELSE 0.0 END)::DOUBLE AS b,
        count(*) AS n,
        sum(floor(value * 4.0 * 100.0 + 0.5)::BIGINT) AS ssum,
        sum(CASE WHEN -value >= 0 THEN 3.0 ELSE -3.0 END)::BIGINT AS csum
@@ -5821,6 +5871,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_multi_idx": q_esql_multi_idx,
     "esql_multi_idx_filtered": q_esql_multi_idx_filtered,
     "esql_multi_idx_keep": q_esql_multi_idx_keep,
+    "esql_multi_idx_options": q_esql_multi_idx_options,
+    "esql_multi_idx_kql": q_esql_multi_idx_kql,
     "esql_ccs_union": q_esql_ccs_union,
     "esql_now_window": q_esql_now_window,
     "esql_rerank_docs": q_esql_rerank_docs,
@@ -7792,6 +7844,13 @@ FROM ( {_bm25_oracle_sql(["join", "query", "spark"], 10,
                           post_filter_sql="d.n_chars > 100")} ) h
 JOIN documents d USING (doc_id)
 ORDER BY h.score_x1e4 DESC, h.doc_id""",
+        "esql_multi_idx_options": _bm25_oracle_sql(
+            ["query", "spark"], 10,
+            post_filter_sql="(SELECT count(DISTINCT tf2.term) FROM tf "
+                            "tf2 WHERE tf2.doc_id = d.doc_id) >= 2",
+            boosts={"query": 2.0, "spark": 2.0}),
+        "esql_multi_idx_kql": _bm25_oracle_sql(
+            ["join", "query", "spark"], 10, post_filter_sql=_KQL_PF_SQL),
         "esql_knn": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id,

@@ -982,13 +982,27 @@ def _st_envelope(args, raw):
 
 
 def _st_bound(args, fname: str, env_field: str, axis: str):
-    """ST_XMIN/XMAX/YMIN/YMAX over an envelope (from ST_ENVELOPE /
-    a WKT literal) or a bare point (its own min == max)."""
+    """ST_XMIN/XMAX/YMIN/YMAX over an envelope (from ST_ENVELOPE, a
+    WKT literal, or an envelope-typed COLUMN — e.g. stored via
+    ``EVAL e = ST_ENVELOPE(x)``; detected from the current frame's
+    schema by the envelope struct shape) or a bare point (its own
+    min == max)."""
     if len(args) != 1:
         raise EsqlError(f"ES|QL: {fname}(geometry) takes 1 arg")
     ast = args[0]
     if ast[0] == "call" and ast[1] == "st_envelope":
         return _compile(ast)[env_field].cast("double")
+    if ast[0] == "col":
+        # round-5 advisor fix: an envelope stored through EVAL reaches
+        # here as a bare column — classify by struct shape instead of
+        # falling through to the point accessor (which would fail
+        # with an unresolved lat/lon field).
+        sch = getattr(_TLS, "schema", None)
+        if sch is not None and ast[1] in sch.names:
+            dt = sch[ast[1]].dataType
+            names = getattr(dt, "names", [])
+            if "min_lon" in names and "max_lat" in names:
+                return _compile(ast)[env_field].cast("double")
     b = _wkt_lit_bounds(ast)
     if b is not None:
         return F.lit(b[{"min_lon": 0, "min_lat": 1,
@@ -1341,10 +1355,14 @@ _FUNCS: dict[str, Callable[[list, str], Column]] = {
     * F.pow(F.lit(2.0), _compile(a[1]).cast("double")),
     # COPY_SIGN(magnitude, sign): Java Math.copySign, except -0.0
     # counts as positive here (sign-bit introspection needs no
-    # real-data distinction)
+    # real-data distinction). NULL sign propagates NULL (Java null
+    # semantics) — a bare otherwise() would treat the NULL
+    # comparison as false and wrongly negate.
     "copy_sign": lambda a, r: F.when(
-        _compile(a[1]).cast("double") >= 0,
-        F.abs(_compile(a[0]))).otherwise(-F.abs(_compile(a[0]))),
+        _compile(a[1]).cast("double").isNull(),
+        F.lit(None).cast("double"))
+    .when(_compile(a[1]).cast("double") >= 0, F.abs(_compile(a[0])))
+    .otherwise(-F.abs(_compile(a[0]))),
     "round_to": lambda a, r: _round_to(a),
     "to_degrees": lambda a, r: F.degrees(_compile(a[0])),
     "to_radians": lambda a, r: F.radians(_compile(a[0])),
@@ -2041,7 +2059,6 @@ def _ts_command(spark, p0: _P, tables, segs, query: str,
 
     # ---- stage 1: per-(series, bucket) inner aggregates
     df = df.withColumn("__tsb", _compile(bucket_ast))
-    w = Window.partitionBy(*dims).orderBy(F.col(ts_col).cast("timestamp"))
     inner_aggs = []
     for i, (outer, extra, inner_fn, inner_args) in enumerate(sink):
         if len(inner_args) != 1:
@@ -2056,13 +2073,24 @@ def _ts_command(spark, p0: _P, tables, segs, query: str,
                     f"ES|QL TS: RATE needs a counter metric; "
                     f"{inner_args[0][1]!r} is "
                     f"{metrics.get(inner_args[0][1])!r}")
-            prev = F.lag(c).over(w)
+            # ES|QL RATE (TS command) uses only WITHIN-bucket samples:
+            # per (series, bucket) the counter increase from first to
+            # last observation (with reset corrections) divided by the
+            # OBSERVED timestamp span — not the bucket width, and no
+            # delta carried across bucket boundaries (round-5 advisor
+            # fix; the DSL `rate` agg twin in plans/tsds.py keeps its
+            # bucket-width semantics, which is that API's contract).
+            wb = Window.partitionBy("__tsb", *dims) \
+                .orderBy(F.col(ts_col).cast("timestamp"))
+            prev = F.lag(c).over(wb)
             delta = F.when(prev.isNull(), F.lit(None)) \
                 .when(c >= prev, c - prev) \
                 .otherwise(c)        # reset: counter restarted from 0
             df = df.withColumn(f"__d{i}", delta)
+            tsec = F.col(ts_col).cast("timestamp").cast("double")
+            span = F.max(tsec) - F.min(tsec)
             inner_aggs.append(
-                (F.sum(f"__d{i}") / F.lit(bucket_secs))
+                (F.sum(f"__d{i}") / F.when(span > F.lit(0.0), span))
                 .alias(f"__t{i}"))
         elif inner_fn == "last_over_time":
             inner_aggs.append(F.max(F.struct(
@@ -2717,6 +2745,7 @@ def esql(spark: SparkSession, query: str,
     _TLS.now = now
     _TLS.params = params
     _TLS.param_i = 0
+    _TLS.schema = None   # set per pipe segment once a frame exists
 
     # --- source command
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
@@ -2927,6 +2956,10 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
     for seg in segs:
         if not seg:
             raise EsqlError("ES|QL: empty pipe segment")
+        # snapshot the frame's schema for shape-directed compilers
+        # (ST_XMIN & co. classify envelope-typed columns by it);
+        # thread-local like the analyzer, refreshed per segment
+        _TLS.schema = st.df.schema
         p = _P(seg + [Tok("eof", "", 0, 0)], query)
         cmd = p.next().text.upper()
         if cmd == "WHERE":
@@ -2934,6 +2967,7 @@ def _run_pipeline(st: _State, segs: list[list[Tok]], query: str,
         elif cmd == "EVAL":
             for name, ast, raw in _named_exprs(p):
                 st.df = st.df.withColumn(name or raw, _compile(ast))
+                _TLS.schema = st.df.schema   # later items see this one
         elif cmd == "STATS":
             _stats(st, p)
         elif cmd == "INLINESTATS":
@@ -3326,6 +3360,7 @@ def esql_index(spark: SparkSession, query: str,
     _TLS.now = None   # residual conjuncts share _compile; no stale clock
     _TLS.params = params
     _TLS.param_i = 0
+    _TLS.schema = None
     p0 = _P(segs[0] + [Tok("eof", "", 0, 0)], query)
     if p0.next().text.upper() != "FROM":
         raise EsqlError("esql_index: pipeline must start with FROM")
@@ -3435,13 +3470,28 @@ def esql_index(spark: SparkSession, query: str,
         from .query import multi_docstats, topk_multi
 
         paths = list(index_path)
-        if match_opts:
-            raise EsqlError("esql_index: MATCH options are single-"
-                            "index only (topk_multi has no "
-                            "minimum_should_match plumbing yet)")
-        hits = topk_multi(spark, paths, match_text, k=k, post_filter=post)
+        # MATCH options (round 5): operator/minimum_should_match map
+        # to topk_multi's msm exactly as on the single-index path —
+        # the AND term count analyzes with the shared analyzer
+        # (topk_multi enforces the indexes agree on it), and boost
+        # scales the one scoring clause linearly after ranking.
+        msm = int(match_opts.get("minimum_should_match", 0))
+        if str(match_opts.get("operator", "or")).lower() == "and":
+            from ..plans.build import load_meta
+
+            meta = load_meta(paths[0])
+            n_terms = len(set(tokenize_py(
+                match_text, meta.get("analyzer", "simple"),
+                min_len=meta.get("min_token_len", 1),
+                max_len=meta.get("max_token_len", 64))))
+            msm = max(msm, n_terms)
+        hits = topk_multi(spark, paths, match_text, k=k, post_filter=post,
+                          minimum_should_match=msm)
         hits = (hits.withColumnRenamed("score", "_score")
                 .orderBy(F.desc("_score"), F.asc("doc_id")))
+        boost = float(match_opts.get("boost", 1.0))
+        if boost != 1.0:
+            hits = hits.withColumn("_score", F.col("_score") * F.lit(boost))
         if want_id:
             # ES doc _id (always a string) — the engine's id column
             hits = hits.withColumn("_id", F.col("doc_id").cast("string"))

@@ -166,7 +166,12 @@ def _apply_one(df: DataFrame, kind: str, p: dict,
         vals = p["value"] if isinstance(p["value"], list) else [p["value"]]
         add = F.array(*[F.lit(v) for v in vals])
         if field in df.columns:
-            joined = (F.array_union(F.col(field), add)
+            # allow_duplicates:false only skips NEW values already
+            # present (ES appends value-by-value, so an existing
+            # [a,a] + [b] keeps both a's: [a,a,b]) — array_union
+            # would also dedupe the pre-existing duplicates.
+            joined = (F.concat(F.col(field),
+                               F.array_except(add, F.col(field)))
                       if not p.get("allow_duplicates", True)
                       else F.concat(F.col(field), add))
             col = F.when(F.col(field).isNull(), add).otherwise(joined)
@@ -265,9 +270,13 @@ def _apply_one(df: DataFrame, kind: str, p: dict,
         # tag removal + the five XML entities (Lucene's char filter
         # also decodes numeric entities — documented simplification)
         c = F.regexp_replace(F.col(p["field"]), r"<[^>]*>", "")
-        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        # &amp; must decode LAST: a single-pass char filter never
+        # re-reads its own output, so '&amp;lt;' is '&lt;' (not '<') —
+        # decoding & first would feed the freshly-made '&lt;' to the
+        # next replace (double decode)
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
                         ("&quot;", '"'), ("&apos;", "'"),
-                        ("&nbsp;", " ")):
+                        ("&nbsp;", " "), ("&amp;", "&")):
             c = F.replace(c, F.lit(ent), F.lit(ch))
         return put(p.get("target_field", p["field"]), c)
     if kind == "urldecode":

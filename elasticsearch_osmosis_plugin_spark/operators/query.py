@@ -851,7 +851,8 @@ def multi_docstats(spark: SparkSession, index_paths: Sequence[str],
 def topk_multi(spark: SparkSession, index_paths: Sequence[str],
                query: str, k: int = 10,
                indices_boost: Sequence[float] | None = None,
-               post_filter=None) -> DataFrame:
+               post_filter=None,
+               minimum_should_match: int = 0) -> DataFrame:
     """ES multi-index search (``GET /idx1,idx2/_search``) with
     ``dfs_query_then_fetch`` semantics: collection statistics (df,
     N, avgdl) are combined across ALL indexes before scoring, so the
@@ -874,6 +875,12 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
     it pushes into every index's doc-store parquet scan, and the
     surviving ids semi-join each index's decoded stream BEFORE the
     aggregation — per-doc scores unchanged, only survivorship.
+
+    ``minimum_should_match``: require >= m DISTINCT query terms per
+    returned doc (ES match-query msm) — same semantics as
+    :func:`topk`. A doc lives in exactly ONE index (disjoint ids), so
+    the distinct-term count falls out of the same cross-index union
+    aggregation that sums the score; no extra shuffle.
 
     Plan: one tiny dictionary lookup per index (driver-side sum of
     df/cf — the distributed-frequency phase), then each index's pruned
@@ -932,6 +939,15 @@ def topk_multi(spark: SparkSession, index_paths: Sequence[str],
     out = parts[0]
     for more in parts[1:]:
         out = out.unionByName(more)
+    if minimum_should_match > 0:
+        if len(df_g) < minimum_should_match:
+            return spark.createDataFrame([], "doc_id long, score double")
+        scores = (out.groupBy("doc_id")
+                  .agg(F.sum("partial").alias("score"),
+                       F.countDistinct("term").alias("_nt"))
+                  .filter(F.col("_nt") >= minimum_should_match)
+                  .select("doc_id", "score"))
+        return deterministic_topk(scores, k)
     scores = out.groupBy("doc_id").agg(F.sum("partial").alias("score"))
     return deterministic_topk(scores, k)
 

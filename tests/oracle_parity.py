@@ -14,6 +14,7 @@ Usage: python tests/oracle_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -32,15 +33,34 @@ def duck_run(sf_dir: str, sql: str):
 
 
 def _norm_cell(v):
+    # Type-faithful normalization (round 5): the driver's value hash is
+    # type/format-sensitive, so this twin must be too. Python's cross-type
+    # ``==`` (Decimal('75.0') == 75.0, 0.0 == -0.0, True == 1) previously
+    # masked a DECIMAL-vs-DOUBLE oracle bug (esql_round_to, round 4) —
+    # tag each numeric family distinctly instead of relying on ``==``.
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return float(v)
+            return ("float-nan", 0.0)
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return ("float-negzero", 0.0)
+        return ("float", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, int):
+        return ("int", v)
+    if v is None:
+        return ("none", "")
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("dt", v.isoformat())
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return v
+        return ("bytes", bytes(v).hex())
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, (list, tuple)):
+        return ("seq", tuple(_norm_cell(x) for x in v))
+    return ("other", repr(v))
 
 
 def normalize(cols, rows):

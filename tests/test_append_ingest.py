@@ -435,6 +435,20 @@ def test_topk_multi_equals_union_rebuild(spark, tmp_path):
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
         for g, w in zip(got, want):
             assert abs(g["score"] - w["score"]) < 1e-9
+    # minimum_should_match (round 5): same union-rebuild identity,
+    # and msm=2 is a strict subset of the unrestricted ranking
+    got = topk_multi(spark, [pa, pb], "public static", k=10,
+                     minimum_should_match=2).collect()
+    want = topk(spark, pu, "public static", k=10,
+                minimum_should_match=2).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    assert got and all(
+        r["doc_id"] in {x["doc_id"] for x in topk_multi(
+            spark, [pa, pb], "public static", k=200).collect()}
+        for r in got)
+    assert topk_multi(spark, [pa, pb], "public static", k=10,
+                      minimum_should_match=3).count() == 0
     # indices_boost: per-index linear score scaling, same ranking math
     from elasticsearch_osmosis_plugin_spark.plans import catalog
 

@@ -1729,6 +1729,14 @@ FROM t
     assert r["xmin"] == -74.0 and r["xmax"] == -74.0
     assert r["ymin"] == 40.7
     assert r["px"] == 2.0 and r["ex"] == 5.0 and r["ey"] == -2.0
+    # envelope stored via EVAL then read back through a bare column:
+    # classified by struct shape, not by the syntactic ST_ENVELOPE call
+    r2 = esql(spark, """
+FROM t
+| EVAL e = ST_ENVELOPE(TO_GEOSHAPE("ENVELOPE (1.0, 5.0, 10.0, -2.0)"))
+| EVAL ex = ST_XMAX(e), ey = ST_YMIN(e), en = ST_XMIN(e)
+| KEEP ex, ey, en""", {"t": df}).collect()[0]
+    assert r2["ex"] == 5.0 and r2["ey"] == -2.0 and r2["en"] == 1.0
 
 
 def test_scalb_copysign_round_to(spark):
@@ -1736,11 +1744,13 @@ def test_scalb_copysign_round_to(spark):
 ROW v = 12.7, n = -3
 | EVAL s = SCALB(v, 4), s2 = SCALB(v, n),
        c1 = COPY_SIGN(5.0, -2.0), c2 = COPY_SIGN(-5.0, 3.0),
+       c3 = COPY_SIGN(5.0, NULL),
        r1 = ROUND_TO(v, 0, 10, 20), r2 = ROUND_TO(-4.0, 0, 10),
        r3 = ROUND_TO(25.0, 0, 10, 20)
-| KEEP s, s2, c1, c2, r1, r2, r3""", {}).collect()[0]
+| KEEP s, s2, c1, c2, c3, r1, r2, r3""", {}).collect()[0]
     assert r["s"] == 12.7 * 16 and r["s2"] == 12.7 / 8
     assert r["c1"] == -5.0 and r["c2"] == 5.0
+    assert r["c3"] is None          # NULL sign propagates, not -ABS
     assert r["r1"] == 10.0 and r["r2"] == 0.0 and r["r3"] == 20.0
     with pytest.raises(EsqlError, match="ROUND_TO"):
         esql(spark, "ROW v = 1 | EVAL x = ROUND_TO(v)", {})

@@ -609,7 +609,7 @@ def test_ingest_round4_processors(spark):
 
     df = spark.createDataFrame(
         [(1, "a=1 b=2", '{"x":"1","y":"z"}', '5,hello,"wo,rld"',
-          "1.5kb", "<b>Hi &amp; %26</b>",
+          "1.5kb", "<b>Hi &amp; %26</b>&amp;lt;x",
           "https://u@h.example.com:8080/p/q?k=v#f")],
         "id int, kv string, js string, c string, by string, "
         "h string, url string")
@@ -627,8 +627,10 @@ def test_ingest_round4_processors(spark):
     assert dict(r["jm"]) == {"x": "1", "y": "z"}
     assert (r["n"], r["w1"], r["w2"]) == ("5", "hello", "wo,rld")
     assert r["by"] == 1536
-    assert r["h"] == "Hi & %26"          # entities decoded, tags gone
-    assert r["dec"] == "Hi & &"          # then percent-decoded
+    # single-pass decode: tags gone, entities decoded ONCE —
+    # escaped '&amp;lt;' yields literal '&lt;', never '<'
+    assert r["h"] == "Hi & %26&lt;x"
+    assert r["dec"] == "Hi & &&lt;x"     # then percent-decoded
     u = r["url"]
     assert (u["scheme"], u["domain"], u["path"], u["query"],
             u["fragment"], u["user_info"]) == \
@@ -641,7 +643,7 @@ def test_ingest_grok_append_fail(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "GET /a 200", ["x"]), (2, "oops 500", ["x"])],
+        [(1, "GET /a 200", ["x"]), (2, "oops 500", ["x", "x"])],
         "id int, log string, arr array<string>")
     rows = {r["id"]: r for r in apply_pipeline(df, [
         # first matching pattern wins: row 1 matches BOTH patterns and
@@ -656,6 +658,9 @@ def test_ingest_grok_append_fail(spark):
     assert rows[1]["path"] == "/a" and rows[1]["status"] == 200
     assert rows[2]["path"] is None and rows[2]["status"] == 500
     assert rows[1]["arr"] == ["x", "y"]     # dedup kept order
+    # allow_duplicates:false skips only NEW values already present;
+    # pre-existing duplicates survive (ES: [x,x] + [x,y] -> [x,x,y])
+    assert rows[2]["arr"] == ["x", "x", "y"]
     assert rows[1]["fresh"] == ["solo"]     # created when missing
     # fail: trips on matching rows, passes through otherwise
     ok = apply_pipeline(df, [{"fail": {"if": "id = 99",

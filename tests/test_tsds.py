@@ -266,9 +266,11 @@ def test_ts_rate_auto_degrades_on_legacy_rollup(spark, tmp_path):
 
 
 def test_esql_ts_command_over_tsds_ref(spark, tmp_path):
-    """TS over a persisted TSDS (TsdsRef): SUM(RATE(..)) per bucket
-    equals ts_rate's per-series rates summed; AVG over series uses
-    the FULL dimension set even when BY omits it."""
+    """TS over a persisted TSDS (TsdsRef): ES|QL RATE is WITHIN-bucket
+    (first/last + resets over the observed span — unlike the DSL
+    `rate` agg twin ts_rate, which divides positive deltas by bucket
+    width); AVG over series uses the FULL dimension set even when BY
+    omits it."""
     from elasticsearch_osmosis_plugin_spark.operators.esql import (
         EsqlError,
         esql,
@@ -295,17 +297,12 @@ def test_esql_ts_command_over_tsds_ref(spark, tmp_path):
     out = {r["b"].minute: r for r in esql(spark, """
 TS m | STATS r = SUM(RATE(reqs)), a = AVG(LAST_OVER_TIME(mem))
       BY b = BUCKET(ts, 1 minute) | SORT b""", src).collect()}
-    # ts_rate twin: per-series rates summed across hosts
-    want = {}
-    for r in tsds.ts_rate(spark, root, "m", "1m",
-                          metric="reqs").collect():
-        if r["rate"] is not None:   # a series' first-ever point has no
-            #                         delta -> NULL rate (both paths)
-            want[r["bucket"].minute] = want.get(r["bucket"].minute, 0.0) \
-                + r["rate"]
-    assert set(out) == set(want)
-    for k in want:
-        assert abs(out[k]["r"] - want[k]) < 1e-12
+    # within-bucket: only host a's minute-0 bucket has >=2 samples
+    # (100@:10 -> 160@:50: increase 60 over a 40 s observed span);
+    # every other (series, bucket) is single-sampled -> NULL rate.
+    assert set(out) == {0, 1, 2}
+    assert out[0]["r"] == pytest.approx(60.0 / 40.0)
+    assert out[1]["r"] is None and out[2]["r"] is None
     # avg of per-series LAST in minute 0: a->160 mem 2.0, b->50 mem 10.0
     assert out[0]["a"] == pytest.approx(6.0)
     assert out[1]["a"] == pytest.approx((3.0 + 20.0) / 2)
@@ -314,7 +311,7 @@ TS m | STATS r = SUM(RATE(reqs)), a = AVG(LAST_OVER_TIME(mem))
     byh = {(r["b"].minute, r["host"]): r["r"] for r in esql(spark, """
 TS m | WHERE host == "a" | STATS r = SUM(RATE(reqs))
       BY b = BUCKET(ts, 1 minute), host""", src).collect()}
-    assert byh[(0, "a")] == 1.0 and (1, "b") not in byh
+    assert byh[(0, "a")] == pytest.approx(1.5) and (1, "b") not in byh
 
     # guard rails
     with pytest.raises(EsqlError, match="counter"):
