@@ -92,6 +92,29 @@ def _files_sig(files: list[str]) -> tuple:
                  for f in files)
 
 
+# Directory-listing cache: serving resolves each touched bucket with a
+# glob (listdir + fnmatch) per call, which at 8-deep concurrency means
+# dozens of directory scans per batch. POSIX bumps a directory's mtime
+# whenever an entry is added/removed, so a listing validated by the
+# dir's mtime_ns is exact for file-set changes; content rewrites of an
+# EXISTING file are caught downstream by _files_sig (every consumer
+# keys on it). One stat per bucket dir instead of a scan.
+listing_cache = _LRU(maxsize=512)
+
+
+def _ls_parquet(d: str) -> list[str]:
+    try:
+        mt = os.stat(d).st_mtime_ns
+    except OSError:
+        return []
+    hit = listing_cache.get(d)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    listing_cache.put(d, (mt, files))
+    return files
+
+
 def _load_dic_bucket(files: list[str]):
     """One dictionary bucket -> (sorted term array, df, cf, max_wand
     numpy columns) for binary-search term lookups."""
@@ -131,8 +154,7 @@ def _posting_dirs(index_path: str, meta: dict) -> list[str]:
 def _bucket_files(dirs: list[str], bucket: int) -> list[str]:
     out = []
     for d in dirs:
-        out.extend(sorted(glob.glob(
-            os.path.join(d, f"bucket={bucket}", "*.parquet"))))
+        out.extend(_ls_parquet(os.path.join(d, f"bucket={bucket}")))
     return out
 
 
@@ -163,8 +185,7 @@ def local_dictionary_rows(index_path: str, meta: dict,
         by_bucket.setdefault(bucket_of(t, meta["n_buckets"]), []).append(t)
     out: dict[str, dict] = {}
     for b, ts in sorted(by_bucket.items()):
-        files = sorted(glob.glob(
-            os.path.join(dic_dir, f"bucket={b}", "*.parquet")))
+        files = _ls_parquet(os.path.join(dic_dir, f"bucket={b}"))
         if not files:
             continue
         if cache is not None:
@@ -252,7 +273,8 @@ postings_cache = _ByteLRU(max_bytes=256 << 20)
 
 def _gather_term_postings(index_path: str, meta: dict,
                           terms: list[str],
-                          cache: _ByteLRU | None = postings_cache
+                          cache: _ByteLRU | None = postings_cache,
+                          sigs_out: dict | None = None
                           ) -> dict[str, tuple]:
     """term -> (doc_ids int64, tf float64, dl float64), concatenated
     across every posting row (block/segment/group) of the term. One
@@ -261,7 +283,11 @@ def _gather_term_postings(index_path: str, meta: dict,
     signature (an index rewrite changes the signature, so stale
     entries age out untouched). Scores are NOT cached — BM25 weights
     depend on meta (n_docs/avgdl), which each caller applies from its
-    own snapshot."""
+    own snapshot.
+
+    ``sigs_out``: optional dict populated with term -> the bucket file
+    signature the term's arrays came from — the invalidation token the
+    merge-structure cache keys on (see ``_score_from_postings``)."""
     dirs = _posting_dirs(index_path, meta)
     by_bucket: dict[int, list[str]] = {}
     for t in terms:
@@ -275,6 +301,9 @@ def _gather_term_postings(index_path: str, meta: dict,
         sig = None
         if cache is not None:
             sig = _files_sig(files)
+            if sigs_out is not None:
+                for t in ts:
+                    sigs_out[t] = sig
             missing = []
             for t in ts:
                 v = cache.get((sig, t))
@@ -306,40 +335,103 @@ def _gather_term_postings(index_path: str, meta: dict,
     return out
 
 
+# Merge-structure cache: the (unique doc_id array, inverse index)
+# pair a query's accumulate runs over depends only on the ORDERED set
+# of live terms and each term's posting bytes — not on scores, k, or
+# tombstones. Keyed on (term order, per-term bucket file signatures),
+# so any index mutation (append/purge/compact rewrites the bucket
+# files) changes the signature and the stale structure ages out, same
+# invalidation discipline as dictionary_cache / postings_cache. This
+# is the serving hot path's biggest CPU item (np.unique is an
+# O(n log n) sort per call) and the cached pair is exact — the
+# accumulate still runs per call with identical operand order, so
+# scores stay bit-for-bit equal to the uncached path.
+merge_cache = _LRU(maxsize=256)
+
+# Per-term BM25 weight vectors: w = idf * tf * (k1+1) / (tf + k1 *
+# (1 - b + b * dl/avgdl)) depends only on the term's posting bytes
+# (signature) and the scoring snapshot (n_docs, avgdl, k1, b, df) —
+# all in the key, so an index mutation OR a meta change (append moves
+# avgdl/n_docs) misses and recomputes. The cached vector is the exact
+# array the uncached path builds (same inputs, same expression).
+weight_cache = _LRU(maxsize=512)
+
+
+def _topk_order(uids: np.ndarray, scores: np.ndarray,
+                k: int) -> np.ndarray:
+    """Deterministic (score desc, doc_id asc) top-k WITHOUT sorting
+    the full array: select the k-th score by partition (O(n)), keep
+    every doc at-or-above it (ties included, so the doc_id tie-break
+    stays exact), lexsort only the candidates. Identical output to
+    ``np.lexsort((uids, -scores))[:k]``."""
+    if uids.size <= k:
+        return np.lexsort((uids, -scores))
+    part = np.argpartition(-scores, k - 1)[:k]
+    thresh = scores[part].min()
+    cand = np.flatnonzero(scores >= thresh)
+    return cand[np.lexsort((uids[cand], -scores[cand]))][:k]
+
+
 def _score_from_postings(live: list[str], posts: dict[str, tuple],
                          dic_rows: dict[str, dict], meta: dict,
-                         dead: np.ndarray | None, k: int
+                         dead: np.ndarray | None, k: int,
+                         sigs: dict | None = None
                          ) -> list[tuple[int, float]]:
     """BM25 accumulate + tombstone mask + deterministic top-k over
     pre-gathered per-term postings — identical arithmetic to
-    query._decode_score."""
+    query._decode_score. ``sigs``: term -> posting bucket signature
+    (from ``_gather_term_postings``); when present the doc-id merge
+    structure comes from / lands in ``merge_cache``."""
     from elasticsearch_osmosis_plugin_spark.operators.query import idf
 
     k1, b, avgdl = meta["k1"], meta["b"], float(meta["avgdl"])
     n_docs = int(meta["n_docs"])
-    ids_parts, w_parts = [], []
+    ids_parts, w_parts, terms_used = [], [], []
     for term in dict.fromkeys(live):    # dedupe: one clause per term
         got = posts.get(term)
         if got is None:
             continue
         d, tf, dl = got
-        w = idf(n_docs, int(dic_rows[term]["df"])) * tf * (k1 + 1.0) \
-            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        df_t = int(dic_rows[term]["df"])
+        wkey = None
+        w = None
+        if sigs is not None and term in sigs:
+            wkey = (term, sigs[term], n_docs, avgdl, k1, b, df_t)
+            hit_w = weight_cache.get(wkey)
+            if hit_w is not None and hit_w.size == tf.size:
+                w = hit_w
+        if w is None:
+            w = idf(n_docs, df_t) * tf * (k1 + 1.0) \
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            if wkey is not None:
+                weight_cache.put(wkey, w)
         ids_parts.append(d)
         w_parts.append(w)
+        terms_used.append(term)
     if not ids_parts:
         return []
-    all_ids = np.concatenate(ids_parts)
     all_w = np.concatenate(w_parts)
-    uids, inv = np.unique(all_ids, return_inverse=True)
+    key = None
+    if sigs is not None and all(t in sigs for t in terms_used):
+        key = (tuple(terms_used), tuple(sigs[t] for t in terms_used))
+        hit = merge_cache.get(key)
+    else:
+        hit = None
+    if hit is not None and hit[2] == all_w.size:
+        uids, inv = hit[0], hit[1]
+    else:
+        all_ids = np.concatenate(ids_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        if key is not None:
+            merge_cache.put(key, (uids, inv, all_ids.size))
     scores = np.zeros(uids.size, dtype=np.float64)
     np.add.at(scores, inv, all_w)
     if dead is not None and dead.size:
         pos = np.searchsorted(dead, uids)
-        hit = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)]
-                                   == uids)
-        uids, scores = uids[~hit], scores[~hit]
-    order = np.lexsort((uids, -scores))[:k]
+        hit_d = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)]
+                                     == uids)
+        uids, scores = uids[~hit_d], scores[~hit_d]
+    order = _topk_order(uids, scores, k)
     return [(int(uids[i]), float(scores[i])) for i in order]
 
 
@@ -357,9 +449,11 @@ def local_topk(index_path: str, query_terms: list[str], k: int = 10,
     live = [t for t in query_terms if t in dic_rows]
     if not live:
         return []
-    posts = _gather_term_postings(index_path, meta, live)
+    sigs: dict = {}
+    posts = _gather_term_postings(index_path, meta, live, sigs_out=sigs)
     dead = _tombstone_ids(index_path, meta)
-    return _score_from_postings(live, posts, dic_rows, meta, dead, k)
+    return _score_from_postings(live, posts, dic_rows, meta, dead, k,
+                                sigs=sigs)
 
 
 def local_topk_many(index_path: str,
@@ -379,11 +473,13 @@ def local_topk_many(index_path: str,
     if dic_rows is None:
         dic_rows = local_dictionary_rows(index_path, meta, all_terms)
     live_union = [t for t in all_terms if t in dic_rows]
-    posts = _gather_term_postings(index_path, meta, live_union)
+    sigs: dict = {}
+    posts = _gather_term_postings(index_path, meta, live_union,
+                                  sigs_out=sigs)
     dead = _tombstone_ids(index_path, meta)
     out = {}
     for name, terms in term_lists.items():
         live = [t for t in terms if t in dic_rows]
         out[name] = _score_from_postings(live, posts, dic_rows, meta,
-                                         dead, k) if live else []
+                                         dead, k, sigs=sigs) if live else []
     return out
