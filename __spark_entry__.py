@@ -5852,6 +5852,34 @@ FROM documents
 | LIMIT 25""")
 
 
+def q_esql_change_point(spark, sf_dir):
+    """ES|QL CHANGE_POINT as a pipeline COMMAND (8.14 tech preview;
+    round 5): the daily event buckets carry a synthetic 1->10 step at
+    the midpoint of the day span, so the detected (row, type) is
+    ANALYTIC — first day of the upper half, step_change — and the
+    DuckDB twin derives it independently of the detector kernel
+    (which is value-tested by the synthetic battery in
+    tests/test_esql.py). pvalue is kernel-only arithmetic, so it
+    stays out of the projection."""
+    return _esql(spark, sf_dir, """
+FROM events
+| STATS n = COUNT(*) BY day = BUCKET(ts, 1 day)
+| EVAL day_ts = DATE_DIFF("seconds", TO_DATETIME("1970-01-01 00:00:00"), day)
+| INLINESTATS mn = MIN(day_ts), mx = MAX(day_ts)
+| EVAL v = CASE(day_ts * 2 >= mn + mx, 10.0, 1.0)
+| CHANGE_POINT v ON day_ts
+| WHERE type IS NOT NULL
+| KEEP day_ts, type""")
+
+
+ESQL_CHANGE_POINT_SQL = """
+WITH d AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS day_ts
+           FROM events GROUP BY 1),
+m AS (SELECT min(day_ts) AS mn, max(day_ts) AS mx FROM d)
+SELECT min(day_ts) AS day_ts, 'step_change' AS type
+FROM d, m WHERE day_ts * 2 >= mn + mx"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "tsds_downsample_events": q_tsds_downsample_events,
@@ -5901,6 +5929,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_st_distance": q_esql_st_distance,
     "cumulative_cardinality_events": q_cumulative_cardinality_events,
     "change_point_events": q_change_point_events,
+    "esql_change_point": q_esql_change_point,
     "esql_wordcount_docs": q_esql_wordcount_docs,
     "scripted_metric_idx": q_scripted_metric_idx,
     "nested_terms_agg_orders": q_nested_terms_agg_orders,
@@ -7954,6 +7983,7 @@ FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
         "esql_st_grid": _st_grid_oracle_sql(),
         "esql_ts_overtime": ESQL_TS_OVERTIME_SQL,
         "esql_ts_rate": ESQL_TS_RATE_SQL,
+        "esql_change_point": ESQL_CHANGE_POINT_SQL,
         "esql_round_to": ESQL_ROUND_TO_SQL,
         "esql_params": """
 SELECT event_type, count(*) AS n,
