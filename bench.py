@@ -147,10 +147,13 @@ def main() -> int:
 
         # concurrent serving: 8 in-flight local queries per batch via
         # the batched path (topk_local_many: one pruned read per
-        # touched bucket + the decoded-postings LRU). Every query in a
-        # batch completes when the batch does, so PER-QUERY latency
-        # under 8-deep concurrency == the batch wall — the "done" bar
-        # is within 2x of the solo number above.
+        # touched bucket + the decoded-postings/merge-structure/weight
+        # LRUs). Every query in a batch completes when the batch does,
+        # so PER-QUERY latency under 8-deep concurrency == the batch
+        # wall. Round-5 profile (BENCH/BASELINE.md): the batch wall is
+        # 8 queries' worth of sequential sub-ms numpy (threads measured
+        # 2x worse at these op sizes), so the meaningful bars are the
+        # ABSOLUTE batch wall and batch/8 per-query latency vs solo.
         searcher = Searcher(spark, idx)
         qs_c = {f"c{i}": q for i, q in enumerate(
             ["spark query join", "dup batch the window", "dup",
