@@ -47,16 +47,23 @@ from elasticsearch_osmosis_plugin_spark.plans.build import build_index
 from elasticsearch_osmosis_plugin_spark.session import get_session
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); deadline_s = float(sys.argv[3])
+# shuffle partitions scale with corpus size past ~8M docs (bounded
+# per-partition posting state — the same knob a real cluster tunes;
+# identical to the old cpus value at every <=4M protocol point) and
+# the single local-mode JVM gets a heap sized for the 40M-doc
+# dictionary (the code corpus's vocabulary grows with n_docs via the
+# per-doc id tokens, so dictionary persist scales with corpus size).
+shuffle_p = max(cpus, n_docs // 500_000)
 spark = get_session(app_name=f"eosp-scale-{cpus}", master=f"local[{cpus}]",
-                    shuffle_partitions=cpus,
-                    extra_conf={"spark.driver.memory": "12g"})
+                    shuffle_partitions=shuffle_p,
+                    extra_conf={"spark.driver.memory": "48g"})
 # north-rule workload: code corpus + code-aware analyzer; generated
 # distributed, persisted so the build times ONLY the build.
 src = tempfile.mkdtemp(prefix="eosp_corpus_") + "/corpus"
 generate_corpus_df(spark, seed=42, n=n_docs, n_partitions=64).write.parquet(src)
 docs = spark.read.parquet(src)
 cfg = EngineConfig(analyzer="code", n_segments=128, n_buckets=16,
-                   resume=False, shuffle_partitions=cpus)
+                   resume=False, shuffle_partitions=shuffle_p)
 
 # warmup: one python worker per core (never a .limit() slice — that
 # collapses to one task and warms a single worker)
