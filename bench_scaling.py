@@ -36,6 +36,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 CHILD = """
@@ -137,10 +138,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def _spawn(cpu_list: str, cpus: int, n_docs: int, deadline_s: float,
            ready_f: str, go_f: str) -> subprocess.Popen:
+    # child stderr to a per-level file (Spark progress noise, and the
+    # only diagnostic when a child dies — a silent DEVNULL cost a 40M
+    # OOM run a full window in round 5)
+    errf = open(os.path.join(tempfile.gettempdir(),
+                             f"eosp_scale_child_{cpus}.err"), "w")
     return subprocess.Popen(
         ["taskset", "-c", cpu_list, sys.executable, "-c", CHILD,
          str(cpus), str(n_docs), str(deadline_s), ready_f, go_f],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, stderr=errf, text=True,
         cwd=HERE)
 
 
