@@ -60,9 +60,22 @@ spark = get_session(app_name=f"eosp-scale-{cpus}", master=f"local[{cpus}]",
                     extra_conf={"spark.driver.memory": "48g"})
 # north-rule workload: code corpus + code-aware analyzer; generated
 # distributed, persisted so the build times ONLY the build.
-src = tempfile.mkdtemp(prefix="eosp_corpus_") + "/corpus"
-generate_corpus_df(spark, seed=42, n=n_docs, n_partitions=64).write.parquet(src)
+# EOSP_CORPUS_DIR reuses an already-generated corpus (a 40M-doc
+# corpus is ~27 GB / ~25 min of generation — identical content for
+# the same seed, so reuse changes nothing measured); EOSP_N_GROUPS
+# bounds per-pass shuffle state via the engine's own group structure
+# (plans.build A11) — the knob that keeps a giant build inside a
+# fixed temp-disk budget, exactly its 100 TB role.
+src_reuse = os.environ.get("EOSP_CORPUS_DIR")
+keep_src = bool(src_reuse)
+if src_reuse:
+    src = src_reuse
+else:
+    src = tempfile.mkdtemp(prefix="eosp_corpus_") + "/corpus"
+    generate_corpus_df(spark, seed=42, n=n_docs,
+                       n_partitions=64).write.parquet(src)
 docs = spark.read.parquet(src)
+n_groups = int(os.environ.get("EOSP_N_GROUPS", "1"))
 cfg = EngineConfig(analyzer="code", n_segments=128, n_buckets=16,
                    resume=False, shuffle_partitions=shuffle_p)
 
@@ -105,7 +118,7 @@ cycles = []
 while True:
     idx = tempfile.mkdtemp(prefix="eosp_scale_") + "/index"
     c0, s0, t0 = cpu_ns(), steal_ticks(), time.time()
-    meta = build_index(spark, docs, idx, cfg, n_groups=1)
+    meta = build_index(spark, docs, idx, cfg, n_groups=n_groups)
     build_s = time.time() - t0
     cycles.append({"build_s": round(build_s, 2),
                    "cpu_s": round((cpu_ns() - c0) / 1e9, 1),
@@ -123,7 +136,8 @@ while True:
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
     if time.time() >= t_end:
         break
-shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+if not keep_src:
+    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 print(json.dumps({"cpus": cpus, "n_docs": n_docs, "build_s": best_build,
                   "docs_per_sec": n_docs / best_build,
                   "query_suite_s": best_query, "cycles": len(cycles),
