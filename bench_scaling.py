@@ -55,9 +55,16 @@ cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); deadline_s = float(sys.argv[
 # dictionary (the code corpus's vocabulary grows with n_docs via the
 # per-doc id tokens, so dictionary persist scales with corpus size).
 shuffle_p = max(cpus, n_docs // 500_000)
+# periodicGC at 1 min (default 30 min): shuffle files on local disk
+# are only reclaimed when the driver GC unreferences them, so the
+# sequential per-group passes of a big build ACCUMULATE dead shuffle
+# data for the whole build under the default — 20M docs filled a
+# ~94 GB disk twice in round 5 before this; with a 1-min cleaner the
+# group structure actually bounds peak temp disk as designed.
 spark = get_session(app_name=f"eosp-scale-{cpus}", master=f"local[{cpus}]",
                     shuffle_partitions=shuffle_p,
-                    extra_conf={"spark.driver.memory": "48g"})
+                    extra_conf={"spark.driver.memory": "48g",
+                                "spark.cleaner.periodicGC.interval": "1min"})
 # north-rule workload: code corpus + code-aware analyzer; generated
 # distributed, persisted so the build times ONLY the build.
 # EOSP_CORPUS_DIR reuses an already-generated corpus (a 40M-doc
