@@ -1814,8 +1814,20 @@ FROM docs METADATA _score
     p = topk(spark, idx, "spark window", k=10).collect()
     for x, y in zip(b, p):
         assert x["_score"] == pytest.approx(y["score"] * 3.0)
-    with pytest.raises(EsqlError, match="single-index"):
-        esql_index(spark, """
+    # round 5: MATCH options now plumb through the MULTI-index fast
+    # path too — operator "and" == msm over the dfs-exact union
+    idx_a, idx_b = str(tmp_path / "opt_a"), str(tmp_path / "opt_b")
+    build_index(spark, docs.filter("doc_id <= 2"), idx_a,
+                id_col="doc_id", text_col="text", n_groups=1)
+    build_index(spark, docs.filter("doc_id > 2"), idx_b,
+                id_col="doc_id", text_col="text", n_groups=1)
+    multi = esql_index(spark, """
 FROM a, b METADATA _score
-| WHERE MATCH(text, "spark", {"operator": "and"})
-| SORT _score DESC | LIMIT 5""", [idx, idx])
+| WHERE MATCH(text, "spark window", {"operator": "and", "boost": 2.0})
+| SORT _score DESC, doc_id | LIMIT 5""", [idx_a, idx_b]).collect()
+    # union of the two halves == the single index built above, so the
+    # msm ranking must match the single-index msm path; boost scales
+    assert [r["doc_id"] for r in multi] == \
+        [r["doc_id"] for r in want.collect()]
+    for x, y in zip(multi, want.collect()):
+        assert x["_score"] == pytest.approx(y["score"] * 2.0)
