@@ -55,16 +55,21 @@ cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); deadline_s = float(sys.argv[
 # dictionary (the code corpus's vocabulary grows with n_docs via the
 # per-doc id tokens, so dictionary persist scales with corpus size).
 shuffle_p = max(cpus, n_docs // 500_000)
-# periodicGC at 1 min (default 30 min): shuffle files on local disk
-# are only reclaimed when the driver GC unreferences them, so the
-# sequential per-group passes of a big build ACCUMULATE dead shuffle
-# data for the whole build under the default — 20M docs filled a
-# ~94 GB disk twice in round 5 before this; with a 1-min cleaner the
-# group structure actually bounds peak temp disk as designed.
+# Big-corpus knobs apply ONLY past 8M docs so the <=4M protocol
+# points keep the round-2..4 environment bit-for-bit (12 g heap, no
+# forced GC): (a) 48 g heap for the n_docs-proportional dictionary;
+# (b) periodicGC at 1 min (default 30 min) — shuffle files on local
+# disk are only reclaimed when the driver GC unreferences them, so
+# the sequential per-group passes of a big build ACCUMULATE dead
+# shuffle data under the default; 20M docs filled a ~94 GB disk
+# twice in round 5 before this.
+big = n_docs > 8_000_000
+extra = {"spark.driver.memory": "48g" if big else "12g"}
+if big:
+    extra["spark.cleaner.periodicGC.interval"] = "1min"
 spark = get_session(app_name=f"eosp-scale-{cpus}", master=f"local[{cpus}]",
                     shuffle_partitions=shuffle_p,
-                    extra_conf={"spark.driver.memory": "48g",
-                                "spark.cleaner.periodicGC.interval": "1min"})
+                    extra_conf=extra)
 # north-rule workload: code corpus + code-aware analyzer; generated
 # distributed, persisted so the build times ONLY the build.
 # EOSP_CORPUS_DIR reuses an already-generated corpus (a 40M-doc
